@@ -1,38 +1,592 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship smoke query at sf0.001.
+``queries()`` — one named (spark, sf_dir) -> DataFrame per implemented
+operator from SURVEY.md §2 (+ LLM-data ops).
+``oracle_sql()`` — matching DuckDB ANSI SQL per query name.
+
+Determinism contract (every query): aggregate sums over doubles go
+through exact DECIMAL arithmetic so results don't depend on partial-agg
+order; window/rank orders always carry a unique tie-break column; floats
+that pass through non-exact kernels (percentile, sqrt, cosine) are
+rounded on BOTH sides at a precision far above the engines' noise floor.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from sparkgraft.functions import expr as E
+from sparkgraft.operators import relational as R
+from sparkgraft.operators import stats as S
+from sparkgraft.sources.readers import read_table
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Flagship (E1 analog): per-channel descriptive stats over the events
+# stream — the reference's core computation (SURVEY §2.4 A1,
+# DataConverterUDBF.py:213-282) with event_type standing in for the
+# sensor channel (FIXTURES.md §B).
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_channel_stats(spark, SF0001)
+
+
+def q_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return S.channel_stats(events, ["event_type"], "value").withColumnsRenamed(
+        {"event_type": "channel"}
+    )
+
+
+def q_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 over 10-minute tumbling event-time windows (SURVEY §2.5/§2.9)."""
+    events = _t(spark, sf_dir, "events")
+    return S.windowed_channel_stats(
+        events, ts="ts", key="event_type", value="value", duration="10 minutes"
+    )
+
+
+def q_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — the full upstream-stats metric set, computed natively."""
+    events = _t(spark, sf_dir, "events")
+    return S.extended_stats(events, ["event_type"], "value")
+
+
+def q_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — latest full row per key (sens latest-row extraction)."""
+    events = _t(spark, sf_dir, "events")
+    return S.latest_rows(events, ["user_id"], "ts", tiebreak=["event_id"])
+
+
+def q_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — max_by single-agg variant: newest event_type per user."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.max_by("event_type", F.struct("ts", "event_id")).alias("last_type"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-family — global top-k with deterministic tie-break."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_top_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 — top-3 customers by acctbal per nation (rank-limit pushdown)."""
+    cust = _t(spark, sf_dir, "customer")
+    return R.top_k_per_group(
+        cust,
+        ["c_nationkey"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        3,
+    ).select("c_nationkey", "c_custkey", "c_acctbal", "rnk")
+
+
+def q_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — broadcast mapping join: customers rolled up to region via the
+    25-row nation / 5-row region lookup tables (modbus mapping analog)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dim = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    joined = cust.join(
+        F.broadcast(dim.select("n_nationkey", F.col("r_name").alias("region"))),
+        cust.c_nationkey == F.col("n_nationkey"),
+    )
+    return joined.groupBy("region").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(27,6)")).cast("double").alias("sum_acctbal"),
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join — customers that have orders, per market segment."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    with_orders = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    )
+    return with_orders.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_active_customers")
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — customers with no 1995 orders (upload-dedup analog
+    P10/D4: 'skip what the remote already has')."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    )
+    without = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return without.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_inactive_customers")
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — as-of join: each purchase paired with the user's most recent
+    signup at-or-before it (alarm-correlation analog)."""
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("ts_r")
+    )
+    out = R.asof_join(
+        purchases,
+        signups,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts_r",
+        right_payload=["ts_r"],
+    )
+    return out.select(
+        "event_id", "ts", "user_id", F.col("ts_r").alias("signup_ts")
+    )
+
+
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets — TPC-H-Q1-style pricing summary with ROLLUP."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            # Exact decimal sums, rescaled to 2 before the double cast so the
+            # scaled significand stays < 2^53 — the cast is then exact in any
+            # engine (no double-rounding divergence on grand totals).
+            F.sum(F.col("l_quantity").cast("decimal(27,6)"))
+            .cast("decimal(38,2)").cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(27,6)"))
+            .cast("decimal(38,2)").cast("double").alias("sum_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(8,6)") - F.col("l_discount").cast("decimal(8,6)"))
+            ).cast("decimal(38,2)").cast("double").alias("sum_disc_price"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 ranking — dense_rank of order priorities by total spend."""
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+        .cast("decimal(38,2)").cast("double").alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc())
+    return per.select(
+        "o_orderpriority", "spend", F.dense_rank().over(w).alias("spend_rank")
+    )
+
+
+def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 analytic — sample-to-sample delta per user (lag)."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+def q_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 frame-spec — rolling mean over the last 4 samples per user.
+
+    Sum runs in DECIMAL so Spark's incremental add/remove sliding-frame
+    evaluation is bit-identical to the oracle's recompute-per-frame.
+    """
+    events = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    dec = F.col("value").cast("decimal(27,6)")
+    return events.select(
+        "event_id",
+        "user_id",
+        (F.sum(dec).over(w).cast("double") / F.count("value").over(w)).alias(
+            "rolling_mean"
+        ),
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 — INTERSECT/EXCEPT: users who viewed AND clicked in the first
+    week but made no purchase in it."""
+    events = _t(spark, sf_dir, "events")
+    week1 = events.filter(
+        F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")
+    )
+    viewers = week1.filter(F.col("event_type") == "view").select("user_id").distinct()
+    clickers = week1.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = week1.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return viewers.intersect(clickers).exceptAll(buyers)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3/F8 — content-hash dedup over documents: canonical sha256 id,
+    first writer (min doc_id) wins, duplicate count retained."""
+    docs = _t(spark, sf_dir, "documents")
+    with_id = docs.withColumn("content_id", E.content_id("text", "lang"))
+    return with_id.groupBy("content_id").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F6/F8 scalar-expression showcase on a deterministic frame:
+    filename-ts round-trip, OLE round-trip, comma-decimal parse, content id."""
+    events = _t(spark, sf_dir, "events")
+    df = events.select(
+        "event_id",
+        "ts",
+        "value",
+        F.concat(
+            F.lit("Logger1_"), F.date_format("ts", "yyyy-MM-dd_HH-mm-ss"), F.lit(".dat")
+        ).alias("fname"),
+        F.regexp_replace(
+            F.regexp_replace(F.format_number("value", 2), ",", ""), r"\.", ","
+        ).alias("vstr"),
+    )
+    return df.select(
+        "event_id",
+        E.filename_timestamp(F.col("fname")).alias("fname_ts"),
+        E.timestamp_to_ole(F.col("ts")).alias("ole_days"),
+        E.ole_to_timestamp(F.floor(E.timestamp_to_ole(F.col("ts"))).cast("double")).alias(
+            "ole_midnight"
+        ),
+        E.comma_decimal(F.col("vstr")).alias("value_parsed"),
+        E.content_id(F.col("event_id").cast("string"), F.col("fname")).alias("content_id"),
+    )
+
+
+def q_alignment_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P5 — alignment + size-health predicates as a health report."""
+    orders = _t(spark, sf_dir, "orders")
+    ref = F.lit(150000.0)
+    return orders.select(
+        "o_orderkey",
+        E.is_10min_aligned(F.col("o_orderdate")).alias("aligned"),
+        E.size_health_flag(F.col("o_totalprice"), ref).alias("size_flag"),
+    )
+
+
+def q_transient_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — restart-transient suppression: drop each channel's first 10
+    seconds (per-key min-ts + filter, the reference's 10 s sample skip)."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    with_min = events.withColumn("t0", F.min("ts").over(w))
+    kept = with_min.filter(
+        F.col("ts") >= F.col("t0") + F.expr("INTERVAL 10 SECONDS")
+    )
+    return kept.groupBy("event_type").agg(F.count("*").alias("n_kept"))
+
+
+def q_kv_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/K3 — row→KV hash projection (Redis-hash semantics): per-channel
+    stats exploded to `<channel>:<metric>` → string value fields."""
+    stats = q_channel_stats(spark, sf_dir)
+    long = stats.select(
+        "channel",
+        F.explode(
+            F.create_map(
+                F.lit("mean"), F.col("mean"),
+                F.lit("min"), F.col("min"),
+                F.lit("max"), F.col("max"),
+            )
+        ).alias("metric", "v"),
+    )
+    return long.select(
+        F.concat_ws(":", "channel", "metric").alias("field"),
+        F.col("v").cast("string").alias("value"),
+    )
+
+
+def q_register_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/K4 — register-image sink: broadcast mapping (field→register)
+    joined to the KV stats, value packed to float32 (modbus 2-register)."""
+    kv = q_kv_projection(spark, sf_dir)
+    mapping = (
+        _t(spark, sf_dir, "events")
+        .select("event_type").distinct()
+        .select(
+            F.col("event_type"),
+            F.explode(F.array(F.lit("mean"), F.lit("min"), F.lit("max"))).alias("m"),
+        )
+        .select(
+            F.concat_ws(":", "event_type", "m").alias("field"),
+            (
+                100
+                + 2 * F.row_number().over(Window.orderBy("event_type", "m"))
+            ).alias("register"),
+        )
+    )
+    return (
+        kv.join(F.broadcast(mapping), "field", "inner")
+        .select(
+            "register",
+            F.col("value").cast("double").cast("float").alias("reg_value"),
+        )
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "channel_stats": q_channel_stats,
+    "windowed_stats": q_windowed_stats,
+    "extended_stats": q_extended_stats,
+    "latest_per_user": q_latest_per_user,
+    "max_by": q_max_by,
+    "top_orders": q_top_orders,
+    "top_per_group": q_top_per_group,
+    "broadcast_lookup": q_broadcast_lookup,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "asof_join": q_asof_join,
+    "rollup_pricing": q_rollup_pricing,
+    "window_rank": q_window_rank,
+    "lag_delta": q_lag_delta,
+    "rolling_mean": q_rolling_mean,
+    "set_ops": q_set_ops,
+    "dedup_exact": q_dedup_exact,
+    "scalar_functions": q_scalar_functions,
+    "alignment_gate": q_alignment_gate,
+    "transient_skip": q_transient_skip,
+    "kv_projection": q_kv_projection,
+    "register_image": q_register_image,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return dict(QUERIES)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+ORACLES: dict[str, str] = {
+    "channel_stats": """
+        SELECT event_type AS channel,
+               round(cast(sum(cast(value AS DECIMAL(27,6))) AS DOUBLE) / count(value), 3) AS mean,
+               round(min(value), 3) AS "min",
+               round(max(value), 3) AS "max"
+        FROM events GROUP BY event_type
+    """,
+    "windowed_stats": """
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+               event_type,
+               round(cast(sum(cast(value AS DECIMAL(27,6))) AS DOUBLE) / count(value), 3) AS mean,
+               round(min(value), 3) AS "min",
+               round(max(value), 3) AS "max"
+        FROM events GROUP BY 1, 2
+    """,
+    "extended_stats": """
+        SELECT event_type,
+               count(value) AS n_rows,
+               count(CASE WHEN isnan(value) THEN 1 END) AS n_nans,
+               round(cast(sum(cast(value AS DECIMAL(27,6))) AS DOUBLE) / count(value), 4) AS mean,
+               round(min(value), 4) AS "min",
+               round(max(value), 4) AS "max",
+               round(sqrt((cast(sum(cast(cast(value AS DECIMAL(27,6)) * cast(value AS DECIMAL(27,6)) AS DECIMAL(38,12))) AS DOUBLE)
+                           - cast(sum(cast(value AS DECIMAL(27,6))) AS DOUBLE) * cast(sum(cast(value AS DECIMAL(27,6))) AS DOUBLE) / count(value))
+                          / (count(value) - 1)), 4) AS std,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90
+        FROM events GROUP BY event_type
+    """,
+    "latest_per_user": """
+        SELECT event_id, ts, user_id, event_type, value, props FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "max_by": """
+        SELECT user_id, event_type AS last_type, last_ts FROM (
+            SELECT user_id, event_type,
+                   max(ts) OVER (PARTITION BY user_id) AS last_ts,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "top_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "top_per_group": """
+        SELECT c_nationkey, c_custkey, c_acctbal, rnk FROM (
+            SELECT c_nationkey, c_custkey, c_acctbal,
+                   row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+            FROM customer
+        ) WHERE rnk <= 3
+    """,
+    "broadcast_lookup": """
+        SELECT r.r_name AS region,
+               count(*) AS n_customers,
+               cast(sum(cast(c.c_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS sum_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    "semi_join": """
+        SELECT c_mktsegment, count(*) AS n_active_customers
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_mktsegment
+    """,
+    "anti_join": """
+        SELECT c_mktsegment, count(*) AS n_inactive_customers
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate < TIMESTAMP '1996-01-01'
+        )
+        GROUP BY c_mktsegment
+    """,
+    "asof_join": """
+        SELECT l.event_id, l.ts, l.user_id, r.sts AS signup_ts
+        FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase') l
+        ASOF LEFT JOIN (SELECT user_id, ts AS sts FROM events WHERE event_type = 'signup') r
+          ON l.user_id = r.user_id AND l.ts >= r.sts
+    """,
+    "rollup_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               cast(cast(round(sum(cast(l_quantity AS DECIMAL(27,6))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+               cast(cast(round(sum(cast(l_extendedprice AS DECIMAL(27,6))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price,
+               cast(cast(round(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (cast(1 AS DECIMAL(8,6)) - cast(l_discount AS DECIMAL(8,6)))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS sum_disc_price,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "window_rank": """
+        SELECT o_orderpriority, spend, dense_rank() OVER (ORDER BY spend DESC) AS spend_rank
+        FROM (
+            SELECT o_orderpriority,
+                   cast(cast(round(sum(cast(o_totalprice AS DECIMAL(27,6))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS spend
+            FROM orders GROUP BY o_orderpriority
+        )
+    """,
+    "lag_delta": """
+        SELECT event_id, user_id, value,
+               value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        FROM events
+    """,
+    "rolling_mean": """
+        SELECT event_id, user_id,
+               cast(sum(cast(value AS DECIMAL(27,6))) OVER w AS DOUBLE)
+                 / count(value) OVER w AS rolling_mean
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+    "set_ops": """
+        SELECT user_id FROM events WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-03'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-03'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-03'
+    """,
+    "dedup_exact": """
+        SELECT substr(sha256(concat_ws('|', text, lang)), 1, 16) AS content_id,
+               min(doc_id) AS doc_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "scalar_functions": """
+        WITH base AS (
+            SELECT event_id, ts, value,
+                   'Logger1_' || strftime(ts, '%Y-%m-%d_%H-%M-%S') || '.dat' AS fname,
+                   replace(format('{:.2f}', value), '.', ',') AS vstr
+            FROM events
+        )
+        SELECT event_id,
+               strptime(regexp_extract(fname, '(\\d{4}-\\d{2}-\\d{2})_(\\d{2}-\\d{2}-\\d{2})', 1) || ' ' ||
+                        regexp_extract(fname, '(\\d{4}-\\d{2}-\\d{2})_(\\d{2}-\\d{2}-\\d{2})', 2),
+                        '%Y-%m-%d %H-%M-%S') AS fname_ts,
+               cast(epoch_us(ts) + 2209161600000000 AS DOUBLE) / 86400000000.0 AS ole_days,
+               to_timestamp(floor((epoch(ts) + 2209161600) / 86400.0) * 86400 - 2209161600)::TIMESTAMP AS ole_midnight,
+               cast(replace(vstr, ',', '.') AS DOUBLE) AS value_parsed,
+               substr(sha256(cast(event_id AS VARCHAR) || '|' || fname), 1, 16) AS content_id
+        FROM base
+    """,
+    "alignment_gate": """
+        SELECT o_orderkey,
+               (minute(o_orderdate) % 10 = 0 AND second(o_orderdate) = 0) AS aligned,
+               CASE WHEN o_totalprice BETWEEN 0.9 * 150000.0 AND 1.1 * 150000.0 THEN 0 ELSE 1 END AS size_flag
+        FROM orders
+    """,
+    "transient_skip": """
+        SELECT event_type, count(*) AS n_kept FROM (
+            SELECT event_type, ts, min(ts) OVER (PARTITION BY event_type) AS t0
+            FROM events
+        ) WHERE ts >= t0 + INTERVAL 10 SECOND
+        GROUP BY event_type
+    """,
+    "kv_projection": """
+        WITH stats AS (
+            SELECT event_type AS channel,
+                   round(cast(sum(cast(value AS DECIMAL(27,6))) AS DOUBLE) / count(value), 3) AS mean,
+                   round(min(value), 3) AS mn,
+                   round(max(value), 3) AS mx
+            FROM events GROUP BY event_type
+        )
+        SELECT channel || ':' || metric AS field, cast(v AS VARCHAR) AS value
+        FROM (
+            SELECT channel, 'mean' AS metric, mean AS v FROM stats
+            UNION ALL SELECT channel, 'min', mn FROM stats
+            UNION ALL SELECT channel, 'max', mx FROM stats
+        )
+    """,
+    "register_image": """
+        WITH stats AS (
+            SELECT event_type AS channel,
+                   round(cast(sum(cast(value AS DECIMAL(27,6))) AS DOUBLE) / count(value), 3) AS mean,
+                   round(min(value), 3) AS mn,
+                   round(max(value), 3) AS mx
+            FROM events GROUP BY event_type
+        ),
+        kv AS (
+            SELECT channel || ':' || metric AS field, cast(v AS VARCHAR) AS value
+            FROM (
+                SELECT channel, 'mean' AS metric, mean AS v FROM stats
+                UNION ALL SELECT channel, 'min', mn FROM stats
+                UNION ALL SELECT channel, 'max', mx FROM stats
+            )
+        ),
+        mapping AS (
+            SELECT event_type || ':' || m AS field,
+                   100 + 2 * row_number() OVER (ORDER BY event_type, m) AS register
+            FROM (SELECT DISTINCT event_type FROM events),
+                 (SELECT unnest(['mean', 'min', 'max']) AS m)
+        )
+        SELECT register, cast(cast(value AS DOUBLE) AS FLOAT4) AS reg_value
+        FROM kv JOIN mapping USING (field)
+    """,
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

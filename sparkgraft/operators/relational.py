@@ -1,0 +1,118 @@
+"""Relational operators beyond plain ``df.join`` (SURVEY §2.3, §2.5, §2.6).
+
+Spark provides hash/sort-merge/broadcast equi joins, semi/anti joins,
+window functions, sorts and set ops natively — those are exposed
+directly by the query layer (``__spark_entry__``).  This module adds the
+compositions the reference implies but Spark lacks as single calls.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: Sequence[str],
+    tolerance: str | None = None,
+) -> DataFrame:
+    """J2 — as-of join: for each left row, the most recent right row with
+    ``right.ts <= left.ts`` sharing the equi keys.
+
+    Reference: udbf_file_analysis.py:94-154 (legacy alarm correlation:
+    pair an alarm file with the file/CSV covering the same time window).
+
+    Scale design: NOT a pairwise theta join (which explodes to
+    |L|x|R| per key before filtering).  Instead both sides are unioned,
+    shuffled **once** on the equi keys, and a running ``last_value(...,
+    ignorenulls)`` ordered by time carries each right row forward to the
+    left rows that follow it — O((|L|+|R|) log) per key, AQE-skew-safe.
+    Same algorithm Flink/kdb use for as-of.
+
+    ``tolerance``: optional max staleness (SQL interval string, e.g.
+    ``'30 days'``): matches older than it are nulled out.
+    """
+    on = list(on)
+    lcols = [c for c in left.columns]
+    l = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_payload],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rt"),
+    )
+    r = right.select(
+        *[F.col(c) if c in on else F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+        F.col(right_ts).alias("__rt"),
+    )
+    u = l.unionByName(r)
+    # Right rows sort before left rows at the same timestamp → `<=` semantics.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
+        for c in right_payload
+    ]
+    carried_ts = F.last("__rt", ignorenulls=True).over(w).alias("__ct")
+    out = u.select(*lcols, "__t", "__is_left", *carried, carried_ts).filter(
+        F.col("__is_left") == 1
+    )
+    if tolerance is not None:
+        fresh = F.col("__ct") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+        sel = [
+            F.when(fresh, F.col(f"__c_{c}")).alias(c2)
+            for c, c2 in zip(right_payload, right_payload)
+        ]
+    else:
+        sel = [F.col(f"__c_{c}").alias(c) for c in right_payload]
+    return out.select(*lcols, *sel)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[Column],
+    k: int,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """§2.6 top-k per group via ``row_number`` (deterministic with a full
+    tie-breaking ``order``).
+
+    One shuffle on ``keys``; Spark inserts a rank-limit pushdown
+    (WindowGroupLimit) so each map task keeps only k rows per group
+    before the shuffle — safe at 100 TB.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def broadcast_lookup(
+    facts: DataFrame,
+    mapping: DataFrame,
+    on: str,
+    how: str = "inner",
+) -> DataFrame:
+    """J1 — equi lookup join against a small mapping table, broadcast.
+
+    Reference: modbus/modbus_writer.py:100-122 — for each stats field, an
+    ``hget`` against the 628-entry register mapping; misses skipped
+    (inner join).  Broadcasting the mapping removes the shuffle: each
+    executor joins its partitions locally.
+    """
+    return facts.join(F.broadcast(mapping), on=on, how=how)

@@ -1,0 +1,154 @@
+"""Descriptive-statistics operators (SURVEY §2.4 A1/A2/A5/A6, §2.5).
+
+All operators are single-shuffle grouped aggregations with map-side
+partial aggregation (Spark's default HashAggregate partial+final), so
+they scale linearly with input size: at 100 TB the only shuffle moves
+one partial-agg row per (group, task), not raw samples.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def channel_stats(
+    df: DataFrame,
+    keys: Sequence[str | Column],
+    value: str | Column = "value",
+    digits: int = 3,
+) -> DataFrame:
+    """A1 — per-key mean/min/max of a value column, rounded.
+
+    Reference: DataConverterUDBF.py:213-282 (per-channel column slices →
+    numpy mean/min/max, rounded to BASIC_ROUNDING=3, emitted as rows
+    ``Sensor, Mean, Minimum, Maximum``).  Here the wide matrix is the
+    long form (§1.3) and one ``groupBy`` replaces the per-channel loop —
+    Catalyst runs it as partial+final HashAggregate (map-side combine),
+    so no raw-sample shuffle.
+
+    The mean is computed as an exact DECIMAL sum divided by the count:
+    deterministic under any partitioning/AQE re-plan (double summation
+    order never affects the result), which both makes the oracle
+    comparison exact and makes reruns at different parallelism
+    bit-identical.
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    dec = v.cast("decimal(27,6)")
+    return df.groupBy(*keys).agg(
+        F.round(F.sum(dec).cast("double") / F.count(v), digits).alias("mean"),
+        F.round(F.min(v), digits).alias("min"),
+        F.round(F.max(v), digits).alias("max"),
+    )
+
+
+def extended_stats(
+    df: DataFrame,
+    keys: Sequence[str | Column],
+    value: str | Column = "value",
+    digits: int = 4,
+) -> DataFrame:
+    """A6 — the upstream "sens statistics" metric set, computed natively.
+
+    Reference: modbus/setup/mapping.json (fields ``stats_<i>_<j>_<metric>``,
+    e.g. :2220-2286): mean/max/p50/p90, counts (rows, nans), plus
+    mean/min/max/std — produced *outside* the reference repo and only
+    consumed there; this engine computes them from raw rows, closing the
+    gap (SURVEY §2.4 A6).
+
+    std uses the exact-decimal sum/sum-of-squares so the result is
+    deterministic across partitionings; percentiles use Spark's exact
+    ``percentile`` (sort-based within group).
+    """
+    v = F.col(value) if isinstance(value, str) else value
+    dec = v.cast("decimal(27,6)")
+    dec2 = (dec * dec).cast("decimal(38,12)")
+    n = F.count(v)
+    s = F.sum(dec).cast("double")
+    s2 = F.sum(dec2).cast("double")
+    var = (s2 - s * s / n) / (n - F.lit(1))
+    return df.groupBy(*keys).agg(
+        n.alias("n_rows"),
+        F.count(F.when(F.isnan(v), F.lit(1))).alias("n_nans"),
+        F.round(s / n, digits).alias("mean"),
+        F.round(F.min(v), digits).alias("min"),
+        F.round(F.max(v), digits).alias("max"),
+        F.round(F.sqrt(var), digits).alias("std"),
+        F.round(F.percentile(v, F.lit(0.5)), digits).alias("p50"),
+        F.round(F.percentile(v, F.lit(0.9)), digits).alias("p90"),
+    )
+
+
+def latest_rows(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """A2/O2 — latest row per key (full row), deterministic under ties.
+
+    Reference: sens_file_analysis.py:58-90 (stable sort on DatetimeIndex,
+    take last row; fallback chain for unparsable timestamps is handled at
+    read time by ``try_cast`` → NULL ordering).  Implemented with
+    ``row_number`` over (ts DESC, tiebreak DESC): one shuffle on the key,
+    no self-join.  At scale this is the standard "latest snapshot"
+    pattern; with AQE the skewed-key case is split automatically.
+    """
+    order = [F.col(ts).desc_nulls_last()] + [F.col(c).desc() for c in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def max_by_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    payload: str | Column,
+    order: str | Column,
+) -> DataFrame:
+    """A5 — ``max_by``/``min_by`` projection (newest payload per key).
+
+    Reference: Pipeline.py:145-160 (min over (ts, path) tuples),
+    uploader/main.py:35-42 (newest file by mtime), restapi/app_fs.py:137.
+    Single partial+final aggregate — cheaper than the window variant when
+    only one payload column is needed.
+    """
+    p = F.col(payload) if isinstance(payload, str) else payload
+    o = F.col(order) if isinstance(order, str) else order
+    return df.groupBy(*keys).agg(F.max_by(p, o).alias("latest"), F.max(o).alias("max_" + (order if isinstance(order, str) else "order")))
+
+
+def windowed_channel_stats(
+    df: DataFrame,
+    ts: str = "ts",
+    key: str = "channel",
+    value: str = "value",
+    duration: str = "10 minutes",
+    digits: int = 3,
+) -> DataFrame:
+    """A1 over event-time tumbling windows (the file cadence, SURVEY §2.9).
+
+    The reference's per-file statistics are per-10-minute-file; with
+    event-time windows the same statistics become cadence-independent:
+    ``window(ts, '10 minutes')`` groups samples exactly as the 10-min
+    aligned files do (DataConverterUDBF.py:59-63).
+    """
+    g = df.groupBy(F.window(F.col(ts), duration).alias("w"), F.col(key))
+    v = F.col(value)
+    dec = v.cast("decimal(27,6)")
+    return g.agg(
+        F.round(F.sum(dec).cast("double") / F.count(v), digits).alias("mean"),
+        F.round(F.min(v), digits).alias("min"),
+        F.round(F.max(v), digits).alias("max"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col(key),
+        "mean",
+        "min",
+        "max",
+    )

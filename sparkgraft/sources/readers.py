@@ -1,0 +1,58 @@
+"""Batch source readers (SURVEY §2.1 S1–S3, S5, S8).
+
+S2/S3 are native ``spark.read``; the extra logic here is (a) the
+nanosecond-parquet shim and (b) file-metadata scans for the ledger
+operators.  The semi-structured report reader (S4) lives in
+``report.py``; the streaming source (S7) in ``sparkgraft.streaming``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Parquet TIMESTAMP(NANOS) columns per harness table.  Spark (unlike
+# DuckDB) refuses nanos timestamps unless the legacy nanosAsLong conf is
+# on; we read them as long and truncate to microseconds — exactly the
+# truncation DuckDB applies when it maps TIMESTAMP_NS → TIMESTAMP, so
+# oracle comparisons see identical values.
+NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S2 — parquet scan of a harness table (self-describing schema,
+    predicate/projection pushdown intact)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in NANOS_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def read_csv(spark: SparkSession, path: str, **options) -> DataFrame:
+    """S3 — CSV scan (header + schema inference defaults, like
+    ``pd.read_csv`` in sens_file_analysis.py:36-38)."""
+    opts = {"header": "true", "inferSchema": "true", **options}
+    return spark.read.options(**opts).csv(path)
+
+
+def list_files(spark: SparkSession, glob: str) -> DataFrame:
+    """S8/A6 file-ledger scan: path/name/size/mtime via the binaryFile
+    source's metadata-only projection (content column dropped → Spark
+    skips reading file bodies).
+
+    Reference: uploader/main.py:35-42 (newest-file probe),
+    Pipeline.py:96-160 (stability ledger).
+    """
+    df = spark.read.format("binaryFile").load(glob)
+    return df.select(
+        F.col("path"),
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("name"),
+        F.col("length").alias("size"),
+        F.col("modificationTime").alias("mtime"),
+    )
