@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit": "sec", "queries", "sf"}.
+
+Each query executes via the no-op sink (full plan runs, rows are
+consumed executor-side, nothing is collected to the driver) so timings
+measure the engine, not result serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from sparkgraft.session import get_spark
+
+import __spark_entry__ as entrymod
+
+HEADLINE = [
+    "channel_stats",
+    "windowed_stats",
+    "extended_stats",
+    "latest_per_user",
+    "rollup_pricing",
+    "broadcast_lookup",
+    "asof_join",
+    "top_per_group",
+    "dedup_exact",
+    "scalar_functions",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("sparkgraft-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    # JVM/codegen warm-up on the smallest table so the first measured
+    # query doesn't pay one-time session costs.
+    queries["channel_stats"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
