@@ -21,7 +21,9 @@ from pyspark.sql import functions as F
 
 from sparkgraft.functions import expr as E
 from sparkgraft.operators import relational as R
+from sparkgraft.operators import similarity as SIM
 from sparkgraft.operators import stats as S
+from sparkgraft.operators import textops as T
 from sparkgraft.sources.readers import read_table
 
 SF0001 = "/root/testdata/sf0.001"
@@ -358,7 +360,93 @@ def q_register_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# LLM-data-pipeline operators (BASELINE.json north star): dedup,
+# similarity search, text analysis over documents/embeddings.
+# --------------------------------------------------------------------------
+
+def _corpus_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ planted near-duplicates (every 10th doc with its
+    first two words dropped, id offset +1000000) — a deterministic
+    corpus where near-dup detection provably has work to do."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.array_join(
+                F.slice(F.split(F.col("text"), r"\s+"), 3, 100000), " "
+            ).alias("text"),
+        )
+    )
+    return docs.unionByName(dups)
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (shingle→sign→band→bucket-join→verify)."""
+    return T.minhash_dedup_pairs(
+        _corpus_with_near_dups(spark, sf_dir),
+        shingle_k=3,
+        num_hashes=12,
+        bands=4,
+        min_jaccard=0.5,
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked all-pairs unigram-Jaccard within each source."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.ngram_jaccard_pairs(
+        docs, group_col="source", n=1, min_jaccard=0.62
+    ).withColumnRenamed("g", "source")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document."""
+    return T.simhash16(_t(spark, sf_dir, "documents"))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring statistics (token counts, TTR, stopword ratio)."""
+    return T.text_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language-ID heuristic with deterministic argmax."""
+    return T.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-sampled char-8-gram document fingerprint."""
+    return T.fingerprint(_t(spark, sf_dir, "documents"), k=8)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first five vectors (exact ANN
+    baseline; queries broadcast, candidates never shuffled)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=5
+    )
+
+
+def q_cluster_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style pruned cosine top-5 within the query's label cluster."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.partitioned_topk(
+        emb.filter(F.col("vec_id") < 20), emb, k=5, partition_col="label"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "minhash_dedup": q_minhash_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash": q_simhash,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "cosine_topk": q_cosine_topk,
+    "cluster_topk": q_cluster_topk,
     "channel_stats": q_channel_stats,
     "windowed_stats": q_windowed_stats,
     "extended_stats": q_extended_stats,
@@ -586,6 +674,200 @@ ORACLES: dict[str, str] = {
         FROM kv JOIN mapping USING (field)
     """,
 }
+
+
+def _llm_oracles() -> dict[str, str]:
+    """DuckDB oracles for the LLM-data ops, composed programmatically
+    (12 minhash columns, 16 simhash bits)."""
+    o: dict[str, str] = {}
+
+    corpus = """
+        corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id,
+                   array_to_string(w[3:len(w)], ' ') AS text
+            FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+                  FROM documents)
+            WHERE doc_id % 10 = 0
+        )"""
+    shingle3 = """
+        sh AS (
+            SELECT doc_id AS id,
+                   list_distinct(CASE WHEN len(w) >= 3
+                       THEN list_transform(generate_series(1, len(w) - 2),
+                                           i -> array_to_string(w[i:i+2], ' '))
+                       ELSE [] END) AS sh
+            FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+                  FROM corpus)
+        )"""
+    mh_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{j}|' || s))) AS mh_{j}"
+        for j in range(12)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, sh, {b} AS band, "
+        f"md5(concat_ws('|', mh_{3*b}, mh_{3*b+1}, mh_{3*b+2})) AS bucket FROM sig"
+        for b in range(4)
+    )
+    o["minhash_dedup"] = f"""
+        WITH {corpus}, {shingle3},
+        sig AS (SELECT id, sh, {mh_cols} FROM sh),
+        banded AS ({band_rows}),
+        pairs AS (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   len(list_intersect(a.sh, b.sh))
+                     / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS j
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+        ),
+        best AS (SELECT id_a, id_b, max(j) AS j FROM pairs GROUP BY id_a, id_b)
+        SELECT id_a, id_b, round(j, 4) AS jaccard FROM best WHERE j >= 0.5
+    """
+
+    o["ngram_jaccard"] = """
+        WITH base AS (
+            SELECT source, doc_id AS id,
+                   list_distinct(regexp_split_to_array(text, '\\s+')) AS sh
+            FROM documents
+        ),
+        pairs AS (
+            SELECT a.source, a.id AS id_a, b.id AS id_b,
+                   round(len(list_intersect(a.sh, b.sh))
+                     / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) AS jaccard
+            FROM base a JOIN base b ON a.source = b.source AND a.id < b.id
+        )
+        SELECT source, id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.62
+    """
+
+    hexhigh = "('8','9','a','b','c','d','e','f')"
+    vsums = ", ".join(
+        f"sum(CASE WHEN substr(h, {b + 1}, 1) IN {hexhigh} THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(16)
+    )
+    simexpr = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16)
+    )
+    o["simhash"] = f"""
+        WITH tok AS (
+            SELECT doc_id AS id, unnest(regexp_split_to_array(text, '\\s+')) AS w
+            FROM documents
+        ),
+        hashed AS (SELECT id, md5(w) AS h FROM tok),
+        bits AS (SELECT id, {vsums} FROM hashed GROUP BY id)
+        SELECT id, CAST({simexpr} AS BIGINT) AS simhash FROM bits
+    """
+
+    stop_en = "['the','a','of','and','to','in']"
+    o["text_stats"] = f"""
+        WITH base AS (
+            SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS w,
+                   length(text) AS n_chars
+            FROM documents
+        )
+        SELECT doc_id,
+               len(w) AS n_words,
+               len(list_distinct(w)) AS n_distinct_words,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens,
+               round(CAST(n_chars - len(w) + 1 AS DOUBLE) / len(w), 4) AS avg_word_len,
+               round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS type_token_ratio,
+               round(CAST(len(list_filter(w, x -> list_contains({stop_en}, x))) AS DOUBLE) / len(w), 4) AS stopword_ratio,
+               (len(w) >= 10
+                AND CAST(n_chars - len(w) + 1 AS DOUBLE) / len(w) >= 2.0
+                AND CAST(n_chars - len(w) + 1 AS DOUBLE) / len(w) <= 12.0
+                AND len(list_filter(w, x -> list_contains({stop_en}, x))) > 0) AS quality_pass
+        FROM base
+    """
+
+    stoplists = {
+        "de": "['der','die','das','und','ein']",
+        "en": "['the','a','of','and','to','in']",
+        "es": "['el','la','los','y','un']",
+        "fr": "['le','la','les','et','un']",
+    }
+    langs = sorted(stoplists)
+    score = {
+        lang: (
+            f"(CAST(len(list_filter(dw, x -> list_contains({stoplists[lang]}, x))) AS DOUBLE)"
+            f" / {float(len(stoplists[lang].split(',')))})"
+        )
+        for lang in langs
+    }
+    cases = []
+    for lang in langs[:-1]:
+        conds = " AND ".join(
+            f"{score[lang]} >= {score[o2]}" for o2 in langs if o2 > lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    any_hit = " OR ".join(f"{score[lang]} > 0" for lang in langs)
+    score_cols = ", ".join(
+        f"round({score[lang]}, 4) AS score_{lang}" for lang in langs
+    )
+    o["lang_id"] = f"""
+        WITH base AS (
+            SELECT doc_id, list_distinct(regexp_split_to_array(text, '\\s+')) AS dw
+            FROM documents
+        )
+        SELECT doc_id, {score_cols},
+               CASE WHEN {any_hit} THEN {case_sql} ELSE 'unknown' END AS pred_lang
+        FROM base
+    """
+
+    o["fingerprint"] = """
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) >= 8
+                        THEN list_transform(generate_series(1, length(text) - 7),
+                                            i -> substr(text, i, 8))
+                        ELSE [] END AS sh
+            FROM documents
+        )
+        SELECT doc_id,
+               list_min(list_transform(sh, s -> md5(s))) AS fingerprint,
+               len(list_distinct(sh)) AS n_shingles
+        FROM base
+    """
+
+    cos = """
+        round(
+            list_sum(list_transform(generate_series(1, len(qv)),
+                                    i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+            6)"""
+    o["cosine_topk"] = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        scored AS (
+            SELECT query_id, neighbor_id, {cos} AS cos_sim
+            FROM c, q WHERE neighbor_id <> query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+            FROM scored
+        ) WHERE rnk <= 5
+    """
+    o["cluster_topk"] = f"""
+        WITH q AS (SELECT vec_id AS query_id, label AS part, embedding AS qv
+                   FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id AS neighbor_id, label AS part, embedding AS cv
+              FROM embeddings),
+        scored AS (
+            SELECT query_id, neighbor_id, {cos} AS cos_sim
+            FROM c JOIN q USING (part) WHERE neighbor_id <> query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+            FROM scored
+        ) WHERE rnk <= 5
+    """
+    return o
+
+
+ORACLES.update(_llm_oracles())
 
 
 def oracle_sql() -> dict[str, str]:

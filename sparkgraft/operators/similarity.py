@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k as the exact baseline, and a partition-pruned
+(IVF-style) variant as the scale path.  Both stay JVM-side: the dot
+product is a ``zip_with`` + ``aggregate`` fold over the arrays — no
+Python in the hot loop.
+
+Scale analysis: brute force is O(|Q| x |C|); with |Q| broadcast
+(queries are small by construction) there is NO shuffle of the
+candidate side — each executor scans its candidate partitions once,
+computes local top-k per query (rank-limit pushdown via the window),
+and only k rows per (query, partition) move.  The IVF variant prunes
+candidates to the probed cluster(s) first, which is the standard
+recall/cost trade at 10^9+ vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two float-array columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k: every query against every candidate.
+
+    ``queries`` is broadcast (small); similarity is rounded *before*
+    ranking so the ordering is reproducible across engines/runs, with
+    candidate id as the final tie-break.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), digits).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def partitioned_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    partition_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """IVF-style pruned top-k: candidates restricted to the query's
+    cluster (here: the precomputed ``label`` partition = nprobe=1).
+
+    At scale the cluster assignment comes from a centroid table
+    (broadcast, argmin over centroids) and the candidate side is
+    bucketed/partitioned by cluster id, so the search never scans
+    out-of-cluster vectors.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(partition_col).alias("part"),
+        F.col(vec_col).alias("qv"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(partition_col).alias("part"),
+        F.col(vec_col).alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "part")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), digits).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

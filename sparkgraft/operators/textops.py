@@ -1,0 +1,283 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, shingling, MinHash/LSH near-dup detection, SimHash,
+n-gram Jaccard, quality scoring, language-ID heuristic, fingerprinting.
+
+Design for 100 TB: everything below is built from JVM-side built-ins
+(split/transform/md5/aggregate) — no Python UDFs — so the hot path stays
+inside whole-stage codegen and shuffles only on compact keys (band
+hashes, doc ids), never raw text.
+
+Portability note: MinHash permutations are simulated with
+``min(md5(seed || '|' || shingle))`` — lexicographic min over hex
+strings equals numeric min over the 128-bit hash, and md5 is available
+in every engine, which keeps the operators oracle-checkable (and their
+outputs stable across Spark versions, unlike ``hash()``/``xxhash64``
+which are JVM-implementation-specific).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX_HIGH = list("89abcdef")  # md5 nibble with top bit set
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokenization (the reference's split-parse, F12 —
+    file_analysis.py:33,70-73)."""
+    return F.split(text, r"\s+")
+
+
+def word_shingles(words: Column, k: int) -> Column:
+    """k-word shingles as strings; empty array when the doc is shorter
+    than k words."""
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
+    return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
+
+
+def char_shingles(text: Column, k: int) -> Column:
+    """k-char shingles (document fingerprinting granularity)."""
+    n = F.length(text)
+    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+    sh = F.transform(idx, lambda i: F.substring(text, i, k))
+    return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(shingles: Column, num_hashes: int) -> list[Column]:
+    """MinHash signature: one min-hash per simulated permutation.
+
+    ``min(md5(seed|shingle))`` over the shingle set; empty set → NULL.
+    """
+    return [
+        F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{j}|"), s)))
+        ).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ]
+
+
+def lsh_bands(sig_cols: list[Column], bands: int, rows: int) -> Column:
+    """Group a signature into ``bands`` band-hashes of ``rows`` each.
+
+    Returns ``array<struct<band:int, bucket:string>>`` — explode and
+    equi-join on (band, bucket) for candidate pairs.  Scale: the band
+    join shuffles only (band, bucket, id), and bucket collisions are
+    rare by construction, so the pair blow-up is bounded.
+    """
+    assert len(sig_cols) == bands * rows
+    entries = []
+    for b in range(bands):
+        bucket = F.md5(F.concat_ws("|", *sig_cols[b * rows : (b + 1) * rows]))
+        entries.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    return F.array(*entries)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two string arrays (treated as sets)."""
+    da, db = F.array_distinct(a), F.array_distinct(b)
+    inter = F.size(F.array_intersect(da, db)).cast("double")
+    union = F.size(F.array_union(da, db)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding, then
+    exact-Jaccard verification on the shingle sets.
+
+    Pipeline (all DataFrame ops, two shuffles):
+      shingle → signature → band buckets → explode → self-equi-join on
+      (band, bucket) → distinct (a < b) → verify Jaccard ≥ threshold.
+
+    At 100 TB: raw text never shuffles for candidate generation (only
+    32-hex bucket keys + ids); the verify join re-reads shingle sets for
+    the *candidate pairs only*, which LSH keeps near-linear.
+    """
+    rows = num_hashes // bands
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(tokenize(F.col(text_col)), shingle_k)).alias(
+            "sh"
+        ),
+    )
+    sig = base.select("id", "sh", *minhash_signature(F.col("sh"), num_hashes))
+    banded = sig.select(
+        "id",
+        "sh",
+        F.explode(
+            lsh_bands([F.col(f"mh_{j}") for j in range(num_hashes)], bands, rows)
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = banded.select("band", "bucket", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    right = banded.select("band", "bucket", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("j"))
+        .groupBy("id_a", "id_b")
+        .agg(F.max("j").alias("j"))
+    )
+    return pairs.filter(F.col("j") >= min_jaccard).select(
+        "id_a", "id_b", F.round("j", 4).alias("jaccard")
+    )
+
+
+def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash per document from word-frequency-weighted md5 bits.
+
+    Bit b of a word = top bit of the (b+1)-th md5 nibble; the document
+    bit is the sign of the ±1 sum over all word occurrences.  One
+    explode + one grouped aggregate (map-side combined); near-dup pairs
+    are then ``bit_count(simhash_a XOR simhash_b) <= t`` — a cheap
+    follow-up join on any candidate set.
+    """
+    tokens = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("w")
+    ).withColumn("h", F.md5(F.col("w")))
+    bit_sums = tokens.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.substring("h", b + 1, 1).isin(HEX_HIGH), 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(16)
+        ]
+    )
+    sim = None
+    for b in range(16):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bit_sums.select(F.col("id"), sim.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 1,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard within a blocking group.
+
+    The blocking column bounds the quadratic pair space (the classic
+    blocked similarity join); the join shuffles on the block key only.
+    """
+    base = docs.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            word_shingles(tokenize(F.col(text_col)), n)
+            if n > 1
+            else tokenize(F.col(text_col))
+        ).alias("sh"),
+    )
+    a = base.select("g", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = base.select("g", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "g",
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in"],
+    "de": ["der", "die", "das", "und", "ein"],
+    "fr": ["le", "la", "les", "et", "un"],
+    "es": ["el", "la", "los", "y", "un"],
+}
+
+
+def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Quality-scoring statistics per document: token counts, lexical
+    diversity, average word length, stopword ratio, a BPE-ish regex
+    token count, and a composite quality flag.
+
+    Pure projection — no shuffle; at 100 TB this runs scan-speed.
+    """
+    words = tokenize(F.col(text_col))
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    n_chars = F.length(F.col(text_col))
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin(STOPWORDS["en"]))
+    )
+    bpe_tokens = F.regexp_count(F.col(text_col), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"))
+    avg_wl = (n_chars - n_words + 1).cast("double") / n_words
+    ttr = n_distinct.cast("double") / n_words
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct_words"),
+        bpe_tokens.alias("n_tokens"),
+        F.round(avg_wl, 4).alias("avg_word_len"),
+        F.round(ttr, 4).alias("type_token_ratio"),
+        F.round(stop_hits.cast("double") / n_words, 4).alias("stopword_ratio"),
+        (
+            (n_words >= 10)
+            & (avg_wl >= 2.0)
+            & (avg_wl <= 12.0)
+            & (stop_hits > 0)
+        ).alias("quality_pass"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: stopword-list hit ratios per language,
+    argmax with deterministic lexicographic tie-break."""
+    words = F.array_distinct(tokenize(F.col(text_col)))
+    langs = sorted(STOPWORDS)
+    scores = {
+        lang: F.size(F.filter(words, lambda w: w.isin(STOPWORDS[lang]))).cast(
+            "double"
+        )
+        / F.lit(float(len(STOPWORDS[lang])))
+        for lang in langs
+    }
+    # argmax with lexicographic preference on ties: the first language
+    # (in sorted order) whose score is >= all later ones wins.
+    pred = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        cond = None
+        for other in langs:
+            if other > lang:
+                c = scores[lang] >= scores[other]
+                cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    any_hit = None
+    for lang in langs:
+        c = scores[lang] > 0
+        any_hit = c if any_hit is None else (any_hit | c)
+    return docs.select(
+        F.col(id_col),
+        *[F.round(scores[lang], 4).alias(f"score_{lang}") for lang in langs],
+        F.when(any_hit, pred).otherwise(F.lit("unknown")).alias("pred_lang"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8) -> DataFrame:
+    """Document fingerprint: minimum char-k-gram hash (the min-sampling
+    special case of winnowing) + shingle cardinality."""
+    sh = char_shingles(F.col(text_col), k)
+    hashes = F.transform(sh, lambda s: F.md5(s))
+    return docs.select(
+        F.col(id_col),
+        F.array_min(hashes).alias("fingerprint"),
+        F.size(F.array_distinct(sh)).alias("n_shingles"),
+    )
