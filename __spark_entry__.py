@@ -24,6 +24,7 @@ from sparkgraft.operators import relational as R
 from sparkgraft.operators import similarity as SIM
 from sparkgraft.operators import stats as S
 from sparkgraft.operators import textops as T
+from sparkgraft.sources import report as REPORT
 from sparkgraft.sources.readers import read_table
 
 SF0001 = "/root/testdata/sf0.001"
@@ -361,6 +362,71 @@ def q_register_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# S4 — semi-structured crack-report parsing (file_analysis.py:7-86).
+# The fixture is a shared literal so the Spark pipeline and the DuckDB
+# oracle parse the exact same input (FIXTURES.md §A3 shape).
+# --------------------------------------------------------------------------
+
+REPORT_FIXTURE: list[tuple[str, int, str]] = [
+    ("r1.txt", 1, "Bauwerk R6-07 - Sensor Nord"),
+    ("r1.txt", 2, "Zeit 22-Apr-2025 12:26:43"),
+    ("r1.txt", 3, ""),
+    ("r1.txt", 4, "  q50 q90 max wCr"),
+    ("r1.txt", 5, "  0,12 0,45 1,02 mm"),
+    ("r1.txt", 6, "Anzahl erkannter Risse: 3"),
+    ("r1.txt", 7, "Rissposition (m) vs. Rissbreite (mm)"),
+    ("r1.txt", 8, "  X Y Z wCr"),
+    ("r1.txt", 9, "  1,25 0,40 2,10 0,12"),
+    ("r1.txt", 10, "  3,75 0,40 2,10 0,45"),
+    ("r1.txt", 11, "  5,10 0,80 2,10 1,02"),
+    ("r1.txt", 12, "End"),
+    ("r1.txt", 13, "  9,99 9,99 9,99 9,99"),
+    ("r2.txt", 1, "Bauwerk R6-07 - Sensor Sued"),
+    ("r2.txt", 2, "Zeit 03-May-2025 06:00:00"),
+    ("r2.txt", 3, ""),
+    ("r2.txt", 4, "  q50 q90 max wCr"),
+    ("r2.txt", 5, "  0,08 0,21 0,33 mm"),
+    ("r2.txt", 6, "Anzahl erkannter Risse: 2"),
+    ("r2.txt", 7, "Rissposition (m) vs. Rissbreite (mm)"),
+    ("r2.txt", 8, "  X Y Z wCr"),
+    ("r2.txt", 9, "  0,50 0,10 1,00 0,08"),
+    ("r2.txt", 10, "  2,50 0,10 1,00 0,33"),
+    ("r2.txt", 11, "End"),
+]
+
+
+def _report_lines(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        REPORT_FIXTURE, "file string, line_no int, line string"
+    )
+
+
+def _report_values_sql() -> str:
+    rows = ", ".join(
+        "('{}', {}, '{}')".format(f, n, l.replace("'", "''"))
+        for f, n, l in REPORT_FIXTURE
+    )
+    return f"(VALUES {rows}) AS lines(file, line_no, line)"
+
+
+def q_report_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/P8/P9 — crack-position rows parsed from the text report."""
+    return REPORT.parse_crack_rows(_report_lines(spark))
+
+
+def q_report_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/A4/F6 — per-report metadata (title, Zeit ts, quantile row,
+    crack count)."""
+    return REPORT.parse_report_meta(_report_lines(spark))
+
+
+def q_crack_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — the mapping.json crack-width metric set computed natively
+    from the parsed rows."""
+    return REPORT.crack_statistics(REPORT.parse_crack_rows(_report_lines(spark)))
+
+
+# --------------------------------------------------------------------------
 # LLM-data-pipeline operators (BASELINE.json north star): dedup,
 # similarity search, text analysis over documents/embeddings.
 # --------------------------------------------------------------------------
@@ -439,6 +505,9 @@ def q_cluster_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "report_rows": q_report_rows,
+    "report_meta": q_report_meta,
+    "crack_statistics": q_crack_statistics,
     "minhash_dedup": q_minhash_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
@@ -676,6 +745,71 @@ ORACLES: dict[str, str] = {
 }
 
 
+def _report_oracles() -> dict[str, str]:
+    """DuckDB oracles for the S4 report parser, on the same literal."""
+    values = _report_values_sql()
+    num = r"-?\d+(?:,\d+)?"
+    rows_cte = f"""
+        marked AS (
+            SELECT *,
+                   min(CASE WHEN line LIKE 'Rissposition%' THEN line_no END)
+                       OVER (PARTITION BY file) AS blk,
+                   min(CASE WHEN trim(line) = 'End' THEN line_no END)
+                       OVER (PARTITION BY file) AS end_ln
+            FROM {values}
+        ),
+        data AS (
+            SELECT file, regexp_extract_all(trim(line), '{num}') AS t
+            FROM marked
+            WHERE line_no > blk AND line_no < end_ln
+              AND len(regexp_extract_all(trim(line), '{num}')) >= 4
+        ),
+        rows_parsed AS (
+            SELECT file,
+                   CAST(replace(t[1], ',', '.') AS DOUBLE) AS X,
+                   CAST(replace(t[2], ',', '.') AS DOUBLE) AS Y,
+                   CAST(replace(t[3], ',', '.') AS DOUBLE) AS Z,
+                   CAST(replace(t[4], ',', '.') AS DOUBLE) AS wCr
+            FROM data
+        )"""
+    o: dict[str, str] = {}
+    o["report_rows"] = f"WITH {rows_cte} SELECT * FROM rows_parsed"
+    o["report_meta"] = f"""
+        WITH marked AS (
+            SELECT *,
+                   min(CASE WHEN trim(line) LIKE 'q50%' THEN line_no END)
+                       OVER (PARTITION BY file) AS qhdr
+            FROM {values}
+        )
+        SELECT file,
+               arg_min(line, line_no) AS title,
+               strptime(min(CASE WHEN line LIKE 'Zeit%'
+                   THEN regexp_extract(line, 'Zeit\\s+(\\d{{2}}-\\w{{3}}-\\d{{4}} \\d{{2}}:\\d{{2}}:\\d{{2}})', 1) END),
+                   '%d-%b-%Y %H:%M:%S') AS report_ts,
+               CAST(replace(min(CASE WHEN line_no = qhdr + 1
+                   THEN regexp_extract_all(trim(line), '{num}')[1] END), ',', '.') AS DOUBLE) AS q50_mm,
+               CAST(replace(min(CASE WHEN line_no = qhdr + 1
+                   THEN regexp_extract_all(trim(line), '{num}')[2] END), ',', '.') AS DOUBLE) AS q90_mm,
+               CAST(replace(min(CASE WHEN line_no = qhdr + 1
+                   THEN regexp_extract_all(trim(line), '{num}')[3] END), ',', '.') AS DOUBLE) AS wCr_max_mm,
+               min(CASE WHEN line LIKE 'Anzahl%'
+                   THEN CAST(regexp_extract(line, '(\\d+)', 1) AS BIGINT) END) AS crack_count
+        FROM marked GROUP BY file
+    """
+    o["crack_statistics"] = f"""
+        WITH {rows_cte}
+        SELECT file,
+               round(CAST(sum(CAST(wCr AS DECIMAL(27,6))) AS DOUBLE) / count(wCr), 4) AS mean_crack_width,
+               round(max(wCr), 4) AS max_crack_width,
+               round(quantile_cont(wCr, 0.5), 4) AS p50_crack_width,
+               round(quantile_cont(wCr, 0.9), 4) AS p90_crack_width,
+               count(*) AS number_of_cracks,
+               count(CASE WHEN isnan(wCr) OR wCr IS NULL THEN 1 END) AS number_of_nans
+        FROM rows_parsed GROUP BY file
+    """
+    return o
+
+
 def _llm_oracles() -> dict[str, str]:
     """DuckDB oracles for the LLM-data ops, composed programmatically
     (12 minhash columns, 16 simhash bits)."""
@@ -867,6 +1001,7 @@ def _llm_oracles() -> dict[str, str]:
     return o
 
 
+ORACLES.update(_report_oracles())
 ORACLES.update(_llm_oracles())
 
 

@@ -1,0 +1,171 @@
+"""File-arrival micro-batch pipeline (SURVEY §2.9, E1/E2 restatement).
+
+The reference runs three threads per directory (watchdog observer, 2 s
+ticker, worker queue — Pipeline.py:60-84) with debounce (P7), oldest-
+first single-file processing (T1), dead-lettering (T3), archive-on-
+success (T4) and Redis health flags (T6).  Here one Structured
+Streaming query replaces all of it:
+
+  readStream(file source)  ≡ watcher+ticker (driver lists new files)
+  maxFilesPerTrigger       ≡ single-file micro-batches
+  checkpoint               ≡ the processed-set ledger (D1), exactly-once
+  foreachBatch             ≡ worker body: transform → sink, with
+                             per-file try/except → quarantine + health
+  Trigger.AvailableNow     ≡ deterministic drain for tests
+
+Scale: the file source's listing/checkpoint is driver-side metadata
+(same as the reference's ledger) while decode/stats run distributed;
+at 100 TB of arrivals the only adjustments are `maxFilesPerTrigger`
+(batch width) and `cleanSource` — the DAG is unchanged.
+
+Strict per-file ordering across executors is best-effort (documented
+deviation, SURVEY §7): within a micro-batch we process files oldest-
+first by filename timestamp, matching Pipeline.py:135-160.
+"""
+
+from __future__ import annotations
+
+import shutil
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class HealthBoard:
+    """T6 — in-process health/heartbeat signal sink (Redis analog).
+
+    Flags follow the reference convention (README.txt:7-12):
+    -1 unknown, 0 healthy, 1 unhealthy; keys ``health:<pipeline>_*``.
+    """
+
+    flags: dict[str, int] = field(default_factory=dict)
+    history: list[tuple[str, int]] = field(default_factory=list)
+
+    def set(self, key: str, value: int) -> None:
+        self.flags[key] = value
+        self.history.append((key, value))
+
+
+def stable_files(
+    files: DataFrame, now_ts, min_age_sec: int = 40
+) -> DataFrame:
+    """P7/T2 — debounce predicate: admit files whose mtime age ≥ min age.
+
+    Reference: Pipeline.py:24-25,96-119 (2 identical stat() polls + 40 s
+    min age).  On a file-listing DataFrame (path,name,size,mtime) this is
+    a pure filter; the 2-poll stability check is subsumed by age (a file
+    still being written has a fresh mtime).
+    """
+    return files.filter(
+        F.col("mtime") <= F.lit(now_ts) - F.expr(f"INTERVAL {min_age_sec} SECONDS")
+    )
+
+
+class FilePipeline:
+    """E1/E2 — streaming file pipeline: arrival → transform → sink,
+    with quarantine, archive and health flags.
+
+    Parameters
+    ----------
+    transform : (DataFrame) -> DataFrame
+        Per-file computation (e.g. channel stats A1, latest-row A2).
+        Raising marks the file failed (T3).
+    sink : (DataFrame, str) -> None
+        Batch sink for one file's result (KV/CSV/register image, §2.10).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        input_dir: str,
+        schema: str,
+        transform: Callable[[DataFrame], DataFrame],
+        sink: Callable[[DataFrame, str], None],
+        checkpoint_dir: str,
+        quarantine_dir: str | None = None,
+        archive_dir: str | None = None,
+        fmt: str = "csv",
+        max_files_per_trigger: int = 1,
+        health: HealthBoard | None = None,
+        options: dict[str, str] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.name = name
+        self.input_dir = input_dir
+        self.schema = schema
+        self.transform = transform
+        self.sink = sink
+        self.checkpoint_dir = checkpoint_dir
+        self.quarantine_dir = quarantine_dir
+        self.archive_dir = archive_dir
+        self.fmt = fmt
+        self.max_files_per_trigger = max_files_per_trigger
+        self.health = health if health is not None else HealthBoard()
+        self.options = {"header": "true"} if fmt == "csv" else {}
+        if options:
+            self.options.update(options)
+
+    # -- stream assembly ---------------------------------------------------
+
+    def _stream(self) -> DataFrame:
+        reader = (
+            self.spark.readStream.format(self.fmt)
+            .schema(self.schema)
+            .option("maxFilesPerTrigger", str(self.max_files_per_trigger))
+        )
+        for k, v in self.options.items():
+            reader = reader.option(k, v)
+        df = reader.load(self.input_dir)
+        return df.withColumn("_file", F.input_file_name())
+
+    def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        # T1: oldest-first within the micro-batch (filename order encodes
+        # the start timestamp in the reference's naming scheme, F1).
+        files = sorted(r["_file"] for r in batch.select("_file").distinct().collect())
+        for f in files:
+            sub = batch.filter(F.col("_file") == f).drop("_file")
+            stem = Path(f.replace("file:", "")).name
+            try:
+                result = self.transform(sub)
+                self.sink(result, stem)
+                self.health.set(f"health:{self.name}_file_processing", 0)
+                self._move(f, self.archive_dir)  # T4 finished/
+            except Exception:
+                self.health.set(f"health:{self.name}_file_processing", 1)
+                self._move(f, self.quarantine_dir)  # T3 failed/
+
+    def _move(self, file_url: str, target_dir: str | None) -> None:
+        if not target_dir:
+            return
+        src = Path(file_url.replace("file:", ""))
+        Path(target_dir).mkdir(parents=True, exist_ok=True)
+        if src.exists():
+            shutil.move(str(src), str(Path(target_dir) / src.name))
+
+    # -- execution ---------------------------------------------------------
+
+    def run_available(self) -> None:
+        """Drain everything currently in the directory (tests, backfill)."""
+        q = (
+            self._stream()
+            .writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def start(self, processing_time: str = "2 seconds"):
+        """Continuous mode: poll like the reference's 2 s ticker (T7)."""
+        return (
+            self._stream()
+            .writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime=processing_time)
+            .start()
+        )

@@ -1,0 +1,135 @@
+"""E1-shaped streaming-pipeline tests (SURVEY §2.9 T1–T7): file arrival
+→ per-channel stats → KV sink, with quarantine on failure, archive on
+success, health flags, and exactly-once across restarts."""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkgraft.operators.stats import channel_stats
+from sparkgraft.sinks.kv import stats_to_kv
+from sparkgraft.streaming.pipeline import FilePipeline, HealthBoard, stable_files
+
+SCHEMA = "ts TIMESTAMP, channel STRING, value DOUBLE"
+
+
+def _write_file(d: Path, name: str, rows: list[str]) -> None:
+    (d / name).write_text("ts,channel,value\n" + "\n".join(rows) + "\n")
+
+
+def _mk_pipeline(spark, tmp, health, sink_rows):
+    def transform(df):
+        # T3 trigger: a file containing the poison channel fails hard.
+        if df.filter(F.col("channel") == "BOOM").count() > 0:
+            raise ValueError("poison file")
+        return channel_stats(df, ["channel"], "value")
+
+    def sink(result, stem):
+        for r in stats_to_kv(result, "channel", file_stem=stem).collect():
+            sink_rows[r["field"]] = r["value"]
+
+    return FilePipeline(
+        spark,
+        name="lpi_100hz",
+        input_dir=str(tmp / "in"),
+        schema=SCHEMA,
+        transform=transform,
+        sink=sink,
+        checkpoint_dir=str(tmp / "ckpt"),
+        quarantine_dir=str(tmp / "failed"),
+        archive_dir=str(tmp / "finished"),
+    )
+
+
+def test_stats_quarantine_archive_health(spark, tmp_path):
+    inp = tmp_path / "in"
+    inp.mkdir()
+    _write_file(
+        inp,
+        "Logger1_2025-06-19_12-00-00.csv",
+        [
+            "2025-06-19T12:00:00,T_T1,1.5",
+            "2025-06-19T12:00:00,T_T1,2.5",
+            "2025-06-19T12:00:00,BS_X,-1.0",
+        ],
+    )
+    _write_file(inp, "Logger1_2025-06-19_12-10-00.csv", ["2025-06-19T12:10:00,BOOM,0.0"])
+
+    health = HealthBoard()
+    kv: dict[str, str] = {}
+    p = _mk_pipeline(spark, tmp_path, health, kv)
+    p.health = health
+    p.run_available()
+
+    # Success path: stats in the KV sink (rounded to 3, reference K3 shape).
+    stem = "Logger1_2025-06-19_12-00-00.csv"
+    assert kv[f"{stem}:T_T1:mean"] == "2.0"
+    assert kv[f"{stem}:T_T1:min"] == "1.5"
+    assert kv[f"{stem}:T_T1:max"] == "2.5"
+    assert kv[f"{stem}:BS_X:mean"] == "-1.0"
+    # T4: good file archived; T3: poison file quarantined.
+    assert (tmp_path / "finished" / stem).exists()
+    assert (tmp_path / "failed" / "Logger1_2025-06-19_12-10-00.csv").exists()
+    # T6: both health transitions were signalled (cross-micro-batch file
+    # order is best-effort, so assert on history, not the final value).
+    assert ("health:lpi_100hz_file_processing", 0) in health.history
+    assert ("health:lpi_100hz_file_processing", 1) in health.history
+
+
+def test_exactly_once_across_restart(spark, tmp_path):
+    inp = tmp_path / "in"
+    inp.mkdir()
+    _write_file(inp, "a_2025-01-01_00-00-00.csv", ["2025-01-01T00:00:00,C1,1.0"])
+
+    kv: dict[str, str] = {}
+    seen: list[str] = []
+
+    def transform(df):
+        return channel_stats(df, ["channel"], "value")
+
+    def sink(result, stem):
+        seen.append(stem)
+        for r in stats_to_kv(result, "channel", file_stem=stem).collect():
+            kv[r["field"]] = r["value"]
+
+    def mk():
+        return FilePipeline(
+            spark,
+            name="p",
+            input_dir=str(inp),
+            schema=SCHEMA,
+            transform=transform,
+            sink=sink,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+
+    mk().run_available()
+    assert seen == ["a_2025-01-01_00-00-00.csv"]
+    # Restart with the same checkpoint: already-processed file is NOT
+    # re-emitted (D1 processed-set semantics via checkpoint).
+    mk().run_available()
+    assert seen == ["a_2025-01-01_00-00-00.csv"]
+    # A new arrival IS picked up.
+    _write_file(inp, "b_2025-01-01_00-10-00.csv", ["2025-01-01T00:10:00,C1,2.0"])
+    mk().run_available()
+    assert seen == ["a_2025-01-01_00-00-00.csv", "b_2025-01-01_00-10-00.csv"]
+
+
+def test_stable_files_debounce(spark):
+    now = "2025-06-19 12:01:00"
+    files = spark.createDataFrame(
+        [
+            ("f_old.dat", "2025-06-19 12:00:00"),
+            ("f_new.dat", "2025-06-19 12:00:45"),
+        ],
+        "name STRING, mtime_s STRING",
+    ).select("name", F.col("mtime_s").cast("timestamp").alias("mtime"))
+    admitted = [
+        r["name"]
+        for r in stable_files(files, now, min_age_sec=40).collect()
+    ]
+    assert admitted == ["f_old.dat"]
