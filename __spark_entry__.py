@@ -362,6 +362,145 @@ def q_register_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Batch 3: remaining relational surface + scalar/semantic coverage.
+# --------------------------------------------------------------------------
+
+def q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets — CUBE over (returnflag, linestatus)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(27,6)"))
+        .cast("decimal(38,2)").cast("double").alias("sum_qty"),
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (engine exposes
+    spark.sql alongside the DataFrame API)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation — exact distinct part/supplier counts per flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13-family — semi-structured JSON projection from the props column."""
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+def q_numeric_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 — tolerant numeric/timestamp coercion (NULL on junk), the
+    ``pd.to_numeric(errors='coerce')`` analog (file_analysis.py:81-82)."""
+    docs = _t(spark, sf_dir, "documents")
+    mixed = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("3,"), (F.col("doc_id") % 100).cast("string")))
+        .when(F.col("doc_id") % 3 == 1, F.lit("junk"))
+        .otherwise((F.col("doc_id") % 7).cast("string"))
+        .alias("raw"),
+    )
+    return mixed.select(
+        "doc_id",
+        "raw",
+        E.comma_decimal(F.col("raw")).alias("parsed"),
+        F.col("raw").try_cast("timestamp").alias("parsed_ts"),
+    )
+
+
+def q_upload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10/D4 — remote-dedup routing: skip same (name,size), rename on
+    same name + different size, upload the rest (uploader/main.py:62-93)."""
+    part = _t(spark, sf_dir, "part")
+    local = part.filter(F.col("p_partkey") < 1000).select(
+        F.col("p_name").alias("name"), F.col("p_size").alias("size")
+    )
+    remote = part.filter(F.col("p_partkey") < 500).select(
+        F.col("p_name").alias("name"),
+        F.when(F.col("p_partkey") % 5 == 0, F.col("p_size") + 1)
+        .otherwise(F.col("p_size"))
+        .alias("rsize"),
+    )
+    j = local.join(remote, "name", "left")
+    return j.select(
+        "name",
+        "size",
+        F.when(F.col("rsize").isNull(), F.lit("upload"))
+        .when(F.col("rsize") == F.col("size"), F.lit("skip"))
+        .otherwise(F.lit("rename_dup"))
+        .alias("action"),
+    )
+
+
+def q_sens_latest_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 flow — latest row per user → KV hash projection with the
+    reference's string conventions (NaN→'', ts→ISO; P2/A2/K3)."""
+    events = _t(spark, sf_dir, "events")
+    latest = S.latest_rows(events, ["user_id"], "ts", tiebreak=["event_id"])
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    long = latest.select(
+        F.col("user_id"),
+        F.explode(
+            F.create_map(
+                F.lit("ts"), iso,
+                F.lit("event_type"), F.col("event_type"),
+                F.lit("value"), F.col("value").cast("string"),
+            )
+        ).alias("col_name", "v"),
+    )
+    return long.select(
+        F.concat_ws("_", F.col("user_id"), F.col("col_name")).alias("field"),
+        F.col("v").alias("value"),
+    )
+
+
+def q_time_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F11 — Datum/Uhrzeit/Millisekunden split + Berlin window-end.
+
+    Oracle note: events data is January 2024 (CET, fixed UTC+1), so the
+    DuckDB side uses the constant offset; the Spark side runs the real
+    tz-rule conversion (from_utc_timestamp).
+    """
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        *E.time_parts(F.col("ts")),
+        E.window_end_berlin(F.col("ts")).alias("window_end_berlin"),
+    )
+
+
+def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5/D2 — chunk concatenation (unionByName) + one-shot dedup."""
+    events = _t(spark, sf_dir, "events")
+    a = events.filter(F.col("event_id") % 2 == 0).select("user_id", "event_type")
+    b = events.filter(F.col("event_id") % 3 == 0).select("event_type", "user_id")
+    return (
+        a.unionByName(b)
+        .dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_user_types"))
+    )
+
+
+# --------------------------------------------------------------------------
 # S4 — semi-structured crack-report parsing (file_analysis.py:7-86).
 # The fixture is a shared literal so the Spark pipeline and the DuckDB
 # oracle parse the exact same input (FIXTURES.md §A3 shape).
@@ -505,6 +644,15 @@ def q_cluster_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cube_pricing": q_cube_pricing,
+    "grouping_sets": q_grouping_sets,
+    "distinct_agg": q_distinct_agg,
+    "json_extract": q_json_extract,
+    "numeric_coercion": q_numeric_coercion,
+    "upload_dedup": q_upload_dedup,
+    "sens_latest_kv": q_sens_latest_kv,
+    "time_projections": q_time_projections,
+    "union_dedup": q_union_dedup,
     "report_rows": q_report_rows,
     "report_meta": q_report_meta,
     "crack_statistics": q_crack_statistics,
@@ -743,6 +891,93 @@ ORACLES: dict[str, str] = {
         FROM kv JOIN mapping USING (field)
     """,
 }
+
+
+BATCH3_ORACLES: dict[str, str] = {
+    "cube_pricing": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+               cast(cast(round(sum(cast(l_quantity AS DECIMAL(27,6))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "grouping_sets": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    "distinct_agg": """
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_suppkey) AS n_supps,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "json_extract": """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        FROM events
+    """,
+    "numeric_coercion": """
+        WITH mixed AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN '3,' || CAST(doc_id % 100 AS VARCHAR)
+                        WHEN doc_id % 3 = 1 THEN 'junk'
+                        ELSE CAST(doc_id % 7 AS VARCHAR) END AS raw
+            FROM documents
+        )
+        SELECT doc_id, raw,
+               try_cast(replace(raw, ',', '.') AS DOUBLE) AS parsed,
+               try_cast(raw AS TIMESTAMP) AS parsed_ts
+        FROM mixed
+    """,
+    "upload_dedup": """
+        WITH local AS (
+            SELECT p_name AS name, p_size AS size FROM part WHERE p_partkey < 1000
+        ),
+        remote AS (
+            SELECT p_name AS name,
+                   CASE WHEN p_partkey % 5 = 0 THEN p_size + 1 ELSE p_size END AS rsize
+            FROM part WHERE p_partkey < 500
+        )
+        SELECT name, size,
+               CASE WHEN rsize IS NULL THEN 'upload'
+                    WHEN rsize = size THEN 'skip'
+                    ELSE 'rename_dup' END AS action
+        FROM local LEFT JOIN remote USING (name)
+    """,
+    "sens_latest_kv": """
+        WITH latest AS (
+            SELECT user_id, ts, event_type, value FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
+        ),
+        long AS (
+            SELECT user_id, 'ts' AS col_name, strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS v FROM latest
+            UNION ALL SELECT user_id, 'event_type', event_type FROM latest
+            UNION ALL SELECT user_id, 'value', CAST(value AS VARCHAR) FROM latest
+        )
+        SELECT CAST(user_id AS VARCHAR) || '_' || col_name AS field, v AS value
+        FROM long
+    """,
+    "time_projections": """
+        SELECT event_id,
+               strftime(ts, '%Y-%m-%d') AS "Datum",
+               strftime(ts, '%H:%M:%S') AS "Uhrzeit",
+               CAST(floor((epoch_us(ts) % 1000000) / 1000) AS BIGINT) AS "Millisekunden",
+               ts + INTERVAL 70 MINUTE AS window_end_berlin
+        FROM events
+    """,
+    "union_dedup": """
+        SELECT event_type, count(*) AS n_user_types FROM (
+            SELECT DISTINCT user_id, event_type FROM (
+                SELECT user_id, event_type FROM events WHERE event_id % 2 = 0
+                UNION ALL
+                SELECT user_id, event_type FROM events WHERE event_id % 3 = 0
+            )
+        ) GROUP BY event_type
+    """,
+}
+
+ORACLES.update(BATCH3_ORACLES)
 
 
 def _report_oracles() -> dict[str, str]:
