@@ -1,0 +1,202 @@
+"""Multimodal / binary-column operators.
+
+Treats image/audio/sensor blobs as opaque ``binary`` columns with typed
+metadata, processed by Arrow-batched ``mapInPandas`` kernels — the
+pattern a 100 TB training-data pipeline needs (decode, feature-extract,
+frame-sample) expressed with real Spark plumbing: fixed output schemas,
+per-partition batching, no driver involvement.
+
+Codec stubs: this container has no image/audio libraries, so the real
+decoders are STUBBED: each kernel fully parses a deterministic
+synthetic container format (documented below) and raises
+``NotImplementedError`` for real formats (JPEG/PNG/WAV...), exactly at
+the line where PIL/librosa would plug in.  The Spark-side contract —
+schema, batch shape, partitioning — is real and tested.
+
+The ``SGRF`` sample-matrix format is the S1 analog: the reference
+decodes Gantner UDBF via a closed-source ``.so``
+(conv/patch/PyQStationConnectWin.py:25-33, blobs absent from the
+snapshot) into a row-major float64 matrix with an OLE-date column 0
+(conv/gantner_operations/DataConverterUDBF.py:84-127).  SGRF keeps that
+shape (header + float64 matrix) so the binaryFile → decode → long-form
+pipeline is the same one a real UDBF reader would use.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkgraft.functions.expr import OLE_EPOCH_UNIX
+
+SGRF_MAGIC = b"SGRF"
+FIMG_MAGIC = b"FIMG"
+FAUD_MAGIC = b"FAUD"
+
+SAMPLES_SCHEMA = "file string, ts timestamp, channel string, value double"
+IMAGE_FEATURES_SCHEMA = (
+    "media_id long, width int, height int, n_pixels long, mean_intensity double"
+)
+AUDIO_FRAMES_SCHEMA = "media_id long, frame_idx long, amplitude double"
+
+
+# -- encoders (test-fixture side) -------------------------------------------
+
+def encode_sample_matrix(
+    channels: list[str], sample_rate: float, matrix: np.ndarray
+) -> bytes:
+    """Pack an (n_rows x (1 + n_channels)) float64 matrix, column 0 =
+    OLE-date float, into the SGRF container."""
+    n_rows, n_cols = matrix.shape
+    names = "\x00".join(channels).encode()
+    return (
+        SGRF_MAGIC
+        + struct.pack("<IdII", n_cols - 1, sample_rate, n_rows, len(names))
+        + names
+        + matrix.astype("<f8").tobytes()
+    )
+
+
+def encode_fake_image(width: int, height: int, pixels: bytes) -> bytes:
+    """FIMG: magic + uint32 w/h + w*h uint8 grayscale pixels."""
+    assert len(pixels) == width * height
+    return FIMG_MAGIC + struct.pack("<II", width, height) + pixels
+
+
+def encode_fake_audio(samples: list[float]) -> bytes:
+    """FAUD: magic + uint32 n + float32 samples."""
+    return FAUD_MAGIC + struct.pack("<I", len(samples)) + struct.pack(
+        f"<{len(samples)}f", *samples
+    )
+
+
+# -- decoders (mapInPandas kernels) -----------------------------------------
+
+def decode_sample_files(binary_files: DataFrame) -> DataFrame:
+    """S1 — binary sample-matrix scan: ``binaryFile`` rows → long-form
+    samples ``(file, ts, channel, value)``.
+
+    Chunked decode: the matrix is sliced per channel inside the Arrow
+    batch (column-at-a-time, like DataConverterUDBF.py:245-250) and
+    yielded as one pandas frame per file — executors stream files in
+    parallel, the driver never sees a byte.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                blob = bytes(content)
+                if blob[:4] != SGRF_MAGIC:
+                    raise NotImplementedError(
+                        "real UDBF decode requires the vendor library "
+                        "(reference loads libGInsUtility via ctypes); only "
+                        "SGRF fixtures are decodable here"
+                    )
+                n_ch, rate, n_rows, names_len = struct.unpack_from(
+                    "<IdII", blob, 4
+                )
+                off = 4 + struct.calcsize("<IdII")
+                channels = blob[off : off + names_len].decode().split("\x00")
+                mat = np.frombuffer(
+                    blob, dtype="<f8", count=n_rows * (n_ch + 1), offset=off + names_len
+                ).reshape(n_rows, n_ch + 1)
+                # Integer-microsecond timestamps: OLE float days carry
+                # sub-µs float noise that Arrow's safe cast rejects.
+                micros = np.round(
+                    (mat[:, 0] * 86400.0 + OLE_EPOCH_UNIX) * 1e6
+                ).astype("int64")
+                ts = pd.to_datetime(micros, unit="us")
+                fname = path.rsplit("/", 1)[-1]
+                frames = []
+                for ci, ch in enumerate(channels):
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "file": fname,
+                                "ts": ts,
+                                "channel": ch.replace("-", "_"),
+                                "value": mat[:, ci + 1],
+                            }
+                        )
+                    )
+                yield pd.concat(frames, ignore_index=True)
+
+    return binary_files.select("path", "content").mapInPandas(
+        decode, SAMPLES_SCHEMA
+    )
+
+
+def image_features(media: DataFrame, id_col: str = "media_id", bytes_col: str = "data") -> DataFrame:
+    """Decode + feature-extract for an image binary column.
+
+    Real formats would decode via PIL here (STUB: NotImplementedError);
+    FIMG fixtures decode deterministically.  Output schema is the real
+    contract downstream feature pipelines consume.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "n_pixels": [], "mean_intensity": []}
+            for mid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                blob = bytes(blob)
+                if blob[:4] != FIMG_MAGIC:
+                    raise NotImplementedError(
+                        "real image decode (JPEG/PNG) requires PIL — not "
+                        "available in this container; FIMG fixtures only"
+                    )
+                w, h = struct.unpack_from("<II", blob, 4)
+                px = np.frombuffer(blob, dtype=np.uint8, count=w * h, offset=12)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["mean_intensity"].append(float(px.mean()) if w * h else 0.0)
+            yield pd.DataFrame(out)
+
+    return media.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        extract, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def audio_frame_sample(
+    media: DataFrame, every_n: int, id_col: str = "media_id", bytes_col: str = "data"
+) -> DataFrame:
+    """Frame-sample an audio binary column (every ``every_n``-th sample).
+
+    FAUD fixtures decode deterministically; real codecs are stubbed.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for mid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                blob = bytes(blob)
+                if blob[:4] != FAUD_MAGIC:
+                    raise NotImplementedError(
+                        "real audio decode (WAV/MP3) requires an audio "
+                        "library — not available; FAUD fixtures only"
+                    )
+                (n,) = struct.unpack_from("<I", blob, 4)
+                arr = np.frombuffer(blob, dtype="<f4", count=n, offset=8)
+                idx = np.arange(0, n, every_n)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "media_id": mid,
+                            "frame_idx": idx.astype("int64"),
+                            "amplitude": arr[idx].astype("float64"),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+                {"media_id": [], "frame_idx": [], "amplitude": []}
+            )
+
+    return media.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        sample, AUDIO_FRAMES_SCHEMA
+    )

@@ -57,11 +57,18 @@ def brute_force_topk(
     ranking so the ordering is reproducible across engines/runs, with
     candidate id as the final tie-break.
     """
+    # Norms are hoisted to per-row columns BEFORE the join: |Q|+|C| norm
+    # computations instead of |Q|x|C| (the dot product is the only
+    # per-pair work).
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
     c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -69,7 +76,10 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), digits).alias("cos_sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                digits,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -102,11 +112,13 @@ def partitioned_topk(
         F.col(id_col).alias("query_id"),
         F.col(partition_col).alias("part"),
         F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(partition_col).alias("part"),
         F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
     )
     scored = (
         c.join(F.broadcast(q), "part")
@@ -114,7 +126,10 @@ def partitioned_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), digits).alias("cos_sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                digits,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -1,0 +1,84 @@
+"""Multimodal/binary-column plumbing tests: SGRF sample-matrix decode
+(S1 analog) end-to-end through binaryFile → mapInPandas → channel
+stats, plus image-feature and audio-frame-sample kernels."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparkgraft.functions.expr import OLE_EPOCH_UNIX
+from sparkgraft.operators.multimodal import (
+    audio_frame_sample,
+    encode_fake_audio,
+    encode_fake_image,
+    encode_sample_matrix,
+    decode_sample_files,
+    image_features,
+)
+from sparkgraft.operators.stats import channel_stats
+
+
+def _ole(unix_s: float) -> float:
+    return (unix_s - OLE_EPOCH_UNIX) / 86400.0
+
+
+def test_sgrf_decode_to_channel_stats(spark, tmp_path):
+    t0 = 1_700_000_000.0
+    mat = np.array(
+        [
+            [_ole(t0 + 0.00), 1.0, 10.0],
+            [_ole(t0 + 0.01), 2.0, 20.0],
+            [_ole(t0 + 0.02), 3.0, 30.0],
+        ]
+    )
+    (tmp_path / "Logger1_2023-11-14_22-13-20.dat").write_bytes(
+        encode_sample_matrix(["T-T1", "BS_X"], 100.0, mat)
+    )
+    binf = spark.read.format("binaryFile").load(str(tmp_path))
+    samples = decode_sample_files(binf)
+    rows = samples.orderBy("channel", "ts").collect()
+    # Dash-to-underscore channel rename (F5) applied during decode.
+    assert {r["channel"] for r in rows} == {"T_T1", "BS_X"}
+    assert rows[0]["file"] == "Logger1_2023-11-14_22-13-20.dat"
+    # OLE round-trip at ms granularity.
+    assert abs(rows[3]["ts"].timestamp() - t0) < 0.001
+    stats = {
+        r["channel"]: (r["mean"], r["min"], r["max"])
+        for r in channel_stats(samples, ["channel"], "value").collect()
+    }
+    assert stats["T_T1"] == (2.0, 1.0, 3.0)
+    assert stats["BS_X"] == (20.0, 10.0, 30.0)
+
+
+def test_image_features_kernel(spark):
+    img1 = encode_fake_image(2, 2, bytes([0, 100, 100, 200]))
+    img2 = encode_fake_image(1, 3, bytes([10, 20, 30]))
+    df = spark.createDataFrame(
+        [(1, bytearray(img1)), (2, bytearray(img2))], "media_id long, data binary"
+    )
+    feats = {r["media_id"]: r for r in image_features(df).collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (2, 2)
+    assert feats[1]["mean_intensity"] == 100.0
+    assert feats[2]["n_pixels"] == 3
+    assert feats[2]["mean_intensity"] == 20.0
+
+
+def test_audio_frame_sample_kernel(spark):
+    blob = encode_fake_audio([float(i) for i in range(10)])
+    df = spark.createDataFrame([(7, bytearray(blob))], "media_id long, data binary")
+    frames = audio_frame_sample(df, every_n=3).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in frames] == [0, 3, 6, 9]
+    assert [r["amplitude"] for r in frames] == [0.0, 3.0, 6.0, 9.0]
+
+
+def test_real_codec_is_stubbed(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n..."))], "media_id long, data binary"
+    )
+    with pytest.raises(Exception) as ei:
+        image_features(df).collect()
+    assert "NotImplementedError" in str(ei.value) or "real image decode" in str(
+        ei.value
+    )
