@@ -659,7 +659,133 @@ def q_cluster_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: corpus ∪ planted duplicates
+    (every 20th vector rescaled x2 — same direction, cos=1), pairs with
+    cosine ≥ 0.999 inside the label partition (blocked, no full cross
+    join)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        "label",
+    )
+    planted = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * F.lit(2.0)).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    corpus = base.unionByName(planted)
+    a = corpus.select(
+        F.col("label").alias("part"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = corpus.select(
+        F.col("label").alias("part"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = (
+        a.join(b, "part")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "part",
+            "id_a",
+            "id_b",
+            F.round(SIM.cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.999)
+    )
+    return pairs
+
+
+def q_sketch_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches sanity-checked against exact values inside
+    the engine (HLL distinct count within 5 %, approx p50 within the
+    exact p25..p75 band) — the oracle pins the exact values and the
+    booleans, so a broken sketch implementation fails the gate."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_exact"),
+        F.approx_count_distinct("l_partkey").alias("n_approx"),
+        F.percentile(F.col("l_quantity"), F.lit(0.25)).alias("p25"),
+        F.percentile_approx(F.col("l_quantity"), F.lit(0.5)).alias("p50_approx"),
+        F.percentile(F.col("l_quantity"), F.lit(0.75)).alias("p75"),
+    )
+    return per.select(
+        "l_returnflag",
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            / F.col("n_exact")
+            < 0.05
+        ).alias("hll_within_5pct"),
+        F.col("p50_approx").between(F.col("p25"), F.col("p75")).alias(
+            "approx_median_in_iqr"
+        ),
+    )
+
+
+def q_streaming_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1–T4 in the graded loop (rows-only check — streaming isn't
+    SQL-expressible): a sample of events is written out as arrival
+    files, drained through the FilePipeline with AvailableNow, and the
+    per-file channel stats collected from the KV sink are returned."""
+    import tempfile
+
+    from sparkgraft.sinks.kv import stats_to_kv
+    from sparkgraft.streaming.pipeline import FilePipeline
+
+    events = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_stream_")
+    inp = f"{tmp}/in"
+    for day in (1, 2):
+        (
+            events.filter(F.dayofmonth("ts") == day)
+            .select(
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+                F.col("event_type").alias("channel"),
+                "value",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(f"{inp}/staging_{day}")
+        )
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(f"{inp}/arrivals", exist_ok=True)
+    for day in (1, 2):
+        for i, f in enumerate(sorted(glob.glob(f"{inp}/staging_{day}/part-*.csv"))):
+            shutil.move(f, f"{inp}/arrivals/Logger1_2024-01-0{day}_00-00-0{i}.csv")
+
+    collected: list[tuple[str, str]] = []
+
+    def sink(result: DataFrame, stem: str) -> None:
+        for r in stats_to_kv(result, "channel", file_stem=stem).collect():
+            collected.append((r["field"], r["value"]))
+
+    FilePipeline(
+        spark,
+        name="graded",
+        input_dir=f"{inp}/arrivals",
+        schema="ts TIMESTAMP, channel STRING, value DOUBLE",
+        transform=lambda df: S.channel_stats(df, ["channel"], "value"),
+        sink=sink,
+        checkpoint_dir=f"{tmp}/ckpt",
+    ).run_available()
+    return spark.createDataFrame(collected, "field string, value string")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "embedding_dedup": q_embedding_dedup,
+    "sketch_sanity": q_sketch_sanity,
+    "streaming_stats": q_streaming_stats,
     "cube_pricing": q_cube_pricing,
     "grouping_sets": q_grouping_sets,
     "distinct_agg": q_distinct_agg,
@@ -909,6 +1035,38 @@ ORACLES: dict[str, str] = {
 }
 
 
+BATCH4_ORACLES: dict[str, str] = {
+    "embedding_dedup": """
+        WITH corpus AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0),
+                   label
+            FROM embeddings WHERE vec_id % 20 = 0
+        ),
+        pairs AS (
+            SELECT a.label AS part, a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                       list_sum(list_transform(generate_series(1, len(a.e)),
+                                               i -> a.e[i] * b.e[i]))
+                       / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                          * sqrt(list_sum(list_transform(b.e, x -> x * x)))),
+                       6) AS cos_sim
+            FROM corpus a JOIN corpus b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+        )
+        SELECT part, id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.999
+    """,
+    "sketch_sanity": """
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_exact,
+               TRUE AS hll_within_5pct,
+               TRUE AS approx_median_in_iqr
+        FROM lineitem GROUP BY l_returnflag
+    """,
+}
+
 BATCH3_ORACLES: dict[str, str] = {
     "cube_pricing": """
         SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
@@ -994,6 +1152,7 @@ BATCH3_ORACLES: dict[str, str] = {
 }
 
 ORACLES.update(BATCH3_ORACLES)
+ORACLES.update(BATCH4_ORACLES)
 
 
 def _report_oracles() -> dict[str, str]:
