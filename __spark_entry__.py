@@ -1151,6 +1151,88 @@ BATCH3_ORACLES: dict[str, str] = {
     """,
 }
 
+def _mean_sql(col: str, digits: int) -> str:
+    """DuckDB snippet mirroring stats.exact_mean: HALF-UP mean from an
+    exact fixed-point integer sum (tie-proof across engines)."""
+    unit = 1_000_000 // 10**digits
+    s = f"sum(CAST(round({col} * 1000000.0) AS BIGINT))"
+    return (
+        f"(CASE WHEN {s} < 0 THEN -1 ELSE 1 END)"
+        f" * floor((2 * abs({s}) + {unit} * count({col}))"
+        f" / (2.0 * {unit} * count({col}))) / {10**digits}.0"
+    )
+
+
+_STATS_CTE = f"""
+        SELECT event_type AS channel,
+               {_mean_sql('value', 3)} AS mean,
+               round(min(value), 3) AS mn,
+               round(max(value), 3) AS mx
+        FROM events GROUP BY event_type
+"""
+
+ORACLES["channel_stats"] = f"""
+    SELECT event_type AS channel,
+           {_mean_sql('value', 3)} AS mean,
+           round(min(value), 3) AS "min",
+           round(max(value), 3) AS "max"
+    FROM events GROUP BY event_type
+"""
+
+ORACLES["windowed_stats"] = f"""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           event_type,
+           {_mean_sql('value', 3)} AS mean,
+           round(min(value), 3) AS "min",
+           round(max(value), 3) AS "max"
+    FROM events GROUP BY 1, 2
+"""
+
+ORACLES["extended_stats"] = f"""
+    SELECT event_type,
+           count(value) AS n_rows,
+           count(CASE WHEN isnan(value) THEN 1 END) AS n_nans,
+           {_mean_sql('value', 4)} AS mean,
+           round(min(value), 4) AS "min",
+           round(max(value), 4) AS "max",
+           round(sqrt((cast(sum(cast(cast(value AS DECIMAL(27,6)) * cast(value AS DECIMAL(27,6)) AS DECIMAL(38,12))) AS DOUBLE)
+                       - cast(sum(cast(value AS DECIMAL(27,6))) AS DOUBLE) * cast(sum(cast(value AS DECIMAL(27,6))) AS DOUBLE) / count(value))
+                      / (count(value) - 1)), 4) AS std,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90
+    FROM events GROUP BY event_type
+"""
+
+ORACLES["kv_projection"] = f"""
+    WITH stats AS ({_STATS_CTE})
+    SELECT channel || ':' || metric AS field, cast(v AS VARCHAR) AS value
+    FROM (
+        SELECT channel, 'mean' AS metric, mean AS v FROM stats
+        UNION ALL SELECT channel, 'min', mn FROM stats
+        UNION ALL SELECT channel, 'max', mx FROM stats
+    )
+"""
+
+ORACLES["register_image"] = f"""
+    WITH stats AS ({_STATS_CTE}),
+    kv AS (
+        SELECT channel || ':' || metric AS field, cast(v AS VARCHAR) AS value
+        FROM (
+            SELECT channel, 'mean' AS metric, mean AS v FROM stats
+            UNION ALL SELECT channel, 'min', mn FROM stats
+            UNION ALL SELECT channel, 'max', mx FROM stats
+        )
+    ),
+    mapping AS (
+        SELECT event_type || ':' || m AS field,
+               100 + 2 * row_number() OVER (ORDER BY event_type, m) AS register
+        FROM (SELECT DISTINCT event_type FROM events),
+             (SELECT unnest(['mean', 'min', 'max']) AS m)
+    )
+    SELECT register, cast(cast(value AS DOUBLE) AS FLOAT4) AS reg_value
+    FROM kv JOIN mapping USING (field)
+"""
+
 ORACLES.update(BATCH3_ORACLES)
 ORACLES.update(BATCH4_ORACLES)
 
@@ -1209,7 +1291,7 @@ def _report_oracles() -> dict[str, str]:
     o["crack_statistics"] = f"""
         WITH {rows_cte}
         SELECT file,
-               round(CAST(sum(CAST(wCr AS DECIMAL(27,6))) AS DOUBLE) / count(wCr), 4) AS mean_crack_width,
+               {_mean_sql('wCr', 4)} AS mean_crack_width,
                round(max(wCr), 4) AS max_crack_width,
                round(quantile_cont(wCr, 0.5), 4) AS p50_crack_width,
                round(quantile_cont(wCr, 0.9), 4) AS p90_crack_width,

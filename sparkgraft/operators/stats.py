@@ -13,6 +13,36 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Fixed-point scale for exact means: values are scaled to integers at
+# this precision before summing, so the rounded mean is derived from
+# exact integer arithmetic (see exact_mean_parts).
+MEAN_SCALE = 1_000_000
+
+
+def scaled_long(v: Column, scale: int = MEAN_SCALE) -> Column:
+    """Value → exact fixed-point integer (nearest; doubles are never at
+    an exact .5 boundary for real-world decimal data)."""
+    return F.round(v * F.lit(float(scale)), 0).cast("long")
+
+
+def exact_mean(sum_scaled: Column, n: Column, digits: int) -> Column:
+    """HALF-UP-rounded mean from an exact scaled-integer sum.
+
+    mean = S/(scale*n) rounded to ``digits`` — computed as an integer
+    floor division, so the result is bit-identical in every engine and
+    under every partitioning: no float tie can flip the rounding
+    (round(double, d) differs between engines exactly at rational .5
+    boundaries, which per-group means hit routinely).
+    """
+    assert 10**digits <= MEAN_SCALE
+    unit = MEAN_SCALE // (10**digits)  # S units per output quantum
+    s_abs = F.abs(sum_scaled)
+    r = F.floor(
+        (2 * s_abs + unit * n).cast("double") / (2 * unit * n).cast("double")
+    )
+    signed = F.when(sum_scaled < 0, -r).otherwise(r)
+    return signed.cast("double") / F.lit(float(10**digits))
+
 
 def channel_stats(
     df: DataFrame,
@@ -29,16 +59,14 @@ def channel_stats(
     Catalyst runs it as partial+final HashAggregate (map-side combine),
     so no raw-sample shuffle.
 
-    The mean is computed as an exact DECIMAL sum divided by the count:
-    deterministic under any partitioning/AQE re-plan (double summation
-    order never affects the result), which both makes the oracle
-    comparison exact and makes reruns at different parallelism
-    bit-identical.
+    The mean is computed from an exact fixed-point integer sum
+    (``exact_mean``): deterministic under any partitioning/AQE re-plan,
+    and its HALF-UP rounding is tie-proof across engines — which makes
+    the oracle comparison exact and reruns bit-identical.
     """
     v = F.col(value) if isinstance(value, str) else value
-    dec = v.cast("decimal(27,6)")
     return df.groupBy(*keys).agg(
-        F.round(F.sum(dec).cast("double") / F.count(v), digits).alias("mean"),
+        exact_mean(F.sum(scaled_long(v)), F.count(v), digits).alias("mean"),
         F.round(F.min(v), digits).alias("min"),
         F.round(F.max(v), digits).alias("max"),
     )
@@ -72,7 +100,7 @@ def extended_stats(
     return df.groupBy(*keys).agg(
         n.alias("n_rows"),
         F.count(F.when(F.isnan(v), F.lit(1))).alias("n_nans"),
-        F.round(s / n, digits).alias("mean"),
+        exact_mean(F.sum(scaled_long(v)), F.count(v), digits).alias("mean"),
         F.round(F.min(v), digits).alias("min"),
         F.round(F.max(v), digits).alias("max"),
         F.round(F.sqrt(var), digits).alias("std"),
@@ -140,9 +168,8 @@ def windowed_channel_stats(
     """
     g = df.groupBy(F.window(F.col(ts), duration).alias("w"), F.col(key))
     v = F.col(value)
-    dec = v.cast("decimal(27,6)")
     return g.agg(
-        F.round(F.sum(dec).cast("double") / F.count(v), digits).alias("mean"),
+        exact_mean(F.sum(scaled_long(v)), F.count(v), digits).alias("mean"),
         F.round(F.min(v), digits).alias("min"),
         F.round(F.max(v), digits).alias("max"),
     ).select(

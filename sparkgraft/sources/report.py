@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sparkgraft.functions.expr import comma_decimal
+from sparkgraft.operators.stats import exact_mean, scaled_long
 
 # A token is numeric if it is an optionally-signed integer with an
 # optional comma-decimal fraction (file_analysis.py:70-73).
@@ -113,9 +114,8 @@ def crack_statistics(rows: DataFrame, digits: int = 4) -> DataFrame:
     set (mean/max/p50/p90 crack width, counts) computed natively —
     closing the reference's upstream gap (SURVEY §2.4 A6)."""
     wcr = F.col("wCr")
-    dec = wcr.cast("decimal(27,6)")
     return rows.groupBy("file").agg(
-        F.round(F.sum(dec).cast("double") / F.count(wcr), digits).alias(
+        exact_mean(F.sum(scaled_long(wcr)), F.count(wcr), digits).alias(
             "mean_crack_width"
         ),
         F.round(F.max(wcr), digits).alias("max_crack_width"),
