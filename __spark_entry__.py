@@ -659,6 +659,95 @@ def q_cluster_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_e1_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 end-to-end (rows-only check): SGRF binary sample files →
+    mapInPandas decode (S1) → per-file channel stats (A1) → KV hash
+    (P2/K3) → broadcast register image (J1/K4) — the reference's
+    flagship flow as one DataFrame plan.
+
+    The fixture files are generated deterministically from the events
+    table (two 10-minute "files" of 100 Hz-style samples).
+    """
+    import tempfile
+
+    import numpy as np
+
+    from sparkgraft.operators.multimodal import (
+        decode_sample_files,
+        encode_sample_matrix,
+    )
+    from sparkgraft.sinks.kv import register_image, stats_to_kv
+
+    events = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    pdf = events.select("event_id", "value").orderBy("event_id").toPandas()
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_e1_")
+    half = len(pdf) // 2
+    for i, chunk in enumerate((pdf[:half], pdf[half:])):
+        n = len(chunk)
+        t0 = (45292.0 + i / 144.0)  # OLE days, 10-min-aligned starts
+        mat = np.column_stack(
+            [
+                t0 + np.arange(n) / (100.0 * 86400.0),
+                chunk["value"].to_numpy(),
+                (chunk["event_id"].to_numpy() % 2).astype("float64"),
+            ]
+        )
+        blob = encode_sample_matrix(["T-T1_L2", "AL_GAL"], 100.0, mat)
+        with open(f"{tmp}/Logger1_2024-01-0{i + 1}_00-00-00.dat", "wb") as fh:
+            fh.write(blob)
+
+    samples = decode_sample_files(
+        spark.read.format("binaryFile").load(tmp)
+    )
+    stats = S.channel_stats(samples, ["channel"], "value")
+    kv = stats_to_kv(stats, "channel")
+    mapping = spark.createDataFrame(
+        [
+            (f"{ch}:{m}", 100 + 2 * i)
+            for i, (ch, m) in enumerate(
+                (c, m)
+                for c in ("T_T1_L2", "AL_GAL")
+                for m in ("mean", "min", "max")
+            )
+        ],
+        "field string, register int",
+    )
+    return register_image(kv, mapping)
+
+
+def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.1 wide→long canonicalization: lineitem measures unpivoted to
+    (keys, metric, value) — the fixed-schema streaming form."""
+    from sparkgraft.operators.reshape import wide_to_long
+
+    li = _t(spark, sf_dir, "lineitem")
+    return wide_to_long(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        key_name="metric",
+        value_name="value",
+    )
+
+
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.1 long→wide: per-user value sums pivoted to one column per
+    event_type (explicit channel list — schema-stable, no inference
+    scan)."""
+    from sparkgraft.operators.reshape import long_to_wide
+
+    events = _t(spark, sf_dir, "events")
+    channels = ["click", "error", "purchase", "signup", "view"]
+    wide = long_to_wide(
+        events,
+        ["user_id"],
+        "event_type",
+        channels,
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+    )
+    return wide
+
+
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection: corpus ∪ planted duplicates
     (every 20th vector rescaled x2 — same direction, cos=1), pairs with
@@ -783,6 +872,9 @@ def q_streaming_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "e1_flagship": q_e1_flagship,
+    "unpivot_long": q_unpivot_long,
+    "pivot_wide": q_pivot_wide,
     "embedding_dedup": q_embedding_dedup,
     "sketch_sanity": q_sketch_sanity,
     "streaming_stats": q_streaming_stats,
@@ -1036,6 +1128,22 @@ ORACLES: dict[str, str] = {
 
 
 BATCH4_ORACLES: dict[str, str] = {
+    "unpivot_long": """
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    """,
+    "pivot_wide": """
+        SELECT user_id,
+               cast(sum(CASE WHEN event_type = 'click' THEN cast(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+               cast(sum(CASE WHEN event_type = 'error' THEN cast(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+               cast(sum(CASE WHEN event_type = 'purchase' THEN cast(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+               cast(sum(CASE WHEN event_type = 'signup' THEN cast(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+               cast(sum(CASE WHEN event_type = 'view' THEN cast(value AS DECIMAL(18,2)) END) AS DOUBLE) AS "view",
+        FROM events GROUP BY user_id
+    """,
     "embedding_dedup": """
         WITH corpus AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings

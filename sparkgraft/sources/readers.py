@@ -27,6 +27,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S2 — parquet scan of a harness table (self-describing schema,
     predicate/projection pushdown intact)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin the session timezone: every ts projection (date_format, window,
+    # minute()) is TZ-dependent, and the harness session's default is
+    # whatever the JVM inherited.  UTC matches the (TZ-naive) oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(c) == "bigint":
