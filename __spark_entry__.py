@@ -609,7 +609,7 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _corpus_with_near_dups(spark, sf_dir),
         shingle_k=3,
         num_hashes=12,
-        bands=4,
+        bands=2,
         min_jaccard=0.5,
     )
 
@@ -1440,9 +1440,10 @@ def _llm_oracles() -> dict[str, str]:
         for j in range(12)
     )
     band_rows = " UNION ALL ".join(
-        f"SELECT id, sh, {b} AS band, "
-        f"md5(concat_ws('|', mh_{3*b}, mh_{3*b+1}, mh_{3*b+2})) AS bucket FROM sig"
-        for b in range(4)
+        "SELECT id, sh, {b} AS band, md5(concat_ws('|', {cols})) AS bucket FROM sig".format(
+            b=b, cols=", ".join(f"mh_{6*b + j}" for j in range(6))
+        )
+        for b in range(2)
     )
     o["minhash_dedup"] = f"""
         WITH {corpus}, {shingle3},

@@ -30,6 +30,10 @@ HEADLINE = [
     "top_per_group",
     "dedup_exact",
     "scalar_functions",
+    "minhash_dedup",
+    "cosine_topk",
+    "text_stats",
+    "pivot_wide",
 ]
 
 

@@ -1,0 +1,70 @@
+"""Scale-path join strategies (SURVEY §4 "Catalyst gives us free" —
+plus the two knobs it doesn't: physical co-location and manual skew
+control).
+
+- **Bucketing**: pre-shuffle both fact tables into the same bucket
+  layout at write time; equi-joins on the bucket key then run with ZERO
+  exchanges — at 100 TB this turns the recurring join shuffle into a
+  one-time write cost.  (AQE can't do this; it's a storage-layout
+  decision.)
+- **Salting**: when one join key dominates (hot sensor, hot user), AQE
+  skew-join splitting handles sort-merge joins, but pre-salting is
+  still the portable fix when the small side can be replicated: the
+  skewed side spreads across ``n_salts`` sub-keys, the small side is
+  exploded to all salts, and the join parallelizes evenly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by the join key.
+
+    Matching bucket counts on both sides of a future join remove the
+    exchange entirely; sorting inside buckets additionally removes the
+    sort of a sort-merge join.
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: Sequence[str], how: str = "inner"
+) -> DataFrame:
+    """Join two co-bucketed tables — plan should show no hash exchange
+    (asserted in tests/test_scale_joins.py)."""
+    return spark.table(left_table).join(spark.table(right_table), list(on), how)
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int,
+    salt_source: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi join: deterministic salt from ``salt_source`` (any
+    stable per-row column on the skewed side) spreads each hot key over
+    ``n_salts`` shuffle partitions; the small side is replicated once
+    per salt.  Result is identical to the plain join.
+    """
+    sk = skewed.withColumn("_salt", F.pmod(F.hash(salt_source), F.lit(n_salts)))
+    sm = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = sk.join(sm, [on, "_salt"], how)
+    return out.drop("_salt")

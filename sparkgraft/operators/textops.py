@@ -104,30 +104,50 @@ def minhash_dedup_pairs(
     the *candidate pairs only*, which LSH keeps near-linear.
     """
     rows = num_hashes // bands
+    # CPU-heavy per-row work (k x hashes md5 per doc) must not inherit
+    # the scan's partitioning: a single-file scan is one task, which
+    # serializes the whole signature computation.  Spread rows across
+    # the cluster first — the corpus is tiny relative to the hash work.
+    sc = docs.sparkSession.sparkContext
+    docs = docs.repartition(sc.defaultParallelism)
+    # The shingle+signature pipeline feeds four plan branches (two sides
+    # of the candidate self-join, two verify lookups) — persist it so the
+    # md5-heavy work runs once.  The cached form is compact: id + shingle
+    # array / id + band buckets.
     base = docs.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(tokenize(F.col(text_col)), shingle_k)).alias(
             "sh"
         ),
-    )
+    ).persist()
     sig = base.select("id", "sh", *minhash_signature(F.col("sh"), num_hashes))
     banded = sig.select(
         "id",
-        "sh",
         F.explode(
             lsh_bands([F.col(f"mh_{j}") for j in range(num_hashes)], bands, rows)
         ).alias("bb"),
-    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    left = banded.select("band", "bucket", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    right = banded.select("band", "bucket", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    ).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    ).persist()
+    # Candidate generation shuffles ONLY (band, bucket, id) — the heavy
+    # shingle arrays stay out of the self-join; pairs are deduped before
+    # any verification work.
+    left = banded.select("band", "bucket", F.col("id").alias("id_a"))
+    right = banded.select("band", "bucket", F.col("id").alias("id_b"))
     pairs = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("j"))
-        .groupBy("id_a", "id_b")
-        .agg(F.max("j").alias("j"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    return pairs.filter(F.col("j") >= min_jaccard).select(
+    # Verify: attach each side's shingle set exactly once per pair.
+    sh_tbl = base.select(F.col("id"), F.col("sh"))
+    verified = (
+        pairs.join(sh_tbl.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh_tbl.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("j"))
+    )
+    return verified.filter(F.col("j") >= min_jaccard).select(
         "id_a", "id_b", F.round("j", 4).alias("jaccard")
     )
 

@@ -1,0 +1,63 @@
+"""Scale-path join strategies: bucketed joins run shuffle-free and
+salted joins equal their unsalted counterparts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkgraft.operators.scale import bucketed_join, salted_join, write_bucketed
+from sparkgraft.plans import audit
+from sparkgraft.sources.readers import read_table
+from tests.conftest import SF_DIR
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    orders = read_table(spark, SF_DIR, "orders")
+    li = read_table(spark, SF_DIR, "lineitem")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 8)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        ["o_orderkey"],
+        8,
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # Force a non-broadcast join so the exchange question is real.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", ["o_orderkey"])
+        assert audit.count_shuffles(joined) == 0, audit.explain_str(joined)
+        # And it still computes the right thing.
+        n = joined.count()
+        plain = read_table(spark, SF_DIR, "orders").join(
+            read_table(spark, SF_DIR, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        assert n == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_equals_plain_join(spark):
+    events = read_table(spark, SF_DIR, "events")
+    # Synthetic skew: every event keyed to one hot nation + a tail.
+    skewed = events.select(
+        F.when(F.col("event_id") % 10 < 8, 0)
+        .otherwise((F.col("event_id") % 25).cast("int"))
+        .alias("n_nationkey"),
+        "event_id",
+        "value",
+    )
+    nation = read_table(spark, SF_DIR, "nation")
+    plain = skewed.join(nation, "n_nationkey").groupBy("n_name").agg(
+        F.count("*").alias("n"), F.sum("event_id").alias("s")
+    )
+    salted = salted_join(
+        skewed, nation, "n_nationkey", n_salts=8, salt_source=F.col("event_id")
+    ).groupBy("n_name").agg(F.count("*").alias("n"), F.sum("event_id").alias("s"))
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
