@@ -659,6 +659,32 @@ def q_cluster_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted broadcast-dim join (scale path for hot keys): the
+    oracle is the PLAIN join — proving the salted plan is
+    result-identical while spreading each hot key over 8 sub-keys."""
+    from sparkgraft.operators.scale import salted_join
+
+    events = _t(spark, sf_dir, "events")
+    skewed = events.select(
+        F.when(F.col("event_id") % 10 < 8, 0)
+        .otherwise((F.col("event_id") % 25).cast("int"))
+        .alias("n_nationkey"),
+        "event_id",
+        F.col("value"),
+    )
+    nation = _t(spark, sf_dir, "nation")
+    joined = salted_join(
+        skewed, nation, "n_nationkey", n_salts=8, salt_source=F.col("event_id")
+    )
+    return joined.groupBy("n_name").agg(
+        F.count("*").alias("n_events"),
+        S.exact_mean(
+            F.sum(S.scaled_long(F.col("value"))), F.count("value"), 3
+        ).alias("mean_value"),
+    )
+
+
 def q_e1_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 end-to-end (rows-only check): SGRF binary sample files →
     mapInPandas decode (S1) → per-file channel stats (A1) → KV hash
@@ -872,6 +898,7 @@ def q_streaming_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "salted_join": q_salted_join,
     "e1_flagship": q_e1_flagship,
     "unpivot_long": q_unpivot_long,
     "pivot_wide": q_pivot_wide,
@@ -1128,6 +1155,19 @@ ORACLES: dict[str, str] = {
 
 
 BATCH4_ORACLES: dict[str, str] = {
+    "salted_join": """
+        WITH skewed AS (
+            SELECT CASE WHEN event_id % 10 < 8 THEN 0
+                        ELSE CAST(event_id % 25 AS INTEGER) END AS n_nationkey,
+                   event_id, value
+            FROM events
+        )
+        SELECT n.n_name,
+               count(*) AS n_events,
+               {mean_sql} AS mean_value
+        FROM skewed s JOIN nation n USING (n_nationkey)
+        GROUP BY n.n_name
+    """,
     "unpivot_long": """
         SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
         UNION ALL
@@ -1343,6 +1383,9 @@ ORACLES["register_image"] = f"""
 
 ORACLES.update(BATCH3_ORACLES)
 ORACLES.update(BATCH4_ORACLES)
+ORACLES["salted_join"] = BATCH4_ORACLES["salted_join"].format(
+    mean_sql=_mean_sql("value", 3)
+)
 
 
 def _report_oracles() -> dict[str, str]:

@@ -1,0 +1,42 @@
+"""§2.11 UDF-registry passthrough and K1 CSV sink name fidelity."""
+
+from __future__ import annotations
+
+import csv
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from sparkgraft.operators.stats import channel_stats
+from sparkgraft.sinks.kv import write_stats_csv
+
+
+def test_udf_register_passthrough(spark):
+    # User extension surface: a registered python UDF is callable from
+    # both the DataFrame API and SQL (capability parity, SURVEY §2.11).
+    spark.udf.register("celsius_to_kelvin", lambda c: c + 273.15, DoubleType())
+    df = spark.createDataFrame([(20.0,), (-273.15,)], "c double")
+    out = [r["k"] for r in df.selectExpr("celsius_to_kelvin(c) AS k").collect()]
+    assert out == [293.15, 0.0]
+    df.createOrReplaceTempView("temps")
+    out2 = [
+        r["k"]
+        for r in spark.sql("SELECT celsius_to_kelvin(c) AS k FROM temps").collect()
+    ]
+    assert out2 == out
+
+
+def test_stats_csv_name_fidelity(spark, tmp_path):
+    # K1: <stem>_stats.csv, no index column (DataConverterUDBF.py:268-279).
+    df = spark.createDataFrame(
+        [("T_T1", 1.0), ("T_T1", 3.0), ("BS_X", 5.0)], "channel string, value double"
+    )
+    stats = channel_stats(df, ["channel"], "value")
+    target = tmp_path / "Logger1_2025-06-19_12-20-00_stats.csv"
+    write_stats_csv(stats, str(target))
+    with open(target) as fh:
+        rows = list(csv.DictReader(fh))
+    by_ch = {r["channel"]: r for r in rows}
+    assert by_ch["T_T1"]["mean"] == "2.0"
+    assert by_ch["BS_X"]["min"] == "5.0"
+    assert set(rows[0].keys()) == {"channel", "mean", "min", "max"}
