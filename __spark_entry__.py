@@ -659,6 +659,24 @@ def q_cluster_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user session windows with a 30-minute gap
+    (Spark-native session_window; oracle = gaps-and-islands SQL).
+    Works identically over a stream with a watermark."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted broadcast-dim join (scale path for hot keys): the
     oracle is the PLAIN join — proving the salted plan is
@@ -898,6 +916,7 @@ def q_streaming_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "session_windows": q_session_windows,
     "salted_join": q_salted_join,
     "e1_flagship": q_e1_flagship,
     "unpivot_long": q_unpivot_long,
@@ -1155,6 +1174,28 @@ ORACLES: dict[str, str] = {
 
 
 BATCH4_ORACLES: dict[str, str] = {
+    "session_windows": """
+        WITH ordered AS (
+            SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+            FROM events
+        ),
+        marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM ordered
+        ),
+        numbered AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked
+        )
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        FROM numbered GROUP BY user_id, session_id
+    """,
     "salted_join": """
         WITH skewed AS (
             SELECT CASE WHEN event_id % 10 < 8 THEN 0
