@@ -181,24 +181,27 @@ def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs over ~K rows instead of the fact table.
     """
     li = _t(spark, sf_dir, "lineitem")
+    # Exact fixed-point integer sums (hardware-speed long aggregation;
+    # quantization identical to the former DECIMAL(18,2)/(8,6) casts for
+    # 2-decimal money/discount data), rounded by tie-proof integer
+    # arithmetic (stats.exact_rounded_sum).
+    disc_scaled = (
+        F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
+        * F.round((F.lit(1.0) - F.col("l_discount")) * 100.0, 0).cast("long")
+        * F.lit(100)
+    )
     leaf = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("s_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).alias("s_price"),
-        F.sum(
-            F.col("l_extendedprice").cast("decimal(18,2)")
-            * (F.lit(1).cast("decimal(8,6)") - F.col("l_discount").cast("decimal(8,6)"))
-        ).alias("s_disc"),
+        F.sum(S.scaled_long(F.col("l_quantity"))).alias("s_qty"),
+        F.sum(S.scaled_long(F.col("l_extendedprice"))).alias("s_price"),
+        F.sum(disc_scaled).alias("s_disc"),
         F.count("*").alias("n"),
     )
     return (
         leaf.rollup("l_returnflag", "l_linestatus")
         .agg(
-            # Exact decimal sums, rescaled to 2 before the double cast so the
-            # scaled significand stays < 2^53 — the cast is then exact in any
-            # engine (no double-rounding divergence on grand totals).
-            F.sum("s_qty").cast("decimal(38,2)").cast("double").alias("sum_qty"),
-            F.sum("s_price").cast("decimal(38,2)").cast("double").alias("sum_price"),
-            F.sum("s_disc").cast("decimal(38,2)").cast("double").alias("sum_disc_price"),
+            S.exact_rounded_sum(F.sum("s_qty"), 2).alias("sum_qty"),
+            S.exact_rounded_sum(F.sum("s_price"), 2).alias("sum_price"),
+            S.exact_rounded_sum(F.sum("s_disc"), 2).alias("sum_disc_price"),
             F.sum("n").alias("n_rows"),
         )
     )
@@ -383,11 +386,11 @@ def q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     leaf = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("s_qty"),
+        F.sum(S.scaled_long(F.col("l_quantity"))).alias("s_qty"),
     )
     return leaf.cube("l_returnflag", "l_linestatus").agg(
         F.sum("n").alias("n_rows"),
-        F.sum("s_qty").cast("decimal(38,2)").cast("double").alias("sum_qty"),
+        S.exact_rounded_sum(F.sum("s_qty"), 2).alias("sum_qty"),
     )
 
 
@@ -1257,11 +1260,6 @@ BATCH4_ORACLES: dict[str, str] = {
 }
 
 BATCH3_ORACLES: dict[str, str] = {
-    "cube_pricing": """
-        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-               cast(cast(round(sum(cast(l_quantity AS DECIMAL(27,6))), 2) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
-        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
     "grouping_sets": """
         SELECT l_returnflag, l_linestatus, count(*) AS n_rows
         FROM lineitem
@@ -1351,6 +1349,38 @@ def _mean_sql(col: str, digits: int) -> str:
         f" / (2.0 * {unit} * count({col}))) / {10**digits}.0"
     )
 
+
+def _rsum_sql(scaled_sum: str, digits: int) -> str:
+    """DuckDB snippet mirroring stats.exact_rounded_sum."""
+    unit = 1_000_000 // 10**digits
+    return (
+        f"(CASE WHEN {scaled_sum} < 0 THEN -1 ELSE 1 END)"
+        f" * floor((2 * abs({scaled_sum}) + {unit}) / (2.0 * {unit}))"
+        f" / {10**digits}.0"
+    )
+
+
+_QTY_S = "sum(CAST(round(l_quantity * 1000000.0) AS BIGINT))"
+_PRICE_S = "sum(CAST(round(l_extendedprice * 1000000.0) AS BIGINT))"
+_DISC_S = (
+    "sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)"
+    " * CAST(round((1 - l_discount) * 100.0) AS BIGINT) * 100)"
+)
+
+ORACLES["rollup_pricing"] = f"""
+    SELECT l_returnflag, l_linestatus,
+           {_rsum_sql(_QTY_S, 2)} AS sum_qty,
+           {_rsum_sql(_PRICE_S, 2)} AS sum_price,
+           {_rsum_sql(_DISC_S, 2)} AS sum_disc_price,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+ORACLES["cube_pricing"] = f"""
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+           {_rsum_sql(_QTY_S, 2)} AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
 
 _STATS_CTE = f"""
         SELECT event_type AS channel,

@@ -25,6 +25,18 @@ def scaled_long(v: Column, scale: int = MEAN_SCALE) -> Column:
     return F.round(v * F.lit(float(scale)), 0).cast("long")
 
 
+def exact_rounded_sum(sum_scaled: Column, digits: int) -> Column:
+    """HALF-UP-rounded sum from an exact scaled-integer sum — the sum
+    counterpart of :func:`exact_mean` (same tie-proof integer rounding,
+    and long sums run at hardware speed where decimal sums don't)."""
+    assert 10**digits <= MEAN_SCALE
+    unit = MEAN_SCALE // (10**digits)
+    s_abs = F.abs(sum_scaled)
+    r = F.floor((2 * s_abs + unit).cast("double") / F.lit(2.0 * unit))
+    signed = F.when(sum_scaled < 0, -r).otherwise(r)
+    return signed.cast("double") / F.lit(float(10**digits))
+
+
 def exact_mean(sum_scaled: Column, n: Column, digits: int) -> Column:
     """HALF-UP-rounded mean from an exact scaled-integer sum.
 
