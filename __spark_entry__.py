@@ -662,6 +662,60 @@ def q_cluster_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join: purchases falling inside the 2-day window
+    opened by each signup of the same user (oracle = plain inequality
+    join; the Spark plan is the scale-safe equi-on-bucket form)."""
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    windows = events.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 DAYS")).alias("w_end"),
+    )
+    out = R.range_join(
+        purchases,
+        windows,
+        on=["user_id"],
+        point_ts="ts",
+        start_ts="w_start",
+        end_ts="w_end",
+        bucket="1 day",
+    )
+    return out.select("user_id", "signup_id", "purchase_id")
+
+
+def q_hll_merge_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch mergeability: per-day HLL sketches unioned across the
+    month must estimate the same cardinality as one whole-table sketch
+    (the distributed-rollup property 100 TB pipelines rely on); both
+    estimates must sit within 5 % of the exact count.  The oracle pins
+    exact counts and the booleans."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.dayofmonth("ts").alias("d")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    whole = events.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_whole"),
+        F.count_distinct("user_id").alias("n_exact"),
+    )
+    j = merged.join(whole, "event_type")
+    return j.select(
+        "event_type",
+        "n_exact",
+        (F.col("est_merged") == F.col("est_whole")).alias("merge_consistent"),
+        (
+            F.abs(F.col("est_whole") - F.col("n_exact")) / F.col("n_exact") < 0.05
+        ).alias("within_5pct"),
+    )
+
+
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: per-user session windows with a 30-minute gap
     (Spark-native session_window; oracle = gaps-and-islands SQL).
@@ -919,6 +973,8 @@ def q_streaming_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "range_join": q_range_join,
+    "hll_merge_sanity": q_hll_merge_sanity,
     "session_windows": q_session_windows,
     "salted_join": q_salted_join,
     "e1_flagship": q_e1_flagship,
@@ -1177,6 +1233,21 @@ ORACLES: dict[str, str] = {
 
 
 BATCH4_ORACLES: dict[str, str] = {
+    "range_join": """
+        SELECT p.user_id, s.event_id AS signup_id, p.event_id AS purchase_id
+        FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup') s
+          ON p.user_id = s.user_id
+         AND p.ts >= s.ts
+         AND p.ts < s.ts + INTERVAL 2 DAY
+    """,
+    "hll_merge_sanity": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_exact,
+               TRUE AS merge_consistent,
+               TRUE AS within_5pct
+        FROM events GROUP BY event_type
+    """,
     "session_windows": """
         WITH ordered AS (
             SELECT user_id, ts,

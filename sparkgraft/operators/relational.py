@@ -81,6 +81,53 @@ def asof_join(
     return out.select(*lcols, *sel)
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str],
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Interval/range join: point rows matched to interval rows of the
+    same equi keys with ``start <= point_ts < end``.
+
+    Scale design: a naive theta join degenerates to per-key cross
+    products.  Here both sides map onto coarse time buckets — each
+    point to its single bucket, each interval to the buckets it spans
+    (bounded explode) — the join is EQUI on (keys, bucket), and the
+    exact range predicate refines.  Each (point, interval) pair meets
+    in exactly one bucket (the point's), so no dedup is needed.  This
+    is the standard bucketized range join (what Databricks' range-join
+    hint does under the hood).
+    """
+    on = list(on)
+    # Bucket width in seconds, derived once (driver-side literal).
+    import re as _re
+
+    m = _re.match(r"(\d+)\s*(second|minute|hour|day)s?", bucket)
+    n, unit = int(m.group(1)), m.group(2)
+    width = n * {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit]
+
+    p = points.withColumn(
+        "_bkt", F.floor(F.unix_timestamp(F.col(point_ts)) / F.lit(width))
+    )
+    i = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_ts)) / F.lit(width)),
+                F.floor(F.unix_timestamp(F.col(end_ts)) / F.lit(width)),
+            )
+        ),
+    )
+    joined = p.join(i, on + ["_bkt"]).filter(
+        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
+    )
+    return joined.drop("_bkt")
+
+
 def top_k_per_group(
     df: DataFrame,
     keys: Sequence[str],
