@@ -280,8 +280,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/F2/F6/F8 scalar-expression showcase on a deterministic frame:
-    filename-ts round-trip, OLE round-trip, comma-decimal parse, content id."""
+    filename-ts round-trip, OLE round-trip, comma-decimal parse, content id.
+
+    The sha256/regex projection is CPU-bound: repartition off the
+    single-file scan so it parallelizes (row-level ops — result
+    unchanged)."""
     events = _t(spark, sf_dir, "events")
+    events = events.repartition(spark.sparkContext.defaultParallelism)
     df = events.select(
         "event_id",
         "ts",
@@ -662,6 +667,29 @@ def q_cluster_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_latest_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 full fallback chain: per source, latest doc by a raw ts string
+    that only sometimes parses — parsable timestamps win; a source with
+    none falls back to the last physical row
+    (sens_file_analysis.py:58-90)."""
+    docs = _t(spark, sf_dir, "documents")
+    raw_ts = (
+        F.when(
+            (F.col("doc_id") % 4 != 1) & (F.col("source") != "src3"),
+            F.concat(
+                F.lit("2024-01-"),
+                F.lpad(((F.col("doc_id") % 27) + 1).cast("string"), 2, "0"),
+                F.lit(" 12:00:00"),
+            ),
+        )
+        .otherwise(F.lit("n/a"))
+        .alias("raw_ts")
+    )
+    staged = docs.select("source", "doc_id", raw_ts)
+    out = S.latest_row_fallback(staged, ["source"], "raw_ts", "doc_id")
+    return out.select("source", "doc_id", "parsed_ts")
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketized range join: purchases falling inside the 2-day window
     opened by each signup of the same user (oracle = plain inequality
@@ -973,6 +1001,7 @@ def q_streaming_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "latest_fallback": q_latest_fallback,
     "range_join": q_range_join,
     "hll_merge_sanity": q_hll_merge_sanity,
     "session_windows": q_session_windows,
@@ -1233,6 +1262,26 @@ ORACLES: dict[str, str] = {
 
 
 BATCH4_ORACLES: dict[str, str] = {
+    "latest_fallback": """
+        WITH staged AS (
+            SELECT source, doc_id,
+                   CASE WHEN doc_id % 4 <> 1 AND source <> 'src3'
+                        THEN '2024-01-' || lpad(CAST((doc_id % 27) + 1 AS VARCHAR), 2, '0') || ' 12:00:00'
+                        ELSE 'n/a' END AS raw_ts
+            FROM documents
+        ),
+        parsed AS (
+            SELECT source, doc_id, raw_ts,
+                   try_cast(raw_ts AS TIMESTAMP) AS parsed_ts
+            FROM staged
+        )
+        SELECT source, doc_id, parsed_ts FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY source
+                ORDER BY parsed_ts DESC NULLS LAST, doc_id DESC) AS rn
+            FROM parsed
+        ) WHERE rn = 1
+    """,
     "range_join": """
         SELECT p.user_id, s.event_id AS signup_id, p.event_id AS purchase_id
         FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
@@ -1485,8 +1534,9 @@ ORACLES["extended_stats"] = f"""
            {_mean_sql('value', 4)} AS mean,
            round(min(value), 4) AS "min",
            round(max(value), 4) AS "max",
-           round(sqrt((cast(sum(cast(cast(value AS DECIMAL(27,6)) * cast(value AS DECIMAL(27,6)) AS DECIMAL(38,12))) AS DOUBLE)
-                       - cast(sum(cast(value AS DECIMAL(27,6))) AS DOUBLE) * cast(sum(cast(value AS DECIMAL(27,6))) AS DOUBLE) / count(value))
+           round(sqrt((cast(sum(CAST(round(value * 1000.0) AS BIGINT) * CAST(round(value * 1000.0) AS BIGINT)) AS DOUBLE) / 1000000.0
+                       - (cast(sum(CAST(round(value * 1000.0) AS BIGINT)) AS DOUBLE) / 1000.0)
+                         * (cast(sum(CAST(round(value * 1000.0) AS BIGINT)) AS DOUBLE) / 1000.0) / count(value))
                       / (count(value) - 1)), 4) AS std,
            round(quantile_cont(value, 0.5), 4) AS p50,
            round(quantile_cont(value, 0.9), 4) AS p90

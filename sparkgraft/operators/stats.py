@@ -103,12 +103,15 @@ def extended_stats(
     ``percentile`` (sort-based within group).
     """
     v = F.col(value) if isinstance(value, str) else value
-    dec = v.cast("decimal(27,6)")
-    dec2 = (dec * dec).cast("decimal(38,12)")
+    # Fixed-point integer moments: w = round(v*1e3) is EXACT for data
+    # with <= 3 decimals, w*w fits a long for |v| < ~3e6, and long sums
+    # run at hardware speed (decimal sums don't).  var is then derived
+    # from exact integers in one deterministic double expression.
+    w = F.round(v * F.lit(1000.0), 0).cast("long")
     n = F.count(v)
-    s = F.sum(dec).cast("double")
-    s2 = F.sum(dec2).cast("double")
-    var = (s2 - s * s / n) / (n - F.lit(1))
+    s1 = F.sum(w).cast("double") / F.lit(1.0e3)
+    s2 = F.sum(w * w).cast("double") / F.lit(1.0e6)
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1))
     return df.groupBy(*keys).agg(
         n.alias("n_rows"),
         F.count(F.when(F.isnan(v), F.lit(1))).alias("n_nans"),
@@ -140,6 +143,34 @@ def latest_rows(
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def latest_row_fallback(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_raw: str,
+    row_index: str,
+) -> DataFrame:
+    """A2 with the reference's full fallback chain
+    (sens_file_analysis.py:58-90): prefer the latest *parsable*
+    timestamp; if no row of the key parses, fall back to the last
+    physical row (highest ingest index).
+
+    One window pass: order by (parsed_ts NULLS LAST desc, row_index
+    desc) — rows with parsable timestamps always outrank unparsable
+    ones, and the physical index both breaks ts ties and carries the
+    all-unparsable fallback.
+    """
+    parsed = F.col(ts_raw).try_cast("timestamp")
+    w = Window.partitionBy(*keys).orderBy(
+        parsed.desc_nulls_last(), F.col(row_index).desc()
+    )
+    return (
+        df.withColumn("parsed_ts", parsed)
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
