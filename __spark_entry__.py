@@ -650,6 +650,23 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint(_t(spark, sf_dir, "documents"), k=8)
 
 
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full winnowing fingerprints (k=8 char-grams, window=4): shared-
+    fingerprint doc pairs across different sources — substring-level
+    copy detection."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    fps = T.winnow_fingerprints(docs, k=8, window=4)
+    a = fps.withColumnsRenamed({"doc_id": "id_a"})
+    b = fps.withColumnsRenamed({"doc_id": "id_b"})
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 10)
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first five vectors (exact ANN
     baseline; queries broadcast, candidates never shuffled)."""
@@ -664,6 +681,49 @@ def q_cluster_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.partitioned_topk(
         emb.filter(F.col("vec_id") < 20), emb, k=5, partition_col="label"
+    )
+
+
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 analytic battery: ntile, percent_rank, cume_dist,
+    first/last_value over one deterministic ordering."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first_value(F.col("c_custkey")).over(wf).alias("poorest_key"),
+        F.last_value(F.col("c_custkey")).over(wf).alias("richest_key"),
+    )
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 extension — edit-distance fuzzy matching: near-identical
+    part names within a brand block (levenshtein ≤ 2), the classic
+    data-cleaning join, blocked to bound the pair space."""
+    part = _t(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, "brand")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 2)
+        .select("brand", "key_a", "key_b", "dist")
     )
 
 
@@ -1001,6 +1061,8 @@ def q_streaming_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "window_analytics": q_window_analytics,
+    "fuzzy_match": q_fuzzy_match,
     "latest_fallback": q_latest_fallback,
     "range_join": q_range_join,
     "hll_merge_sanity": q_hll_merge_sanity,
@@ -1027,6 +1089,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_dedup": q_minhash_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
+    "winnowing": q_winnowing,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1262,6 +1325,48 @@ ORACLES: dict[str, str] = {
 
 
 BATCH4_ORACLES: dict[str, str] = {
+    "window_analytics": """
+        SELECT c_custkey, c_nationkey,
+               ntile(4) OVER w AS quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume,
+               first_value(c_custkey) OVER wf AS poorest_key,
+               last_value(c_custkey) OVER wf AS richest_key
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC),
+               wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "fuzzy_match": """
+        SELECT a.p_brand AS brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+               levenshtein(a.p_name, b.p_name) AS dist
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    "winnowing": """
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) >= 8
+                        THEN list_transform(generate_series(1, length(text) - 7),
+                                            i -> md5(substr(text, i, 8)))
+                        ELSE [] END AS h
+            FROM documents WHERE doc_id < 100
+        ),
+        mins AS (
+            SELECT doc_id,
+                   CASE WHEN len(h) >= 4
+                        THEN list_distinct(list_transform(generate_series(1, len(h) - 3),
+                                                          i -> list_min(h[i:i+3])))
+                        ELSE list_distinct(h) END AS fps
+            FROM base
+        ),
+        fp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM mins)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM fp a JOIN fp b
+          ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 10
+    """,
     "latest_fallback": """
         WITH staged AS (
             SELECT source, doc_id,

@@ -291,6 +291,38 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Full winnowing (Schleimer/Wilkerson/Aiken): per sliding window of
+    ``window`` consecutive char-k-gram hashes, keep the minimum; the
+    distinct kept hashes are the document's fingerprint set.
+
+    Guarantees at least one shared fingerprint for any shared substring
+    of length >= k + window - 1 — the property plagiarism/near-dup
+    detectors rely on.  Pure array expressions (no shuffle until the
+    caller joins on fingerprints); output is the exploded
+    (id, fingerprint) table ready for an equi-join dedup.
+    """
+    sh = char_shingles(F.col(text_col), k)
+    hashes = F.transform(sh, lambda s: F.md5(s))
+    n = F.size(hashes)
+    idx = F.sequence(F.lit(1), n - F.lit(window - 1))
+    mins = F.when(
+        n >= window,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_min(F.slice(hashes, i, window)))
+        ),
+    ).otherwise(F.array_distinct(hashes))
+    return docs.select(
+        F.col(id_col), F.explode(mins).alias("fingerprint")
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8) -> DataFrame:
     """Document fingerprint: minimum char-k-gram hash (the min-sampling
     special case of winnowing) + shingle cardinality."""
