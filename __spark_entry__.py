@@ -684,6 +684,33 @@ def q_cluster_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_alarm_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/F13 — alarm detection: binary alarm channels (suffix `_GAL`/
+    `_RAL`, udbf_file_analysis.py:94-100) fire when their per-window max
+    is 1; channel routing by name suffix."""
+    events = _t(spark, sf_dir, "events")
+    channels = events.select(
+        F.concat(
+            F.col("event_type"),
+            F.when(F.col("user_id") % 3 == 0, F.lit("_GAL"))
+            .when(F.col("user_id") % 3 == 1, F.lit("_RAL"))
+            .otherwise(F.lit("")),
+        ).alias("channel"),
+        F.dayofmonth("ts").alias("d"),
+        F.when(F.col("value") > 90, 1.0).otherwise(0.0).alias("binval"),
+    )
+    alarms = (
+        channels.filter(
+            F.col("channel").endswith("_GAL") | F.col("channel").endswith("_RAL")
+        )
+        .groupBy("channel", "d")
+        .agg(F.max("binval").alias("mx"))
+        .filter(F.col("mx") == 1.0)
+        .select("channel", "d", F.lit(True).alias("alarm_fired"))
+    )
+    return alarms
+
+
 def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 analytic battery: ntile, percent_rank, cume_dist,
     first/last_value over one deterministic ordering."""
@@ -1061,6 +1088,7 @@ def q_streaming_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "alarm_trigger": q_alarm_trigger,
     "window_analytics": q_window_analytics,
     "fuzzy_match": q_fuzzy_match,
     "latest_fallback": q_latest_fallback,
@@ -1325,6 +1353,22 @@ ORACLES: dict[str, str] = {
 
 
 BATCH4_ORACLES: dict[str, str] = {
+    "alarm_trigger": """
+        WITH channels AS (
+            SELECT event_type ||
+                   CASE WHEN user_id % 3 = 0 THEN '_GAL'
+                        WHEN user_id % 3 = 1 THEN '_RAL'
+                        ELSE '' END AS channel,
+                   dayofmonth(ts) AS d,
+                   CASE WHEN value > 90 THEN 1.0 ELSE 0.0 END AS binval
+            FROM events
+        )
+        SELECT channel, d, TRUE AS alarm_fired
+        FROM channels
+        WHERE channel LIKE '%\\_GAL' ESCAPE '\\' OR channel LIKE '%\\_RAL' ESCAPE '\\'
+        GROUP BY channel, d
+        HAVING max(binval) = 1.0
+    """,
     "window_analytics": """
         SELECT c_custkey, c_nationkey,
                ntile(4) OVER w AS quartile,

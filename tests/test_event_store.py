@@ -1,0 +1,36 @@
+"""K5/D3/F8 event-store semantics: content-hash ids, first-write-wins
+dedup, latest pointer (restapi/app_fs.py:42-51,115-141)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from sparkgraft.sinks.kv import dedup_events, with_event_ids
+
+
+def test_content_id_and_dedup_first_write_wins(spark):
+    rows = [
+        ("http://a/meta", "new_data", "2025-01-01T00:00:00Z", dt.datetime(2025, 1, 1, 10, 0)),
+        ("http://a/meta", "new_data", "2025-01-01T00:00:00Z", dt.datetime(2025, 1, 1, 11, 0)),
+        ("http://b/meta", "new_data", "2025-01-02T00:00:00Z", dt.datetime(2025, 1, 1, 12, 0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "metadata_url string, message_type string, created_at string, stored_at timestamp"
+    )
+    with_ids = with_event_ids(df, "metadata_url", "message_type", "created_at")
+    ids = [r["event_id"] for r in with_ids.collect()]
+    # Same canonical payload → same 16-hex id (app_fs.py:42-51).
+    assert ids[0] == ids[1] and ids[0] != ids[2]
+    assert len(ids[0]) == 16 and all(c in "0123456789abcdef" for c in ids[0])
+
+    deduped = dedup_events(with_ids, "stored_at")
+    assert deduped.count() == 2
+    kept = {r["event_id"]: r["stored_at"] for r in deduped.collect()}
+    # First write wins: the 10:00 copy is retained, 11:00 dropped.
+    assert kept[ids[0]] == dt.datetime(2025, 1, 1, 10, 0)
+
+    # Latest pointer (latest.json analog): newest event by stored_at.
+    latest = deduped.orderBy(F.col("stored_at").desc()).limit(1).collect()[0]
+    assert latest["metadata_url"] == "http://b/meta"
