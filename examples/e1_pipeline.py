@@ -1,0 +1,73 @@
+"""Migration example: the reference's E1 flow (LPI logger files →
+per-channel stats → Redis hash → Modbus register image) on sparkgraft.
+
+In the reference this is three containers, five threads and a queue
+(SURVEY.md §3 E1).  Here it is one streaming pipeline definition plus
+two projection sinks; run it against a directory of SGRF sample files
+(or adapt `transform` for CSV/parquet loggers).
+
+Run:  python examples/e1_pipeline.py /path/to/arrivals
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+from sparkgraft import api as sg
+
+
+def main(arrivals_dir: str) -> None:
+    spark = sg.get_spark("e1-pipeline")
+
+    health = sg.HealthBoard()
+    kv_store: dict[str, str] = {}  # stand-in for a Redis client
+
+    # Register mapping (modbus/setup/mapping.json analog): in production
+    # load with spark.read.json; broadcast-joined against the stats KV.
+    mapping = spark.createDataFrame(
+        [("T_T1_L2:mean", 100), ("T_T1_L2:min", 102), ("T_T1_L2:max", 104)],
+        "field string, register int",
+    )
+
+    def transform(batch):
+        # batch = one logger file's binary rows (binaryFile schema).
+        samples = sg.decode_sample_files(batch)
+        # Restart-transient suppression (P3) + per-channel stats (A1).
+        t0 = samples.agg(F.min("ts")).collect()[0][0]
+        cleaned = samples.filter(
+            F.col("ts") >= F.lit(t0) + F.expr("INTERVAL 10 SECONDS")
+        )
+        return sg.channel_stats(cleaned, ["channel"], "value")
+
+    def sink(stats, stem):
+        for row in sg.stats_to_kv(stats, "channel", file_stem=stem).collect():
+            kv_store[row["field"]] = row["value"]  # HSET stats:<stem> ...
+        image = sg.register_image(
+            sg.stats_to_kv(stats, "channel"), mapping
+        )
+        for row in image.collect():
+            print(f"register {row['register']} <- {row['reg_value']}")
+
+    pipeline = sg.FilePipeline(
+        spark,
+        name="lpi_100hz",
+        input_dir=arrivals_dir,
+        schema="path string, modificationTime timestamp, length long, content binary",
+        transform=transform,
+        sink=sink,
+        checkpoint_dir=f"{arrivals_dir}/_checkpoint",
+        quarantine_dir=f"{arrivals_dir}/failed",
+        archive_dir=f"{arrivals_dir}/finished",
+        fmt="binaryFile",
+        options={},
+        health=health,
+    )
+    pipeline.run_available()  # or .start('2 seconds') for continuous mode
+    print("health:", health.flags)
+    print("kv fields:", len(kv_store))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/e1_arrivals")

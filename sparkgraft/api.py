@@ -1,0 +1,83 @@
+"""Public API surface — one import for everything the engine offers.
+
+    from sparkgraft import api as sg
+
+    spark = sg.get_spark()
+    samples = sg.decode_sample_files(spark.read.format("binaryFile").load(path))
+    stats = sg.channel_stats(samples, ["file", "channel"])
+    sg.stats_to_kv(stats, "channel")
+"""
+
+from sparkgraft.functions.expr import (
+    comma_decimal,
+    content_id,
+    filename_timestamp,
+    is_10min_aligned,
+    ole_to_timestamp,
+    round_stats,
+    sanitize_channel,
+    size_health_flag,
+    time_parts,
+    timestamp_to_ole,
+    window_end_berlin,
+)
+from sparkgraft.operators.multimodal import (
+    audio_frame_sample,
+    decode_sample_files,
+    image_features,
+)
+from sparkgraft.operators.relational import (
+    asof_join,
+    broadcast_lookup,
+    range_join,
+    top_k_per_group,
+)
+from sparkgraft.operators.reshape import long_to_wide, wide_to_long
+from sparkgraft.operators.scale import bucketed_join, salted_join, write_bucketed
+from sparkgraft.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    partitioned_topk,
+)
+from sparkgraft.operators.stats import (
+    channel_stats,
+    exact_mean,
+    exact_rounded_sum,
+    extended_stats,
+    latest_row_fallback,
+    latest_rows,
+    max_by_key,
+    scaled_long,
+    windowed_channel_stats,
+)
+from sparkgraft.operators.textops import (
+    char_shingles,
+    fingerprint,
+    jaccard,
+    lang_id,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash16,
+    text_stats,
+    tokenize,
+    winnow_fingerprints,
+    word_shingles,
+)
+from sparkgraft.session import get_spark
+from sparkgraft.sinks.kv import (
+    dedup_events,
+    register_image,
+    stats_to_kv,
+    with_event_ids,
+    write_stats_csv,
+)
+from sparkgraft.sources.readers import list_files, read_csv, read_table
+from sparkgraft.sources.report import (
+    crack_statistics,
+    parse_crack_rows,
+    parse_report_meta,
+)
+from sparkgraft.streaming.pipeline import FilePipeline, HealthBoard, stable_files
+from sparkgraft.streaming.stateful import ewma_stream
+
+__all__ = [name for name in dir() if not name.startswith("_")]

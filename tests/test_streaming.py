@@ -119,6 +119,41 @@ def test_exactly_once_across_restart(spark, tmp_path):
     assert seen == ["a_2025-01-01_00-00-00.csv", "b_2025-01-01_00-10-00.csv"]
 
 
+def test_continuous_trigger_processes_late_arrival(spark, tmp_path):
+    """T7 — processingTime trigger: a file that arrives AFTER the
+    stream starts is picked up by a later micro-batch."""
+    import time
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    kv: dict[str, str] = {}
+
+    def sink(result, stem):
+        for r in stats_to_kv(result, "channel", file_stem=stem).collect():
+            kv[r["field"]] = r["value"]
+
+    p = FilePipeline(
+        spark,
+        name="cont",
+        input_dir=str(inp),
+        schema=SCHEMA,
+        transform=lambda df: channel_stats(df, ["channel"], "value"),
+        sink=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        archive_dir=str(tmp_path / "finished"),
+    )
+    q = p.start(processing_time="1 second")
+    try:
+        _write_file(inp, "late_2025-01-01_00-00-00.csv", ["2025-01-01T00:00:00,C9,4.5"])
+        deadline = time.time() + 60
+        while time.time() < deadline and "late_2025-01-01_00-00-00.csv:C9:mean" not in kv:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert kv["late_2025-01-01_00-00-00.csv:C9:mean"] == "4.5"
+    assert (tmp_path / "finished" / "late_2025-01-01_00-00-00.csv").exists()
+
+
 def test_stable_files_debounce(spark):
     now = "2025-06-19 12:01:00"
     files = spark.createDataFrame(
