@@ -402,14 +402,20 @@ def q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS via the SQL surface (engine exposes
     spark.sql alongside the DataFrame API)."""
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus, count(*) AS n_rows
-        FROM li_gs
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-        """
-    )
+    import uuid
+
+    view = f"li_gs_{uuid.uuid4().hex[:8]}"
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            SELECT l_returnflag, l_linestatus, count(*) AS n_rows
+            FROM {view}
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+            """
+        )
+    finally:
+        pass  # view stays registered until session end; name is unique
 
 
 def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -681,6 +687,23 @@ def q_cluster_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.partitioned_topk(
         emb.filter(F.col("vec_id") < 20), emb, k=5, partition_col="label"
+    )
+
+
+def q_debounce_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/T2 — stability debounce as a predicate over a file ledger
+    (Pipeline.py:96-119): orders stand in as the ledger (mtime =
+    o_orderdate), 'now' is a fixed probe instant; admitted = age >= 40 s."""
+    from sparkgraft.streaming.pipeline import stable_files
+
+    orders = _t(spark, sf_dir, "orders")
+    ledger = orders.select(
+        F.col("o_orderkey").alias("name"), F.col("o_orderdate").alias("mtime")
+    )
+    admitted = stable_files(ledger, "1998-01-01 00:00:30", min_age_sec=40)
+    return admitted.agg(
+        F.count("*").alias("n_admitted"),
+        F.max("mtime").alias("newest_admitted"),
     )
 
 
@@ -1088,6 +1111,7 @@ def q_streaming_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "debounce_gate": q_debounce_gate,
     "alarm_trigger": q_alarm_trigger,
     "window_analytics": q_window_analytics,
     "fuzzy_match": q_fuzzy_match,
@@ -1353,6 +1377,11 @@ ORACLES: dict[str, str] = {
 
 
 BATCH4_ORACLES: dict[str, str] = {
+    "debounce_gate": """
+        SELECT count(*) AS n_admitted, max(o_orderdate) AS newest_admitted
+        FROM orders
+        WHERE o_orderdate <= TIMESTAMP '1998-01-01 00:00:30' - INTERVAL 40 SECOND
+    """,
     "alarm_trigger": """
         WITH channels AS (
             SELECT event_type ||
