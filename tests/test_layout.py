@@ -1,0 +1,57 @@
+"""Storage-layout behaviors: partition pruning reaches the scan,
+compaction reduces file counts losslessly, corrupt CSV rows are
+captured row-level (T3's badRecords analog)."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from sparkgraft.plans import audit
+from sparkgraft.sinks.layout import compact_directory, write_partitioned
+from sparkgraft.sources.readers import read_table
+from tests.conftest import SF_DIR
+
+
+def test_partitioned_write_prunes_at_scan(spark, tmp_path):
+    events = read_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "by_type")
+    write_partitioned(events, path, ["event_type"])
+    # One directory per type on disk.
+    assert len(glob.glob(f"{path}/event_type=*")) == 5
+    df = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    plan = audit.explain_str(df)
+    assert "PartitionFilters: [isnotnull(event_type" in plan, plan
+    # Pruned read returns exactly the partition's rows.
+    want = events.filter(F.col("event_type") == "purchase").count()
+    assert df.count() == want
+
+
+def test_compaction_reduces_files_losslessly(spark, tmp_path):
+    events = read_table(spark, SF_DIR, "events").limit(1000)
+    src = str(tmp_path / "small_files")
+    events.repartition(16).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 16
+    dst = str(tmp_path / "compacted")
+    compact_directory(spark, src, dst, target_files=2)
+    assert len(glob.glob(f"{dst}/part-*.parquet")) == 2
+    assert spark.read.parquet(dst).count() == 1000
+
+
+def test_corrupt_csv_rows_captured_not_fatal(spark, tmp_path):
+    p = tmp_path / "mixed.csv"
+    p.write_text(
+        "ts,channel,value\n"
+        "2025-01-01T00:00:00,C1,1.5\n"
+        "not-a-timestamp,C2,oops,extra\n"
+        "2025-01-01T00:00:02,C3,2.5\n"
+    )
+    df = spark.read.options(header="true", mode="PERMISSIVE", columnNameOfCorruptRecord="_bad").schema(
+        "ts TIMESTAMP, channel STRING, value DOUBLE, _bad STRING"
+    ).csv(str(p))
+    rows = df.collect()
+    good = [r for r in rows if r["_bad"] is None]
+    bad = [r for r in rows if r["_bad"] is not None]
+    assert len(good) == 2 and len(bad) == 1
+    assert bad[0]["_bad"].startswith("not-a-timestamp")
