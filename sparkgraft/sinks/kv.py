@@ -65,6 +65,39 @@ def dedup_events(events_with_ids: DataFrame, order_col: str) -> DataFrame:
     )
 
 
+def write_matlab(samples: DataFrame, path: str, sample_rate: float) -> None:
+    """K2 — MATLAB ``.mat`` export of a long-form sample table.
+
+    Reference: DataConverterUDBF.py:181-211 (per-channel dict; channel 0
+    packs relative/absolute time, date, time, ms) — an *optional* sink
+    the live flow never calls (udbf_file_analysis.py:64-66).  The
+    channel packing here is real; the final serialization needs scipy,
+    which this container doesn't ship (import-gated, like the media
+    codecs in ``operators.multimodal``).
+    """
+    try:
+        from scipy.io import savemat
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "K2 .mat export needs scipy (not installed); the reference "
+            "treats this sink as optional (never wired into the live flow)"
+        ) from e
+
+    pdf = samples.toPandas().sort_values(["channel", "ts"])
+    mat: dict = {}
+    for i, (ch, grp) in enumerate(pdf.groupby("channel")):
+        ts = grp["ts"]
+        rel = (ts - ts.iloc[0]).dt.total_seconds().to_numpy()
+        mat[f"channel_{i}"] = {
+            "name": ch,
+            "values": grp["value"].to_numpy(),
+            "relative_time": rel,
+            "absolute_time": ts.astype("int64").to_numpy() / 1e9,
+            "sample_rate": sample_rate,
+        }
+    savemat(path, mat)
+
+
 def write_stats_csv(stats, path: str) -> None:
     """K1 — single-file stats CSV with exact name fidelity
     (``<stem>_stats.csv``, DataConverterUDBF.py:268-279).

@@ -26,6 +26,26 @@ def test_udf_register_passthrough(spark):
     assert out2 == out
 
 
+def test_matlab_sink_gated_without_scipy(spark, tmp_path):
+    # K2 is import-gated: without scipy it must fail with a clear
+    # NotImplementedError, not an obscure ImportError mid-write.
+    import pytest
+
+    from sparkgraft.sinks.kv import write_matlab
+
+    df = spark.createDataFrame(
+        [("2025-01-01 00:00:00", "C1", 1.0)], "ts_s string, channel string, value double"
+    ).selectExpr("cast(ts_s as timestamp) as ts", "channel", "value")
+    try:
+        import scipy  # noqa: F401
+
+        write_matlab(df, str(tmp_path / "out.mat"), 100.0)
+        assert (tmp_path / "out.mat").exists()
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="scipy"):
+            write_matlab(df, str(tmp_path / "out.mat"), 100.0)
+
+
 def test_stats_csv_name_fidelity(spark, tmp_path):
     # K1: <stem>_stats.csv, no index column (DataConverterUDBF.py:268-279).
     df = spark.createDataFrame(
