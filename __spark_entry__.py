@@ -1116,7 +1116,51 @@ def q_streaming_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(collected, "field string, value string")
 
 
+def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom keyed streaming state in the graded loop (rows-only):
+    per-channel EWMA via applyInPandasWithState over a file stream,
+    drained with AvailableNow."""
+    import tempfile
+
+    from sparkgraft.streaming.stateful import ewma_stream
+
+    events = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_ewma_")
+    (
+        events.select(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            F.col("event_type").alias("channel"),
+            "value",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(f"{tmp}/in")
+    )
+    stream = (
+        spark.readStream.format("csv")
+        .schema("ts TIMESTAMP, channel STRING, value DOUBLE")
+        .option("header", "true")
+        .load(f"{tmp}/in")
+    )
+    out = ewma_stream(stream, alpha=0.3)
+    collected: list = []
+    q = (
+        out.writeStream.foreachBatch(lambda b, _i: collected.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        [(r["channel"], round(r["ewma"], 6), r["n_samples"]) for r in collected],
+        "channel string, ewma double, n_samples long",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "streaming_ewma": q_streaming_ewma,
     "debounce_gate": q_debounce_gate,
     "alarm_trigger": q_alarm_trigger,
     "window_analytics": q_window_analytics,
