@@ -16,6 +16,8 @@ recall/cost trade at 10^9+ vectors.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -41,6 +43,30 @@ def _norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity between two float-array columns."""
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_pandas_udf(dim: int):
+    """Arrow-batched vectorized cosine kernel — the numpy alternative to
+    the expression-based :func:`cosine` for when batch math beats
+    codegen (very high dimensions, fused multi-metric kernels).
+
+    Returns a pandas_udf suitable for ``df.select(kernel(a, b))``; the
+    two paths produce identical rounded results (tested).  Prefer the
+    expression form by default: it stays in whole-stage codegen and
+    needs no Python workers.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        am = np.stack(a.to_numpy()).astype("float64").reshape(len(a), dim)
+        bm = np.stack(b.to_numpy()).astype("float64").reshape(len(b), dim)
+        dots = np.einsum("ij,ij->i", am, bm)
+        na = np.sqrt(np.einsum("ij,ij->i", am, am))
+        nb = np.sqrt(np.einsum("ij,ij->i", bm, bm))
+        return pd.Series(dots / (na * nb))
+
+    return _cos
 
 
 def brute_force_topk(

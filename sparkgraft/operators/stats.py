@@ -191,7 +191,9 @@ def max_by_key(
     """
     p = F.col(payload) if isinstance(payload, str) else payload
     o = F.col(order) if isinstance(order, str) else order
-    return df.groupBy(*keys).agg(F.max_by(p, o).alias("latest"), F.max(o).alias("max_" + (order if isinstance(order, str) else "order")))
+    return df.groupBy(*keys).agg(
+        F.max_by(p, o).alias("latest"), F.max(o).alias("latest_order")
+    )
 
 
 def windowed_channel_stats(
