@@ -38,6 +38,26 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def with_channel_metadata(
+    df: DataFrame, units: dict[str, str], sample_rate: float | None = None
+) -> DataFrame:
+    """§1.1 — attach channel metadata (unit, sample rate) to columns as
+    ``StructField.metadata``, the Spark-native home for the UDBF
+    header's per-channel unit strings and rate
+    (PyQStationConnectWin.py:244-265, DataConverterUDBF.py:104-107).
+    Metadata survives parquet round-trips (tested) so downstream
+    consumers (plotters, unit converters) read it from the schema, not
+    a side channel.
+    """
+    out = df
+    for col, unit in units.items():
+        meta = {"unit": unit}
+        if sample_rate is not None:
+            meta["sample_rate"] = sample_rate
+        out = out.withMetadata(col, meta)
+    return out
+
+
 def read_csv(spark: SparkSession, path: str, **options) -> DataFrame:
     """S3 — CSV scan (header + schema inference defaults, like
     ``pd.read_csv`` in sens_file_analysis.py:36-38)."""
