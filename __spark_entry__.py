@@ -1116,6 +1116,59 @@ def q_streaming_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(collected, "field string, value string")
 
 
+def q_calendar_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal scalar surface: year/quarter/month/week parts,
+    month-truncation, month-end, plus FILTER-style conditional
+    aggregation per calendar month."""
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy(
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        F.month("o_orderdate").alias("m"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_big"),
+    )
+    return per
+
+
+def q_correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics with exact integer moments: Pearson corr and
+    population covariance of quantity vs discount per returnflag,
+    derived from fixed-point sums so the result is engine- and
+    partitioning-deterministic (same recipe as std)."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity") * 100.0, 0).cast("long")       # scale 1e2
+    y = F.round(F.col("l_discount") * 10000.0, 0).cast("long")     # scale 1e4
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / 1e2
+    sy = F.col("sy").cast("double") / 1e4
+    sxx = F.col("sxx").cast("double") / 1e4
+    syy = F.col("syy").cast("double") / 1e8
+    sxy = F.col("sxy").cast("double") / 1e6
+    cov = (sxy - sx * sy / n) / n
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.round(cov, 6).alias("covar_pop"),
+        F.round(corr, 6).alias("pearson_r"),
+    )
+
+
 def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom keyed streaming state in the graded loop (rows-only):
     per-channel EWMA via applyInPandasWithState over a file stream,
@@ -1160,6 +1213,8 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "calendar_projections": q_calendar_projections,
+    "correlation_stats": q_correlation_stats,
     "streaming_ewma": q_streaming_ewma,
     "debounce_gate": q_debounce_gate,
     "alarm_trigger": q_alarm_trigger,
@@ -1427,6 +1482,44 @@ ORACLES: dict[str, str] = {
 
 
 BATCH4_ORACLES: dict[str, str] = {
+    "calendar_projections": """
+        SELECT year(o_orderdate) AS y,
+               quarter(o_orderdate) AS q,
+               month(o_orderdate) AS m,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               last_day(o_orderdate) AS month_end,
+               count(*) AS n_orders,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               count(*) FILTER (WHERE o_totalprice > 200000) AS n_big
+        FROM orders
+        GROUP BY 1, 2, 3, 4, 5
+    """,
+    "correlation_stats": """
+        WITH scaled AS (
+            SELECT l_returnflag,
+                   CAST(round(l_quantity * 100.0) AS BIGINT) AS x,
+                   CAST(round(l_discount * 10000.0) AS BIGINT) AS y
+            FROM lineitem
+        ),
+        agg AS (
+            SELECT l_returnflag, count(*) AS n,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+            FROM scaled GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               n AS n_rows,
+               round((CAST(sxy AS DOUBLE) / 1e6
+                      - (CAST(sx AS DOUBLE) / 1e2) * (CAST(sy AS DOUBLE) / 1e4) / CAST(n AS DOUBLE))
+                     / CAST(n AS DOUBLE), 6) AS covar_pop,
+               round((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e6)
+                      - (CAST(sx AS DOUBLE) / 1e2) * (CAST(sy AS DOUBLE) / 1e4))
+                     / (sqrt(CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e4)
+                             - (CAST(sx AS DOUBLE) / 1e2) * (CAST(sx AS DOUBLE) / 1e2))
+                        * sqrt(CAST(n AS DOUBLE) * (CAST(syy AS DOUBLE) / 1e8)
+                               - (CAST(sy AS DOUBLE) / 1e4) * (CAST(sy AS DOUBLE) / 1e4))), 6) AS pearson_r
+        FROM agg
+    """,
     "debounce_gate": """
         SELECT count(*) AS n_admitted, max(o_orderdate) AS newest_admitted
         FROM orders

@@ -37,6 +37,39 @@ def test_fifty_file_backlog_drains_in_batches(spark, tmp_path):
     assert len(list((tmp_path / "done").iterdir())) == 50
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """D2/D3 in streaming form: duplicate event ids arriving within the
+    watermark horizon are emitted once (dropDuplicatesWithinWatermark
+    keys state with TTL eviction — the scalable streaming dedup)."""
+    inp = tmp_path / "in"
+    inp.mkdir()
+    (inp / "a.csv").write_text(
+        "ts,event_id,value\n"
+        "2025-01-01T10:00:00,e1,1.0\n"
+        "2025-01-01T10:00:05,e1,1.0\n"
+        "2025-01-01T10:00:10,e2,2.0\n"
+    )
+    stream = (
+        spark.readStream.format("csv")
+        .schema("ts TIMESTAMP, event_id STRING, value DOUBLE")
+        .option("header", "true")
+        .load(str(inp))
+    )
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    rows: list = []
+    q = (
+        deduped.writeStream.foreachBatch(lambda b, _i: rows.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(r["event_id"] for r in rows) == ["e1", "e2"]
+
+
 def test_watermark_drops_late_event_across_drains(spark, tmp_path):
     """Event-time watermark persists in the checkpoint: an event far
     older than the advanced watermark is dropped on the next drain."""
