@@ -1116,6 +1116,27 @@ def q_streaming_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(collected, "field string, value string")
 
 
+def q_unicode_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.2 encoding semantics: degree-sign/µ/umlaut strings through
+    length, case, hashing and substring — byte-for-byte identical
+    across engines (UTF-8 hashing, codepoint lengths)."""
+    fixture = [
+        (1, "Bauwerk Süd 10°C"),
+        (2, "Dehnung µm/m"),
+        (3, "T-T1_L2 Ü-Messung"),
+        (4, "plain ascii"),
+    ]
+    df = spark.createDataFrame(fixture, "id int, s string")
+    return df.select(
+        "id",
+        F.length("s").alias("n_chars"),
+        F.lower("s").alias("lowered"),
+        F.substring("s", 9, 4).alias("sub"),
+        F.md5("s").alias("h_md5"),
+        F.substring(F.sha2("s", 256), 1, 16).alias("h_sha"),
+    )
+
+
 def q_calendar_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal scalar surface: year/quarter/month/week parts,
     month-truncation, month-end, plus FILTER-style conditional
@@ -1213,6 +1234,7 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "unicode_scalars": q_unicode_scalars,
     "calendar_projections": q_calendar_projections,
     "correlation_stats": q_correlation_stats,
     "streaming_ewma": q_streaming_ewma,
@@ -1482,6 +1504,18 @@ ORACLES: dict[str, str] = {
 
 
 BATCH4_ORACLES: dict[str, str] = {
+    "unicode_scalars": """
+        SELECT id,
+               length(s) AS n_chars,
+               lower(s) AS lowered,
+               substr(s, 9, 4) AS sub,
+               md5(s) AS h_md5,
+               substr(sha256(s), 1, 16) AS h_sha
+        FROM (VALUES (1, 'Bauwerk Süd 10°C'),
+                     (2, 'Dehnung µm/m'),
+                     (3, 'T-T1_L2 Ü-Messung'),
+                     (4, 'plain ascii')) AS t(id, s)
+    """,
     "calendar_projections": """
         SELECT year(o_orderdate) AS y,
                quarter(o_orderdate) AS q,

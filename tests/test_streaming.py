@@ -154,6 +154,23 @@ def test_continuous_trigger_processes_late_arrival(spark, tmp_path):
     assert (tmp_path / "finished" / "late_2025-01-01_00-00-00.csv").exists()
 
 
+def test_empty_directory_drains_cleanly(spark, tmp_path):
+    inp = tmp_path / "in"
+    inp.mkdir()
+    seen: list = []
+    p = FilePipeline(
+        spark,
+        name="empty",
+        input_dir=str(inp),
+        schema=SCHEMA,
+        transform=lambda df: channel_stats(df, ["channel"], "value"),
+        sink=lambda res, stem: seen.append(stem),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    p.run_available()  # must not raise on an empty directory
+    assert seen == []
+
+
 def test_stable_files_debounce(spark):
     now = "2025-06-19 12:01:00"
     files = spark.createDataFrame(
