@@ -1116,6 +1116,78 @@ def q_streaming_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(collected, "field string, value string")
 
 
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order-function surface over the embedding column:
+    element access, slicing, sort, containment, and fold-based
+    normalization — all JVM-side."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    arr = F.transform("embedding", lambda x: F.round(x.cast("double"), 4))
+    l2 = F.sqrt(
+        F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at(arr, 1), 4).alias("first_el"),
+        F.round(F.array_max(arr), 4).alias("max_el"),
+        F.round(F.array_min(arr), 4).alias("min_el"),
+        F.round(F.element_at(F.array_sort(arr), 32), 4).alias("median_lo"),
+        F.round(l2, 4).alias("l2_norm"),
+        (F.size(F.filter(arr, lambda x: x > 0)) > 32).alias("mostly_positive"),
+    )
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO emulation (anti-join + union): a deterministic update
+    batch (every 10th customer re-priced, 5 brand-new keys) merged into
+    the customer dimension; oracle = the same merge in SQL."""
+    from sparkgraft.operators.merge import merge_upsert
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            F.concat(F.lit("upd:"), F.col("c_name")).alias("c_name"),
+            (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+        )
+        .unionByName(
+            spark.range(5).select(
+                (F.col("id") + 9_000_000).alias("c_custkey"),
+                F.concat(F.lit("new#"), F.col("id")).alias("c_name"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    return merge_upsert(cust, updates, ["c_custkey"])
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 apply: customer balances versioned — current rows for
+    updated keys are closed at the effective ts and new versions opened;
+    oracle reproduces the three-branch union in SQL."""
+    from sparkgraft.operators.merge import scd2_apply
+
+    eff = F.lit("2024-06-01 00:00:00").cast("timestamp")
+    hist = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.when(
+            F.col("c_custkey") % 7 == 0,
+            F.lit("2022-01-01 00:00:00").cast("timestamp"),
+        ).alias("valid_to"),
+    )
+    updates = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 5 == 0)
+        .select("c_custkey", (F.col("c_acctbal") * 2).alias("c_acctbal"))
+    )
+    return scd2_apply(hist, updates, ["c_custkey"], eff)
+
+
 def q_unicode_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§1.2 encoding semantics: degree-sign/µ/umlaut strings through
     length, case, hashing and substring — byte-for-byte identical
@@ -1234,6 +1306,9 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "array_functions": q_array_functions,
+    "merge_upsert": q_merge_upsert,
+    "scd2_history": q_scd2_history,
     "unicode_scalars": q_unicode_scalars,
     "calendar_projections": q_calendar_projections,
     "correlation_stats": q_correlation_stats,
@@ -1504,6 +1579,71 @@ ORACLES: dict[str, str] = {
 
 
 BATCH4_ORACLES: dict[str, str] = {
+    "array_functions": """
+        WITH arrs AS (
+            SELECT vec_id, len(embedding) AS dim,
+                   list_transform(embedding, x -> round(CAST(x AS DOUBLE), 4)) AS a
+            FROM embeddings WHERE vec_id < 50
+        )
+        SELECT vec_id, dim,
+               round(a[1], 4) AS first_el,
+               round(list_max(a), 4) AS max_el,
+               round(list_min(a), 4) AS min_el,
+               round(list_sort(a)[32], 4) AS median_lo,
+               round(sqrt(list_sum(list_transform(a, x -> x * x))), 4) AS l2_norm,
+               (len(list_filter(a, x -> x > 0)) > 32) AS mostly_positive
+        FROM arrs
+    """,
+    "merge_upsert": """
+        WITH base AS (
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+        ),
+        updates AS (
+            SELECT c_custkey, 'upd:' || c_name AS c_name, c_acctbal + 1000.0 AS c_acctbal
+            FROM base WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT 9000000 + i AS c_custkey, 'new#' || CAST(i AS VARCHAR) AS c_name, 0.0 AS c_acctbal
+            FROM generate_series(0, 4) AS t(i)
+        )
+        SELECT * FROM updates
+        UNION ALL
+        SELECT b.* FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = b.c_custkey)
+    """,
+    "scd2_history": """
+        WITH hist AS (
+            SELECT c_custkey, c_acctbal,
+                   TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+                   CASE WHEN c_custkey % 7 = 0 THEN TIMESTAMP '2022-01-01 00:00:00' END AS valid_to
+            FROM customer
+        ),
+        updates AS (
+            SELECT c_custkey, c_acctbal * 2 AS c_acctbal
+            FROM customer WHERE c_custkey % 5 = 0
+        ),
+        closed AS (SELECT * FROM hist WHERE valid_to IS NOT NULL),
+        current AS (SELECT * FROM hist WHERE valid_to IS NULL),
+        unchanged AS (
+            SELECT c.* FROM current c
+            WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
+        ),
+        closed_now AS (
+            SELECT c.c_custkey, c.c_acctbal, c.valid_from,
+                   TIMESTAMP '2024-06-01 00:00:00' AS valid_to
+            FROM current c
+            WHERE EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
+        ),
+        new_versions AS (
+            SELECT c_custkey, c_acctbal,
+                   TIMESTAMP '2024-06-01 00:00:00' AS valid_from,
+                   CAST(NULL AS TIMESTAMP) AS valid_to
+            FROM updates
+        )
+        SELECT * FROM closed
+        UNION ALL SELECT * FROM unchanged
+        UNION ALL SELECT * FROM closed_now
+        UNION ALL SELECT * FROM new_versions
+    """,
     "unicode_scalars": """
         SELECT id,
                length(s) AS n_chars,
