@@ -34,6 +34,8 @@ HEADLINE = [
     "cosine_topk",
     "text_stats",
     "pivot_wide",
+    "range_join",
+    "session_windows",
 ]
 
 

@@ -26,8 +26,10 @@ from sparkgraft.operators.multimodal import (
     decode_sample_files,
     image_features,
 )
+from sparkgraft.operators.merge import merge_upsert, scd2_apply
 from sparkgraft.operators.relational import (
     asof_join,
+    asof_join_pandas,
     broadcast_lookup,
     range_join,
     top_k_per_group,
@@ -37,6 +39,7 @@ from sparkgraft.operators.scale import bucketed_join, salted_join, write_buckete
 from sparkgraft.operators.similarity import (
     brute_force_topk,
     cosine,
+    cosine_pandas_udf,
     partitioned_topk,
 )
 from sparkgraft.operators.stats import (
@@ -69,9 +72,16 @@ from sparkgraft.sinks.kv import (
     register_image,
     stats_to_kv,
     with_event_ids,
+    write_matlab,
     write_stats_csv,
 )
-from sparkgraft.sources.readers import list_files, read_csv, read_table
+from sparkgraft.sinks.layout import compact_directory, write_partitioned
+from sparkgraft.sources.readers import (
+    list_files,
+    read_csv,
+    read_table,
+    with_channel_metadata,
+)
 from sparkgraft.sources.report import (
     crack_statistics,
     parse_crack_rows,
