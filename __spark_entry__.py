@@ -1116,6 +1116,88 @@ def q_streaming_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(collected, "field string, value string")
 
 
+def q_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 completion — ``number_of_outliers`` and ``health_state``
+    (mapping.json fields, SURVEY §2.4 A6): two-pass z-score — exact
+    per-group moments broadcast back, outlier = |v - mean| > 3σ,
+    health = 1 when outlier ratio > 1 %% or any NaN."""
+    events = _t(spark, sf_dir, "events")
+    w = F.round(F.col("value") * F.lit(1000.0), 0).cast("long")
+    moments = events.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(w).alias("s1"),
+        F.sum(w * w).alias("s2"),
+        F.count(F.when(F.isnan("value"), 1)).alias("n_nans"),
+    )
+    mean = F.col("s1").cast("double") / 1e3 / F.col("n")
+    var = (
+        F.col("s2").cast("double") / 1e6
+        - (F.col("s1").cast("double") / 1e3)
+        * (F.col("s1").cast("double") / 1e3)
+        / F.col("n")
+    ) / (F.col("n") - 1)
+    mom = moments.select(
+        "event_type", "n", "n_nans", mean.alias("mu"), F.sqrt(var).alias("sigma")
+    )
+    joined = events.join(F.broadcast(mom), "event_type")
+    out = joined.groupBy("event_type").agg(
+        F.first("n").alias("n_rows"),
+        F.first("n_nans").alias("number_of_nans"),
+        F.count(
+            F.when(F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"), 1)
+        ).alias("number_of_outliers"),
+    )
+    return out.select(
+        "event_type",
+        "n_rows",
+        "number_of_nans",
+        "number_of_outliers",
+        F.when(
+            (F.col("number_of_outliers").cast("double") / F.col("n_rows") > 0.01)
+            | (F.col("number_of_nans") > 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("health_state"),
+    )
+
+
+def q_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean (exact fixed-point): quantity-weighted average unit
+    price per returnflag — sum(w*x)/sum(w) from integer sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    wq = F.round(F.col("l_quantity") * 100.0, 0).cast("long")        # 1e2
+    xp = F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")   # 1e2
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(wq).alias("sw"),
+        F.sum(wq * xp).alias("swx"),
+    )
+    return agg.select(
+        "l_returnflag",
+        (F.col("sw").cast("double") / 1e2).alias("total_qty"),
+        ((F.col("swx").cast("double") / 1e4) / (F.col("sw").cast("double") / 1e2)).alias(
+            "weighted_avg_price"
+        ),
+    )
+
+
+def q_crack_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial binning over parsed crack positions: 1 m x 0.5 m grid
+    cells with crack counts and exact mean width — the crack-density
+    map an SHM analyst derives from S4 reports."""
+    rows = REPORT.parse_crack_rows(_report_lines(spark))
+    cells = rows.groupBy(
+        F.floor(F.col("X") / 1.0).alias("cell_x"),
+        F.floor(F.col("Y") / 0.5).alias("cell_y"),
+    ).agg(
+        F.count("*").alias("n_cracks"),
+        S.exact_mean(
+            F.sum(S.scaled_long(F.col("wCr"))), F.count("wCr"), 4
+        ).alias("mean_width"),
+    )
+    return cells
+
+
 def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/higher-order-function surface over the embedding column:
     element access, slicing, sort, containment, and fold-based
@@ -1306,6 +1388,9 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "outlier_stats": q_outlier_stats,
+    "weighted_stats": q_weighted_stats,
+    "crack_density_grid": q_crack_density_grid,
     "array_functions": q_array_functions,
     "merge_upsert": q_merge_upsert,
     "scd2_history": q_scd2_history,
@@ -1579,6 +1664,49 @@ ORACLES: dict[str, str] = {
 
 
 BATCH4_ORACLES: dict[str, str] = {
+    "outlier_stats": """
+        WITH mom AS (
+            SELECT event_type,
+                   count(value) AS n,
+                   sum(CAST(round(value * 1000.0) AS BIGINT)) AS s1,
+                   sum(CAST(round(value * 1000.0) AS BIGINT) * CAST(round(value * 1000.0) AS BIGINT)) AS s2,
+                   count(CASE WHEN isnan(value) THEN 1 END) AS n_nans
+            FROM events GROUP BY event_type
+        ),
+        mm AS (
+            SELECT event_type, n, n_nans,
+                   CAST(s1 AS DOUBLE) / 1e3 / n AS mu,
+                   sqrt((CAST(s2 AS DOUBLE) / 1e6
+                         - (CAST(s1 AS DOUBLE) / 1e3) * (CAST(s1 AS DOUBLE) / 1e3) / n)
+                        / (n - 1)) AS sigma
+            FROM mom
+        ),
+        agg AS (
+            SELECT e.event_type,
+                   max(m.n) AS n_rows,
+                   max(m.n_nans) AS number_of_nans,
+                   count(CASE WHEN abs(e.value - m.mu) > 3 * m.sigma THEN 1 END) AS number_of_outliers
+            FROM events e JOIN mm m USING (event_type)
+            GROUP BY e.event_type
+        )
+        SELECT event_type, n_rows, number_of_nans, number_of_outliers,
+               CASE WHEN CAST(number_of_outliers AS DOUBLE) / n_rows > 0.01
+                         OR number_of_nans > 0
+                    THEN 1 ELSE 0 END AS health_state
+        FROM agg
+    """,
+    "weighted_stats": """
+        WITH s AS (
+            SELECT l_returnflag,
+                   CAST(round(l_quantity * 100.0) AS BIGINT) AS wq,
+                   CAST(round(l_extendedprice * 100.0) AS BIGINT) AS xp
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               CAST(sum(wq) AS DOUBLE) / 1e2 AS total_qty,
+               (CAST(sum(wq * xp) AS DOUBLE) / 1e4) / (CAST(sum(wq) AS DOUBLE) / 1e2) AS weighted_avg_price
+        FROM s GROUP BY l_returnflag
+    """,
     "array_functions": """
         WITH arrs AS (
             SELECT vec_id, len(embedding) AS dim,
@@ -2126,6 +2254,16 @@ def _report_oracles() -> dict[str, str]:
                    THEN CAST(regexp_extract(line, '(\\d+)', 1) AS BIGINT) END) AS crack_count
         FROM marked GROUP BY file
     """
+    o["crack_density_grid"] = f"""
+        WITH {rows_cte}
+        SELECT CAST(floor(X / 1.0) AS BIGINT) AS cell_x,
+               CAST(floor(Y / 0.5) AS BIGINT) AS cell_y,
+               count(*) AS n_cracks,
+               {{mean_wcr}} AS mean_width
+        FROM rows_parsed
+        GROUP BY 1, 2
+    """.replace("{mean_wcr}", _mean_sql("wCr", 4))
+
     o["crack_statistics"] = f"""
         WITH {rows_cte}
         SELECT file,
