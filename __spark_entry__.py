@@ -1116,6 +1116,52 @@ def q_streaming_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(collected, "field string, value string")
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per channel (bucket = floor(value/10)) —
+    the classic distribution profile over sensor values."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 10.0).cast("long").alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations: named rules evaluated in one pass
+    (conditional aggregation), emitting violation counts — the
+    admission-check layer a 100 TB ingest runs before committing a
+    batch (generalizes the reference's P5/P6 sanity gates)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rules = {
+        "orderkey_not_null": F.col("l_orderkey").isNull(),
+        "quantity_positive": ~(F.col("l_quantity") > 0),
+        "price_in_range": ~F.col("l_extendedprice").between(0, 10_000_000),
+        "discount_in_range": ~F.col("l_discount").between(0.0, 0.5),
+        "flag_in_domain": ~F.col("l_returnflag").isin("A", "N", "R"),
+        "ship_after_1990": F.col("l_shipdate") < F.lit("1990-01-01").cast("timestamp"),
+    }
+    agg = li.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.count(F.when(cond, 1)).alias(f"v_{name}")
+            for name, cond in rules.items()
+        ],
+    )
+    pairs = []
+    for name in rules:
+        pairs.append(F.lit(name))
+        pairs.append(F.col(f"v_{name}"))
+    long = agg.select(
+        "n_rows", F.explode(F.create_map(*pairs)).alias("rule", "n_violations")
+    )
+    return long.select(
+        "rule", "n_violations", (F.col("n_violations") == 0).alias("passed")
+    )
+
+
 def q_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 completion — ``number_of_outliers`` and ``health_state``
     (mapping.json fields, SURVEY §2.4 A6): two-pass z-score — exact
@@ -1388,6 +1434,8 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "value_histogram": q_value_histogram,
+    "data_quality": q_data_quality,
     "outlier_stats": q_outlier_stats,
     "weighted_stats": q_weighted_stats,
     "crack_density_grid": q_crack_density_grid,
@@ -1664,6 +1712,32 @@ ORACLES: dict[str, str] = {
 
 
 BATCH4_ORACLES: dict[str, str] = {
+    "value_histogram": """
+        SELECT event_type,
+               CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
+    "data_quality": """
+        WITH agg AS (
+            SELECT count(*) AS n_rows,
+                   count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS v1,
+                   count(CASE WHEN NOT (l_quantity > 0) THEN 1 END) AS v2,
+                   count(CASE WHEN NOT (l_extendedprice BETWEEN 0 AND 10000000) THEN 1 END) AS v3,
+                   count(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.5) THEN 1 END) AS v4,
+                   count(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 END) AS v5,
+                   count(CASE WHEN l_shipdate < TIMESTAMP '1990-01-01' THEN 1 END) AS v6
+            FROM lineitem
+        )
+        SELECT rule, n_violations, n_violations = 0 AS passed FROM (
+            SELECT 'orderkey_not_null' AS rule, v1 AS n_violations FROM agg
+            UNION ALL SELECT 'quantity_positive', v2 FROM agg
+            UNION ALL SELECT 'price_in_range', v3 FROM agg
+            UNION ALL SELECT 'discount_in_range', v4 FROM agg
+            UNION ALL SELECT 'flag_in_domain', v5 FROM agg
+            UNION ALL SELECT 'ship_after_1990', v6 FROM agg
+        )
+    """,
     "outlier_stats": """
         WITH mom AS (
             SELECT event_type,
