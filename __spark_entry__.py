@@ -682,6 +682,16 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (random hyperplane signatures, single-probe):
+    top-5 within the query's bucket — the second scale path next to the
+    IVF variant (cluster_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.lsh_bucketed_topk(
+        emb.filter(F.col("vec_id") < 20), emb, k=5, n_planes=6, dim=64
+    )
+
+
 def q_cluster_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style pruned cosine top-5 within the query's label cluster."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1482,6 +1492,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "cosine_topk": q_cosine_topk,
     "cluster_topk": q_cluster_topk,
+    "lsh_ann_topk": q_lsh_ann_topk,
     "channel_stats": q_channel_stats,
     "windowed_stats": q_windowed_stats,
     "extended_stats": q_extended_stats,
@@ -2526,6 +2537,42 @@ def _llm_oracles() -> dict[str, str]:
             FROM scored
         ) WHERE rnk <= 5
     """
+    from sparkgraft.operators.similarity import hyperplane_signs
+
+    planes = hyperplane_signs(6, 64)
+    bucket_terms = []
+    for p, plane in enumerate(planes):
+        lits = ", ".join(str(x) for x in plane)
+        bucket_terms.append(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+            f"i -> CAST(e[i] AS DOUBLE) * ([{lits}])[i])) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    bucket_sql = " + ".join(bucket_terms)
+    o["lsh_ann_topk"] = f"""
+        WITH tagged AS (
+            SELECT vec_id, e, {bucket_sql} AS bucket
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        ),
+        q AS (SELECT vec_id AS query_id, e AS qv, bucket FROM tagged WHERE vec_id < 20),
+        c AS (SELECT vec_id AS neighbor_id, e AS cv, bucket FROM tagged),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   round(
+                       list_sum(list_transform(generate_series(1, len(qv)),
+                                               i -> qv[i] * cv[i]))
+                       / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                          * sqrt(list_sum(list_transform(cv, x -> x * x)))),
+                       6) AS cos_sim
+            FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+            FROM scored
+        ) WHERE rnk <= 5
+    """
+
     o["cluster_topk"] = f"""
         WITH q AS (SELECT vec_id AS query_id, label AS part, embedding AS qv
                    FROM embeddings WHERE vec_id < 20),

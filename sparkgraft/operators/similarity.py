@@ -117,6 +117,94 @@ def brute_force_topk(
     )
 
 
+def hyperplane_signs(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic random-hyperplane components: ±1 per (plane, dim)
+    from md5 — reproducible in any engine (and embeddable as literals,
+    so no runtime hashing at all)."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}|{d}".encode()).hexdigest()
+            row.append(1.0 if h[0] in "89abcdef" else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection LSH bucket id: bit p = [dot(v, plane_p) > 0].
+
+    Vectors within an angular neighborhood collide with probability
+    (1 - θ/π)^bits — the classic SimHash-for-vectors index.  The plane
+    matrix is a plan-time literal: the bucket computation is pure
+    codegen arithmetic, no hashing at runtime.
+    """
+    bucket = None
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, lit_plane, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: candidates restricted to the
+    query's hyperplane bucket (single-probe).
+
+    Scale path: the candidate side is grouped by bucket (2^n_planes
+    partitions); a probe touches ~1/2^n_planes of the corpus.  Recall
+    trades against n_planes; multiprobe (hamming-adjacent buckets)
+    raises it without re-indexing.
+    """
+    planes = hyperplane_signs(n_planes, dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                digits,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+
+
 def partitioned_topk(
     queries: DataFrame,
     candidates: DataFrame,
