@@ -561,6 +561,18 @@ REPORT_FIXTURE: list[tuple[str, int, str]] = [
     ("r2.txt", 9, "  0,50 0,10 1,00 0,08"),
     ("r2.txt", 10, "  2,50 0,10 1,00 0,33"),
     ("r2.txt", 11, "End"),
+    # r3: dot decimals + explicit '+' signs (file_analysis.py:70 accepts
+    # [-+]?\d+(?:[.,]\d+)?) and NO End sentinel — the block runs to EOF.
+    ("r3.txt", 1, "Bauwerk R6-07 - Sensor West"),
+    ("r3.txt", 2, "Zeit 15-Jun-2025 09:10:00"),
+    ("r3.txt", 3, ""),
+    ("r3.txt", 4, "  q50 q90 max wCr"),
+    ("r3.txt", 5, "  0.05 0.18 0.40 mm"),
+    ("r3.txt", 6, "Anzahl erkannter Risse: 2"),
+    ("r3.txt", 7, "Rissposition (m) vs. Rissbreite (mm)"),
+    ("r3.txt", 8, "  X Y Z wCr"),
+    ("r3.txt", 9, "  1.50 +0.20 3.10 0.05"),
+    ("r3.txt", 10, "  4.25 -0.60 3.10 0.40"),
 ]
 
 
@@ -1548,18 +1560,25 @@ ORACLES: dict[str, str] = {
         FROM events GROUP BY 1, 2
     """,
     "extended_stats": """
+        WITH src AS (
+            SELECT event_type, value,
+                   CASE WHEN isnan(value) THEN NULL ELSE value END AS vv
+            FROM events
+        )
         SELECT event_type,
                count(value) AS n_rows,
                count(CASE WHEN isnan(value) THEN 1 END) AS n_nans,
-               round(cast(sum(cast(value AS DECIMAL(27,6))) AS DOUBLE) / count(value), 4) AS mean,
-               round(min(value), 4) AS "min",
-               round(max(value), 4) AS "max",
-               round(sqrt((cast(sum(cast(cast(value AS DECIMAL(27,6)) * cast(value AS DECIMAL(27,6)) AS DECIMAL(38,12))) AS DOUBLE)
-                           - cast(sum(cast(value AS DECIMAL(27,6))) AS DOUBLE) * cast(sum(cast(value AS DECIMAL(27,6))) AS DOUBLE) / count(value))
-                          / (count(value) - 1)), 4) AS std,
-               round(quantile_cont(value, 0.5), 4) AS p50,
-               round(quantile_cont(value, 0.9), 4) AS p90
-        FROM events GROUP BY event_type
+               round(cast(sum(cast(vv AS DECIMAL(27,6))) AS DOUBLE) / count(vv), 4) AS mean,
+               round(min(vv), 4) AS "min",
+               round(max(vv), 4) AS "max",
+               CASE WHEN count(vv) > 1 THEN
+                   round(sqrt(greatest((cast(sum(cast(cast(vv AS DECIMAL(27,6)) * cast(vv AS DECIMAL(27,6)) AS DECIMAL(38,12))) AS DOUBLE)
+                               - cast(sum(cast(vv AS DECIMAL(27,6))) AS DOUBLE) * cast(sum(cast(vv AS DECIMAL(27,6))) AS DOUBLE) / count(vv))
+                              / (count(vv) - 1), 0.0)), 4)
+               END AS std,
+               round(quantile_cont(vv, 0.5), 4) AS p50,
+               round(quantile_cont(vv, 0.9), 4) AS p90
+        FROM src GROUP BY event_type
     """,
     "latest_per_user": """
         SELECT event_id, ts, user_id, event_type, value, props FROM (
@@ -2300,15 +2319,22 @@ ORACLES["salted_join"] = BATCH4_ORACLES["salted_join"].format(
 def _report_oracles() -> dict[str, str]:
     """DuckDB oracles for the S4 report parser, on the same literal."""
     values = _report_values_sql()
-    num = r"-?\d+(?:,\d+)?"
+    num = r"[-+]?\d+(?:[.,]\d+)?"
     rows_cte = f"""
-        marked AS (
+        blocked AS (
             SELECT *,
                    min(CASE WHEN line LIKE 'Rissposition%' THEN line_no END)
-                       OVER (PARTITION BY file) AS blk,
-                   min(CASE WHEN trim(line) = 'End' THEN line_no END)
-                       OVER (PARTITION BY file) AS end_ln
+                       OVER (PARTITION BY file) AS blk
             FROM {values}
+        ),
+        marked AS (
+            SELECT *,
+                   coalesce(
+                       min(CASE WHEN lower(trim(line)) LIKE 'end%'
+                                 AND line_no > blk THEN line_no END)
+                           OVER (PARTITION BY file),
+                       max(line_no) OVER (PARTITION BY file) + 1) AS end_ln
+            FROM blocked
         ),
         data AS (
             SELECT file, regexp_extract_all(trim(line), '{num}') AS t

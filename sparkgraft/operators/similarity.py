@@ -140,7 +140,14 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     (1 - θ/π)^bits — the classic SimHash-for-vectors index.  The plane
     matrix is a plan-time literal: the bucket computation is pure
     codegen arithmetic, no hashing at runtime.
+
+    A vector whose length differs from the plane dimension (or a NULL
+    vector) raises at execution time: ``zip_with`` would otherwise
+    null-pad the shorter side, turn every dot product NULL, and
+    silently collapse ALL vectors into bucket 0 — degrading the
+    bucketed join into the full cross join this index exists to avoid.
     """
+    dim = len(planes[0])
     bucket = None
     for p, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(x) for x in plane])
@@ -151,7 +158,14 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
         )
         bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    return bucket.cast("int")
+    return F.when(F.size(vec) == F.lit(dim), bucket.cast("int")).otherwise(
+        F.raise_error(
+            F.format_string(
+                "lsh_bucket: embedding length %s != plane dim " + str(dim),
+                F.size(vec),
+            )
+        )
+    )
 
 
 def lsh_bucketed_topk(

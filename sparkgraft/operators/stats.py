@@ -25,14 +25,27 @@ def scaled_long(v: Column, scale: int = MEAN_SCALE) -> Column:
     return F.round(v * F.lit(float(scale)), 0).cast("long")
 
 
+def _dec(c: Column) -> Column:
+    return c.cast("decimal(38,0)")
+
+
 def exact_rounded_sum(sum_scaled: Column, digits: int) -> Column:
     """HALF-UP-rounded sum from an exact scaled-integer sum — the sum
     counterpart of :func:`exact_mean` (same tie-proof integer rounding,
-    and long sums run at hardware speed where decimal sums don't)."""
+    and long sums run at hardware speed where decimal sums don't).
+
+    The rounding division runs in DECIMAL(38,0) via integral ``div`` —
+    never through a double — so it stays exact far past the 2^53 scaled
+    sums where ``floor(double/double)`` silently misrounds.  The decimal
+    arithmetic touches one row per group (post-aggregation), not the
+    fact table, so the long-sum hot path is unchanged.
+    """
     assert 10**digits <= MEAN_SCALE
     unit = MEAN_SCALE // (10**digits)
-    s_abs = F.abs(sum_scaled)
-    r = F.floor((2 * s_abs + unit).cast("double") / F.lit(2.0 * unit))
+    s_abs = _dec(F.abs(sum_scaled))
+    num = F.lit(2).cast("decimal(38,0)") * s_abs + F.lit(unit).cast("decimal(38,0)")
+    den = F.lit(2 * unit).cast("decimal(38,0)")
+    r = F.call_function("div", num, den)  # exact integral quotient (long)
     signed = F.when(sum_scaled < 0, -r).otherwise(r)
     return signed.cast("double") / F.lit(float(10**digits))
 
@@ -40,18 +53,24 @@ def exact_rounded_sum(sum_scaled: Column, digits: int) -> Column:
 def exact_mean(sum_scaled: Column, n: Column, digits: int) -> Column:
     """HALF-UP-rounded mean from an exact scaled-integer sum.
 
-    mean = S/(scale*n) rounded to ``digits`` — computed as an integer
-    floor division, so the result is bit-identical in every engine and
-    under every partitioning: no float tie can flip the rounding
+    mean = S/(scale*n) rounded to ``digits`` — computed as an integral
+    division in DECIMAL(38,0) (operands are non-negative, so truncating
+    ``div`` == floor), so the result is bit-identical in every engine
+    and under every partitioning: no float tie can flip the rounding
     (round(double, d) differs between engines exactly at rational .5
-    boundaries, which per-group means hit routinely).
+    boundaries, which per-group means hit routinely), and no 2^53
+    double-mantissa ceiling applies to the scaled sum.
     """
     assert 10**digits <= MEAN_SCALE
     unit = MEAN_SCALE // (10**digits)  # S units per output quantum
-    s_abs = F.abs(sum_scaled)
-    r = F.floor(
-        (2 * s_abs + unit * n).cast("double") / (2 * unit * n).cast("double")
+    s_abs = _dec(F.abs(sum_scaled))
+    n_dec = _dec(n)
+    num = (
+        F.lit(2).cast("decimal(38,0)") * s_abs
+        + F.lit(unit).cast("decimal(38,0)") * n_dec
     )
+    den = F.lit(2 * unit).cast("decimal(38,0)") * n_dec
+    r = F.call_function("div", num, den)  # exact integral quotient (long)
     signed = F.when(sum_scaled < 0, -r).otherwise(r)
     return signed.cast("double") / F.lit(float(10**digits))
 
@@ -101,26 +120,37 @@ def extended_stats(
     std uses the exact-decimal sum/sum-of-squares so the result is
     deterministic across partitionings; percentiles use Spark's exact
     ``percentile`` (sort-based within group).
+
+    NaN rows are *excluded* from every moment (they are reported in
+    ``n_nans``, matching the numpy ``nanmean``-style upstream metrics) —
+    without the exclusion the non-ANSI long cast would silently absorb
+    NaN as 0 while the count still included the row, biasing mean/std.
+    ``std`` is NULL for groups with fewer than 2 valid rows.
     """
     v = F.col(value) if isinstance(value, str) else value
+    vv = F.when(~F.isnan(v), v)  # NaN → NULL: skipped by every aggregate
     # Fixed-point integer moments: w = round(v*1e3) is EXACT for data
-    # with <= 3 decimals, w*w fits a long for |v| < ~3e6, and long sums
-    # run at hardware speed (decimal sums don't).  var is then derived
-    # from exact integers in one deterministic double expression.
-    w = F.round(v * F.lit(1000.0), 0).cast("long")
-    n = F.count(v)
+    # with <= 3 decimals and long sums run at hardware speed.  The
+    # square is accumulated in DECIMAL(38,0) so w*w cannot silently
+    # wrap a long for |v| >= ~3e6 — the decimal cast happens once per
+    # row pre-aggregation and keeps the sum exact to 10^38.
+    w = F.round(vv * F.lit(1000.0), 0).cast("long")
+    wd = w.cast("decimal(38,0)")
+    n = F.count(vv)  # non-NaN denominator for mean/var
     s1 = F.sum(w).cast("double") / F.lit(1.0e3)
-    s2 = F.sum(w * w).cast("double") / F.lit(1.0e6)
+    s2 = F.sum(wd * wd).cast("double") / F.lit(1.0e6)
     var = (s2 - s1 * s1 / n) / (n - F.lit(1))
     return df.groupBy(*keys).agg(
-        n.alias("n_rows"),
+        F.count(v).alias("n_rows"),
         F.count(F.when(F.isnan(v), F.lit(1))).alias("n_nans"),
-        exact_mean(F.sum(scaled_long(v)), F.count(v), digits).alias("mean"),
-        F.round(F.min(v), digits).alias("min"),
-        F.round(F.max(v), digits).alias("max"),
-        F.round(F.sqrt(var), digits).alias("std"),
-        F.round(F.percentile(v, F.lit(0.5)), digits).alias("p50"),
-        F.round(F.percentile(v, F.lit(0.9)), digits).alias("p90"),
+        exact_mean(F.sum(scaled_long(vv)), n, digits).alias("mean"),
+        F.round(F.min(vv), digits).alias("min"),
+        F.round(F.max(vv), digits).alias("max"),
+        F.when(
+            n > 1, F.round(F.sqrt(F.greatest(var, F.lit(0.0))), digits)
+        ).alias("std"),
+        F.round(F.percentile(vv, F.lit(0.5)), digits).alias("p50"),
+        F.round(F.percentile(vv, F.lit(0.9)), digits).alias("p90"),
     )
 
 

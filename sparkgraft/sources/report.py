@@ -23,8 +23,9 @@ from sparkgraft.functions.expr import comma_decimal
 from sparkgraft.operators.stats import exact_mean, scaled_long
 
 # A token is numeric if it is an optionally-signed integer with an
-# optional comma-decimal fraction (file_analysis.py:70-73).
-NUM_TOKEN_RE = r"-?\d+(?:,\d+)?"
+# optional comma- or dot-decimal fraction (file_analysis.py:70-73:
+# re.findall(r"[-+]?\d+(?:[.,]\d+)?", ln)).
+NUM_TOKEN_RE = r"[-+]?\d+(?:[.,]\d+)?"
 
 
 def _num_tokens(line):
@@ -36,7 +37,10 @@ def parse_crack_rows(lines: DataFrame) -> DataFrame:
 
     Rows qualify when they carry ≥4 numeric tokens and sit strictly
     between the ``Rissposition`` block header and the ``End`` sentinel
-    (file_analysis.py:48-73: stop at 'End', keep ≥4-numeric rows).
+    (file_analysis.py:48-73: stop at a line starting with 'end',
+    case-insensitive, keep ≥4-numeric rows; when no sentinel exists the
+    reference's loop simply runs to EOF, so end_ln falls back to
+    max(line_no)+1).
     """
     w = Window.partitionBy("file")
     marked = lines.withColumn(
@@ -46,7 +50,16 @@ def parse_crack_rows(lines: DataFrame) -> DataFrame:
         ).over(w),
     ).withColumn(
         "end_ln",
-        F.min(F.when(F.trim(F.col("line")) == "End", F.col("line_no"))).over(w),
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.lower(F.trim(F.col("line"))).startswith("end")
+                    & (F.col("line_no") > F.col("blk")),
+                    F.col("line_no"),
+                )
+            ).over(w),
+            F.max(F.col("line_no")).over(w) + F.lit(1),
+        ),
     )
     toks = _num_tokens(F.col("line"))
     data = marked.filter(

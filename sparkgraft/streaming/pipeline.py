@@ -126,7 +126,17 @@ class FilePipeline:
     def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
         # T1: oldest-first within the micro-batch (filename order encodes
         # the start timestamp in the reference's naming scheme, F1).
-        files = sorted(r["_file"] for r in batch.select("_file").distinct().collect())
+        # toLocalIterator keeps the driver footprint one-partition-wide even
+        # when an availableNow drain packs a huge directory into one batch.
+        files = sorted(
+            r["_file"] for r in batch.select("_file").distinct().toLocalIterator()
+        )
+        # Two-phase: run every file's transform+sink BEFORE moving any file.
+        # A sink's Spark action lazily re-lists the batch's file set, so
+        # moving file N during the loop would make file N+1's action throw
+        # FileNotFoundException (then be wrongly quarantined while the
+        # checkpoint still marks it consumed).
+        moves: list[tuple[str, str | None]] = []
         for f in files:
             sub = batch.filter(F.col("_file") == f).drop("_file")
             stem = Path(f.replace("file:", "")).name
@@ -134,10 +144,12 @@ class FilePipeline:
                 result = self.transform(sub)
                 self.sink(result, stem)
                 self.health.set(f"health:{self.name}_file_processing", 0)
-                self._move(f, self.archive_dir)  # T4 finished/
+                moves.append((f, self.archive_dir))  # T4 finished/
             except Exception:
                 self.health.set(f"health:{self.name}_file_processing", 1)
-                self._move(f, self.quarantine_dir)  # T3 failed/
+                moves.append((f, self.quarantine_dir))  # T3 failed/
+        for f, target in moves:
+            self._move(f, target)
 
     def _move(self, file_url: str, target_dir: str | None) -> None:
         if not target_dir:

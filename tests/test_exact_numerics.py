@@ -39,3 +39,45 @@ def test_exact_mean_matches_decimal_reference(spark, decs, digits):
     ).collect()[0]
     assert got["m"] == _py_mean(decs, digits), (decs, digits)
     assert got["s"] == _py_sum(decs, digits), (decs, digits)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.decimals(
+            min_value=-10**10, max_value=10**10, places=4, allow_nan=False
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=0, max_value=4),
+)
+def test_exact_mean_large_magnitude(spark, decs, digits):
+    """Scaled sums here exceed 2^53 — the rounding division must run in
+    DECIMAL(38,0) integral `div`, not through a double, to stay exact."""
+    df = spark.createDataFrame([(float(d),) for d in decs], "v double")
+    got = df.agg(
+        exact_mean(F.sum(scaled_long(F.col("v"))), F.count("v"), digits).alias("m"),
+        exact_rounded_sum(F.sum(scaled_long(F.col("v"))), digits).alias("s"),
+    ).collect()[0]
+    assert got["m"] == _py_mean(decs, digits), (decs, digits)
+    assert got["s"] == _py_sum(decs, digits), (decs, digits)
+
+
+def test_extended_stats_nan_exclusion_and_singleton(spark):
+    """NaN rows are excluded from every moment (counted in n_nans) and a
+    single-row group yields NULL std, not a divide-by-zero artifact."""
+    from sparkgraft.operators.stats import extended_stats
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", float("nan")), ("a", 3.0), ("b", 7.5)],
+        "k string, value double",
+    )
+    out = {r["k"]: r for r in extended_stats(df, ["k"], "value", 4).collect()}
+    a = out["a"]
+    assert a["n_rows"] == 3 and a["n_nans"] == 1
+    assert a["mean"] == 2.0 and a["min"] == 1.0 and a["max"] == 3.0
+    assert a["std"] == 1.4142  # sample std of [1, 3], NaN excluded
+    assert a["p50"] == 2.0 and a["p90"] == 2.8
+    b = out["b"]
+    assert b["n_rows"] == 1 and b["std"] is None and b["mean"] == 7.5

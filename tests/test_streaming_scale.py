@@ -116,3 +116,42 @@ def test_watermark_drops_late_event_across_drains(spark, tmp_path):
     emitted = {r["ws"].isoformat() for r in rows_out}
     assert "2025-01-01T09:00:00" not in emitted
     assert "2025-01-01T11:00:00" in emitted  # finalized by the 12:00 event
+
+
+def test_multi_file_batch_with_action_sink_archives_all(spark, tmp_path):
+    """Regression: the sink's Spark action lazily re-lists the batch's
+    files, so archiving file N before file N+1's action ran used to
+    throw FileNotFoundException and mis-quarantine N+1 (losing its
+    result while the checkpoint marked it consumed).  Moves are now
+    deferred until every file in the micro-batch is processed."""
+    inp = tmp_path / "in"
+    inp.mkdir()
+    for i in range(6):
+        (inp / f"g_{i}_2025-01-01_00-0{i}-00.csv").write_text(
+            f"ts,channel,value\n2025-01-01T00:0{i}:00,C1,{float(i)}\n"
+        )
+    results: dict[str, float] = {}
+
+    def action_sink(res, stem):
+        rows = res.collect()  # a real sink always runs an action
+        results[stem] = rows[0]["mean"]
+
+    p = FilePipeline(
+        spark,
+        name="actsink",
+        input_dir=str(inp),
+        schema=SCHEMA,
+        transform=lambda df: channel_stats(df, ["channel"], "value"),
+        sink=action_sink,
+        checkpoint_dir=str(tmp_path / "ckpt_act"),
+        archive_dir=str(tmp_path / "done_act"),
+        quarantine_dir=str(tmp_path / "failed_act"),
+        max_files_per_trigger=3,
+    )
+    p.run_available()
+    assert len(results) == 6
+    assert sorted(results.values()) == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
+    assert len(list((tmp_path / "done_act").iterdir())) == 6
+    assert not (tmp_path / "failed_act").exists() or not list(
+        (tmp_path / "failed_act").iterdir()
+    )
