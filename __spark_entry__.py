@@ -695,20 +695,40 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (random hyperplane signatures, single-probe):
-    top-5 within the query's bucket — the second scale path next to the
-    IVF variant (cluster_topk)."""
+    """LSH-bucketed ANN (random hyperplane signatures), multiprobed at
+    hamming radius 1: top-5 within the query's bucket plus its 6
+    one-bit-flip neighbors — the second scale path next to the IVF
+    variant (cluster_topk), with near-boundary recall recovered."""
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.lsh_bucketed_topk(
-        emb.filter(F.col("vec_id") < 20), emb, k=5, n_planes=6, dim=64
+        emb.filter(F.col("vec_id") < 20),
+        emb,
+        k=5,
+        n_planes=6,
+        dim=64,
+        hamming_radius=1,
     )
 
 
 def q_cluster_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style pruned cosine top-5 within the query's label cluster."""
+    """IVF-style pruned cosine top-5, fully self-contained: the centroid
+    table is fit in-engine (exact per-dimension fixed-point means per
+    label), every vector is re-assigned to its nearest centroid by a
+    literal-argmin projection, and the search is pruned to the query's
+    assigned cluster (nprobe=1)."""
     emb = _t(spark, sf_dir, "embeddings")
+    cents = SIM.centroids_from_labels(emb, "label", "embedding", digits=6)
+    cent_rows = sorted(
+        (r["cluster"], list(r["centroid"])) for r in cents.collect()
+    )
+    assigned = emb.withColumn(
+        "cluster", SIM.assign_nearest(F.col("embedding"), cent_rows)
+    )
     return SIM.partitioned_topk(
-        emb.filter(F.col("vec_id") < 20), emb, k=5, partition_col="label"
+        assigned.filter(F.col("vec_id") < 20),
+        assigned,
+        k=5,
+        partition_col="cluster",
     )
 
 
@@ -2584,12 +2604,17 @@ def _llm_oracles() -> dict[str, str]:
             f"THEN {1 << p} ELSE 0 END)"
         )
     bucket_sql = " + ".join(bucket_terms)
+    probe_list = "[bucket, " + ", ".join(
+        f"xor(bucket, {1 << p})" for p in range(6)
+    ) + "]"
     o["lsh_ann_topk"] = f"""
         WITH tagged AS (
             SELECT vec_id, e, {bucket_sql} AS bucket
             FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         ),
-        q AS (SELECT vec_id AS query_id, e AS qv, bucket FROM tagged WHERE vec_id < 20),
+        q AS (SELECT vec_id AS query_id, e AS qv,
+                     unnest({probe_list}) AS bucket
+              FROM tagged WHERE vec_id < 20),
         c AS (SELECT vec_id AS neighbor_id, e AS cv, bucket FROM tagged),
         scored AS (
             SELECT query_id, neighbor_id,
@@ -2608,11 +2633,44 @@ def _llm_oracles() -> dict[str, str]:
         ) WHERE rnk <= 5
     """
 
+    # Mirrors the in-engine IVF flow: exact fixed-point per-dim centroid
+    # means per label, nearest-centroid re-assignment (L2, rounded,
+    # cluster-id tie-break), then cluster-pruned cosine top-k.
     o["cluster_topk"] = f"""
-        WITH q AS (SELECT vec_id AS query_id, label AS part, embedding AS qv
-                   FROM embeddings WHERE vec_id < 20),
-        c AS (SELECT vec_id AS neighbor_id, label AS part, embedding AS cv
-              FROM embeddings),
+        WITH expl AS (
+            SELECT label AS cluster, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings, generate_series(1, 64) AS g(i)
+        ),
+        per_dim AS (
+            SELECT cluster, pos, {_mean_sql('v', 6)} AS c
+            FROM expl GROUP BY cluster, pos
+        ),
+        centroids AS (
+            SELECT cluster, list(c ORDER BY pos) AS cv2 FROM per_dim GROUP BY cluster
+        ),
+        dists AS (
+            SELECT e.vec_id, c.cluster,
+                   round(list_sum(list_transform(generate_series(1, 64),
+                         i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv2[i])
+                            * (CAST(e.embedding[i] AS DOUBLE) - c.cv2[i]))), 9) AS d2
+            FROM embeddings e CROSS JOIN centroids c
+        ),
+        assigned AS (
+            SELECT vec_id, cluster AS part FROM (
+                SELECT vec_id, cluster,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2 ASC, cluster ASC) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        ),
+        tagged AS (
+            SELECT e.vec_id, e.embedding, a.part
+            FROM embeddings e JOIN assigned a USING (vec_id)
+        ),
+        q AS (SELECT vec_id AS query_id, part, embedding AS qv
+              FROM tagged WHERE vec_id < 20),
+        c AS (SELECT vec_id AS neighbor_id, part, embedding AS cv
+              FROM tagged),
         scored AS (
             SELECT query_id, neighbor_id, {cos} AS cos_sim
             FROM c JOIN q USING (part) WHERE neighbor_id <> query_id

@@ -177,15 +177,23 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     digits: int = 6,
+    hamming_radius: int = 0,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: candidates restricted to the
-    query's hyperplane bucket (single-probe).
+    query's hyperplane bucket, optionally multiprobed.
 
     Scale path: the candidate side is grouped by bucket (2^n_planes
     partitions); a probe touches ~1/2^n_planes of the corpus.  Recall
-    trades against n_planes; multiprobe (hamming-adjacent buckets)
-    raises it without re-indexing.
+    trades against n_planes; ``hamming_radius=1`` additionally probes
+    every bucket one bit-flip away (n_planes + 1 buckets per query) —
+    the standard multiprobe trick that recovers most of the recall a
+    near-boundary vector loses, without re-indexing and still touching
+    only (n_planes+1)/2^n_planes of the corpus.  Each candidate lives
+    in exactly one bucket, so probes never duplicate a (query,
+    candidate) pair and no post-join dedup is needed.
     """
+    if hamming_radius not in (0, 1):
+        raise ValueError("hamming_radius must be 0 (single-probe) or 1")
     planes = hyperplane_signs(n_planes, dim)
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -193,6 +201,15 @@ def lsh_bucketed_topk(
         _norm(F.col(vec_col)).alias("qn"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
+    if hamming_radius == 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p)).cast("int")
+                for p in range(n_planes)
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -266,4 +283,84 @@ def partitioned_topk(
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
+    )
+
+
+def centroids_from_labels(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """IVF "fit" step in-engine: per-cluster per-dimension mean vector.
+
+    ``posexplode`` → grouped exact fixed-point mean per (cluster, pos)
+    → reassembled in position order.  The mean uses the tie-proof
+    integer kernel (:func:`sparkgraft.operators.stats.exact_mean`), so
+    the centroid table is bit-identical under any partitioning — which
+    lets it re-enter the plan as literals (see :func:`assign_nearest`)
+    without nondeterminism.
+
+    Scale: the explode is dim× the row count but feeds a map-side
+    combined partial aggregate, and runs once per (re)fit, not per
+    query — the standard offline IVF training cost.
+    """
+    from sparkgraft.operators.stats import exact_mean, scaled_long
+
+    expl = df.select(
+        F.col(label_col).alias("cluster"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    )
+    per_dim = expl.groupBy("cluster", "pos").agg(
+        exact_mean(
+            F.sum(scaled_long(F.col("v").cast("double"))), F.count("v"), digits
+        ).alias("c")
+    )
+    return per_dim.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+
+
+def assign_nearest(
+    vec: Column, centroids: list[tuple[int, list[float]]], digits: int = 9
+) -> Column:
+    """Nearest-centroid assignment as a pure projection (no shuffle).
+
+    The centroid table enters the plan as literals — the broadcast-
+    without-join-machinery pattern also used for LSH planes — so
+    assignment is codegen arithmetic: one L2 distance per centroid and
+    an ``array_min`` over (distance, cluster) structs.  Distances are
+    rounded before the argmin and ties break on cluster id, keeping the
+    assignment deterministic and engine-portable.
+
+    Like :func:`lsh_bucket`, a vector whose length differs from the
+    centroid dimension raises instead of silently mis-assigning via
+    ``zip_with`` null-padding.
+    """
+    dim = len(centroids[0][1])
+    entries = []
+    for cid, cvec in centroids:
+        lit_c = F.array(*[F.lit(float(x)) for x in cvec])
+        d2 = F.aggregate(
+            F.zip_with(
+                vec,
+                lit_c,
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        entries.append(
+            F.struct(F.round(d2, digits).alias("d"), F.lit(int(cid)).alias("cluster"))
+        )
+    assigned = F.array_min(F.array(*entries)).getField("cluster")
+    return F.when(F.size(vec) == F.lit(dim), assigned).otherwise(
+        F.raise_error(
+            F.format_string(
+                "assign_nearest: embedding length %s != centroid dim " + str(dim),
+                F.size(vec),
+            )
+        )
     )

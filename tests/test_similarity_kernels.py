@@ -41,3 +41,79 @@ def test_lsh_bucket_dim_mismatch_raises(spark):
     ok = spark.createDataFrame([([1.0] * 8,)], "v array<double>")
     got = ok.select(lsh_bucket(F.col("v"), planes).alias("b")).collect()
     assert got[0]["b"] is not None
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_multiprobe_recall_beats_single_probe(spark):
+    """hamming_radius=1 must recover recall lost at bucket boundaries:
+    per-query recall vs the exact brute-force top-k is >= single-probe
+    recall, and materially above it overall on the test corpus."""
+    from sparkgraft.operators.similarity import brute_force_topk, lsh_bucketed_topk
+    from sparkgraft.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter("vec_id < 30")
+    exact = _topk_sets(brute_force_topk(q, emb, k=5))
+    single = _topk_sets(lsh_bucketed_topk(q, emb, k=5, hamming_radius=0))
+    multi = _topk_sets(lsh_bucketed_topk(q, emb, k=5, hamming_radius=1))
+
+    def recall(approx):
+        hits = sum(len(approx.get(k, set()) & v) for k, v in exact.items())
+        return hits / sum(len(v) for v in exact.values())
+
+    r1, r0 = recall(multi), recall(single)
+    assert r1 >= r0
+    # The synthetic embeddings are near-orthogonal (random 64-dim), so
+    # absolute recall is inherently modest at 6 planes; the property
+    # under test is the multiprobe *gain* (observed: ~0.26 vs ~0.05).
+    assert r1 >= 2 * r0, (r0, r1)
+    assert r1 >= 0.15, (r0, r1)
+    # multiprobe probes n_planes+1 of 2^n_planes buckets — still pruned
+    assert all(len(v) <= 5 for v in multi.values())
+
+
+def test_assign_nearest_matches_numpy_argmin(spark):
+    """The literal-argmin projection must agree with a numpy argmin over
+    the same (exact fixed-point) centroid table."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sparkgraft.operators.similarity import assign_nearest, centroids_from_labels
+    from sparkgraft.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = sorted(
+        (r["cluster"], list(r["centroid"]))
+        for r in centroids_from_labels(emb, "label", "embedding").collect()
+    )
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in emb.withColumn(
+            "cluster", assign_nearest(F.col("embedding"), cents)
+        ).collect()
+    }
+    cmat = np.array([c for _, c in cents])
+    cids = np.array([i for i, _ in cents])
+    for r in emb.collect():
+        v = np.array(r["embedding"], dtype="float64")
+        d2 = np.round(((cmat - v) ** 2).sum(axis=1), 9)
+        best = cids[np.lexsort((cids, d2))[0]]
+        assert got[r["vec_id"]] == best, r["vec_id"]
+
+
+def test_assign_nearest_dim_mismatch_raises(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sparkgraft.operators.similarity import assign_nearest
+
+    cents = [(0, [0.0] * 8), (1, [1.0] * 8)]
+    bad = spark.createDataFrame([([1.0] * 5,)], "v array<double>")
+    with pytest.raises(Exception, match="assign_nearest|USER_RAISED"):
+        bad.select(assign_nearest(F.col("v"), cents)).collect()
