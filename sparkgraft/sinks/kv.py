@@ -15,6 +15,21 @@ from pyspark.sql import functions as F
 
 from sparkgraft.functions.expr import content_id
 
+# Driver-side sinks (K1/K2) exist for exact-name single-file contracts
+# on *tiny* per-file results; this cap makes a misuse on a big frame
+# fail loudly instead of OOMing the driver.
+MAX_DRIVER_SINK_ROWS = 1_000_000
+
+
+def _guard_driver_sink(df: DataFrame, sink: str) -> None:
+    n = df.limit(MAX_DRIVER_SINK_ROWS + 1).count()
+    if n > MAX_DRIVER_SINK_ROWS:
+        raise ValueError(
+            f"{sink}: result exceeds {MAX_DRIVER_SINK_ROWS} rows — this "
+            "driver-side single-file sink is for tiny per-file outputs; "
+            "use df.write.csv/parquet for large results"
+        )
+
 
 def stats_to_kv(stats: DataFrame, key_col: str = "channel", file_stem: str | None = None) -> DataFrame:
     """P2/K3 — per-channel stats → Redis-hash-style (field, value) rows.
@@ -83,6 +98,7 @@ def write_matlab(samples: DataFrame, path: str, sample_rate: float) -> None:
             "treats this sink as optional (never wired into the live flow)"
         ) from e
 
+    _guard_driver_sink(samples, "write_matlab")
     pdf = samples.toPandas().sort_values(["channel", "ts"])
     mat: dict = {}
     for i, (ch, grp) in enumerate(pdf.groupby("channel")):
@@ -106,4 +122,5 @@ def write_stats_csv(stats, path: str) -> None:
     driver for an exact-named single file matches the reference
     contract, while large results should use ``df.write.csv``.
     """
+    _guard_driver_sink(stats, "write_stats_csv")
     stats.toPandas().to_csv(path, index=False)

@@ -79,3 +79,71 @@ def ewma_stream(
     return grouped_stream.groupBy(key_col).applyInPandasWithState(
         update, OUTPUT_SCHEMA, STATE_SCHEMA, "append", timeout
     )
+
+
+def ewma_stream_tws(
+    grouped_stream: DataFrame,
+    alpha: float,
+    key_col: str = "channel",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """:func:`ewma_stream` on the ``transformWithStateInPandas`` API —
+    the successor to ``applyInPandasWithState`` (SPARK-49564; explicit
+    typed state handles, timers, composite state).  Output and state
+    semantics are identical to :func:`ewma_stream` (equality-tested),
+    future-proofing T5 as the old API deprecates.
+
+    Requirements (both checked/raised here rather than failing deep in
+    the stream): the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...state.RocksDBStateStoreProvider`` — the default HDFS-backed
+    provider does not support transformWithState), and ``protobuf``
+    (the TWS driver-worker protocol imports ``google.protobuf``; absent
+    from this container, so the call raises NotImplementedError at the
+    exact import boundary, like the scipy/PIL-gated sinks).
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "transformWithStateInPandas needs protobuf (google.protobuf) "
+            "for its driver-worker protocol; not installed in this "
+            "container — use ewma_stream (applyInPandasWithState) instead"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ts_name, val_name = ts_col, value_col
+
+    class EwmaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            if ttl_ms is not None:
+                self._state = handle.getValueState("ewma", STATE_SCHEMA, ttl_ms)
+            else:
+                self._state = handle.getValueState("ewma", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            prev = self._state.get() if self._state.exists() else None
+            ewma, n = prev if prev is not None else (None, 0)
+            batch = pd.concat(list(rows), ignore_index=True).sort_values(ts_name)
+            for v in batch[val_name]:
+                ewma = v if ewma is None else alpha * v + (1.0 - alpha) * ewma
+            n += len(batch)
+            self._state.update((float(ewma), int(n)))
+            yield pd.DataFrame(
+                {"channel": [key[0]], "ewma": [float(ewma)], "n_samples": [int(n)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return grouped_stream.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=EwmaProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

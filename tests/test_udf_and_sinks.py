@@ -60,3 +60,15 @@ def test_stats_csv_name_fidelity(spark, tmp_path):
     assert by_ch["T_T1"]["mean"] == "2.0"
     assert by_ch["BS_X"]["min"] == "5.0"
     assert set(rows[0].keys()) == {"channel", "mean", "min", "max"}
+
+
+def test_driver_sink_row_cap_fails_loudly(spark, tmp_path):
+    """K1/K2 driver-side sinks are for tiny per-file results — a big
+    frame must raise instead of OOMing the driver via toPandas."""
+    import pytest
+
+    from sparkgraft.sinks import kv
+
+    big = spark.range(kv.MAX_DRIVER_SINK_ROWS + 1)
+    with pytest.raises(ValueError, match="write_stats_csv"):
+        kv.write_stats_csv(big, str(tmp_path / "big.csv"))
