@@ -531,6 +531,62 @@ def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# E3 — metadata event store (restapi/app_fs.py:42-51,92-95,123-129).
+# The fetch adapter is driver-side (examples/e3_event_store.py, S6 is
+# not a Spark op per SURVEY §2.1); this fixture is the post-fetch batch
+# shared verbatim with the DuckDB oracle.
+# --------------------------------------------------------------------------
+
+EVENT_STORE_FIXTURE: list[tuple] = [
+    # (metadata_url, message_type, created_at, data_url, version, stored_at)
+    ("http://s1/meta", "new_data", "2025-01-01T00:00:00Z", "http://s1/d.bin", "1", "2025-06-01 00:00:00"),
+    # exact duplicate payload, later arrival → dropped (first write wins)
+    ("http://s1/meta", "new_data", "2025-01-01T00:00:00Z", "http://s1/d.bin", "1", "2025-06-01 00:00:05"),
+    ("http://s2/meta", "new_data", "2025-01-02T00:00:00Z", "http://s2/d.bin", "1", "2025-06-01 00:00:01"),
+    ("http://s3/meta", "alarm", "2025-01-03T00:00:00Z", "http://s3/d.bin", "2", "2025-06-01 00:00:02"),
+    # missing timestamp → rejected by validation (app_fs.py:94)
+    ("http://bad1/meta", "new_data", None, "http://bad1/d.bin", "1", "2025-06-01 00:00:03"),
+    # missing data_url → rejected by validation (app_fs.py:92)
+    ("http://bad2/meta", "new_data", "2025-01-04T00:00:00Z", None, "1", "2025-06-01 00:00:04"),
+    # same URL, new payload → distinct content id, kept
+    ("http://s2/meta", "new_data", "2025-01-05T00:00:00Z", "http://s2/d2.bin", "2", "2025-06-01 00:00:06"),
+]
+
+
+def q_event_store_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6(E3)/P10/D3/F8/K5 — validate → 16-hex sha256 content id →
+    first-write-wins dedup, the engine projection behind the reference's
+    event store endpoint (restapi/app_fs.py:42-51,92-95,123-129)."""
+    from sparkgraft.sinks.kv import dedup_events, with_event_ids
+
+    df = spark.createDataFrame(
+        EVENT_STORE_FIXTURE,
+        "metadata_url string, message_type string, created_at string, "
+        "data_url string, version string, stored_at string",
+    ).withColumn("stored_at", F.to_timestamp("stored_at"))
+    valid = df.filter(
+        F.col("data_url").isNotNull() & F.col("created_at").isNotNull()
+    )
+    with_ids = with_event_ids(
+        valid, "metadata_url", "message_type", "created_at", "data_url", "version"
+    )
+    return dedup_events(with_ids, "stored_at")
+
+
+def _event_store_values_sql() -> str:
+    def lit(v):
+        return "NULL" if v is None else "'" + v.replace("'", "''") + "'"
+
+    rows = ", ".join(
+        "(" + ", ".join(lit(v) for v in row) + ")" for row in EVENT_STORE_FIXTURE
+    )
+    return (
+        f"(VALUES {rows}) AS t(metadata_url, message_type, created_at, "
+        "data_url, version, stored_at_s)"
+    )
+
+
+# --------------------------------------------------------------------------
 # S4 — semi-structured crack-report parsing (file_analysis.py:7-86).
 # The fixture is a shared literal so the Spark pipeline and the DuckDB
 # oracle parse the exact same input (FIXTURES.md §A3 shape).
@@ -1177,6 +1233,74 @@ def q_streaming_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(collected, "field string, value string")
 
 
+def q_backfill_dated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/S7 backfill (rows-only): drain a ``date=YYYY-MM-DD``
+    partitioned landing zone with Trigger.AvailableNow, pruned to the
+    backfill window (every date after the oldest) — the engine analog of
+    the reference's finished/-directory reprocessing
+    (helper/processing.py:8-34).  Partition pruning at the scan is
+    asserted in tests/test_layout.py::test_backfill_date_pruning.
+
+    Memoized per sf_dir like the other streaming fixtures."""
+    import tempfile
+
+    cached = _FIXTURE_CACHE.get(("backfill_dated", sf_dir))
+    if cached is not None:
+        return spark.createDataFrame(
+            cached, "date string, event_type string, n long"
+        )
+
+    events = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_backfill_")
+    landing = f"{tmp}/landing"
+    (
+        events.select(
+            "event_id",
+            "event_type",
+            "value",
+            F.date_format("ts", "yyyy-MM-dd").alias("date"),
+        )
+        .repartition(4)
+        .write.partitionBy("date")
+        .parquet(landing)
+    )
+    dates = sorted(
+        r["date"]
+        for r in spark.read.parquet(landing).select("date").distinct().collect()
+    )
+    backfill_from = dates[1] if len(dates) > 1 else dates[0]
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, event_type string, value double, date string"
+        )
+        .format("parquet")
+        .load(landing)
+        .filter(F.col("date") >= backfill_from)
+    )
+    collected: list = []
+    q = (
+        stream.groupBy("date", "event_type")
+        .agg(F.count("*").alias("n"))
+        .writeStream.foreachBatch(
+            lambda b, _i: collected.extend(b.collect())
+        )
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # complete-mode re-emits the full aggregate per batch; keep the last
+    # emission's rows (one row per (date, event_type)).
+    final: dict[tuple, int] = {}
+    for r in collected:
+        final[(r["date"], r["event_type"])] = r["n"]
+    rows = sorted((d, t, n) for (d, t), n in final.items())
+    _FIXTURE_CACHE[("backfill_dated", sf_dir)] = rows
+    return spark.createDataFrame(rows, "date string, event_type string, n long")
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram per channel (bucket = floor(value/10)) —
     the classic distribution profile over sensor values."""
@@ -1544,7 +1668,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_projections": q_time_projections,
     "union_dedup": q_union_dedup,
     "latest_fallback": q_latest_fallback,
-    "json_extract": q_json_extract,
+    "event_store_dedup": q_event_store_dedup,
     # --- LLM-data-pipeline first-class set ---
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
@@ -1564,7 +1688,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1_flagship": q_e1_flagship,
     "streaming_ewma": q_streaming_ewma,
     # ---- position 51+: second witnesses / engine extras --------------------
+    # (json_extract is the F13 second witness — alarm_trigger, in-window,
+    # also exercises F13's JSON-props extraction.)
+    "json_extract": q_json_extract,
     "streaming_stats": q_streaming_stats,
+    "backfill_dated": q_backfill_dated,
     "window_analytics": q_window_analytics,
     "session_windows": q_session_windows,
     "range_join": q_range_join,
@@ -2712,6 +2840,30 @@ def _llm_oracles() -> dict[str, str]:
     """
     return o
 
+
+ORACLES["event_store_dedup"] = f"""
+    WITH src AS (
+        SELECT metadata_url, message_type, created_at, data_url, version,
+               CAST(stored_at_s AS TIMESTAMP) AS stored_at
+        FROM {_event_store_values_sql()}
+    ),
+    valid AS (
+        SELECT * FROM src
+        WHERE data_url IS NOT NULL AND created_at IS NOT NULL
+    ),
+    ids AS (
+        SELECT *, substr(sha256(concat_ws('|', metadata_url, message_type,
+                   created_at, data_url, version)), 1, 16) AS event_id
+        FROM valid
+    )
+    SELECT metadata_url, message_type, created_at, data_url, version,
+           stored_at, event_id
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_id
+                                     ORDER BY stored_at ASC) AS rn
+        FROM ids
+    ) WHERE rn = 1
+"""
 
 ORACLES.update(_report_oracles())
 ORACLES.update(_llm_oracles())
