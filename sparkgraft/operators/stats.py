@@ -129,16 +129,19 @@ def extended_stats(
     """
     v = F.col(value) if isinstance(value, str) else value
     vv = F.when(~F.isnan(v), v)  # NaN → NULL: skipped by every aggregate
-    # Fixed-point integer moments: w = round(v*1e3) is EXACT for data
-    # with <= 3 decimals and long sums run at hardware speed.  The
-    # square is accumulated in DECIMAL(38,0) so w*w cannot silently
-    # wrap a long for |v| >= ~3e6 — the decimal cast happens once per
-    # row pre-aggregation and keeps the sum exact to 10^38.
-    w = F.round(vv * F.lit(1000.0), 0).cast("long")
+    # Fixed-point integer moments at MEAN_SCALE (1e6): w = round(v*1e6)
+    # is EXACT for data with <= 6 decimals — the same quantum as the
+    # DuckDB oracle's DECIMAL(27,6) cast, so the two engines square and
+    # sum identical integers (a 1e3 quantum would silently diverge on
+    # 4-6-decimal data).  Long sums run at hardware speed; the square
+    # is accumulated in DECIMAL(38,0) (w*w up to 1e32 for |v| ~ 1e10)
+    # so nothing wraps — the decimal cast happens once per row
+    # pre-aggregation and keeps the sum exact to 10^38.
+    w = F.round(vv * F.lit(float(MEAN_SCALE)), 0).cast("long")
     wd = w.cast("decimal(38,0)")
     n = F.count(vv)  # non-NaN denominator for mean/var
-    s1 = F.sum(w).cast("double") / F.lit(1.0e3)
-    s2 = F.sum(wd * wd).cast("double") / F.lit(1.0e6)
+    s1 = F.sum(w).cast("double") / F.lit(1.0e6)
+    s2 = F.sum(wd * wd).cast("double") / F.lit(1.0e12)
     var = (s2 - s1 * s1 / n) / (n - F.lit(1))
     return df.groupBy(*keys).agg(
         F.count(v).alias("n_rows"),

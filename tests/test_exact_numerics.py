@@ -81,3 +81,70 @@ def test_extended_stats_nan_exclusion_and_singleton(spark):
     assert a["p50"] == 2.0 and a["p90"] == 2.8
     b = out["b"]
     assert b["n_rows"] == 1 and b["std"] is None and b["mean"] == 7.5
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.decimals(
+            min_value=-10**6, max_value=10**6, places=6, allow_nan=False
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_extended_stats_cross_engine_six_decimals(spark, decs):
+    """extended_stats must hash-match the DuckDB oracle formula on
+    6-decimal data — the moments quantize at 1e6 on both sides (a 1e3
+    Spark-side quantum silently diverged here)."""
+    import math
+
+    import duckdb
+
+    from sparkgraft.operators.stats import extended_stats
+
+    rows = [("g", float(d)) for d in decs] + [("g", float("nan")), ("s", 1.5)]
+    df = spark.createDataFrame(rows, "k string, value double")
+    got = {
+        r["k"]: tuple(r)[1:] for r in extended_stats(df, ["k"], "value", 4).collect()
+    }
+
+    vals = ", ".join(f"('g', {float(d)!r})" for d in decs)
+    sql = f"""
+        WITH src AS (
+            SELECT k, value,
+                   CASE WHEN isnan(value) THEN NULL ELSE value END AS vv
+            FROM (VALUES {vals}, ('g', CAST('nan' AS DOUBLE)), ('s', 1.5)) AS t(k, value)
+        )
+        SELECT k,
+               count(value) AS n_rows,
+               count(CASE WHEN isnan(value) THEN 1 END) AS n_nans,
+               round(cast(sum(cast(vv AS DECIMAL(27,6))) AS DOUBLE) / count(vv), 4) AS mean,
+               round(min(vv), 4) AS "min",
+               round(max(vv), 4) AS "max",
+               CASE WHEN count(vv) > 1 THEN
+                   round(sqrt(greatest((cast(sum(cast(cast(vv AS DECIMAL(27,6)) * cast(vv AS DECIMAL(27,6)) AS DECIMAL(38,12))) AS DOUBLE)
+                               - cast(sum(cast(vv AS DECIMAL(27,6))) AS DOUBLE) * cast(sum(cast(vv AS DECIMAL(27,6))) AS DOUBLE) / count(vv))
+                              / (count(vv) - 1), 0.0)), 4)
+               END AS std,
+               round(quantile_cont(vv, 0.5), 4) AS p50,
+               round(quantile_cont(vv, 0.9), 4) AS p90
+        FROM src GROUP BY k
+    """
+    want = {r[0]: tuple(r)[1:] for r in duckdb.sql(sql).fetchall()}
+
+    def close(a, b):
+        if a is None or b is None:
+            return a is None and b is None
+        if isinstance(a, float) and isinstance(b, float):
+            if math.isnan(a) or math.isnan(b):
+                return math.isnan(a) and math.isnan(b)
+            return a == b
+        return a == b
+
+    for k in ("g", "s"):
+        assert all(close(a, b) for a, b in zip(got[k], want[k])), (
+            k,
+            got[k],
+            want[k],
+        )
