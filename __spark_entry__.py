@@ -769,9 +769,10 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cluster_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style pruned cosine top-5, fully self-contained: the centroid
     table is fit in-engine (exact per-dimension fixed-point means per
-    label), every vector is re-assigned to its nearest centroid by a
-    literal-argmin projection, and the search is pruned to the query's
-    assigned cluster (nprobe=1)."""
+    label), every candidate is assigned to its nearest centroid by a
+    literal-argmin projection, and each query probes its 2 nearest
+    clusters (nprobe=2) — candidates stay single-cluster, so probes
+    never duplicate a (query, candidate) pair."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = SIM.centroids_from_labels(emb, "label", "embedding", digits=6)
     cent_rows = sorted(
@@ -780,12 +781,13 @@ def q_cluster_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = emb.withColumn(
         "cluster", SIM.assign_nearest(F.col("embedding"), cent_rows)
     )
-    return SIM.partitioned_topk(
-        assigned.filter(F.col("vec_id") < 20),
-        assigned,
-        k=5,
-        partition_col="cluster",
+    probing = emb.filter(F.col("vec_id") < 20).withColumn(
+        "cluster",
+        F.explode(
+            SIM.assign_nearest_multi(F.col("embedding"), cent_rows, nprobe=2)
+        ),
     )
+    return SIM.partitioned_topk(probing, assigned, k=5, partition_col="cluster")
 
 
 def q_debounce_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2812,22 +2814,23 @@ def _llm_oracles() -> dict[str, str]:
                             * (CAST(e.embedding[i] AS DOUBLE) - c.cv2[i]))), 9) AS d2
             FROM embeddings e CROSS JOIN centroids c
         ),
+        ranked AS (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2 ASC, cluster ASC) AS rn
+            FROM dists
+        ),
         assigned AS (
-            SELECT vec_id, cluster AS part FROM (
-                SELECT vec_id, cluster,
-                       row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY d2 ASC, cluster ASC) AS rn
-                FROM dists
-            ) WHERE rn = 1
+            SELECT vec_id, cluster AS part FROM ranked WHERE rn = 1
         ),
-        tagged AS (
-            SELECT e.vec_id, e.embedding, a.part
-            FROM embeddings e JOIN assigned a USING (vec_id)
+        probes AS (
+            SELECT vec_id, cluster AS part FROM ranked
+            WHERE rn <= 2 AND vec_id < 20
         ),
-        q AS (SELECT vec_id AS query_id, part, embedding AS qv
-              FROM tagged WHERE vec_id < 20),
-        c AS (SELECT vec_id AS neighbor_id, part, embedding AS cv
-              FROM tagged),
+        q AS (SELECT e.vec_id AS query_id, p.part, e.embedding AS qv
+              FROM embeddings e JOIN probes p USING (vec_id)),
+        c AS (SELECT e.vec_id AS neighbor_id, a.part, e.embedding AS cv
+              FROM embeddings e JOIN assigned a USING (vec_id)),
         scored AS (
             SELECT query_id, neighbor_id, {cos} AS cos_sim
             FROM c JOIN q USING (part) WHERE neighbor_id <> query_id

@@ -364,3 +364,49 @@ def assign_nearest(
             )
         )
     )
+
+
+def assign_nearest_multi(
+    vec: Column,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+    digits: int = 9,
+) -> Column:
+    """The ``nprobe`` nearest cluster ids, nearest-first — the IVF
+    probe list for the query side (candidates keep their single
+    :func:`assign_nearest` cluster, so probing p clusters never
+    duplicates a (query, candidate) pair).
+
+    Same literal-table/no-shuffle construction as
+    :func:`assign_nearest`; ties break on cluster id via the struct
+    sort, so probe order is deterministic.
+    """
+    dim = len(centroids[0][1])
+    entries = []
+    for cid, cvec in centroids:
+        lit_c = F.array(*[F.lit(float(x)) for x in cvec])
+        d2 = F.aggregate(
+            F.zip_with(
+                vec,
+                lit_c,
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        entries.append(
+            F.struct(F.round(d2, digits).alias("d"), F.lit(int(cid)).alias("cluster"))
+        )
+    probes = F.transform(
+        F.slice(F.array_sort(F.array(*entries)), 1, nprobe),
+        lambda s: s["cluster"],
+    )
+    return F.when(F.size(vec) == F.lit(dim), probes).otherwise(
+        F.raise_error(
+            F.format_string(
+                "assign_nearest_multi: embedding length %s != centroid dim "
+                + str(dim),
+                F.size(vec),
+            )
+        )
+    )

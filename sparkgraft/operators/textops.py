@@ -105,11 +105,15 @@ def minhash_dedup_pairs(
     """
     rows = num_hashes // bands
     # CPU-heavy per-row work (k x hashes md5 per doc) must not inherit
-    # the scan's partitioning: a single-file scan is one task, which
-    # serializes the whole signature computation.  Spread rows across
-    # the cluster first — the corpus is tiny relative to the hash work.
+    # a NARROW scan partitioning: a single-file scan is one task, which
+    # serializes the whole signature computation.  Only widen when the
+    # scan is actually narrower than the cluster — an unconditional
+    # repartition would instead SHRINK a wide 100 TB scan (thousands of
+    # partitions) into defaultParallelism through a pointless full
+    # shuffle of the raw text.
     sc = docs.sparkSession.sparkContext
-    docs = docs.repartition(sc.defaultParallelism)
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
     # The shingle+signature pipeline feeds four plan branches (two sides
     # of the candidate self-join, two verify lookups) — persist it so the
     # md5-heavy work runs once.  The cached form is compact: id + shingle

@@ -117,3 +117,46 @@ def test_assign_nearest_dim_mismatch_raises(spark):
     bad = spark.createDataFrame([([1.0] * 5,)], "v array<double>")
     with pytest.raises(Exception, match="assign_nearest|USER_RAISED"):
         bad.select(assign_nearest(F.col("v"), cents)).collect()
+
+
+def test_ivf_nprobe2_recall_beats_nprobe1(spark):
+    """Probing the 2 nearest clusters must recover recall lost at
+    cluster boundaries, never lose any."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.operators.similarity import (
+        assign_nearest,
+        assign_nearest_multi,
+        brute_force_topk,
+        centroids_from_labels,
+        partitioned_topk,
+    )
+    from sparkgraft.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = sorted(
+        (r["cluster"], list(r["centroid"]))
+        for r in centroids_from_labels(emb, "label", "embedding").collect()
+    )
+    assigned = emb.withColumn(
+        "cluster", assign_nearest(F.col("embedding"), cents)
+    )
+    q = emb.filter("vec_id < 30")
+    exact = _topk_sets(brute_force_topk(q, emb, k=5))
+
+    def ivf(nprobe):
+        probing = q.withColumn(
+            "cluster",
+            F.explode(assign_nearest_multi(F.col("embedding"), cents, nprobe)),
+        )
+        return _topk_sets(partitioned_topk(probing, assigned, k=5, partition_col="cluster"))
+
+    def recall(approx):
+        hits = sum(len(approx.get(k, set()) & v) for k, v in exact.items())
+        return hits / sum(len(v) for v in exact.values())
+
+    r1, r2 = recall(ivf(1)), recall(ivf(2))
+    assert r2 >= r1, (r1, r2)
+    # nprobe=1 list is a strict prefix of the nprobe=2 probe set, so
+    # every nprobe=1 candidate is still scored.
+    assert r2 > 0, (r1, r2)
