@@ -719,6 +719,31 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lang_id(_t(spark, sf_dir, "documents"))
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/diversity gate (distinct ratio, top-token share) —
+    the boilerplate/degenerate-text filter for training-data curation;
+    shuffle-free array expressions."""
+    return T.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+# PII-scrub fixture shared verbatim with the DuckDB oracle (the
+# synthetic documents corpus contains no PII-shaped strings).
+PII_FIXTURE: list[tuple[int, str]] = [
+    (1, "contact alice.smith+test@example-corp.io or call +1-555-123-4567 today"),
+    (2, "servers 192.168.0.1 and 10.0.0.255 responded; admin@ops.net notified"),
+    (3, "no sensitive content here at all"),
+    (4, "dual: bob@x.org bob@x.org and +49 30 901820 (landline)"),
+]
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / IPv4 / intl phones → typed placeholders
+    + per-kind counts) — regexp_replace chain, no UDF, RE2/Java-portable
+    patterns mirrored exactly by the oracle."""
+    df = spark.createDataFrame(PII_FIXTURE, "doc_id long, text string")
+    return T.pii_redact(df)
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-sampled char-8-gram document fingerprint."""
     return T.fingerprint(_t(spark, sf_dir, "documents"), k=8)
@@ -1715,6 +1740,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unicode_scalars": q_unicode_scalars,
     "calendar_projections": q_calendar_projections,
     "correlation_stats": q_correlation_stats,
+    "repetition_stats": q_repetition_stats,
+    "pii_redact": q_pii_redact,
 }
 
 
@@ -2840,6 +2867,48 @@ def _llm_oracles() -> dict[str, str]:
                                          ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
             FROM scored
         ) WHERE rnk <= 5
+    """
+
+    o["repetition_stats"] = r"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+            FROM documents
+        ),
+        d AS (SELECT doc_id, toks, list_distinct(toks) AS dst FROM t)
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(dst) AS n_distinct,
+               round(CAST(len(dst) AS DOUBLE) / len(toks), 4) AS distinct_ratio,
+               round(CAST(list_max(list_transform(dst,
+                     tk -> len(list_filter(toks, x -> x = tk)))) AS DOUBLE)
+                     / len(toks), 4) AS top_token_share
+        FROM d
+    """
+
+    from sparkgraft.operators.textops import PII_PATTERNS
+
+    pii_values = ", ".join(
+        "({}, '{}')".format(i, s.replace("'", "''")) for i, s in PII_FIXTURE
+    )
+    pats = dict(PII_PATTERNS)
+    o["pii_redact"] = f"""
+        WITH src AS (SELECT * FROM (VALUES {pii_values}) AS t(doc_id, text)),
+        s1 AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{pats["email"]}')) AS n_email,
+                   regexp_replace(text, '{pats["email"]}', '[EMAIL]', 'g') AS r1
+            FROM src
+        ),
+        s2 AS (
+            SELECT doc_id, n_email,
+                   len(regexp_extract_all(r1, '{pats["ipv4"]}')) AS n_ipv4,
+                   regexp_replace(r1, '{pats["ipv4"]}', '[IPV4]', 'g') AS r2
+            FROM s1
+        )
+        SELECT doc_id, n_email, n_ipv4,
+               len(regexp_extract_all(r2, '{pats["phone"]}')) AS n_phone,
+               regexp_replace(r2, '{pats["phone"]}', '[PHONE]', 'g') AS redacted
+        FROM s2
     """
     return o
 

@@ -337,3 +337,71 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         F.array_min(hashes).alias("fingerprint"),
         F.size(F.array_distinct(sh)).alias("n_shingles"),
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    digits: int = 4,
+) -> DataFrame:
+    """Repetition/diversity gate for training-data curation: per-doc
+    token counts, distinct ratio, and the share of the single most
+    frequent token — the standard boilerplate/degenerate-text filter
+    (high top-token share or low distinct ratio → drop or downweight).
+
+    Pure array expressions, shuffle-free (scan-speed at 100 TB): the
+    mode count is an ``aggregate`` over the distinct-token array
+    (O(distinct x tokens) per row, bounded — web docs have far fewer
+    distinct tokens than tokens).  Ratios are exact integer divisions
+    rounded once, so the result is engine-portable.
+    """
+    toks = tokenize(F.col(text_col))
+    distinct = F.array_distinct(toks)
+    top = F.aggregate(
+        distinct,
+        F.lit(0),
+        lambda acc, t: F.greatest(
+            acc, F.size(F.filter(toks, lambda x: x == t))
+        ),
+    )
+    n = F.size(toks)
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.size(distinct).alias("n_distinct"),
+        F.round(F.size(distinct).cast("double") / n, digits).alias(
+            "distinct_ratio"
+        ),
+        F.round(top.cast("double") / n, digits).alias("top_token_share"),
+    )
+
+
+# Scrubbing patterns shared with the DuckDB oracle: plain character
+# classes only (no lookarounds), valid in both Java regex and RE2.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\+\d{1,3}(?:[- ]?\d{2,4}){1,4}\b"),
+]
+
+
+def pii_redact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrubbing for training-data pipelines: replace emails, IPv4
+    addresses and international phone numbers with typed placeholders
+    and report per-kind match counts.
+
+    A chain of ``regexp_replace`` projections — shuffle-free,
+    whole-stage codegen, no UDF; patterns are RE2/Java-portable so the
+    DuckDB oracle applies the identical scrub.
+    """
+    red = F.col(text_col)
+    counts = []
+    for kind, pat in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(red, F.lit(pat), 0)).alias(f"n_{kind}")
+        )
+        red = F.regexp_replace(red, F.lit(pat), F.lit(f"[{kind.upper()}]"))
+    return docs.select(F.col(id_col), *counts, red.alias("redacted"))

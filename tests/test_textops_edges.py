@@ -60,3 +60,34 @@ def test_fingerprint_short_text(spark):
     df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     r = T.fingerprint(df, k=8).collect()[0]
     assert r["fingerprint"] is None and r["n_shingles"] == 0
+
+
+def test_repetition_stats_degenerate_doc(spark):
+    """A fully repetitive doc scores top_token_share=1.0 / low distinct
+    ratio; a diverse doc scores distinct_ratio=1.0."""
+    from sparkgraft.operators.textops import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all tokens here differ")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["top_token_share"] == 1.0 and got[1]["n_distinct"] == 1
+    assert got[1]["distinct_ratio"] == 0.25
+    assert got[2]["distinct_ratio"] == 1.0 and got[2]["top_token_share"] == 0.25
+
+
+def test_pii_redact_clean_and_overlapping(spark):
+    """Placeholders must not cascade (an [EMAIL] replacement is never
+    re-matched by ipv4/phone), clean docs pass through unchanged."""
+    from sparkgraft.operators.textops import pii_redact
+
+    df = spark.createDataFrame(
+        [(1, "x@y.io at 1.2.3.4 phone +44 20 7946 0958"), (2, "clean text")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_ipv4"] == 1 and got[1]["n_phone"] == 1
+    assert got[1]["redacted"] == "[EMAIL] at [IPV4] phone [PHONE]"
+    assert got[2]["redacted"] == "clean text"
+    assert (got[2]["n_email"], got[2]["n_ipv4"], got[2]["n_phone"]) == (0, 0, 0)
