@@ -71,6 +71,9 @@ HEADLINE = [
     "scalar_functions",
     "minhash_dedup",
     "cosine_topk",
+    "cluster_topk",
+    "lsh_ann_topk",
+    "repetition_stats",
     "text_stats",
     "pivot_wide",
     "range_join",

@@ -410,3 +410,35 @@ def assign_nearest_multi(
             )
         )
     )
+
+
+def kmeans_iterate(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    iters: int = 1,
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd k-means refinement in-engine: each iteration assigns every
+    vector to its nearest centroid (:func:`assign_nearest` — shuffle-
+    free literal-argmin projection) and re-fits centroids as exact
+    per-dimension fixed-point means (:func:`centroids_from_labels` —
+    one map-side-combined aggregate).
+
+    One Spark job per iteration; the centroid table round-trips through
+    the driver (it is small by definition — the same "broadcast" scale
+    assumption as assignment itself).  Because both steps are exact and
+    tie-broken, the trajectory is deterministic: same data + same seed
+    centroids → bit-identical centroids every run, under any
+    partitioning.  Empty clusters simply drop out of the re-fit (their
+    id disappears), matching the standard Lloyd behavior.
+    """
+    for _ in range(iters):
+        assigned = df.withColumn(
+            "cluster", assign_nearest(F.col(vec_col), centroids)
+        )
+        cents_df = centroids_from_labels(assigned, "cluster", vec_col, digits)
+        centroids = sorted(
+            (r["cluster"], list(r["centroid"])) for r in cents_df.collect()
+        )
+    return centroids

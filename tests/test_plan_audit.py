@@ -59,3 +59,37 @@ def test_aggregation_is_partial_final(spark):
     df = entrymod.q_channel_stats(spark, SF_DIR)
     plan = audit.explain_str(df)
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_repetition_stats_shuffle_free(spark):
+    # The repetition gate claims scan-speed: pure projection, zero
+    # exchanges.
+    df = entrymod.q_repetition_stats(spark, SF_DIR)
+    assert audit.count_shuffles(df) == 0, audit.explain_str(df)
+
+
+def test_pii_redact_shuffle_free(spark):
+    df = entrymod.q_pii_redact(spark, SF_DIR)
+    assert audit.count_shuffles(df) == 0, audit.explain_str(df)
+
+
+def test_lsh_multiprobe_stays_broadcast(spark):
+    # Multiprobe explodes the query side 7x — it must remain the small
+    # broadcast side, never flipping the candidate scan into a shuffle
+    # join.
+    df = entrymod.q_lsh_ann_topk(spark, SF_DIR)
+    assert audit.has_broadcast_join(df), audit.explain_str(df)
+
+
+def test_assign_nearest_is_projection(spark):
+    # Centroid assignment is literal-argmin arithmetic: adding the
+    # cluster column must introduce no exchange over the scan.
+    from pyspark.sql import functions as F
+
+    from sparkgraft.operators.similarity import assign_nearest
+    from sparkgraft.sources.readers import read_table
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cents = [(i, [float(i)] * 64) for i in range(4)]
+    df = emb.withColumn("cluster", assign_nearest(F.col("embedding"), cents))
+    assert audit.count_shuffles(df) == 0, audit.explain_str(df)

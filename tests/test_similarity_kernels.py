@@ -160,3 +160,36 @@ def test_ivf_nprobe2_recall_beats_nprobe1(spark):
     # nprobe=1 list is a strict prefix of the nprobe=2 probe set, so
     # every nprobe=1 candidate is still scored.
     assert r2 > 0, (r1, r2)
+
+
+def test_kmeans_iterate_monotone_and_deterministic(spark):
+    """Lloyd iterations must not increase inertia, and the trajectory
+    must be bit-identical across runs (exact fixed-point centroids,
+    tie-broken assignment)."""
+    import numpy as np
+
+    from sparkgraft.operators.similarity import (
+        centroids_from_labels,
+        kmeans_iterate,
+    )
+    from sparkgraft.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    seed = sorted(
+        (r["cluster"], list(r["centroid"]))
+        for r in centroids_from_labels(emb, "label", "embedding").collect()
+    )
+    data = np.array([r["embedding"] for r in emb.collect()], dtype="float64")
+
+    def inertia(cents):
+        cmat = np.array([c for _, c in cents])
+        d2 = ((data[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+        return d2.min(axis=1).sum()
+
+    c1 = kmeans_iterate(emb, seed, iters=1)
+    c2 = kmeans_iterate(emb, c1, iters=1)
+    assert inertia(c1) <= inertia(seed) + 1e-6
+    assert inertia(c2) <= inertia(c1) + 1e-6
+    # Determinism: same seed, same result.
+    again = kmeans_iterate(emb, seed, iters=1)
+    assert again == c1
