@@ -37,9 +37,16 @@ from sparkgraft.operators.relational import (
 from sparkgraft.operators.reshape import long_to_wide, wide_to_long
 from sparkgraft.operators.scale import bucketed_join, salted_join, write_bucketed
 from sparkgraft.operators.similarity import (
+    assign_nearest,
+    assign_nearest_multi,
     brute_force_topk,
+    centroids_from_labels,
     cosine,
     cosine_pandas_udf,
+    hyperplane_signs,
+    kmeans_iterate,
+    lsh_bucket,
+    lsh_bucketed_topk,
     partitioned_topk,
 )
 from sparkgraft.operators.stats import (
@@ -60,6 +67,8 @@ from sparkgraft.operators.textops import (
     lang_id,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
+    pii_redact,
+    repetition_stats,
     simhash16,
     text_stats,
     tokenize,
@@ -88,6 +97,6 @@ from sparkgraft.sources.report import (
     parse_report_meta,
 )
 from sparkgraft.streaming.pipeline import FilePipeline, HealthBoard, stable_files
-from sparkgraft.streaming.stateful import ewma_stream
+from sparkgraft.streaming.stateful import ewma_stream, ewma_stream_tws
 
 __all__ = [name for name in dir() if not name.startswith("_")]
