@@ -719,6 +719,17 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lang_id(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the MinHash pair
+    table (min-label propagation ≡ recursive-CTE min-reachable), with
+    the kept representative per duplicate group — the step that turns
+    pair detection into actual corpus dedup."""
+    from sparkgraft.operators.graph import dedup_representatives
+
+    pairs = q_minhash_dedup(spark, sf_dir)
+    return dedup_representatives(pairs, "id_a", "id_b")
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition/diversity gate (distinct ratio, top-token share) —
     the boilerplate/degenerate-text filter for training-data curation;
@@ -1749,6 +1760,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "correlation_stats": q_correlation_stats,
     "repetition_stats": q_repetition_stats,
     "pii_redact": q_pii_redact,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 
@@ -2916,6 +2928,26 @@ def _llm_oracles() -> dict[str, str]:
                len(regexp_extract_all(r2, '{pats["phone"]}')) AS n_phone,
                regexp_replace(r2, '{pats["phone"]}', '[PHONE]', 'g') AS redacted
         FROM s2
+    """
+
+    # Connected components over the minhash pair table: min-label
+    # propagation (Spark) ≡ recursive-CTE min-reachable-id (DuckDB).
+    o["dedup_clusters"] = f"""
+        WITH RECURSIVE mh_pairs AS (
+            SELECT id_a, id_b FROM ({o["minhash_dedup"]})
+        ),
+        cc_edges AS (
+            SELECT id_a AS a, id_b AS b FROM mh_pairs
+            UNION SELECT id_b, id_a FROM mh_pairs
+        ),
+        cc_nodes AS (SELECT DISTINCT a AS id FROM cc_edges),
+        reach(id, r) AS (
+            SELECT id, id FROM cc_nodes
+            UNION
+            SELECT e.a, reach.r FROM cc_edges e JOIN reach ON e.b = reach.id
+        )
+        SELECT id, min(r) AS cluster_id, (id = min(r)) AS is_representative
+        FROM reach GROUP BY id
     """
     return o
 

@@ -34,6 +34,7 @@ from sparkgraft.operators.relational import (
     range_join,
     top_k_per_group,
 )
+from sparkgraft.operators.graph import connected_components, dedup_representatives
 from sparkgraft.operators.reshape import long_to_wide, wide_to_long
 from sparkgraft.operators.scale import bucketed_join, salted_join, write_bucketed
 from sparkgraft.operators.similarity import (

@@ -1,0 +1,89 @@
+"""Graph helpers for dedup pipelines: connected components over
+near-duplicate pair tables (the "keep one representative per duplicate
+group" step that follows MinHash/SimHash/embedding pair generation).
+
+Spark-first shape: min-label propagation as a driver-coordinated loop
+of joins + grouped mins — the Pregel iteration pattern expressed in
+DataFrames.  Each iteration is one shuffle on the node id; the loop
+exits as soon as no label changes, which takes O(longest min-id path)
+iterations — small for the short-diameter clusters near-dup graphs
+produce.  (At 10^9+ edges you would switch to the alternating
+large-star/small-star formulation; the per-iteration plan here is the
+same join+min building block.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(node, component) labeling where component = min node id reachable
+    in the undirected graph — deterministic, engine-portable (mirrors a
+    recursive-CTE min-reachable query exactly).
+
+    Only nodes that appear in ``edges`` are labeled; singleton documents
+    are their own representative by definition and need no row.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        nbr = sym.join(
+            labels.select(F.col("id").alias("b"), F.col("label").alias("nl")),
+            "b",
+        ).groupBy("a").agg(F.min("nl").alias("min_nl"))
+        new_labels = (
+            labels.join(
+                nbr.select(F.col("a").alias("id"), "min_nl"), "id", "left"
+            )
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("min_nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.select(F.col("id"), F.col("label").alias("old")), "id"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_representatives(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Duplicate-group table from a near-dup pair table: every grouped
+    node with its component id and whether it is the kept representative
+    (the minimum id — the deterministic "first wins" rule used across
+    this engine's dedup operators)."""
+    comp = connected_components(pairs, src, dst)
+    return comp.select(
+        F.col("id"),
+        F.col("cluster_id"),
+        (F.col("id") == F.col("cluster_id")).alias("is_representative"),
+    )
