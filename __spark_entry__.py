@@ -719,6 +719,23 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lang_id(_t(spark, sf_dir, "documents"))
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: overlapping 32-token windows (8-token
+    overlap) with deterministic chunk ids — shuffle-free posexplode."""
+    return T.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/holdout split by content hash (leakage-safe,
+    RNG-free), summarized as per-type split counts."""
+    from sparkgraft.operators.scale import hash_split
+
+    ev = hash_split(_t(spark, sf_dir, "events"), ["event_id"], train_frac=0.9)
+    return ev.groupBy("event_type", "split").agg(F.count("*").alias("n"))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components over the MinHash pair
     table (min-label propagation ≡ recursive-CTE min-reachable), with
@@ -1761,6 +1778,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "pii_redact": q_pii_redact,
     "dedup_clusters": q_dedup_clusters,
+    "chunk_documents": q_chunk_documents,
+    "hash_split": q_hash_split,
 }
 
 
@@ -2928,6 +2947,42 @@ def _llm_oracles() -> dict[str, str]:
                len(regexp_extract_all(r2, '{pats["phone"]}')) AS n_phone,
                regexp_replace(r2, '{pats["phone"]}', '[PHONE]', 'g') AS redacted
         FROM s2
+    """
+
+    # Sliding-window chunking: DuckDB inclusive list slicing toks[a:b]
+    # mirrors Spark slice(toks, a, len); integer chunk-count arithmetic
+    # is identical on both sides.
+    o["chunk_documents"] = r"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+            FROM documents
+        ),
+        counted AS (
+            SELECT doc_id, toks,
+                   1 + CAST(floor((greatest(0, len(toks) - 32) + 23) / 24.0) AS INT) AS n_chunks
+            FROM t
+        )
+        ,
+        expanded AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(0, n_chunks - 1)) AS i
+            FROM counted
+        )
+        SELECT doc_id,
+               i AS chunk_id,
+               array_to_string(toks[(i * 24 + 1):(i * 24 + 32)], ' ') AS chunk_text,
+               len(toks[(i * 24 + 1):(i * 24 + 32)]) AS n_chunk_tokens
+        FROM expanded
+    """
+
+    o["hash_split"] = """
+        SELECT event_type,
+               CASE WHEN substr(md5(concat_ws('|', 'split', event_id)), 1, 4)
+                         < 'e666'
+                    THEN 'train' ELSE 'holdout' END AS split,
+               count(*) AS n
+        FROM events
+        GROUP BY 1, 2
     """
 
     # Connected components over the minhash pair table: min-label

@@ -36,7 +36,12 @@ from sparkgraft.operators.relational import (
 )
 from sparkgraft.operators.graph import connected_components, dedup_representatives
 from sparkgraft.operators.reshape import long_to_wide, wide_to_long
-from sparkgraft.operators.scale import bucketed_join, salted_join, write_bucketed
+from sparkgraft.operators.scale import (
+    bucketed_join,
+    hash_split,
+    salted_join,
+    write_bucketed,
+)
 from sparkgraft.operators.similarity import (
     assign_nearest,
     assign_nearest_multi,
@@ -63,6 +68,7 @@ from sparkgraft.operators.stats import (
 )
 from sparkgraft.operators.textops import (
     char_shingles,
+    chunk_documents,
     fingerprint,
     jaccard,
     lang_id,

@@ -68,3 +68,32 @@ def salted_join(
     )
     out = sk.join(sm, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def hash_split(
+    df,
+    id_cols,
+    train_frac: float = 0.9,
+    salt: str = "split",
+):
+    """Deterministic train/holdout assignment by content hash — the
+    leakage-safe dataset split (same key → same split, forever, in any
+    engine; no RNG, no ordering dependence).
+
+    The first 4 hex chars of ``md5(salt|key)`` are compared against the
+    fraction threshold AS STRINGS — lowercase-hex lexicographic order
+    equals numeric order, which keeps the predicate portable to engines
+    without hex→int conversion.  Pure projection: scan-speed at 100 TB.
+    """
+    from pyspark.sql import functions as F
+
+    thresh = format(int(train_frac * 65536), "04x")
+    bucket = F.substring(
+        F.md5(F.concat_ws("|", F.lit(salt), *[F.col(c) for c in id_cols])), 1, 4
+    )
+    return df.withColumn(
+        "split",
+        F.when(bucket < F.lit(thresh), F.lit("train")).otherwise(
+            F.lit("holdout")
+        ),
+    )

@@ -405,3 +405,45 @@ def pii_redact(
         )
         red = F.regexp_replace(red, F.lit(pat), F.lit(f"[{kind.upper()}]"))
     return docs.select(F.col(id_col), *counts, red.alias("redacted"))
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window chunking for context-window packing: overlapping
+    token windows of ``chunk_tokens`` with ``overlap`` tokens shared
+    between consecutive chunks, deterministic 0-based chunk ids.
+
+    Pure array expressions + one ``posexplode`` — shuffle-free, so a
+    100 TB corpus chunks at scan speed.  A document shorter than one
+    window yields exactly one chunk (the whole document); the last
+    window is allowed to be short rather than dropped, so every token
+    lands in at least one chunk.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    extra = F.greatest(F.lit(0), n - F.lit(chunk_tokens))
+    n_chunks = (
+        F.lit(1)
+        + F.floor((extra + F.lit(step - 1)).cast("double") / F.lit(float(step)))
+    ).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - F.lit(1))
+    chunks = F.transform(
+        idx,
+        lambda i: F.array_join(
+            F.slice(toks, i * F.lit(step) + F.lit(1), chunk_tokens), " "
+        ),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+    ).withColumn(
+        "n_chunk_tokens", F.size(F.split(F.col("chunk_text"), r"\s+"))
+    )

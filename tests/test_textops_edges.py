@@ -91,3 +91,53 @@ def test_pii_redact_clean_and_overlapping(spark):
     assert got[1]["redacted"] == "[EMAIL] at [IPV4] phone [PHONE]"
     assert got[2]["redacted"] == "clean text"
     assert (got[2]["n_email"], got[2]["n_ipv4"], got[2]["n_phone"]) == (0, 0, 0)
+
+
+def test_chunk_documents_boundaries(spark):
+    """Short docs yield one whole-doc chunk; long docs cover every
+    token with the configured overlap; last chunk may be short."""
+    from sparkgraft.operators.textops import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, " ".join(f"t{i}" for i in range(10)))],
+        "doc_id long, text string",
+    )
+    got = chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    by_doc: dict = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_text"], r["n_chunk_tokens"])
+        )
+    assert by_doc[1] == [(0, "a b c", 3)]
+    chunks2 = sorted(by_doc[2])
+    # step = 3: starts at tokens 0,3,6 → ceil((10-4)/3)=2 extra chunks
+    assert [c[0] for c in chunks2] == [0, 1, 2]
+    assert chunks2[0][1] == "t0 t1 t2 t3"
+    assert chunks2[1][1] == "t3 t4 t5 t6"
+    assert chunks2[2][1] == "t6 t7 t8 t9"
+    # every token appears in at least one chunk
+    seen = set(" ".join(c[1] for c in chunks2).split())
+    assert seen == {f"t{i}" for i in range(10)}
+    # a genuinely short tail: 11 tokens → starts 0,3,6,9; last chunk short
+    docs3 = spark.createDataFrame(
+        [(3, " ".join(f"t{i}" for i in range(11)))], "doc_id long, text string"
+    )
+    got3 = sorted(
+        (r["chunk_id"], r["n_chunk_tokens"])
+        for r in chunk_documents(docs3, chunk_tokens=4, overlap=1).collect()
+    )
+    assert got3 == [(0, 4), (1, 4), (2, 4), (3, 2)]
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from pyspark.sql import functions as F
+
+    from sparkgraft.operators.scale import hash_split
+
+    df = spark.range(20000).withColumnRenamed("id", "k")
+    a = hash_split(df, ["k"], train_frac=0.9)
+    b = hash_split(df, ["k"], train_frac=0.9)
+    # identical assignment on rerun
+    assert a.exceptAll(b).count() == 0
+    frac = a.filter(F.col("split") == "train").count() / 20000
+    assert 0.88 < frac < 0.92, frac
