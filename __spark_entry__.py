@@ -727,6 +727,20 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over the chunk stream: per (shard, pack) chunk
+    and token totals for 512-token training sequences — chunking →
+    packing composed end-to-end."""
+    chunks = T.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+    packed = T.pack_chunks(chunks, seq_tokens=512, n_shards=8)
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("n_tokens"),
+    )
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/holdout split by content hash (leakage-safe,
     RNG-free), summarized as per-type split counts."""
@@ -1780,6 +1794,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "chunk_documents": q_chunk_documents,
     "hash_split": q_hash_split,
+    "pack_sequences": q_pack_sequences,
 }
 
 
@@ -2973,6 +2988,42 @@ def _llm_oracles() -> dict[str, str]:
                array_to_string(toks[(i * 24 + 1):(i * 24 + 32)], ' ') AS chunk_text,
                len(toks[(i * 24 + 1):(i * 24 + 32)]) AS n_chunk_tokens
         FROM expanded
+    """
+
+    o["pack_sequences"] = r"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+            FROM documents
+        ),
+        counted AS (
+            SELECT doc_id, toks,
+                   1 + CAST(floor((greatest(0, len(toks) - 32) + 23) / 24.0) AS INT) AS n_chunks
+            FROM t
+        ),
+        expanded AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(0, n_chunks - 1)) AS i
+            FROM counted
+        ),
+        chunks AS (
+            SELECT doc_id, i AS chunk_id,
+                   len(toks[(i * 24 + 1):(i * 24 + 32)]) AS n_chunk_tokens
+            FROM expanded
+        ),
+        cum AS (
+            SELECT doc_id, chunk_id, n_chunk_tokens,
+                   CAST(doc_id % 8 AS INT) AS shard,
+                   sum(n_chunk_tokens) OVER (
+                       PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_tokens
+            FROM chunks
+        )
+        SELECT shard,
+               CAST(floor((cum_tokens - n_chunk_tokens) / 512.0) AS BIGINT) AS pack_id,
+               count(*) AS n_chunks,
+               sum(n_chunk_tokens) AS n_tokens
+        FROM cum GROUP BY 1, 2
     """
 
     o["hash_split"] = """

@@ -74,6 +74,7 @@ from sparkgraft.operators.textops import (
     lang_id,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
+    pack_chunks,
     pii_redact,
     repetition_stats,
     simhash16,

@@ -447,3 +447,43 @@ def chunk_documents(
     ).withColumn(
         "n_chunk_tokens", F.size(F.split(F.col("chunk_text"), r"\s+"))
     )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    seq_tokens: int = 512,
+    n_shards: int = 64,
+    doc_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    tok_col: str = "n_chunk_tokens",
+) -> DataFrame:
+    """Sequence packing: assign chunks to fixed-budget training
+    sequences by running token count, greedy in (doc, chunk) order —
+    the step between chunking and batch assembly.
+
+    A chunk whose cumulative span crosses a boundary starts at its
+    offset and may be truncated downstream (standard pack-with-
+    truncation semantics); pack ids are (shard, pack_id) pairs.
+
+    Scale: a single global ordered cumsum would serialize on one
+    partition, so packing runs per shard (``doc_id % n_shards`` —
+    deterministic, no hash functions) and each shard's window sorts
+    locally after one shuffle.  Shards are independent training
+    streams, which is exactly how multi-worker loaders consume packs.
+    """
+    from pyspark.sql import Window
+
+    shard = (F.col(doc_col) % F.lit(n_shards)).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(doc_col), F.col(chunk_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = chunks.withColumn("shard", shard).withColumn(
+        "cum_tokens", F.sum(F.col(tok_col)).over(w)
+    )
+    pack_id = F.floor(
+        (F.col("cum_tokens") - F.col(tok_col)).cast("double")
+        / F.lit(float(seq_tokens))
+    ).cast("long")
+    return with_cum.withColumn("pack_id", pack_id)

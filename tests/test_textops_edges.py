@@ -141,3 +141,38 @@ def test_hash_split_deterministic_and_proportional(spark):
     assert a.exceptAll(b).count() == 0
     frac = a.filter(F.col("split") == "train").count() / 20000
     assert 0.88 < frac < 0.92, frac
+
+
+def test_pack_chunks_budget_and_conservation(spark):
+    """Packing must conserve every token, keep pack ids contiguous per
+    shard, and bound each pack by seq_tokens plus at most one
+    boundary-crossing chunk."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.operators.textops import chunk_documents, pack_chunks
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(5 + (i * 7) % 40)))
+         for i in range(50)],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(docs, chunk_tokens=8, overlap=2)
+    packed = pack_chunks(chunks, seq_tokens=20, n_shards=4)
+    total_chunk_tokens = chunks.agg(F.sum("n_chunk_tokens")).collect()[0][0]
+    packs = (
+        packed.groupBy("shard", "pack_id")
+        .agg(F.sum("n_chunk_tokens").alias("n"))
+        .collect()
+    )
+    assert sum(r["n"] for r in packs) == total_chunk_tokens
+    # budget: a pack holds at most seq_tokens plus one crossing chunk
+    assert all(r["n"] <= 20 + 8 - 1 for r in packs), sorted(
+        r["n"] for r in packs
+    )[-3:]
+    # contiguous ids per shard
+    by_shard: dict = {}
+    for r in packs:
+        by_shard.setdefault(r["shard"], []).append(r["pack_id"])
+    for ids in by_shard.values():
+        ids = sorted(ids)
+        assert ids == list(range(ids[0], ids[0] + len(ids)))
