@@ -1,0 +1,87 @@
+"""End-to-end training-data curation on sparkgraft: the full pipeline a
+100 TB text corpus runs before pretraining, composed from this engine's
+oracle-checked operators.
+
+    scrub (PII) → quality gates (length/stopword + repetition) →
+    near-dup dedup (MinHash pairs → connected components → keep
+    representatives) → chunk (context windows) → pack (fixed-token
+    sequences) → split (leakage-safe train/holdout)
+
+Every stage is a DataFrame projection/join from `sparkgraft.api` — no
+UDFs, no collect() on data paths (only the final per-stage counts) —
+so the same script scales from this sf0.001 demo to a cluster by
+changing the input path.
+
+Run:  python examples/curation_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sparkgraft import api as sg  # noqa: E402
+
+
+def main(sf_dir: str) -> None:
+    spark = sg.get_spark("curation-pipeline", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = sg.read_table(spark, sf_dir, "documents")
+    n_raw = docs.count()
+
+    # 1. PII scrub — typed placeholders, counts kept for audit.
+    scrubbed = sg.pii_redact(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    scrubbed = scrubbed.withColumnRenamed("redacted", "text")
+
+    # 2. Quality gates: minimum length + repetition/diversity bounds.
+    rep = sg.repetition_stats(scrubbed)
+    kept = (
+        scrubbed.join(rep, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= 10)
+            & (F.col("top_token_share") <= 0.5)
+            & (F.col("distinct_ratio") >= 0.1)
+        )
+        .select("doc_id", "text")
+    )
+    n_quality = kept.count()
+
+    # 3. Near-dup dedup: pair detection → duplicate groups → keep the
+    # deterministic representative of each group.
+    pairs = sg.minhash_dedup_pairs(kept)
+    groups = sg.dedup_representatives(pairs, "id_a", "id_b")
+    drop = groups.filter(~F.col("is_representative")).select(
+        F.col("id").alias("doc_id")
+    )
+    deduped = kept.join(drop, "doc_id", "left_anti")
+    n_dedup = deduped.count()
+
+    # 4-5. Chunk into context windows, pack into training sequences.
+    chunks = sg.chunk_documents(deduped, chunk_tokens=64, overlap=16)
+    packed = sg.pack_chunks(chunks, seq_tokens=512, n_shards=8)
+    n_packs = packed.select("shard", "pack_id").distinct().count()
+
+    # 6. Leakage-safe split ON DOCUMENTS (pre-chunk key!), propagated to
+    # packs — splitting after chunking would leak overlapping windows of
+    # one document across train and holdout.
+    split = sg.hash_split(deduped.select("doc_id"), ["doc_id"], train_frac=0.9)
+    final = packed.join(split, "doc_id")
+    per_split = {
+        r["split"]: r["n"]
+        for r in final.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+
+    print(
+        f"docs={n_raw} -> quality={n_quality} -> dedup={n_dedup} | "
+        f"packs={n_packs} | chunk-rows per split={per_split}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
