@@ -786,6 +786,79 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.pii_redact(df)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing word 3-grams
+    with a held-out 'benchmark' slice (every 20th doc) — broadcast
+    benchmark gram-hash set, corpus shuffles only (id, hash) pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return T.decontaminate(corpus, bench, n=3)
+
+
+# Paragraph-dedup fixture shared verbatim with the DuckDB oracle (the
+# synthetic documents corpus is single-paragraph by construction).
+PARA_FIXTURE: list[tuple[int, str]] = [
+    (1, "the quick brown fox\n\nlorem ipsum dolor\n\nunique to doc one"),
+    (2, "lorem ipsum dolor\n\nsecond doc opening\n\nthe quick brown fox"),
+    (3, "entirely fresh paragraph\n\nlorem ipsum dolor"),
+    (4, "lorem ipsum dolor"),
+    (5, "  \n\nthe quick brown fox\n\n"),
+]
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ccnet-style exact paragraph dedup: keep the globally-first
+    occurrence of each paragraph, reassemble docs in original order
+    (doc 5 — all-duplicate — survives with empty text)."""
+    df = spark.createDataFrame(PARA_FIXTURE, "doc_id long, text string")
+    return T.paragraph_dedup(df)
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (idf = ln(N/df)), rounded before
+    rank with lexicographic term tie-break."""
+    return T.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search ('hash join vector') — top-10 docs via
+    TakeOrderedAndProject, broadcast df/avgdl statistics."""
+    return T.bm25_rank(
+        _t(spark, sf_dir, "documents"), ["hash", "join", "vector"], k=10
+    )
+
+
+SAMPLE_RATES: dict[str, float] = {
+    "src0": 1.0,
+    "src1": 0.75,
+    "src2": 0.5,
+    "src3": 0.25,
+}
+
+
+def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix assembly: deterministic per-source stratified
+    sampling (hash-threshold, RNG-free) + global-shuffle sort key +
+    stable output-shard id — all pure projections."""
+    from sparkgraft.operators.scale import (
+        shard_assignment,
+        shuffle_key,
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, "source", SAMPLE_RATES, ["doc_id"], default_rate=0.1
+    )
+    return kept.select(
+        "doc_id",
+        "source",
+        shuffle_key(["doc_id"], seed=7).alias("shuffle_key"),
+        shard_assignment(["doc_id"], 8).alias("shard"),
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-sampled char-8-gram document fingerprint."""
     return T.fingerprint(_t(spark, sf_dir, "documents"), k=8)
@@ -1755,17 +1828,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_ann_topk": q_lsh_ann_topk,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
-    "fingerprint": q_fingerprint,
     "winnowing": q_winnowing,
     "fuzzy_match": q_fuzzy_match,
     "sketch_sanity": q_sketch_sanity,
-    "hll_merge_sanity": q_hll_merge_sanity,
+    "decontaminate": q_decontaminate,
+    "paragraph_dedup": q_paragraph_dedup,
     # --- flagship E2E + stateful streaming ---
     "e1_flagship": q_e1_flagship,
     "streaming_ewma": q_streaming_ewma,
     # ---- position 51+: second witnesses / engine extras --------------------
     # (json_extract is the F13 second witness — alarm_trigger, in-window,
-    # also exercises F13's JSON-props extraction.)
+    # also exercises F13's JSON-props extraction.  fingerprint's LLM row is
+    # witnessed in-window by winnowing; hll_merge_sanity's by sketch_sanity.)
+    "fingerprint": q_fingerprint,
+    "hll_merge_sanity": q_hll_merge_sanity,
     "json_extract": q_json_extract,
     "streaming_stats": q_streaming_stats,
     "backfill_dated": q_backfill_dated,
@@ -1795,6 +1871,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "hash_split": q_hash_split,
     "pack_sequences": q_pack_sequences,
+    "tfidf_terms": q_tfidf_terms,
+    "bm25_search": q_bm25_search,
+    "sample_mix": q_sample_mix,
 }
 
 
@@ -3054,6 +3133,149 @@ def _llm_oracles() -> dict[str, str]:
         )
         SELECT id, min(r) AS cluster_id, (id = min(r)) AS is_representative
         FROM reach GROUP BY id
+    """
+
+    # Decontamination: the Spark side joins on md5(gram) for shuffle
+    # compactness; the oracle joins on the raw gram strings — identical
+    # results (the hash only renames the join key).
+    o["decontaminate"] = r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+2], ' '))) AS gs
+            FROM toks
+        ),
+        bench AS (
+            SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 20 = 0
+        ),
+        corpus AS (SELECT doc_id, gs FROM grams WHERE doc_id % 20 <> 0),
+        hits AS (
+            SELECT c.doc_id, count(*) AS n_hits
+            FROM (SELECT doc_id, unnest(gs) AS g FROM corpus) c
+            JOIN bench USING (g)
+            GROUP BY 1
+        )
+        SELECT corpus.doc_id,
+               len(gs) AS n_grams,
+               coalesce(n_hits, 0) AS n_hits,
+               round(CASE WHEN len(gs) > 0
+                          THEN CAST(coalesce(n_hits, 0) AS DOUBLE) / len(gs)
+                          ELSE 0.0 END, 4) AS overlap_ratio,
+               coalesce(n_hits, 0) > 0 AS contaminated
+        FROM corpus LEFT JOIN hits USING (doc_id)
+    """
+
+    para_values = ", ".join(
+        "({}, e'{}')".format(i, s.replace("'", "''").replace("\n", r"\n"))
+        for i, s in PARA_FIXTURE
+    )
+    o["paragraph_dedup"] = f"""
+        WITH src AS (SELECT * FROM (VALUES {para_values}) AS t(doc_id, text)),
+        parts AS (
+            SELECT doc_id, regexp_split_to_array(text, '\\n\\n+') AS ps
+            FROM src
+        ),
+        idxd AS (
+            SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS i
+            FROM parts
+        ),
+        paras AS (
+            SELECT doc_id, i AS para_idx, ps[i] AS para
+            FROM idxd WHERE len(trim(ps[i])) > 0
+        ),
+        firsts AS (
+            SELECT *, row_number() OVER (PARTITION BY para
+                                         ORDER BY doc_id, para_idx) AS rn
+            FROM paras
+        ),
+        kept AS (SELECT doc_id, para_idx, para FROM firsts WHERE rn = 1),
+        agg_tot AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY 1),
+        agg_kept AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(para, e'\\n\\n' ORDER BY para_idx) AS text_dedup
+            FROM kept GROUP BY 1
+        )
+        SELECT s.doc_id,
+               coalesce(n_paras, 0) AS n_paras,
+               coalesce(n_kept, 0) AS n_kept,
+               coalesce(text_dedup, '') AS text_dedup
+        FROM src s
+        LEFT JOIN agg_tot USING (doc_id)
+        LEFT JOIN agg_kept USING (doc_id)
+    """
+
+    o["tfidf_terms"] = r"""
+        WITH terms AS (
+            SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        total AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT doc_id, term, tf, df,
+                   round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+            FROM tf JOIN dfreq USING (term) CROSS JOIN total
+        )
+        SELECT doc_id, term, tf, df, tfidf, rnk FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, term ASC) AS rnk
+            FROM scored
+        ) WHERE rnk <= 3
+    """
+
+    o["bm25_search"] = r"""
+        WITH base AS (
+            SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+            FROM documents
+        ),
+        d AS (
+            SELECT doc_id, len(t) AS dl,
+                   list_filter(t, x -> x IN ('hash', 'join', 'vector')) AS q
+            FROM base
+        ),
+        stats AS (
+            SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM d
+        ),
+        m AS (SELECT doc_id, dl, unnest(q) AS term FROM d),
+        tf AS (
+            SELECT doc_id, dl, term, count(*) AS tf FROM m GROUP BY 1, 2, 3
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        scored AS (
+            SELECT doc_id,
+                   round(sum(
+                       ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))
+                   ), 4) AS bm25
+            FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+            GROUP BY 1
+        )
+        SELECT doc_id, bm25, rnk FROM (
+            SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk
+            FROM scored
+        ) WHERE rnk <= 10
+    """
+
+    o["sample_mix"] = """
+        SELECT doc_id, source,
+               md5(concat_ws('|', 'shuffle', '7', doc_id)) AS shuffle_key,
+               CAST(CAST(concat('0x', substr(
+                        md5(concat_ws('|', 'shard', doc_id)), 1, 8))
+                    AS BIGINT) % 8 AS INT) AS shard
+        FROM documents
+        WHERE substr(md5(concat_ws('|', 'sample', doc_id)), 1, 4) <
+              CASE source
+                   WHEN 'src0' THEN 'g'
+                   WHEN 'src1' THEN 'c000'
+                   WHEN 'src2' THEN '8000'
+                   WHEN 'src3' THEN '4000'
+                   ELSE '1999' END
     """
     return o
 

@@ -40,6 +40,9 @@ from sparkgraft.operators.scale import (
     bucketed_join,
     hash_split,
     salted_join,
+    shard_assignment,
+    shuffle_key,
+    stratified_sample,
     write_bucketed,
 )
 from sparkgraft.operators.similarity import (
@@ -67,18 +70,22 @@ from sparkgraft.operators.stats import (
     windowed_channel_stats,
 )
 from sparkgraft.operators.textops import (
+    bm25_rank,
     char_shingles,
     chunk_documents,
+    decontaminate,
     fingerprint,
     jaccard,
     lang_id,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
     pack_chunks,
+    paragraph_dedup,
     pii_redact,
     repetition_stats,
     simhash16,
     text_stats,
+    tfidf_top_terms,
     tokenize,
     winnow_fingerprints,
     word_shingles,

@@ -97,3 +97,69 @@ def hash_split(
             F.lit("holdout")
         ),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_cols: Sequence[str],
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the domain-mixing step of a
+    training-data pipeline (keep 100% of books, 30% of common-crawl,
+    ...), with the same hash-threshold trick as :func:`hash_split`:
+    membership depends only on (salt, key), never on RNG state,
+    partitioning, or row order, so the mix is reproducible in any
+    engine and stable under re-runs.
+
+    Pure projection + filter (scan-speed at 100 TB); the rate lookup is
+    a literal CASE chain, no join.
+    """
+    def _thresh(rate: float) -> str:
+        # "g" sorts after every hex char — the keep-everything sentinel
+        # (format(65536, "04x") would be 5 chars and break the 4-char
+        # lexicographic compare).
+        return "g" if rate >= 1.0 else format(int(rate * 65536), "04x")
+
+    bucket = F.substring(
+        F.md5(F.concat_ws("|", F.lit(salt), *[F.col(c) for c in id_cols])), 1, 4
+    )
+    thresh: Column = F.lit(_thresh(default_rate))
+    for stratum in sorted(rates):
+        thresh = F.when(
+            F.col(strata_col) == stratum, F.lit(_thresh(rates[stratum]))
+        ).otherwise(thresh)
+    return df.filter(bucket < thresh)
+
+
+def shuffle_key(
+    id_cols: Sequence[str], salt: str = "shuffle", seed: int = 0
+) -> Column:
+    """Deterministic global-shuffle sort key: ``md5(salt|seed|key)``.
+
+    ``df.orderBy(shuffle_key(...))`` is the scalable way to shuffle a
+    training corpus — Spark range-partitions the sort, so no single
+    task ever sees the whole dataset, unlike a row_number/zipWithIndex
+    position assignment.  Different ``seed`` → independent permutation;
+    same seed → byte-identical order, forever.
+    """
+    return F.md5(
+        F.concat_ws(
+            "|", F.lit(salt), F.lit(str(seed)), *[F.col(c) for c in id_cols]
+        )
+    )
+
+
+def shard_assignment(
+    id_cols: Sequence[str], n_shards: int, salt: str = "shard"
+) -> Column:
+    """Deterministic output-shard id from the first 8 hex chars of the
+    key hash — the writer-side counterpart of :func:`shuffle_key` for
+    producing N stable training-data shards (``df.repartition(n,
+    col)`` or partitionBy on it)."""
+    h = F.md5(F.concat_ws("|", F.lit(salt), *[F.col(c) for c in id_cols]))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_shards)
+    ).cast("int")

@@ -407,6 +407,245 @@ def pii_redact(
     return docs.select(F.col(id_col), *counts, red.alias("redacted"))
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 3,
+    max_ratio: float = 0.0,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    word n-grams with an evaluation/benchmark corpus (the standard
+    pre-training hygiene step — GPT-3 App. C / Llama style n-gram
+    overlap).
+
+    Shape for 100 TB: the benchmark side is tiny by construction
+    (eval sets are thousands of rows, the corpus is billions), so its
+    distinct n-gram **hash** set is broadcast — the corpus side never
+    shuffles raw text, only (id, 32-hex gram hash) pairs into the
+    per-doc overlap count.  Output keeps every input doc with its
+    overlap stats; callers drop ``contaminated`` rows.
+    """
+    bench_grams = benchmark.select(
+        F.explode(
+            F.array_distinct(word_shingles(tokenize(F.col(bench_text_col)), n))
+        ).alias("gram")
+    ).select(F.md5(F.col("gram")).alias("gram_h")).distinct()
+    doc_grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(word_shingles(tokenize(F.col(text_col)), n))
+        ).alias("gram"),
+    ).select("id", F.md5(F.col("gram")).alias("gram_h"))
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram_h")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    totals = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(
+            F.array_distinct(word_shingles(tokenize(F.col(text_col)), n))
+        ).alias("n_grams"),
+    )
+    ratio = F.col("n_hits").cast("double") / F.col("n_grams")
+    return (
+        totals.join(hits, "id", "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            "n_hits",
+            F.round(F.when(F.col("n_grams") > 0, ratio).otherwise(F.lit(0.0)), 4).alias(
+                "overlap_ratio"
+            ),
+            (
+                (F.col("n_hits") > 0)
+                & (
+                    F.when(F.col("n_grams") > 0, ratio).otherwise(F.lit(0.0))
+                    > F.lit(max_ratio)
+                )
+            ).alias("contaminated"),
+        )
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = r"\n\n+",
+    joiner: str = "\n\n",
+) -> DataFrame:
+    """Exact paragraph-level deduplication across the corpus (the
+    ccnet/CCNet-style boilerplate killer): split documents into
+    paragraphs, keep only the globally-first occurrence of each exact
+    paragraph (first = lowest (doc id, paragraph index)), and reassemble
+    each document from its surviving paragraphs in original order.
+
+    Two shuffles: the first-occurrence window partitions on the
+    paragraph **hash** (raw paragraph text rides along only because the
+    winner must be reassembled — same cost profile as ccnet's
+    hash-partition pass), the second regroups survivors by doc.  A doc
+    whose every paragraph is a duplicate survives with empty text.
+    """
+    from pyspark.sql import Window
+
+    paras = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("para_idx", "para"),
+    ).filter(F.length(F.trim(F.col("para"))) > 0)
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy(
+        F.col("id"), F.col("para_idx")
+    )
+    kept = paras.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    reassembled = kept.groupBy("id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("para_idx"), F.col("para")))
+                ),
+                lambda s: s["para"],
+            ),
+            joiner,
+        ).alias("text_dedup"),
+    )
+    totals = paras.groupBy("id").agg(F.count("*").alias("n_paras"))
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(totals, "id", "left")
+        .join(reassembled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_paras"), F.lit(0)).alias("n_paras"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms (idf = ln(N/df), raw tf), the
+    classic keyword/topic extraction over a corpus.
+
+    Plan: one explode → (doc, term) count → term document-frequency
+    aggregate (map-side combined, shuffles compact (term, count) pairs)
+    → join back on term → per-doc window for top-k.  The corpus size N
+    is a 1-row aggregate broadcast into the scoring projection — no
+    driver-side ``count()`` action, the whole thing is one lazy plan.
+    Scores are rounded BEFORE ranking with a lexicographic term
+    tie-break, so results are deterministic and engine-portable.
+    """
+    from pyspark.sql import Window
+
+    terms = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("term")
+    )
+    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    total = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("id").alias(id_col), "term", "tf", "df", "tfidf", "rnk"
+        )
+    )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword search over the corpus: score every document
+    against a bag of query terms, return the top-k.
+
+    The document-frequency and average-doc-length statistics are 1-row/
+    tiny aggregates broadcast into the scoring projection; the per-doc
+    term frequencies come from one explode + filtered aggregate (the
+    filter on the query-term set is pushed below the explode's shuffle,
+    so only matching (doc, term) pairs ever shuffle).  idf uses the
+    standard Robertson–Sparck-Jones form ln(1 + (N - df + .5)/(df + .5)).
+    """
+    from pyspark.sql import Window
+
+    qset = sorted(set(query_terms))
+    toks = tokenize(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("dl"),
+        F.filter(toks, lambda t: t.isin(qset)).alias("qtoks"),
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    matches = base.select(
+        "id", "dl", F.explode(F.col("qtoks")).alias("term")
+    )
+    tf = matches.groupBy("id", "dl", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (
+        F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+            )
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("id")
+        .agg(F.round(F.sum(idf * tf_part), 4).alias("bm25"))
+    )
+    # Global top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps + tiny merge, never a single-partition global sort); the rank
+    # window then runs over only k rows.
+    topk = scored.orderBy(F.col("bm25").desc(), F.col("id").asc()).limit(k)
+    w = Window.orderBy(F.col("bm25").desc(), F.col("id").asc())
+    return topk.withColumn("rnk", F.row_number().over(w)).select(
+        F.col("id").alias(id_col), "bm25", "rnk"
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     id_col: str = "doc_id",

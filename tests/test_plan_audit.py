@@ -93,3 +93,24 @@ def test_assign_nearest_is_projection(spark):
     cents = [(i, [float(i)] * 64) for i in range(4)]
     df = emb.withColumn("cluster", assign_nearest(F.col("embedding"), cents))
     assert audit.count_shuffles(df) == 0, audit.explain_str(df)
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    # The benchmark gram set must broadcast — the corpus side of the
+    # overlap join must never shuffle its gram table.
+    df = entrymod.q_decontaminate(spark, SF_DIR)
+    assert audit.has_broadcast_join(df), audit.explain_str(df)
+
+
+def test_sample_mix_is_shuffle_free(spark):
+    # Stratified sampling + shuffle key + shard id: pure projection and
+    # filter — any exchange here would be a scale regression.
+    df = entrymod.q_sample_mix(spark, SF_DIR)
+    assert audit.count_shuffles(df) == 0, audit.explain_str(df)
+
+
+def test_bm25_stats_are_broadcast(spark):
+    # Corpus stats (N, avgdl) and term df join broadcast into the
+    # scoring projection; only tf aggregation + final agg shuffle.
+    df = entrymod.q_bm25_search(spark, SF_DIR)
+    assert audit.has_broadcast_join(df), audit.explain_str(df)

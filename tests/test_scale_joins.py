@@ -61,3 +61,52 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, salted.collect())
     )
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from sparkgraft.operators.scale import stratified_sample
+
+    df = spark.range(4000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("g"),
+    )
+    kept = stratified_sample(
+        df, "g", {"s0": 1.0, "s1": 0.5}, ["k"], default_rate=0.0
+    )
+    counts = {r["g"]: r["n"] for r in kept.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts["s0"] == 2000          # rate 1.0 keeps everything
+    assert 800 < counts["s1"] < 1200     # ~50%
+    # deterministic: a second evaluation keeps the identical row set
+    a = {r["k"] for r in kept.collect()}
+    b = {r["k"] for r in kept.collect()}
+    assert a == b
+    # rate 0.0 via default: unknown stratum drops everything
+    none = stratified_sample(df, "g", {}, ["k"], default_rate=0.0)
+    assert none.count() == 0
+
+
+def test_shuffle_key_and_shard_assignment(spark):
+    from pyspark.sql import functions as F
+
+    from sparkgraft.operators.scale import shard_assignment, shuffle_key
+
+    df = spark.range(1000)
+    out = df.select(
+        "id",
+        shuffle_key(["id"], seed=1).alias("k1"),
+        shuffle_key(["id"], seed=2).alias("k2"),
+        shard_assignment(["id"], 8).alias("shard"),
+    ).collect()
+    k1_order = [r["id"] for r in sorted(out, key=lambda r: r["k1"])]
+    k2_order = [r["id"] for r in sorted(out, key=lambda r: r["k2"])]
+    assert k1_order != k2_order          # independent permutations
+    assert k1_order != list(range(1000))  # actually shuffled
+    shards = {r["shard"] for r in out}
+    assert shards <= set(range(8)) and len(shards) == 8
+    # every shard gets a roughly even cut
+    from collections import Counter
+
+    c = Counter(r["shard"] for r in out)
+    assert min(c.values()) > 60

@@ -176,3 +176,69 @@ def test_pack_chunks_budget_and_conservation(spark):
     for ids in by_shard.values():
         ids = sorted(ids)
         assert ids == list(range(ids[0], ids[0] + len(ids)))
+
+
+def test_decontaminate_flags_overlap_and_short_docs(spark):
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),   # shares 'alpha beta gamma'
+         (2, "zz yy xx ww vv"),           # clean
+         (3, "too short")],               # < n words -> 0 grams
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma epsilon")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in T.decontaminate(corpus, bench, n=3).collect()
+    }
+    assert rows[1]["contaminated"] and rows[1]["n_hits"] == 1
+    assert not rows[2]["contaminated"] and rows[2]["n_hits"] == 0
+    assert rows[3]["n_grams"] == 0 and not rows[3]["contaminated"]
+    # threshold: a 0.5 max_ratio keeps doc 1 (ratio 0.5 not > 0.5)
+    thr = {
+        r["doc_id"]: r["contaminated"]
+        for r in T.decontaminate(corpus, bench, n=3, max_ratio=0.5).collect()
+    }
+    assert not thr[1]
+
+
+def test_paragraph_dedup_keeps_first_and_preserves_order(spark):
+    df = spark.createDataFrame(
+        [(1, "A\n\nB\n\nC"),
+         (2, "B\n\nD"),        # B is a dup -> keeps D only
+         (3, "A\n\nB")],       # everything dup -> empty
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in T.paragraph_dedup(df).collect()}
+    assert rows[1]["text_dedup"] == "A\n\nB\n\nC"
+    assert rows[2]["text_dedup"] == "D"
+    assert (rows[2]["n_paras"], rows[2]["n_kept"]) == (2, 1)
+    assert rows[3]["text_dedup"] == "" and rows[3]["n_kept"] == 0
+
+
+def test_tfidf_corpus_wide_term_scores_zero(spark):
+    # A term present in every doc has idf = ln(1) = 0.
+    df = spark.createDataFrame(
+        [(1, "common rare1 common"), (2, "common rare2")],
+        "doc_id long, text string",
+    )
+    rows = T.tfidf_top_terms(df, k=2).collect()
+    scores = {(r["doc_id"], r["term"]): r["tfidf"] for r in rows}
+    assert scores[(1, "common")] == 0.0
+    assert scores[(1, "rare1")] > 0
+    assert scores[(2, "rare2")] > 0
+
+
+def test_bm25_ranks_matching_docs_only(spark):
+    df = spark.createDataFrame(
+        [(1, "spark spark spark filler filler"),
+         (2, "spark filler filler filler filler"),
+         (3, "nothing relevant here at all")],
+        "doc_id long, text string",
+    )
+    rows = T.bm25_rank(df, ["spark"], k=10).collect()
+    ids = [r["doc_id"] for r in sorted(rows, key=lambda r: r["rnk"])]
+    assert ids == [1, 2]  # doc 3 never scores; higher tf ranks first
