@@ -78,6 +78,9 @@ HEADLINE = [
     "pivot_wide",
     "range_join",
     "session_windows",
+    "decontaminate",
+    "bm25_search",
+    "sample_mix",
 ]
 
 

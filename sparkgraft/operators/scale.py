@@ -70,6 +70,20 @@ def salted_join(
     return out.drop("_salt")
 
 
+def widen_narrow_scan(df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the input is narrower than the cluster —
+    the guard for CPU-heavy per-row stages (md5 shingling, signature
+    computation) that must not serialize on a single-file scan.  A wide
+    production scan (thousands of partitions at 100 TB) passes through
+    untouched: an unconditional repartition would shrink it to
+    defaultParallelism through a pointless full shuffle.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def hash_split(
     df,
     id_cols,
