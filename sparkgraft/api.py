@@ -48,6 +48,7 @@ from sparkgraft.operators.scale import (
 from sparkgraft.operators.similarity import (
     assign_nearest,
     assign_nearest_multi,
+    assign_nearest_pandas,
     brute_force_topk,
     centroids_from_labels,
     cosine,

@@ -412,6 +412,51 @@ def assign_nearest_multi(
     )
 
 
+def assign_nearest_pandas(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+    digits: int = 9,
+) -> DataFrame:
+    """Arrow-vectorized nearest-centroid assignment — the throughput
+    kernel beside :func:`assign_nearest` (same contract: L2 distances
+    rounded at ``digits``, ties break on the lowest cluster id, raises
+    on a dimension mismatch), equality-tested against the expression
+    form in tests/test_similarity_kernels.py.
+
+    The expression form is the oracle-parity default (its sequential
+    fold matches DuckDB's list aggregation order bit-for-bit); this
+    numpy batch kernel is ~5-10x faster per row when assignment
+    dominates (large re-fit scans, Lloyd iterations at scale) because
+    the distance matrix is one BLAS-backed broadcast subtract instead
+    of per-row interpreted higher-order functions.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cids = np.array([int(c) for c, _ in sorted(centroids)])
+    cmat = np.array([v for _, v in sorted(centroids)], dtype=np.float64)
+
+    @pandas_udf("int")
+    def _assign(batch: pd.Series) -> pd.Series:
+        x = np.stack(batch.to_numpy()).astype(np.float64)
+        if x.shape[1] != cmat.shape[1]:
+            raise ValueError(
+                f"assign_nearest_pandas: embedding length {x.shape[1]} "
+                f"!= centroid dim {cmat.shape[1]}"
+            )
+        d2 = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=-1)
+        d2 = np.round(d2, digits)
+        # argmin returns the FIRST minimum; rows sorted by cluster id
+        # make that the lowest id — same tie-break as the struct
+        # array_min in assign_nearest.
+        return pd.Series(cids[np.argmin(d2, axis=1)])
+
+    return df.withColumn(out_col, _assign(F.col(vec_col)))
+
+
 def kmeans_iterate(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],

@@ -193,3 +193,29 @@ def test_kmeans_iterate_monotone_and_deterministic(spark):
     # Determinism: same seed, same result.
     again = kmeans_iterate(emb, seed, iters=1)
     assert again == c1
+
+
+def test_assign_nearest_pandas_matches_expression(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sparkgraft.operators import similarity as SIM
+    from sparkgraft.sources.readers import read_table
+    from tests.conftest import SF_DIR
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cents_df = SIM.centroids_from_labels(emb, "label", "embedding", digits=6)
+    cents = sorted((r["cluster"], list(r["centroid"])) for r in cents_df.collect())
+
+    expr = emb.withColumn(
+        "cluster", SIM.assign_nearest(F.col("embedding"), cents)
+    ).select("vec_id", "cluster")
+    pand = SIM.assign_nearest_pandas(emb, cents).select("vec_id", "cluster")
+    a = {r["vec_id"]: r["cluster"] for r in expr.collect()}
+    b = {r["vec_id"]: r["cluster"] for r in pand.collect()}
+    assert a == b
+
+    # dimension mismatch raises instead of silently mis-assigning
+    bad = emb.withColumn("embedding", F.slice("embedding", 1, 3))
+    with pytest.raises(Exception, match="centroid dim"):
+        SIM.assign_nearest_pandas(bad, cents).collect()
