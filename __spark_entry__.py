@@ -937,6 +937,15 @@ def q_cluster_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.partitioned_topk(probing, assigned, k=5, partition_col="cluster")
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding corpus: per-dim
+    min/max calibration (1-row broadcast stats) + shuffle-free encode
+    projection — 4x-smaller ANN candidate vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    stats = SIM.quantization_stats(emb)
+    return SIM.quantize_embeddings(emb, stats).select("vec_id", "codes")
+
+
 def q_debounce_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7/T2 — stability debounce as a predicate over a file ledger
     (Pipeline.py:96-119): orders stand in as the ledger (mtime =
@@ -1874,6 +1883,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_terms": q_tfidf_terms,
     "bm25_search": q_bm25_search,
     "sample_mix": q_sample_mix,
+    "quantize_embeddings": q_quantize_embeddings,
 }
 
 
@@ -3260,6 +3270,31 @@ def _llm_oracles() -> dict[str, str]:
             SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk
             FROM scored
         ) WHERE rnk <= 10
+    """
+
+    # Quantization: all arithmetic forced to DOUBLE in the oracle
+    # (DuckDB FLOAT-FLOAT stays single-precision, Spark widens to
+    # double); after round(x, 0) the value is an exact integral double,
+    # so DuckDB's rounding INT cast and Spark's truncating cast agree.
+    o["quantize_embeddings"] = """
+        WITH expl AS (
+            SELECT unnest(embedding) AS v,
+                   unnest(generate_series(1, len(embedding))) AS pos
+            FROM embeddings
+        ),
+        per AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM expl GROUP BY pos),
+        arrs AS (
+            SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+            FROM per
+        )
+        SELECT vec_id,
+               list_transform(generate_series(1, len(embedding)),
+                   i -> CASE WHEN CAST(mxs[i] AS DOUBLE) > CAST(mns[i] AS DOUBLE)
+                             THEN CAST(round(
+                                  (CAST(embedding[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE)) * 255.0
+                                  / (CAST(mxs[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE)), 0) AS INT)
+                             ELSE 0 END) AS codes
+        FROM embeddings CROSS JOIN arrs
     """
 
     o["sample_mix"] = """

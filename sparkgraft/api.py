@@ -55,9 +55,12 @@ from sparkgraft.operators.similarity import (
     cosine_pandas_udf,
     hyperplane_signs,
     kmeans_iterate,
+    dequantize_error,
     lsh_bucket,
     lsh_bucketed_topk,
     partitioned_topk,
+    quantization_stats,
+    quantize_embeddings,
 )
 from sparkgraft.operators.stats import (
     channel_stats,

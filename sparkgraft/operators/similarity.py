@@ -457,6 +457,102 @@ def assign_nearest_pandas(
     return df.withColumn(out_col, _assign(F.col(vec_col)))
 
 
+def quantization_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension corpus min/max as ONE row of two aligned arrays —
+    the calibration step of scalar quantization.  ``posexplode`` into a
+    map-side-combined (pos) aggregate, then reassembled in position
+    order; the result is a 1-row frame meant to be broadcast into
+    :func:`quantize_embeddings`' encode projection (the same
+    1-row-aggregate-crossJoin pattern as the BM25/TF-IDF corpus stats —
+    no driver action, the whole pipeline stays one lazy plan)."""
+    expl = df.select(F.posexplode(F.col(vec_col)).alias("pos", "v"))
+    per_dim = expl.groupBy("pos").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    return per_dim.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]
+        ).alias("mxs"),
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    stats: DataFrame,
+    vec_col: str = "embedding",
+    levels: int = 255,
+) -> DataFrame:
+    """Int8-style scalar quantization: each dimension maps linearly to
+    ``0..levels`` within its corpus [min, max] range — 4x smaller
+    vectors for ANN candidate storage, with the usual re-rank on full
+    precision for the final top-k.
+
+    Encode is a pure projection over the broadcast 1-row ``stats``
+    frame (from :func:`quantization_stats`): zip the vector with the
+    min/max arrays, scale, round — shuffle-free, scan-speed at 100 TB.
+    A constant dimension (max == min) encodes as 0.  Output keeps all
+    input columns plus ``codes array<int>``.
+    """
+    paired = F.zip_with(
+        F.col(vec_col),
+        F.col("mns"),
+        lambda v, mn: F.struct(v.cast("double").alias("v"), mn.alias("mn")),
+    )
+    codes = F.zip_with(
+        paired,
+        F.col("mxs"),
+        lambda s, mx: F.when(
+            mx.cast("double") > s["mn"],
+            F.round(
+                (s["v"] - s["mn"]) * F.lit(float(levels)) / (mx.cast("double") - s["mn"]),
+                0,
+            ).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("codes", codes)
+        .drop("mns", "mxs")
+    )
+
+
+def dequantize_error(
+    quantized: DataFrame,
+    stats: DataFrame,
+    vec_col: str = "embedding",
+    levels: int = 255,
+    digits: int = 6,
+) -> DataFrame:
+    """Reconstruction check for :func:`quantize_embeddings`: decode the
+    codes against the same stats and report the per-vector max absolute
+    error — bounded by half a quantization step per dimension, asserted
+    in tests."""
+    paired = F.zip_with(
+        F.col("codes"),
+        F.col("mns"),
+        lambda c, mn: F.struct(c.cast("double").alias("c"), mn.alias("mn")),
+    )
+    decoded = F.zip_with(
+        paired,
+        F.col("mxs"),
+        lambda s, mx: s["mn"]
+        + s["c"] * (mx.cast("double") - s["mn"]) / F.lit(float(levels)),
+    )
+    err = F.aggregate(
+        F.zip_with(F.col(vec_col), decoded, lambda v, d: F.abs(v.cast("double") - d)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    return (
+        quantized.crossJoin(F.broadcast(stats))
+        .withColumn("max_abs_err", F.round(err, digits))
+        .drop("mns", "mxs")
+    )
+
+
 def kmeans_iterate(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],

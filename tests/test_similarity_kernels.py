@@ -219,3 +219,41 @@ def test_assign_nearest_pandas_matches_expression(spark):
     bad = emb.withColumn("embedding", F.slice("embedding", 1, 3))
     with pytest.raises(Exception, match="centroid dim"):
         SIM.assign_nearest_pandas(bad, cents).collect()
+
+
+def test_quantization_roundtrip_error_bound(spark):
+    from pyspark.sql import functions as F
+
+    from sparkgraft.operators import similarity as SIM
+    from sparkgraft.sources.readers import read_table
+    from tests.conftest import SF_DIR
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    stats = SIM.quantization_stats(emb)
+    quant = SIM.quantize_embeddings(emb, stats)
+    errs = SIM.dequantize_error(quant, stats)
+    # max reconstruction error <= half a quantization step of the
+    # widest dimension
+    srow = stats.collect()[0]
+    max_step = max(
+        (mx - mn) / 255.0 for mn, mx in zip(srow["mns"], srow["mxs"])
+    )
+    worst = errs.agg(F.max("max_abs_err")).collect()[0][0]
+    assert worst <= max_step / 2 + 1e-9, (worst, max_step)
+    # codes stay in [0, 255]
+    rng = quant.select(
+        F.array_min("codes").alias("lo"), F.array_max("codes").alias("hi")
+    ).agg(F.min("lo").alias("lo"), F.max("hi").alias("hi")).collect()[0]
+    assert rng["lo"] >= 0 and rng["hi"] <= 255
+
+
+def test_quantize_constant_dimension_is_zero(spark):
+    from sparkgraft.operators import similarity as SIM
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 5.0]), (2, [1.0, 7.0])], "vec_id long, embedding array<float>"
+    )
+    stats = SIM.quantization_stats(df)
+    rows = {r["vec_id"]: r["codes"] for r in SIM.quantize_embeddings(df, stats).collect()}
+    assert rows[1][0] == 0 and rows[2][0] == 0  # constant dim -> 0
+    assert rows[1][1] == 0 and rows[2][1] == 255  # full range maps 0..255
