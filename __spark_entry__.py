@@ -1391,6 +1391,70 @@ def q_streaming_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(collected, "field string, value string")
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 in-stream (rows-only): an events slice is staged twice as
+    arrival files (the second file is a full duplicate batch),
+    drained with ``dropDuplicatesWithinWatermark`` under AvailableNow
+    — surviving per-type counts equal the batch-side distinct counts,
+    state bounded by the 1-hour watermark horizon.  Memoized per
+    sf_dir like the other streaming fixtures."""
+    import tempfile
+
+    from sparkgraft.streaming.pipeline import dedup_stream
+
+    cached = _FIXTURE_CACHE.get(("stream_dedup", sf_dir))
+    if cached is not None:
+        return spark.createDataFrame(cached, "event_type string, n long")
+
+    events = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 1000)
+        .select(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "event_id",
+            "event_type",
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_sdedup_")
+    for i in (1, 2):  # identical content: file 2 is 100% duplicates
+        events.coalesce(1).write.mode("overwrite").option(
+            "header", "true"
+        ).csv(f"{tmp}/staging_{i}")
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(f"{tmp}/in", exist_ok=True)
+    for i in (1, 2):
+        src = sorted(glob.glob(f"{tmp}/staging_{i}/part-*.csv"))[0]
+        shutil.move(src, f"{tmp}/in/batch_{i}.csv")
+
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, event_id LONG, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .option("header", "true")
+        .csv(f"{tmp}/in")
+    )
+    deduped = dedup_stream(stream, ["event_id"], ts_col="ts", watermark="1 hour")
+    qname = f"sdedup_{abs(hash(tmp)) % 10**8}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = [
+        (r["event_type"], r["n"])
+        for r in spark.sql(
+            f"SELECT event_type, count(*) AS n FROM {qname} GROUP BY 1"
+        ).collect()
+    ]
+    _FIXTURE_CACHE[("stream_dedup", sf_dir)] = rows
+    return spark.createDataFrame(rows, "event_type string, n long")
+
+
 def q_backfill_dated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/S7 backfill (rows-only): drain a ``date=YYYY-MM-DD``
     partitioned landing zone with Trigger.AvailableNow, pruned to the
@@ -1884,6 +1948,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "sample_mix": q_sample_mix,
     "quantize_embeddings": q_quantize_embeddings,
+    "stream_dedup": q_stream_dedup,
 }
 
 

@@ -65,6 +65,28 @@ def stable_files(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """D3's content-hash event dedup lifted into Structured Streaming:
+    drop any event whose key was already seen within the watermark
+    horizon (``dropDuplicatesWithinWatermark``).
+
+    The watermark BOUNDS the dedup state — keys older than the horizon
+    expire from the state store, so state size tracks the event rate x
+    horizon, not the full history (a bare ``dropDuplicates`` on a
+    stream grows state forever; at 100 TB/day that is the difference
+    between a working pipeline and an OOM).  Exactly-once *within the
+    horizon*; replays older than it are a ledger concern (D1).
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 class FilePipeline:
     """E1/E2 — streaming file pipeline: arrival → transform → sink,
     with quarantine, archive and health flags.

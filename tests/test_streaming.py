@@ -185,3 +185,50 @@ def test_stable_files_debounce(spark):
         for r in stable_files(files, now, min_age_sec=40).collect()
     ]
     assert admitted == ["f_old.dat"]
+
+
+def test_dedup_stream_drops_in_horizon_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates arriving in the same
+    or a later micro-batch (within the horizon) are dropped; distinct
+    keys all survive."""
+    from sparkgraft.streaming.pipeline import dedup_stream
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    # batch 1: e1 twice (same batch), e2 once
+    _write_file(
+        inp,
+        "b1.csv",
+        [
+            "2025-06-19T12:00:00,e1,1.0",
+            "2025-06-19T12:00:00,e1,1.0",
+            "2025-06-19T12:00:01,e2,2.0",
+        ],
+    )
+    # batch 2 (separate file): e1 again within horizon + fresh e3
+    _write_file(
+        inp,
+        "b2.csv",
+        [
+            "2025-06-19T12:01:00,e1,1.0",
+            "2025-06-19T12:01:30,e3,3.0",
+        ],
+    )
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, key STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .option("header", "true")
+        .csv(str(inp))
+    )
+    deduped = dedup_stream(stream, ["key"], ts_col="ts", watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT key FROM dedup_out").collect()
+    keys = sorted(r["key"] for r in rows)
+    assert keys == ["e1", "e2", "e3"], keys
