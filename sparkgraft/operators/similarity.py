@@ -178,22 +178,25 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     digits: int = 6,
     hamming_radius: int = 0,
+    max_probes: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: candidates restricted to the
     query's hyperplane bucket, optionally multiprobed.
 
     Scale path: the candidate side is grouped by bucket (2^n_planes
     partitions); a probe touches ~1/2^n_planes of the corpus.  Recall
-    trades against n_planes; ``hamming_radius=1`` additionally probes
-    every bucket one bit-flip away (n_planes + 1 buckets per query) —
-    the standard multiprobe trick that recovers most of the recall a
-    near-boundary vector loses, without re-indexing and still touching
-    only (n_planes+1)/2^n_planes of the corpus.  Each candidate lives
-    in exactly one bucket, so probes never duplicate a (query,
-    candidate) pair and no post-join dedup is needed.
+    trades against n_planes; ``hamming_radius=r`` additionally probes
+    every bucket within r bit-flips (sum of C(n_planes, i) for i<=r
+    buckets per query) — the standard multiprobe trick that recovers
+    the recall a near-boundary vector loses, without re-indexing.
+    ``max_probes`` caps the probe list (nearest masks first: probes are
+    ordered by flip count, then mask value — deterministic), giving a
+    fixed per-query cost budget independent of the radius.  Each
+    candidate lives in exactly one bucket, so probes never duplicate a
+    (query, candidate) pair and no post-join dedup is needed.
     """
-    if hamming_radius not in (0, 1):
-        raise ValueError("hamming_radius must be 0 (single-probe) or 1")
+    if not 0 <= hamming_radius <= n_planes:
+        raise ValueError("hamming_radius must be in [0, n_planes]")
     planes = hyperplane_signs(n_planes, dim)
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -201,13 +204,21 @@ def lsh_bucketed_topk(
         _norm(F.col(vec_col)).alias("qn"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
-    if hamming_radius == 1:
+    if hamming_radius > 0 or (max_probes is not None and max_probes > 1):
+        import itertools
+
+        masks = [0]
+        for r in range(1, hamming_radius + 1):
+            masks.extend(
+                sorted(
+                    sum(1 << p for p in combo)
+                    for combo in itertools.combinations(range(n_planes), r)
+                )
+            )
+        if max_probes is not None:
+            masks = masks[: max(1, max_probes)]
         probes = F.array(
-            F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << p)).cast("int")
-                for p in range(n_planes)
-            ],
+            *[F.col("bucket").bitwiseXOR(F.lit(m)).cast("int") for m in masks]
         )
         q = q.withColumn("bucket", F.explode(probes))
     c = candidates.select(

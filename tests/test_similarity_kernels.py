@@ -77,6 +77,17 @@ def test_multiprobe_recall_beats_single_probe(spark):
     # multiprobe probes n_planes+1 of 2^n_planes buckets — still pruned
     assert all(len(v) <= 5 for v in multi.values())
 
+    # radius 2 widens the probe ring: recall keeps rising monotonically
+    multi2 = _topk_sets(lsh_bucketed_topk(q, emb, k=5, hamming_radius=2))
+    r2 = recall(multi2)
+    assert r2 >= r1, (r1, r2)
+    # a probe budget of 7 truncates radius 2 back to the radius-1 ring
+    # (masks ordered by flip count): identical results by construction
+    budget = _topk_sets(
+        lsh_bucketed_topk(q, emb, k=5, hamming_radius=2, max_probes=7)
+    )
+    assert budget == multi
+
 
 def test_assign_nearest_matches_numpy_argmin(spark):
     """The literal-argmin projection must agree with a numpy argmin over
