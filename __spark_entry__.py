@@ -937,6 +937,34 @@ def q_cluster_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.partitioned_topk(probing, assigned, k=5, partition_col="cluster")
 
 
+def q_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (T=2) domain mixing weights over the
+    documents corpus — share^(1/T) renormalized, the sampling-rate
+    input for stratified_sample."""
+    from sparkgraft.operators.scale import domain_weights
+
+    return domain_weights(
+        _t(spark, sf_dir, "documents"), "source", temperature=2.0
+    )
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary building: top-30 unigrams by total count with
+    document frequency — one explode into a map-side-combined
+    aggregate, global top-k via TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.col("doc_id"), F.explode(T.tokenize(F.col("text"))).alias("term")
+    )
+    counts = terms.groupBy("term").agg(
+        F.count("*").alias("n_total"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    topk = counts.orderBy(F.col("n_total").desc(), F.col("term").asc()).limit(30)
+    w = Window.orderBy(F.col("n_total").desc(), F.col("term").asc())
+    return topk.withColumn("rnk", F.row_number().over(w))
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding corpus: per-dim
     min/max calibration (1-row broadcast stats) + shuffle-free encode
@@ -1949,6 +1977,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_mix": q_sample_mix,
     "quantize_embeddings": q_quantize_embeddings,
     "stream_dedup": q_stream_dedup,
+    "domain_weights": q_domain_weights,
+    "vocab_topk": q_vocab_topk,
 }
 
 
@@ -3360,6 +3390,38 @@ def _llm_oracles() -> dict[str, str]:
                                   / (CAST(mxs[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE)), 0) AS INT)
                              ELSE 0 END) AS codes
         FROM embeddings CROSS JOIN arrs
+    """
+
+    o["domain_weights"] = """
+        WITH counts AS (
+            SELECT source, count(*) AS n FROM documents GROUP BY 1
+        ),
+        shared AS (
+            SELECT source, n,
+                   CAST(n AS DOUBLE) / sum(n) OVER () AS share,
+                   pow(CAST(n AS DOUBLE) / sum(n) OVER (), 0.5) AS raw
+            FROM counts
+        )
+        SELECT source, n,
+               round(share, 6) AS share,
+               round(raw / sum(raw) OVER (), 6) AS weight
+        FROM shared
+    """
+
+    o["vocab_topk"] = r"""
+        WITH terms AS (
+            SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+            FROM documents
+        ),
+        counts AS (
+            SELECT term, count(*) AS n_total,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM terms GROUP BY 1
+        )
+        SELECT term, n_total, n_docs, rnk FROM (
+            SELECT *, row_number() OVER (ORDER BY n_total DESC, term ASC) AS rnk
+            FROM counts
+        ) WHERE rnk <= 30
     """
 
     o["sample_mix"] = """

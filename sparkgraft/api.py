@@ -38,11 +38,13 @@ from sparkgraft.operators.graph import connected_components, dedup_representativ
 from sparkgraft.operators.reshape import long_to_wide, wide_to_long
 from sparkgraft.operators.scale import (
     bucketed_join,
+    domain_weights,
     hash_split,
     salted_join,
     shard_assignment,
     shuffle_key,
     stratified_sample,
+    widen_narrow_scan,
     write_bucketed,
 )
 from sparkgraft.operators.similarity import (

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -68,6 +68,34 @@ def salted_join(
     )
     out = sk.join(sm, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def domain_weights(
+    df: DataFrame,
+    strata_col: str,
+    temperature: float = 1.0,
+    digits: int = 6,
+) -> DataFrame:
+    """Temperature-scaled domain mixing weights: each domain's sampling
+    weight is proportional to share^(1/T), renormalized — the standard
+    multinomial temperature trick (T > 1 upweights small domains,
+    T = 1 reproduces natural proportions).  The output ``weight``
+    column feeds :func:`stratified_sample` rate dictionaries.
+
+    One count aggregate on the stratum key; the share/weight math runs
+    on the tiny domain table (one row per domain), so the single-
+    partition window there is free at any corpus size.
+    """
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("n"))
+    total = Window.partitionBy()
+    share = F.col("n").cast("double") / F.sum("n").over(total)
+    raw = F.pow(share, F.lit(1.0 / temperature))
+    return counts.select(
+        F.col(strata_col),
+        F.col("n"),
+        F.round(share, digits).alias("share"),
+        F.round(raw / F.sum(raw).over(total), digits).alias("weight"),
+    )
 
 
 def widen_narrow_scan(df: DataFrame) -> DataFrame:

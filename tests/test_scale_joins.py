@@ -110,3 +110,24 @@ def test_shuffle_key_and_shard_assignment(spark):
 
     c = Counter(r["shard"] for r in out)
     assert min(c.values()) > 60
+
+
+def test_domain_weights_temperature_properties(spark):
+    from pyspark.sql import functions as F
+
+    from sparkgraft.operators.scale import domain_weights
+
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 810, "big").otherwise(
+            F.when(F.col("id") < 990, "mid").otherwise("tiny")
+        ).alias("g")
+    )
+    # T=1: weights == natural shares
+    w1 = {r["g"]: r for r in domain_weights(df, "g", temperature=1.0).collect()}
+    assert abs(w1["big"]["weight"] - 0.81) < 1e-6
+    assert abs(sum(r["weight"] for r in w1.values()) - 1.0) < 1e-5
+    # T=2: small domains upweighted, big downweighted, order preserved
+    w2 = {r["g"]: r for r in domain_weights(df, "g", temperature=2.0).collect()}
+    assert w2["tiny"]["weight"] > w1["tiny"]["weight"]
+    assert w2["big"]["weight"] < w1["big"]["weight"]
+    assert w2["big"]["weight"] > w2["mid"]["weight"] > w2["tiny"]["weight"]
