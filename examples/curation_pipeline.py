@@ -4,7 +4,9 @@ oracle-checked operators.
 
     scrub (PII) → quality gates (length/stopword + repetition) →
     near-dup dedup (MinHash pairs → connected components → keep
-    representatives) → chunk (context windows) → pack (fixed-token
+    representatives) → benchmark decontamination (n-gram overlap) →
+    domain mixing (temperature weights → stratified sample → shuffle
+    key + shard) → chunk (context windows) → pack (fixed-token
     sequences) → split (leakage-safe train/holdout)
 
 Every stage is a DataFrame projection/join from `sparkgraft.api` — no
@@ -61,7 +63,34 @@ def main(sf_dir: str) -> None:
     deduped = kept.join(drop, "doc_id", "left_anti")
     n_dedup = deduped.count()
 
+    # 3b. Benchmark decontamination: drop docs sharing 3-grams with the
+    # (stand-in) eval set — every 100th doc plays the benchmark here.
+    bench = docs.filter(F.col("doc_id") % 100 == 0).select("doc_id", "text")
+    overlap = sg.decontaminate(deduped, bench, n=3, max_ratio=0.1)
+    clean = deduped.join(
+        overlap.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    n_clean = clean.count()
+
+    # 3c. Domain mixing: temperature-upweight small sources, sample
+    # each source at its weight-derived rate, attach the deterministic
+    # global-shuffle key and output shard.
+    src = clean.join(docs.select("doc_id", "source"), "doc_id")
+    # rates = weight x a global duplication budget (here ~10x so the
+    # demo keeps ~half the corpus; a real run tunes this to the token
+    # budget), capped at 1.0 — rates above 1 would mean upsampling,
+    # which is the loader's job, not the filter's.
+    weights = {
+        r["source"]: min(1.0, 10.0 * r["weight"])
+        for r in sg.domain_weights(src, "source", temperature=2.0).collect()
+    }
+    mixed = sg.stratified_sample(src, "source", weights, ["doc_id"])
+    mixed = mixed.withColumn("shuffle_key", sg.shuffle_key(["doc_id"], seed=7))
+    mixed = mixed.withColumn("shard", sg.shard_assignment(["doc_id"], 8))
+    n_mixed = mixed.count()
+
     # 4-5. Chunk into context windows, pack into training sequences.
+    deduped = mixed.select("doc_id", "text")
     chunks = sg.chunk_documents(deduped, chunk_tokens=64, overlap=16)
     packed = sg.pack_chunks(chunks, seq_tokens=512, n_shards=8)
     n_packs = packed.select("shard", "pack_id").distinct().count()
@@ -77,7 +106,8 @@ def main(sf_dir: str) -> None:
     }
 
     print(
-        f"docs={n_raw} -> quality={n_quality} -> dedup={n_dedup} | "
+        f"docs={n_raw} -> quality={n_quality} -> dedup={n_dedup} -> "
+        f"decontaminated={n_clean} -> mixed={n_mixed} | "
         f"packs={n_packs} | chunk-rows per split={per_split}"
     )
     spark.stop()
