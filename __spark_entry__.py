@@ -1548,6 +1548,10 @@ def q_backfill_dated(spark: SparkSession, sf_dir: str) -> DataFrame:
         final[(r["date"], r["event_type"])] = r["n"]
     rows = sorted((d, t, n) for (d, t), n in final.items())
     _FIXTURE_CACHE[("backfill_dated", sf_dir)] = rows
+    # This process's landing dir, for the pruning assert in
+    # tests/test_layout.py (a /tmp glob would race with stale dirs from
+    # other sessions at other scale factors).
+    _FIXTURE_CACHE[("backfill_landing", sf_dir)] = landing
     return spark.createDataFrame(rows, "date string, event_type string, n long")
 
 

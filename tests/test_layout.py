@@ -71,12 +71,9 @@ def test_backfill_date_pruning(spark):
     }
     assert got, "backfill returned no rows"
 
-    # The memoized fixture dir holds the partitioned landing zone.
-    landing = None
-    import glob
-
-    for d in glob.glob("/tmp/sparkgraft_backfill_*/landing"):
-        landing = d
+    # The memoized fixture records ITS landing zone — never glob /tmp,
+    # where stale dirs from other sessions (other scale factors) linger.
+    landing = m._FIXTURE_CACHE.get(("backfill_landing", sf_dir))
     assert landing is not None
 
     # Batch partition inference types `date` as DateType (the streaming
