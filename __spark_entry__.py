@@ -965,6 +965,15 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn("rnk", F.row_number().over(w))
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-dup spans: every 8-token window occurring more
+    than once in the corpus, as (doc, start, hash, count) — the
+    token-window approximation of suffix-array dedup."""
+    return T.duplicate_spans(
+        _t(spark, sf_dir, "documents"), window_tokens=8
+    )
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding corpus: per-dim
     min/max calibration (1-row broadcast stats) + shuffle-free encode
@@ -1983,6 +1992,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup": q_stream_dedup,
     "domain_weights": q_domain_weights,
     "vocab_topk": q_vocab_topk,
+    "duplicate_spans": q_duplicate_spans,
 }
 
 
@@ -3394,6 +3404,26 @@ def _llm_oracles() -> dict[str, str]:
                                   / (CAST(mxs[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE)), 0) AS INT)
                              ELSE 0 END) AS codes
         FROM embeddings CROSS JOIN arrs
+    """
+
+    o["duplicate_spans"] = r"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+            FROM documents
+        ),
+        idxd AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 7)) AS i
+            FROM t
+        ),
+        w AS (
+            SELECT doc_id, i - 1 AS start,
+                   md5(array_to_string(toks[i:i+7], ' ')) AS win_hash
+            FROM idxd
+        ),
+        c AS (SELECT win_hash, count(*) AS n_occ FROM w GROUP BY 1)
+        SELECT doc_id, start, win_hash, n_occ
+        FROM w JOIN c USING (win_hash) WHERE n_occ > 1
     """
 
     o["domain_weights"] = """

@@ -80,6 +80,7 @@ from sparkgraft.operators.textops import (
     char_shingles,
     chunk_documents,
     decontaminate,
+    duplicate_spans,
     fingerprint,
     jaccard,
     lang_id,

@@ -534,6 +534,44 @@ def paragraph_dedup(
     )
 
 
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 16,
+) -> DataFrame:
+    """Exact substring-duplication detection at token granularity — the
+    scalable approximation of suffix-array dedup (RefinedWeb/Gopher
+    style): hash every ``window_tokens``-token window (stride 1) and
+    report each span whose window text occurs more than once in the
+    corpus.  Callers mask or cut the flagged spans, or drop documents
+    whose flagged fraction is high.
+
+    Scale shape: raw text never shuffles — windows travel as
+    (id, start, 32-hex hash); one map-side-combined count per hash and
+    one compact equi-join back.  Output is bounded by the duplicated
+    spans only.
+    """
+    from sparkgraft.operators.scale import widen_narrow_scan
+
+    k = window_tokens
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+    wins = F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.md5(F.array_join(F.slice(toks, i, k), " "))),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = widen_narrow_scan(docs).select(
+        F.col(id_col).alias("id"), F.posexplode(wins).alias("start", "win_hash")
+    )
+    counts = exploded.groupBy("win_hash").agg(F.count("*").alias("n_occ"))
+    return (
+        exploded.join(counts.filter(F.col("n_occ") > 1), "win_hash")
+        .select(F.col("id").alias(id_col), "start", "win_hash", "n_occ")
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     id_col: str = "doc_id",

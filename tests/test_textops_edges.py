@@ -242,3 +242,18 @@ def test_bm25_ranks_matching_docs_only(spark):
     rows = T.bm25_rank(df, ["spark"], k=10).collect()
     ids = [r["doc_id"] for r in sorted(rows, key=lambda r: r["rnk"])]
     assert ids == [1, 2]  # doc 3 never scores; higher tf ranks first
+
+
+def test_duplicate_spans_positions_and_shorts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e unique1 tail1 x"),
+         (2, "pre a b c d e other2 y z"),   # shares the 5-token run a..e
+         (3, "too short")],
+        "doc_id long, text string",
+    )
+    rows = T.duplicate_spans(df, window_tokens=5).collect()
+    spans = {(r["doc_id"], r["start"]) for r in rows}
+    # the shared window 'a b c d e' starts at token 0 in doc 1, 1 in doc 2
+    assert (1, 0) in spans and (2, 1) in spans
+    assert all(r["n_occ"] == 2 for r in rows)
+    assert {r["doc_id"] for r in rows} == {1, 2}  # doc 3: no window
