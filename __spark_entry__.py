@@ -965,6 +965,23 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn("rnk", F.row_number().over(w))
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two quantized dimensions —
+    the multi-dim layout sort key (write_zordered), verified bit-for-bit
+    against the oracle's interleave."""
+    from sparkgraft.sinks.layout import zorder_key
+
+    events = _t(spark, sf_dir, "events")
+    x = F.pmod(F.col("user_id"), F.lit(256))
+    y = F.pmod(F.col("event_id"), F.lit(256))
+    return events.select(
+        "event_id",
+        x.alias("zx"),
+        y.alias("zy"),
+        zorder_key([x, y], bits=8).alias("zkey"),
+    )
+
+
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-dup spans: every 8-token window occurring more
     than once in the corpus, as (doc, start, hash, count) — the
@@ -1993,6 +2010,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_weights": q_domain_weights,
     "vocab_topk": q_vocab_topk,
     "duplicate_spans": q_duplicate_spans,
+    "zorder_key": q_zorder_key,
 }
 
 
@@ -3404,6 +3422,22 @@ def _llm_oracles() -> dict[str, str]:
                                   / (CAST(mxs[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE)), 0) AS INT)
                              ELSE 0 END) AS codes
         FROM embeddings CROSS JOIN arrs
+    """
+
+    # Morton interleave: bit b of dim c -> position b*2 + c; the SQL
+    # unrolls the same shifts the Spark expression does.
+    zbits = " + ".join(
+        f"(((zx >> {b}) & 1) << {b * 2}) + (((zy >> {b}) & 1) << {b * 2 + 1})"
+        for b in range(8)
+    )
+    o["zorder_key"] = f"""
+        WITH q AS (
+            SELECT event_id,
+                   user_id % 256 AS zx,
+                   event_id % 256 AS zy
+            FROM events
+        )
+        SELECT event_id, zx, zy, CAST({zbits} AS BIGINT) AS zkey FROM q
     """
 
     o["duplicate_spans"] = r"""

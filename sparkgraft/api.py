@@ -106,7 +106,12 @@ from sparkgraft.sinks.kv import (
     write_matlab,
     write_stats_csv,
 )
-from sparkgraft.sinks.layout import compact_directory, write_partitioned
+from sparkgraft.sinks.layout import (
+    compact_directory,
+    write_partitioned,
+    write_zordered,
+    zorder_key,
+)
 from sparkgraft.sources.readers import (
     list_files,
     read_csv,

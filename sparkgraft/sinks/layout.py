@@ -11,7 +11,57 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def zorder_key(cols: Sequence[Column], bits: int = 8) -> Column:
+    """Z-order (Morton) key: interleave the low ``bits`` bits of each
+    non-negative integer column into one sort key.
+
+    Sorting a write by this key co-clusters rows on EVERY input
+    dimension at once, so parquet row-group min/max statistics prune
+    scans filtered on any of them — the multi-dimensional layout trick
+    (Delta/Iceberg OPTIMIZE ZORDER) as a pure column expression.
+    Callers quantize real-valued dimensions to ints first (rank,
+    bucket, or min/max scale).  bit b of column c lands at position
+    b * n_cols + c, so the key fits in a long for
+    bits * n_cols <= 63.
+    """
+    n = len(cols)
+    if bits * n > 63:
+        raise ValueError("bits * n_cols must fit in a signed long")
+    key = F.lit(0).cast("long")
+    for c_idx, col in enumerate(cols):
+        v = col.cast("long")
+        for b in range(bits):
+            key = key + F.shiftleft(
+                F.shiftright(v, b).bitwiseAND(F.lit(1)), b * n + c_idx
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 8,
+    n_files: int = 8,
+    fmt: str = "parquet",
+) -> None:
+    """Write ``df`` clustered by the Z-order of ``cols`` (already
+    integer-quantized): range-partition on the key so files cover
+    disjoint key ranges, sort within each partition so row groups
+    within a file are tight on every dimension."""
+    keyed = df.withColumn("_zkey", zorder_key([F.col(c) for c in cols], bits))
+    (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )
 
 
 def write_partitioned(
