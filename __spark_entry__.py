@@ -965,6 +965,21 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn("rnk", F.row_number().over(w))
 
 
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over event user_ids (depth 4 x width 64):
+    per-user estimate beside the exact count — estimates are exact
+    integer arithmetic, over-count-only by construction (asserted in
+    tests along with the merge law)."""
+    from sparkgraft.operators.sketch import cms_build, cms_lookup
+
+    events = _t(spark, sf_dir, "events")
+    cms = cms_build(events, ["user_id"], depth=4, width=64)
+    probes = events.select("user_id").distinct()
+    est = cms_lookup(cms, probes, ["user_id"], depth=4, width=64)
+    exact = events.groupBy("user_id").agg(F.count("*").alias("n_exact"))
+    return exact.join(est, "user_id").select("user_id", "n_exact", "n_est")
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over two quantized dimensions —
     the multi-dim layout sort key (write_zordered), verified bit-for-bit
@@ -2011,6 +2026,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "duplicate_spans": q_duplicate_spans,
     "zorder_key": q_zorder_key,
+    "cms_counts": q_cms_counts,
 }
 
 
@@ -3422,6 +3438,31 @@ def _llm_oracles() -> dict[str, str]:
                                   / (CAST(mxs[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE)), 0) AS INT)
                              ELSE 0 END) AS codes
         FROM embeddings CROSS JOIN arrs
+    """
+
+    # Count-min: identical md5 bucket math both sides; the min over
+    # depth rows and all counts are exact integers.
+    o["cms_counts"] = """
+        WITH cells AS (
+            SELECT d,
+                   CAST(CAST(concat('0x', substr(md5(concat_ws('|', d, 'cms', user_id)), 1, 4))
+                        AS BIGINT) % 64 AS INT) AS bucket
+            FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS d)
+        ),
+        cms AS (SELECT d, bucket, count(*) AS n FROM cells GROUP BY 1, 2),
+        probes AS (
+            SELECT DISTINCT user_id, d,
+                   CAST(CAST(concat('0x', substr(md5(concat_ws('|', d, 'cms', user_id)), 1, 4))
+                        AS BIGINT) % 64 AS INT) AS bucket
+            FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS d)
+        ),
+        est AS (
+            SELECT user_id, min(coalesce(n, 0)) AS n_est
+            FROM probes LEFT JOIN cms USING (d, bucket)
+            GROUP BY 1
+        ),
+        exact AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1)
+        SELECT user_id, n_exact, n_est FROM exact JOIN est USING (user_id)
     """
 
     # Morton interleave: bit b of dim c -> position b*2 + c; the SQL

@@ -36,6 +36,7 @@ from sparkgraft.operators.relational import (
 )
 from sparkgraft.operators.graph import connected_components, dedup_representatives
 from sparkgraft.operators.reshape import long_to_wide, wide_to_long
+from sparkgraft.operators.sketch import cms_build, cms_lookup, cms_merge
 from sparkgraft.operators.scale import (
     bucketed_join,
     domain_weights,

@@ -257,3 +257,25 @@ def test_duplicate_spans_positions_and_shorts(spark):
     assert (1, 0) in spans and (2, 1) in spans
     assert all(r["n_occ"] == 2 for r in rows)
     assert {r["doc_id"] for r in rows} == {1, 2}  # doc 3: no window
+
+
+def test_cms_overcounts_only_and_merges(spark):
+    """Count-min law: estimate >= exact for every key, and the cell-wise
+    merge of two disjoint-half sketches equals the full-data sketch."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.operators.sketch import cms_build, cms_lookup, cms_merge
+
+    df = spark.range(2000).select((F.col("id") % 37).alias("k"))
+    cms = cms_build(df, ["k"], depth=4, width=16)  # narrow: force collisions
+    probes = df.select("k").distinct()
+    est = {r["k"]: r["n_est"] for r in cms_lookup(cms, probes, ["k"], depth=4, width=16).collect()}
+    exact = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert all(est[k] >= exact[k] for k in exact)
+    assert any(est[k] > exact[k] for k in exact)  # width 16 < 37 keys: collisions certain
+
+    a = cms_build(df.filter("id < 1000"), ["k"], depth=4, width=16)
+    b = cms_build(df.filter("id >= 1000"), ["k"], depth=4, width=16)
+    merged = {(r["d"], r["bucket"]): r["n"] for r in cms_merge(a, b).collect()}
+    full = {(r["d"], r["bucket"]): r["n"] for r in cms.collect()}
+    assert merged == full
