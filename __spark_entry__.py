@@ -965,6 +965,27 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn("rnk", F.row_number().over(w))
 
 
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered join: orders pre-screened by a broadcast
+    bitmap of nation-3 customers before the equi join — the oracle is
+    the PLAIN join (Bloom has no false negatives, so results are
+    identical; only the shuffled volume changes)."""
+    from sparkgraft.operators.scale import bloom_bitmap, bloom_prefilter
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") == 3)
+    bm = bloom_bitmap(cust.select(F.col("c_custkey").alias("key")), "key")
+    pre = bloom_prefilter(orders, bm, "o_custkey")
+    return (
+        pre.join(cust, pre["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
 def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch over event user_ids (depth 4 x width 64):
     per-user estimate beside the exact count — estimates are exact
@@ -2027,6 +2048,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicate_spans": q_duplicate_spans,
     "zorder_key": q_zorder_key,
     "cms_counts": q_cms_counts,
+    "bloom_join": q_bloom_join,
 }
 
 
@@ -3438,6 +3460,17 @@ def _llm_oracles() -> dict[str, str]:
                                   / (CAST(mxs[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE)), 0) AS INT)
                              ELSE 0 END) AS codes
         FROM embeddings CROSS JOIN arrs
+    """
+
+    # Bloom prefilter changes only the shuffled volume, never the
+    # result — the oracle is the plain join.
+    o["bloom_join"] = """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               count(DISTINCT o_custkey) AS n_customers
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_nationkey = 3
+        GROUP BY 1
     """
 
     # Count-min: identical md5 bucket math both sides; the min over

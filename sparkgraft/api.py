@@ -38,6 +38,8 @@ from sparkgraft.operators.graph import connected_components, dedup_representativ
 from sparkgraft.operators.reshape import long_to_wide, wide_to_long
 from sparkgraft.operators.sketch import cms_build, cms_lookup, cms_merge
 from sparkgraft.operators.scale import (
+    bloom_bitmap,
+    bloom_prefilter,
     bucketed_join,
     domain_weights,
     hash_split,

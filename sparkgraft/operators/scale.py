@@ -70,6 +70,94 @@ def salted_join(
     return out.drop("_salt")
 
 
+def bloom_bitmap(
+    small: DataFrame,
+    key_col: str,
+    bits: int = 4096,
+    hashes: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Build a Bloom-filter bitmap of the small join side as ONE row of
+    ``bits/64`` longs — the broadcastable pre-filter that lets the big
+    side drop non-matching rows BEFORE the join shuffle (the runtime-
+    filter trick, as an explicit engine-portable operator).
+
+    Bit positions are md5-derived (portable, deterministic); words are
+    bit_or-aggregated (map-side combined) and densified via a map
+    lookup over the full word range, so the bitmap is position-stable
+    regardless of which words are non-zero.
+    """
+    if bits % 64 != 0:
+        raise ValueError("bits must be a multiple of 64")
+    n_words = bits // 64
+    positions = F.array(
+        *[_bloom_pos(h, F.col(key_col), bits, salt) for h in range(hashes)]
+    )
+    words = small.select(F.explode(positions).alias("pos")).select(
+        (F.col("pos") / 64).cast("int").alias("word_idx"),
+        F.expr("shiftleft(1L, cast(pmod(pos, 64) as int))").alias("bit"),
+    )
+    per_word = words.groupBy("word_idx").agg(F.bit_or("bit").alias("w"))
+    return per_word.agg(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at(
+                    F.map_from_entries(
+                        F.collect_list(F.struct("word_idx", "w"))
+                    ),
+                    i,
+                ),
+                F.lit(0).cast("long"),
+            ),
+        ).alias("bitmap")
+    )
+
+
+def _bloom_pos(h: int, key: Column, bits: int, salt: str) -> Column:
+    raw = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(h)), F.lit(salt), key)), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(raw, F.lit(bits))
+
+
+def bloom_prefilter(
+    big: DataFrame,
+    bitmap: DataFrame,
+    key_col: str,
+    bits: int = 4096,
+    hashes: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Keep only big-side rows that MIGHT match the small side (no
+    false negatives — the follow-up equi join is exact): cross-join the
+    broadcast 1-row bitmap, test every hash position's bit.  At 100 TB
+    this is the difference between shuffling the whole fact table and
+    shuffling ~the matching fraction."""
+    cond = None
+    for h in range(hashes):
+        pos = _bloom_pos(h, F.col(key_col), bits, salt)
+        word = F.element_at(F.col("bitmap"), (pos / 64).cast("int") + F.lit(1))
+        test = (
+            _shiftright_var(word, F.pmod(pos, F.lit(64))).bitwiseAND(F.lit(1))
+            == 1
+        )
+        cond = test if cond is None else (cond & test)
+    return big.crossJoin(F.broadcast(bitmap)).filter(cond).drop("bitmap")
+
+
+def _shiftright_var(col: Column, amount: Column) -> Column:
+    """shiftright with a column shift amount (the DSL function only
+    accepts a literal int; the SQL form accepts expressions)."""
+    from pyspark.sql.functions import call_function
+
+    return call_function("shiftright", col, amount.cast("int"))
+
+
 def domain_weights(
     df: DataFrame,
     strata_col: str,

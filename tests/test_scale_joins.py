@@ -131,3 +131,22 @@ def test_domain_weights_temperature_properties(spark):
     assert w2["tiny"]["weight"] > w1["tiny"]["weight"]
     assert w2["big"]["weight"] < w1["big"]["weight"]
     assert w2["big"]["weight"] > w2["mid"]["weight"] > w2["tiny"]["weight"]
+
+
+def test_bloom_prefilter_no_false_negatives_and_reduces(spark):
+    from pyspark.sql import functions as F
+
+    from sparkgraft.operators.scale import bloom_bitmap, bloom_prefilter
+
+    big = spark.range(20000).select(F.col("id").alias("k"))
+    small = spark.range(300).select((F.col("id") * 61).alias("k"))  # sparse keys
+    bm = bloom_bitmap(small.select(F.col("k").alias("key")), "key", bits=4096, hashes=3)
+    pre = bloom_prefilter(big, bm, "k", bits=4096, hashes=3)
+    # every true match survives the prefilter (no false negatives)
+    joined_pre = pre.join(small, "k").count()
+    joined_plain = big.join(small, "k").count()
+    assert joined_pre == joined_plain > 0
+    # and the prefilter actually cut the big side (few false positives)
+    n_pre = pre.count()
+    assert n_pre < 2000, n_pre  # 20000 rows -> ~matches + fp
+    assert n_pre >= joined_plain
