@@ -965,6 +965,26 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn("rnk", F.row_number().over(w))
 
 
+def q_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compress-then-rerank ANN: int8-decoded cosine shortlist (top-20)
+    re-ranked by full-precision cosine (top-5) for the first 10
+    queries."""
+    emb = _t(spark, sf_dir, "embeddings")
+    stats = SIM.quantization_stats(emb)
+    return SIM.quantized_rerank_topk(
+        emb.filter(F.col("vec_id") < 10), emb, stats, k=5, m=20
+    )
+
+
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-per-source document sample (hash-ranked
+    reservoir analog) — reproducible in any engine, no RNG."""
+    from sparkgraft.operators.scale import sample_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample_per_group(docs, ["source"], ["doc_id"], k=3)
+
+
 def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered join: orders pre-screened by a broadcast
     bitmap of nation-3 customers before the equi join — the oracle is
@@ -2049,6 +2069,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_key": q_zorder_key,
     "cms_counts": q_cms_counts,
     "bloom_join": q_bloom_join,
+    "sample_per_group": q_sample_per_group,
+    "rerank_topk": q_rerank_topk,
 }
 
 
@@ -3460,6 +3482,68 @@ def _llm_oracles() -> dict[str, str]:
                                   / (CAST(mxs[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE)), 0) AS INT)
                              ELSE 0 END) AS codes
         FROM embeddings CROSS JOIN arrs
+    """
+
+    # Compress-then-rerank: decode CTE mirrors quantize_embeddings'
+    # round trip (DOUBLE-forced); approx ranks on decoded vectors,
+    # exact reranks the shortlist.
+    cos_d = cos.replace("qv", "qd").replace("cv", "cd")
+    o["rerank_topk"] = f"""
+        WITH expl AS (
+            SELECT unnest(embedding) AS v,
+                   unnest(generate_series(1, len(embedding))) AS pos
+            FROM embeddings
+        ),
+        per AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM expl GROUP BY pos),
+        arrs AS (
+            SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+            FROM per
+        ),
+        dec AS (
+            SELECT vec_id, embedding,
+                   list_transform(generate_series(1, len(embedding)),
+                       i -> CAST(mns[i] AS DOUBLE)
+                            + (CASE WHEN CAST(mxs[i] AS DOUBLE) > CAST(mns[i] AS DOUBLE)
+                                    THEN round((CAST(embedding[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE)) * 255.0
+                                               / (CAST(mxs[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE)), 0)
+                                    ELSE 0.0 END)
+                              * (CAST(mxs[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE)) / 255.0) AS d
+            FROM embeddings CROSS JOIN arrs
+        ),
+        q AS (SELECT vec_id AS query_id, embedding AS qv, d AS qd
+              FROM dec WHERE vec_id < 10),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS cv, d AS cd FROM dec),
+        approx AS (
+            SELECT query_id, neighbor_id, qv, cv, {cos_d} AS approx_sim
+            FROM c JOIN q ON neighbor_id <> query_id
+        ),
+        short AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx_sim DESC, neighbor_id ASC) AS arnk
+                FROM approx
+            ) WHERE arnk <= 20
+        ),
+        exact AS (
+            SELECT query_id, neighbor_id, {cos} AS cos_sim FROM short
+        )
+        SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+            FROM exact
+        ) WHERE rnk <= 5
+    """
+
+    o["sample_per_group"] = """
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(concat_ws('|', 'gsample', doc_id)) ASC,
+                                doc_id ASC
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= 3
     """
 
     # Bloom prefilter changes only the shuffled volume, never the

@@ -44,6 +44,7 @@ from sparkgraft.operators.scale import (
     domain_weights,
     hash_split,
     salted_join,
+    sample_per_group,
     shard_assignment,
     shuffle_key,
     stratified_sample,
@@ -66,6 +67,7 @@ from sparkgraft.operators.similarity import (
     partitioned_topk,
     quantization_stats,
     quantize_embeddings,
+    quantized_rerank_topk,
 )
 from sparkgraft.operators.stats import (
     channel_stats,

@@ -186,6 +186,34 @@ def domain_weights(
     )
 
 
+def sample_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_cols: Sequence[str],
+    k: int,
+    salt: str = "gsample",
+) -> DataFrame:
+    """Deterministic k-per-group sample (the distributed reservoir
+    analog): rank rows inside each group by their key hash and keep the
+    first k.  Same-key rows land in the same sample forever, in any
+    engine — the "show me k examples per domain" curation primitive.
+
+    One shuffle (the group window); the hash order makes the pick
+    uniform-ish and reproducible, unlike rand()-based sampling.
+    """
+    h = F.md5(
+        F.concat_ws("|", F.lit(salt), *[F.col(c) for c in id_cols])
+    )
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        h.asc(), *[F.col(c).asc() for c in id_cols]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def widen_narrow_scan(df: DataFrame) -> DataFrame:
     """Repartition ONLY when the input is narrower than the cluster —
     the guard for CPU-heavy per-row stages (md5 shingling, signature

@@ -564,6 +564,107 @@ def dequantize_error(
     )
 
 
+def quantized_rerank_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    stats: DataFrame,
+    k: int = 5,
+    m: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 255,
+    digits: int = 6,
+) -> DataFrame:
+    """Two-stage ANN with int8 candidates: stage 1 ranks by cosine over
+    the QUANTIZED-then-decoded vectors (the 4x-smaller representation a
+    production index actually stores/streams) and keeps the top-``m``
+    per query; stage 2 re-ranks those m with full-precision cosine and
+    returns the top-``k`` — the standard compress-then-rerank recipe.
+
+    Both stages round before ranking with id tie-breaks, so the whole
+    pipeline is deterministic and oracle-checkable.  The decode is the
+    round-trip of :func:`quantize_embeddings` fused into one projection
+    (code = round((v-mn)*L/(mx-mn)), dec = mn + code*(mx-mn)/L).
+    """
+
+    def decoded(df: DataFrame, out: str) -> DataFrame:
+        paired = F.zip_with(
+            F.col(vec_col),
+            F.col("mns"),
+            lambda v, mn: F.struct(
+                v.cast("double").alias("v"), mn.cast("double").alias("mn")
+            ),
+        )
+        dec = F.zip_with(
+            paired,
+            F.col("mxs"),
+            lambda s, mx: s["mn"]
+            + F.when(
+                mx.cast("double") > s["mn"],
+                F.round(
+                    (s["v"] - s["mn"])
+                    * F.lit(float(levels))
+                    / (mx.cast("double") - s["mn"]),
+                    0,
+                ),
+            ).otherwise(F.lit(0.0))
+            * (mx.cast("double") - s["mn"])
+            / F.lit(float(levels)),
+        )
+        return df.crossJoin(F.broadcast(stats)).withColumn(out, dec).drop(
+            "mns", "mxs"
+        )
+
+    q = decoded(queries, "qd").select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("qd"),
+        _norm(F.col(vec_col)).alias("qn"),
+        _norm(F.col("qd")).alias("qdn"),
+    )
+    c = decoded(candidates, "cd").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col("cd"),
+        _norm(F.col(vec_col)).alias("cn"),
+        _norm(F.col("cd")).alias("cdn"),
+    )
+    approx = (
+        c.join(F.broadcast(q), c["neighbor_id"] != q["query_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qv",
+            "cv",
+            "qn",
+            "cn",
+            F.round(
+                _dot(F.col("qd"), F.col("cd")) / (F.col("qdn") * F.col("cdn")),
+                digits,
+            ).alias("approx_sim"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = approx.withColumn("arnk", F.row_number().over(w1)).filter(
+        F.col("arnk") <= m
+    )
+    exact = shortlist.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), digits
+        ).alias("cos_sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return exact.withColumn("rnk", F.row_number().over(w2)).filter(
+        F.col("rnk") <= k
+    )
+
+
 def kmeans_iterate(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],

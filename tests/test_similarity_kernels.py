@@ -268,3 +268,26 @@ def test_quantize_constant_dimension_is_zero(spark):
     rows = {r["vec_id"]: r["codes"] for r in SIM.quantize_embeddings(df, stats).collect()}
     assert rows[1][0] == 0 and rows[2][0] == 0  # constant dim -> 0
     assert rows[1][1] == 0 and rows[2][1] == 255  # full range maps 0..255
+
+
+def test_rerank_matches_brute_force_closely(spark):
+    """The int8 shortlist (m=20) + exact rerank must recover nearly the
+    exact top-5: quantization distortion is bounded by half a step per
+    dim, so the true top-5 lands inside the top-20 shortlist for almost
+    every query."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.operators import similarity as SIM
+    from sparkgraft.sources.readers import read_table
+    from tests.conftest import SF_DIR
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    stats = SIM.quantization_stats(emb)
+    exact = _topk_sets(SIM.brute_force_topk(q, emb, k=5))
+    rerank = _topk_sets(
+        SIM.quantized_rerank_topk(q, emb, stats, k=5, m=20)
+    )
+    hits = sum(len(rerank.get(k, set()) & v) for k, v in exact.items())
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.9, (hits, total)
