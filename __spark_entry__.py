@@ -965,6 +965,47 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn("rnk", F.row_number().over(w))
 
 
+NORM_FIXTURE: list[tuple[int, str]] = [
+    (1, "  Hello\tWORLD  \n this IS​Spark  "),
+    (2, "Tabs\t\tand\r\nnewlines EVERYWHERE\x01\x02"),
+    (3, "already clean lowercase text"),
+    (4, "﻿BOM prefix And ZERO‍-width joiners"),
+]
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text cleaning (lowercase, control/zero-width strip,
+    whitespace collapse) — the pre-hash normalization step, fixture
+    shared verbatim with the oracle."""
+    df = spark.createDataFrame(NORM_FIXTURE, "doc_id long, text string")
+    return df.select("doc_id", T.normalize_text(F.col("text")).alias("normalized"))
+
+
+SENT_FIXTURE: list[tuple[int, str]] = [
+    (1, "First sentence. Second one! Is this third? Yes."),
+    (2, "No terminal punctuation here"),
+    (3, "Trailing spaces after stop.   And more...   "),
+]
+
+
+def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (punctuation heuristic) with stable
+    0-based positions."""
+    df = spark.createDataFrame(SENT_FIXTURE, "doc_id long, text string")
+    return T.split_sentences(df)
+
+
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain relative quality gate: keep docs at/above the p25
+    token-count percent-rank WITHIN their source — no global cutoff
+    that would silently delete whole low-scoring domains."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", F.size(T.tokenize(F.col("text"))).alias("n_tokens")
+    )
+    return T.relative_quality_gate(scored, "source", "n_tokens")
+
+
 def q_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compress-then-rerank ANN: int8-decoded cosine shortlist (top-20)
     re-ranked by full-precision cosine (top-5) for the first 10
@@ -2071,6 +2112,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_join": q_bloom_join,
     "sample_per_group": q_sample_per_group,
     "rerank_topk": q_rerank_topk,
+    "normalize_text": q_normalize_text,
+    "split_sentences": q_split_sentences,
+    "quality_gate": q_quality_gate,
 }
 
 
@@ -3532,6 +3576,73 @@ def _llm_oracles() -> dict[str, str]:
                         ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
             FROM exact
         ) WHERE rnk <= 5
+    """
+
+    def esc(s: str) -> str:
+        # DuckDB e'' escape string: hex/unicode escapes for anything
+        # outside printable ASCII, so control/zero-width fixture chars
+        # survive the SQL round trip byte-for-byte.
+        out = []
+        for ch in s:
+            cp = ord(ch)
+            if ch == "'":
+                out.append("''")
+            elif ch == "\\":
+                out.append("\\\\")
+            elif cp < 32 or cp == 127:
+                out.append(f"\\x{cp:02X}")
+            else:
+                # printable ASCII and any non-ASCII go through as
+                # literal UTF-8 (DuckDB handles unicode literals; \uXXXX
+                # escapes are not part of its e'' grammar)
+                out.append(ch)
+        return "e'" + "".join(out) + "'"
+
+    norm_values = ", ".join(f"({i}, {esc(s)})" for i, s in NORM_FIXTURE)
+    o["normalize_text"] = f"""
+        WITH src AS (SELECT * FROM (VALUES {norm_values}) AS t(doc_id, text))
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x{{200B}}-\\x{{200D}}\\x{{FEFF}}]',
+                    '', 'g'),
+                    '\\s+', ' ', 'g')) AS normalized
+        FROM src
+    """
+
+    sent_values = ", ".join(f"({i}, {esc(s)})" for i, s in SENT_FIXTURE)
+    o["split_sentences"] = f"""
+        WITH src AS (SELECT * FROM (VALUES {sent_values}) AS t(doc_id, text)),
+        parts AS (
+            SELECT doc_id,
+                   regexp_split_to_array(text, '[.!?]+\\s+') AS ps
+            FROM src
+        ),
+        idxd AS (
+            SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS i
+            FROM parts
+        ),
+        cleaned AS (
+            SELECT doc_id, i - 1 AS sent_id,
+                   trim(regexp_replace(ps[i], '[.!?]+$', '')) AS sentence
+            FROM idxd
+        )
+        SELECT doc_id, sent_id, sentence FROM cleaned WHERE len(sentence) > 0
+    """
+
+    o["quality_gate"] = r"""
+        SELECT doc_id, source, n_tokens,
+               round(pct, 6) AS pct,
+               round(pct, 6) >= 0.25 AS keep
+        FROM (
+            SELECT doc_id, source,
+                   len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+                   percent_rank() OVER (
+                       PARTITION BY source
+                       ORDER BY len(regexp_split_to_array(text, '\s+')) ASC,
+                                doc_id ASC
+                   ) AS pct
+            FROM documents
+        )
     """
 
     o["sample_per_group"] = """

@@ -91,11 +91,14 @@ from sparkgraft.operators.textops import (
     lang_id,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
+    normalize_text,
     pack_chunks,
     paragraph_dedup,
     pii_redact,
+    relative_quality_gate,
     repetition_stats,
     simhash16,
+    split_sentences,
     text_stats,
     tfidf_top_terms,
     tokenize,

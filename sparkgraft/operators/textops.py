@@ -534,6 +534,67 @@ def paragraph_dedup(
     )
 
 
+def normalize_text(text: Column) -> Column:
+    """Canonical text cleaning for hashing/dedup keys: lowercase,
+    control characters and zero-width/BOM marks stripped, all
+    whitespace runs collapsed to single spaces, trimmed.  A pure
+    expression chain (RE2/Java-portable patterns) so normalized hashes
+    agree across engines — normalize BEFORE content_id/minhash when
+    near-identical formatting variants should collapse."""
+    t = F.lower(text)
+    # Java regex syntax here; the DuckDB oracle uses the RE2 spelling
+    # (\x{200B} etc.) of the SAME class — results are identical.
+    t = F.regexp_replace(
+        t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\u200B-\\u200D\\uFEFF]", ""
+    )
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def split_sentences(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Sentence segmentation (punctuation heuristic): split on
+    [.!?]+ followed by whitespace, keep non-empty trimmed sentences
+    with their 0-based position.  Shuffle-free posexplode — the
+    pre-chunking granularity for sentence-aware packing."""
+    sents = F.split(F.col(text_col), r"[.!?]+\s+")
+    return (
+        docs.select(
+            F.col(id_col), F.posexplode(sents).alias("sent_id", "sentence")
+        )
+        .withColumn("sentence", F.trim(F.regexp_replace("sentence", r"[.!?]+$", "")))
+        .filter(F.length("sentence") > 0)
+    )
+
+
+def relative_quality_gate(
+    docs: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str = "doc_id",
+    min_pct: float = 0.25,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-domain relative quality thresholding: keep a document when
+    its quality score sits at or above the ``min_pct`` percent-rank
+    WITHIN its own domain — the curation pattern that avoids one global
+    cutoff silently deleting whole low-scoring domains.
+
+    One shuffle (the per-domain window); percent_rank is rank
+    arithmetic on integers, deterministic with the id tie-break.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("pct", F.round(F.percent_rank().over(w), digits))
+        .withColumn("keep", F.col("pct") >= F.lit(min_pct))
+    )
+
+
 def duplicate_spans(
     docs: DataFrame,
     id_col: str = "doc_id",

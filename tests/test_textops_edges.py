@@ -279,3 +279,38 @@ def test_cms_overcounts_only_and_merges(spark):
     merged = {(r["d"], r["bucket"]): r["n"] for r in cms_merge(a, b).collect()}
     full = {(r["d"], r["bucket"]): r["n"] for r in cms.collect()}
     assert merged == full
+
+
+def test_normalize_then_hash_collapses_format_variants(spark):
+    """The normalize -> content-id composition: formatting variants of
+    the same text get identical ids; different text does not."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.functions.expr import content_id
+
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "  hello\tworld\n"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["cid"]
+        for r in df.select(
+            "doc_id", content_id(T.normalize_text(F.col("text"))).alias("cid")
+        ).collect()
+    }
+    assert out[1] == out[2] != out[3]
+
+
+def test_relative_quality_gate_keeps_per_domain_floor(spark):
+    from pyspark.sql import functions as F
+
+    # two domains with disjoint score ranges: a global p25 cutoff would
+    # delete all of domain B; the relative gate keeps 75% of each
+    rows = [(i, "A", 100 + i) for i in range(20)] + [
+        (100 + i, "B", i) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, g string, score long")
+    out = T.relative_quality_gate(df, "g", "score")
+    kept = out.filter("keep").groupBy("g").count().collect()
+    by_g = {r["g"]: r["count"] for r in kept}
+    assert by_g["A"] == by_g["B"] == 15  # 75% of 20, both domains survive
