@@ -81,6 +81,10 @@ HEADLINE = [
     "decontaminate",
     "bm25_search",
     "sample_mix",
+    "duplicate_spans",
+    "quantize_embeddings",
+    "bloom_join",
+    "quality_gate",
 ]
 
 
