@@ -117,6 +117,56 @@ def brute_force_topk(
     )
 
 
+def _literal_vec_table(rows: list[tuple[int, list[float]]], id_name: str) -> Column:
+    """A small (id, vector) table as ONE plan-time literal:
+    ``array<struct<id int, vec array<double>>>`` rendered as a SQL
+    string and parsed JVM-side in a single call.
+
+    Building the same literal with per-element ``F.lit`` costs one Py4J
+    round-trip per number — ~1 s of driver time for a 10x64 centroid
+    table — while the SQL text parses in ~ms and produces the identical
+    foldable literal.  ``repr(float)`` is the shortest round-trip form,
+    so the literal is bit-exact."""
+    parts = ", ".join(
+        "named_struct('{id}', {i}, 'vec', array({xs}))".format(
+            id=id_name,
+            i=int(rid),
+            xs=", ".join(repr(float(x)) + "D" for x in rvec),
+        )
+        for rid, rvec in rows
+    )
+    return F.expr(f"array({parts})")
+
+
+def _centroid_dists(
+    vec: Column, centroids: list[tuple[int, list[float]]], digits: int
+) -> Column:
+    """Per-centroid rounded L2 distances as ``array<struct<d, cluster>>``
+    — ONE ``transform`` over the literal centroid table (the per-pair
+    fold is the only per-row work), shared by :func:`assign_nearest`
+    and :func:`assign_nearest_multi`."""
+    ctab = _literal_vec_table(centroids, "cluster")
+    return F.transform(
+        ctab,
+        lambda c: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        c["vec"],
+                        lambda x, cc: (x.cast("double") - cc)
+                        * (x.cast("double") - cc),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                digits,
+            ).alias("d"),
+            c["cluster"].alias("cluster"),
+        ),
+    )
+
+
 def hyperplane_signs(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic random-hyperplane components: ±1 per (plane, dim)
     from md5 — reproducible in any engine (and embeddable as literals,
@@ -148,16 +198,25 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     bucketed join into the full cross join this index exists to avoid.
     """
     dim = len(planes[0])
-    bucket = None
-    for p, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec, lit_plane, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
+    # Planes as one literal table (bit value precomputed per plane);
+    # the bucket is a single fold: acc + bit when dot(v, plane) > 0.
+    ptab = _literal_vec_table(
+        [(1 << p, plane) for p, plane in enumerate(planes)], "bit"
+    )
+    bucket = F.aggregate(
+        ptab,
+        F.lit(0),
+        lambda acc, pl: acc
+        + F.when(
+            F.aggregate(
+                F.zip_with(vec, pl["vec"], lambda x, w: x.cast("double") * w),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            > 0,
+            pl["bit"],
+        ).otherwise(F.lit(0)),
+    )
     return F.when(F.size(vec) == F.lit(dim), bucket.cast("int")).otherwise(
         F.raise_error(
             F.format_string(
@@ -351,22 +410,9 @@ def assign_nearest(
     ``zip_with`` null-padding.
     """
     dim = len(centroids[0][1])
-    entries = []
-    for cid, cvec in centroids:
-        lit_c = F.array(*[F.lit(float(x)) for x in cvec])
-        d2 = F.aggregate(
-            F.zip_with(
-                vec,
-                lit_c,
-                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        entries.append(
-            F.struct(F.round(d2, digits).alias("d"), F.lit(int(cid)).alias("cluster"))
-        )
-    assigned = F.array_min(F.array(*entries)).getField("cluster")
+    assigned = F.array_min(_centroid_dists(vec, centroids, digits)).getField(
+        "cluster"
+    )
     return F.when(F.size(vec) == F.lit(dim), assigned).otherwise(
         F.raise_error(
             F.format_string(
@@ -393,23 +439,8 @@ def assign_nearest_multi(
     sort, so probe order is deterministic.
     """
     dim = len(centroids[0][1])
-    entries = []
-    for cid, cvec in centroids:
-        lit_c = F.array(*[F.lit(float(x)) for x in cvec])
-        d2 = F.aggregate(
-            F.zip_with(
-                vec,
-                lit_c,
-                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        entries.append(
-            F.struct(F.round(d2, digits).alias("d"), F.lit(int(cid)).alias("cluster"))
-        )
     probes = F.transform(
-        F.slice(F.array_sort(F.array(*entries)), 1, nprobe),
+        F.slice(F.array_sort(_centroid_dists(vec, centroids, digits)), 1, nprobe),
         lambda s: s["cluster"],
     )
     return F.when(F.size(vec) == F.lit(dim), probes).otherwise(
