@@ -918,13 +918,7 @@ def q_cluster_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once per sf_dir (deterministic: exact fixed-point means), so
     # repeated gate/bench calls measure assignment + search, not
     # re-fitting.
-    cent_rows = _FIXTURE_CACHE.get(("ivf_centroids", sf_dir))
-    if cent_rows is None:
-        cents = SIM.centroids_from_labels(emb, "label", "embedding", digits=6)
-        cent_rows = sorted(
-            (r["cluster"], list(r["centroid"])) for r in cents.collect()
-        )
-        _FIXTURE_CACHE[("ivf_centroids", sf_dir)] = cent_rows
+    cent_rows = _ivf_centroids(spark, sf_dir)
     assigned = emb.withColumn(
         "cluster", SIM.assign_nearest(F.col("embedding"), cent_rows)
     )
@@ -935,6 +929,69 @@ def q_cluster_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return SIM.partitioned_topk(probing, assigned, k=5, partition_col="cluster")
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
+    """Memoized offline IVF index-build: exact per-dim fixed-point means
+    per label (deterministic, so caching is safe)."""
+    cent_rows = _FIXTURE_CACHE.get(("ivf_centroids", sf_dir))
+    if cent_rows is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        cents = SIM.centroids_from_labels(emb, "label", "embedding", digits=6)
+        cent_rows = sorted(
+            (r["cluster"], list(r["centroid"])) for r in cents.collect()
+        )
+        _FIXTURE_CACHE[("ivf_centroids", sf_dir)] = cent_rows
+    return cent_rows
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: corpus ∪ planted near-dups (every
+    20th vector ×1.01 — same direction, cos=1, tiny L2 offset), cluster
+    by nearest centroid, drop any doc with an earlier-id same-cluster
+    neighbor at cosine ≥ 0.999.  Pairwise cost is within-cluster only —
+    the SemDeDup scale trick."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = _ivf_centroids(spark, sf_dir)
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") * F.lit(1.01)
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    out = SIM.semantic_dedup(corpus, cent_rows, threshold=0.999)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster").cast("int").alias("cluster"),
+        "is_duplicate",
+        F.col("dup_of").cast("long").alias("dup_of"),
+    )
+
+
+def q_ngram_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM-style filter: per-doc share of distinct bigrams that
+    occur in ≥2 documents corpus-wide (md5-keyed shuffle, exact ratio)."""
+    return T.ngram_support(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=2, min_df=2
+    )
+
+
+def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: per-user hourly grid over each
+    user's observed span, latest-event-per-bucket representative,
+    interior gaps linearly interpolated in exact fixed-point
+    arithmetic, edges padded with the nearest observation."""
+    from sparkgraft.operators.timeseries import resample_interpolate
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return resample_interpolate(
+        ev, "user_id", "ts", "value", "event_id", step_sec=3600, digits=3
+    )
 
 
 def q_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2115,6 +2172,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "normalize_text": q_normalize_text,
     "split_sentences": q_split_sentences,
     "quality_gate": q_quality_gate,
+    "semdedup": q_semdedup,
+    "resample": q_resample,
+    "ngram_support": q_ngram_support,
 }
 
 
@@ -2795,6 +2855,17 @@ def _rsum_sql(scaled_sum: str, digits: int) -> str:
     )
 
 
+def _rowmean_sql(num: str, n: str, digits: int) -> str:
+    """DuckDB snippet mirroring stats.exact_mean applied row-wise to an
+    already-scaled integer numerator and an integer denominator."""
+    unit = 1_000_000 // 10**digits
+    return (
+        f"(CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END)"
+        f" * floor((2 * abs({num}) + {unit} * ({n}))"
+        f" / (2.0 * {unit} * ({n}))) / {10**digits}.0"
+    )
+
+
 _QTY_S = "sum(CAST(round(l_quantity * 1000000.0) AS BIGINT))"
 _PRICE_S = "sum(CAST(round(l_extendedprice * 1000000.0) AS BIGINT))"
 _DISC_S = (
@@ -3240,6 +3311,148 @@ def _llm_oracles() -> dict[str, str]:
                                          ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
             FROM scored
         ) WHERE rnk <= 5
+    """
+
+    # Mirrors textops.ngram_support: distinct per-doc bigrams → md5 key
+    # → document frequency → per-doc supported share (exact ratio).
+    o["ngram_support"] = rf"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, md5(g) AS g FROM (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                           generate_series(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i + 1]))) AS g
+                FROM toks WHERE len(t) >= 2
+            )
+        ),
+        dfs AS (SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g),
+        per AS (
+            SELECT doc_id, count(*) AS n_grams,
+                   CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_supported
+            FROM grams JOIN dfs USING (g) GROUP BY doc_id
+        )
+        SELECT doc_id, n_grams, n_supported,
+               {_rowmean_sql('n_supported * 1000000', 'n_grams', 4)} AS support_share
+        FROM per
+    """
+
+    # Mirrors timeseries.resample_interpolate: hourly bucket = floor-div
+    # of epoch micros, latest-event-per-bucket pick, per-user grid via
+    # generate_series, prev/next IGNORE NULLS window scan, exact
+    # fixed-point interpolation (same HALF-UP integral-div kernel).
+    step_us = 3600 * 1_000_000
+    o["resample"] = f"""
+        WITH obs AS (
+            SELECT user_id, b, vs FROM (
+                SELECT user_id,
+                       epoch_us(ts) // {step_us} AS b,
+                       CAST(round(value * 1000000.0) AS BIGINT) AS vs,
+                       row_number() OVER (
+                           PARTITION BY user_id, epoch_us(ts) // {step_us}
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE user_id < 40
+            ) WHERE rn = 1
+        ),
+        spans AS (
+            SELECT user_id, min(b) AS b0, max(b) AS b1 FROM obs GROUP BY user_id
+        ),
+        grid AS (
+            SELECT user_id, unnest(generate_series(b0, b1)) AS b FROM spans
+        ),
+        filled AS (
+            SELECT g.user_id, g.b, o.vs
+            FROM grid g LEFT JOIN obs o USING (user_id, b)
+        ),
+        win AS (
+            SELECT user_id, b, vs,
+                   last_value(CASE WHEN vs IS NOT NULL THEN b END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY b
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+                   last_value(vs IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY b
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                   first_value(CASE WHEN vs IS NOT NULL THEN b END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY b
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb,
+                   first_value(vs IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY b
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+            FROM filled
+        )
+        SELECT user_id,
+               make_timestamp(b * {step_us}) AS bucket_ts,
+               CASE WHEN vs IS NOT NULL THEN {_rowmean_sql('vs', '1', 3)}
+                    WHEN pv IS NULL THEN {_rowmean_sql('nv', '1', 3)}
+                    WHEN nv IS NULL THEN {_rowmean_sql('pv', '1', 3)}
+                    ELSE {_rowmean_sql('pv * (nb - b) + nv * (b - pb)', 'nb - pb', 3)}
+               END AS value,
+               (vs IS NOT NULL) AS is_observed
+        FROM win
+    """
+
+    # Mirrors semantic_dedup: same centroid fit as cluster_topk, corpus
+    # = base ∪ (every-20th ×1.01) planted near-dups, nearest-centroid
+    # assignment, then "exists earlier-id same-cluster neighbor at
+    # cosine ≥ 0.999" greedy dedup.
+    o["semdedup"] = f"""
+        WITH expl AS (
+            SELECT label AS cluster, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings, generate_series(1, 64) AS g(i)
+        ),
+        per_dim AS (
+            SELECT cluster, pos, {_mean_sql('v', 6)} AS c
+            FROM expl GROUP BY cluster, pos
+        ),
+        centroids AS (
+            SELECT cluster, list(c ORDER BY pos) AS cv2 FROM per_dim GROUP BY cluster
+        ),
+        base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        planted AS (
+            SELECT vec_id + 1000000 AS vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.01) AS e
+            FROM embeddings WHERE vec_id % 20 = 0
+        ),
+        corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        dists AS (
+            SELECT co.vec_id, ct.cluster,
+                   round(list_sum(list_transform(generate_series(1, 64),
+                         i -> (co.e[i] - ct.cv2[i]) * (co.e[i] - ct.cv2[i]))), 9) AS d2
+            FROM corpus co CROSS JOIN centroids ct
+        ),
+        assigned AS (
+            SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2 ASC, cluster ASC) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        ),
+        tagged AS (
+            SELECT a.vec_id, a.cluster, co.e
+            FROM corpus co JOIN assigned a USING (vec_id)
+        ),
+        links AS (
+            SELECT r.vec_id AS cand_id, min(l.vec_id) AS dup_of
+            FROM tagged l JOIN tagged r
+              ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+            WHERE round(
+                list_sum(list_transform(generate_series(1, 64),
+                                        i -> l.e[i] * r.e[i]))
+                / (sqrt(list_sum(list_transform(l.e, x -> x * x)))
+                   * sqrt(list_sum(list_transform(r.e, x -> x * x)))),
+                6) >= 0.999
+            GROUP BY r.vec_id
+        )
+        SELECT CAST(t.vec_id AS BIGINT) AS vec_id,
+               CAST(t.cluster AS INTEGER) AS cluster,
+               (k.dup_of IS NOT NULL) AS is_duplicate,
+               CAST(k.dup_of AS BIGINT) AS dup_of
+        FROM tagged t LEFT JOIN links k ON t.vec_id = k.cand_id
     """
 
     o["repetition_stats"] = r"""

@@ -726,3 +726,67 @@ def kmeans_iterate(
             (r["cluster"], list(r["centroid"])) for r in cents_df.collect()
         )
     return centroids
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.999,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the corpus, then
+    drop a document iff an earlier-id document in the SAME cluster has
+    cosine similarity ≥ ``threshold`` with it.
+
+    The cluster step is the whole point at scale — pairwise similarity
+    runs only within a cluster, so cost is Σ |cluster|² instead of n²,
+    and the join shuffles on the cluster id (the same blocked-pairs
+    shape as :func:`sparkgraft.operators.textops.minhash_dedup_pairs`).
+    Assignment itself is the shuffle-free literal-argmin projection
+    (:func:`assign_nearest`), so the only shuffle is the within-cluster
+    self-join.
+
+    Duplicate rule: "exists an earlier-id neighbor within τ" — the
+    standard greedy-by-id approximation (deterministic, one pass,
+    SQL-expressible) rather than the iterative keep-chain, which would
+    need a fixpoint.  Cosines are rounded before the threshold compare
+    and survivors tie-break on id, so the output is engine-portable.
+
+    Returns one row per input: (id, cluster, is_duplicate, dup_of)
+    where ``dup_of`` is the smallest earlier id within τ (NULL for
+    survivors).
+    """
+    assigned = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).withColumn("cluster", assign_nearest(F.col("__v"), centroids))
+    left = assigned.select(
+        "cluster", F.col("__id").alias("keep_id"), F.col("__v").alias("kv")
+    )
+    right = assigned.select(
+        "cluster", F.col("__id").alias("cand_id"), F.col("__v").alias("cv")
+    )
+    dup_links = (
+        left.join(right, "cluster")
+        .filter(F.col("keep_id") < F.col("cand_id"))
+        .select(
+            "cand_id",
+            "keep_id",
+            F.round(cosine(F.col("kv"), F.col("cv")), digits).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+        .groupBy("cand_id")
+        .agg(F.min("keep_id").alias("dup_of"))
+    )
+    return (
+        assigned.join(
+            dup_links, assigned["__id"] == dup_links["cand_id"], "left"
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "cluster",
+            F.col("dup_of").isNotNull().alias("is_duplicate"),
+            "dup_of",
+        )
+    )

@@ -832,3 +832,55 @@ def pack_chunks(
         / F.lit(float(seq_tokens))
     ).cast("long")
     return with_cum.withColumn("pack_id", pack_id)
+
+
+def ngram_support(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    min_df: int = 2,
+    digits: int = 4,
+) -> DataFrame:
+    """Cross-document n-gram support — the exact-arithmetic analog of a
+    corpus-LM/perplexity filter: for each document, the share of its
+    distinct word n-grams that also occur in at least ``min_df``
+    documents corpus-wide.  A low support share means the document is
+    mostly novel text (or noise); a share near 1.0 means boilerplate.
+
+    Plan: one explode of distinct per-doc n-grams → document frequency
+    per n-gram (map-side-combined count) → join back on the n-gram →
+    per-doc ratio.  The n-gram string is replaced by its md5 before
+    either shuffle, so shuffle width is a fixed 32-hex key regardless
+    of n — the same trick as MinHash bucketing.  The ratio is an exact
+    integer division (HALF-UP, DECIMAL div), engine-portable.
+    """
+    from sparkgraft.operators.stats import MEAN_SCALE, exact_mean
+
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(tokenize(F.col(text_col)), n))
+        ).alias("gram"),
+    ).select(F.col(id_col), F.md5(F.col("gram")).alias("g"))
+    df_table = grams.groupBy("g").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    per_doc = (
+        grams.join(df_table, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("df") >= min_df, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_supported"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_grams",
+        "n_supported",
+        exact_mean(
+            F.col("n_supported") * F.lit(MEAN_SCALE), F.col("n_grams"), digits
+        ).alias("support_share"),
+    )

@@ -31,10 +31,21 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # minute()) is TZ-dependent, and the harness session's default is
     # whatever the JVM inherited.  UTC matches the (TZ-naive) oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Parquet TIMESTAMP(isAdjustedToUTC=false) would otherwise surface as
+    # TIMESTAMP_NTZ, which unix_micros()/from_utc_timestamp() reject;
+    # with the session pinned to UTC, reading it as plain TIMESTAMP is
+    # the identical wall-clock interpretation the (TZ-naive) DuckDB
+    # oracle uses.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in NANOS_TS_COLS.get(name, ()):
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Defense in depth for sessions that already cached an NTZ scan
+    # schema: NTZ → session-tz (UTC-pinned) TIMESTAMP cast.
+    for fld in df.schema.fields:
+        if fld.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(fld.name, F.col(fld.name).cast("timestamp"))
     return df
 
 
