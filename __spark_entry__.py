@@ -994,6 +994,58 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier counts per event type — the
+    breakdown-resistant companion to extended_stats' z-score count."""
+    return S.robust_outlier_stats(
+        _t(spark, sf_dir, "events"), ["event_type"], "value", z=3.0
+    )
+
+
+def q_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) 8-bucket histogram of extended
+    price — deterministic ntile over a total order."""
+    return S.equidepth_histogram(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        buckets=8,
+    )
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile of orders.o_custkey: cardinality, heaviest
+    key + share, and the measured salt-bucket count for salted_join."""
+    from sparkgraft.operators.scale import skew_diagnostics
+
+    return skew_diagnostics(_t(spark, sf_dir, "orders"), "o_custkey")
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing linear classifier serving path over documents
+    (deterministic stand-in weights; shuffle-free scan-speed scoring)."""
+    return T.hash_classifier_score(_t(spark, sf_dir, "documents"))
+
+
+def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each event opens a 30-minute activity window;
+    overlapping windows per user merge into maximal sessions."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (F.unix_micros(F.col("ts")) + F.lit(1_800_000_000)).alias("e"),
+    )
+    out = R.merge_intervals(iv, "user_id", "s", "e")
+    return out.select(
+        "user_id",
+        "island",
+        F.timestamp_micros(F.col("island_start")).alias("island_start"),
+        F.timestamp_micros(F.col("island_end")).alias("island_end"),
+        "n_merged",
+    )
+
+
 def q_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled (T=2) domain mixing weights over the
     documents corpus — share^(1/T) renormalized, the sampling-rate
@@ -2175,6 +2227,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup": q_semdedup,
     "resample": q_resample,
     "ngram_support": q_ngram_support,
+    "robust_outliers": q_robust_outliers,
+    "equidepth": q_equidepth,
+    "skew_profile": q_skew_profile,
+    "classifier_score": q_classifier_score,
+    "merge_intervals": q_merge_intervals,
 }
 
 
@@ -3311,6 +3368,111 @@ def _llm_oracles() -> dict[str, str]:
                                          ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
             FROM scored
         ) WHERE rnk <= 5
+    """
+
+    # Mirrors stats.robust_outlier_stats: exact scaled longs → median →
+    # MAD → 1.4826·z·MAD threshold count (threshold literal shared via
+    # repr so both engines multiply the identical double).
+    kz = 1.4826 * 3.0
+    o["robust_outliers"] = f"""
+        WITH t AS (
+            SELECT event_type, CAST(round(value * 1000000.0) AS BIGINT) AS vs
+            FROM events
+        ),
+        med AS (SELECT event_type, median(vs) AS med_s FROM t GROUP BY event_type),
+        dev AS (
+            SELECT t.event_type, abs(t.vs - m.med_s) AS dev, m.med_s
+            FROM t JOIN med m USING (event_type)
+        ),
+        mad AS (SELECT event_type, median(dev) AS mad_s FROM dev GROUP BY event_type)
+        SELECT d.event_type, count(*) AS n,
+               any_value(d.med_s) / 1000000.0 AS median,
+               any_value(a.mad_s) / 1000000.0 AS mad,
+               CAST(sum(CASE WHEN d.dev > {kz!r} * a.mad_s THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad a USING (event_type)
+        GROUP BY d.event_type
+    """
+
+    # Mirrors stats.equidepth_histogram: ntile over a total order.
+    o["equidepth"] = """
+        WITH tiled AS (
+            SELECT l_extendedprice AS v,
+                   ntile(8) OVER (ORDER BY l_extendedprice, l_orderkey,
+                                  l_linenumber) AS bucket
+            FROM lineitem
+        )
+        SELECT bucket, count(*) AS n,
+               round(min(v), 3) AS lo, round(max(v), 3) AS hi
+        FROM tiled GROUP BY bucket ORDER BY bucket
+    """
+
+    # Mirrors scale.skew_diagnostics: per-key counts → one-row summary
+    # with argmax key and exact ratio arithmetic.
+    o["skew_profile"] = f"""
+        WITH counts AS (
+            SELECT o_custkey AS k, count(*) AS cnt FROM orders GROUP BY o_custkey
+        ),
+        summary AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(cnt) AS BIGINT) AS n_rows,
+                   max(cnt) AS max_cnt
+            FROM counts
+        ),
+        top AS (SELECT k AS top_key FROM counts ORDER BY cnt DESC, k ASC LIMIT 1)
+        SELECT n_keys, n_rows, max_cnt, top_key,
+               {_rowmean_sql('n_rows * 1000000', 'n_keys', 4)} AS mean_cnt,
+               {_rowmean_sql('max_cnt * 1000000', 'n_rows', 6)} AS max_share,
+               (max_cnt * n_keys + n_rows - 1) // n_rows AS salt_buckets
+        FROM summary CROSS JOIN top
+    """
+
+    # Mirrors textops.hash_classifier_score: md5 feature hashing →
+    # milliweight sum → exact mean score and sign label.
+    o["classifier_score"] = rf"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, len(toks) AS n_tokens,
+                   CAST(list_sum(list_transform(toks,
+                        tk -> CAST('0x' || substr(md5(tk || 'w0'), 1, 8) AS BIGINT)
+                              % 2001 - 1000)) AS BIGINT) AS sum_milliweight
+            FROM t
+        )
+        SELECT doc_id, n_tokens, sum_milliweight,
+               {_rowmean_sql('sum_milliweight * 1000', 'n_tokens', 4)} AS score,
+               (sum_milliweight > 0) AS label
+        FROM s
+    """
+
+    # Mirrors relational.merge_intervals over 30-min event windows.
+    o["merge_intervals"] = """
+        WITH iv AS (
+            SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+            FROM events
+        ),
+        w AS (
+            SELECT user_id, s, e,
+                   max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pme
+            FROM iv
+        ),
+        isl AS (
+            SELECT user_id, s, e,
+                   sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS island
+            FROM w
+        )
+        SELECT user_id, CAST(island AS BIGINT) AS island,
+               make_timestamp(min(s)) AS island_start,
+               make_timestamp(max(e)) AS island_end,
+               count(*) AS n_merged
+        FROM isl GROUP BY user_id, island
     """
 
     # Mirrors textops.ngram_support: distinct per-doc bigrams → md5 key

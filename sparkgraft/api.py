@@ -31,6 +31,7 @@ from sparkgraft.operators.relational import (
     asof_join,
     asof_join_pandas,
     broadcast_lookup,
+    merge_intervals,
     range_join,
     top_k_per_group,
 )
@@ -46,6 +47,7 @@ from sparkgraft.operators.scale import (
     salted_join,
     sample_per_group,
     shard_assignment,
+    skew_diagnostics,
     shuffle_key,
     stratified_sample,
     widen_narrow_scan,
@@ -68,15 +70,18 @@ from sparkgraft.operators.similarity import (
     quantization_stats,
     quantize_embeddings,
     quantized_rerank_topk,
+    semantic_dedup,
 )
 from sparkgraft.operators.stats import (
     channel_stats,
+    equidepth_histogram,
     exact_mean,
     exact_rounded_sum,
     extended_stats,
     latest_row_fallback,
     latest_rows,
     max_by_key,
+    robust_outlier_stats,
     scaled_long,
     windowed_channel_stats,
 )
@@ -87,10 +92,12 @@ from sparkgraft.operators.textops import (
     decontaminate,
     duplicate_spans,
     fingerprint,
+    hash_classifier_score,
     jaccard,
     lang_id,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
+    ngram_support,
     normalize_text,
     pack_chunks,
     paragraph_dedup,
@@ -105,6 +112,7 @@ from sparkgraft.operators.textops import (
     winnow_fingerprints,
     word_shingles,
 )
+from sparkgraft.operators.timeseries import resample_interpolate
 from sparkgraft.session import get_spark
 from sparkgraft.sinks.kv import (
     dedup_events,

@@ -222,3 +222,41 @@ def broadcast_lookup(
     executor joins its partitions locally.
     """
     return facts.join(F.broadcast(mapping), on=on, how=how)
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Gaps-and-islands: merge overlapping or touching ``[start, end]``
+    intervals per key into maximal islands, returning one row per
+    island with its span and member count.
+
+    Classic running-max formulation: an interval starts a new island
+    iff its start exceeds the max end seen so far in its key (strictly
+    — touching intervals merge); the island id is the running count of
+    such breaks.  One shuffle on the key; both window scans and the
+    final aggregate reuse the same partitioning.  Interval bounds
+    should be exact types (longs/timestamps) — island boundaries are
+    integer comparisons, so the result is engine-portable.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(start_col).asc(), F.col(end_col).asc()
+    )
+    prev_max_end = F.max(F.col(end_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    islanded = df.withColumn(
+        "island",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islanded.groupBy(key_col, "island").agg(
+        F.min(start_col).alias("island_start"),
+        F.max(end_col).alias("island_end"),
+        F.count("*").alias("n_merged"),
+    )

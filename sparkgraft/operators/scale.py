@@ -321,3 +321,42 @@ def shard_assignment(
     return F.pmod(
         F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_shards)
     ).cast("int")
+
+
+def skew_diagnostics(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row skew profile for a prospective join/aggregation key:
+    key cardinality, heaviest key and its share, and the salt-bucket
+    count that would level it (``ceil(max_cnt / mean_cnt)``) — the
+    input :func:`salted_join` needs, measured instead of guessed.
+
+    Two aggregates (per-key count → global summary), both map-side
+    combined; the heavy-key argmax rides the same summary pass as a
+    struct-max, so nothing but (key, count) ever shuffles.  Ratios are
+    exact integer divisions (HALF-UP DECIMAL div), engine-portable.
+    """
+    from sparkgraft.operators.stats import MEAN_SCALE, _dec, exact_mean
+
+    counts = df.groupBy(key_col).agg(F.count("*").alias("cnt"))
+    top = F.max(F.struct(F.col("cnt"), (-F.col(key_col)).alias("negk")))
+    summary = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        top.alias("_top"),
+    )
+    num = _dec(F.col("max_cnt") * F.col("n_keys") + F.col("n_rows") - 1)
+    return summary.select(
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        (-F.col("_top")["negk"]).alias("top_key"),
+        exact_mean(
+            F.col("n_rows") * F.lit(MEAN_SCALE), F.col("n_keys"), 4
+        ).alias("mean_cnt"),
+        exact_mean(
+            F.col("max_cnt") * F.lit(MEAN_SCALE), F.col("n_rows"), 6
+        ).alias("max_share"),
+        F.call_function("div", num, _dec(F.col("n_rows")))
+        .cast("long")
+        .alias("salt_buckets"),
+    )

@@ -257,3 +257,86 @@ def windowed_channel_stats(
         "min",
         "max",
     )
+
+
+def robust_outlier_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str = "value",
+    z: float = 3.0,
+) -> DataFrame:
+    """Median/MAD robust outlier statistics per group — the
+    breakdown-resistant alternative to the z-score outlier count in
+    :func:`extended_stats` (a single wild value shifts mean AND std,
+    masking itself; the median absolute deviation does not).
+
+    All order statistics run over exact scaled longs (value × 1e6), so
+    the median of an even group is int-or-int+0.5 — exactly
+    representable, no float ties, engine-portable without rounding
+    heuristics.  The outlier threshold is the usual 1.4826·z·MAD
+    (1.4826 ≈ consistency constant for normal data).
+
+    Plan: three same-key aggregates (median → MAD → counts) with the
+    tiny per-group tables broadcast back — the fact table shuffles
+    once, the rest are broadcast joins.
+    """
+    kz = 1.4826 * z
+    t = df.select(*keys, scaled_long(F.col(value)).alias("vs"))
+    med = t.groupBy(*keys).agg(F.median("vs").alias("med_s"))
+    dev = t.join(F.broadcast(med), list(keys)).withColumn(
+        "dev", F.abs(F.col("vs") - F.col("med_s"))
+    )
+    mad = dev.groupBy(*keys).agg(F.median("dev").alias("mad_s"))
+    flagged = dev.join(F.broadcast(mad), list(keys))
+    return (
+        flagged.groupBy(*keys)
+        .agg(
+            F.count("*").alias("n"),
+            F.first("med_s").alias("_med"),
+            F.first("mad_s").alias("_mad"),
+            F.sum(
+                F.when(
+                    F.col("dev") > F.lit(kz) * F.col("mad_s"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("n_outliers"),
+        )
+        .select(
+            *keys,
+            "n",
+            (F.col("_med") / F.lit(1e6)).alias("median"),
+            (F.col("_mad") / F.lit(1e6)).alias("mad"),
+            "n_outliers",
+        )
+    )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value: str,
+    tiebreak: Sequence[str],
+    buckets: int = 8,
+    digits: int = 3,
+) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram: ``ntile`` over a TOTAL
+    order (value + unique tie-break columns, so bucket assignment is
+    deterministic), then per-bucket count/min/max — the quantile-sketch
+    companion to the equi-width ``value_histogram`` query.
+
+    Scale: a global ntile sorts on a single reducer; acceptable for the
+    histogram's purpose (it summarizes, so run it on a sample or
+    pre-aggregated values at 100 TB — same guidance as any global sort).
+    """
+    order = [F.col(value).asc()] + [F.col(c).asc() for c in tiebreak]
+    w = Window.orderBy(*order)
+    tiled = df.select(
+        F.col(value).alias("v"), F.ntile(buckets).over(w).alias("bucket")
+    )
+    return (
+        tiled.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("v"), digits).alias("lo"),
+            F.round(F.max("v"), digits).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

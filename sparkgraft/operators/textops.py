@@ -884,3 +884,48 @@ def ngram_support(
             F.col("n_supported") * F.lit(MEAN_SCALE), F.col("n_grams"), digits
         ).alias("support_share"),
     )
+
+
+def hash_classifier_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "w0",
+    digits: int = 4,
+) -> DataFrame:
+    """Linear text-classifier scoring via the feature-hashing trick
+    (the fastText/VW serving shape): each token hashes to a bucket
+    whose weight is looked up, the document score is the mean token
+    weight, and the label is its sign.
+
+    The weight table here is a deterministic hash-derived stand-in
+    (md5(token+salt) → integer milliweight in [-1000, 1000]) so the
+    full serving path — featurize, weight lookup, reduce, threshold —
+    is testable without shipping a model file; a trained model drops in
+    by replacing the weight expression with a broadcast map keyed by
+    the same feature hash.
+
+    Pure array expressions: no shuffle, no UDF — classifier scoring at
+    scan speed.  Sums are exact integers (milliweights), the mean is
+    the HALF-UP DECIMAL-div kernel, and the label thresholds the
+    integer sum, so results are engine-portable bit-for-bit.
+    """
+    from sparkgraft.operators.stats import exact_mean
+
+    toks = tokenize(F.col(text_col))
+
+    def w(t: Column) -> Column:
+        h = F.conv(F.substring(F.md5(F.concat(t, F.lit(salt))), 1, 8), 16, 10)
+        return h.cast("long") % 2001 - 1000
+
+    sum_milli = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + w(t)
+    )
+    n = F.size(toks)
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        sum_milli.alias("sum_milliweight"),
+        exact_mean(sum_milli * F.lit(1000), n, digits).alias("score"),
+        (sum_milli > 0).alias("label"),
+    )

@@ -1,0 +1,169 @@
+"""Semantic unit tests for the round-2 additions: interval merging,
+time-series interpolation, semantic dedup, robust stats, skew
+diagnostics, classifier scoring, and n-gram support — tiny fixtures
+with hand-computed expectations (oracle parity is covered separately
+by test_oracle_parity)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from sparkgraft.operators.relational import merge_intervals
+from sparkgraft.operators.scale import skew_diagnostics
+from sparkgraft.operators.similarity import semantic_dedup
+from sparkgraft.operators.stats import equidepth_histogram, robust_outlier_stats
+from sparkgraft.operators.textops import hash_classifier_score, ngram_support
+from sparkgraft.operators.timeseries import resample_interpolate
+
+
+def test_merge_intervals_touching_and_disjoint(spark):
+    # [0,10] and [10,20] touch -> merge; [25,30] is separate.
+    rows = [("a", 0, 10), ("a", 10, 20), ("a", 25, 30), ("b", 5, 6)]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = {
+        (r["k"], r["island_start"], r["island_end"]): r["n_merged"]
+        for r in merge_intervals(df, "k", "s", "e").collect()
+    }
+    assert out == {("a", 0, 20): 2, ("a", 25, 30): 1, ("b", 5, 6): 1}
+
+
+def test_merge_intervals_contained(spark):
+    # A contained interval never re-opens the island.
+    rows = [("a", 0, 100), ("a", 10, 20), ("a", 50, 150), ("a", 200, 201)]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = sorted(
+        (r["island_start"], r["island_end"], r["n_merged"])
+        for r in merge_intervals(df, "k", "s", "e").collect()
+    )
+    assert got == [(0, 150, 3), (200, 201, 1)]
+
+
+def test_resample_linear_interpolation(spark):
+    # Observations at hour 0 (1.0) and hour 4 (5.0): interior hours
+    # interpolate to 2,3,4; every grid point is emitted.
+    rows = [
+        (1, "2024-01-01 00:10:00", 7, 1.0),
+        (2, "2024-01-01 04:20:00", 7, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = resample_interpolate(
+        df, "user_id", "ts", "value", "event_id", step_sec=3600, digits=3
+    )
+    got = sorted((r["value"], r["is_observed"]) for r in out.collect())
+    assert got == [
+        (1.0, True),
+        (2.0, False),
+        (3.0, False),
+        (4.0, False),
+        (5.0, True),
+    ]
+
+
+def test_resample_picks_latest_in_bucket_and_pads_edges(spark):
+    rows = [
+        (1, "2024-01-01 00:10:00", 7, 1.0),
+        (2, "2024-01-01 00:50:00", 7, 9.0),  # later in same bucket wins
+        (3, "2024-01-01 02:00:00", 7, 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = resample_interpolate(
+        df, "user_id", "ts", "value", "event_id", step_sec=3600, digits=3
+    )
+    by_ts = {
+        r["bucket_ts"].hour: (r["value"], r["is_observed"])
+        for r in out.collect()
+    }
+    assert by_ts[0] == (9.0, True)
+    assert by_ts[1] == (6.0, False)  # midpoint of 9 and 3
+    assert by_ts[2] == (3.0, True)
+
+
+def test_semantic_dedup_flags_same_cluster_near_dup(spark):
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    rows = [
+        (1, [2.0, 0.1]),
+        (2, [4.0, 0.2]),  # same direction as 1 -> dup_of 1
+        (3, [0.1, 3.0]),  # other cluster, survivor
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["is_duplicate"], r["dup_of"], r["cluster"])
+        for r in semantic_dedup(df, cents, threshold=0.999).collect()
+    }
+    assert out[1] == (False, None, 0)
+    assert out[2] == (True, 1, 0)
+    assert out[3] == (False, None, 1)
+
+
+def test_robust_outliers_single_wild_value(spark):
+    vals = [10.0, 11.0, 12.0, 11.5, 10.5, 1000.0]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp string, value double"
+    )
+    row = robust_outlier_stats(df, ["grp"], "value", z=3.0).collect()[0]
+    assert row["n"] == 6
+    assert row["median"] == 11.25
+    assert row["n_outliers"] == 1  # the wild 1000 only
+
+
+def test_equidepth_buckets_balanced(spark):
+    df = spark.createDataFrame(
+        [(float(i), i) for i in range(1, 9)], "v double, id long"
+    )
+    got = [
+        (r["bucket"], r["n"], r["lo"], r["hi"])
+        for r in equidepth_histogram(df, "v", ["id"], buckets=4).collect()
+    ]
+    assert got == [
+        (1, 2, 1.0, 2.0),
+        (2, 2, 3.0, 4.0),
+        (3, 2, 5.0, 6.0),
+        (4, 2, 7.0, 8.0),
+    ]
+
+
+def test_skew_diagnostics_summary(spark):
+    rows = [(1,)] * 6 + [(2,), (3,)]
+    df = spark.createDataFrame(rows, "k long")
+    row = skew_diagnostics(df, "k").collect()[0]
+    assert (row["n_keys"], row["n_rows"], row["max_cnt"]) == (3, 8, 6)
+    assert row["top_key"] == 1
+    assert row["max_share"] == 0.75
+    # ceil(6 / (8/3)) = ceil(2.25) = 3 salt buckets to level the key.
+    assert row["salt_buckets"] == 3
+
+
+def test_hash_classifier_matches_reference_hash(spark):
+    def wgt(tok: str) -> int:
+        return int(hashlib.md5((tok + "w0").encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+    text = "alpha beta gamma"
+    expected = sum(wgt(t) for t in text.split())
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = hash_classifier_score(df).collect()[0]
+    assert row["sum_milliweight"] == expected
+    assert row["label"] == (expected > 0)
+    assert row["n_tokens"] == 3
+
+
+def test_ngram_support_shared_vs_novel(spark):
+    rows = [
+        (1, "the cat sat"),
+        (2, "the cat ran"),
+        (3, "completely different words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_supported"], r["support_share"])
+        for r in ngram_support(df, n=2, min_df=2).collect()
+    }
+    # docs 1 and 2 share the bigram "the cat" (1 of their 2 bigrams).
+    assert out[1] == (2, 1, 0.5)
+    assert out[2] == (2, 1, 0.5)
+    assert out[3] == (3, 0, 0.0)
