@@ -1715,6 +1715,76 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "event_type string, n long")
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (rows-only): view and purchase
+    events staged as two file streams, inner-joined on user with the
+    purchase bounded to [view, view+30 min] — watermarks on both sides
+    bound the join state.  Per-user pair counts; equivalence with the
+    batch interval join is asserted in tests/test_streaming_joins.py.
+    Memoized per sf_dir like the other streaming fixtures."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from sparkgraft.streaming.joins import interval_join_streams
+
+    cached = _FIXTURE_CACHE.get(("stream_join", sf_dir))
+    if cached is not None:
+        return spark.createDataFrame(cached, "user_id long, n_pairs long")
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("vts"),
+        "user_id",
+        F.col("event_id").alias("view_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("pts"),
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_sjoin_")
+    for name, df in (("views", views), ("purchases", purchases)):
+        df.coalesce(1).write.mode("overwrite").option("header", "true").csv(
+            f"{tmp}/stage_{name}"
+        )
+        os.makedirs(f"{tmp}/{name}", exist_ok=True)
+        src = sorted(glob.glob(f"{tmp}/stage_{name}/part-*.csv"))[0]
+        shutil.move(src, f"{tmp}/{name}/data.csv")
+    vs = (
+        spark.readStream.schema("vts TIMESTAMP, user_id LONG, view_id LONG")
+        .option("header", "true")
+        .csv(f"{tmp}/views")
+    )
+    ps = (
+        spark.readStream.schema("pts TIMESTAMP, user_id LONG, purchase_id LONG")
+        .option("header", "true")
+        .csv(f"{tmp}/purchases")
+    )
+    joined = interval_join_streams(
+        vs, ps, "user_id", "vts", "pts",
+        watermark="2 hours", lower_sec=0, upper_sec=1800,
+    )
+    qname = f"sjoin_{abs(hash(tmp)) % 10**8}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = [
+        (r["user_id"], r["n_pairs"])
+        for r in spark.sql(
+            f"SELECT user_id, count(*) AS n_pairs FROM {qname} GROUP BY 1"
+        ).collect()
+    ]
+    _FIXTURE_CACHE[("stream_join", sf_dir)] = rows
+    return spark.createDataFrame(rows, "user_id long, n_pairs long")
+
+
 def q_backfill_dated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/S7 backfill (rows-only): drain a ``date=YYYY-MM-DD``
     partitioned landing zone with Trigger.AvailableNow, pruned to the
@@ -2232,6 +2302,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_profile": q_skew_profile,
     "classifier_score": q_classifier_score,
     "merge_intervals": q_merge_intervals,
+    "stream_join": q_stream_join,
 }
 
 

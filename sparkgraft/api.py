@@ -131,14 +131,18 @@ from sparkgraft.sinks.layout import (
 from sparkgraft.sources.readers import (
     list_files,
     read_csv,
+    read_jsonl,
+    read_orc,
     read_table,
     with_channel_metadata,
+    write_orc,
 )
 from sparkgraft.sources.report import (
     crack_statistics,
     parse_crack_rows,
     parse_report_meta,
 )
+from sparkgraft.streaming.joins import interval_join_streams
 from sparkgraft.streaming.pipeline import FilePipeline, HealthBoard, stable_files
 from sparkgraft.streaming.stateful import ewma_stream, ewma_stream_tws
 

@@ -91,3 +91,27 @@ def list_files(spark: SparkSession, glob: str) -> DataFrame:
         F.col("length").alias("size"),
         F.col("modificationTime").alias("mtime"),
     )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same self-describing columnar contract as S2
+    (predicate pushdown, column pruning, partition discovery all apply;
+    Spark's native vectorized ORC reader)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (snappy default) — the interchange format for
+    Hive/Trino-side consumers the way parquet is for Spark-side ones."""
+    df.write.mode(mode).orc(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """JSON-lines scan.  Pass an explicit DDL ``schema`` in production —
+    schema inference re-reads the input once and locks in whatever the
+    sample showed; at 100 TB that is both a second full scan and a
+    correctness hazard (late-appearing fields silently dropped)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -167,3 +167,29 @@ def test_ngram_support_shared_vs_novel(spark):
     assert out[1] == (2, 1, 0.5)
     assert out[2] == (2, 1, 0.5)
     assert out[3] == (3, 0, 0.0)
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from sparkgraft.sources.readers import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, v double"
+    )
+    write_orc(df, str(tmp_path / "t.orc"))
+    back = read_orc(spark, str(tmp_path / "t.orc"))
+    assert sorted(tuple(r) for r in back.collect()) == [
+        (1, "a", 1.5),
+        (2, "b", 2.5),
+    ]
+    # Predicate pushdown reaches the ORC scan.
+    plan = back.filter(F.col("id") == 2)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), EqualTo(id,2)]" in plan
+
+
+def test_jsonl_roundtrip_with_schema(spark, tmp_path):
+    from sparkgraft.sources.readers import read_jsonl
+
+    p = tmp_path / "d.jsonl"
+    p.write_text('{"id": 1, "tag": "x"}\n{"id": 2, "tag": "y"}\n')
+    back = read_jsonl(spark, str(p), "id LONG, tag STRING")
+    assert sorted(tuple(r) for r in back.collect()) == [(1, "x"), (2, "y")]
