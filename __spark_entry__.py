@@ -994,6 +994,71 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event inactivity-gap sessionization (30-min gap): session
+    ids + session starts assigned to every event, not aggregated away."""
+    from sparkgraft.operators.timeseries import sessionize
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    out = sessionize(ev, "user_id", "ts", "event_id", gap_sec=1800)
+    return out.select("event_id", "user_id", "session_id", "session_start")
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two synthetic snapshots of orders (drops every 7th
+    key, bumps price on every 5th, adds shifted copies of every 11th):
+    per-key added/removed/changed/unchanged with the changed columns."""
+    from sparkgraft.operators.merge import snapshot_diff
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    key = F.col("o_orderkey")
+    new = (
+        base.filter(key % 7 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(key % 5 == 0, F.col("o_totalprice") + 1).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            base.filter(key % 11 == 0).select(
+                (key + 100000000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    return snapshot_diff(
+        base, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch per event type: the
+    mergeable, intersectable distinct estimator — exact below k, the
+    (k-1)/kth-fraction estimator above it — beside the exact count."""
+    from sparkgraft.operators.sketch import kmv_build, kmv_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    sk = kmv_estimate(kmv_build(ev, ["event_type"], "user_id", k=64), k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return sk.select(
+        "event_type", F.size("ks").alias("sketch_size"), "distinct_est"
+    ).join(exact, "event_type")
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style one-pass column profile of the events table
+    (row/null/distinct counts + min/max per column, long format)."""
+    return S.profile_columns(
+        _t(spark, sf_dir, "events"), ["event_id", "user_id", "event_type"]
+    )
+
+
 def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD robust outlier counts per event type — the
     breakdown-resistant companion to extended_stats' z-score count."""
@@ -2303,6 +2368,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_score": q_classifier_score,
     "merge_intervals": q_merge_intervals,
     "stream_join": q_stream_join,
+    "kmv_distinct": q_kmv_distinct,
+    "profile_table": q_profile_table,
+    "sessionize": q_sessionize,
+    "snapshot_diff": q_snapshot_diff,
 }
 
 
@@ -3439,6 +3508,120 @@ def _llm_oracles() -> dict[str, str]:
                                          ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
             FROM scored
         ) WHERE rnk <= 5
+    """
+
+    # Mirrors timeseries.sessionize: lag-gap break + running sum.
+    o["sessionize"] = """
+        WITH t AS (
+            SELECT event_id, user_id, ts FROM events WHERE user_id < 30
+        ),
+        l AS (
+            SELECT *, lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS pts
+            FROM t
+        ),
+        n AS (
+            SELECT *, CASE WHEN pts IS NULL
+                             OR epoch_us(ts) - epoch_us(pts) > 1800000000
+                           THEN 1 ELSE 0 END AS brk
+            FROM l
+        ),
+        s AS (
+            SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS session_id
+            FROM n
+        )
+        SELECT event_id, user_id, session_id,
+               min(ts) OVER (PARTITION BY user_id, session_id) AS session_start
+        FROM s
+    """
+
+    # Mirrors merge.snapshot_diff over synthetic old/new orders snapshots.
+    o["snapshot_diff"] = """
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        ),
+        newt AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+                        ELSE o_totalprice END AS o_totalprice
+            FROM base WHERE o_orderkey % 7 <> 0
+            UNION ALL
+            SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+            FROM base WHERE o_orderkey % 11 = 0
+        ),
+        j AS (
+            SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+                   list_filter([
+                       CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                            THEN 'o_orderstatus' END,
+                       CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                            THEN 'o_totalprice' END
+                   ], x -> x IS NOT NULL) AS diffs
+            FROM base o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+        )
+        SELECT coalesce(ok, nk) AS o_orderkey,
+               CASE WHEN ok IS NULL THEN 'added'
+                    WHEN nk IS NULL THEN 'removed'
+                    WHEN len(diffs) > 0 THEN 'changed'
+                    ELSE 'unchanged' END AS change_type,
+               CASE WHEN ok IS NOT NULL AND nk IS NOT NULL AND len(diffs) > 0
+                    THEN diffs ELSE CAST([] AS VARCHAR[]) END AS changed_cols
+        FROM j
+    """
+
+    # Mirrors sketch.kmv_build/kmv_estimate: k smallest distinct md5
+    # hashes per group; exact below k, (k-1)/frac(kth) above.
+    o["kmv_distinct"] = """
+        WITH hashed AS (
+            SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM hashed
+        ),
+        kk AS (
+            SELECT event_type,
+                   CAST(count(*) AS INTEGER) AS sketch_size,
+                   max(CASE WHEN rn = 64 THEN h END) AS kth
+            FROM ranked WHERE rn <= 64 GROUP BY event_type
+        ),
+        ex AS (
+            SELECT event_type, count(DISTINCT user_id) AS n_exact
+            FROM events GROUP BY event_type
+        )
+        SELECT k.event_type, k.sketch_size,
+               CASE WHEN k.sketch_size < 64 THEN CAST(k.sketch_size AS DOUBLE)
+                    ELSE round(63.0 /
+                         (CAST(CAST('0x' || substr(k.kth, 1, 15) AS BIGINT) AS DOUBLE)
+                          / 1152921504606846976.0), 2)
+               END AS distinct_est,
+               e.n_exact
+        FROM kk k JOIN ex e USING (event_type)
+    """
+
+    # Mirrors stats.profile_columns over the events table.
+    o["profile_table"] = """
+        SELECT 'event_id' AS column, count(*) AS n_rows,
+               count(*) - count(event_id) AS n_nulls,
+               count(DISTINCT event_id) AS n_distinct,
+               CAST(min(event_id) AS VARCHAR) AS min_val,
+               CAST(max(event_id) AS VARCHAR) AS max_val
+        FROM events
+        UNION ALL
+        SELECT 'user_id', count(*), count(*) - count(user_id),
+               count(DISTINCT user_id),
+               CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+        FROM events
+        UNION ALL
+        SELECT 'event_type', count(*), count(*) - count(event_type),
+               count(DISTINCT event_type),
+               CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
+        FROM events
     """
 
     # Mirrors stats.robust_outlier_stats: exact scaled longs → median →

@@ -85,6 +85,9 @@ HEADLINE = [
     "quantize_embeddings",
     "bloom_join",
     "quality_gate",
+    "semdedup",
+    "resample",
+    "classifier_score",
 ]
 
 

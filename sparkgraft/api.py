@@ -26,7 +26,7 @@ from sparkgraft.operators.multimodal import (
     decode_sample_files,
     image_features,
 )
-from sparkgraft.operators.merge import merge_upsert, scd2_apply
+from sparkgraft.operators.merge import merge_upsert, scd2_apply, snapshot_diff
 from sparkgraft.operators.relational import (
     asof_join,
     asof_join_pandas,
@@ -37,7 +37,15 @@ from sparkgraft.operators.relational import (
 )
 from sparkgraft.operators.graph import connected_components, dedup_representatives
 from sparkgraft.operators.reshape import long_to_wide, wide_to_long
-from sparkgraft.operators.sketch import cms_build, cms_lookup, cms_merge
+from sparkgraft.operators.sketch import (
+    cms_build,
+    cms_lookup,
+    cms_merge,
+    kmv_build,
+    kmv_estimate,
+    kmv_intersection,
+    kmv_merge,
+)
 from sparkgraft.operators.scale import (
     bloom_bitmap,
     bloom_prefilter,
@@ -81,6 +89,7 @@ from sparkgraft.operators.stats import (
     latest_row_fallback,
     latest_rows,
     max_by_key,
+    profile_columns,
     robust_outlier_stats,
     scaled_long,
     windowed_channel_stats,
@@ -112,7 +121,7 @@ from sparkgraft.operators.textops import (
     winnow_fingerprints,
     word_shingles,
 )
-from sparkgraft.operators.timeseries import resample_interpolate
+from sparkgraft.operators.timeseries import resample_interpolate, sessionize
 from sparkgraft.session import get_spark
 from sparkgraft.sinks.kv import (
     dedup_events,

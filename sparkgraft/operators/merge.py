@@ -58,3 +58,63 @@ def scd2_apply(
         .unionByName(closed_now)
         .unionByName(new_versions)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """CDC between two table snapshots: full-outer join on the key,
+    classify each key as added / removed / changed / unchanged, and
+    list exactly which columns changed (null-safe comparison).
+
+    The shape a lakehouse MERGE pipeline feeds on when the upstream
+    can't emit a changelog: one co-partitioned full-outer join (both
+    sides shuffle once on the key), per-column comparison as pure
+    projection.  Output: key columns, ``change_type``,
+    ``changed_cols`` (empty array unless changed).
+    """
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+    in_old = F.col(f"__ok_{key_cols[0]}").isNotNull()
+    in_new = F.col(f"__nk_{key_cols[0]}").isNotNull()
+    diffs = F.filter(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c)
+                )
+                for c in compare_cols
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    change = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(F.size(diffs) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        *[
+            F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}")).alias(k)
+            for k in key_cols
+        ],
+        change.alias("change_type"),
+        F.when(change == "changed", diffs)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("changed_cols"),
+    )

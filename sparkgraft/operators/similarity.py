@@ -761,11 +761,21 @@ def semantic_dedup(
     assigned = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     ).withColumn("cluster", assign_nearest(F.col("__v"), centroids))
+    # Norms are hoisted to per-row scalars BEFORE the pairwise join —
+    # same expression tree as cosine() (sqrt of the square-sum, then
+    # the product in the divisor), so results are bit-identical, but
+    # each pair costs one array scan (the dot) instead of three.
     left = assigned.select(
-        "cluster", F.col("__id").alias("keep_id"), F.col("__v").alias("kv")
+        "cluster",
+        F.col("__id").alias("keep_id"),
+        F.col("__v").alias("kv"),
+        _norm(F.col("__v")).alias("kn"),
     )
     right = assigned.select(
-        "cluster", F.col("__id").alias("cand_id"), F.col("__v").alias("cv")
+        "cluster",
+        F.col("__id").alias("cand_id"),
+        F.col("__v").alias("cv"),
+        _norm(F.col("__v")).alias("cn"),
     )
     dup_links = (
         left.join(right, "cluster")
@@ -773,7 +783,10 @@ def semantic_dedup(
         .select(
             "cand_id",
             "keep_id",
-            F.round(cosine(F.col("kv"), F.col("cv")), digits).alias("cos_sim"),
+            F.round(
+                _dot(F.col("kv"), F.col("cv")) / (F.col("kn") * F.col("cn")),
+                digits,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= F.lit(threshold))
         .groupBy("cand_id")

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -108,4 +108,117 @@ def cms_lookup(
     joined = exploded.join(F.broadcast(cms), ["d", "bucket"], "left")
     return joined.groupBy(*key_cols).agg(
         F.min(F.coalesce(F.col("n"), F.lit(0))).alias("n_est")
+    )
+
+
+# --- KMV (k-minimum-values) distinct sketch ---------------------------------
+#
+# The mergeable distinct-count sketch that, unlike HLL, also supports
+# SET OPERATIONS: two KMV sketches intersect/union by combining their
+# hash lists, which is how cross-dataset overlap (train/eval leakage,
+# audience intersection) is estimated without a distinct-join.  Built
+# from md5 like everything else here, so it is deterministic: same data
+# -> bit-identical sketch in any engine, and the merge law
+# merge(build(A), build(B)) == build(A ∪ B) holds EXACTLY, not just in
+# distribution (the tests assert equality).
+
+
+def _kmv_frac(h: Column) -> Column:
+    """md5 hex -> uniform fraction in (0, 1]: first 15 hex chars (60
+    bits — exact in a double) over 2^60."""
+    return (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long").cast("double")
+        / F.lit(float(1 << 60))
+    )
+
+
+def kmv_build(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest distinct md5 hashes of
+    the value.  One distinct aggregate then a per-group sort-slice —
+    the shuffle carries (group, 32-hex) pairs only, and the collected
+    set per group is bounded by the group's distinct count (for
+    unbounded domains, pre-bucket or raise k-aware caps upstream).
+
+    Returns ``(group..., ks array<string>)`` — hex-sorted ascending,
+    which equals numeric order for fixed-width hex.
+    """
+    hashed = df.select(
+        *group_cols, F.md5(F.col(value_col).cast("string")).alias("h")
+    ).distinct()
+    return hashed.groupBy(*group_cols).agg(
+        F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("ks")
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, group_cols: Sequence[str], k: int = 64) -> DataFrame:
+    """Merge sketches built with the same ``k``: union the hash lists,
+    dedup, keep the k smallest — exactly ``kmv_build`` of the union."""
+    u = a.unionByName(b)
+    return (
+        u.select(*group_cols, F.explode("ks").alias("h"))
+        .distinct()
+        .groupBy(*group_cols)
+        .agg(F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("ks"))
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64, digits: int = 2) -> DataFrame:
+    """Distinct-count estimate per group: if the sketch holds fewer
+    than k hashes the count is EXACT (= its size); otherwise the
+    classic (k-1)/frac(k-th smallest) estimator.  Rounded once for
+    engine portability."""
+    n_held = F.size("ks")
+    kth = _kmv_frac(F.element_at("ks", k))
+    est = F.when(n_held < k, n_held.cast("double")).otherwise(
+        F.round(F.lit(float(k - 1)) / kth, digits)
+    )
+    return sketch.withColumn("distinct_est", est)
+
+
+def kmv_intersection(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: Sequence[str],
+    k: int = 64,
+    digits: int = 2,
+) -> DataFrame:
+    """Estimated overlap of two sketched sets per group: Jaccard over
+    the k smallest hashes of the union (shared / kept), scaled by the
+    union estimate — the standard KMV set-operation construction that
+    HLL cannot express.  Columns: ``jaccard_est``, ``union_est``,
+    ``intersection_est``.
+    """
+    av = a.select(*group_cols, F.explode("ks").alias("h")).withColumn(
+        "in_a", F.lit(1)
+    )
+    bv = b.select(*group_cols, F.explode("ks").alias("h")).withColumn(
+        "in_b", F.lit(1)
+    )
+    both = av.join(bv, [*group_cols, "h"], "full").na.fill(
+        0, ["in_a", "in_b"]
+    )
+    ranked = both.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy(*group_cols).orderBy("h")),
+    ).filter(F.col("rn") <= k)
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count("*").alias("kept"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("shared"),
+        F.max(F.when(F.col("rn") == k, _kmv_frac(F.col("h")))).alias("kth"),
+    )
+    union_est = F.when(
+        F.col("kept") < k, F.col("kept").cast("double")
+    ).otherwise(F.round(F.lit(float(k - 1)) / F.col("kth"), digits))
+    return agg.select(
+        *group_cols,
+        F.round(F.col("shared") / F.col("kept"), 6).alias("jaccard_est"),
+        union_est.alias("union_est"),
+        F.round(
+            (F.col("shared") / F.col("kept")) * union_est, digits
+        ).alias("intersection_est"),
     )

@@ -340,3 +340,38 @@ def equidepth_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """ANALYZE-style column profiling in one pass: per column the row
+    count, null count, distinct count, and min/max (rendered as
+    strings so heterogeneous types stack into one long-format table).
+
+    One ``agg`` over the input — Catalyst plans the multiple DISTINCT
+    aggregates as a single Expand pass, so the table is read once
+    regardless of how many columns are profiled; the explode at the
+    end reshapes the one summary row, not data.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    row = df.agg(*aggs)
+    packed = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__rows").alias("n_rows"),
+                (F.col("__rows") - F.col(f"__nn_{c}")).alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_val"),
+                F.col(f"__mx_{c}").alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.explode(packed).alias("p")).select("p.*")

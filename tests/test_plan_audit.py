@@ -114,3 +114,28 @@ def test_bm25_stats_are_broadcast(spark):
     # scoring projection; only tf aggregation + final agg shuffle.
     df = entrymod.q_bm25_search(spark, SF_DIR)
     assert audit.has_broadcast_join(df), audit.explain_str(df)
+
+
+def test_classifier_score_shuffle_free(spark):
+    # Feature-hash scoring is pure projection: must run at scan speed.
+    df = entrymod.q_classifier_score(spark, SF_DIR)
+    assert audit.count_shuffles(df) == 0, audit.explain_str(df)
+
+
+def test_semdedup_assignment_no_extra_shuffle(spark):
+    # Literal-argmin assignment adds no shuffle; only the within-
+    # cluster self-join and the final dup-links join exchange data.
+    df = entrymod.q_semdedup(spark, SF_DIR)
+    assert audit.count_shuffles(df) <= 3, audit.explain_str(df)
+
+
+def test_resample_single_key_shuffle_chain(spark):
+    # Bucket pick, span agg, grid join, prev/next windows all hash on
+    # user_id; Catalyst reuses the partitioning (no per-step shuffle).
+    df = entrymod.q_resample(spark, SF_DIR)
+    assert audit.count_shuffles(df) <= 4, audit.explain_str(df)
+
+
+def test_robust_outliers_broadcasts_group_tables(spark):
+    df = entrymod.q_robust_outliers(spark, SF_DIR)
+    assert audit.has_broadcast_join(df), audit.explain_str(df)

@@ -193,3 +193,118 @@ def test_jsonl_roundtrip_with_schema(spark, tmp_path):
     p.write_text('{"id": 1, "tag": "x"}\n{"id": 2, "tag": "y"}\n')
     back = read_jsonl(spark, str(p), "id LONG, tag STRING")
     assert sorted(tuple(r) for r in back.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_kmv_merge_law_exact(spark):
+    from sparkgraft.operators.sketch import kmv_build, kmv_merge
+
+    df = spark.createDataFrame(
+        [("g", i * 7 % 113) for i in range(200)], "grp string, v long"
+    )
+    a = kmv_build(df.filter(F.col("v") % 2 == 0), ["grp"], "v", k=16)
+    b = kmv_build(df.filter(F.col("v") % 2 == 1), ["grp"], "v", k=16)
+    merged = kmv_merge(a, b, ["grp"], k=16).collect()[0]["ks"]
+    direct = kmv_build(df, ["grp"], "v", k=16).collect()[0]["ks"]
+    assert merged == direct  # exact, not just statistical
+
+
+def test_kmv_exact_below_k(spark):
+    from sparkgraft.operators.sketch import kmv_build, kmv_estimate
+
+    df = spark.createDataFrame(
+        [("g", i % 10) for i in range(100)], "grp string, v long"
+    )
+    row = kmv_estimate(kmv_build(df, ["grp"], "v", k=64), k=64).collect()[0]
+    assert row["distinct_est"] == 10.0  # below k -> exact
+
+
+def test_kmv_estimate_near_truth(spark):
+    from sparkgraft.operators.sketch import kmv_build, kmv_estimate
+
+    n = 5000
+    df = spark.createDataFrame([("g", i) for i in range(n)], "grp string, v long")
+    row = kmv_estimate(kmv_build(df, ["grp"], "v", k=256), k=256).collect()[0]
+    assert abs(row["distinct_est"] - n) / n < 0.15
+
+
+def test_kmv_intersection_estimate(spark):
+    from sparkgraft.operators.sketch import kmv_build, kmv_intersection
+
+    # A = 0..3999, B = 2000..5999 -> |A∩B| = 2000, J = 1/3.
+    a = kmv_build(
+        spark.createDataFrame([("g", i) for i in range(4000)], "grp string, v long"),
+        ["grp"], "v", k=256,
+    )
+    b = kmv_build(
+        spark.createDataFrame(
+            [("g", i) for i in range(2000, 6000)], "grp string, v long"
+        ),
+        ["grp"], "v", k=256,
+    )
+    row = kmv_intersection(a, b, ["grp"], k=256).collect()[0]
+    assert abs(row["jaccard_est"] - 1 / 3) < 0.1
+    assert abs(row["intersection_est"] - 2000) / 2000 < 0.3
+
+
+def test_profile_columns_null_and_distinct_counts(spark):
+    from sparkgraft.operators.stats import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "x"), (None, "y")], "a long, b string"
+    )
+    out = {r["column"]: r for r in profile_columns(df, ["a", "b"]).collect()}
+    assert out["a"]["n_rows"] == 4 and out["a"]["n_nulls"] == 1
+    assert out["a"]["n_distinct"] == 3
+    assert (out["a"]["min_val"], out["a"]["max_val"]) == ("1", "3")
+    assert out["b"]["n_nulls"] == 1 and out["b"]["n_distinct"] == 2
+
+
+def test_sessionize_gap_breaks(spark):
+    from sparkgraft.operators.timeseries import sessionize
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7),
+        (2, "2024-01-01 10:10:00", 7),  # same session (10 min gap)
+        (3, "2024-01-01 11:30:00", 7),  # 80 min gap -> new session
+        (4, "2024-01-01 09:00:00", 8),  # other user
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize(df, gap_sec=1800).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_snapshot_diff_classification(spark):
+    from sparkgraft.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 25.0), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    out = {
+        r["k"]: (r["change_type"], sorted(r["changed_cols"]))
+        for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    assert out == {
+        1: ("unchanged", []),
+        2: ("changed", ["s", "v"]),
+        3: ("removed", []),
+        4: ("added", []),
+    }
+
+
+def test_snapshot_diff_null_safe(spark):
+    from sparkgraft.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "k long, s string")
+    new = spark.createDataFrame([(1, None)], "k long, s string")
+    row = snapshot_diff(old, new, ["k"], ["s"]).collect()[0]
+    assert row["change_type"] == "unchanged"  # NULL == NULL here
