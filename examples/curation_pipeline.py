@@ -2,9 +2,10 @@
 100 TB text corpus runs before pretraining, composed from this engine's
 oracle-checked operators.
 
-    scrub (PII) → quality gates (length/stopword + repetition) →
-    near-dup dedup (MinHash pairs → connected components → keep
-    representatives) → benchmark decontamination (n-gram overlap) →
+    scrub (PII) → quality gates (length/stopword + repetition +
+    classifier score) → near-dup dedup (MinHash pairs → connected
+    components → keep representatives) → semantic dedup (SemDeDup over
+    embeddings) → benchmark decontamination (n-gram overlap) →
     domain mixing (temperature weights → stratified sample → shuffle
     key + shard) → chunk (context windows) → pack (fixed-token
     sequences) → split (leakage-safe train/holdout)
@@ -40,14 +41,20 @@ def main(sf_dir: str) -> None:
     scrubbed = sg.pii_redact(docs).join(docs.select("doc_id", "lang"), "doc_id")
     scrubbed = scrubbed.withColumnRenamed("redacted", "text")
 
-    # 2. Quality gates: minimum length + repetition/diversity bounds.
+    # 2. Quality gates: minimum length + repetition/diversity bounds +
+    # a model-based gate (feature-hashing classifier serving path; the
+    # stand-in hash weights make the demo deterministic — a trained
+    # model swaps in through the same feature hash).
     rep = sg.repetition_stats(scrubbed)
+    clf = sg.hash_classifier_score(scrubbed).select("doc_id", "score")
     kept = (
         scrubbed.join(rep, "doc_id")
+        .join(clf, "doc_id")
         .filter(
             (F.col("n_tokens") >= 10)
             & (F.col("top_token_share") <= 0.5)
             & (F.col("distinct_ratio") >= 0.1)
+            & (F.col("score") >= -0.2)  # drop the worst classifier tail
         )
         .select("doc_id", "text")
     )
@@ -60,8 +67,34 @@ def main(sf_dir: str) -> None:
     drop = groups.filter(~F.col("is_representative")).select(
         F.col("id").alias("doc_id")
     )
-    deduped = kept.join(drop, "doc_id", "left_anti")
+    # Truncate lineage here: the components loop above produced a deep
+    # iterative plan, and every later stage would re-stack joins onto
+    # it (measured: OOMs the tiny demo driver).  A real run writes the
+    # post-dedup corpus back to parquet at this point for exactly the
+    # same reason (checkpoint the expensive-to-recompute frontier).
+    deduped = kept.join(drop, "doc_id", "left_anti").localCheckpoint()
     n_dedup = deduped.count()
+
+    # 3a. Semantic dedup (SemDeDup): cluster the doc embeddings (IVF
+    # centroid fit reused as the cluster index), drop any doc whose
+    # earlier-id same-cluster neighbor is nearly identical in embedding
+    # space — catches paraphrase-level duplicates MinHash misses.
+    emb = sg.read_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding", "label"
+    )
+    cents = sorted(
+        (r["cluster"], list(r["centroid"]))
+        for r in sg.centroids_from_labels(emb, "label", "embedding").collect()
+    )
+    sem = sg.semantic_dedup(
+        emb.join(deduped.select("doc_id"), "doc_id"),
+        cents,
+        threshold=0.999,
+        id_col="doc_id",
+    )
+    sem_drop = sem.filter(F.col("is_duplicate")).select("doc_id")
+    deduped = deduped.join(sem_drop, "doc_id", "left_anti")
+    n_semdedup = deduped.count()
 
     # 3b. Benchmark decontamination: drop docs sharing 3-grams with the
     # (stand-in) eval set — every 100th doc plays the benchmark here.
@@ -107,8 +140,9 @@ def main(sf_dir: str) -> None:
 
     print(
         f"docs={n_raw} -> quality={n_quality} -> dedup={n_dedup} -> "
-        f"decontaminated={n_clean} -> mixed={n_mixed} | "
-        f"packs={n_packs} | chunk-rows per split={per_split}"
+        f"semdedup={n_semdedup} -> decontaminated={n_clean} -> "
+        f"mixed={n_mixed} | packs={n_packs} | "
+        f"chunk-rows per split={per_split}"
     )
     spark.stop()
 
