@@ -994,6 +994,22 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN with asymmetric distance computation: per-label subspace
+    codebooks (slices of the memoized exact centroid fit — the mean of
+    a slice is the slice of the mean), candidates scored from their
+    8-code representation, exact-cosine rerank of the shortlist."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    sub = len(cents[0][1]) // 8
+    cbs = [
+        [(c, v[s * sub : (s + 1) * sub]) for c, v in cents] for s in range(8)
+    ]
+    return SIM.pq_adc_topk(
+        emb.filter(F.col("vec_id") < 10), emb, cbs, k=5, shortlist=20
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event inactivity-gap sessionization (30-min gap): session
     ids + session starts assigned to every event, not aggregated away."""
@@ -2372,6 +2388,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_table": q_profile_table,
     "sessionize": q_sessionize,
     "snapshot_diff": q_snapshot_diff,
+    "pq_ann": q_pq_ann,
 }
 
 
@@ -3502,6 +3519,88 @@ def _llm_oracles() -> dict[str, str]:
         scored AS (
             SELECT query_id, neighbor_id, {cos} AS cos_sim
             FROM c JOIN q USING (part) WHERE neighbor_id <> query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+            FROM scored
+        ) WHERE rnk <= 5
+    """
+
+    # Mirrors pq_adc_topk: same centroid fit, per-subspace encode
+    # (argmin over slice L2, rounded, code tie-break), ADC pair
+    # distance as an ORDERED list_sum (matching Spark's fixed-order
+    # chained +), shortlist, exact-cosine rerank.
+    o["pq_ann"] = f"""
+        WITH expl AS (
+            SELECT label AS cluster, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings, generate_series(1, 64) AS g(i)
+        ),
+        per_dim AS (
+            SELECT cluster, pos, {_mean_sql('v', 6)} AS c
+            FROM expl GROUP BY cluster, pos
+        ),
+        centroids AS (
+            SELECT cluster, list(c ORDER BY pos) AS cv2 FROM per_dim GROUP BY cluster
+        ),
+        base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        subd AS (
+            SELECT b.vec_id, s.s, c.cluster,
+                   round(list_sum(list_transform(generate_series(1, 8),
+                         d -> (b.e[s.s * 8 + d] - c.cv2[s.s * 8 + d])
+                            * (b.e[s.s * 8 + d] - c.cv2[s.s * 8 + d]))), 9) AS d2
+            FROM base b
+            CROSS JOIN generate_series(0, 7) AS s(s)
+            CROSS JOIN centroids c
+        ),
+        codes AS (
+            SELECT vec_id, s, cluster AS code FROM (
+                SELECT vec_id, s, cluster,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d2 ASC, cluster ASC) AS rn
+                FROM subd
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, e AS qv FROM base WHERE vec_id < 10),
+        persub AS (
+            SELECT q.query_id, cd.vec_id AS neighbor_id, cd.s,
+                   round(list_sum(list_transform(generate_series(1, 8),
+                         d -> (q.qv[cd.s * 8 + d] - ct.cv2[cd.s * 8 + d])
+                            * (q.qv[cd.s * 8 + d] - ct.cv2[cd.s * 8 + d]))), 9) AS d2
+            FROM codes cd
+            JOIN centroids ct ON ct.cluster = cd.code
+            CROSS JOIN q
+            WHERE cd.vec_id <> q.query_id
+        ),
+        adc AS (
+            SELECT query_id, neighbor_id,
+                   round(list_sum(list(d2 ORDER BY s)), 6) AS approx_dist
+            FROM persub GROUP BY query_id, neighbor_id
+        ),
+        short AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_dist ASC, neighbor_id ASC) AS arnk
+                FROM adc
+            ) WHERE arnk <= 20
+        ),
+        pairs AS (
+            SELECT s.query_id, s.neighbor_id, bq.e AS qv, bc.e AS cv
+            FROM short s
+            JOIN base bq ON bq.vec_id = s.query_id
+            JOIN base bc ON bc.vec_id = s.neighbor_id
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   round(
+                       list_sum(list_transform(generate_series(1, 64),
+                                               i -> qv[i] * cv[i]))
+                       / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                          * sqrt(list_sum(list_transform(cv, x -> x * x)))),
+                       6) AS cos_sim
+            FROM pairs
         )
         SELECT query_id, neighbor_id, cos_sim, rnk FROM (
             SELECT *, row_number() OVER (PARTITION BY query_id

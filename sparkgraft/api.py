@@ -75,6 +75,10 @@ from sparkgraft.operators.similarity import (
     lsh_bucket,
     lsh_bucketed_topk,
     partitioned_topk,
+    pq_adc_topk,
+    pq_codebooks_from_labels,
+    pq_decode,
+    pq_encode,
     quantization_stats,
     quantize_embeddings,
     quantized_rerank_topk,

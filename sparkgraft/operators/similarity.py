@@ -803,3 +803,165 @@ def semantic_dedup(
             "dup_of",
         )
     )
+
+
+# --- Product quantization (PQ) ----------------------------------------------
+
+
+def pq_codebooks_from_labels(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    m: int = 8,
+    digits: int = 6,
+) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace PQ codebooks from the corpus labels: split the
+    dimension into ``m`` contiguous subvectors; subspace ``s``'s
+    codebook is the per-label mean of that slice.  Because the mean of
+    a slice IS the slice of the mean, this reuses the exact
+    fixed-point :func:`centroids_from_labels` fit verbatim and just
+    slices driver-side — one aggregate pass total, deterministic, so
+    the codebooks can re-enter plans as literals.
+    """
+    cents = sorted(
+        (r["cluster"], list(r["centroid"]))
+        for r in centroids_from_labels(df, label_col, vec_col, digits).collect()
+    )
+    dim = len(cents[0][1])
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub = dim // m
+    return [
+        [(code, vec[s * sub : (s + 1) * sub]) for code, vec in cents]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    vec: Column,
+    codebooks: list[list[tuple[int, list[float]]]],
+    digits: int = 9,
+) -> Column:
+    """PQ code assignment as a pure projection: per subspace, the
+    nearest sub-centroid (rounded L2, code-id tie-break) — m small
+    argmins over literal tables, no shuffle, no UDF.  A 64-dim float
+    vector becomes m=8 small ints: the 4-32x compression that makes
+    billion-scale ANN candidate scans memory-resident."""
+    sub = len(codebooks[0][0][1])
+    dim = sub * len(codebooks)
+    codes = []
+    for s, cb in enumerate(codebooks):
+        sub_v = F.slice(
+            F.transform(vec, lambda x: x.cast("double")), s * sub + 1, sub
+        )
+        codes.append(F.array_min(_centroid_dists(sub_v, cb, digits)).getField("cluster"))
+    out = F.array(*codes)
+    return F.when(F.size(vec) == F.lit(dim), out).otherwise(
+        F.raise_error(
+            F.format_string(
+                "pq_encode: embedding length %s != codebook dim " + str(dim),
+                F.size(vec),
+            )
+        )
+    )
+
+
+def pq_decode(
+    codes: Column, codebooks: list[list[tuple[int, list[float]]]]
+) -> Column:
+    """Reconstruct the PQ approximation: concatenation of each
+    subspace's coded centroid (literal-table lookups — no join)."""
+    parts = []
+    for s, cb in enumerate(codebooks):
+        ctab = _literal_vec_table(cb, "code")
+        code_s = F.element_at(codes, s + 1)
+        # NOTE: the lambda must stay ONE-argument from PySpark's view —
+        # adding a second parameter (e.g. a default-arg capture) flips
+        # F.filter into its (element, index) form and silently compares
+        # against the array index.  Plain closure is safe: F.filter
+        # consumes the lambda eagerly within this loop iteration.
+        parts.append(
+            F.element_at(F.filter(ctab, lambda c: c["code"] == code_s), 1)[
+                "vec"
+            ]
+        )
+    return F.concat(*parts)
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 5,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """PQ ANN with asymmetric distance computation: candidates are
+    scored from their CODES (decoded sub-centroids), queries stay full
+    precision — stage 1 ranks by the per-subspace L2 sum (rounded
+    per subspace, then once more for the rank), stage 2 re-ranks the
+    shortlist with exact cosine.  The compress-then-rerank recipe at
+    PQ compression instead of int8 (:func:`quantized_rerank_topk`).
+
+    Determinism: per-subspace distances round at 9, the sum is a
+    FIXED-ORDER chain (s = 0..m-1 — the oracle mirrors the same order
+    via an ordered list_sum), ranks tie-break on id.
+    """
+    sub = len(codebooks[0][0][1])
+    m = len(codebooks)
+    enc = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+        pq_decode(pq_encode(F.col(vec_col), codebooks), codebooks).alias("dec"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    pairs = enc.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    qd = F.transform(F.col("qv"), lambda x: x.cast("double"))
+    adist = None
+    for s in range(m):
+        qs = F.slice(qd, s * sub + 1, sub)
+        ds = F.slice(F.col("dec"), s * sub + 1, sub)
+        d2 = F.round(
+            F.aggregate(
+                F.zip_with(qs, ds, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        )
+        adist = d2 if adist is None else adist + d2
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        "qv",
+        "cv",
+        "qn",
+        "cn",
+        F.round(adist, digits).alias("approx_dist"),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    top = scored.withColumn("arnk", F.row_number().over(w1)).filter(
+        F.col("arnk") <= shortlist
+    )
+    exact = top.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+            digits,
+        ).alias("cos_sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return exact.withColumn("rnk", F.row_number().over(w2)).filter(
+        F.col("rnk") <= k
+    )

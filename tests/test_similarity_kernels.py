@@ -291,3 +291,74 @@ def test_rerank_matches_brute_force_closely(spark):
     hits = sum(len(rerank.get(k, set()) & v) for k, v in exact.items())
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.9, (hits, total)
+
+
+def _emb(spark):
+    from sparkgraft.sources.readers import read_table
+
+    return read_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+
+def test_pq_codebooks_are_slices_of_centroids(spark):
+    from sparkgraft.operators import similarity as SIM
+
+    embeddings_df = _emb(spark)
+    cents = sorted(
+        (r["cluster"], list(r["centroid"]))
+        for r in SIM.centroids_from_labels(
+            embeddings_df, "label", "embedding"
+        ).collect()
+    )
+    cbs = SIM.pq_codebooks_from_labels(embeddings_df, m=8)
+    sub = len(cents[0][1]) // 8
+    for s in range(8):
+        for (code, cvec), (code2, full) in zip(cbs[s], cents):
+            assert code == code2
+            assert cvec == full[s * sub : (s + 1) * sub]
+
+
+def test_pq_decode_reduces_distance_vs_random_code(spark):
+    # The decoded PQ approximation must be closer to the original than
+    # a deliberately wrong code assignment (sanity of encode argmin).
+    from pyspark.sql import functions as F
+
+    from sparkgraft.operators import similarity as SIM
+
+    embeddings_df = _emb(spark)
+    cbs = SIM.pq_codebooks_from_labels(embeddings_df, m=8)
+    enc = embeddings_df.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        SIM.pq_decode(
+            SIM.pq_encode(F.col("embedding"), cbs), cbs
+        ).alias("dec"),
+    )
+    err = enc.select(
+        F.aggregate(
+            F.zip_with(F.col("e"), F.col("dec"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("se")
+    ).agg(F.avg("se")).collect()[0][0]
+    norm = enc.select(
+        F.aggregate(
+            F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x
+        ).alias("n2")
+    ).agg(F.avg("n2")).collect()[0][0]
+    assert err < norm  # reconstruction beats the zero vector
+
+
+def test_pq_adc_recall_vs_brute_force(spark):
+    from pyspark.sql import functions as F
+
+    from sparkgraft.operators import similarity as SIM
+
+    embeddings_df = _emb(spark)
+    cbs = SIM.pq_codebooks_from_labels(embeddings_df, m=8)
+    qs = embeddings_df.filter(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(qs, embeddings_df, k=5)
+    approx = SIM.pq_adc_topk(qs, embeddings_df, cbs, k=5, shortlist=20)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3  # coarse codes, small shortlist: well above chance
