@@ -994,6 +994,99 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization at the [5%, 95%] band — per-row clipped
+    values + clip flags (no order-dependent aggregation)."""
+    out = S.winsorize(
+        _t(spark, sf_dir, "events"), ["event_type"], "value", lo=0.05, hi=0.95
+    )
+    return out.select("event_id", "event_type", "value", "w_value", "clipped")
+
+
+def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean imputation: every 13th value nulled, refilled with
+    the type's exact fixed-point mean, imputed flag kept."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    out = S.impute_missing(ev, ["event_type"], "value", digits=3)
+    return out.select("event_id", "event_type", "value", "imputed")
+
+
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags over a trailing 10-event window —
+    the cross-multiplied integer identity, zero floating point."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return S.rolling_anomaly(
+        ev, "user_id", "ts", "event_id", "value", window_rows=10, z=3
+    )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: view → first later click → first later purchase
+    per user; one row of stage conversion counts."""
+    ev = _t(spark, sf_dir, "events")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        ev.agg(F.countDistinct("user_id").alias("n_users"))
+        .crossJoin(t1.agg(F.count("*").alias("n_view")))
+        .crossJoin(t2.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(t3.agg(F.count("*").alias("n_full_funnel")))
+    )
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-event week,
+    distinct active users per week offset."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("f"))
+    joined = ev.join(firsts, "user_id").select(
+        "user_id",
+        F.date_trunc("week", F.col("f")).cast("date").alias("cohort_week"),
+        F.expr(
+            "datediff(to_date(ts), to_date(date_trunc('week', f))) div 7"
+        ).alias("week_offset"),
+    )
+    return joined.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence: for every unordered type pair, how
+    many users did both — the blocked self-join market-basket shape."""
+    d = _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    a = d.select("user_id", F.col("event_type").alias("type_a"))
+    b = d.select("user_id", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN with asymmetric distance computation: per-label subspace
     codebooks (slices of the memoized exact centroid fit — the mean of
@@ -2389,6 +2482,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "snapshot_diff": q_snapshot_diff,
     "pq_ann": q_pq_ann,
+    "winsorize": q_winsorize,
+    "impute": q_impute,
+    "rolling_anomaly": q_rolling_anomaly,
+    "funnel": q_funnel,
+    "retention": q_retention,
+    "cooccurrence": q_cooccurrence,
 }
 
 
@@ -3525,6 +3624,115 @@ def _llm_oracles() -> dict[str, str]:
                                          ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
             FROM scored
         ) WHERE rnk <= 5
+    """
+
+    # Mirrors stats.winsorize: quantile_cont on scaled longs == Spark's
+    # exact percentile interpolation; thresholds rounded once.
+    o["winsorize"] = """
+        WITH t AS (
+            SELECT event_id, event_type, value,
+                   CAST(round(value * 1000000.0) AS BIGINT) AS vs
+            FROM events
+        ),
+        bands AS (
+            SELECT event_type,
+                   round(quantile_cont(vs, 0.05), 6) AS lo,
+                   round(quantile_cont(vs, 0.95), 6) AS hi
+            FROM t GROUP BY event_type
+        )
+        SELECT t.event_id, t.event_type, t.value,
+               round(least(greatest(CAST(t.vs AS DOUBLE), b.lo), b.hi)
+                     / 1000000.0, 6) AS w_value,
+               (t.vs < b.lo OR t.vs > b.hi) AS clipped
+        FROM t JOIN bands b USING (event_type)
+    """
+
+    # Mirrors stats.impute_missing over the every-13th-null fixture.
+    o["impute"] = f"""
+        WITH src AS (
+            SELECT event_id, event_type,
+                   CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value
+            FROM events
+        ),
+        means AS (
+            SELECT event_type, {_mean_sql('value', 3)} AS fill
+            FROM src GROUP BY event_type
+        )
+        SELECT s.event_id, s.event_type,
+               coalesce(s.value, m.fill) AS value,
+               (s.value IS NULL) AS imputed
+        FROM src s JOIN means m USING (event_type)
+    """
+
+    # Mirrors stats.rolling_anomaly: integer cross-multiplied z-score.
+    o["rolling_anomaly"] = """
+        WITH t AS (
+            SELECT event_id, user_id, ts, value,
+                   CAST(round(value * 1000000.0) AS BIGINT) AS vs
+            FROM events WHERE user_id < 50
+        ),
+        w AS (
+            SELECT event_id, user_id, value, vs,
+                   count(vs) OVER win AS n,
+                   sum(vs) OVER win AS s,
+                   sum(vs * vs) OVER win AS m2
+            FROM t
+            WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, user_id, value,
+               CAST(n AS BIGINT) AS n_window,
+               (CAST(n AS HUGEINT) * vs - s) * (CAST(n AS HUGEINT) * vs - s)
+                   > 9 * (CAST(n AS HUGEINT) * m2
+                          - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS is_anomaly
+        FROM w
+    """
+
+    # Mirrors q_funnel's ordered min-timestamp chain.
+    o["funnel"] = """
+        WITH t1 AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        t2 AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN t1 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > t1.t1
+            GROUP BY e.user_id
+        ),
+        t3 AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN t2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+               (SELECT count(*) FROM t1) AS n_view,
+               (SELECT count(*) FROM t2) AS n_view_click,
+               (SELECT count(*) FROM t3) AS n_full_funnel
+    """
+
+    # Mirrors q_retention: first-event week cohorts x week offset.
+    o["retention"] = """
+        WITH firsts AS (
+            SELECT user_id, min(ts) AS f FROM events GROUP BY user_id
+        )
+        SELECT CAST(date_trunc('week', f) AS DATE) AS cohort_week,
+               date_diff('day', CAST(date_trunc('week', f) AS DATE),
+                         CAST(e.ts AS DATE)) // 7 AS week_offset,
+               count(DISTINCT e.user_id) AS n_users
+        FROM events e JOIN firsts USING (user_id)
+        GROUP BY 1, 2
+    """
+
+    # Mirrors q_cooccurrence: unordered type pairs per user.
+    o["cooccurrence"] = """
+        WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(DISTINCT a.user_id) AS n_users
+        FROM d a JOIN d b ON a.user_id = b.user_id
+                         AND a.event_type < b.event_type
+        GROUP BY 1, 2
     """
 
     # Mirrors pq_adc_topk: same centroid fit, per-subspace encode

@@ -90,13 +90,16 @@ from sparkgraft.operators.stats import (
     exact_mean,
     exact_rounded_sum,
     extended_stats,
+    impute_missing,
     latest_row_fallback,
     latest_rows,
     max_by_key,
     profile_columns,
     robust_outlier_stats,
+    rolling_anomaly,
     scaled_long,
     windowed_channel_stats,
+    winsorize,
 )
 from sparkgraft.operators.textops import (
     bm25_rank,

@@ -375,3 +375,113 @@ def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         ]
     )
     return row.select(F.explode(packed).alias("p")).select("p.*")
+
+
+def winsorize(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str = "value",
+    lo: float = 0.01,
+    hi: float = 0.99,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group winsorization: clip the value to its group's
+    [lo, hi] percentile band — the standard heavy-tail tamer before
+    averaging metrics a single wild sensor reading would dominate.
+
+    Thresholds are exact ``percentile`` interpolation over scaled longs
+    rounded ONCE (both engines interpolate (n-1)·q identically on
+    integers), then the clip is a plain comparison — per-row output,
+    no order-dependent aggregation, deterministic.  One shuffle for
+    the tiny threshold table, broadcast back.
+    """
+    vs = scaled_long(F.col(value))
+    t = df.withColumn("__vs", vs)
+    bands = t.groupBy(*keys).agg(
+        F.round(F.percentile(F.col("__vs"), F.lit(lo)), digits).alias("__lo"),
+        F.round(F.percentile(F.col("__vs"), F.lit(hi)), digits).alias("__hi"),
+    )
+    clipped = (
+        F.least(F.greatest(F.col("__vs").cast("double"), F.col("__lo")), F.col("__hi"))
+        / F.lit(1e6)
+    )
+    return (
+        t.join(F.broadcast(bands), list(keys))
+        .withColumn("w_value", F.round(clipped, digits))
+        .withColumn(
+            "clipped",
+            (F.col("__vs") < F.col("__lo")) | (F.col("__vs") > F.col("__hi")),
+        )
+        .drop("__vs", "__lo", "__hi")
+    )
+
+
+def impute_missing(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str = "value",
+    digits: int = 3,
+) -> DataFrame:
+    """Group-mean imputation: NULL values are filled with their group's
+    exact fixed-point mean over the non-null rows (tie-proof HALF-UP —
+    the imputed constant is bit-identical in any engine / partitioning).
+    Adds ``imputed`` so downstream quality gates can weigh filled rows.
+    """
+    v = F.col(value)
+    means = df.groupBy(*keys).agg(
+        exact_mean(
+            F.sum(scaled_long(v)), F.count(v), digits
+        ).alias("__fill")
+    )
+    return (
+        df.join(F.broadcast(means), list(keys))
+        .withColumn("imputed", v.isNull())
+        .withColumn(value, F.coalesce(v, F.col("__fill")))
+        .drop("__fill")
+    )
+
+
+def rolling_anomaly(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value: str = "value",
+    window_rows: int = 10,
+    z: int = 3,
+) -> DataFrame:
+    """Rolling z-score anomaly flag with NO floating point at all: over
+    the trailing ``window_rows`` frame, flag |v − mean| > z·std via the
+    cross-multiplied integer identity
+
+        (n·v − s)²  >  z² · (n·m2 − s²)
+
+    (s = Σ scaled values, m2 = Σ squares — both exact longs; the final
+    compare runs in DECIMAL(38), so there is no tie, no rounding, and
+    the flag is bit-identical in every engine and partitioning.  One
+    shuffle on the key; both running sums share one window sort.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    vs = scaled_long(F.col(value))
+    t = df.withColumn("__vs", vs)
+    t = (
+        t.withColumn("__n", F.count("__vs").over(w))
+        .withColumn("__s", F.sum("__vs").over(w))
+        .withColumn("__m2", F.sum(F.col("__vs") * F.col("__vs")).over(w))
+    )
+    dev = _dec(F.col("__n") * F.col("__vs") - F.col("__s"))
+    var_n2 = _dec(F.col("__n")) * _dec(F.col("__m2")) - _dec(F.col("__s")) * _dec(
+        F.col("__s")
+    )
+    flag = (dev * dev) > (F.lit(z * z).cast("decimal(38,0)") * var_n2)
+    return t.select(
+        id_col,
+        key_col,
+        value,
+        F.col("__n").alias("n_window"),
+        flag.alias("is_anomaly"),
+    )
