@@ -994,6 +994,30 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer PageRank (5 iterations) over the customer→supplier
+    graph induced by orders⋈lineitem; top-20 nodes by rank."""
+    from sparkgraft.operators.graph import pagerank_exact
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank_exact(edges, iters=5)
+    w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
+    return (
+        pr.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("node", "rank", "rnk")
+    )
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type winsorization at the [5%, 95%] band — per-row clipped
     values + clip flags (no order-dependent aggregation)."""
@@ -2488,6 +2512,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel": q_funnel,
     "retention": q_retention,
     "cooccurrence": q_cooccurrence,
+    "pagerank": q_pagerank,
 }
 
 
@@ -3624,6 +3649,48 @@ def _llm_oracles() -> dict[str, str]:
                                          ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
             FROM scored
         ) WHERE rnk <= 5
+    """
+
+    # Mirrors graph.pagerank_exact: 5 unrolled integer-arithmetic
+    # iterations (rank // deg contributions, integer damping) — no
+    # floats anywhere, so the trajectory is engine-exact.
+    _pr_iters = ""
+    _prev = "pr0"
+    for _i in range(1, 6):
+        _pr_iters += f""",
+        c{_i} AS (
+            SELECT e.dst AS node, sum(p.rank // d.deg) AS sc
+            FROM edges e
+            JOIN {_prev} p ON e.src = p.node
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+        ),
+        pr{_i} AS (
+            SELECT n.node,
+                   CAST(tele.t + (85 * coalesce(c.sc, 0)) // 100 AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN c{_i} c USING (node) CROSS JOIN tele
+        )"""
+        _prev = f"pr{_i}"
+    o["pagerank"] = f"""
+        WITH edges AS (
+            SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        nodes AS (
+            SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        tele AS (SELECT (15 * 1000000000000) // (100 * n) AS t FROM nn),
+        pr0 AS (
+            SELECT node, CAST(1000000000000 // n AS BIGINT) AS rank
+            FROM nodes CROSS JOIN nn
+        ){_pr_iters}
+        SELECT node, rank, rnk FROM (
+            SELECT node, rank,
+                   row_number() OVER (ORDER BY rank DESC, node ASC) AS rnk
+            FROM pr5
+        ) WHERE rnk <= 20
     """
 
     # Mirrors stats.winsorize: quantile_cont on scaled longs == Spark's

@@ -35,7 +35,11 @@ from sparkgraft.operators.relational import (
     range_join,
     top_k_per_group,
 )
-from sparkgraft.operators.graph import connected_components, dedup_representatives
+from sparkgraft.operators.graph import (
+    connected_components,
+    dedup_representatives,
+    pagerank_exact,
+)
 from sparkgraft.operators.reshape import long_to_wide, wide_to_long
 from sparkgraft.operators.sketch import (
     cms_build,

@@ -87,3 +87,62 @@ def dedup_representatives(
         F.col("cluster_id"),
         (F.col("id") == F.col("cluster_id")).alias("is_representative"),
     )
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank in EXACT integer arithmetic: ranks are scaled longs
+    (1e12 quanta), each node's contribution is the integral quotient
+    ``rank // out_degree``, and the damping update is integer
+    percent arithmetic — so every iteration is bit-identical in any
+    engine and under any partitioning (a float formulation would sum
+    contributions in shuffle order and drift in the last ulp).  The
+    deliberate cost: each division truncates < 1 quantum, so total
+    mass decays by < n_nodes quanta per iteration — noise at 1e-12
+    resolution, and identical noise everywhere.
+
+    Pregel-in-DataFrames shape, same as :func:`connected_components`:
+    per iteration one join (ranks → edges) + one grouped sum (one
+    shuffle each on node id); dangling nodes keep the teleport term
+    only.  ``iters`` is fixed (no convergence test) so the trajectory
+    is reproducible.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    n_nodes = nodes.count()  # scalar for the teleport term (tiny)
+    teleport = ((100 - damping_pct) * scale) // (100 * n_nodes)
+    ranks = nodes.withColumn("rank", F.lit(scale // n_nodes).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div deg").alias("c"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("sc"))
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(sc, 0L)) div 100"
+                    )
+                ).cast("long").alias("rank"),
+            )
+        )
+    return ranks

@@ -36,3 +36,21 @@ def test_components_deterministic_across_partitionings(spark):
         )
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     assert runs[0] == runs[1]
+
+
+def test_pagerank_exact_deterministic_and_sane(spark):
+    from pyspark.sql import functions as F
+
+    from sparkgraft.operators.graph import pagerank_exact
+
+    # star: 1..4 all point at 5; 5 dangles.
+    edges = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 5), (4, 5)], "src long, dst long"
+    )
+    pr = {r["node"]: r["rank"] for r in pagerank_exact(edges, iters=3).collect()}
+    assert pr[5] > pr[1] == pr[2] == pr[3] == pr[4]  # hub dominates, leaves tie
+    # bit-identical rerun (exact integer arithmetic)
+    pr2 = {r["node"]: r["rank"] for r in pagerank_exact(edges, iters=3).collect()}
+    assert pr == pr2
+    # total mass bounded by the scale and positive
+    assert 0 < sum(pr.values()) <= 10**12
