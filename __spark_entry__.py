@@ -994,6 +994,20 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding QA profile (exact mean, min, max) —
+    compare snapshots to catch dimension collapse / renormalization."""
+    return SIM.embedding_stats(_t(spark, sf_dir, "embeddings"))
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss 64→16 reduction with the deterministic ±1
+    hyperplane matrix as plan-time literals (shuffle-free)."""
+    return SIM.random_projection(
+        _t(spark, sf_dir, "embeddings"), out_dim=16
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-integer PageRank (5 iterations) over the customer→supplier
     graph induced by orders⋈lineitem; top-20 nodes by rank."""
@@ -2438,10 +2452,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_sanity": q_sketch_sanity,
     "decontaminate": q_decontaminate,
     "paragraph_dedup": q_paragraph_dedup,
-    # --- flagship E2E + stateful streaming ---
+    # --- flagship E2E + round-2 flagship LLM op ---
     "e1_flagship": q_e1_flagship,
-    "streaming_ewma": q_streaming_ewma,
+    # semdedup takes position 50 (was streaming_ewma): a full
+    # hash-checked row beats a rows-only row inside the driver's
+    # 50-entry correctness window; streaming_ewma moved to 51+ with
+    # the other rows-only streaming queries.
+    "semdedup": q_semdedup,
     # ---- position 51+: second witnesses / engine extras --------------------
+    "streaming_ewma": q_streaming_ewma,
     # (json_extract is the F13 second witness — alarm_trigger, in-window,
     # also exercises F13's JSON-props extraction.  fingerprint's LLM row is
     # witnessed in-window by winnowing; hll_merge_sanity's by sketch_sanity.)
@@ -2492,7 +2511,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "normalize_text": q_normalize_text,
     "split_sentences": q_split_sentences,
     "quality_gate": q_quality_gate,
-    "semdedup": q_semdedup,
     "resample": q_resample,
     "ngram_support": q_ngram_support,
     "robust_outliers": q_robust_outliers,
@@ -2513,6 +2531,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention": q_retention,
     "cooccurrence": q_cooccurrence,
     "pagerank": q_pagerank,
+    "embedding_stats": q_embedding_stats,
+    "random_projection": q_random_projection,
 }
 
 
@@ -3649,6 +3669,31 @@ def _llm_oracles() -> dict[str, str]:
                                          ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
             FROM scored
         ) WHERE rnk <= 5
+    """
+
+    # Mirrors similarity.embedding_stats (0-based dimension index).
+    o["embedding_stats"] = f"""
+        WITH expl AS (
+            SELECT i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings, generate_series(1, 64) AS g(i)
+        )
+        SELECT pos, count(v) AS n, {_mean_sql('v', 6)} AS mean,
+               round(min(v), 6) AS min, round(max(v), 6) AS max
+        FROM expl GROUP BY pos ORDER BY pos
+    """
+
+    # Mirrors similarity.random_projection: same md5-derived ±1 planes
+    # as literals, component = <v, h_i> / sqrt(16), rounded once.
+    from sparkgraft.operators.similarity import hyperplane_signs as _hs
+
+    _rp_comps = ", ".join(
+        "round(list_sum(list_transform(generate_series(1, 64), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * ([{', '.join(str(x) for x in plane)}])[i]))"
+        " / 4.0, 6)"
+        for plane in _hs(16, 64)
+    )
+    o["random_projection"] = f"""
+        SELECT vec_id, [{_rp_comps}] AS projected FROM embeddings
     """
 
     # Mirrors graph.pagerank_exact: 5 unrolled integer-arithmetic

@@ -88,6 +88,9 @@ HEADLINE = [
     "semdedup",
     "resample",
     "classifier_score",
+    "pq_ann",
+    "rolling_anomaly",
+    "winsorize",
 ]
 
 

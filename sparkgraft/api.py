@@ -40,7 +40,7 @@ from sparkgraft.operators.graph import (
     dedup_representatives,
     pagerank_exact,
 )
-from sparkgraft.operators.reshape import long_to_wide, wide_to_long
+from sparkgraft.operators.reshape import flatten_struct, long_to_wide, wide_to_long
 from sparkgraft.operators.sketch import (
     cms_build,
     cms_lookup,
@@ -76,16 +76,19 @@ from sparkgraft.operators.similarity import (
     hyperplane_signs,
     kmeans_iterate,
     dequantize_error,
+    embedding_stats,
     lsh_bucket,
     lsh_bucketed_topk,
     partitioned_topk,
     pq_adc_topk,
     pq_codebooks_from_labels,
     pq_decode,
+    pq_decode_nearest,
     pq_encode,
     quantization_stats,
     quantize_embeddings,
     quantized_rerank_topk,
+    random_projection,
     semantic_dedup,
 )
 from sparkgraft.operators.stats import (

@@ -47,3 +47,29 @@ def long_to_wide(
     ``F.sum(...)`` / ``F.max_by(...)``); absent cells are NULL.
     """
     return df.groupBy(*id_cols).pivot(key_col, list(channels)).agg(value_agg)
+
+
+def flatten_struct(df: DataFrame, sep: str = "_") -> DataFrame:
+    """Recursively flatten nested struct columns into top-level columns
+    (``a.b.c`` → ``a_b_c``) — the schema-normalization step after
+    reading nested JSON/parquet, so downstream relational operators see
+    a flat table.  Pure projection: column pruning still reaches the
+    scan for any subset of the flattened columns.
+    """
+    from pyspark.sql.types import StructType
+
+    def walk(schema: StructType, prefix: tuple[str, ...]) -> list[tuple[str, ...]]:
+        out: list[tuple[str, ...]] = []
+        for fld in schema.fields:
+            path = prefix + (fld.name,)
+            if isinstance(fld.dataType, StructType):
+                out.extend(walk(fld.dataType, path))
+            else:
+                out.append(path)
+        return out
+
+    cols = [
+        F.col(".".join(f"`{p}`" for p in path)).alias(sep.join(path))
+        for path in walk(df.schema, ())
+    ]
+    return df.select(*cols)

@@ -49,3 +49,37 @@ def test_report_parser_fuzz(spark, rows):
     )
     want = sorted((float(x), float(y), float(z), float(w)) for x, y, z, w in rows)
     assert parsed == want
+
+
+def test_flatten_struct_nested(spark):
+    from pyspark.sql import functions as F
+
+    from sparkgraft.operators.reshape import flatten_struct
+
+    df = spark.createDataFrame(
+        [(1, ("x", (2.5, True))), (2, ("y", (3.5, False)))],
+        "id long, a struct<s string, inner struct<v double, f boolean>>",
+    )
+    flat = flatten_struct(df)
+    assert flat.columns == ["id", "a_s", "a_inner_v", "a_inner_f"]
+    assert sorted(tuple(r) for r in flat.collect()) == [
+        (1, "x", 2.5, True),
+        (2, "y", 3.5, False),
+    ]
+
+
+def test_flatten_struct_prunes_scan(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sparkgraft.operators.reshape import flatten_struct
+    from sparkgraft.plans import audit
+
+    df = spark.createDataFrame(
+        [(1, ("x", 2.5))], "id long, a struct<s string, v double>"
+    )
+    p = str(tmp_path / "nested.parquet")
+    df.write.parquet(p)
+    flat = flatten_struct(spark.read.parquet(p)).select("a_v")
+    cols = audit.scan_schema_columns(flat)
+    # only the struct leaf feeding a_v is read
+    assert cols and all("s" not in c or "v" in str(c) for c in cols)

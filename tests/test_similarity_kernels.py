@@ -362,3 +362,38 @@ def test_pq_adc_recall_vs_brute_force(spark):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.3  # coarse codes, small shortlist: well above chance
+
+
+def test_random_projection_preserves_neighborhoods(spark):
+    from pyspark.sql import functions as F
+
+    from sparkgraft.operators.similarity import (
+        brute_force_topk,
+        random_projection,
+    )
+
+    emb = _emb(spark)
+    proj = random_projection(emb, out_dim=16).withColumnRenamed(
+        "projected", "embedding"
+    )
+    q_full = emb.filter(F.col("vec_id") < 20)
+    q_proj = proj.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(q_full, emb, k=10)
+    reduced = brute_force_topk(q_proj, proj, k=10)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in reduced.collect()}
+    # Synthetic iid vectors have near-uniform pairwise distances, the
+    # hardest case for rank preservation: random agreement would be
+    # ~2% (10/499); JL at 64->16 should stay well above that.
+    assert len(e & a) / len(e) > 0.08
+
+
+def test_embedding_stats_shape(spark):
+    from sparkgraft.operators.similarity import embedding_stats
+
+    emb = _emb(spark)
+    rows = embedding_stats(emb).collect()
+    assert [r["pos"] for r in rows] == list(range(64))
+    n = emb.count()
+    assert all(r["n"] == n for r in rows)
+    assert all(r["min"] <= r["mean"] <= r["max"] for r in rows)
