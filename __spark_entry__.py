@@ -994,6 +994,44 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest admission: a new batch (planted near-dups of
+    every 10th doc + genuinely-new reversed docs) deduped against the
+    documents corpus as history — cross-side MinHash buckets only."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.col("text"), r"\s+")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(w, 3, 100000), " ").alias("text"),
+    )
+    fresh = docs.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(F.reverse(w), " ").alias("text"),
+    )
+    return T.incremental_dedup(
+        dups.unionByName(fresh),
+        docs,
+        shingle_k=3,
+        num_hashes=12,
+        bands=2,
+        min_jaccard=0.5,
+    )
+
+
+def q_validate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level expectations over lineitem: named admission rules,
+    per-row failed-rule list + verdict (quarantine-table input)."""
+    from sparkgraft.operators.merge import validate_rows
+
+    li = _t(spark, sf_dir, "lineitem")
+    rules = {
+        "qty_le_30": F.col("l_quantity") <= 30,
+        "discount_le_06": F.col("l_discount") <= 0.06,
+        "tax_lt_05": F.col("l_tax") < 0.05,
+    }
+    return validate_rows(li, rules, ["l_orderkey", "l_linenumber"])
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension embedding QA profile (exact mean, min, max) —
     compare snapshots to catch dimension collapse / renormalization."""
@@ -2533,6 +2571,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "embedding_stats": q_embedding_stats,
     "random_projection": q_random_projection,
+    "incremental_dedup": q_incremental_dedup,
+    "validate_rows": q_validate_rows,
 }
 
 
@@ -3669,6 +3709,97 @@ def _llm_oracles() -> dict[str, str]:
                                          ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
             FROM scored
         ) WHERE rnk <= 5
+    """
+
+    # Mirrors textops.incremental_dedup over the planted new batch:
+    # same shingle/signature/band fragments as minhash_dedup, but the
+    # candidate join crosses new x history only.
+    def _sh_sql(src: str, out: str) -> str:
+        return f"""
+        {out} AS (
+            SELECT doc_id AS id,
+                   list_distinct(CASE WHEN len(w) >= 3
+                       THEN list_transform(generate_series(1, len(w) - 2),
+                                           i -> array_to_string(w[i:i+2], ' '))
+                       ELSE [] END) AS sh
+            FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+                  FROM {src})
+        )"""
+
+    def _band_sql(sig: str) -> str:
+        return " UNION ALL ".join(
+            "SELECT id, {b} AS band, md5(concat_ws('|', {cols})) AS bucket FROM {sig}".format(
+                b=b,
+                cols=", ".join(f"mh_{6 * b + j}" for j in range(6)),
+                sig=sig,
+            )
+            for b in range(2)
+        )
+
+    o["incremental_dedup"] = f"""
+        WITH newb AS (
+            SELECT doc_id + 1000000 AS doc_id,
+                   array_to_string(w[3:len(w)], ' ') AS text
+            FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+                  FROM documents)
+            WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 2000000,
+                   array_to_string(list_reverse(w), ' ')
+            FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+                  FROM documents)
+            WHERE doc_id % 10 = 5
+        ),
+        {_sh_sql('newb', 'shn')},
+        {_sh_sql('documents', 'shh')},
+        sign AS (SELECT id, sh, {mh_cols} FROM shn),
+        sigh AS (SELECT id, sh, {mh_cols} FROM shh),
+        bandn AS ({_band_sql('sign')}),
+        bandh AS ({_band_sql('sigh')}),
+        cand AS (
+            SELECT DISTINCT n.id AS new_id, h.id AS hist_id
+            FROM bandn n JOIN bandh h
+              ON n.band = h.band AND n.bucket = h.bucket
+        ),
+        ver AS (
+            SELECT c.new_id, c.hist_id,
+                   round(len(list_intersect(a.sh, b.sh))
+                         / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+                                AS DOUBLE), 4) AS j
+            FROM cand c
+            JOIN shn a ON a.id = c.new_id
+            JOIN shh b ON b.id = c.hist_id
+        ),
+        kept AS (SELECT * FROM ver WHERE j >= 0.5),
+        best AS (
+            SELECT new_id, min(hist_id) AS dup_of, max(j) AS jaccard
+            FROM kept GROUP BY new_id
+        )
+        SELECT n.doc_id, (b.dup_of IS NOT NULL) AS is_duplicate,
+               b.dup_of, b.jaccard
+        FROM newb n LEFT JOIN best b ON n.doc_id = b.new_id
+    """
+
+    # Mirrors merge.validate_rows over lineitem admission rules.
+    o["validate_rows"] = """
+        SELECT l_orderkey, l_linenumber,
+               list_filter([
+                   CASE WHEN NOT coalesce(l_quantity <= 30, FALSE)
+                        THEN 'qty_le_30' END,
+                   CASE WHEN NOT coalesce(l_discount <= 0.06, FALSE)
+                        THEN 'discount_le_06' END,
+                   CASE WHEN NOT coalesce(l_tax < 0.05, FALSE)
+                        THEN 'tax_lt_05' END
+               ], x -> x IS NOT NULL) AS failed_rules,
+               (len(list_filter([
+                   CASE WHEN NOT coalesce(l_quantity <= 30, FALSE)
+                        THEN 'qty_le_30' END,
+                   CASE WHEN NOT coalesce(l_discount <= 0.06, FALSE)
+                        THEN 'discount_le_06' END,
+                   CASE WHEN NOT coalesce(l_tax < 0.05, FALSE)
+                        THEN 'tax_lt_05' END
+               ], x -> x IS NOT NULL)) = 0) AS admitted
+        FROM lineitem
     """
 
     # Mirrors similarity.embedding_stats (0-based dimension index).

@@ -26,7 +26,12 @@ from sparkgraft.operators.multimodal import (
     decode_sample_files,
     image_features,
 )
-from sparkgraft.operators.merge import merge_upsert, scd2_apply, snapshot_diff
+from sparkgraft.operators.merge import (
+    merge_upsert,
+    scd2_apply,
+    snapshot_diff,
+    validate_rows,
+)
 from sparkgraft.operators.relational import (
     asof_join,
     asof_join_pandas,
@@ -116,6 +121,7 @@ from sparkgraft.operators.textops import (
     duplicate_spans,
     fingerprint,
     hash_classifier_score,
+    incremental_dedup,
     jaccard,
     lang_id,
     minhash_dedup_pairs,

@@ -118,3 +118,34 @@ def snapshot_diff(
         .otherwise(F.array().cast("array<string>"))
         .alias("changed_cols"),
     )
+
+
+def validate_rows(
+    df: DataFrame,
+    rules: dict[str, "Column"],
+    id_cols: list[str],
+) -> DataFrame:
+    """Row-level expectations (batch-admission rules): evaluate every
+    named rule, collect the FAILED rule names per row, and emit an
+    ``admitted`` verdict — the quarantine-table input (T3's row-level
+    analog; the batch-level metrics live in the data_quality query).
+
+    Pure projection — rule evaluation is one pass at scan speed, and
+    the failed-rule array uses the same filtered-CASE construction as
+    :func:`snapshot_diff`'s changed-column list.  NULL rule results
+    count as failures (a rule that cannot evaluate did not pass).
+    """
+    checks = F.filter(
+        F.array(
+            *[
+                F.when(~F.coalesce(cond, F.lit(False)), F.lit(name))
+                for name, cond in rules.items()
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return df.select(
+        *id_cols,
+        checks.alias("failed_rules"),
+        (F.size(checks) == 0).alias("admitted"),
+    )

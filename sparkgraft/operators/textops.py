@@ -929,3 +929,92 @@ def hash_classifier_score(
         exact_mean(sum_milli * F.lit(1000), n, digits).alias("score"),
         (sum_milli > 0).alias("label"),
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    history: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 2,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup admission: flag each NEW-batch document
+    that near-duplicates the existing HISTORY corpus — the daily-ingest
+    shape (history is the accumulated corpus; only cross-side pairs
+    matter, never history×history).
+
+    Same two-shuffle MinHash discipline as
+    :func:`minhash_dedup_pairs`: both sides band into (band, bucket)
+    keys, the candidate join crosses new×history buckets only, and
+    exact Jaccard verifies candidates.  At 100 TB the history side's
+    banded keys are a compact persisted index — rebuilding signatures
+    for history every batch is the thing to avoid in production (write
+    the banded table once, append to it).
+
+    Returns one row per new doc: (id, is_duplicate, dup_of, jaccard)
+    with ``dup_of`` = the smallest matching history id (NULL when
+    admitted).
+    """
+
+    def prep(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        rows = num_hashes // bands
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(
+                word_shingles(tokenize(F.col(text_col)), shingle_k)
+            ).alias("sh"),
+        ).persist()
+        sig = base.select("id", "sh", *minhash_signature(F.col("sh"), num_hashes))
+        banded = sig.select(
+            "id",
+            F.explode(
+                lsh_bands(
+                    [F.col(f"mh_{j}") for j in range(num_hashes)], bands, rows
+                )
+            ).alias("bb"),
+        ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        return base, banded
+
+    new_base, new_banded = prep(new_docs)
+    hist_base, hist_banded = prep(history)
+    cand = (
+        new_banded.select("band", "bucket", F.col("id").alias("new_id"))
+        .join(
+            hist_banded.select("band", "bucket", F.col("id").alias("hist_id")),
+            ["band", "bucket"],
+        )
+        .select("new_id", "hist_id")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            new_base.withColumnsRenamed({"id": "new_id", "sh": "sh_n"}), "new_id"
+        )
+        .join(
+            hist_base.withColumnsRenamed({"id": "hist_id", "sh": "sh_h"}),
+            "hist_id",
+        )
+        .select(
+            "new_id",
+            "hist_id",
+            F.round(jaccard(F.col("sh_n"), F.col("sh_h")), 4).alias("j"),
+        )
+        .filter(F.col("j") >= min_jaccard)
+    )
+    best = verified.groupBy("new_id").agg(
+        F.min("hist_id").alias("dup_of"),
+        F.max("j").alias("jaccard"),
+    )
+    return (
+        new_docs.select(F.col(id_col).alias("new_id"))
+        .join(best, "new_id", "left")
+        .select(
+            F.col("new_id").alias(id_col),
+            F.col("dup_of").isNotNull().alias("is_duplicate"),
+            "dup_of",
+            "jaccard",
+        )
+    )

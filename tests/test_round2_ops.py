@@ -308,3 +308,45 @@ def test_snapshot_diff_null_safe(spark):
     new = spark.createDataFrame([(1, None)], "k long, s string")
     row = snapshot_diff(old, new, ["k"], ["s"]).collect()[0]
     assert row["change_type"] == "unchanged"  # NULL == NULL here
+
+
+def test_incremental_dedup_flags_cross_side_only(spark):
+    from sparkgraft.operators.textops import incremental_dedup
+
+    hist = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely unrelated history text about other things entirely")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),  # dup of 1
+         (11, "fresh new content that matches nothing in the corpus at all")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["is_duplicate"], r["dup_of"])
+        for r in incremental_dedup(new, hist, min_jaccard=0.5).collect()
+    }
+    assert out[10] == (True, 1)
+    assert out[11] == (False, None)
+
+
+def test_validate_rows_collects_failures(spark):
+    from sparkgraft.operators.merge import validate_rows
+
+    df = spark.createDataFrame(
+        [(1, 5, 0.01), (2, 40, 0.01), (3, 40, 0.2), (4, None, 0.01)],
+        "id long, qty long, disc double",
+    )
+    rules = {
+        "qty_small": F.col("qty") <= 30,
+        "disc_ok": F.col("disc") <= 0.1,
+    }
+    out = {
+        r["id"]: (sorted(r["failed_rules"]), r["admitted"])
+        for r in validate_rows(df, rules, ["id"]).collect()
+    }
+    assert out[1] == ([], True)
+    assert out[2] == (["qty_small"], False)
+    assert out[3] == (["disc_ok", "qty_small"], False)
+    assert out[4] == (["qty_small"], False)  # NULL rule result = failure
