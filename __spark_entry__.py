@@ -994,6 +994,25 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: a TPC-H-Q1-flavored summary issued as
+    ``spark.sql`` text over a registered view — same engine, ANSI
+    surface; sums stay exact (integer quantities, price cents)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sql")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT))
+                   AS sum_price_cents,
+               count(DISTINCT l_suppkey) AS n_suppliers
+        FROM lineitem_sql
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest admission: a new batch (planted near-dups of
     every 10th doc + genuinely-new reversed docs) deduped against the
@@ -2573,6 +2592,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "random_projection": q_random_projection,
     "incremental_dedup": q_incremental_dedup,
     "validate_rows": q_validate_rows,
+    "sql_pricing": q_sql_pricing,
 }
 
 
@@ -3709,6 +3729,19 @@ def _llm_oracles() -> dict[str, str]:
                                          ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
             FROM scored
         ) WHERE rnk <= 5
+    """
+
+    # Mirrors q_sql_pricing (issued through spark.sql — the ANSI front
+    # door exercises the same engine).
+    o["sql_pricing"] = """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS sum_price_cents,
+               count(DISTINCT l_suppkey) AS n_suppliers
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
     """
 
     # Mirrors textops.incremental_dedup over the planted new batch:

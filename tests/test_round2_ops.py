@@ -350,3 +350,50 @@ def test_validate_rows_collects_failures(spark):
     assert out[2] == (["qty_small"], False)
     assert out[3] == (["disc_ok", "qty_small"], False)
     assert out[4] == (["qty_small"], False)  # NULL rule result = failure
+
+
+def test_resample_invariants_random_series(spark):
+    # Seeded random series: interpolated values stay inside the hull of
+    # their neighboring observations; grids are contiguous per key.
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for user in (1, 2, 3):
+        t = 0
+        for _ in range(rng.randint(3, 12)):
+            t += rng.randint(1, 10_000)
+            rows.append((eid, f"2024-01-01 00:00:{0:02d}", user,
+                         round(rng.uniform(-50, 50), 3), t))
+            eid += 1
+    df = (
+        spark.createDataFrame(
+            rows, "event_id long, base string, user_id long, value double, off long"
+        )
+        .withColumn(
+            "ts",
+            F.col("base").cast("timestamp") + F.col("off").cast("long")
+            .cast("interval second"),
+        )
+        .drop("base", "off")
+    )
+    from sparkgraft.operators.timeseries import resample_interpolate
+
+    out = resample_interpolate(
+        df, "user_id", "ts", "value", "event_id", step_sec=600, digits=3
+    ).collect()
+    by_user: dict = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, rws in by_user.items():
+        rws.sort(key=lambda r: r["bucket_ts"])
+        # contiguous grid
+        ts = [r["bucket_ts"] for r in rws]
+        assert all(
+            (b - a).total_seconds() == 600 for a, b in zip(ts, ts[1:])
+        )
+        obs_vals = [r["value"] for r in rws if r["is_observed"]]
+        lo, hi = min(obs_vals), max(obs_vals)
+        for r in rws:
+            assert lo - 0.001 <= r["value"] <= hi + 0.001

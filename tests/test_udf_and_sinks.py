@@ -72,3 +72,48 @@ def test_driver_sink_row_cap_fails_loudly(spark, tmp_path):
     big = spark.range(kv.MAX_DRIVER_SINK_ROWS + 1)
     with pytest.raises(ValueError, match="write_stats_csv"):
         kv.write_stats_csv(big, str(tmp_path / "big.csv"))
+
+
+def test_udtf_matches_expression_form(spark):
+    from pyspark.sql import functions as F
+
+    from sparkgraft.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, "solo")], "id long, text string"
+    )
+    df.createOrReplaceTempView("udtf_src")
+    via_udtf = {
+        (r["id"], r["token"], r["idx"])
+        for r in spark.sql(
+            "SELECT id, token, idx FROM udtf_src, LATERAL tokenize_udtf(text)"
+        ).collect()
+    }
+    via_expr = {
+        (r["id"], r["token"], r["idx"])
+        for r in df.select(
+            "id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("idx", "token"),
+        )
+        .filter(F.col("token") != "")
+        .collect()
+    }
+    assert via_udtf == via_expr
+
+
+def test_numbered_lines_udtf(spark):
+    from sparkgraft.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "first\nsecond\nthird")], "id long, text string"
+    ).createOrReplaceTempView("lines_src")
+    rows = spark.sql(
+        "SELECT line_no, line FROM lines_src, LATERAL numbered_lines_udtf(text)"
+    ).collect()
+    assert [(r["line_no"], r["line"]) for r in sorted(rows, key=lambda r: r[0])] == [
+        (0, "first"),
+        (1, "second"),
+        (2, "third"),
+    ]
