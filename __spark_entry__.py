@@ -2054,6 +2054,64 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "user_id long, n_pairs long")
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (rows-only): an event file stream
+    joined per micro-batch to the static customer→nation dimension
+    (broadcast — no stream-side state at all), aggregated to per-nation
+    counts.  The standard dimension-enrichment shape: the static side
+    is re-resolvable each batch, so dimension updates apply without
+    restarting the stream.  Memoized per sf_dir."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    cached = _FIXTURE_CACHE.get(("stream_enrich", sf_dir))
+    if cached is not None:
+        return spark.createDataFrame(cached, "n_nationkey long, n_events long")
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_nationkey").alias("n_nationkey")
+    )
+    staged = ev.select(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_id",
+        (F.col("user_id") % 1000 + 1).alias("c_custkey"),
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_senrich_")
+    staged.coalesce(1).write.mode("overwrite").option("header", "true").csv(
+        f"{tmp}/stage"
+    )
+    os.makedirs(f"{tmp}/in", exist_ok=True)
+    src = sorted(glob.glob(f"{tmp}/stage/part-*.csv"))[0]
+    shutil.move(src, f"{tmp}/in/batch.csv")
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, event_id LONG, c_custkey LONG")
+        .option("header", "true")
+        .csv(f"{tmp}/in")
+    )
+    enriched = stream.join(F.broadcast(cust), "c_custkey").groupBy(
+        "n_nationkey"
+    ).agg(F.count("*").alias("n_events"))
+    qname = f"senrich_{abs(hash(tmp)) % 10**8}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = [
+        (r["n_nationkey"], r["n_events"])
+        for r in spark.sql(f"SELECT * FROM {qname}").collect()
+    ]
+    _FIXTURE_CACHE[("stream_enrich", sf_dir)] = rows
+    return spark.createDataFrame(rows, "n_nationkey long, n_events long")
+
+
 def q_backfill_dated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/S7 backfill (rows-only): drain a ``date=YYYY-MM-DD``
     partitioned landing zone with Trigger.AvailableNow, pruned to the
@@ -2593,6 +2651,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "validate_rows": q_validate_rows,
     "sql_pricing": q_sql_pricing,
+    "stream_enrich": q_stream_enrich,
 }
 
 

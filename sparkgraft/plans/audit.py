@@ -55,5 +55,18 @@ def scan_schema_columns(df: DataFrame) -> list[list[str]]:
 
 def whole_stage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans (wider = more of the plan is
-    fused JVM code)."""
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", explain_str(df))))
+    fused JVM code).  The "formatted" explain names the spans; simple
+    mode only shows per-node ``*(n)`` markers, which under-reports."""
+    spans = set(
+        re.findall(
+            r"WholeStageCodegen \((\d+)\)", explain_str(df, "formatted")
+        )
+    )
+    if spans:
+        return len(spans)
+    # AQE hides codegen pre-execution; the codegen explain still counts.
+    m = re.search(
+        r"Found (\d+) WholeStageCodegen subtrees",
+        explain_str(df, "codegen"),
+    )
+    return int(m.group(1)) if m else 0

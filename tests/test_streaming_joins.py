@@ -39,3 +39,24 @@ def test_stream_join_matches_batch(spark):
     }
     assert len(got) > 0
     assert got == _batch_expected(spark)
+
+
+def test_stream_enrich_matches_batch(spark):
+    got = {
+        (r["n_nationkey"], r["n_events"])
+        for r in entrymod.q_stream_enrich(spark, SF_DIR).collect()
+    }
+    assert len(got) > 0
+    ev = entrymod._t(spark, SF_DIR, "events").filter(F.col("event_id") < 3000)
+    cust = entrymod._t(spark, SF_DIR, "customer").select(
+        F.col("c_custkey"), F.col("c_nationkey").alias("n_nationkey")
+    )
+    expected = {
+        (r["n_nationkey"], r["n_events"])
+        for r in ev.select((F.col("user_id") % 1000 + 1).alias("c_custkey"))
+        .join(cust, "c_custkey")
+        .groupBy("n_nationkey")
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    }
+    assert got == expected
