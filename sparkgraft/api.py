@@ -172,7 +172,12 @@ from sparkgraft.sources.report import (
     parse_report_meta,
 )
 from sparkgraft.streaming.joins import interval_join_streams
-from sparkgraft.streaming.pipeline import FilePipeline, HealthBoard, stable_files
+from sparkgraft.streaming.pipeline import (
+    FilePipeline,
+    HealthBoard,
+    stable_files,
+    upsert_sink,
+)
 from sparkgraft.streaming.stateful import ewma_stream, ewma_stream_tws
 
 __all__ = [name for name in dir() if not name.startswith("_")]

@@ -203,3 +203,66 @@ class FilePipeline:
             .trigger(processingTime=processing_time)
             .start()
         )
+
+
+def upsert_sink(
+    stream,
+    table_path: str,
+    key_cols: list[str],
+    order_col: str,
+    checkpoint_dir: str,
+):
+    """Exactly-once streaming upsert into a parquet table via
+    ``foreachBatch``: each micro-batch MERGEs (last-writer-wins on
+    ``order_col``) into the table, and an in-table ``_batch_id`` ledger
+    makes replays idempotent — a batch that already landed is skipped,
+    so checkpoint recovery after a crash between "write" and "commit"
+    cannot double-apply (the classic foreachBatch at-least-once →
+    exactly-once upgrade).
+
+    Parquet stands in for the transactional table format a production
+    deployment would use (Delta/Iceberg MERGE INTO); the batch-ledger
+    + merge semantics are identical, expressed with
+    :func:`sparkgraft.operators.merge.merge_upsert`.  Overwrite of the
+    whole table per batch is the parquet-level simplification — a
+    table format replaces that with a metadata swap.
+
+    Returns the started StreamingQuery.
+    """
+    from pyspark.sql import functions as F
+
+    from sparkgraft.operators.merge import merge_upsert
+
+    def apply_batch(batch, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch.sparkSession
+        # Last-per-key within the batch (order_col desc) — merge_upsert
+        # expects unique update keys.
+        w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+        tagged = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("_batch_id", F.lit(batch_id))
+        )
+        try:
+            current = spark.read.parquet(table_path)
+            if current.filter(F.col("_batch_id") == batch_id).limit(1).count():
+                return  # replayed batch: already applied
+            merged = merge_upsert(current, tagged, key_cols)
+        except Exception as exc:  # first batch: table does not exist yet
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                raise
+            merged = tagged
+        merged.write.mode("overwrite").parquet(table_path + "_next")
+        spark.read.parquet(table_path + "_next").write.mode(
+            "overwrite"
+        ).parquet(table_path)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
