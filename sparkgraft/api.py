@@ -145,6 +145,7 @@ from sparkgraft.operators.timeseries import resample_interpolate, sessionize
 from sparkgraft.session import get_spark
 from sparkgraft.sinks.kv import (
     dedup_events,
+    observed_write,
     register_image,
     stats_to_kv,
     with_event_ids,

@@ -124,3 +124,31 @@ def write_stats_csv(stats, path: str) -> None:
     """
     _guard_driver_sink(stats, "write_stats_csv")
     stats.toPandas().to_csv(path, index=False)
+
+
+def observed_write(
+    df,
+    path: str,
+    metrics: dict[str, "Column"] | None = None,
+    mode: str = "overwrite",
+) -> dict[str, object]:
+    """Write a DataFrame while collecting inline metrics in the SAME
+    pass (Spark's ``Observation`` API) — row counts / null counts /
+    sums come back without a second scan of the data, which at 100 TB
+    is the difference between free observability and doubling the job.
+
+    Returns the observed metrics dict (always includes ``n_rows``).
+    Reference parity: the converters log per-file row/channel counts
+    while writing (DataConverterUDBF.py's post-write prints); here the
+    counters ride the write itself.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    mets = {"n_rows": F.count(F.lit(1)).alias("n_rows")}
+    for name, col in (metrics or {}).items():
+        mets[name] = col.alias(name)
+    obs = Observation()
+    observed = df.observe(obs, *mets.values())
+    observed.write.mode(mode).parquet(path)
+    return dict(obs.get)

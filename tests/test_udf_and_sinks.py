@@ -117,3 +117,26 @@ def test_numbered_lines_udtf(spark):
         (1, "second"),
         (2, "third"),
     ]
+
+
+def test_observed_write_single_pass_metrics(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sparkgraft.sinks.kv import observed_write
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "id long, v double"
+    )
+    got = observed_write(
+        df,
+        str(tmp_path / "out.parquet"),
+        {
+            "n_null_v": F.count(F.when(F.col("v").isNull(), 1)),
+            "sum_v": F.sum("v"),
+        },
+    )
+    assert got["n_rows"] == 3
+    assert got["n_null_v"] == 1
+    assert got["sum_v"] == 40.0
+    back = spark.read.parquet(str(tmp_path / "out.parquet"))
+    assert back.count() == 3
