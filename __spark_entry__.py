@@ -994,6 +994,15 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted (LOCF) average per user over irregular event
+    samples — exact decimal integration, HALF-UP final division."""
+    from sparkgraft.operators.timeseries import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 60)
+    return time_weighted_avg(ev, "user_id", "ts", "value", "event_id")
+
+
 def q_sql_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL front door: a TPC-H-Q1-flavored summary issued as
     ``spark.sql`` text over a registered view — same engine, ANSI
@@ -2652,6 +2661,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "validate_rows": q_validate_rows,
     "sql_pricing": q_sql_pricing,
     "stream_enrich": q_stream_enrich,
+    "time_weighted_avg": q_time_weighted_avg,
 }
 
 
@@ -3788,6 +3798,39 @@ def _llm_oracles() -> dict[str, str]:
                                          ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
             FROM scored
         ) WHERE rnk <= 5
+    """
+
+    # Mirrors timeseries.time_weighted_avg: HUGEINT step integration,
+    # HALF-UP integral division (// stays exact past 2^53 where the
+    # _rowmean_sql double-floor would misround these magnitudes).
+    o["time_weighted_avg"] = """
+        WITH t AS (
+            SELECT user_id, epoch_us(ts) AS tus,
+                   CAST(round(value * 1000000.0) AS BIGINT) AS vs, event_id
+            FROM events WHERE user_id < 60
+        ),
+        l AS (
+            SELECT user_id, vs,
+                   lead(tus) OVER (PARTITION BY user_id
+                                   ORDER BY tus, event_id) - tus AS dt
+            FROM t
+        ),
+        agg AS (
+            SELECT user_id, count(*) AS n_samples,
+                   sum(CAST(vs AS HUGEINT)
+                       * CAST(coalesce(dt, 0) AS HUGEINT)) AS num,
+                   CAST(sum(coalesce(dt, 0)) AS BIGINT) AS den,
+                   min(CASE WHEN dt IS NULL THEN vs END) AS last_vs
+            FROM l GROUP BY user_id
+        )
+        SELECT user_id, n_samples, den // 1000000 AS span_seconds,
+               CASE WHEN den > 0 THEN
+                   (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                   * ((2 * abs(num) + 1000 * CAST(den AS HUGEINT))
+                      // (2000 * CAST(den AS HUGEINT)))
+                   / 1000.0
+               ELSE last_vs / 1000000.0 END AS twa
+        FROM agg
     """
 
     # Mirrors q_sql_pricing (issued through spark.sql — the ANSI front

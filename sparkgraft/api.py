@@ -141,7 +141,11 @@ from sparkgraft.operators.textops import (
     winnow_fingerprints,
     word_shingles,
 )
-from sparkgraft.operators.timeseries import resample_interpolate, sessionize
+from sparkgraft.operators.timeseries import (
+    resample_interpolate,
+    sessionize,
+    time_weighted_avg,
+)
 from sparkgraft.session import get_spark
 from sparkgraft.sinks.kv import (
     dedup_events,

@@ -140,3 +140,71 @@ def sessionize(
     )
     ws = Window.partitionBy(key_col, "session_id")
     return sessioned.withColumn("session_start", F.min(ts_col).over(ws))
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    digits: int = 3,
+) -> DataFrame:
+    """Time-weighted average per key over irregular samples — the
+    statistic a plain mean gets WRONG on irregular cadence (a sensor
+    that reports every second while alarming and hourly otherwise
+    would dominate a plain mean with its alarm values).  Step/LOCF
+    integration: each value holds until the next sample; the last
+    sample closes the integral (zero width).
+
+    Exact arithmetic throughout: scaled-long values × microsecond
+    durations accumulate in DECIMAL(38,0) (the products pass 2^63),
+    and the final division is the HALF-UP integral-div kernel — no
+    doubles until the rounded result.  One shuffle on the key (the
+    ``lead`` window), then a grouped decimal sum.
+
+    Returns ``(key, n_samples, span_seconds, twa)``; keys with a
+    single sample have zero span and fall back to the value itself.
+    """
+    from sparkgraft.operators.stats import _dec, scaled_long
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    t = df.select(
+        key_col,
+        F.unix_micros(F.col(ts_col)).alias("tus"),
+        scaled_long(F.col(value_col)).alias("vs"),
+        F.col(id_col).alias("__id"),
+    ).withColumn(
+        "dt", F.lead("tus").over(
+            Window.partitionBy(key_col).orderBy(
+                F.col("tus").asc(), F.col("__id").asc()
+            )
+        ) - F.col("tus")
+    )
+    agg = t.groupBy(key_col).agg(
+        F.count("*").alias("n_samples"),
+        F.sum(_dec(F.col("vs")) * _dec(F.coalesce(F.col("dt"), F.lit(0)))).alias(
+            "num"
+        ),
+        F.sum(F.coalesce(F.col("dt"), F.lit(0))).alias("den"),
+        F.min(F.when(F.col("dt").isNull(), F.col("vs"))).alias("last_vs"),
+    )
+    unit = 1_000_000 // (10**digits)
+    num2 = F.lit(2).cast("decimal(38,0)") * F.abs(F.col("num")) + F.lit(
+        unit
+    ).cast("decimal(38,0)") * _dec(F.col("den"))
+    den2 = F.lit(2 * unit).cast("decimal(38,0)") * _dec(F.col("den"))
+    q = F.call_function("div", num2, den2)
+    signed = F.when(F.col("num") < 0, -q).otherwise(q)
+    twa = F.when(
+        F.col("den") > 0,
+        signed.cast("double") / F.lit(float(10**digits)),
+    ).otherwise(F.col("last_vs").cast("double") / F.lit(1e6))
+    return agg.select(
+        key_col,
+        "n_samples",
+        F.expr("den div 1000000").alias("span_seconds"),
+        twa.alias("twa"),
+    )

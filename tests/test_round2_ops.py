@@ -397,3 +397,33 @@ def test_resample_invariants_random_series(spark):
         lo, hi = min(obs_vals), max(obs_vals)
         for r in rws:
             assert lo - 0.001 <= r["value"] <= hi + 0.001
+
+
+def test_time_weighted_avg_vs_plain_mean(spark):
+    from sparkgraft.operators.timeseries import time_weighted_avg
+
+    # value 10 holds for 9 hours, value 100 for 1 hour -> TWA = 19;
+    # the plain mean (55) would be wrong.
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, 10.0),
+        (2, "2024-01-01 09:00:00", 7, 100.0),
+        (3, "2024-01-01 10:00:00", 7, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    row = time_weighted_avg(df).collect()[0]
+    assert row["n_samples"] == 3
+    assert row["span_seconds"] == 36000
+    assert row["twa"] == 19.0
+
+
+def test_time_weighted_avg_single_sample_falls_back(spark):
+    from sparkgraft.operators.timeseries import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7, 42.5)],
+        "event_id long, ts string, user_id long, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    row = time_weighted_avg(df).collect()[0]
+    assert (row["span_seconds"], row["twa"]) == (0, 42.5)
