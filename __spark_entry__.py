@@ -994,6 +994,39 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge over two synthetic sources of the customer
+    entity: per field, best non-null by (priority, recency) — a NULL
+    from the fresher source never shadows the older real value."""
+    from sparkgraft.operators.merge import golden_record
+
+    cust = _t(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    a = cust.select(
+        "c_custkey",
+        F.lit(1).alias("prio"),
+        F.lit(1).alias("ord"),
+        "c_name",
+        "c_acctbal",
+    )
+    b = cust.select(
+        "c_custkey",
+        F.lit(2).alias("prio"),
+        F.lit(2).alias("ord"),
+        F.when(key % 3 == 0, F.lit(None)).otherwise(F.col("c_name")).alias(
+            "c_name"
+        ),
+        F.when(key % 2 == 0, F.col("c_acctbal") + 100).alias("c_acctbal"),
+    )
+    return golden_record(
+        a.unionByName(b),
+        ["c_custkey"],
+        ["c_name", "c_acctbal"],
+        "prio",
+        "ord",
+    )
+
+
 def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted (LOCF) average per user over irregular event
     samples — exact decimal integration, HALF-UP final division."""
@@ -2662,6 +2695,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_pricing": q_sql_pricing,
     "stream_enrich": q_stream_enrich,
     "time_weighted_avg": q_time_weighted_avg,
+    "golden_record": q_golden_record,
 }
 
 
@@ -3798,6 +3832,27 @@ def _llm_oracles() -> dict[str, str]:
                                          ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
             FROM scored
         ) WHERE rnk <= 5
+    """
+
+    # Mirrors merge.golden_record: per-field max_by over the same
+    # (has, priority, order, value) struct key.
+    o["golden_record"] = """
+        WITH src AS (
+            SELECT c_custkey, 1 AS prio, 1 AS ord, c_name, c_acctbal
+            FROM customer
+            UNION ALL
+            SELECT c_custkey, 2, 2,
+                   CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_name END,
+                   CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 100 END
+            FROM customer
+        )
+        SELECT c_custkey,
+               (max({'has': c_name IS NOT NULL, 'prio': prio,
+                     'ord': ord, 'val': c_name})).val AS c_name,
+               (max({'has': c_acctbal IS NOT NULL, 'prio': prio,
+                     'ord': ord, 'val': c_acctbal})).val AS c_acctbal,
+               count(*) AS n_sources
+        FROM src GROUP BY c_custkey
     """
 
     # Mirrors timeseries.time_weighted_avg: HUGEINT step integration,

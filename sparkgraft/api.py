@@ -27,6 +27,7 @@ from sparkgraft.operators.multimodal import (
     image_features,
 )
 from sparkgraft.operators.merge import (
+    golden_record,
     merge_upsert,
     scd2_apply,
     snapshot_diff,

@@ -149,3 +149,38 @@ def validate_rows(
         checks.alias("failed_rules"),
         (F.size(checks) == 0).alias("admitted"),
     )
+
+
+def golden_record(
+    df: DataFrame,
+    entity_cols: list[str],
+    field_cols: list[str],
+    priority_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Survivorship merge (the step after duplicate detection links
+    records to one entity): per entity, each field independently takes
+    its value from the best NON-NULL source — highest ``priority_col``
+    first, then latest ``order_col``, then any deterministic residual
+    tie-break.
+
+    One grouped aggregate (map-side combined): per field a ``max`` over
+    (has_value, priority, order, value) structs, so a NULL from a
+    high-priority source never shadows a real value from a lower one.
+    Struct comparison is lexicographic, which makes the pick total and
+    engine-portable.
+    """
+    aggs = []
+    for fld in field_cols:
+        pick = F.max(
+            F.struct(
+                F.col(fld).isNotNull().alias("has"),
+                F.col(priority_col).alias("prio"),
+                F.col(order_col).alias("ord"),
+                F.col(fld).alias("val"),
+            )
+        )
+        aggs.append(pick.getField("val").alias(fld))
+    return df.groupBy(*entity_cols).agg(
+        *aggs, F.count("*").alias("n_sources")
+    )

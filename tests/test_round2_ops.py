@@ -427,3 +427,25 @@ def test_time_weighted_avg_single_sample_falls_back(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     row = time_weighted_avg(df).collect()[0]
     assert (row["span_seconds"], row["twa"]) == (0, 42.5)
+
+
+def test_golden_record_survivorship(spark):
+    from sparkgraft.operators.merge import golden_record
+
+    rows = [
+        # entity 1: fresher high-prio source has a NULL name -> older
+        # real name survives; balance comes from the fresh source.
+        (1, 1, 1, "alice", 10.0),
+        (1, 2, 2, None, 99.0),
+        # entity 2: only one source.
+        (2, 1, 1, "bob", 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, prio int, ord int, name string, bal double"
+    )
+    out = {
+        r["k"]: (r["name"], r["bal"], r["n_sources"])
+        for r in golden_record(df, ["k"], ["name", "bal"], "prio", "ord").collect()
+    }
+    assert out[1] == ("alice", 99.0, 2)
+    assert out[2] == ("bob", 20.0, 1)
