@@ -4108,7 +4108,7 @@ def _llm_oracles() -> dict[str, str]:
             SELECT event_id, user_id, value, vs,
                    count(vs) OVER win AS n,
                    sum(vs) OVER win AS s,
-                   sum(vs * vs) OVER win AS m2
+                   sum(CAST(vs AS HUGEINT) * vs) OVER win AS m2
             FROM t
             WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)

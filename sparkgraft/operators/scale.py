@@ -330,26 +330,32 @@ def skew_diagnostics(df: DataFrame, key_col: str) -> DataFrame:
     input :func:`salted_join` needs, measured instead of guessed.
 
     Two aggregates (per-key count → global summary), both map-side
-    combined; the heavy-key argmax rides the same summary pass as a
-    struct-max, so nothing but (key, count) ever shuffles.  Ratios are
-    exact integer divisions (HALF-UP DECIMAL div), engine-portable.
+    combined, so nothing but (key, count) ever shuffles.  The heaviest
+    key is a deterministic top-1 (``cnt`` desc, key asc) over the same
+    counts — compiled to TakeOrderedAndProject, it works for ANY
+    orderable key type (a struct-max over ``-key`` would fail on
+    string keys under ANSI).  Ratios are exact integer divisions
+    (HALF-UP DECIMAL div), engine-portable.
     """
     from sparkgraft.operators.stats import MEAN_SCALE, _dec, exact_mean
 
     counts = df.groupBy(key_col).agg(F.count("*").alias("cnt"))
-    top = F.max(F.struct(F.col("cnt"), (-F.col(key_col)).alias("negk")))
+    top = (
+        counts.orderBy(F.desc("cnt"), F.asc(key_col))
+        .limit(1)
+        .select(F.col(key_col).alias("top_key"))
+    )
     summary = counts.agg(
         F.count("*").alias("n_keys"),
         F.sum("cnt").alias("n_rows"),
         F.max("cnt").alias("max_cnt"),
-        top.alias("_top"),
-    )
+    ).crossJoin(top)
     num = _dec(F.col("max_cnt") * F.col("n_keys") + F.col("n_rows") - 1)
     return summary.select(
         "n_keys",
         "n_rows",
         "max_cnt",
-        (-F.col("_top")["negk"]).alias("top_key"),
+        "top_key",
         exact_mean(
             F.col("n_rows") * F.lit(MEAN_SCALE), F.col("n_keys"), 4
         ).alias("mean_cnt"),

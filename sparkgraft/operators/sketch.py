@@ -139,10 +139,10 @@ def kmv_build(
     k: int = 64,
 ) -> DataFrame:
     """Per-group KMV sketch: the ``k`` smallest distinct md5 hashes of
-    the value.  One distinct aggregate then a per-group sort-slice —
-    the shuffle carries (group, 32-hex) pairs only, and the collected
-    set per group is bounded by the group's distinct count (for
-    unbounded domains, pre-bucket or raise k-aware caps upstream).
+    the value.  One distinct aggregate, then a rank-filter (row_number
+    ≤ k per group) BEFORE the collect — per-group aggregation state is
+    bounded by k even when a group holds millions of distinct values;
+    the shuffle carries (group, 32-hex) pairs only.
 
     Returns ``(group..., ks array<string>)`` — hex-sorted ascending,
     which equals numeric order for fixed-width hex.
@@ -150,8 +150,19 @@ def kmv_build(
     hashed = df.select(
         *group_cols, F.md5(F.col(value_col).cast("string")).alias("h")
     ).distinct()
-    return hashed.groupBy(*group_cols).agg(
-        F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("ks")
+    return _k_smallest(hashed, group_cols, k)
+
+
+def _k_smallest(hashed: DataFrame, group_cols: Sequence[str], k: int) -> DataFrame:
+    """(group, h) pairs → ``(group..., ks)`` with the k smallest h per
+    group: rank first so no aggregation buffer ever holds more than k
+    hashes."""
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list("h")).alias("ks"))
     )
 
 
@@ -159,12 +170,8 @@ def kmv_merge(a: DataFrame, b: DataFrame, group_cols: Sequence[str], k: int = 64
     """Merge sketches built with the same ``k``: union the hash lists,
     dedup, keep the k smallest — exactly ``kmv_build`` of the union."""
     u = a.unionByName(b)
-    return (
-        u.select(*group_cols, F.explode("ks").alias("h"))
-        .distinct()
-        .groupBy(*group_cols)
-        .agg(F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("ks"))
-    )
+    hashed = u.select(*group_cols, F.explode("ks").alias("h")).distinct()
+    return _k_smallest(hashed, group_cols, k)
 
 
 def kmv_estimate(sketch: DataFrame, k: int = 64, digits: int = 2) -> DataFrame:

@@ -456,10 +456,13 @@ def rolling_anomaly(
 
         (n·v − s)²  >  z² · (n·m2 − s²)
 
-    (s = Σ scaled values, m2 = Σ squares — both exact longs; the final
-    compare runs in DECIMAL(38), so there is no tie, no rounding, and
-    the flag is bit-identical in every engine and partitioning.  One
-    shuffle on the key; both running sums share one window sort.
+    (s = Σ scaled values — exact long; m2 = Σ squares — squared and
+    summed in DECIMAL(38,0), because vs² exceeds Long.MAX already at
+    |value| ≈ 3037 and the windowed sum at |value| ≈ 960).  The final
+    compare also runs in DECIMAL(38), so there is no tie, no rounding,
+    no overflow, and the flag is bit-identical in every engine and
+    partitioning.  One shuffle on the key; the running sums share one
+    window sort.
     """
     w = (
         Window.partitionBy(key_col)
@@ -471,7 +474,7 @@ def rolling_anomaly(
     t = (
         t.withColumn("__n", F.count("__vs").over(w))
         .withColumn("__s", F.sum("__vs").over(w))
-        .withColumn("__m2", F.sum(F.col("__vs") * F.col("__vs")).over(w))
+        .withColumn("__m2", F.sum(_dec(F.col("__vs")) * _dec(F.col("__vs"))).over(w))
     )
     dev = _dec(F.col("__n") * F.col("__vs") - F.col("__s"))
     var_n2 = _dec(F.col("__n")) * _dec(F.col("__m2")) - _dec(F.col("__s")) * _dec(

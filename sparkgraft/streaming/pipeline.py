@@ -214,7 +214,9 @@ def upsert_sink(
 ):
     """Exactly-once streaming upsert into a parquet table via
     ``foreachBatch``: each micro-batch MERGEs (last-writer-wins on
-    ``order_col``) into the table, and an in-table ``_batch_id`` ledger
+    ``order_col``, ACROSS batches — a later micro-batch carrying a
+    LATE row, i.e. an older ``order_col`` for a stored key, does NOT
+    overwrite newer stored state) and an in-table ``_batch_id`` ledger
     makes replays idempotent — a batch that already landed is skipped,
     so checkpoint recovery after a crash between "write" and "commit"
     cannot double-apply (the classic foreachBatch at-least-once →
@@ -222,22 +224,41 @@ def upsert_sink(
 
     Parquet stands in for the transactional table format a production
     deployment would use (Delta/Iceberg MERGE INTO); the batch-ledger
-    + merge semantics are identical, expressed with
-    :func:`sparkgraft.operators.merge.merge_upsert`.  Overwrite of the
-    whole table per batch is the parquet-level simplification — a
-    table format replaces that with a metadata swap.
+    + merge semantics are identical.  The parquet-level commit is two
+    overwrites (write ``_next``, then rewrite ``table_path``); a crash
+    during the second leaves ``_next`` as a complete copy, and the
+    read path falls back to it — only a transactional format removes
+    the residual window entirely (a partial ``table_path`` that still
+    parses would not trigger the fallback).
 
     Returns the started StreamingQuery.
     """
     from pyspark.sql import functions as F
 
-    from sparkgraft.operators.merge import merge_upsert
+    def _read_current(spark):
+        """The stored table, surviving a crash mid-commit: if
+        ``table_path`` is unreadable, ``table_path + "_next"`` was
+        written completely BEFORE the final overwrite started, so it
+        is the last committed state.  None = first batch ever."""
+        try:
+            return spark.read.parquet(table_path)
+        except Exception as exc:
+            missing = (
+                "PATH_NOT_FOUND" in str(exc)
+                or "Path does not exist" in str(exc)
+            )
+            try:
+                return spark.read.parquet(table_path + "_next")
+            except Exception:
+                if missing:
+                    return None  # genuinely first batch
+                raise exc
 
     def apply_batch(batch, batch_id: int) -> None:
         from pyspark.sql import Window
 
         spark = batch.sparkSession
-        # Last-per-key within the batch (order_col desc) — merge_upsert
+        # Last-per-key within the batch (order_col desc) — the merge
         # expects unique update keys.
         w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
         tagged = (
@@ -246,15 +267,25 @@ def upsert_sink(
             .drop("_rn")
             .withColumn("_batch_id", F.lit(batch_id))
         )
-        try:
-            current = spark.read.parquet(table_path)
+        current = _read_current(spark)
+        if current is None:
+            merged = tagged
+        else:
             if current.filter(F.col("_batch_id") == batch_id).limit(1).count():
                 return  # replayed batch: already applied
-            merged = merge_upsert(current, tagged, key_cols)
-        except Exception as exc:  # first batch: table does not exist yet
-            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
-                raise
-            merged = tagged
+            # Cross-batch conflict resolution BY order_col (not by
+            # arrival): union stored + incoming, keep the newest row
+            # per key; _batch_id desc breaks exact order_col ties in
+            # favour of the later batch.
+            wx = Window.partitionBy(*key_cols).orderBy(
+                F.col(order_col).desc(), F.col("_batch_id").desc()
+            )
+            merged = (
+                current.unionByName(tagged)
+                .withColumn("_rn", F.row_number().over(wx))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
         merged.write.mode("overwrite").parquet(table_path + "_next")
         spark.read.parquet(table_path + "_next").write.mode(
             "overwrite"

@@ -139,6 +139,35 @@ def test_skew_diagnostics_summary(spark):
     assert row["salt_buckets"] == 3
 
 
+def test_rolling_anomaly_large_values_no_overflow(spark):
+    """vs = value·1e6, so vs² overflows LONG at |value| ≈ 3037 and the
+    10-row windowed sum at |value| ≈ 960 — the squares must accumulate
+    in DECIMAL(38,0) (ANSI mode would crash, non-ANSI would silently
+    wrap and mis-flag)."""
+    from sparkgraft.operators.stats import rolling_anomaly
+
+    rows = [(i, 1, float(5000 + (i % 3))) for i in range(12)]
+    rows.append((12, 1, 90000.0))  # genuine spike
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    df = df.withColumn("ts", F.to_timestamp(F.lit("2024-01-01")) + F.make_interval(secs=F.col("event_id")))
+    # z=2: a single spike in an n-row window tops out at
+    # z = sqrt(n-1) = 3, so the strict > never fires at z=3.
+    out = {r["event_id"]: r["is_anomaly"] for r in rolling_anomaly(
+        df, "user_id", "ts", "event_id", z=2).collect()}
+    assert out[12] is True
+    assert not any(out[i] for i in range(3, 12))
+
+
+def test_skew_diagnostics_string_key(spark):
+    """The heaviest-key argmax must work for non-numeric keys too
+    (ties break to the lexicographically smallest key)."""
+    rows = [("aa",)] * 4 + [("bb",)] * 4 + [("cc",)]
+    df = spark.createDataFrame(rows, "k string")
+    row = skew_diagnostics(df, "k").collect()[0]
+    assert (row["n_keys"], row["n_rows"], row["max_cnt"]) == (3, 9, 4)
+    assert row["top_key"] == "aa"
+
+
 def test_hash_classifier_matches_reference_hash(spark):
     def wgt(tok: str) -> int:
         return int(hashlib.md5((tok + "w0").encode()).hexdigest()[:8], 16) % 2001 - 1000

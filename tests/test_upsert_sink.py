@@ -60,6 +60,41 @@ def test_upsert_sink_last_writer_wins_and_idempotent(spark, tmp_path):
     assert t3 == t2
 
 
+def test_upsert_sink_late_row_does_not_clobber(spark, tmp_path):
+    """A later micro-batch carrying an OLDER order_col for a stored
+    key must lose: last-writer-wins is by order_col across batches,
+    not by arrival order."""
+    _stage(spark, tmp_path, "b1.csv", [(1, 50, "new")])
+    _run(spark, tmp_path)
+    _stage(spark, tmp_path, "b2.csv", [(1, 10, "late"), (2, 20, "b")])
+    _run(spark, tmp_path)
+    rows = {
+        (r["k"], r["v"], r["tag"])
+        for r in spark.read.parquet(str(tmp_path / "table")).collect()
+    }
+    assert rows == {(1, 50, "new"), (2, 20, "b")}
+
+
+def test_upsert_sink_recovers_from_crashed_commit(spark, tmp_path):
+    """A crash during the final overwrite leaves table_path gutted but
+    _next complete — the next batch must recover from _next instead of
+    failing or restarting from scratch."""
+    import shutil
+
+    _stage(spark, tmp_path, "b1.csv", [(1, 10, "a"), (2, 20, "a")])
+    _run(spark, tmp_path)
+    # Simulate the torn final overwrite: table dir destroyed mid-write.
+    shutil.rmtree(str(tmp_path / "table"))
+    (tmp_path / "table").mkdir()  # exists but empty/unreadable
+    _stage(spark, tmp_path, "b2.csv", [(3, 30, "b")])
+    _run(spark, tmp_path)
+    rows = {
+        (r["k"], r["v"], r["tag"])
+        for r in spark.read.parquet(str(tmp_path / "table")).collect()
+    }
+    assert rows == {(1, 10, "a"), (2, 20, "a"), (3, 30, "b")}
+
+
 def test_upsert_sink_replayed_batch_is_noop(spark, tmp_path):
     _stage(spark, tmp_path, "b1.csv", [(1, 10, "a")])
     _run(spark, tmp_path)
