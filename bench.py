@@ -89,6 +89,7 @@ HEADLINE = [
     "resample",
     "classifier_score",
     "pq_ann",
+    "ivfpq_ann",
     "rolling_anomaly",
     "winsorize",
 ]

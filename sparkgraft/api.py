@@ -85,6 +85,7 @@ from sparkgraft.operators.similarity import (
     embedding_stats,
     lsh_bucket,
     lsh_bucketed_topk,
+    ivfpq_topk,
     partitioned_topk,
     pq_adc_topk,
     pq_codebooks_from_labels,
@@ -107,6 +108,7 @@ from sparkgraft.operators.stats import (
     latest_row_fallback,
     latest_rows,
     max_by_key,
+    drift_report,
     profile_columns,
     robust_outlier_stats,
     rolling_anomaly,

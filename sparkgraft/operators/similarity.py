@@ -735,18 +735,28 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     digits: int = 6,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the corpus, then
     drop a document iff an earlier-id document in the SAME cluster has
     cosine similarity ≥ ``threshold`` with it.
 
     The cluster step is the whole point at scale — pairwise similarity
-    runs only within a cluster, so cost is Σ |cluster|² instead of n²,
-    and the join shuffles on the cluster id (the same blocked-pairs
-    shape as :func:`sparkgraft.operators.textops.minhash_dedup_pairs`).
+    runs only within a cluster, so cost is Σ |cluster|² instead of n².
     Assignment itself is the shuffle-free literal-argmin projection
     (:func:`assign_nearest`), so the only shuffle is the within-cluster
-    self-join.
+    pair join.
+
+    **Triangle decomposition** (``n_blocks``): a plain self-join on the
+    cluster id caps parallelism at n_clusters and hands a hot cluster
+    its entire |c|² work in ONE task — a skew killer at scale.  Instead
+    each row gets a deterministic block b ∈ [0, B); the left side
+    participates in upper-triangle cells (b, q≥b), the right side in
+    cells (p≤b, b), and the join key is (cluster, p, q) — so every
+    unordered pair lands in exactly one of the B(B+1)/2 cells per
+    cluster, and the heaviest task does |c|²/B² work instead of |c|².
+    Replication cost is ~(B+1)/2 per side; block ids never reach the
+    output, so results are bit-identical to the unblocked join.
 
     Duplicate rule: "exists an earlier-id neighbor within τ" — the
     standard greedy-by-id approximation (deterministic, one pass,
@@ -758,6 +768,7 @@ def semantic_dedup(
     where ``dup_of`` is the smallest earlier id within τ (NULL for
     survivors).
     """
+    B = max(1, int(n_blocks))
     assigned = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     ).withColumn("cluster", assign_nearest(F.col("__v"), centroids))
@@ -765,26 +776,41 @@ def semantic_dedup(
     # same expression tree as cosine() (sqrt of the square-sum, then
     # the product in the divisor), so results are bit-identical, but
     # each pair costs one array scan (the dot) instead of three.
-    left = assigned.select(
+    base = assigned.select(
         "cluster",
-        F.col("__id").alias("keep_id"),
-        F.col("__v").alias("kv"),
-        _norm(F.col("__v")).alias("kn"),
+        F.pmod(F.xxhash64("__id"), F.lit(B)).cast("int").alias("__b"),
+        "__id",
+        "__v",
+        _norm(F.col("__v")).alias("__n"),
     )
-    right = assigned.select(
+    left = base.select(
         "cluster",
-        F.col("__id").alias("cand_id"),
-        F.col("__v").alias("cv"),
-        _norm(F.col("__v")).alias("cn"),
+        F.col("__b").alias("__p"),
+        F.explode(F.sequence(F.col("__b"), F.lit(B - 1))).alias("__q"),
+        F.col("__id").alias("lid"),
+        F.col("__v").alias("lv"),
+        F.col("__n").alias("ln"),
     )
+    right = base.select(
+        "cluster",
+        F.explode(F.sequence(F.lit(0), F.col("__b"))).alias("__p"),
+        F.col("__b").alias("__q"),
+        F.col("__id").alias("rid"),
+        F.col("__v").alias("rv"),
+        F.col("__n").alias("rn"),
+    )
+    # Diagonal cells (p == q) hold a full block×block product — keep
+    # each unordered pair once via lid < rid; off-diagonal cells pair
+    # disjoint blocks, so every (lid, rid) is already unique but the
+    # smaller id may sit on either side — orient with least/greatest.
     dup_links = (
-        left.join(right, "cluster")
-        .filter(F.col("keep_id") < F.col("cand_id"))
+        left.join(right, ["cluster", "__p", "__q"])
+        .filter((F.col("__p") != F.col("__q")) | (F.col("lid") < F.col("rid")))
         .select(
-            "cand_id",
-            "keep_id",
+            F.greatest("lid", "rid").alias("cand_id"),
+            F.least("lid", "rid").alias("keep_id"),
             F.round(
-                _dot(F.col("kv"), F.col("cv")) / (F.col("kn") * F.col("cn")),
+                _dot(F.col("lv"), F.col("rv")) / (F.col("ln") * F.col("rn")),
                 digits,
             ).alias("cos_sim"),
         )
@@ -932,6 +958,28 @@ def pq_decode_nearest(
     return F.concat(*parts)
 
 
+def _adc_dist(qv: Column, dec: Column, m: int, sub: int) -> Column:
+    """Asymmetric PQ distance: full-precision query vs decoded
+    sub-centroids, per-subspace L2 rounded at 9, summed in FIXED order
+    s = 0..m-1 (the oracle mirrors the same order via an ordered
+    list_sum) — deterministic across engines and partitionings."""
+    qd = F.transform(qv, lambda x: x.cast("double"))
+    adist = None
+    for s in range(m):
+        qs = F.slice(qd, s * sub + 1, sub)
+        ds = F.slice(dec, s * sub + 1, sub)
+        d2 = F.round(
+            F.aggregate(
+                F.zip_with(qs, ds, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        )
+        adist = d2 if adist is None else adist + d2
+    return adist
+
+
 def pq_adc_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -967,20 +1015,7 @@ def pq_adc_topk(
         _norm(F.col(vec_col)).alias("qn"),
     )
     pairs = enc.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-    qd = F.transform(F.col("qv"), lambda x: x.cast("double"))
-    adist = None
-    for s in range(m):
-        qs = F.slice(qd, s * sub + 1, sub)
-        ds = F.slice(F.col("dec"), s * sub + 1, sub)
-        d2 = F.round(
-            F.aggregate(
-                F.zip_with(qs, ds, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            9,
-        )
-        adist = d2 if adist is None else adist + d2
+    adist = _adc_dist(F.col("qv"), F.col("dec"), m, sub)
     scored = pairs.select(
         "query_id",
         "neighbor_id",
@@ -989,6 +1024,91 @@ def pq_adc_topk(
         "qn",
         "cn",
         F.round(adist, digits).alias("approx_dist"),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    top = scored.withColumn("arnk", F.row_number().over(w1)).filter(
+        F.col("arnk") <= shortlist
+    )
+    exact = top.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+            digits,
+        ).alias("cos_sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return exact.withColumn("rnk", F.row_number().over(w2)).filter(
+        F.col("rnk") <= k
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    nprobe: int = 2,
+    k: int = 5,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """IVF-PQ: the composition that makes PQ scale — candidates are
+    bucketed by nearest IVF centroid (:func:`assign_nearest`) AND
+    PQ-encoded (:func:`pq_decode_nearest`); each query probes its
+    ``nprobe`` nearest clusters (:func:`assign_nearest_multi`) and
+    ADC-scores ONLY the candidates in probed clusters, then exact-
+    cosine reranks the shortlist.
+
+    Scale contrast with :func:`pq_adc_topk`: plain ADC scans the FULL
+    corpus per query batch (fine for a one-shot small query set, a
+    full corpus scan per batch at 100 TB); here the probe join prunes
+    the scored pairs to nprobe/n_clusters of the corpus, the same
+    pruning :func:`partitioned_topk` applies to exact search — IVF
+    recall, PQ arithmetic, exact final ordering.  Candidates keep
+    their single nearest cluster, so probing p clusters never
+    duplicates a (query, candidate) pair.
+
+    Determinism: probe lists, codes, per-subspace rounding, fixed-
+    order ADC sums and id tie-breaks are all inherited from the
+    composed parts — bit-identical under any partitioning.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0][1])
+    enc = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        assign_nearest(F.col(vec_col), centroids).alias("part"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+        pq_decode_nearest(F.col(vec_col), codebooks).alias("dec"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            assign_nearest_multi(F.col(vec_col), centroids, nprobe)
+        ).alias("part"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    pairs = enc.join(F.broadcast(q), "part").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        "qv",
+        "cv",
+        "qn",
+        "cn",
+        F.round(_adc_dist(F.col("qv"), F.col("dec"), m, sub), digits).alias(
+            "approx_dist"
+        ),
     )
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("neighbor_id").asc()

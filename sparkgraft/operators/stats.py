@@ -377,6 +377,105 @@ def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return row.select(F.explode(packed).alias("p")).select("p.*")
 
 
+def drift_report(
+    baseline: DataFrame,
+    current: DataFrame,
+    tol_pct: int = 10,
+    null_tol_permille: int = 20,
+) -> DataFrame:
+    """Per-column drift verdicts between two :func:`profile_columns`
+    snapshots — the monitoring step the reference's health flags imply
+    (README.txt:7-12, helper/redis_utility.py:10-35): profile today's
+    snapshot, diff against the stored baseline, alarm on movement.
+
+    Joined on ``column`` (full outer, so appearing/disappearing
+    columns surface as drift too).  Every threshold is an INTEGER
+    cross-multiplication — no float division anywhere, so verdicts are
+    tie-proof and engine-portable:
+
+    - ``rows``:     |rows_cur − rows_base| · 100  >  tol_pct · rows_base
+    - ``nulls``:    |nn_cur·rows_base − nn_base·rows_cur| · 1000
+                    >  null_tol_permille · rows_base · rows_cur
+                    (i.e. the null RATE moved more than n permille)
+    - ``distinct``: |nd_cur − nd_base| · 100  >  tol_pct · nd_base
+    - ``range``:    min_val or max_val changed (null-safe compare)
+
+    Displayed null rates use the exact HALF-UP fixed-point mean, like
+    every ratio in this engine.  Output: one row per column with both
+    snapshots' figures, a comma-joined ``drift_flags`` list, and an
+    ``ok``/``drift`` verdict.  Scale shape: inputs are one-row-per-
+    column summaries, so the diff is broadcast-trivial regardless of
+    the profiled table's size — the expensive pass is profile_columns
+    itself, one scan per snapshot.
+    """
+    b = baseline.select(
+        "column",
+        F.col("n_rows").alias("rows_base"),
+        F.col("n_nulls").alias("nn_base"),
+        F.col("n_distinct").alias("nd_base"),
+        F.col("min_val").alias("min_base"),
+        F.col("max_val").alias("max_base"),
+    )
+    c = current.select(
+        "column",
+        F.col("n_rows").alias("rows_cur"),
+        F.col("n_nulls").alias("nn_cur"),
+        F.col("n_distinct").alias("nd_cur"),
+        F.col("min_val").alias("min_cur"),
+        F.col("max_val").alias("max_cur"),
+    )
+    j = b.join(c, "column", "full_outer")
+    rows_drift = (
+        F.abs(F.col("rows_cur") - F.col("rows_base")) * 100
+        > F.lit(tol_pct) * F.col("rows_base")
+    )
+    nulls_drift = (
+        F.abs(
+            F.col("nn_cur") * F.col("rows_base")
+            - F.col("nn_base") * F.col("rows_cur")
+        )
+        * 1000
+        > F.lit(null_tol_permille) * F.col("rows_base") * F.col("rows_cur")
+    )
+    distinct_drift = (
+        F.abs(F.col("nd_cur") - F.col("nd_base")) * 100
+        > F.lit(tol_pct) * F.col("nd_base")
+    )
+    range_drift = ~F.col("min_cur").eqNullSafe(F.col("min_base")) | ~F.col(
+        "max_cur"
+    ).eqNullSafe(F.col("max_base"))
+    missing = F.col("rows_base").isNull() | F.col("rows_cur").isNull()
+
+    def flag(cond: Column, name: str) -> Column:
+        return F.when(~missing & F.coalesce(cond, F.lit(False)), F.lit(name))
+
+    flags = F.concat_ws(
+        ",",
+        F.when(missing, F.lit("presence")),
+        flag(rows_drift, "rows"),
+        flag(nulls_drift, "nulls"),
+        flag(distinct_drift, "distinct"),
+        flag(range_drift, "range"),
+    )
+    return j.select(
+        "column",
+        "rows_base",
+        "rows_cur",
+        exact_mean(
+            F.col("nn_base") * F.lit(MEAN_SCALE), F.col("rows_base"), 4
+        ).alias("null_rate_base"),
+        exact_mean(
+            F.col("nn_cur") * F.lit(MEAN_SCALE), F.col("rows_cur"), 4
+        ).alias("null_rate_cur"),
+        F.col("nd_base").alias("distinct_base"),
+        F.col("nd_cur").alias("distinct_cur"),
+        flags.alias("drift_flags"),
+        F.when(flags == "", F.lit("ok")).otherwise(F.lit("drift")).alias(
+            "verdict"
+        ),
+    )
+
+
 def winsorize(
     df: DataFrame,
     keys: Sequence[str],

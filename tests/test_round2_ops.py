@@ -139,6 +139,53 @@ def test_skew_diagnostics_summary(spark):
     assert row["salt_buckets"] == 3
 
 
+def _profile_fixture(spark, rows):
+    """rows = [(column, n_rows, n_nulls, n_distinct, min_val, max_val)]"""
+    return spark.createDataFrame(
+        rows,
+        "column string, n_rows long, n_nulls long, n_distinct long, "
+        "min_val string, max_val string",
+    )
+
+
+def test_drift_report_ok_and_flags(spark):
+    from sparkgraft.operators.stats import drift_report
+
+    base = _profile_fixture(
+        spark,
+        [
+            ("a", 1000, 0, 100, "0", "9"),
+            ("b", 1000, 10, 50, "x", "z"),
+        ],
+    )
+    cur = _profile_fixture(
+        spark,
+        [
+            ("a", 1010, 0, 101, "0", "9"),      # all within tolerance
+            ("b", 1000, 40, 50, "x", "zz"),     # nulls 1%→4%, max moved
+        ],
+    )
+    out = {r["column"]: r for r in drift_report(base, cur).collect()}
+    assert out["a"]["verdict"] == "ok" and out["a"]["drift_flags"] == ""
+    assert out["b"]["verdict"] == "drift"
+    assert out["b"]["drift_flags"] == "nulls,range"
+    assert out["b"]["null_rate_base"] == 0.01
+    assert out["b"]["null_rate_cur"] == 0.04
+
+
+def test_drift_report_presence(spark):
+    """A column missing from either snapshot is presence-drift, with
+    no spurious metric flags."""
+    from sparkgraft.operators.stats import drift_report
+
+    base = _profile_fixture(spark, [("gone", 10, 0, 5, "1", "9")])
+    cur = _profile_fixture(spark, [("new", 10, 0, 5, "1", "9")])
+    out = {r["column"]: r for r in drift_report(base, cur).collect()}
+    assert out["gone"]["drift_flags"] == "presence"
+    assert out["new"]["drift_flags"] == "presence"
+    assert out["gone"]["verdict"] == "drift"
+
+
 def test_rolling_anomaly_large_values_no_overflow(spark):
     """vs = value·1e6, so vs² overflows LONG at |value| ≈ 3037 and the
     10-row windowed sum at |value| ≈ 960 — the squares must accumulate

@@ -364,6 +364,71 @@ def test_pq_adc_recall_vs_brute_force(spark):
     assert recall >= 0.3  # coarse codes, small shortlist: well above chance
 
 
+def test_ivfpq_full_probe_equals_plain_adc(spark):
+    """With nprobe = n_clusters the IVF pruning admits every candidate,
+    so IVF-PQ must reproduce plain ADC top-k exactly — proving the
+    probe join changes WHICH pairs are scored, never how."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.operators import similarity as SIM
+
+    embeddings_df = _emb(spark)
+    cents = sorted(
+        (r["cluster"], list(r["centroid"]))
+        for r in SIM.centroids_from_labels(
+            embeddings_df, "label", "embedding", digits=6
+        ).collect()
+    )
+    sub = len(cents[0][1]) // 8
+    cbs = [
+        [(c, v[s * sub : (s + 1) * sub]) for c, v in cents] for s in range(8)
+    ]
+    qs = embeddings_df.filter(F.col("vec_id") < 5)
+    plain = SIM.pq_adc_topk(qs, embeddings_df, cbs, k=5, shortlist=20)
+    full = SIM.ivfpq_topk(
+        qs, embeddings_df, cents, cbs, nprobe=len(cents), k=5, shortlist=20
+    )
+    p = sorted(tuple(r) for r in plain.collect())
+    f = sorted(tuple(r) for r in full.collect())
+    assert p == f
+
+
+def test_ivfpq_prunes_to_probed_clusters(spark):
+    """At nprobe=1 every returned neighbor must sit in the query's
+    nearest cluster — the pruning is real, not just a filter on the
+    output."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.operators import similarity as SIM
+
+    embeddings_df = _emb(spark)
+    cents = sorted(
+        (r["cluster"], list(r["centroid"]))
+        for r in SIM.centroids_from_labels(
+            embeddings_df, "label", "embedding", digits=6
+        ).collect()
+    )
+    sub = len(cents[0][1]) // 8
+    cbs = [
+        [(c, v[s * sub : (s + 1) * sub]) for c, v in cents] for s in range(8)
+    ]
+    qs = embeddings_df.filter(F.col("vec_id") < 5)
+    out = SIM.ivfpq_topk(
+        qs, embeddings_df, cents, cbs, nprobe=1, k=5, shortlist=20
+    )
+    assigned = embeddings_df.select(
+        F.col("vec_id").alias("neighbor_id"),
+        SIM.assign_nearest(F.col("embedding"), cents).alias("ncl"),
+    )
+    probe1 = embeddings_df.select(
+        F.col("vec_id").alias("query_id"),
+        SIM.assign_nearest_multi(F.col("embedding"), cents, 1)[0].alias("qcl"),
+    )
+    joined = out.join(assigned, "neighbor_id").join(probe1, "query_id")
+    assert joined.count() > 0
+    assert joined.filter(F.col("ncl") != F.col("qcl")).count() == 0
+
+
 def test_random_projection_preserves_neighborhoods(spark):
     from pyspark.sql import functions as F
 
