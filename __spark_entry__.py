@@ -122,29 +122,28 @@ def q_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join — customers that have orders, per market segment."""
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi AND left-anti join in one witness — per market
+    segment: customers that have orders (semi) beside customers with
+    no 1995 orders (anti; upload-dedup analog P10/D4: 'skip what the
+    remote already has').  Merged from the former semi_join/anti_join
+    pair so one driver-window slot witnesses both join types."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     with_orders = cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_semi"
     )
-    return with_orders.groupBy("c_mktsegment").agg(
+    active = with_orders.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_active_customers")
     )
-
-
-def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join — customers with no 1995 orders (upload-dedup analog
-    P10/D4: 'skip what the remote already has')."""
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").filter(
+    early = orders.filter(
         F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
     )
-    without = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-    return without.groupBy("c_mktsegment").agg(
+    without = cust.join(early, cust.c_custkey == early.o_custkey, "left_anti")
+    inactive = without.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_inactive_customers")
     )
+    return active.join(inactive, "c_mktsegment", "full_outer")
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,6 +219,28 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 analytic + frame-spec in one witness (merged from the
+    former lag_delta/rolling_mean pair — both ride the SAME window
+    sort, so this is also the cheaper plan): per-user sample-to-sample
+    delta (lag) and rolling mean over the last 4 samples (rowsBetween
+    frame; DECIMAL sum so Spark's incremental sliding-frame evaluation
+    is bit-identical to the oracle's recompute-per-frame)."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-3, 0)
+    dec = F.col("value").cast("decimal(27,6)")
+    return events.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        (F.sum(dec).over(wf).cast("double") / F.count("value").over(wf)).alias(
+            "rolling_mean"
+        ),
+    )
+
+
 def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 analytic — sample-to-sample delta per user (lag)."""
     events = _t(spark, sf_dir, "events")
@@ -268,10 +289,18 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D3/F8 — content-hash dedup over documents: canonical sha256 id,
-    first writer (min doc_id) wins, duplicate count retained."""
+    """D2/D3/D5/F8 — chunk concatenation + content-hash dedup in one
+    witness (folds the former union_dedup query into this slot): two
+    overlapping document chunks (column orders differ, so the concat
+    is a real ``unionByName``, D5), then canonical sha256 id with
+    first writer (min doc_id) winning exactly once (D2/D3/F8) and the
+    duplicate count retained — docs in both chunks count twice."""
     docs = _t(spark, sf_dir, "documents")
-    with_id = docs.withColumn("content_id", E.content_id("text", "lang"))
+    a = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang")
+    b = docs.filter(F.col("doc_id") % 3 == 0).select("lang", "text", "doc_id")
+    with_id = a.unionByName(b).withColumn(
+        "content_id", E.content_id("text", "lang")
+    )
     return with_id.groupBy("content_id").agg(
         F.min("doc_id").alias("doc_id"),
         F.count("*").alias("n_copies"),
@@ -517,18 +546,9 @@ def q_time_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D5/D2 — chunk concatenation (unionByName) + one-shot dedup."""
-    events = _t(spark, sf_dir, "events")
-    a = events.filter(F.col("event_id") % 2 == 0).select("user_id", "event_type")
-    b = events.filter(F.col("event_id") % 3 == 0).select("event_type", "user_id")
-    return (
-        a.unionByName(b)
-        .dropDuplicates(["user_id", "event_type"])
-        .groupBy("event_type")
-        .agg(F.count("*").alias("n_user_types"))
-    )
-
+# q_union_dedup was folded into q_dedup_exact (the chunk-union +
+# first-write-wins semantics now live there, freeing a driver-window
+# slot per the round-2 verdict).
 
 # --------------------------------------------------------------------------
 # E3 — metadata event store (restapi/app_fs.py:42-51,92-95,123-129).
@@ -1240,6 +1260,32 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: candidates bucketed by nearest IVF centroid AND
+    PQ-encoded; queries probe their 3 nearest clusters and ADC-score
+    only within probed clusters, then exact-cosine rerank — the
+    pruned-scan composition of cluster_topk and pq_ann (plain ADC
+    scans the full corpus per query batch; this scans nprobe/n_clusters
+    of it).  nprobe=3 measured BETTER recall@5 than the full-corpus
+    ADC scan at equal shortlist (0.22 vs 0.14 at sf0.1) — the probe
+    prunes ADC false positives that crowd the shortlist."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    sub = len(cents[0][1]) // 8
+    cbs = [
+        [(c, v[s * sub : (s + 1) * sub]) for c, v in cents] for s in range(8)
+    ]
+    return SIM.ivfpq_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        cents,
+        cbs,
+        nprobe=3,
+        k=5,
+        shortlist=20,
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event inactivity-gap sessionization (30-min gap): session
     ids + session starts assigned to every event, not aggregated away."""
@@ -1302,6 +1348,27 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (row/null/distinct counts + min/max per column, long format)."""
     return S.profile_columns(
         _t(spark, sf_dir, "events"), ["event_id", "user_id", "event_type"]
+    )
+
+
+def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column drift verdicts between two profile_columns snapshots
+    (the monitoring flow the reference's health flags imply —
+    README.txt:7-12, helper/redis_utility.py:10-35): baseline = the
+    events table, current = a synthetically drifted snapshot (every
+    5th event dropped → rows+range drift; event_type nulled for every
+    13th user → nulls drift).  All thresholds are integer
+    cross-multiplications — no float division."""
+    ev = _t(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type"]
+    cur_src = ev.filter(F.col("event_id") % 5 != 0).withColumn(
+        "event_type",
+        F.when(F.col("user_id") % 13 == 0, F.lit(None)).otherwise(
+            F.col("event_type")
+        ),
+    )
+    return S.drift_report(
+        S.profile_columns(ev, cols), S.profile_columns(cur_src, cols)
     )
 
 
@@ -2558,21 +2625,26 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2-verifying queries, then the LLM-pipeline set; redundant engine extras
 # (each a second witness for an operator already verified above) come last.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- SURVEY §2 core relational battery (driver-unchecked in round 1) ---
+    # --- SURVEY §2 core relational battery ---
+    # Round-3 window reshuffle (per the round-2 verdict): second
+    # witnesses merged or moved past 50 — semi_join+anti_join →
+    # semi_anti_join, lag_delta+rolling_mean → window_deltas,
+    # union_dedup folded into dedup_exact, max_by / window_rank /
+    # crack_statistics to 51+ (each §2 row they witnessed keeps an
+    # in-window witness: A2/A5 via latest_per_user + sens_latest_kv +
+    # latest_fallback, §2.5 ranking via top_per_group, A4 via
+    # report_meta, A6 via extended_stats) — freeing six slots for the
+    # round-2 flagships at 45-50.
     "windowed_stats": q_windowed_stats,
     "extended_stats": q_extended_stats,
     "latest_per_user": q_latest_per_user,
-    "max_by": q_max_by,
     "top_orders": q_top_orders,
     "top_per_group": q_top_per_group,
     "broadcast_lookup": q_broadcast_lookup,
-    "semi_join": q_semi_join,
-    "anti_join": q_anti_join,
+    "semi_anti_join": q_semi_anti_join,
     "asof_join": q_asof_join,
     "rollup_pricing": q_rollup_pricing,
-    "window_rank": q_window_rank,
-    "lag_delta": q_lag_delta,
-    "rolling_mean": q_rolling_mean,
+    "window_deltas": q_window_deltas,
     "set_ops": q_set_ops,
     "dedup_exact": q_dedup_exact,
     "scalar_functions": q_scalar_functions,
@@ -2580,18 +2652,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transient_skip": q_transient_skip,
     "kv_projection": q_kv_projection,
     "register_image": q_register_image,
-    # --- remaining SURVEY §2 verifying queries (green in round 1) ---
+    # --- remaining SURVEY §2 verifying queries ---
     "channel_stats": q_channel_stats,
     "report_rows": q_report_rows,
     "report_meta": q_report_meta,
-    "crack_statistics": q_crack_statistics,
     "numeric_coercion": q_numeric_coercion,
     "upload_dedup": q_upload_dedup,
     "debounce_gate": q_debounce_gate,
     "alarm_trigger": q_alarm_trigger,
     "sens_latest_kv": q_sens_latest_kv,
     "time_projections": q_time_projections,
-    "union_dedup": q_union_dedup,
     "latest_fallback": q_latest_fallback,
     "event_store_dedup": q_event_store_dedup,
     # --- LLM-data-pipeline first-class set ---
@@ -2609,14 +2679,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_sanity": q_sketch_sanity,
     "decontaminate": q_decontaminate,
     "paragraph_dedup": q_paragraph_dedup,
-    # --- flagship E2E + round-2 flagship LLM op ---
+    # --- flagship E2E (now hash-checked) + round-2/3 flagships 44-50 ---
     "e1_flagship": q_e1_flagship,
-    # semdedup takes position 50 (was streaming_ewma): a full
-    # hash-checked row beats a rows-only row inside the driver's
-    # 50-entry correctness window; streaming_ewma moved to 51+ with
-    # the other rows-only streaming queries.
     "semdedup": q_semdedup,
+    "pq_ann": q_pq_ann,
+    "resample": q_resample,
+    "robust_outliers": q_robust_outliers,
+    "pagerank": q_pagerank,
+    "time_weighted_avg": q_time_weighted_avg,
+    "golden_record": q_golden_record,
     # ---- position 51+: second witnesses / engine extras --------------------
+    # (first in line if the driver window ever widens)
+    "ivfpq_ann": q_ivfpq_ann,
+    "drift_report": q_drift_report,
+    "max_by": q_max_by,
+    "window_rank": q_window_rank,
+    "crack_statistics": q_crack_statistics,
+    "lag_delta": q_lag_delta,
+    "rolling_mean": q_rolling_mean,
     "streaming_ewma": q_streaming_ewma,
     # (json_extract is the F13 second witness — alarm_trigger, in-window,
     # also exercises F13's JSON-props extraction.  fingerprint's LLM row is
@@ -2668,9 +2748,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "normalize_text": q_normalize_text,
     "split_sentences": q_split_sentences,
     "quality_gate": q_quality_gate,
-    "resample": q_resample,
     "ngram_support": q_ngram_support,
-    "robust_outliers": q_robust_outliers,
     "equidepth": q_equidepth,
     "skew_profile": q_skew_profile,
     "classifier_score": q_classifier_score,
@@ -2680,22 +2758,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_table": q_profile_table,
     "sessionize": q_sessionize,
     "snapshot_diff": q_snapshot_diff,
-    "pq_ann": q_pq_ann,
     "winsorize": q_winsorize,
     "impute": q_impute,
     "rolling_anomaly": q_rolling_anomaly,
     "funnel": q_funnel,
     "retention": q_retention,
     "cooccurrence": q_cooccurrence,
-    "pagerank": q_pagerank,
     "embedding_stats": q_embedding_stats,
     "random_projection": q_random_projection,
     "incremental_dedup": q_incremental_dedup,
     "validate_rows": q_validate_rows,
     "sql_pricing": q_sql_pricing,
     "stream_enrich": q_stream_enrich,
-    "time_weighted_avg": q_time_weighted_avg,
-    "golden_record": q_golden_record,
 }
 
 
@@ -2774,21 +2848,25 @@ ORACLES: dict[str, str] = {
         JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY r.r_name
     """,
-    "semi_join": """
-        SELECT c_mktsegment, count(*) AS n_active_customers
-        FROM customer c
-        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-        GROUP BY c_mktsegment
-    """,
-    "anti_join": """
-        SELECT c_mktsegment, count(*) AS n_inactive_customers
-        FROM customer c
-        WHERE NOT EXISTS (
-            SELECT 1 FROM orders o
-            WHERE o.o_custkey = c.c_custkey
-              AND o.o_orderdate < TIMESTAMP '1996-01-01'
+    "semi_anti_join": """
+        WITH active AS (
+            SELECT c_mktsegment, count(*) AS n_active_customers
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY c_mktsegment
+        ),
+        inactive AS (
+            SELECT c_mktsegment, count(*) AS n_inactive_customers
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate < TIMESTAMP '1996-01-01'
+            )
+            GROUP BY c_mktsegment
         )
-        GROUP BY c_mktsegment
+        SELECT c_mktsegment, n_active_customers, n_inactive_customers
+        FROM active FULL OUTER JOIN inactive USING (c_mktsegment)
     """,
     "asof_join": """
         SELECT l.event_id, l.ts, l.user_id, r.sts AS signup_ts
@@ -2824,6 +2902,16 @@ ORACLES: dict[str, str] = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
     """,
+    "window_deltas": """
+        SELECT event_id, user_id, value,
+               value - lag(value) OVER w AS delta,
+               cast(sum(cast(value AS DECIMAL(27,6))) OVER wf AS DOUBLE)
+                 / count(value) OVER wf AS rolling_mean
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
     "set_ops": """
         SELECT user_id FROM events WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-03'
         INTERSECT
@@ -2835,7 +2923,11 @@ ORACLES: dict[str, str] = {
         SELECT substr(sha256(concat_ws('|', text, lang)), 1, 16) AS content_id,
                min(doc_id) AS doc_id,
                count(*) AS n_copies
-        FROM documents GROUP BY 1
+        FROM (
+            SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 = 0
+        ) GROUP BY 1
     """,
     "scalar_functions": """
         WITH base AS (
@@ -3343,15 +3435,6 @@ BATCH3_ORACLES: dict[str, str] = {
                ts + INTERVAL 70 MINUTE AS window_end_berlin
         FROM events
     """,
-    "union_dedup": """
-        SELECT event_type, count(*) AS n_user_types FROM (
-            SELECT DISTINCT user_id, event_type FROM (
-                SELECT user_id, event_type FROM events WHERE event_id % 2 = 0
-                UNION ALL
-                SELECT user_id, event_type FROM events WHERE event_id % 3 = 0
-            )
-        ) GROUP BY event_type
-    """,
 }
 
 def _mean_sql(col: str, digits: int) -> str:
@@ -3475,6 +3558,47 @@ ORACLES["register_image"] = f"""
                100 + 2 * row_number() OVER (ORDER BY event_type, m) AS register
         FROM (SELECT DISTINCT event_type FROM events),
              (SELECT unnest(['mean', 'min', 'max']) AS m)
+    )
+    SELECT register, cast(cast(value AS DOUBLE) AS FLOAT4) AS reg_value
+    FROM kv JOIN mapping USING (field)
+"""
+
+# E1 flagship now hash-checked: the SGRF fixture is generated
+# deterministically from events (event_id < 1000; two files, but the
+# stats group by channel only, so the file split is invisible), and
+# the decode is a lossless float64 round-trip — so the whole
+# decode → A1 stats → K3 KV → J1/K4 register chain is DuckDB-
+# expressible.  Channel 1 = value, channel 2 = event_id % 2; registers
+# follow q_e1_flagship's literal mapping (mean/min/max × 2 channels).
+# Reference: DataConverterUDBF.py:213-282 + modbus_writer.py:100-122.
+ORACLES["e1_flagship"] = f"""
+    WITH t AS (
+        SELECT event_id, value FROM events WHERE event_id < 1000
+    ),
+    samples AS (
+        SELECT 'T_T1_L2' AS channel, value AS v FROM t
+        UNION ALL
+        SELECT 'AL_GAL' AS channel, CAST(event_id % 2 AS DOUBLE) AS v FROM t
+    ),
+    stats AS (
+        SELECT channel,
+               {_mean_sql('v', 3)} AS mean,
+               round(min(v), 3) AS mn,
+               round(max(v), 3) AS mx
+        FROM samples GROUP BY channel
+    ),
+    kv AS (
+        SELECT channel || ':' || metric AS field, cast(v AS VARCHAR) AS value
+        FROM (
+            SELECT channel, 'mean' AS metric, mean AS v FROM stats
+            UNION ALL SELECT channel, 'min', mn FROM stats
+            UNION ALL SELECT channel, 'max', mx FROM stats
+        )
+    ),
+    mapping(field, register) AS (
+        VALUES ('T_T1_L2:mean', 100), ('T_T1_L2:min', 102),
+               ('T_T1_L2:max', 104), ('AL_GAL:mean', 106),
+               ('AL_GAL:min', 108), ('AL_GAL:max', 110)
     )
     SELECT register, cast(cast(value AS DOUBLE) AS FLOAT4) AS reg_value
     FROM kv JOIN mapping USING (field)
@@ -4250,6 +4374,106 @@ def _llm_oracles() -> dict[str, str]:
         ) WHERE rnk <= 5
     """
 
+    # Mirrors ivfpq_topk: cluster_topk's probe/assign pruning composed
+    # with pq_ann's encode → ADC → rerank (same roundings, same
+    # ordered list_sum, same tie-breaks); persub pairs exist only
+    # where the neighbor's assigned cluster is one of the query's
+    # 3 probes.
+    o["ivfpq_ann"] = f"""
+        WITH expl AS (
+            SELECT label AS cluster, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings, generate_series(1, 64) AS g(i)
+        ),
+        per_dim AS (
+            SELECT cluster, pos, {_mean_sql('v', 6)} AS c
+            FROM expl GROUP BY cluster, pos
+        ),
+        centroids AS (
+            SELECT cluster, list(c ORDER BY pos) AS cv2 FROM per_dim GROUP BY cluster
+        ),
+        base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        fulld AS (
+            SELECT b.vec_id, c.cluster,
+                   round(list_sum(list_transform(generate_series(1, 64),
+                         i -> (b.e[i] - c.cv2[i]) * (b.e[i] - c.cv2[i]))), 9) AS d2
+            FROM base b CROSS JOIN centroids c
+        ),
+        ranked AS (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2 ASC, cluster ASC) AS rn
+            FROM fulld
+        ),
+        assigned AS (SELECT vec_id, cluster AS part FROM ranked WHERE rn = 1),
+        probes AS (SELECT vec_id, cluster AS part FROM ranked
+                   WHERE rn <= 3 AND vec_id < 10),
+        subd AS (
+            SELECT b.vec_id, s.s, c.cluster,
+                   round(list_sum(list_transform(generate_series(1, 8),
+                         d -> (b.e[s.s * 8 + d] - c.cv2[s.s * 8 + d])
+                            * (b.e[s.s * 8 + d] - c.cv2[s.s * 8 + d]))), 9) AS d2
+            FROM base b
+            CROSS JOIN generate_series(0, 7) AS s(s)
+            CROSS JOIN centroids c
+        ),
+        codes AS (
+            SELECT vec_id, s, cluster AS code FROM (
+                SELECT vec_id, s, cluster,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d2 ASC, cluster ASC) AS rn
+                FROM subd
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, e AS qv FROM base WHERE vec_id < 10),
+        persub AS (
+            SELECT q.query_id, cd.vec_id AS neighbor_id, cd.s,
+                   round(list_sum(list_transform(generate_series(1, 8),
+                         d -> (q.qv[cd.s * 8 + d] - ct.cv2[cd.s * 8 + d])
+                            * (q.qv[cd.s * 8 + d] - ct.cv2[cd.s * 8 + d]))), 9) AS d2
+            FROM codes cd
+            JOIN assigned a ON a.vec_id = cd.vec_id
+            JOIN probes p ON p.part = a.part
+            JOIN q ON q.query_id = p.vec_id
+            JOIN centroids ct ON ct.cluster = cd.code
+            WHERE cd.vec_id <> q.query_id
+        ),
+        adc AS (
+            SELECT query_id, neighbor_id,
+                   round(list_sum(list(d2 ORDER BY s)), 6) AS approx_dist
+            FROM persub GROUP BY query_id, neighbor_id
+        ),
+        short AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_dist ASC, neighbor_id ASC) AS arnk
+                FROM adc
+            ) WHERE arnk <= 20
+        ),
+        pairs AS (
+            SELECT s.query_id, s.neighbor_id, bq.e AS qv, bc.e AS cv
+            FROM short s
+            JOIN base bq ON bq.vec_id = s.query_id
+            JOIN base bc ON bc.vec_id = s.neighbor_id
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   round(
+                       list_sum(list_transform(generate_series(1, 64),
+                                               i -> qv[i] * cv[i]))
+                       / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                          * sqrt(list_sum(list_transform(cv, x -> x * x)))),
+                       6) AS cos_sim
+            FROM pairs
+        )
+        SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+            FROM scored
+        ) WHERE rnk <= 5
+    """
+
     # Mirrors timeseries.sessionize: lag-gap break + running sum.
     o["sessionize"] = """
         WITH t AS (
@@ -4362,6 +4586,77 @@ def _llm_oracles() -> dict[str, str]:
                count(DISTINCT event_type),
                CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
         FROM events
+    """
+
+    # Mirrors stats.drift_report over two profile_columns snapshots:
+    # same integer cross-multiplied thresholds, same HALF-UP null
+    # rates, same concat_ws flag list (DuckDB concat_ws skips NULLs
+    # exactly like Spark).
+    _prof = """
+        SELECT 'event_id' AS column, count(*) AS n_rows,
+               count(*) - count(event_id) AS n_nulls,
+               count(DISTINCT event_id) AS n_distinct,
+               CAST(min(event_id) AS VARCHAR) AS min_val,
+               CAST(max(event_id) AS VARCHAR) AS max_val
+        FROM {src}
+        UNION ALL
+        SELECT 'user_id', count(*), count(*) - count(user_id),
+               count(DISTINCT user_id),
+               CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+        FROM {src}
+        UNION ALL
+        SELECT 'event_type', count(*), count(*) - count(event_type),
+               count(DISTINCT event_type),
+               CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
+        FROM {src}
+    """
+    o["drift_report"] = f"""
+        WITH cur_src AS (
+            SELECT event_id, user_id,
+                   CASE WHEN user_id % 13 = 0 THEN NULL
+                        ELSE event_type END AS event_type
+            FROM events WHERE event_id % 5 <> 0
+        ),
+        base AS ({_prof.format(src='events')}),
+        cur AS ({_prof.format(src='cur_src')}),
+        j AS (
+            SELECT b."column",
+                   b.n_rows AS rows_base, b.n_nulls AS nn_base,
+                   b.n_distinct AS nd_base, b.min_val AS min_base,
+                   b.max_val AS max_base,
+                   c.n_rows AS rows_cur, c.n_nulls AS nn_cur,
+                   c.n_distinct AS nd_cur, c.min_val AS min_cur,
+                   c.max_val AS max_cur
+            FROM base b FULL OUTER JOIN cur c USING ("column")
+        ),
+        f AS (
+            SELECT *,
+                   concat_ws(',',
+                       CASE WHEN rows_base IS NULL OR rows_cur IS NULL
+                            THEN 'presence' END,
+                       CASE WHEN rows_base IS NOT NULL AND rows_cur IS NOT NULL
+                             AND abs(rows_cur - rows_base) * 100 > 10 * rows_base
+                            THEN 'rows' END,
+                       CASE WHEN rows_base IS NOT NULL AND rows_cur IS NOT NULL
+                             AND abs(nn_cur * rows_base - nn_base * rows_cur) * 1000
+                                 > 20 * rows_base * rows_cur
+                            THEN 'nulls' END,
+                       CASE WHEN rows_base IS NOT NULL AND rows_cur IS NOT NULL
+                             AND abs(nd_cur - nd_base) * 100 > 10 * nd_base
+                            THEN 'distinct' END,
+                       CASE WHEN rows_base IS NOT NULL AND rows_cur IS NOT NULL
+                             AND (min_cur IS DISTINCT FROM min_base
+                                  OR max_cur IS DISTINCT FROM max_base)
+                            THEN 'range' END) AS drift_flags
+            FROM j
+        )
+        SELECT "column", rows_base, rows_cur,
+               {_rowmean_sql('nn_base * 1000000', 'rows_base', 4)} AS null_rate_base,
+               {_rowmean_sql('nn_cur * 1000000', 'rows_cur', 4)} AS null_rate_cur,
+               nd_base AS distinct_base, nd_cur AS distinct_cur,
+               drift_flags,
+               CASE WHEN drift_flags = '' THEN 'ok' ELSE 'drift' END AS verdict
+        FROM f
     """
 
     # Mirrors stats.robust_outlier_stats: exact scaled longs → median →
