@@ -6,17 +6,25 @@ Each query executes via the no-op sink (full plan runs, rows are
 consumed executor-side, nothing is collected to the driver) so timings
 measure the engine, not result serialization.
 
-Methodology — scan realism: the harness testdata is one row group per
-table file, which makes every *scan* a single task and understates the
-scan-stage parallelism a real multi-file dataset gets.  Before timing,
-the tables are therefore rewritten once into a multi-file layout under
-/tmp (row-count-proportional file counts, ~50k rows per file, capped
-at the CPU count); queries then read the cache dir, so headline scans
-parallelize on local[N] and round-over-round numbers track scan-stage
-behavior rather than single-task CPU.  The rewrite happens before the
-warm-up and is excluded from all timings; results are value-identical
-(same reader path; timestamps already micros after the nanos shim).
-Set SPARK_GRAFT_BENCH_RAW=1 to time the raw single-row-group layout.
+Methodology — raw layout is the default (round 3): the round-2 runs
+timed a multi-file rewrite of the testdata ("scan realism"), which
+made round-over-round numbers incomparable with round 1 and, measured
+head-to-head in the same session at sf0.1, is net SLOWER (37.3 s vs
+30.0 s over the same queries) — at this scale the extra task-scheduling
+overhead of ~50k-row files exceeds the scan-parallelism win, and the
+cache rewrite adds noise.  The raw single-row-group layout is what the
+driver's correctness gate reads and what round 1 timed, so it is the
+fixed methodology from round 3 on.  Set SPARK_GRAFT_BENCH_CACHED=1 to
+reproduce the round-2 multi-file numbers (rewrite happens before the
+warm-up, excluded from timings, value-identical results).
+
+Round-3 decomposition (recorded here for the record): raw-vs-r1 on the
+16 shared queries = 9.25 s vs 7.72 s (1.20x, vs the apparent 1.39x of
+the r2 cached run); the only per-query raw deltas >1.3x are
+dedup_exact (query semantics changed — the union_dedup fold doubles
+its input by design) and sub-second codegen-compile noise (isolation
+best-of-3: cosine_topk 0.46 s ~= r1's 0.462, exact-mean channel_stats
+0.23 s — both at r1 level).
 """
 
 from __future__ import annotations
@@ -102,7 +110,7 @@ def main() -> None:
     spark = get_spark("sparkgraft-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if not os.environ.get("SPARK_GRAFT_BENCH_RAW"):
+    if os.environ.get("SPARK_GRAFT_BENCH_CACHED"):
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         sf_dir = prepare_multifile_cache(spark, sf_dir, cpus)
 
