@@ -958,23 +958,62 @@ def pq_decode_nearest(
     return F.concat(*parts)
 
 
-def _adc_dist(qv: Column, dec: Column, m: int, sub: int) -> Column:
-    """Asymmetric PQ distance: full-precision query vs decoded
-    sub-centroids, per-subspace L2 rounded at 9, summed in FIXED order
-    s = 0..m-1 (the oracle mirrors the same order via an ordered
-    list_sum) — deterministic across engines and partitionings."""
-    qd = F.transform(qv, lambda x: x.cast("double"))
+def _adc_tables(
+    qv: Column,
+    codebooks: list[list[tuple[int, list[float]]]],
+    digits: int = 9,
+) -> Column:
+    """Per-QUERY ADC distance tables — the classic PQ search layout:
+    for each subspace s and each code c, the rounded L2 between the
+    query's subvector and that code's sub-centroid, packed as an array
+    of ``map<code, d2>``.  Built once per query row (m × n_codes
+    entries); candidate scoring then needs only m map lookups per pair
+    instead of m × sub multiplications — the per-pair work drops from
+    O(dim) to O(m), and the pair-side codegen tree shrinks with it.
+
+    Each entry is ``round(Σ (q_i − c_i)², 9)`` with the identical
+    fold order the decoded-vector form used, so pair distances are
+    BIT-IDENTICAL to scoring against decoded sub-centroids — the
+    shortlist, the oracle SQL, and every tie-break are unchanged."""
+    sub = len(codebooks[0][0][1])
+    vd = F.transform(qv, lambda x: x.cast("double"))
+    tabs = []
+    for s, cb in enumerate(codebooks):
+        ctab = _literal_vec_table(cb, "code")
+        sub_v = F.slice(vd, s * sub + 1, sub)
+        # ONE transform per subspace over the literal struct table
+        # (instead of one aggregate chain per code): ~10x smaller
+        # expression tree, which keeps plan analysis/codegen cheap.
+        # One-argument lambda — closure over sub_v is safe (transform
+        # consumes it eagerly this iteration).
+        entries = F.transform(
+            ctab,
+            lambda c: F.struct(
+                c["code"].alias("key"),
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            sub_v, c["vec"], lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    digits,
+                ).alias("value"),
+            ),
+        )
+        tabs.append(F.map_from_entries(entries))
+    return F.array(*tabs)
+
+
+def _adc_lookup(tabs: Column, codes: Column, m: int) -> Column:
+    """ADC pair distance from the query's tables and the candidate's
+    codes: m map lookups summed in FIXED order s = 0..m-1 (the oracle
+    mirrors the same order via an ordered list_sum)."""
     adist = None
     for s in range(m):
-        qs = F.slice(qd, s * sub + 1, sub)
-        ds = F.slice(dec, s * sub + 1, sub)
-        d2 = F.round(
-            F.aggregate(
-                F.zip_with(qs, ds, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            9,
+        d2 = F.element_at(
+            F.element_at(tabs, s + 1), F.element_at(codes, s + 1)
         )
         adist = d2 if adist is None else adist + d2
     return adist
@@ -991,31 +1030,34 @@ def pq_adc_topk(
     digits: int = 6,
 ) -> DataFrame:
     """PQ ANN with asymmetric distance computation: candidates are
-    scored from their CODES (decoded sub-centroids), queries stay full
-    precision — stage 1 ranks by the per-subspace L2 sum (rounded
-    per subspace, then once more for the rank), stage 2 re-ranks the
-    shortlist with exact cosine.  The compress-then-rerank recipe at
-    PQ compression instead of int8 (:func:`quantized_rerank_topk`).
+    scored from their CODES, queries stay full precision — stage 1
+    ranks by per-query ADC lookup tables (:func:`_adc_tables`: each
+    pair costs m map lookups, not m × sub multiplications), stage 2
+    re-ranks the shortlist with exact cosine.  The compress-then-
+    rerank recipe at PQ compression instead of int8
+    (:func:`quantized_rerank_topk`).
 
-    Determinism: per-subspace distances round at 9, the sum is a
-    FIXED-ORDER chain (s = 0..m-1 — the oracle mirrors the same order
-    via an ordered list_sum), ranks tie-break on id.
+    Determinism: table entries round at 9 with the identical fold the
+    decoded-vector form used, the sum is a FIXED-ORDER chain
+    (s = 0..m-1 — the oracle mirrors the same order via an ordered
+    list_sum), ranks tie-break on id — results are bit-identical to
+    decode-and-score.
     """
-    sub = len(codebooks[0][0][1])
     m = len(codebooks)
     enc = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("cn"),
-        pq_decode_nearest(F.col(vec_col), codebooks).alias("dec"),
+        pq_encode(F.col(vec_col), codebooks).alias("codes"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("qn"),
+        _adc_tables(F.col(vec_col), codebooks).alias("tabs"),
     )
     pairs = enc.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-    adist = _adc_dist(F.col("qv"), F.col("dec"), m, sub)
+    adist = _adc_lookup(F.col("tabs"), F.col("codes"), m)
     scored = pairs.select(
         "query_id",
         "neighbor_id",
@@ -1061,10 +1103,11 @@ def ivfpq_topk(
 ) -> DataFrame:
     """IVF-PQ: the composition that makes PQ scale — candidates are
     bucketed by nearest IVF centroid (:func:`assign_nearest`) AND
-    PQ-encoded (:func:`pq_decode_nearest`); each query probes its
-    ``nprobe`` nearest clusters (:func:`assign_nearest_multi`) and
-    ADC-scores ONLY the candidates in probed clusters, then exact-
-    cosine reranks the shortlist.
+    PQ-encoded (:func:`pq_encode`); each query probes its ``nprobe``
+    nearest clusters (:func:`assign_nearest_multi`) and ADC-scores
+    ONLY the candidates in probed clusters via per-query lookup
+    tables (:func:`_adc_tables`), then exact-cosine reranks the
+    shortlist.
 
     Scale contrast with :func:`pq_adc_topk`: plain ADC scans the FULL
     corpus per query batch (fine for a one-shot small query set, a
@@ -1080,13 +1123,12 @@ def ivfpq_topk(
     composed parts — bit-identical under any partitioning.
     """
     m = len(codebooks)
-    sub = len(codebooks[0][0][1])
     enc = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         assign_nearest(F.col(vec_col), centroids).alias("part"),
         F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("cn"),
-        pq_decode_nearest(F.col(vec_col), codebooks).alias("dec"),
+        pq_encode(F.col(vec_col), codebooks).alias("codes"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -1095,6 +1137,7 @@ def ivfpq_topk(
         ).alias("part"),
         F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("qn"),
+        _adc_tables(F.col(vec_col), codebooks).alias("tabs"),
     )
     pairs = enc.join(F.broadcast(q), "part").filter(
         F.col("neighbor_id") != F.col("query_id")
@@ -1106,7 +1149,7 @@ def ivfpq_topk(
         "cv",
         "qn",
         "cn",
-        F.round(_adc_dist(F.col("qv"), F.col("dec"), m, sub), digits).alias(
+        F.round(_adc_lookup(F.col("tabs"), F.col("codes"), m), digits).alias(
             "approx_dist"
         ),
     )
