@@ -1151,6 +1151,32 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded at customers 1/2/3 over the same
+    customer→supplier graph as q_pagerank: teleport mass returns only
+    to the seed set, so ranks measure proximity to those customers
+    (top-20; suppliers reachable only via the seeds' orders score)."""
+    from sparkgraft.operators.graph import personalized_pagerank
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = personalized_pagerank(edges, [1, 2, 3], iters=5)
+    w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
+    return (
+        pr.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("node", "rank", "rnk")
+    )
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type winsorization at the [5%, 95%] band — per-row clipped
     values + clip flags (no order-dependent aggregation)."""
@@ -2770,6 +2796,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "validate_rows": q_validate_rows,
     "sql_pricing": q_sql_pricing,
     "stream_enrich": q_stream_enrich,
+    "personalized_pagerank": q_personalized_pagerank,
 }
 
 
@@ -4176,6 +4203,50 @@ def _llm_oracles() -> dict[str, str]:
             SELECT node, CAST(1000000000000 // n AS BIGINT) AS rank
             FROM nodes CROSS JOIN nn
         ){_pr_iters}
+        SELECT node, rank, rnk FROM (
+            SELECT node, rank,
+                   row_number() OVER (ORDER BY rank DESC, node ASC) AS rnk
+            FROM pr5
+        ) WHERE rnk <= 20
+    """
+
+    # Mirrors graph.personalized_pagerank: same unrolled-CTE scheme as
+    # pagerank, with seed-only teleport and seed-only initial mass.
+    # (Update _pprev INSIDE the loop — the ROUND2 stale-prev gotcha.)
+    _ppr_iters = ""
+    _pprev = "pr0"
+    for _i in range(1, 6):
+        _ppr_iters += f""",
+        c{_i} AS (
+            SELECT e.dst AS node, sum(p.rank // d.deg) AS sc
+            FROM edges e
+            JOIN {_pprev} p ON e.src = p.node
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+        ),
+        pr{_i} AS (
+            SELECT n.node,
+                   CAST(CASE WHEN n.node IN (1, 2, 3) THEN tele.t ELSE 0 END
+                        + (85 * coalesce(c.sc, 0)) // 100 AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN c{_i} c USING (node) CROSS JOIN tele
+        )"""
+        _pprev = f"pr{_i}"
+    o["personalized_pagerank"] = f"""
+        WITH edges AS (
+            SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        nodes AS (
+            SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        tele AS (SELECT (15 * 1000000000000) // (100 * 3) AS t),
+        pr0 AS (
+            SELECT node,
+                   CAST(CASE WHEN node IN (1, 2, 3)
+                             THEN 1000000000000 // 3 ELSE 0 END AS BIGINT) AS rank
+            FROM nodes
+        ){_ppr_iters}
         SELECT node, rank, rnk FROM (
             SELECT node, rank,
                    row_number() OVER (ORDER BY rank DESC, node ASC) AS rnk

@@ -45,6 +45,7 @@ from sparkgraft.operators.graph import (
     connected_components,
     dedup_representatives,
     pagerank_exact,
+    personalized_pagerank,
 )
 from sparkgraft.operators.reshape import flatten_struct, long_to_wide, wide_to_long
 from sparkgraft.operators.sketch import (

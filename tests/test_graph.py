@@ -38,6 +38,31 @@ def test_components_deterministic_across_partitionings(spark):
     assert runs[0] == runs[1]
 
 
+def test_personalized_pagerank_locality(spark):
+    """Teleport returns only to the seed: nodes unreachable from it
+    hold rank 0, seeds keep teleport mass, and reachable neighbors of
+    the seed outrank equally-shaped nodes in a far component."""
+    from sparkgraft.operators.graph import personalized_pagerank
+
+    # two disjoint 2-chains: 1→2 and 10→11; seed at 1 only.
+    edges = spark.createDataFrame(
+        [(1, 2), (10, 11)], "src long, dst long"
+    )
+    pr = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(edges, [1], iters=3).collect()
+    }
+    assert pr[10] == 0 and pr[11] == 0  # far component: no teleport, no mass
+    assert pr[1] > 0 and pr[2] > 0
+    assert pr[1] > pr[2]  # seed holds the teleport term
+    # bit-identical rerun
+    pr2 = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(edges, [1], iters=3).collect()
+    }
+    assert pr == pr2
+
+
 def test_pagerank_exact_deterministic_and_sane(spark):
     from pyspark.sql import functions as F
 

@@ -34,7 +34,22 @@ def test_channel_stats_single_shuffle(spark):
     assert audit.count_shuffles(df) == 1, audit.explain_str(df)
 
 
-def test_filter_pushdown_reaches_scan(spark):
+def test_semdedup_pairwise_join_keys_include_blocks(spark):
+    """The triangle decomposition is real: the within-cluster pair
+    join must partition on (cluster, block, block), not cluster alone
+    — otherwise a hot cluster does its whole |c|^2 work in one task
+    (the round-2 'weak on scale' finding)."""
+    df = entrymod.q_semdedup(spark, SF_DIR)
+    plan = audit.explain_str(df)
+    import re
+
+    # The pairwise join's KEY LIST must carry (cluster, __p, __q) —
+    # at bench SF the small build side broadcasts (keys in the
+    # *HashJoin line); at scale the same keys hash-partition an SMJ.
+    joins = re.findall(r"(?:HashJoin|SortMergeJoin) \[([^\]]*)\]", plan)
+    assert any(
+        "cluster" in j and "__p" in j and "__q" in j for j in joins
+    ), plan
     from sparkgraft.sources.readers import read_table
 
     events = read_table(spark, SF_DIR, "events")
