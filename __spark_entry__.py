@@ -849,6 +849,13 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality scoring (CCNet/KenLM-style
+    perplexity filter): add-one-smoothed corpus bigram LM, mean bigram
+    log-prob per document, exact DECIMAL(18,6) per-doc reduction."""
+    return T.ngram_lm_score(_t(spark, sf_dir, "documents"))
+
+
 SAMPLE_RATES: dict[str, float] = {
     "src0": 1.0,
     "src1": 0.75,
@@ -876,6 +883,33 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         shuffle_key(["doc_id"], seed=7).alias("shuffle_key"),
         shard_assignment(["doc_id"], 8).alias("shard"),
+    )
+
+
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded training-order manifest: every document gets a stable
+    output shard (hash mod 8) and its position WITHIN the shard by the
+    deterministic global-shuffle key — the writer-side plan for
+    emitting N shuffled training shards.  The sort is per-shard
+    (window partitioned by shard), so at 100 TB each shard sorts
+    independently after one hash shuffle — never a global
+    single-partition sort; the order is RNG-free and byte-stable
+    across engines and re-runs."""
+    from pyspark.sql import Window
+
+    from sparkgraft.operators.scale import shard_assignment, shuffle_key
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            shuffle_key(["doc_id"], seed=11).alias("shuffle_key"),
+            shard_assignment(["doc_id"], 8).alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "source", "shard", "pos")
     )
 
 
@@ -2646,6 +2680,99 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live drift monitoring (rows-only — streaming isn't SQL-
+    expressible): three deterministic snapshots of the events table
+    arrive as files, each micro-batch is profiled distributedly and
+    diffed against the previous batch's k-row profile via
+    drift_report.  Batch 1 drops every 5th event (rows+range drift);
+    batch 2 additionally nulls event_type for every 13th user (nulls
+    drift).  The drained verdicts are memoized per sf_dir."""
+    import os
+    import tempfile
+
+    from sparkgraft.streaming.pipeline import drift_monitor
+
+    schema_str = (
+        "batch long, column string, rows_base long, rows_cur long, "
+        "drift_flags string, verdict string"
+    )
+    cached = _FIXTURE_CACHE.get(("streaming_drift", sf_dir))
+    if cached is not None:
+        return spark.createDataFrame(cached, schema_str)
+
+    events = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1500)
+    snap0 = events
+    snap1 = events.filter(F.col("event_id") % 5 != 0)
+    snap2 = snap1.withColumn(
+        "event_type",
+        F.when(F.col("user_id") % 13 == 0, F.lit(None)).otherwise(
+            F.col("event_type")
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_drift_")
+    inp = f"{tmp}/in"
+    os.makedirs(inp, exist_ok=True)
+    for i, snap in enumerate((snap0, snap1, snap2)):
+        (
+            snap.select(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+                "value",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(f"{tmp}/staging_{i}")
+        )
+        import glob
+        import shutil
+
+        (part,) = glob.glob(f"{tmp}/staging_{i}/part-*.csv")
+        dst = f"{inp}/snapshot_{i:03d}.csv"
+        shutil.move(part, dst)
+        # Distinct ascending mtimes pin the file-source batch order.
+        os.utime(dst, (1700000000 + i, 1700000000 + i))
+
+    stream = (
+        spark.readStream.format("csv")
+        .schema(
+            "event_id LONG, user_id LONG, event_type STRING, "
+            "ts TIMESTAMP, value DOUBLE"
+        )
+        .option("header", "true")
+        .option("maxFilesPerTrigger", "1")
+        .load(inp)
+    )
+    collected: list[tuple] = []
+
+    def sink(verdicts: DataFrame, batch_id: int) -> None:
+        collected.extend(
+            (
+                batch_id,
+                r["column"],
+                r["rows_base"],
+                r["rows_cur"],
+                r["drift_flags"],
+                r["verdict"],
+            )
+            for r in verdicts.collect()
+        )
+
+    q = drift_monitor(
+        stream,
+        ["event_id", "user_id", "event_type"],
+        sink,
+        checkpoint_dir=f"{tmp}/ckpt",
+    )
+    q.awaitTermination()
+    collected.sort()
+    _FIXTURE_CACHE[("streaming_drift", sf_dir)] = collected
+    return spark.createDataFrame(collected, schema_str)
+
+
 # Ordering is deliberate: the round-1 driver evaluated only the FIRST 50
 # entries, so the SURVEY §2-core battery comes first, then the rest of the
 # §2-verifying queries, then the LLM-pipeline set; redundant engine extras
@@ -2797,6 +2924,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_pricing": q_sql_pricing,
     "stream_enrich": q_stream_enrich,
     "personalized_pagerank": q_personalized_pagerank,
+    "ngram_lm": q_ngram_lm,
+    "training_order": q_training_order,
+    "streaming_drift": q_streaming_drift,
 }
 
 
@@ -5536,6 +5666,55 @@ ORACLES["event_store_dedup"] = f"""
                                      ORDER BY stored_at ASC) AS rn
         FROM ids
     ) WHERE rn = 1
+"""
+
+ORACLES["training_order"] = """
+    SELECT doc_id, source, shard,
+           CAST(row_number() OVER (
+               PARTITION BY shard
+               ORDER BY shuffle_key, doc_id) AS INT) AS pos
+    FROM (
+        SELECT doc_id, source,
+               md5(concat_ws('|', 'shuffle', '11', doc_id)) AS shuffle_key,
+               CAST(CAST(concat('0x', substr(
+                        md5(concat_ws('|', 'shard', doc_id)), 1, 8))
+                    AS BIGINT) % 8 AS INT) AS shard
+        FROM documents
+    )
+"""
+
+ORACLES["ngram_lm"] = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, t[g] AS w1, t[g+1] AS w2
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) - 1)) AS g
+              FROM toks)
+    ),
+    uni AS (
+        SELECT w1, count(*) AS c1
+        FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY 1
+    ),
+    big AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+    vocab AS (SELECT count(*) AS v FROM uni),
+    scored AS (
+        SELECT doc_id,
+               CAST(round(ln(CAST(c2 + 1 AS DOUBLE) /
+                             CAST(c1 + v AS DOUBLE)), 6)
+                    AS DECIMAL(18,6)) AS lp6
+        FROM bi JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(CAST(sum(lp6) AS DOUBLE) / count(*), 4) AS avg_logp
+        FROM scored GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(n_bigrams, 0) AS n_bigrams,
+           avg_logp
+    FROM documents d LEFT JOIN per_doc USING (doc_id)
 """
 
 ORACLES.update(_report_oracles())

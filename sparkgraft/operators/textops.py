@@ -1018,3 +1018,76 @@ def incremental_dedup(
             "jaccard",
         )
     )
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    digits: int = 4,
+) -> DataFrame:
+    """Bigram language-model quality scoring (the CCNet/KenLM-style
+    perplexity filter): train add-one-smoothed bigram counts over the
+    corpus itself and score each document by its mean bigram log
+    probability ln((c(w1,w2)+1) / (c(w1)+V)).  Low scores mark
+    incoherent / machine-generated text; the standard LLM-curation
+    quality signal next to the classifier gate (hash_classifier_score).
+
+    Plan: unigram and bigram count tables are vocabulary-sized
+    aggregates with map-side combine; the corpus's exploded bigram
+    stream joins them on the n-gram key (build sides are vocabulary-
+    sized — candidates for broadcast when the vocab is small, plain
+    shuffle joins otherwise) and V arrives as a broadcast 1-row
+    aggregate — no driver-side action, one lazy plan.  Per-bigram
+    log-probs are quantized to DECIMAL(18,6) BEFORE the per-doc sum so
+    the reduction is exact integer arithmetic: order-independent,
+    partitioning-independent, engine-portable bit-for-bit.  Documents
+    with fewer than two tokens survive with n_bigrams = 0 (left join).
+    """
+    toks = tokenize(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("t"))
+    n = F.size(F.col("t"))
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(F.col("t"), F.lit(1), n - 1),
+            F.slice(F.col("t"), F.lit(2), n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = base.select("id", F.explode(pairs).alias("p")).select(
+        "id", "p.w1", "p.w2"
+    )
+    uni = (
+        base.select(F.explode("t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    big = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    vocab = uni.agg(F.count("*").alias("v"))
+    logp = F.log(
+        (F.col("c2") + F.lit(1)).cast("double")
+        / (F.col("c1") + F.col("v")).cast("double")
+    )
+    per_doc = (
+        bi.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("id", F.round(logp, 6).cast("decimal(18,6)").alias("lp6"))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum("lp6").cast("double") / F.count("*"), digits
+            ).alias("avg_logp"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "avg_logp",
+        )
+    )

@@ -297,3 +297,55 @@ def upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def drift_monitor(
+    stream,
+    cols: list[str],
+    sink,
+    checkpoint_dir: str,
+    baseline_rows: list | None = None,
+    tol_pct: int = 10,
+    null_tol_permille: int = 20,
+):
+    """Streaming drift monitoring over ``foreachBatch`` snapshots: each
+    micro-batch is profiled with :func:`profile_columns` (one
+    distributed aggregation pass — the only work that touches data)
+    and diffed against the PREVIOUS batch's profile via
+    :func:`drift_report`; ``sink(verdicts_df, batch_id)`` receives the
+    per-column verdict table for every batch after the first.  The
+    first batch (or an explicit ``baseline_rows`` list of profile rows)
+    seeds the baseline — the live version of the batch `drift_report`
+    query, and the monitoring loop the reference's per-cycle health
+    flags imply (README.txt:7-12, helper/redis_utility.py:10-35).
+
+    Scale shape: the per-batch profile is one row PER PROFILED COLUMN
+    (k rows, k ≈ 10s), so holding it on the driver between batches is
+    bounded state, not data — the expensive aggregation stays fully
+    distributed inside profile_columns.  Returns the started query.
+    """
+    from sparkgraft.operators.stats import drift_report, profile_columns
+
+    state = {"prev": baseline_rows}
+
+    def on_batch(batch, batch_id: int) -> None:
+        spark = batch.sparkSession
+        prof = profile_columns(batch, cols)
+        schema = prof.schema
+        rows = prof.collect()  # k rows — one per profiled column
+        if state["prev"] is not None:
+            verdicts = drift_report(
+                spark.createDataFrame(state["prev"], schema),
+                spark.createDataFrame(rows, schema),
+                tol_pct=tol_pct,
+                null_tol_permille=null_tol_permille,
+            )
+            sink(verdicts, batch_id)
+        state["prev"] = rows
+
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -232,3 +232,47 @@ def test_dedup_stream_drops_in_horizon_duplicates(spark, tmp_path):
     rows = spark.sql("SELECT key FROM dedup_out").collect()
     keys = sorted(r["key"] for r in rows)
     assert keys == ["e1", "e2", "e3"], keys
+
+
+def test_drift_monitor_flags_batch_over_batch_drift(spark, tmp_path):
+    from sparkgraft.streaming.pipeline import drift_monitor
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    # Batch 0: 10 clean rows.  Batch 1: 5 rows, one null channel —
+    # rows halve (rows+distinct drift on id, range drift), nulls jump.
+    rows0 = [f"2024-01-01 00:00:{i:02d},ch{i % 3},{i}.0" for i in range(10)]
+    rows1 = [f"2024-01-01 01:00:{i:02d},{'' if i == 0 else 'ch0'},{i}.0" for i in range(5)]
+    _write_file(inp, "b0.csv", rows0)
+    _write_file(inp, "b1.csv", rows1)
+    import os
+
+    os.utime(inp / "b0.csv", (1700000000, 1700000000))
+    os.utime(inp / "b1.csv", (1700000001, 1700000001))
+
+    stream = (
+        spark.readStream.format("csv")
+        .schema(SCHEMA)
+        .option("header", "true")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(inp))
+    )
+    got: dict[str, tuple] = {}
+
+    def sink(verdicts, batch_id):
+        for r in verdicts.collect():
+            got[r["column"]] = (r["drift_flags"], r["verdict"], r["rows_base"], r["rows_cur"])
+
+    q = drift_monitor(
+        stream, ["channel", "value"], sink, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    assert set(got) == {"channel", "value"}
+    ch_flags, ch_verdict, rb, rc = got["channel"]
+    assert (rb, rc) == (10, 5)
+    assert ch_verdict == "drift"
+    assert "rows" in ch_flags and "nulls" in ch_flags
+    v_flags, v_verdict, _, _ = got["value"]
+    assert v_verdict == "drift"
+    assert "range" in v_flags  # max value moved 9.0 -> 4.0

@@ -314,3 +314,18 @@ def test_relative_quality_gate_keeps_per_domain_floor(spark):
     kept = out.filter("keep").groupBy("g").count().collect()
     by_g = {r["g"]: r["count"] for r in kept}
     assert by_g["A"] == by_g["B"] == 15  # 75% of 20, both domains survive
+
+
+def test_ngram_lm_score_hand_computed(spark):
+    # Unigrams a:3 b:3 x:1 (V=3); bigrams (a,b):3 (b,a):1.
+    # logp(a,b)=ln(4/6), logp(b,a)=ln(2/6), quantized at 6 decimals.
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+        for r in T.ngram_lm_score(df).collect()
+    }
+    assert got[1] == (3, round((-0.405465 * 2 - 1.098612) / 3, 4))
+    assert got[2] == (1, -0.4055)
+    assert got[3] == (0, None)
