@@ -86,12 +86,14 @@ def brute_force_topk(
     # Norms are hoisted to per-row columns BEFORE the join: |Q|+|C| norm
     # computations instead of |Q|x|C| (the dot product is the only
     # per-pair work).
+    from sparkgraft.operators.scale import widen_narrow_scan
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("qn"),
     )
-    c = candidates.select(
+    c = widen_narrow_scan(candidates).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("cn"),
@@ -280,7 +282,12 @@ def lsh_bucketed_topk(
             *[F.col("bucket").bitwiseXOR(F.lit(m)).cast("int") for m in masks]
         )
         q = q.withColumn("bucket", F.explode(probes))
-    c = candidates.select(
+    from sparkgraft.operators.scale import widen_narrow_scan
+
+    # The broadcast join keeps the candidate scan's partitioning — a
+    # narrow scan would serialize bucketing + pair scoring into one
+    # task (no-op on a production-wide scan).
+    c = widen_narrow_scan(candidates).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("cn"),
@@ -329,7 +336,9 @@ def partitioned_topk(
         F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("qn"),
     )
-    c = candidates.select(
+    from sparkgraft.operators.scale import widen_narrow_scan
+
+    c = widen_narrow_scan(candidates).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(partition_col).alias("part"),
         F.col(vec_col).alias("cv"),
@@ -653,7 +662,9 @@ def quantized_rerank_topk(
         _norm(F.col(vec_col)).alias("qn"),
         _norm(F.col("qd")).alias("qdn"),
     )
-    c = decoded(candidates, "cd").select(
+    from sparkgraft.operators.scale import widen_narrow_scan
+
+    c = decoded(widen_narrow_scan(candidates), "cd").select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         F.col("cd"),
@@ -768,9 +779,16 @@ def semantic_dedup(
     where ``dup_of`` is the smallest earlier id within τ (NULL for
     survivors).
     """
+    from sparkgraft.operators.scale import widen_narrow_scan
+
     B = max(1, int(n_blocks))
-    assigned = df.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    # CPU-dense from the first projection (centroid argmin, per-pair
+    # dots): a narrow scan (single small file, or a broadcast-joined
+    # left side keeping the scan's partitioning) would serialize the
+    # whole Σ|c|² pairwise stage into 1-2 tasks — widen to cluster
+    # parallelism first (no-op on a production-wide scan).
+    assigned = widen_narrow_scan(
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     ).withColumn("cluster", assign_nearest(F.col("__v"), centroids))
     # Norms are hoisted to per-row scalars BEFORE the pairwise join —
     # same expression tree as cosine() (sqrt of the square-sum, then
@@ -1043,8 +1061,13 @@ def pq_adc_topk(
     list_sum), ranks tie-break on id — results are bit-identical to
     decode-and-score.
     """
+    from sparkgraft.operators.scale import widen_narrow_scan
+
     m = len(codebooks)
-    enc = candidates.select(
+    # pq_encode + ADC scoring are CPU-dense and run at the candidate
+    # scan's parallelism (the query side broadcasts) — widen a narrow
+    # scan or the whole scoring stage serializes into one task.
+    enc = widen_narrow_scan(candidates).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("cn"),
@@ -1122,8 +1145,12 @@ def ivfpq_topk(
     order ADC sums and id tie-breaks are all inherited from the
     composed parts — bit-identical under any partitioning.
     """
+    from sparkgraft.operators.scale import widen_narrow_scan
+
     m = len(codebooks)
-    enc = candidates.select(
+    # Same widening rationale as pq_adc_topk: centroid assignment +
+    # pq_encode + ADC all run at the candidate scan's parallelism.
+    enc = widen_narrow_scan(candidates).select(
         F.col(id_col).alias("neighbor_id"),
         assign_nearest(F.col(vec_col), centroids).alias("part"),
         F.col(vec_col).alias("cv"),
