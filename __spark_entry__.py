@@ -1109,6 +1109,53 @@ def q_sql_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQL_MARKET_SHARE = """
+    SELECT o_year,
+           sum(CASE WHEN s_nation = 'NATION_3' THEN volume_cents
+                    ELSE 0 END) AS nation_cents,
+           sum(volume_cents) AS total_cents,
+           round(CAST(sum(CASE WHEN s_nation = 'NATION_3'
+                               THEN volume_cents ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume_cents) AS DOUBLE), 6) AS mkt_share
+    FROM (
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100.0, 0)
+                    AS BIGINT) AS volume_cents,
+               n2.n_name AS s_nation
+        FROM lineitem{sfx}
+        JOIN orders{sfx}   ON l_orderkey = o_orderkey
+        JOIN customer{sfx} ON o_custkey = c_custkey
+        JOIN nation{sfx} n1 ON c_nationkey = n1.n_nationkey
+        JOIN region{sfx}    ON n1.n_regionkey = r_regionkey
+        JOIN supplier{sfx} ON l_suppkey = s_suppkey
+        JOIN nation{sfx} n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+    ) AS vol
+    GROUP BY o_year
+"""
+
+
+def q_sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-flavored market share through the ANSI SQL front door:
+    a seven-table join (lineitem→orders→customer→nation→region +
+    supplier→nation) with a conditional aggregate per order year.
+    Catalyst broadcast-joins every dimension side (region/nation/
+    supplier/customer are all tiny next to lineitem) and AQE reorders
+    the fact-side joins — the plan a 1000-executor cluster wants, from
+    declarative text.  Money stays in exact BIGINT cents; only the
+    final share ratio is a (deterministic IEEE) double division."""
+    for t in (
+        "lineitem",
+        "orders",
+        "customer",
+        "nation",
+        "region",
+        "supplier",
+    ):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"{t}_sql")
+    return spark.sql(SQL_MARKET_SHARE.format(sfx="_sql"))
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest admission: a new batch (planted near-dups of
     every 10th doc + genuinely-new reversed docs) deduped against the
@@ -1130,6 +1177,38 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=12,
         bands=2,
         min_jaccard=0.5,
+    )
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/holdout leakage audit — the check every dataset split
+    needs before training: hash-split the corpus (plus planted
+    near-dups of every 10th doc, so leakage provably exists), then
+    flag each HOLDOUT document that near-duplicates a TRAIN document.
+    Composition of hash_split + incremental_dedup: cross-side MinHash
+    buckets only (never train×train), so cost scales with the bucket
+    collisions, not |train|×|holdout|."""
+    from sparkgraft.operators.scale import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split(F.col("text"), r"\s+")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(w, 3, 100000), " ").alias("text"),
+    )
+    tagged = hash_split(
+        docs.unionByName(planted), ["doc_id"], train_frac=0.5
+    )
+    train = tagged.filter(F.col("split") == "train").select("doc_id", "text")
+    hold = tagged.filter(F.col("split") == "holdout").select("doc_id", "text")
+    out = T.incremental_dedup(
+        hold, train, shingle_k=3, num_hashes=12, bands=2, min_jaccard=0.5
+    )
+    return out.select(
+        "doc_id",
+        F.col("is_duplicate").alias("leaked"),
+        F.col("dup_of").alias("train_dup_of"),
+        "jaccard",
     )
 
 
@@ -1632,6 +1711,17 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-window approximation of suffix-array dedup."""
     return T.duplicate_spans(
         _t(spark, sf_dir, "documents"), window_tokens=8
+    )
+
+
+def q_span_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-text-fraction gate: per-doc fraction of tokens
+    covered by corpus-duplicated 8-token windows (interval union via
+    gaps-and-islands, no double counting); keep iff ≤ 30%."""
+    return T.span_coverage_gate(
+        _t(spark, sf_dir, "documents"),
+        window_tokens=8,
+        max_dup_permille=300,
     )
 
 
@@ -2927,6 +3017,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_lm": q_ngram_lm,
     "training_order": q_training_order,
     "streaming_drift": q_streaming_drift,
+    "sql_market_share": q_sql_market_share,
+    "split_leakage": q_split_leakage,
+    "span_gate": q_span_gate,
 }
 
 
@@ -4249,6 +4342,58 @@ def _llm_oracles() -> dict[str, str]:
         SELECT n.doc_id, (b.dup_of IS NOT NULL) AS is_duplicate,
                b.dup_of, b.jaccard
         FROM newb n LEFT JOIN best b ON n.doc_id = b.new_id
+    """
+
+    # Mirrors q_split_leakage: hash-split the planted corpus at 0.5
+    # ('8000' = 0.5 * 0x10000 threshold, same as scale.hash_split),
+    # then the incremental_dedup recipe with holdout as the new side.
+    o["split_leakage"] = f"""
+        WITH corpus2 AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id,
+                   array_to_string(w[3:len(w)], ' ') AS text
+            FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+                  FROM documents)
+            WHERE doc_id % 10 = 0
+        ),
+        tagged AS (
+            SELECT *,
+                   CASE WHEN substr(md5(concat_ws('|', 'split', doc_id)),
+                                    1, 4) < '8000'
+                        THEN 'train' ELSE 'holdout' END AS split
+            FROM corpus2
+        ),
+        trainv AS (SELECT doc_id, text FROM tagged WHERE split = 'train'),
+        holdv AS (SELECT doc_id, text FROM tagged WHERE split = 'holdout'),
+        {_sh_sql('holdv', 'shn')},
+        {_sh_sql('trainv', 'shh')},
+        sign AS (SELECT id, sh, {mh_cols} FROM shn),
+        sigh AS (SELECT id, sh, {mh_cols} FROM shh),
+        bandn AS ({_band_sql('sign')}),
+        bandh AS ({_band_sql('sigh')}),
+        cand AS (
+            SELECT DISTINCT n.id AS new_id, h.id AS hist_id
+            FROM bandn n JOIN bandh h
+              ON n.band = h.band AND n.bucket = h.bucket
+        ),
+        ver AS (
+            SELECT c.new_id, c.hist_id,
+                   round(len(list_intersect(a.sh, b.sh))
+                         / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+                                AS DOUBLE), 4) AS j
+            FROM cand c
+            JOIN shn a ON a.id = c.new_id
+            JOIN shh b ON b.id = c.hist_id
+        ),
+        kept AS (SELECT * FROM ver WHERE j >= 0.5),
+        best AS (
+            SELECT new_id, min(hist_id) AS dup_of, max(j) AS jaccard
+            FROM kept GROUP BY new_id
+        )
+        SELECT n.doc_id, (b.dup_of IS NOT NULL) AS leaked,
+               b.dup_of AS train_dup_of, b.jaccard
+        FROM holdv n LEFT JOIN best b ON n.doc_id = b.new_id
     """
 
     # Mirrors merge.validate_rows over lineitem admission rules.
@@ -5594,6 +5739,64 @@ def _llm_oracles() -> dict[str, str]:
         FROM w JOIN c USING (win_hash) WHERE n_occ > 1
     """
 
+    # Mirrors textops.span_coverage_gate: the duplicate_spans windows
+    # + gaps-and-islands interval union + integer keep threshold.
+    o["span_gate"] = r"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+            FROM documents
+        ),
+        idxd AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 7)) AS i
+            FROM t
+        ),
+        w AS (
+            SELECT doc_id, i - 1 AS start,
+                   md5(array_to_string(toks[i:i+7], ' ')) AS win_hash
+            FROM idxd
+        ),
+        c AS (SELECT win_hash, count(*) AS n_occ FROM w GROUP BY 1),
+        spans AS (
+            SELECT doc_id, start, start + 8 AS e
+            FROM w JOIN c USING (win_hash) WHERE n_occ > 1
+        ),
+        isl AS (
+            SELECT doc_id, start, e,
+                   CASE WHEN start > coalesce(max(e) OVER (
+                            PARTITION BY doc_id ORDER BY start
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -1)
+                        THEN 1 ELSE 0 END AS brk
+            FROM spans
+        ),
+        gid AS (
+            SELECT *, sum(brk) OVER (
+                       PARTITION BY doc_id ORDER BY start
+                       ROWS UNBOUNDED PRECEDING) AS g
+            FROM isl
+        ),
+        cov AS (
+            SELECT doc_id,
+                   CAST(sum(mx - mn) AS BIGINT) AS covered_tokens
+            FROM (SELECT doc_id, g, max(e) AS mx, min(start) AS mn
+                  FROM gid GROUP BY 1, 2)
+            GROUP BY 1
+        ),
+        nt AS (
+            SELECT doc_id,
+                   len(regexp_split_to_array(text, '\s+')) AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               coalesce(covered_tokens, 0) AS covered_tokens,
+               round(coalesce(covered_tokens, 0)
+                     / CAST(n_tokens AS DOUBLE), 4) AS dup_fraction,
+               (coalesce(covered_tokens, 0) * 1000 <= 300 * n_tokens)
+                   AS keep
+        FROM nt LEFT JOIN cov USING (doc_id)
+    """
+
     o["domain_weights"] = """
         WITH counts AS (
             SELECT source, count(*) AS n FROM documents GROUP BY 1
@@ -5667,6 +5870,8 @@ ORACLES["event_store_dedup"] = f"""
         FROM ids
     ) WHERE rn = 1
 """
+
+ORACLES["sql_market_share"] = SQL_MARKET_SHARE.format(sfx="")
 
 ORACLES["training_order"] = """
     SELECT doc_id, source, shard,

@@ -3,12 +3,14 @@
 oracle-checked operators.
 
     scrub (PII) → quality gates (length/stopword + repetition +
-    classifier score) → near-dup dedup (MinHash pairs → connected
+    classifier score + bigram-LM coherence + duplicated-span
+    coverage) → near-dup dedup (MinHash pairs → connected
     components → keep representatives) → semantic dedup (SemDeDup over
     embeddings) → benchmark decontamination (n-gram overlap) →
     domain mixing (temperature weights → stratified sample → shuffle
     key + shard) → chunk (context windows) → pack (fixed-token
-    sequences) → split (leakage-safe train/holdout)
+    sequences) → split (leakage-safe train/holdout) → leakage audit
+    (cross-split near-dup check)
 
 Every stage is a DataFrame projection/join from `sparkgraft.api` — no
 UDFs, no collect() on data paths (only the final per-stage counts) —
@@ -47,14 +49,25 @@ def main(sf_dir: str) -> None:
     # model swaps in through the same feature hash).
     rep = sg.repetition_stats(scrubbed)
     clf = sg.hash_classifier_score(scrubbed).select("doc_id", "score")
+    # Bigram-LM coherence (perplexity-filter analog): drop the lowest
+    # mean-log-prob tail.  Corpus-trained, so the gate is relative.
+    lm = sg.ngram_lm_score(scrubbed).select("doc_id", "avg_logp")
+    # Corpus-duplicated-span coverage (Gopher repetition cut).
+    spans = sg.span_coverage_gate(scrubbed, max_dup_permille=300).select(
+        "doc_id", F.col("keep").alias("span_ok")
+    )
     kept = (
         scrubbed.join(rep, "doc_id")
         .join(clf, "doc_id")
+        .join(lm, "doc_id")
+        .join(spans, "doc_id")
         .filter(
             (F.col("n_tokens") >= 10)
             & (F.col("top_token_share") <= 0.5)
             & (F.col("distinct_ratio") >= 0.1)
             & (F.col("score") >= -0.2)  # drop the worst classifier tail
+            & (F.col("avg_logp") >= -9.0)  # incoherent-text tail
+            & F.col("span_ok")
         )
         .select("doc_id", "text")
     )
@@ -138,11 +151,20 @@ def main(sf_dir: str) -> None:
         for r in final.groupBy("split").agg(F.count("*").alias("n")).collect()
     }
 
+    # 7. Leakage audit: no holdout document may near-duplicate a train
+    # document (cross-side MinHash buckets only — never train×train).
+    tagged = deduped.join(split, "doc_id")
+    leaks = sg.incremental_dedup(
+        tagged.filter(F.col("split") == "holdout").select("doc_id", "text"),
+        tagged.filter(F.col("split") == "train").select("doc_id", "text"),
+    )
+    n_leaks = leaks.filter(F.col("is_duplicate")).count()
+
     print(
         f"docs={n_raw} -> quality={n_quality} -> dedup={n_dedup} -> "
         f"semdedup={n_semdedup} -> decontaminated={n_clean} -> "
         f"mixed={n_mixed} | packs={n_packs} | "
-        f"chunk-rows per split={per_split}"
+        f"chunk-rows per split={per_split} | cross-split leaks={n_leaks}"
     )
     spark.stop()
 

@@ -130,6 +130,7 @@ from sparkgraft.operators.textops import (
     lang_id,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
+    ngram_lm_score,
     ngram_support,
     normalize_text,
     pack_chunks,
@@ -138,6 +139,7 @@ from sparkgraft.operators.textops import (
     relative_quality_gate,
     repetition_stats,
     simhash16,
+    span_coverage_gate,
     split_sentences,
     text_stats,
     tfidf_top_terms,
@@ -184,6 +186,7 @@ from sparkgraft.streaming.joins import interval_join_streams
 from sparkgraft.streaming.pipeline import (
     FilePipeline,
     HealthBoard,
+    drift_monitor,
     stable_files,
     upsert_sink,
 )

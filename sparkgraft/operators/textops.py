@@ -1091,3 +1091,77 @@ def ngram_lm_score(
             "avg_logp",
         )
     )
+
+
+def span_coverage_gate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 8,
+    max_dup_permille: int = 300,
+    digits: int = 4,
+) -> DataFrame:
+    """Duplicated-text-fraction gate (the Gopher/RefinedWeb repetition
+    cut at corpus granularity): for each document, the fraction of its
+    tokens covered by ``window_tokens``-token windows whose text occurs
+    more than once in the corpus; documents above ``max_dup_permille``
+    are flagged for removal.
+
+    Plan: :func:`duplicate_spans`' compact (id, start, hash) stream →
+    per-doc interval UNION via the gaps-and-islands running max (one
+    window over (id, start) — overlapping/touching windows merge, so
+    covered tokens are never double-counted) → integer covered-token
+    sums joined back to per-doc token counts.  The keep decision is an
+    integer cross-multiplication; only the displayed fraction divides
+    (deterministic IEEE double, rounded).  Text never shuffles.
+    """
+    from pyspark.sql import Window
+
+    k = window_tokens
+    spans = duplicate_spans(docs, id_col, text_col, window_tokens=k).select(
+        F.col(id_col).alias("id"), "start", (F.col("start") + k).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = spans.withColumn(
+        "brk",
+        F.when(
+            F.col("start") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("g", F.sum("brk").over(w_run))
+    covered = (
+        islands.groupBy("id", "g")
+        .agg((F.max("e") - F.min("start")).alias("ilen"))
+        .groupBy("id")
+        .agg(F.sum("ilen").cast("long").alias("covered_tokens"))
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(tokenize(F.col(text_col))).alias("n_tokens"),
+    )
+    return (
+        base.join(covered, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0))
+                / F.col("n_tokens").cast("double"),
+                digits,
+            ).alias("dup_fraction"),
+            (
+                F.coalesce("covered_tokens", F.lit(0)) * 1000
+                <= F.lit(max_dup_permille) * F.col("n_tokens")
+            ).alias("keep"),
+        )
+    )

@@ -329,3 +329,23 @@ def test_ngram_lm_score_hand_computed(spark):
     assert got[1] == (3, round((-0.405465 * 2 - 1.098612) / 3, 4))
     assert got[2] == (1, -0.4055)
     assert got[3] == (0, None)
+
+
+def test_span_coverage_gate_merges_overlapping_windows(spark):
+    shared = "a b c d e f g h i j"  # 10 tokens -> dup windows at 0,1,2
+    df = spark.createDataFrame(
+        [
+            (1, shared + " x1 x2 x3 x4"),
+            (2, shared + " y1 y2 y3 y4"),
+            (3, "q w e r t z u i o p k l m n"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["covered_tokens"], r["keep"])
+        for r in T.span_coverage_gate(df, window_tokens=8).collect()
+    }
+    # Overlapping dup windows [0,8),[1,9),[2,10) merge to [0,10).
+    assert got[1] == (14, 10, False)
+    assert got[2] == (14, 10, False)
+    assert got[3] == (14, 0, True)
