@@ -466,6 +466,27 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13's modern open-schema path (Spark 4 VARIANT): parse the
+    props JSON into a variant once, extract a typed field, aggregate —
+    schema-on-read without a fixed struct, the shape semi-structured
+    event payloads take when fields drift."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        ev.select(
+            "event_type",
+            F.try_variant_get(v, "$.k", "int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def q_numeric_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9 — tolerant numeric/timestamp coercion (NULL on junk), the
     ``pd.to_numeric(errors='coerce')`` analog (file_analysis.py:81-82)."""
@@ -2932,9 +2953,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_weighted_avg": q_time_weighted_avg,
     "golden_record": q_golden_record,
     # ---- position 51+: second witnesses / engine extras --------------------
-    # (first in line if the driver window ever widens)
+    # (first in line if the driver window ever widens; round-3 flagships
+    # lead: IVF-PQ, drift, LM quality gate, leakage audit, span gate,
+    # SQL multi-join, VARIANT, training order)
     "ivfpq_ann": q_ivfpq_ann,
     "drift_report": q_drift_report,
+    "ngram_lm": q_ngram_lm,
+    "split_leakage": q_split_leakage,
+    "span_gate": q_span_gate,
+    "sql_market_share": q_sql_market_share,
+    "variant_extract": q_variant_extract,
+    "training_order": q_training_order,
     "max_by": q_max_by,
     "window_rank": q_window_rank,
     "crack_statistics": q_crack_statistics,
@@ -3014,12 +3043,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_pricing": q_sql_pricing,
     "stream_enrich": q_stream_enrich,
     "personalized_pagerank": q_personalized_pagerank,
-    "ngram_lm": q_ngram_lm,
-    "training_order": q_training_order,
     "streaming_drift": q_streaming_drift,
-    "sql_market_share": q_sql_market_share,
-    "split_leakage": q_split_leakage,
-    "span_gate": q_span_gate,
 }
 
 
@@ -3633,6 +3657,15 @@ BATCH3_ORACLES: dict[str, str] = {
     "json_extract": """
         SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         FROM events
+    """,
+    "variant_extract": """
+        SELECT event_type, count(k) AS n,
+               CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k
+        FROM (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+            FROM events
+        ) GROUP BY event_type
     """,
     "numeric_coercion": """
         WITH mixed AS (

@@ -100,6 +100,11 @@ HEADLINE = [
     "ivfpq_ann",
     "rolling_anomaly",
     "winsorize",
+    # round-3 additions (keep the first 33 fixed for round-over-round
+    # comparability; totals across rounds compare on the shared set)
+    "ngram_lm",
+    "span_gate",
+    "split_leakage",
 ]
 
 

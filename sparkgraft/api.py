@@ -174,9 +174,11 @@ from sparkgraft.sources.readers import (
     read_jsonl,
     read_orc,
     read_table,
+    read_xml,
     with_channel_metadata,
     write_orc,
 )
+from sparkgraft.sources.sgrf_source import register_sgrf_source
 from sparkgraft.sources.report import (
     crack_statistics,
     parse_crack_rows,

@@ -115,3 +115,24 @@ def read_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> Dat
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: str | None = None,
+    **options,
+) -> DataFrame:
+    """XML scan (Spark 4's built-in XML source): one row per
+    ``row_tag`` element, attributes surfaced as ``_attr`` columns.
+    The semi-structured sibling of the S4 report parser for
+    machine-generated XML exports.  Pass an explicit DDL ``schema``
+    in production for the same two reasons as :func:`read_jsonl`
+    (no second inference scan, no silently dropped late fields)."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

@@ -82,3 +82,38 @@ def test_real_codec_is_stubbed(spark):
     assert "NotImplementedError" in str(ei.value) or "real image decode" in str(
         ei.value
     )
+
+
+def test_sgrf_python_datasource_matches_mapinpandas(spark, tmp_path):
+    from sparkgraft.sources.sgrf_source import register_sgrf_source
+
+    t0 = 1_700_000_000.0
+    for i, base in enumerate((0.0, 100.0)):
+        mat = np.array(
+            [
+                [_ole(t0 + i + 0.00), base + 1.0, base + 10.0],
+                [_ole(t0 + i + 0.01), base + 2.0, base + 20.0],
+            ]
+        )
+        (tmp_path / f"logger_{i}.sgrf").write_bytes(
+            encode_sample_matrix(["T-T1", "BS_X"], 100.0, mat)
+        )
+    register_sgrf_source(spark)
+    via_source = spark.read.format("sgrf").load(str(tmp_path))
+    # One input partition per file — the parallel-decode contract.
+    assert via_source.rdd.getNumPartitions() == 2
+    binf = spark.read.format("binaryFile").load(str(tmp_path / "*.sgrf"))
+    via_kernel = decode_sample_files(binf)
+    key = ["file", "channel", "ts"]
+    a = [tuple(r) for r in via_source.orderBy(*key).collect()]
+    b = [tuple(r) for r in via_kernel.orderBy(*key).collect()]
+    assert a == b and len(a) == 8
+
+
+def test_sgrf_datasource_rejects_foreign_blob(spark, tmp_path):
+    from sparkgraft.sources.sgrf_source import register_sgrf_source
+
+    (tmp_path / "real.sgrf").write_bytes(b"UDBF" + b"\x00" * 64)
+    register_sgrf_source(spark)
+    with pytest.raises(Exception, match="vendor|NotImplemented"):
+        spark.read.format("sgrf").load(str(tmp_path)).collect()

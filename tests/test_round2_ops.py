@@ -525,3 +525,20 @@ def test_golden_record_survivorship(spark):
     }
     assert out[1] == ("alice", 99.0, 2)
     assert out[2] == ("bob", 20.0, 1)
+
+
+def test_read_xml_rows_and_attributes(spark, tmp_path):
+    from sparkgraft.sources.readers import read_xml
+
+    p = tmp_path / "m.xml"
+    p.write_text(
+        "<machines>"
+        '<m id="1"><name>press</name><temp>21.5</temp></m>'
+        '<m id="2"><name>mill</name><temp>19.0</temp></m>'
+        "</machines>"
+    )
+    df = read_xml(
+        spark, str(p), "m", schema="_id LONG, name STRING, temp DOUBLE"
+    )
+    rows = {r["_id"]: (r["name"], r["temp"]) for r in df.collect()}
+    assert rows == {1: ("press", 21.5), 2: ("mill", 19.0)}
