@@ -960,8 +960,13 @@ def incremental_dedup(
     """
 
     def prep(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        from sparkgraft.operators.scale import widen_narrow_scan
+
         rows = num_hashes // bands
-        base = df.select(
+        # Shingling + 12 md5 minhashes per doc are CPU-dense and run at
+        # the scan's parallelism — widen a narrow scan first (no-op on
+        # a production-wide one).
+        base = widen_narrow_scan(df).select(
             F.col(id_col).alias("id"),
             F.array_distinct(
                 word_shingles(tokenize(F.col(text_col)), shingle_k)
@@ -1044,8 +1049,14 @@ def ngram_lm_score(
     partitioning-independent, engine-portable bit-for-bit.  Documents
     with fewer than two tokens survive with n_bigrams = 0 (left join).
     """
+    from sparkgraft.operators.scale import widen_narrow_scan
+
     toks = tokenize(F.col(text_col))
-    base = docs.select(F.col(id_col).alias("id"), toks.alias("t"))
+    # Tokenize + bigram explode feed every downstream shuffle from the
+    # scan's parallelism — widen a narrow scan (no-op when wide).
+    base = widen_narrow_scan(docs).select(
+        F.col(id_col).alias("id"), toks.alias("t")
+    )
     n = F.size(F.col("t"))
     pairs = F.when(
         n >= 2,

@@ -24,7 +24,12 @@ import glob
 import os
 import struct
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 from sparkgraft.functions.expr import OLE_EPOCH_UNIX
@@ -95,8 +100,59 @@ class SgrfDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return SgrfReader(self.options)
 
+    def streamReader(self, schema: StructType):
+        return SgrfStreamReader(self.options)
+
 
 def register_sgrf_source(spark) -> None:
     """Register the format for this session:
     ``spark.read.format("sgrf").load(dir_or_glob)``."""
     spark.dataSource.register(SgrfDataSource)
+
+
+class SgrfStreamReader(DataSourceStreamReader):
+    """Micro-batch stream reader over an append-only SGRF landing
+    directory — the S7 directory watch surfaced at the SOURCE level
+    (``spark.readStream.format("sgrf")``) instead of a driver loop.
+
+    Offsets are indices into the lexicographically-sorted file listing
+    (append-only arrival names — the reference's logger files embed
+    timestamps, so sort order IS arrival order).  ``partitions()``
+    plans one input partition per newly-arrived file; decode runs on
+    EXECUTORS via the same per-file ``read`` as the batch reader —
+    only listing happens on the driver, like Spark's own file source.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("sgrf source requires a path")
+
+    def _files(self):
+        pattern = (
+            os.path.join(self.path, "*.sgrf")
+            if os.path.isdir(self.path)
+            else self.path
+        )
+        return sorted(glob.glob(pattern))
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def latestOffset(self) -> dict:
+        return {"idx": len(self._files())}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._files()
+        return [
+            SgrfFilePartition(p) for p in files[start["idx"] : end["idx"]]
+        ]
+
+    def commit(self, end: dict) -> None:
+        pass  # checkpoint holds the offset; files are immutable
+
+    def read(self, partition):
+        return SgrfReader.read(self, partition)
+
+    def stop(self) -> None:
+        pass

@@ -117,3 +117,44 @@ def test_sgrf_datasource_rejects_foreign_blob(spark, tmp_path):
     register_sgrf_source(spark)
     with pytest.raises(Exception, match="vendor|NotImplemented"):
         spark.read.format("sgrf").load(str(tmp_path)).collect()
+
+
+def test_sgrf_stream_reader_incremental_batches(spark, tmp_path):
+    from sparkgraft.sources.sgrf_source import register_sgrf_source
+
+    t0 = 1_700_000_000.0
+    land = tmp_path / "land"
+    land.mkdir()
+
+    def write_file(i):
+        mat = np.array([[_ole(t0 + i), float(i), 10.0 * i]])
+        (land / f"f_{i:03d}.sgrf").write_bytes(
+            encode_sample_matrix(["c1", "c2"], 100.0, mat)
+        )
+
+    write_file(0)
+    write_file(1)
+    register_sgrf_source(spark)
+
+    def drain():
+        got = []
+        q = (
+            spark.readStream.format("sgrf")
+            .load(str(land))
+            .writeStream.foreachBatch(lambda b, _i: got.extend(b.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    first = drain()
+    assert sorted({r["file"] for r in first}) == ["f_000.sgrf", "f_001.sgrf"]
+    assert len(first) == 4  # 2 files x 2 channels x 1 row
+
+    # A third file arrives; the checkpointed offset admits ONLY it.
+    write_file(2)
+    second = drain()
+    assert {r["file"] for r in second} == {"f_002.sgrf"}
+    assert len(second) == 2
