@@ -59,10 +59,11 @@ class SgrfReader(DataSourceReader):
         return [SgrfFilePartition(p) for p in files]
 
     def read(self, partition):
-        # Executor-side: decode ONE file, stream rows. numpy/pandas are
-        # imported here (worker process), mirroring mapInPandas kernels.
+        # Executor-side: decode ONE file and yield it as a single Arrow
+        # RecordBatch — columnar all the way (numpy slice → Arrow
+        # array), never row-at-a-time Python tuples.
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
         with open(partition.path, "rb") as fh:
             blob = fh.read()
@@ -81,12 +82,18 @@ class SgrfReader(DataSourceReader):
             (mat[:, 0] * 86400.0 + OLE_EPOCH_UNIX) * 1e6
         ).astype("int64")
         fname = partition.path.rsplit("/", 1)[-1]
-        ts = [pd.Timestamp(m, unit="us").to_pydatetime() for m in micros]
-        for ci, ch in enumerate(channels):
-            name = ch.replace("-", "_")
-            col = mat[:, ci + 1]
-            for ri in range(n_rows):
-                yield (fname, ts[ri], name, float(col[ri]))
+        names = [ch.replace("-", "_") for ch in channels]
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([fname] * (n_rows * len(names))),
+                pa.array(np.tile(micros, len(names)), pa.timestamp("us")),
+                pa.array(np.repeat(names, n_rows)),
+                pa.array(
+                    np.concatenate([mat[:, ci + 1] for ci in range(len(names))])
+                ),
+            ],
+            names=["file", "ts", "channel", "value"],
+        )
 
 
 class SgrfDataSource(DataSource):
@@ -115,12 +122,16 @@ class SgrfStreamReader(DataSourceStreamReader):
     directory — the S7 directory watch surfaced at the SOURCE level
     (``spark.readStream.format("sgrf")``) instead of a driver loop.
 
-    Offsets are indices into the lexicographically-sorted file listing
-    (append-only arrival names — the reference's logger files embed
-    timestamps, so sort order IS arrival order).  ``partitions()``
-    plans one input partition per newly-arrived file; decode runs on
-    EXECUTORS via the same per-file ``read`` as the batch reader —
-    only listing happens on the driver, like Spark's own file source.
+    The offset is the BOUNDARY FILENAME (greatest basename admitted so
+    far), not a listing index: arrival names sort after processed ones
+    (the reference's logger files embed timestamps, so sort order IS
+    arrival order), and a name boundary stays correct when processed
+    files are ARCHIVED AWAY (T4 moves them out of the landing dir —
+    an index-based offset would shift and skip/re-admit files).
+    ``partitions()`` plans one input partition per newly-arrived file;
+    decode runs on EXECUTORS via the same per-file Arrow-batch
+    ``read`` as the batch reader — only listing happens on the driver,
+    like Spark's own file source.
     """
 
     def __init__(self, options):
@@ -137,15 +148,18 @@ class SgrfStreamReader(DataSourceStreamReader):
         return sorted(glob.glob(pattern))
 
     def initialOffset(self) -> dict:
-        return {"idx": 0}
+        return {"last": ""}
 
     def latestOffset(self) -> dict:
-        return {"idx": len(self._files())}
+        files = self._files()
+        last = os.path.basename(files[-1]) if files else ""
+        return {"last": last}
 
     def partitions(self, start: dict, end: dict):
-        files = self._files()
         return [
-            SgrfFilePartition(p) for p in files[start["idx"] : end["idx"]]
+            SgrfFilePartition(p)
+            for p in self._files()
+            if start["last"] < os.path.basename(p) <= end["last"]
         ]
 
     def commit(self, end: dict) -> None:

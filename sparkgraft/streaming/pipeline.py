@@ -322,11 +322,23 @@ def drift_monitor(
     Scale shape: the per-batch profile is one row PER PROFILED COLUMN
     (k rows, k ≈ 10s), so holding it on the driver between batches is
     bounded state, not data — the expensive aggregation stays fully
-    distributed inside profile_columns.  Returns the started query.
+    distributed inside profile_columns.  The baseline survives query
+    RESTARTS: each batch persists its k-row profile as JSON next to
+    the checkpoint, and a restarted query reloads it — otherwise the
+    first post-restart batch would silently re-seed the baseline and
+    its drift would go unreported.  Returns the started query.
     """
+    import json
+    import os
+
     from sparkgraft.operators.stats import drift_report, profile_columns
 
-    state = {"prev": baseline_rows}
+    baseline_file = os.path.join(checkpoint_dir, "drift_baseline.json")
+    prev = baseline_rows
+    if prev is None and os.path.exists(baseline_file):
+        with open(baseline_file) as fh:
+            prev = [tuple(r) for r in json.load(fh)]
+    state = {"prev": prev}
 
     def on_batch(batch, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -342,6 +354,11 @@ def drift_monitor(
             )
             sink(verdicts, batch_id)
         state["prev"] = rows
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        tmp = baseline_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump([list(r) for r in rows], fh)
+        os.replace(tmp, baseline_file)  # atomic like the K5 event store
 
     return (
         stream.writeStream.foreachBatch(on_batch)

@@ -158,3 +158,43 @@ def test_sgrf_stream_reader_incremental_batches(spark, tmp_path):
     second = drain()
     assert {r["file"] for r in second} == {"f_002.sgrf"}
     assert len(second) == 2
+
+
+def test_sgrf_stream_offsets_survive_archiving(spark, tmp_path):
+    from sparkgraft.sources.sgrf_source import register_sgrf_source
+
+    t0 = 1_700_000_000.0
+    land = tmp_path / "land"
+    land.mkdir()
+
+    def write_file(i):
+        mat = np.array([[_ole(t0 + i), float(i), 10.0 * i]])
+        (land / f"f_{i:03d}.sgrf").write_bytes(
+            encode_sample_matrix(["c1", "c2"], 100.0, mat)
+        )
+
+    write_file(0)
+    write_file(1)
+    register_sgrf_source(spark)
+
+    def drain():
+        got = []
+        q = (
+            spark.readStream.format("sgrf")
+            .load(str(land))
+            .writeStream.foreachBatch(lambda b, _i: got.extend(b.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return got
+
+    assert len(drain()) == 4
+    # T4 archive: processed files leave the landing dir.  A name-based
+    # offset keeps working; an index-based one would re-admit f_002.
+    (land / "f_000.sgrf").unlink()
+    (land / "f_001.sgrf").unlink()
+    write_file(2)
+    second = drain()
+    assert {r["file"] for r in second} == {"f_002.sgrf"}

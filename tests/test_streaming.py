@@ -276,3 +276,40 @@ def test_drift_monitor_flags_batch_over_batch_drift(spark, tmp_path):
     v_flags, v_verdict, _, _ = got["value"]
     assert v_verdict == "drift"
     assert "range" in v_flags  # max value moved 9.0 -> 4.0
+
+
+def test_drift_monitor_baseline_survives_restart(spark, tmp_path):
+    import os
+
+    from sparkgraft.streaming.pipeline import drift_monitor
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    _write_file(inp, "b0.csv", [f"2024-01-01 00:00:{i:02d},ch0,{i}.0" for i in range(10)])
+    os.utime(inp / "b0.csv", (1700000000, 1700000000))
+
+    def drain():
+        got = []
+
+        def sink(verdicts, batch_id):
+            got.extend((batch_id, r["column"], r["rows_base"], r["rows_cur"]) for r in verdicts.collect())
+
+        stream = (
+            spark.readStream.format("csv")
+            .schema(SCHEMA)
+            .option("header", "true")
+            .option("maxFilesPerTrigger", "1")
+            .load(str(inp))
+        )
+        q = drift_monitor(stream, ["value"], sink, checkpoint_dir=str(tmp_path / "ckpt"))
+        q.awaitTermination()
+        return got
+
+    assert drain() == []  # single batch: baseline only, nothing to diff
+
+    # New data arrives AFTER a restart: without the persisted baseline
+    # the new batch would silently re-seed and emit nothing.
+    _write_file(inp, "b1.csv", [f"2024-01-01 01:00:{i:02d},ch0,{i}.0" for i in range(5)])
+    os.utime(inp / "b1.csv", (1700000001, 1700000001))
+    second = drain()
+    assert second == [(1, "value", 10, 5)]
