@@ -1678,9 +1678,16 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitmap of nation-3 customers before the equi join — the oracle is
     the PLAIN join (Bloom has no false negatives, so results are
     identical; only the shuffled volume changes)."""
-    from sparkgraft.operators.scale import bloom_bitmap, bloom_prefilter
+    from sparkgraft.operators.scale import (
+        bloom_bitmap,
+        bloom_prefilter,
+        widen_narrow_scan,
+    )
 
-    orders = _t(spark, sf_dir, "orders")
+    # The md5 probe is CPU-bound and runs at scan parallelism — widen
+    # the harness's narrow single-file scan (no-op on a wide one; at
+    # scale the probe's whole point is running pre-shuffle on the scan).
+    orders = widen_narrow_scan(_t(spark, sf_dir, "orders"))
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") == 3)
     bm = bloom_bitmap(cust.select(F.col("c_custkey").alias("key")), "key")
     pre = bloom_prefilter(orders, bm, "o_custkey")

@@ -154,3 +154,33 @@ def test_resample_single_key_shuffle_chain(spark):
 def test_robust_outliers_broadcasts_group_tables(spark):
     df = entrymod.q_robust_outliers(spark, SF_DIR)
     assert audit.has_broadcast_join(df), audit.explain_str(df)
+
+
+def test_sql_market_share_broadcasts_all_dimensions(spark):
+    """Seven-table join: every dimension side (customer/nation/region/
+    supplier) must broadcast — the fact (lineitem) side never shuffles
+    for the dimension lookups."""
+    df = entrymod.q_sql_market_share(spark, SF_DIR)
+    plan = audit.explain_str(df)
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+
+
+def test_ngram_lm_count_tables_shuffle_compact(spark):
+    """Bigram-LM scoring: shuffles carry n-gram count keys and the
+    per-doc reduce — bounded small (corpus-stream joins + vocab aggs),
+    and the 1-row vocab size arrives via broadcast."""
+    df = entrymod.q_ngram_lm(spark, SF_DIR)
+    assert audit.count_shuffles(df) <= 6, audit.explain_str(df)
+    assert audit.has_broadcast_join(df), audit.explain_str(df)
+
+
+def test_span_gate_text_never_shuffles(spark):
+    """Duplicated-span coverage: every exchange key set is hashes/ids/
+    positions — the text column itself must not appear in any
+    exchange (windows travel as (id, start, 32-hex hash))."""
+    import re
+
+    df = entrymod.q_span_gate(spark, SF_DIR)
+    plan = audit.explain_str(df)
+    for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in keys, plan

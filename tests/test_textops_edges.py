@@ -349,3 +349,33 @@ def test_span_coverage_gate_merges_overlapping_windows(spark):
     assert got[1] == (14, 10, False)
     assert got[2] == (14, 10, False)
     assert got[3] == (14, 0, True)
+
+
+def test_ngram_lm_invariants_on_corpus(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(i % 12))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    rows = T.ngram_lm_score(docs).collect()
+    assert len(rows) == 40
+    toks = {r["doc_id"]: r for r in rows}
+    for r in rows:
+        # Probabilities are < 1 -> every log-prob (and the mean) is < 0.
+        if r["n_bigrams"] == 0:
+            assert r["avg_logp"] is None
+        else:
+            assert r["avg_logp"] < 0 and math.isfinite(r["avg_logp"])
+    # Empty text tokenizes to one empty token -> 0 bigrams.
+    assert toks[0]["n_bigrams"] == 0
+
+
+def test_span_coverage_invariants(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{(i * 3 + j) % 11}" for j in range(16))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    for r in T.span_coverage_gate(docs, window_tokens=8).collect():
+        assert 0 <= r["covered_tokens"] <= r["n_tokens"]
+        assert r["keep"] == (r["covered_tokens"] * 1000 <= 300 * r["n_tokens"])
