@@ -25,6 +25,8 @@ from sparkgraft.operators.multimodal import (
     audio_frame_sample,
     decode_sample_files,
     image_features,
+    image_resize,
+    video_frame_sample,
 )
 from sparkgraft.operators.merge import (
     golden_record,

@@ -200,3 +200,124 @@ def audio_frame_sample(
     return media.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
         sample, AUDIO_FRAMES_SCHEMA
     )
+
+
+RESIZED_IMAGE_SCHEMA = "media_id long, width int, height int, data binary"
+VIDEO_FRAMES_SCHEMA = (
+    "media_id long, frame_idx long, width int, height int, "
+    "mean_intensity double, frame binary"
+)
+
+FVID_MAGIC = b"FVID"
+
+
+def encode_fake_video(width: int, height: int, frames: list[bytes]) -> bytes:
+    """FVID: magic + uint32 w/h/n_frames + n_frames grayscale planes."""
+    assert all(len(f) == width * height for f in frames)
+    return (
+        FVID_MAGIC
+        + struct.pack("<III", width, height, len(frames))
+        + b"".join(frames)
+    )
+
+
+def image_resize(
+    media: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "media_id",
+    bytes_col: str = "data",
+) -> DataFrame:
+    """Resize an image binary column to (out_w, out_h) — the
+    training-data normalization step before feature extraction or
+    patching.  Nearest-neighbor on the numpy plane for FIMG fixtures
+    (deterministic, library-free); real formats raise where
+    PIL.Image.resize would plug in.  Output is re-encoded FIMG, so
+    resize → image_features compose.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "data": []}
+            for mid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                blob = bytes(blob)
+                if blob[:4] != FIMG_MAGIC:
+                    raise NotImplementedError(
+                        "real image resize (JPEG/PNG) requires PIL — not "
+                        "available in this container; FIMG fixtures only"
+                    )
+                w, h = struct.unpack_from("<II", blob, 4)
+                px = np.frombuffer(
+                    blob, dtype=np.uint8, count=w * h, offset=12
+                ).reshape(h, w)
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                small = px[np.ix_(ys, xs)]
+                out["media_id"].append(mid)
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+                out["data"].append(
+                    encode_fake_image(out_w, out_h, small.tobytes())
+                )
+            yield pd.DataFrame(out)
+
+    return media.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        resize, RESIZED_IMAGE_SCHEMA
+    )
+
+
+def video_frame_sample(
+    media: DataFrame,
+    every_n: int,
+    id_col: str = "media_id",
+    bytes_col: str = "data",
+) -> DataFrame:
+    """Sample every ``every_n``-th frame from a video binary column:
+    each kept frame re-encodes as a standalone FIMG image (so frame
+    sampling composes with resize/feature kernels) plus its mean
+    intensity for cheap shot filtering.  FVID fixtures decode
+    deterministically; real containers (MP4...) raise where
+    ffmpeg/OpenCV would plug in.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for mid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                blob = bytes(blob)
+                if blob[:4] != FVID_MAGIC:
+                    raise NotImplementedError(
+                        "real video decode (MP4/AVI) requires ffmpeg/OpenCV "
+                        "— not available; FVID fixtures only"
+                    )
+                w, h, n = struct.unpack_from("<III", blob, 4)
+                plane = w * h
+                arr = np.frombuffer(
+                    blob, dtype=np.uint8, count=n * plane, offset=16
+                ).reshape(n, plane)
+                for fi in range(0, n, every_n):
+                    frames.append(
+                        (
+                            mid,
+                            fi,
+                            w,
+                            h,
+                            float(arr[fi].mean()) if plane else 0.0,
+                            encode_fake_image(w, h, arr[fi].tobytes()),
+                        )
+                    )
+            yield pd.DataFrame(
+                frames,
+                columns=[
+                    "media_id",
+                    "frame_idx",
+                    "width",
+                    "height",
+                    "mean_intensity",
+                    "frame",
+                ],
+            )
+
+    return media.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        sample, VIDEO_FRAMES_SCHEMA
+    )

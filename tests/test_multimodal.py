@@ -198,3 +198,55 @@ def test_sgrf_stream_offsets_survive_archiving(spark, tmp_path):
     write_file(2)
     second = drain()
     assert {r["file"] for r in second} == {"f_002.sgrf"}
+
+
+def test_image_resize_composes_with_features(spark):
+    from sparkgraft.operators.multimodal import image_features, image_resize
+
+    # 4x4 gradient -> 2x2 nearest-neighbor picks rows/cols 0 and 2.
+    px = bytes(range(16))
+    df = spark.createDataFrame(
+        [(1, encode_fake_image(4, 4, px))], "media_id long, data binary"
+    )
+    small = image_resize(df, 2, 2)
+    r = small.collect()[0]
+    assert (r["width"], r["height"]) == (2, 2)
+    import struct as _s
+
+    blob = bytes(r["data"])
+    assert blob[:4] == b"FIMG" and _s.unpack_from("<II", blob, 4) == (2, 2)
+    assert list(blob[12:]) == [0, 2, 8, 10]
+    feats = image_features(small.select("media_id", "data")).collect()[0]
+    assert feats["n_pixels"] == 4 and feats["mean_intensity"] == 5.0
+
+
+def test_video_frame_sample_every_other_frame(spark):
+    from sparkgraft.operators.multimodal import (
+        encode_fake_video,
+        image_features,
+        video_frame_sample,
+    )
+
+    frames = [bytes([v] * 4) for v in (10, 20, 30, 40, 50)]
+    df = spark.createDataFrame(
+        [(7, encode_fake_video(2, 2, frames))], "media_id long, data binary"
+    )
+    out = video_frame_sample(df, every_n=2).orderBy("frame_idx")
+    rows = out.collect()
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    assert [r["mean_intensity"] for r in rows] == [10.0, 30.0, 50.0]
+    # Sampled frames are valid FIMG images -> compose with features.
+    feats = image_features(
+        out.select("media_id", F.col("frame").alias("data"))
+    ).collect()
+    assert all(f["n_pixels"] == 4 for f in feats)
+
+
+def test_video_foreign_container_raises(spark):
+    from sparkgraft.operators.multimodal import video_frame_sample
+
+    df = spark.createDataFrame(
+        [(1, b"MP4\x00" + b"\x00" * 32)], "media_id long, data binary"
+    )
+    with pytest.raises(Exception, match="ffmpeg|OpenCV|NotImplemented"):
+        video_frame_sample(df, 2).collect()
