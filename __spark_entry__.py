@@ -466,6 +466,53 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel linear trend — the crack-growth-over-time analysis
+    the reference's wCr monitoring implies (udbf_file_analysis.py
+    trend plots): OLS slope (value units per second), intercept and
+    r² of value vs elapsed-seconds, from exact fixed-point moments
+    (same decimal-sum recipe as correlation_stats/extended_stats; the
+    only floats are the final IEEE divisions, rounded).  Elapsed time
+    is measured from the CHANNEL's own first sample (broadcast 1-row-
+    per-group min join), keeping the x moments small and exact."""
+    ev = _t(spark, sf_dir, "events").filter(~F.isnan("value"))
+    mins = ev.groupBy("event_type").agg(F.min("ts").alias("t0"))
+    j = ev.join(F.broadcast(mins), "event_type")
+    dec = "decimal(38,0)"
+    x = (
+        (F.unix_micros("ts") - F.unix_micros("t0")) / F.lit(1000000)
+    ).cast("long")  # whole elapsed seconds (exact integer floor)
+    y = F.round(F.col("value") * 1000.0, 0).cast("long")  # milli-units
+    agg = j.select(
+        "event_type", x.cast(dec).alias("x"), y.cast(dec).alias("y")
+    ).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    det = n * sxx - sx * sx
+    slope_milli = (n * sxy - sx * sy) / det          # milli-units / s
+    intercept_milli = (sy * sxx - sx * sxy) / det
+    num = n * sxy - sx * sy
+    r2 = (num * num) / (det * (n * syy - sy * sy))
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_rows"),
+        F.round(slope_milli / 1e3, 9).alias("slope_per_sec"),
+        F.round(intercept_milli / 1e3, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
 def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13's modern open-schema path (Spark 4 VARIANT): parse the
     props JSON into a variant once, extract a typed field, aggregate —
@@ -2970,6 +3017,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_gate": q_span_gate,
     "sql_market_share": q_sql_market_share,
     "variant_extract": q_variant_extract,
+    "trend_stats": q_trend_stats,
     "training_order": q_training_order,
     "max_by": q_max_by,
     "window_rank": q_window_rank,
@@ -3664,6 +3712,49 @@ BATCH3_ORACLES: dict[str, str] = {
     "json_extract": """
         SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         FROM events
+    """,
+    "trend_stats": """
+        WITH src AS (
+            SELECT event_type, ts, value FROM events WHERE NOT isnan(value)
+        ),
+        m AS (SELECT event_type, min(ts) AS t0 FROM src GROUP BY 1),
+        scaled AS (
+            SELECT src.event_type,
+                   CAST((epoch_us(src.ts) - epoch_us(m.t0)) // 1000000
+                        AS HUGEINT) AS x,
+                   CAST(CAST(round(src.value * 1000.0) AS BIGINT)
+                        AS HUGEINT) AS y
+            FROM src JOIN m USING (event_type)
+        ),
+        agg AS (
+            SELECT event_type, count(*) AS n,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy,
+                   sum(x * y) AS sxy
+            FROM scaled GROUP BY 1
+        )
+        SELECT event_type,
+               n AS n_rows,
+               round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                     / 1e3, 9) AS slope_per_sec,
+               round(((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                     / 1e3, 6) AS intercept,
+               round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                     6) AS r2
+        FROM agg
     """,
     "variant_extract": """
         SELECT event_type, count(k) AS n,

@@ -148,3 +148,29 @@ def test_extended_stats_cross_engine_six_decimals(spark, decs):
             got[k],
             want[k],
         )
+
+
+def test_trend_stats_recovers_perfect_line(spark, tmp_path):
+    # Build a tiny events-shaped parquet dir: value = 2*t + 1 exactly.
+    import pyspark.sql.functions as F
+
+    rows = [
+        (i, f"2024-01-01 00:00:{i:02d}", 1, "ch", float(2 * i + 1), "{}")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double, props string"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    import __spark_entry__ as entrymod
+
+    out = entrymod.q_trend_stats(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_rows"] == 10
+    assert r["slope_per_sec"] == 2.0
+    assert r["intercept"] == 1.0
+    assert r["r2"] == 1.0
