@@ -11,11 +11,14 @@ Run:  python examples/e1_pipeline.py /path/to/arrivals
 
 from __future__ import annotations
 
+import os
 import sys
 
-from pyspark.sql import functions as F
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from sparkgraft import api as sg
+from pyspark.sql import functions as F  # noqa: E402
+
+from sparkgraft import api as sg  # noqa: E402
 
 
 def main(arrivals_dir: str) -> None:
@@ -69,5 +72,30 @@ def main(arrivals_dir: str) -> None:
     print("kv fields:", len(kv_store))
 
 
+def _stage_demo_arrivals(d: str) -> None:
+    """Self-demo: synthesize two SGRF logger files (the test fixtures'
+    format) so the example runs out of the box."""
+    import numpy as np
+
+    from sparkgraft.functions.expr import OLE_EPOCH_UNIX
+    from sparkgraft.operators.multimodal import encode_sample_matrix
+
+    os.makedirs(d, exist_ok=True)
+    t0 = 1_700_000_000.0
+    for i in (1, 2):
+        rows = np.arange(40, dtype=float)
+        mat = np.column_stack(
+            [
+                (t0 + 600 * i + rows * 0.5 - OLE_EPOCH_UNIX) / 86400.0,
+                20.0 + rows / 10.0 + i,
+            ]
+        )
+        with open(f"{d}/Logger1_2023-11-14_22-{i:02d}-00.dat", "wb") as fh:
+            fh.write(encode_sample_matrix(["T-T1_L2"], 2.0, mat))
+
+
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/e1_arrivals")
+    target = sys.argv[1] if len(sys.argv) > 1 else "/tmp/e1_arrivals"
+    if len(sys.argv) <= 1 and not os.path.isdir(target):
+        _stage_demo_arrivals(target)
+    main(target)
