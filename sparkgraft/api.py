@@ -155,6 +155,10 @@ from sparkgraft.operators.timeseries import (
     time_weighted_avg,
 )
 from sparkgraft.session import get_spark
+from sparkgraft.sinks.event_store_sink import (
+    read_event_store,
+    register_jsonstore_sink,
+)
 from sparkgraft.sinks.kv import (
     dedup_events,
     observed_write,

@@ -34,3 +34,60 @@ def test_content_id_and_dedup_first_write_wins(spark):
     # Latest pointer (latest.json analog): newest event by stored_at.
     latest = deduped.orderBy(F.col("stored_at").desc()).limit(1).collect()[0]
     assert latest["metadata_url"] == "http://b/meta"
+
+
+def test_jsonstore_stream_sink_atomic_and_exactly_once(spark, tmp_path):
+    import json
+    import os
+
+    from sparkgraft.sinks.event_store_sink import (
+        read_event_store,
+        register_jsonstore_sink,
+    )
+
+    register_jsonstore_sink(spark)
+    inp = tmp_path / "in"
+    inp.mkdir()
+    store = tmp_path / "store"
+    store.mkdir()
+
+    def write_batch(name, rows):
+        (inp / name).write_text(
+            "event_id,stored_at,payload\n" + "\n".join(rows) + "\n"
+        )
+
+    def drain():
+        q = (
+            spark.readStream.format("csv")
+            .schema("event_id STRING, stored_at STRING, payload STRING")
+            .option("header", "true")
+            .load(str(inp))
+            .writeStream.format("jsonstore")
+            .option("path", str(store))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_batch("b1.csv", ["e1,2024-01-01T00:00:00,alpha", "e2,2024-01-01T01:00:00,beta"])
+    drain()
+    events = read_event_store(str(store))
+    assert {e["event_id"] for e in events} == {"e1", "e2"}
+    latest = json.load(open(store / "latest.json"))
+    assert latest["event_id"] == "e2"
+
+    # Restart with the same checkpoint: no re-application.
+    drain()
+    assert len(read_event_store(str(store))) == 2
+
+    # A later batch: same-id overwrite (last write wins) + newer latest.
+    write_batch("b2.csv", ["e1,2024-01-02T00:00:00,alpha2", "e3,2024-01-03T00:00:00,gamma"])
+    drain()
+    events = {e["event_id"]: e for e in read_event_store(str(store))}
+    assert set(events) == {"e1", "e2", "e3"}
+    assert events["e1"]["payload"] == "alpha2"
+    assert json.load(open(store / "latest.json"))["event_id"] == "e3"
+    # No staging debris or torn temp files remain.
+    assert os.listdir(store / "_staging") == []
+    assert not [f for f in os.listdir(store) if f.endswith(".tmp")]
