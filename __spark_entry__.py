@@ -513,6 +513,29 @@ def q_trend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel Holt linear forecast (rows-only: the smoothing
+    recurrence is genuinely iterative — each step depends on the
+    previous state, so no SQL oracle exists): 6-hour resampled grid
+    per event_type (regular spacing) → grouped applyInPandas
+    recurrence → 3-step-ahead forecasts.  Hand-computed recurrence
+    tests pin the kernel (exact on linear series, flat on constants);
+    determinism comes from the pinned per-series fold order."""
+    from sparkgraft.operators.timeseries import holt_forecast, resample_interpolate
+
+    ev = _t(spark, sf_dir, "events").filter(~F.isnan("value"))
+    grid = resample_interpolate(
+        ev, "event_type", "ts", "value", "event_id", step_sec=21600, digits=3
+    )
+    return holt_forecast(
+        grid.select("event_type", F.col("bucket_ts").alias("ts"), "value"),
+        ["event_type"],
+        alpha=0.5,
+        beta=0.3,
+        horizon=3,
+    )
+
+
 def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13's modern open-schema path (Spark 4 VARIANT): parse the
     props JSON into a variant once, extract a typed field, aggregate —
@@ -3019,6 +3042,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "variant_extract": q_variant_extract,
     "trend_stats": q_trend_stats,
     "training_order": q_training_order,
+    "holt_forecast": q_holt_forecast,
     "max_by": q_max_by,
     "window_rank": q_window_rank,
     "crack_statistics": q_crack_statistics,

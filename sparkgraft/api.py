@@ -150,6 +150,7 @@ from sparkgraft.operators.textops import (
     word_shingles,
 )
 from sparkgraft.operators.timeseries import (
+    holt_forecast,
     resample_interpolate,
     sessionize,
     time_weighted_avg,

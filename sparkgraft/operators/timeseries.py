@@ -208,3 +208,68 @@ def time_weighted_avg(
         F.expr("den div 1000000").alias("span_seconds"),
         twa.alias("twa"),
     )
+
+
+def holt_forecast(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 3,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-series Holt linear (double-exponential) smoothing +
+    ``horizon``-step forecast — the engine's template for per-series
+    ITERATIVE kernels SQL can't express (each smoothing step depends
+    on the previous state), run as grouped ``applyInPandas``: one
+    Arrow batch per series, numpy recurrence inside, forecast rows
+    out.  Series are assumed regularly spaced (resample first via
+    :func:`resample_interpolate` for irregular data).
+
+    Initialization: level = y₀, trend = y₁ − y₀ (textbook), so an
+    exactly-linear series is reproduced with zero error for any α/β —
+    the unit-test anchor.  Deterministic: the recurrence is a fixed
+    sequential fold per series (one group per task, order pinned by
+    (ts, value)), so results are partitioning-independent.
+
+    Scale shape: state is O(1) per series and work is O(n) per series;
+    groups spread across executors by the series key — the classic
+    embarrassingly-parallel per-key model fit.  Returns one row per
+    series per step 1..horizon with the forecast and final state.
+    """
+    import pandas as pd
+
+    key_schema = ", ".join(f"{k} string" for k in keys)
+    schema = (
+        f"{key_schema}, step int, forecast double, "
+        "level double, trend double"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, value_col])
+        y = pdf[value_col].astype(float).to_numpy()
+        lvl = y[0]
+        trend = (y[1] - y[0]) if len(y) > 1 else 0.0
+        for t in range(1, len(y)):
+            prev = lvl
+            lvl = alpha * y[t] + (1.0 - alpha) * (lvl + trend)
+            trend = beta * (lvl - prev) + (1.0 - beta) * trend
+        rows = [
+            tuple(str(pdf.iloc[0][k]) for k in keys)
+            + (
+                h,
+                round(lvl + h * trend, digits),
+                round(lvl, digits),
+                round(trend, digits),
+            )
+            for h in range(1, horizon + 1)
+        ]
+        return pd.DataFrame(
+            rows, columns=list(keys) + ["step", "forecast", "level", "trend"]
+        )
+
+    return df.select(*keys, ts_col, value_col).groupBy(*keys).applyInPandas(
+        fit, schema
+    )

@@ -542,3 +542,30 @@ def test_read_xml_rows_and_attributes(spark, tmp_path):
     )
     rows = {r["_id"]: (r["name"], r["temp"]) for r in df.collect()}
     assert rows == {1: ("press", 21.5), 2: ("mill", 19.0)}
+
+
+def test_holt_forecast_exact_on_linear_series(spark):
+    from sparkgraft.operators.timeseries import holt_forecast
+
+    rows = [("ch", f"2024-01-01 00:00:{i:02d}", 1.0 + 2.0 * i) for i in range(8)]
+    df = spark.createDataFrame(rows, "k string, ts_s string, value double").selectExpr(
+        "k", "cast(ts_s as timestamp) as ts", "value"
+    )
+    out = {r["step"]: r for r in holt_forecast(df, ["k"], alpha=0.4, beta=0.2).collect()}
+    # y = 1 + 2t: Holt reproduces a perfect line for any alpha/beta.
+    assert out[1]["level"] == 15.0 and out[1]["trend"] == 2.0
+    assert [out[h]["forecast"] for h in (1, 2, 3)] == [17.0, 19.0, 21.0]
+
+
+def test_holt_forecast_constant_series_is_flat(spark):
+    from sparkgraft.operators.timeseries import holt_forecast
+
+    rows = [("a", f"2024-01-01 00:00:{i:02d}", 5.0) for i in range(6)] + [
+        ("b", f"2024-01-01 00:00:{i:02d}", -2.5) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts_s string, value double").selectExpr(
+        "k", "cast(ts_s as timestamp) as ts", "value"
+    )
+    got = {(r["k"], r["step"]): r["forecast"] for r in holt_forecast(df, ["k"]).collect()}
+    assert all(got[("a", h)] == 5.0 for h in (1, 2, 3))
+    assert all(got[("b", h)] == -2.5 for h in (1, 2, 3))
