@@ -1,0 +1,76 @@
+"""Local mirror of the driver's correctness gate: run every
+``queries()`` entry on a PLAIN SparkSession at sf0.01 and compare
+against ``oracle_sql()`` via DuckDB (column set + order-insensitive
+canonical values) — the exact recipe in .claude/skills/verify.
+
+Run:  python tools/gate_mirror.py [sf_dir]
+Exit code 0 = all green.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def main(sf_dir: str) -> int:
+    spark = SparkSession.builder.master("local[32]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    assert entrymod.entry(spark).count() > 0
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    oracles = entrymod.oracle_sql()
+    fails, empties = [], []
+    for name, fn in sorted(entrymod.queries().items()):
+        sdf = fn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        if not srows:
+            empties.append(name)
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"{name}: rows-only ({len(srows)})")
+            continue
+        d = con.execute(sql)
+        dcols = [c[0] for c in d.description]
+        so = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+        do = sorted(range(len(dcols)), key=lambda i: dcols[i])
+        sset = sorted(tuple(canon(r[i]) for i in so) for r in srows)
+        dset = sorted(tuple(canon(r[i]) for i in do) for r in d.fetchall())
+        ok = sorted(sdf.columns) == sorted(dcols) and sset == dset
+        if not ok:
+            fails.append(name)
+        print(f"{name}: {'OK' if ok else 'MISMATCH'} ({len(srows)} rows)")
+    print("EMPTIES:", empties or "none")
+    print("FAILURES:", fails or "none")
+    spark.stop()
+    return 1 if fails or empties else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
