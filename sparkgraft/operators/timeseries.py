@@ -240,11 +240,24 @@ def holt_forecast(
     series per step 1..horizon with the forecast and final state.
     """
     import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
 
-    key_schema = ", ".join(f"{k} string" for k in keys)
-    schema = (
-        f"{key_schema}, step int, forecast double, "
-        "level double, trend double"
+    # Key columns keep their ORIGINAL dtypes (built from df.schema) so
+    # forecasts join back to the source frame without implicit casts —
+    # a numeric or date series key comes back as that type, not string.
+    schema = StructType(
+        [StructField(k, df.schema[k].dataType) for k in keys]
+        + [
+            StructField("step", IntegerType()),
+            StructField("forecast", DoubleType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+        ]
     )
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -257,7 +270,7 @@ def holt_forecast(
             lvl = alpha * y[t] + (1.0 - alpha) * (lvl + trend)
             trend = beta * (lvl - prev) + (1.0 - beta) * trend
         rows = [
-            tuple(str(pdf.iloc[0][k]) for k in keys)
+            tuple(pdf.iloc[0][k] for k in keys)
             + (
                 h,
                 round(lvl + h * trend, digits),

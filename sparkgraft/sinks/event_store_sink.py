@@ -28,11 +28,29 @@ import json
 import os
 import uuid
 
+import hashlib
+import re
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamWriter,
     WriterCommitMessage,
 )
+
+# Filename-safe event id: anything else is hashed before it touches the
+# filesystem.  The reference store never trusts data for filenames — it
+# builds them from a hash it computes itself (restapi/app_fs.py:42-54);
+# we keep readable names for well-behaved ids but apply the same rule
+# for hostile ones ('../x', 'a/b', empty) so stream data can never
+# steer a write outside the store directory.
+_SAFE_ID = re.compile(r"^[A-Za-z0-9._-]{1,128}$")
+
+
+def _safe_stem(eid) -> str:
+    s = "" if eid is None else str(eid)
+    if _SAFE_ID.match(s) and ".." not in s:
+        return s
+    return hashlib.sha256(s.encode("utf-8")).hexdigest()[:16]
 
 
 class JsonStoreCommitMessage(WriterCommitMessage):
@@ -41,12 +59,23 @@ class JsonStoreCommitMessage(WriterCommitMessage):
 
 
 class JsonStoreStreamWriter(DataSourceStreamWriter):
-    def __init__(self, options):
+    def __init__(self, options, schema=None):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonstore sink requires a path")
         self.id_col = options.get("idcol", "event_id")
         self.ts_col = options.get("tscol", "stored_at")
+        # Fail at query construction, not inside commit(), when the
+        # stream schema doesn't carry the configured columns — a
+        # KeyError in commit() would crash-loop the query.
+        if schema is not None:
+            names = set(schema.fieldNames())
+            missing = [c for c in (self.id_col, self.ts_col) if c not in names]
+            if missing:
+                raise ValueError(
+                    f"jsonstore sink: column(s) {missing} absent from the "
+                    f"stream schema {sorted(names)}; set idcol/tscol options"
+                )
 
     # -- executor side -----------------------------------------------------
 
@@ -69,6 +98,18 @@ class JsonStoreStreamWriter(DataSourceStreamWriter):
             if m is not None:
                 yield from m.files
 
+    def _sweep_staging(self) -> None:
+        # Batches execute serially, so once a batch is committed or
+        # aborted NOTHING under _staging is live — including files from
+        # failed/retried task attempts that never made it into a commit
+        # message and would otherwise accumulate forever.
+        staging = os.path.join(self.path, "_staging")
+        for f in glob.glob(os.path.join(staging, "task-*.jsonl")):
+            try:
+                os.remove(f)
+            except FileNotFoundError:
+                pass
+
     def commit(self, messages, batchId: int) -> None:
         marker_dir = os.path.join(self.path, "_commits")
         marker = os.path.join(marker_dir, str(batchId))
@@ -77,18 +118,16 @@ class JsonStoreStreamWriter(DataSourceStreamWriter):
             # Replayed batch after a crash between commit and the
             # checkpoint advancing: already fully applied — drop the
             # re-staged files and acknowledge.
-            for f in staged:
-                if os.path.exists(f):
-                    os.remove(f)
+            self._sweep_staging()
             return
         events = []
         for f in staged:
             with open(f) as fh:
                 events.extend(json.loads(line) for line in fh)
         for e in events:
-            eid = e[self.id_col]
-            tmp = os.path.join(self.path, f".event_{eid}.json.tmp")
-            final = os.path.join(self.path, f"event_{eid}.json")
+            stem = _safe_stem(e.get(self.id_col))
+            tmp = os.path.join(self.path, f".event_{stem}.json.tmp")
+            final = os.path.join(self.path, f"event_{stem}.json")
             with open(tmp, "w") as fh:
                 json.dump(e, fh, sort_keys=True)
             os.replace(tmp, final)  # atomic promote (K5 contract)
@@ -98,14 +137,16 @@ class JsonStoreStreamWriter(DataSourceStreamWriter):
         with open(tmp, "w") as fh:
             fh.write(json.dumps({"n_events": len(events)}))
         os.replace(tmp, marker)
-        for f in staged:
-            os.remove(f)
+        self._sweep_staging()
 
     def _update_latest(self, events) -> None:
         candidates = [e for e in events if e.get(self.ts_col) is not None]
         if not candidates:
             return
-        newest = max(candidates, key=lambda e: (str(e[self.ts_col]), e[self.id_col]))
+        newest = max(
+            candidates,
+            key=lambda e: (str(e[self.ts_col]), str(e.get(self.id_col, ""))),
+        )
         latest_path = os.path.join(self.path, "latest.json")
         if os.path.exists(latest_path):
             with open(latest_path) as fh:
@@ -113,7 +154,7 @@ class JsonStoreStreamWriter(DataSourceStreamWriter):
             if cur.get(self.ts_col) is not None and (
                 str(cur[self.ts_col]),
                 cur.get(self.id_col, ""),
-            ) >= (str(newest[self.ts_col]), newest[self.id_col]):
+            ) >= (str(newest[self.ts_col]), str(newest.get(self.id_col, ""))):
                 return
         tmp = latest_path + ".tmp"
         with open(tmp, "w") as fh:
@@ -121,9 +162,7 @@ class JsonStoreStreamWriter(DataSourceStreamWriter):
         os.replace(tmp, latest_path)
 
     def abort(self, messages, batchId: int) -> None:
-        for f in self._staged(messages):
-            if os.path.exists(f):
-                os.remove(f)
+        self._sweep_staging()
 
 
 class JsonStoreDataSource(DataSource):
@@ -132,7 +171,7 @@ class JsonStoreDataSource(DataSource):
         return "jsonstore"
 
     def streamWriter(self, schema, overwrite: bool):
-        return JsonStoreStreamWriter(self.options)
+        return JsonStoreStreamWriter(self.options, schema)
 
 
 def register_jsonstore_sink(spark) -> None:

@@ -138,6 +138,13 @@ class SgrfStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("sgrf source requires a path")
+        # High-water mark: the greatest boundary this reader has
+        # returned or been handed by the checkpoint.  The offset must
+        # NEVER regress — if every processed file is archived away
+        # before new ones land, the directory listing is momentarily
+        # empty and a listing-derived offset would drop below the
+        # committed boundary, re-admitting any reappearing file.
+        self._high_water = ""
 
     def _files(self):
         pattern = (
@@ -153,17 +160,30 @@ class SgrfStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         files = self._files()
         last = os.path.basename(files[-1]) if files else ""
-        return {"last": last}
+        if last > self._high_water:
+            self._high_water = last
+        return {"last": self._high_water}
 
     def partitions(self, start: dict, end: dict):
+        # Seed the high-water mark from the checkpointed start so a
+        # restarted reader can't return an offset below the committed
+        # boundary, and clamp end >= start defensively.
+        lo = start["last"]
+        hi = max(end["last"], lo)
+        if lo > self._high_water:
+            self._high_water = lo
         return [
             SgrfFilePartition(p)
             for p in self._files()
-            if start["last"] < os.path.basename(p) <= end["last"]
+            if lo < os.path.basename(p) <= hi
         ]
 
     def commit(self, end: dict) -> None:
-        pass  # checkpoint holds the offset; files are immutable
+        # Checkpoint holds the offset; files are immutable.  Cache the
+        # committed boundary too so latestOffset can never fall below
+        # what the checkpoint has durably recorded.
+        if end["last"] > self._high_water:
+            self._high_water = end["last"]
 
     def read(self, partition):
         return SgrfReader.read(self, partition)

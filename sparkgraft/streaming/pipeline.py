@@ -307,6 +307,7 @@ def drift_monitor(
     baseline_rows: list | None = None,
     tol_pct: int = 10,
     null_tol_permille: int = 20,
+    trigger: dict | None = None,
 ):
     """Streaming drift monitoring over ``foreachBatch`` snapshots: each
     micro-batch is profiled with :func:`profile_columns` (one
@@ -326,7 +327,17 @@ def drift_monitor(
     RESTARTS: each batch persists its k-row profile as JSON next to
     the checkpoint, and a restarted query reloads it — otherwise the
     first post-restart batch would silently re-seed the baseline and
-    its drift would go unreported.  Returns the started query.
+    its drift would go unreported.  The persisted baseline is KEYED BY
+    BATCH ID: the profile is written before the checkpoint commits, so
+    a ``foreachBatch`` replay of batch N after a crash would otherwise
+    diff N against its own pre-crash profile and report 'ok' — the
+    stored predecessor profile is kept alongside, and a replayed batch
+    diffs against that instead, re-emitting the real verdict.
+
+    ``trigger`` passes through to ``writeStream.trigger`` (e.g.
+    ``{"processingTime": "10 seconds"}`` for live monitoring); default
+    is ``{"availableNow": True}`` (drain-style).  Returns the started
+    query.
     """
     import json
     import os
@@ -334,35 +345,68 @@ def drift_monitor(
     from sparkgraft.operators.stats import drift_report, profile_columns
 
     baseline_file = os.path.join(checkpoint_dir, "drift_baseline.json")
-    prev = baseline_rows
-    if prev is None and os.path.exists(baseline_file):
+    state = {"rows": baseline_rows, "batch_id": None, "prev_rows": None}
+    if baseline_rows is None and os.path.exists(baseline_file):
         with open(baseline_file) as fh:
-            prev = [tuple(r) for r in json.load(fh)]
-    state = {"prev": prev}
+            stored = json.load(fh)
+        if isinstance(stored, dict):
+            state["rows"] = (
+                [tuple(r) for r in stored["rows"]]
+                if stored.get("rows") is not None
+                else None
+            )
+            state["batch_id"] = stored.get("batch_id")
+            state["prev_rows"] = (
+                [tuple(r) for r in stored["prev_rows"]]
+                if stored.get("prev_rows") is not None
+                else None
+            )
+        else:  # pre-round-4 format: bare row list, no batch key
+            state["rows"] = [tuple(r) for r in stored]
 
     def on_batch(batch, batch_id: int) -> None:
         spark = batch.sparkSession
         prof = profile_columns(batch, cols)
         schema = prof.schema
         rows = prof.collect()  # k rows — one per profiled column
-        if state["prev"] is not None:
+        if state["batch_id"] is not None and batch_id == state["batch_id"]:
+            # Replay of the same batch after a crash: the stored
+            # profile IS this batch's own — diff against its
+            # predecessor so the real verdict is re-emitted, not 'ok'.
+            baseline = state["prev_rows"]
+        else:
+            baseline = state["rows"]
+            state["prev_rows"] = state["rows"]
+        if baseline is not None:
             verdicts = drift_report(
-                spark.createDataFrame(state["prev"], schema),
+                spark.createDataFrame(baseline, schema),
                 spark.createDataFrame(rows, schema),
                 tol_pct=tol_pct,
                 null_tol_permille=null_tol_permille,
             )
             sink(verdicts, batch_id)
-        state["prev"] = rows
+        state["rows"] = rows
+        state["batch_id"] = batch_id
         os.makedirs(checkpoint_dir, exist_ok=True)
         tmp = baseline_file + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump([list(r) for r in rows], fh)
+            json.dump(
+                {
+                    "batch_id": batch_id,
+                    "rows": [list(r) for r in rows],
+                    "prev_rows": (
+                        [list(r) for r in state["prev_rows"]]
+                        if state["prev_rows"] is not None
+                        else None
+                    ),
+                },
+                fh,
+            )
         os.replace(tmp, baseline_file)  # atomic like the K5 event store
 
     return (
         stream.writeStream.foreachBatch(on_batch)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )

@@ -91,3 +91,100 @@ def test_jsonstore_stream_sink_atomic_and_exactly_once(spark, tmp_path):
     # No staging debris or torn temp files remain.
     assert os.listdir(store / "_staging") == []
     assert not [f for f in os.listdir(store) if f.endswith(".tmp")]
+
+
+def test_jsonstore_sink_sanitizes_hostile_event_ids(spark, tmp_path):
+    """ADVICE r3: a data-supplied id containing path separators or
+    '..' must never steer the write outside the store directory — the
+    reference only ever names files from a hash it computes itself
+    (restapi/app_fs.py:42-54)."""
+    import os
+
+    from sparkgraft.sinks.event_store_sink import register_jsonstore_sink
+
+    register_jsonstore_sink(spark)
+    inp = tmp_path / "in"
+    inp.mkdir()
+    store = tmp_path / "store"
+    store.mkdir()
+    outside = tmp_path / "escape.json"
+
+    # '..|escape' style id: would write tmp_path/escape.json if the id
+    # were interpolated raw into the filename.
+    (inp / "b1.csv").write_text(
+        "event_id,stored_at,payload\n"
+        "../escape,2024-01-01T00:00:00,evil\n"
+        "ok-1,2024-01-01T01:00:00,fine\n"
+    )
+    q = (
+        spark.readStream.format("csv")
+        .schema("event_id STRING, stored_at STRING, payload STRING")
+        .option("header", "true")
+        .load(str(inp))
+        .writeStream.format("jsonstore")
+        .option("path", str(store))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert not outside.exists()
+    names = sorted(
+        f for f in os.listdir(store) if f.startswith("event_") and f.endswith(".json")
+    )
+    # Both events landed INSIDE the store: the hostile id under a
+    # hashed stem, the well-behaved one under its readable name.
+    assert "event_ok-1.json" in names and len(names) == 2
+    hashed = [n for n in names if n != "event_ok-1.json"][0]
+    stem = hashed[len("event_") : -len(".json")]
+    assert len(stem) == 16 and all(c in "0123456789abcdef" for c in stem)
+    # Store dir contains only expected entries — nothing escaped.
+    assert set(os.listdir(store)) <= {
+        *names,
+        "latest.json",
+        "_commits",
+        "_staging",
+    }
+
+
+def test_jsonstore_writer_rejects_missing_columns_at_construction():
+    import pytest
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from sparkgraft.sinks.event_store_sink import JsonStoreStreamWriter
+
+    schema = StructType([StructField("payload", StringType())])
+    with pytest.raises(ValueError, match="event_id"):
+        JsonStoreStreamWriter({"path": "/tmp/x"}, schema)
+
+
+def test_jsonstore_commit_sweeps_orphaned_staging_files(tmp_path):
+    """A retried task's first-attempt staging file is not in any commit
+    message; the post-commit sweep must still remove it."""
+    import json
+    import os
+
+    from sparkgraft.sinks.event_store_sink import (
+        JsonStoreCommitMessage,
+        JsonStoreStreamWriter,
+    )
+
+    store = tmp_path / "store"
+    staging = store / "_staging"
+    staging.mkdir(parents=True)
+    listed = staging / "task-aaaa.jsonl"
+    listed.write_text(
+        json.dumps({"event_id": "e1", "stored_at": "2024-01-01T00:00:00"}) + "\n"
+    )
+    orphan = staging / "task-orphan.jsonl"
+    orphan.write_text(
+        json.dumps({"event_id": "e1", "stored_at": "2023-12-31T00:00:00"}) + "\n"
+    )
+    w = JsonStoreStreamWriter({"path": str(store)})
+    w.commit([JsonStoreCommitMessage([str(listed)])], 0)
+    assert os.listdir(staging) == []
+    assert (store / "event_e1.json").exists()
+    # Abort likewise clears everything staged.
+    orphan.write_text("{}\n")
+    w.abort([None], 1)
+    assert os.listdir(staging) == []

@@ -250,3 +250,38 @@ def test_video_foreign_container_raises(spark):
     )
     with pytest.raises(Exception, match="ffmpeg|OpenCV|NotImplemented"):
         video_frame_sample(df, 2).collect()
+
+
+def test_sgrf_stream_offset_never_regresses(tmp_path):
+    """ADVICE r3: a momentarily-empty landing dir (everything archived,
+    nothing new yet) must not regress the offset below the committed
+    boundary — a reappearing old file would be re-admitted."""
+    from sparkgraft.sources.sgrf_source import SgrfStreamReader
+
+    land = tmp_path / "land"
+    land.mkdir()
+    for name in ("f_000.sgrf", "f_001.sgrf"):
+        (land / name).write_bytes(b"SGRF")
+
+    r = SgrfStreamReader({"path": str(land)})
+    assert r.latestOffset() == {"last": "f_001.sgrf"}
+    # Archive everything: the listing is empty but the offset holds.
+    (land / "f_000.sgrf").unlink()
+    (land / "f_001.sgrf").unlink()
+    assert r.latestOffset() == {"last": "f_001.sgrf"}
+    # An OLD file reappears (restored from archive): still no offset
+    # regression, and a planned batch over the held boundary admits
+    # nothing below it.
+    (land / "f_000.sgrf").write_bytes(b"SGRF")
+    assert r.latestOffset() == {"last": "f_001.sgrf"}
+    assert r.partitions({"last": "f_001.sgrf"}, {"last": "f_001.sgrf"}) == []
+
+    # Fresh reader (restart): the checkpointed start seeds the
+    # high-water mark via partitions()/commit(), so later listings
+    # can't pull the offset backwards either.
+    r2 = SgrfStreamReader({"path": str(land)})
+    assert r2.partitions({"last": "f_001.sgrf"}, {"last": "f_001.sgrf"}) == []
+    assert r2.latestOffset() == {"last": "f_001.sgrf"}
+    r3 = SgrfStreamReader({"path": str(land)})
+    r3.commit({"last": "f_001.sgrf"})
+    assert r3.latestOffset() == {"last": "f_001.sgrf"}

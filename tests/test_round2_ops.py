@@ -569,3 +569,25 @@ def test_holt_forecast_constant_series_is_flat(spark):
     got = {(r["k"], r["step"]): r["forecast"] for r in holt_forecast(df, ["k"]).collect()}
     assert all(got[("a", h)] == 5.0 for h in (1, 2, 3))
     assert all(got[("b", h)] == -2.5 for h in (1, 2, 3))
+
+
+def test_holt_forecast_preserves_key_dtypes(spark):
+    """ADVICE r3: numeric/date series keys come back with their
+    ORIGINAL dtypes (schema built from df.schema), so forecasts join
+    back to the source without implicit casts."""
+    from pyspark.sql.types import IntegerType
+
+    from sparkgraft.operators.timeseries import holt_forecast
+
+    rows = [(7, float(t), 2.0 * t) for t in range(5)] + [
+        (9, float(t), 5.0) for t in range(5)
+    ]
+    df = spark.createDataFrame(rows, "series_id int, ts double, value double")
+    out = holt_forecast(df, ["series_id"], ts_col="ts")
+    assert isinstance(out.schema["series_id"].dataType, IntegerType)
+    got = {(r["series_id"], r["step"]): r["forecast"] for r in out.collect()}
+    assert got[(7, 1)] == 10.0  # exact on a linear series
+    assert got[(9, 3)] == 5.0  # flat on a constant series
+    # Joining back on the typed key matches rows (no silent retype).
+    joined = out.join(df.select("series_id").distinct(), "series_id").count()
+    assert joined == 6

@@ -313,3 +313,59 @@ def test_drift_monitor_baseline_survives_restart(spark, tmp_path):
     os.utime(inp / "b1.csv", (1700000001, 1700000001))
     second = drain()
     assert second == [(1, "value", 10, 5)]
+
+
+def test_drift_monitor_replay_does_not_self_compare(spark, tmp_path):
+    """ADVICE r3: the per-batch profile persists BEFORE the checkpoint
+    commits, so a foreachBatch replay of batch N used to diff N against
+    its own pre-crash profile and report 'ok'.  The baseline is now
+    keyed by batch_id and a replay diffs against N's predecessor,
+    re-emitting the real verdict."""
+    import os
+
+    from sparkgraft.streaming.pipeline import drift_monitor
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    _write_file(inp, "b0.csv", [f"2024-01-01 00:00:{i:02d},ch0,{i}.0" for i in range(10)])
+    _write_file(inp, "b1.csv", [f"2024-01-01 01:00:{i:02d},ch0,{i}.0" for i in range(5)])
+    os.utime(inp / "b0.csv", (1700000000, 1700000000))
+    os.utime(inp / "b1.csv", (1700000001, 1700000001))
+    ckpt = tmp_path / "ckpt"
+
+    def drain():
+        got = []
+
+        def sink(verdicts, batch_id):
+            got.extend(
+                (batch_id, r["column"], r["rows_base"], r["rows_cur"])
+                for r in verdicts.collect()
+            )
+
+        stream = (
+            spark.readStream.format("csv")
+            .schema(SCHEMA)
+            .option("header", "true")
+            .option("maxFilesPerTrigger", "1")
+            .load(str(inp))
+        )
+        q = drift_monitor(stream, ["value"], sink, checkpoint_dir=str(ckpt))
+        q.awaitTermination()
+        return got
+
+    assert drain() == [(1, "value", 10, 5)]
+
+    # Simulate a crash AFTER batch 1's sink ran but BEFORE the
+    # checkpoint committed: drop the newest commit marker so the
+    # restarted query replays batch 1.
+    commits = sorted(
+        f for f in os.listdir(ckpt / "commits") if not f.startswith(".")
+    )
+    os.remove(ckpt / "commits" / commits[-1])
+    crc = ckpt / "commits" / f".{commits[-1]}.crc"
+    if crc.exists():  # stale checksum sibling breaks the re-commit rename
+        os.remove(crc)
+    replay = drain()
+    # The replayed batch re-emits the REAL verdict (10-row baseline vs
+    # 5-row batch), not a self-comparison 'ok' (5 vs 5).
+    assert replay == [(1, "value", 10, 5)]
