@@ -830,6 +830,66 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lang_id(_t(spark, sf_dir, "documents"))
 
 
+def q_neardup_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal near-dup panel (round-4 merged witness for the
+    simhash / n-gram-Jaccard / edit-distance family — each operator
+    still runs; one window slot instead of three): per-doc 16-bit
+    SimHash, blocked unigram-Jaccard pairs within each source, and
+    Levenshtein≤2 part-name pairs within each brand, unioned under a
+    common (signal, block, id_a, id_b, value) shape."""
+    docs = _t(spark, sf_dir, "documents")
+    sim = T.simhash16(docs).select(
+        F.lit("simhash").alias("signal"),
+        F.lit(None).cast("string").alias("block"),
+        F.col("id").cast("long").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.col("simhash").cast("double").alias("value"),
+    )
+    jac = T.ngram_jaccard_pairs(
+        docs, group_col="source", n=1, min_jaccard=0.62
+    ).select(
+        F.lit("jaccard").alias("signal"),
+        F.col("g").cast("string").alias("block"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("jaccard").cast("double").alias("value"),
+    )
+    part = _t(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand").alias("block"),
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("block"),
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    fz = (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 2)
+        .select(
+            F.lit("edit_distance").alias("signal"),
+            F.col("block").cast("string").alias("block"),
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.col("dist").cast("double").alias("value"),
+        )
+    )
+    return sim.unionByName(jac).unionByName(fz)
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text profile (round-4 merged witness for the
+    text-stats / lang-ID family): quality-scoring statistics joined
+    with the stopword-ratio language scores — one pass-shaped panel
+    per doc, one window slot instead of two."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.text_stats(docs).join(T.lang_id(docs), "doc_id")
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: overlapping 32-token windows (8-token
     overlap) with deterministic chunk ids — shuffle-free posexplode."""
@@ -2189,10 +2249,21 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sketch_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate sketches sanity-checked against exact values inside
-    the engine (HLL distinct count within 5 %, approx p50 within the
-    exact p25..p75 band) — the oracle pins the exact values and the
-    booleans, so a broken sketch implementation fails the gate."""
+    """Combined sketch panel (round-4: the sole in-window sketch
+    witness now carries every sketch family): per return flag, HLL
+    distinct count within 5 % of exact, approx p50 inside the exact
+    p25..p75 band, the KMV (k=64) distinct estimate beside its exact
+    count, and the count-min (4x64) row-count estimate with its
+    over-count-only invariant.  HLL/percentile booleans are pinned by
+    the oracle; KMV and CMS estimates are EXACT-mirrored (identical
+    md5 arithmetic both sides), so a broken sketch fails the gate."""
+    from sparkgraft.operators.sketch import (
+        cms_build,
+        cms_lookup,
+        kmv_build,
+        kmv_estimate,
+    )
+
     li = _t(spark, sf_dir, "lineitem")
     per = li.groupBy("l_returnflag").agg(
         F.count_distinct("l_partkey").alias("n_exact"),
@@ -2200,10 +2271,12 @@ def q_sketch_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(F.col("l_quantity"), F.lit(0.25)).alias("p25"),
         F.percentile_approx(F.col("l_quantity"), F.lit(0.5)).alias("p50_approx"),
         F.percentile(F.col("l_quantity"), F.lit(0.75)).alias("p75"),
+        F.count("*").alias("n_rows"),
     )
-    return per.select(
+    base = per.select(
         "l_returnflag",
         "n_exact",
+        "n_rows",
         (
             F.abs(F.col("n_approx") - F.col("n_exact"))
             / F.col("n_exact")
@@ -2212,6 +2285,23 @@ def q_sketch_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p50_approx").between(F.col("p25"), F.col("p75")).alias(
             "approx_median_in_iqr"
         ),
+    )
+    kmv = kmv_estimate(
+        kmv_build(li, ["l_returnflag"], "l_partkey", k=64), k=64
+    ).select(
+        "l_returnflag",
+        F.size("ks").alias("kmv_size"),
+        F.col("distinct_est").alias("kmv_est"),
+    )
+    cms = cms_build(li, ["l_returnflag"], depth=4, width=64)
+    probes = li.select("l_returnflag").distinct()
+    est = cms_lookup(
+        cms, probes, ["l_returnflag"], depth=4, width=64
+    ).withColumnRenamed("n_est", "cms_est")
+    return (
+        base.join(kmv, "l_returnflag")
+        .join(est, "l_returnflag")
+        .withColumn("cms_overcount_only", F.col("cms_est") >= F.col("n_rows"))
     )
 
 
@@ -3006,21 +3096,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_fallback": q_latest_fallback,
     "event_store_dedup": q_event_store_dedup,
     # --- LLM-data-pipeline first-class set ---
+    # Round-4 reshuffle (per the round-3 verdict): same-family second
+    # witnesses merged — simhash + ngram_jaccard + fuzzy_match →
+    # neardup_signals (all three operators run inside it), text_stats +
+    # lang_id → text_profile, and sketch_sanity now carries the KMV and
+    # CMS flavors beside HLL/percentile — freeing three slots for the
+    # round-3 flagships ngram_lm, split_leakage, ivfpq_ann at 48-50.
+    # The demoted queries stay oracle-checked at 51+.
     "minhash_dedup": q_minhash_dedup,
-    "simhash": q_simhash,
-    "ngram_jaccard": q_ngram_jaccard,
+    "neardup_signals": q_neardup_signals,
     "embedding_dedup": q_embedding_dedup,
     "cosine_topk": q_cosine_topk,
     "cluster_topk": q_cluster_topk,
     "lsh_ann_topk": q_lsh_ann_topk,
-    "text_stats": q_text_stats,
-    "lang_id": q_lang_id,
+    "text_profile": q_text_profile,
     "winnowing": q_winnowing,
-    "fuzzy_match": q_fuzzy_match,
     "sketch_sanity": q_sketch_sanity,
     "decontaminate": q_decontaminate,
     "paragraph_dedup": q_paragraph_dedup,
-    # --- flagship E2E (now hash-checked) + round-2/3 flagships 44-50 ---
+    # --- flagship E2E + round-2/3 flagships 40-50 ---
     "e1_flagship": q_e1_flagship,
     "semdedup": q_semdedup,
     "pq_ann": q_pq_ann,
@@ -3029,14 +3123,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "time_weighted_avg": q_time_weighted_avg,
     "golden_record": q_golden_record,
-    # ---- position 51+: second witnesses / engine extras --------------------
-    # (first in line if the driver window ever widens; round-3 flagships
-    # lead: IVF-PQ, drift, LM quality gate, leakage audit, span gate,
-    # SQL multi-join, VARIANT, training order)
-    "ivfpq_ann": q_ivfpq_ann,
-    "drift_report": q_drift_report,
     "ngram_lm": q_ngram_lm,
     "split_leakage": q_split_leakage,
+    "ivfpq_ann": q_ivfpq_ann,
+    # ---- position 51+: second witnesses / engine extras --------------------
+    # (first in line if the driver window ever widens.  The round-4
+    # demotions lead — each §2/LLM row they witnessed keeps an
+    # in-window witness: simhash/ngram_jaccard/fuzzy_match via
+    # neardup_signals, text_stats/lang_id via text_profile.)
+    "simhash": q_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "fuzzy_match": q_fuzzy_match,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "drift_report": q_drift_report,
     "span_gate": q_span_gate,
     "sql_market_share": q_sql_market_share,
     "variant_extract": q_variant_extract,
@@ -3711,12 +3811,60 @@ BATCH4_ORACLES: dict[str, str] = {
         )
         SELECT part, id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.999
     """,
+    # HLL/percentile booleans pinned; KMV and CMS estimates mirrored
+    # with the identical md5 arithmetic (see kmv_distinct/cms_counts).
     "sketch_sanity": """
-        SELECT l_returnflag,
-               count(DISTINCT l_partkey) AS n_exact,
+        WITH x AS (
+            SELECT l_returnflag,
+                   count(DISTINCT l_partkey) AS n_exact,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        ),
+        hashed AS (
+            SELECT DISTINCT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS h
+            FROM lineitem
+        ),
+        ranked AS (
+            SELECT l_returnflag, h,
+                   row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+            FROM hashed
+        ),
+        kk AS (
+            SELECT l_returnflag,
+                   CAST(count(*) AS INTEGER) AS kmv_size,
+                   max(CASE WHEN rn = 64 THEN h END) AS kth
+            FROM ranked WHERE rn <= 64 GROUP BY l_returnflag
+        ),
+        cells AS (
+            SELECT d,
+                   CAST(CAST(concat('0x', substr(md5(concat_ws('|', d, 'cms', l_returnflag)), 1, 4))
+                        AS BIGINT) % 64 AS INT) AS bucket
+            FROM lineitem CROSS JOIN (SELECT unnest([0,1,2,3]) AS d)
+        ),
+        cms AS (SELECT d, bucket, count(*) AS n FROM cells GROUP BY 1, 2),
+        probes AS (
+            SELECT DISTINCT l_returnflag, d,
+                   CAST(CAST(concat('0x', substr(md5(concat_ws('|', d, 'cms', l_returnflag)), 1, 4))
+                        AS BIGINT) % 64 AS INT) AS bucket
+            FROM lineitem CROSS JOIN (SELECT unnest([0,1,2,3]) AS d)
+        ),
+        est AS (
+            SELECT l_returnflag, min(coalesce(n, 0)) AS cms_est
+            FROM probes LEFT JOIN cms USING (d, bucket)
+            GROUP BY 1
+        )
+        SELECT x.l_returnflag, x.n_exact, x.n_rows,
                TRUE AS hll_within_5pct,
-               TRUE AS approx_median_in_iqr
-        FROM lineitem GROUP BY l_returnflag
+               TRUE AS approx_median_in_iqr,
+               k.kmv_size,
+               CASE WHEN k.kmv_size < 64 THEN CAST(k.kmv_size AS DOUBLE)
+                    ELSE round(63.0 /
+                         (CAST(CAST('0x' || substr(k.kth, 1, 15) AS BIGINT) AS DOUBLE)
+                          / 1152921504606846976.0), 2)
+               END AS kmv_est,
+               e.cms_est,
+               e.cms_est >= x.n_rows AS cms_overcount_only
+        FROM x JOIN kk k USING (l_returnflag) JOIN est e USING (l_returnflag)
     """,
 }
 
@@ -4235,6 +4383,47 @@ def _llm_oracles() -> dict[str, str]:
         SELECT doc_id, {score_cols},
                CASE WHEN {any_hit} THEN {case_sql} ELSE 'unknown' END AS pred_lang
         FROM base
+    """
+
+    # Round-4 merged witnesses: same per-signal arithmetic as the
+    # simhash / ngram_jaccard / fuzzy_match and text_stats / lang_id
+    # oracles above, under one result shape per family.
+    o["neardup_signals"] = f"""
+        WITH tok AS (
+            SELECT doc_id AS id, unnest(regexp_split_to_array(text, '\\s+')) AS w
+            FROM documents
+        ),
+        hashed AS (SELECT id, md5(w) AS h FROM tok),
+        bits AS (SELECT id, {vsums} FROM hashed GROUP BY id),
+        jbase AS (
+            SELECT source, doc_id AS id,
+                   list_distinct(regexp_split_to_array(text, '\\s+')) AS sh
+            FROM documents
+        ),
+        jpairs AS (
+            SELECT a.source, a.id AS id_a, b.id AS id_b,
+                   round(len(list_intersect(a.sh, b.sh))
+                     / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) AS jaccard
+            FROM jbase a JOIN jbase b ON a.source = b.source AND a.id < b.id
+        )
+        SELECT 'simhash' AS signal, CAST(NULL AS VARCHAR) AS block,
+               id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+               CAST({simexpr} AS DOUBLE) AS value
+        FROM bits
+        UNION ALL
+        SELECT 'jaccard', source, id_a, id_b, jaccard
+        FROM jpairs WHERE jaccard >= 0.62
+        UNION ALL
+        SELECT 'edit_distance', a.p_brand, a.p_partkey, b.p_partkey,
+               CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """
+
+    o["text_profile"] = f"""
+        SELECT s.*, l.score_de, l.score_en, l.score_es, l.score_fr, l.pred_lang
+        FROM ({o["text_stats"]}) s JOIN ({o["lang_id"]}) l USING (doc_id)
     """
 
     o["fingerprint"] = """
