@@ -25,6 +25,18 @@ dedup_exact (query semantics changed — the union_dedup fold doubles
 its input by design) and sub-second codegen-compile noise (isolation
 best-of-3: cosine_topk 0.46 s ~= r1's 0.462, exact-mean channel_stats
 0.23 s — both at r1 level).
+
+Round-4 decomposition of the r3 `rollup_pricing` outlier (1.61x over
+r2, the only shared-query delta >1.25x): separating DataFrame build
+from execution shows ~0.3 s was spark.read.parquet re-listing the
+directory and re-reading footers ON EVERY CALL (now cached per session
+in readers.read_table — every benched query shared this tax), and the
+rest is codegen warm-up caught by best-of-2 (exec settles 1.36 → 0.77
+→ 0.59 s).  Steady-state exec is the leaf aggregate's per-row decimal
+rounding on a 3-partition scan; a widen-repartition was measured and
+REJECTED (0.58 → 0.92 s best — the 600k-row shuffle costs more than
+the parallelism wins), and the rollup-over-partials adds only ~0.05 s,
+confirming the pre-aggregation-before-Expand shape.
 """
 
 from __future__ import annotations

@@ -214,6 +214,61 @@ def sample_per_group(
     )
 
 
+def _size_bytes(text: str, default: int) -> int:
+    """Parse a Spark byte-size conf value ('128MB', '4m', '134217728')."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgt]?)b?\s*", str(text), re.IGNORECASE)
+    if not m:
+        return default
+    mult = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    return int(m.group(1)) * mult[m.group(2).lower()]
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int | None:
+    """Plan-free estimate of the file-scan partition count, mirroring
+    Spark's split math (``FilePartition.maxSplitBytes``): driver-side
+    file listing + local stat only — no RDD conversion of the plan.
+    Returns None when the estimate can't be made cheaply (non-file
+    source, or remote files with fewer files than cores)."""
+    import math
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    # More files than cores -> the scan is at least core-wide no matter
+    # how Spark packs splits; skip the per-file stat entirely (the
+    # 100 TB path: thousands of objects, zero driver stat calls).
+    if len(files) >= par:
+        return par
+    sizes = []
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            return None
+        try:
+            sizes.append(os.path.getsize(u.path))
+        except OSError:
+            return None
+    conf = df.sparkSession.conf
+    max_pb = _size_bytes(
+        conf.get("spark.sql.files.maxPartitionBytes", "128MB"), 128 << 20
+    )
+    open_cost = _size_bytes(
+        conf.get("spark.sql.files.openCostInBytes", "4MB"), 4 << 20
+    )
+    total = sum(sizes) + open_cost * len(files)
+    max_split = min(max_pb, max(open_cost, total // max(par, 1) + 1))
+    return max(1, math.ceil(total / max_split))
+
+
 def widen_narrow_scan(df: DataFrame) -> DataFrame:
     """Repartition ONLY when the input is narrower than the cluster —
     the guard for CPU-heavy per-row stages (md5 shingling, signature
@@ -221,9 +276,18 @@ def widen_narrow_scan(df: DataFrame) -> DataFrame:
     production scan (thousands of partitions at 100 TB) passes through
     untouched: an unconditional repartition would shrink it to
     defaultParallelism through a pointless full shuffle.
+
+    The width check is PLAN-FREE (file listing + Spark's own split
+    math via :func:`_estimated_scan_partitions`); the analyzed plan is
+    converted to an RDD only as a last-resort fallback for non-file
+    sources — at 100 TB plan sizes the conversion itself is the cost
+    the estimate avoids.
     """
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    est = _estimated_scan_partitions(df)
+    if est is None:
+        est = df.rdd.getNumPartitions()
+    if est < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df
 

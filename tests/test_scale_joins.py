@@ -150,3 +150,43 @@ def test_bloom_prefilter_no_false_negatives_and_reduces(spark):
     n_pre = pre.count()
     assert n_pre < 2000, n_pre  # 20000 rows -> ~matches + fp
     assert n_pre >= joined_plain
+
+
+def test_widen_narrow_scan_is_plan_free_for_file_scans(spark, tmp_path):
+    """Round-4: the width check estimates scan partitions from the file
+    listing + Spark's split math — no RDD conversion of the plan for
+    file sources — and still widens a narrow single-file scan."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.operators.scale import (
+        _estimated_scan_partitions,
+        widen_narrow_scan,
+    )
+
+    p = str(tmp_path / "narrow")
+    spark.range(1000).select(F.col("id"), (F.col("id") * 2).alias("v")).coalesce(
+        1
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    par = spark.sparkContext.defaultParallelism
+    est = _estimated_scan_partitions(df)
+    assert est is not None and 1 <= est < par
+    widened = widen_narrow_scan(df)
+    assert widened.rdd.getNumPartitions() == par
+    assert widened.count() == 1000
+    # Non-file source (in-memory) -> estimate unavailable, fallback
+    # path still widens correctly.
+    mem = spark.range(100).coalesce(1)
+    assert _estimated_scan_partitions(mem) is None
+    assert widen_narrow_scan(mem).rdd.getNumPartitions() == par
+
+
+def test_read_table_caches_plan_per_session(spark):
+    from sparkgraft.sources.readers import read_table
+
+    a = read_table(spark, "/root/testdata/sf0.001", "region")
+    b = read_table(spark, "/root/testdata/sf0.001", "region")
+    assert a is b  # same immutable logical plan, no re-listing
+    c = read_table(spark, "/root/testdata/sf0.001", "nation")
+    assert c is not a
+    assert a.count() == 5
