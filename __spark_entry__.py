@@ -1883,6 +1883,48 @@ def q_span_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_suffix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-granular exact substring dedup (the suffix-array-class
+    surface, Lee et al. 2022): maximal merged spans of positions covered
+    by a 25-char window occurring >1 time in the corpus.  Sharded
+    applyInPandas rolling-hash windows (text never shuffles; windows
+    travel as int64 hashes), in-shard duplicates confirmed without the
+    global count, cross-shard reconciliation on in-shard singletons
+    only, gaps-and-islands span merge."""
+    from sparkgraft.operators import suffixdedup as SFX
+
+    return SFX.exact_substring_spans(
+        _t(spark, sf_dir, "documents"), min_len=25, n_shards=8
+    )
+
+
+def q_suffix_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document substring-duplication profile + keep/drop gate over
+    the suffix_dedup spans: span count, covered chars, longest span,
+    covered fraction (4 dp), keep iff fraction <= 0.30."""
+    from sparkgraft.operators import suffixdedup as SFX
+
+    return SFX.substring_dedup_stats(
+        _t(spark, sf_dir, "documents"),
+        min_len=25,
+        n_shards=8,
+        max_coverage=0.30,
+    )
+
+
+def q_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level longest repeated substring by distributed binary
+    search over the monotone "a duplicated length-l window exists"
+    predicate — ~log2(max_doc_len) compact probe jobs, driver state is
+    two integers.  Rows-only (iterative; not expressible as one SQL
+    statement)."""
+    from sparkgraft.operators import suffixdedup as SFX
+
+    return SFX.longest_duplicated_substring(
+        _t(spark, sf_dir, "documents"), n_shards=8
+    )
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding corpus: per-dim
     min/max calibration (1-row broadcast stats) + shuffle-free encode
@@ -3223,6 +3265,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_enrich": q_stream_enrich,
     "personalized_pagerank": q_personalized_pagerank,
     "streaming_drift": q_streaming_drift,
+    # --- round 4: suffix-array-class exact substring dedup ---
+    "suffix_dedup": q_suffix_dedup,
+    "suffix_gate": q_suffix_gate,
+    "longest_repeat": q_longest_repeat,
 }
 
 
@@ -6264,6 +6310,71 @@ ORACLES["ngram_lm"] = r"""
            coalesce(n_bigrams, 0) AS n_bigrams,
            avg_logp
     FROM documents d LEFT JOIN per_doc USING (doc_id)
+"""
+
+# Mirrors suffixdedup.exact_substring_spans: every 25-char window,
+# corpus-wide multiplicity count (actual substrings here — the Spark
+# side's 62-bit double rolling hash is injective up to ~2^-62 collision
+# odds), covered starts merged gaps-and-islands into maximal spans.
+_SUFFIX_SPANS_CTE = r"""
+    wins AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+               CAST(t.s AS INT) AS start,
+               substr(d.text, CAST(t.s AS INT), 25) AS w
+        FROM documents d,
+             UNNEST(generate_series(1, length(d.text) - 24)) AS t(s)
+    ),
+    dup AS (SELECT w FROM wins GROUP BY w HAVING count(*) > 1),
+    cov AS (SELECT doc_id, start FROM wins JOIN dup USING (w)),
+    isl AS (
+        SELECT doc_id, start,
+               CASE WHEN lag(start) OVER pw IS NULL
+                      OR start - lag(start) OVER pw > 25
+                    THEN 1 ELSE 0 END AS brk
+        FROM cov
+        WINDOW pw AS (PARTITION BY doc_id ORDER BY start)
+    ),
+    isl2 AS (
+        SELECT doc_id, start,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id,
+               min(start) AS span_start,
+               max(start) + 24 AS span_end,
+               max(start) + 24 - min(start) + 1 AS span_len,
+               count(*) AS n_windows
+        FROM isl2 GROUP BY doc_id, island
+    )
+"""
+
+ORACLES["suffix_dedup"] = f"""
+    WITH {_SUFFIX_SPANS_CTE}
+    SELECT doc_id, span_start, span_end, span_len, n_windows FROM spans
+"""
+
+ORACLES["suffix_gate"] = f"""
+    WITH {_SUFFIX_SPANS_CTE},
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_spans, sum(span_len) AS dup_chars,
+               max(span_len) AS max_span_len
+        FROM spans GROUP BY doc_id
+    ),
+    base AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               length(text) AS n_chars
+        FROM documents
+    )
+    SELECT b.doc_id,
+           b.n_chars,
+           coalesce(p.n_spans, 0) AS n_spans,
+           coalesce(p.dup_chars, 0) AS dup_chars,
+           coalesce(p.max_span_len, 0) AS max_span_len,
+           round(coalesce(p.dup_chars, 0) / b.n_chars, 4) AS dup_fraction,
+           round(coalesce(p.dup_chars, 0) / b.n_chars, 4) <= 0.30 AS keep
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
 """
 
 ORACLES.update(_report_oracles())

@@ -117,6 +117,9 @@ HEADLINE = [
     "ngram_lm",
     "span_gate",
     "split_leakage",
+    # round-4 additions
+    "suffix_dedup",
+    "suffix_gate",
 ]
 
 
