@@ -1925,6 +1925,90 @@ def q_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel additive Holt-Winters forecast (rows-only: triple-
+    exponential smoothing is iterative — no SQL oracle): 6-hour
+    resampled grid per event_type → grouped applyInPandas recurrence
+    with season m=4 (daily cycle on the 6 h grid) → 4-step forecasts.
+    Hand-math anchor tests: exact on constant+periodic series for any
+    alpha/beta/gamma when seasonal components sum to zero."""
+    from sparkgraft.operators.timeseries import (
+        holt_winters_forecast,
+        resample_interpolate,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(~F.isnan("value"))
+    grid = resample_interpolate(
+        ev, "event_type", "ts", "value", "event_id", step_sec=21600, digits=3
+    )
+    return holt_winters_forecast(
+        grid.select("event_type", F.col("bucket_ts").alias("ts"), "value"),
+        ["event_type"],
+        season=4,
+        alpha=0.5,
+        beta=0.3,
+        gamma=0.4,
+        horizon=4,
+    )
+
+
+def q_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style MaxSim late interaction: vectors grouped into
+    multi-vector documents (doc = vec_id % 25), the first 3 docs as
+    queries; score(q,d) = sum over q tokens of max cosine vs d tokens;
+    top-3 corpus docs per query.  Query tokens broadcast; corpus
+    vectors never shuffle raw — shuffles carry (q_doc, q_tok, d_doc,
+    cos) only, DECIMAL-exact score fold."""
+    emb = _t(spark, sf_dir, "embeddings")
+    toks = emb.select(
+        (F.col("vec_id") % 25).alias("doc"), "vec_id", "embedding"
+    )
+    q = toks.filter(F.col("doc") < 3).select(
+        F.col("doc").alias("q_doc"),
+        F.col("vec_id").alias("q_tok"),
+        F.col("embedding").alias("qv"),
+    )
+    d = toks.select(F.col("doc").alias("d_doc"), F.col("embedding").alias("dv"))
+    return SIM.maxsim_rerank(q, d, k=3)
+
+
+# The learned merge table is deterministic per (session, sf_dir) — the
+# training loop runs driver-side jobs, so cache it the way read_table
+# caches scan plans (both gate queries share one training run).
+_BPE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _bpe_merges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraft.operators.bpe import train_bpe
+
+    key = (id(spark), sf_dir)
+    got = _BPE_CACHE.get(key)
+    if got is None:
+        got = train_bpe(_t(spark, sf_dir, "documents"), n_merges=8)
+        _BPE_CACHE[key] = got
+    return got
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016): 8 merge rules
+    learned from the corpus word-frequency table — iterative argmax
+    over adjacent-pair weights, JVM-side fold application, driver
+    state = the merge table only.  Oracle: the same 8 iterations
+    unrolled as nested CTEs with delimiter-wrapped replace."""
+    return _bpe_merges_cached(spark, sf_dir)
+
+
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the 8 learned BPE merges: per-doc token count, char count
+    and compression ratio — Arrow-batched kernel with per-batch word
+    memoization.  Oracle: final-iteration vocab symbol counts joined
+    back through each document's word list."""
+    from sparkgraft.operators.bpe import bpe_segment
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_segment(docs, _bpe_merges_cached(spark, sf_dir))
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding corpus: per-dim
     min/max calibration (1-row broadcast stats) + shuffle-free encode
@@ -3269,6 +3353,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "suffix_dedup": q_suffix_dedup,
     "suffix_gate": q_suffix_gate,
     "longest_repeat": q_longest_repeat,
+    # --- round 4: BPE tokenizer training/segmentation ---
+    "bpe_merges": q_bpe_merges,
+    "bpe_segment": q_bpe_segment,
+    # --- round 4: multi-vector retrieval + seasonal forecasting ---
+    "maxsim_rerank": q_maxsim_rerank,
+    "holt_winters": q_holt_winters,
 }
 
 
@@ -6375,6 +6465,140 @@ ORACLES["suffix_gate"] = f"""
            round(coalesce(p.dup_chars, 0) / b.n_chars, 4) AS dup_fraction,
            round(coalesce(p.dup_chars, 0) / b.n_chars, 4) <= 0.30 AS keep
     FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+# Mirrors similarity.maxsim_rerank: cosine rounded to 6 before the
+# per-query-token max, DECIMAL(18,6)-exact score sum, rank tie-break
+# on d_doc.
+ORACLES["maxsim_rerank"] = """
+    WITH toks AS (
+        SELECT vec_id % 25 AS doc, vec_id, embedding FROM embeddings
+    ),
+    q AS (
+        SELECT doc AS q_doc, vec_id AS q_tok, embedding AS qv
+        FROM toks WHERE doc < 3
+    ),
+    d AS (SELECT doc AS d_doc, embedding AS cv FROM toks),
+    pairs AS (
+        SELECT q_doc, q_tok, d_doc,
+               round(
+                   list_sum(list_transform(generate_series(1, len(qv)),
+                       i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(qv,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(cv,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                   6) AS c
+        FROM q, d
+    ),
+    best AS (
+        SELECT q_doc, q_tok, d_doc, max(c) AS b
+        FROM pairs GROUP BY 1, 2, 3
+    ),
+    scored AS (
+        SELECT q_doc, d_doc,
+               round(CAST(sum(CAST(b AS DECIMAL(18,6))) AS DOUBLE), 4)
+                   AS maxsim
+        FROM best GROUP BY 1, 2
+    )
+    SELECT q_doc, d_doc, maxsim, rnk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY q_doc
+                       ORDER BY maxsim DESC, d_doc ASC) AS INT) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+"""
+
+# BPE oracle: the trainer's iterations unrolled as nested CTEs.  The
+# vocab state is a delimiter-wrapped string per word (chr(31) around
+# every symbol), so one merge application is a plain string replace of
+# ``\x1f l \x1f\x1f r \x1f`` -> ``\x1f lr \x1f`` — equivalent to the
+# greedy leftmost non-overlapping fold (scanning resumes after each
+# replacement; per-symbol wrapping means consecutive matches never
+# share a delimiter).  Tie-break on ``l || chr(31) || r`` matches the
+# Spark side's concat_ws ordering exactly.
+def _bpe_oracle_ctes(n_merges: int) -> str:
+    s = "chr(31)"
+    ctes = [
+        f"""v0 AS (
+        SELECT word, count(*) AS n,
+               {s} || array_to_string(
+                   list_append(string_split(word, ''), '</w>'),
+                   {s} || {s}) || {s} AS seq
+        FROM (
+            SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
+            FROM documents
+        )
+        WHERE length(word) > 0
+        GROUP BY word
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{i} AS (
+        SELECT sp.syms[t.i] AS l, sp.syms[t.i + 1] AS r, sum(sp.n) AS c
+        FROM (
+            SELECT n,
+                   string_split(trim(seq, {s}), {s} || {s}) AS syms
+            FROM v{i - 1}
+        ) sp, UNNEST(generate_series(1, len(sp.syms) - 1)) AS t(i)
+        GROUP BY 1, 2
+        HAVING sum(sp.n) >= 2
+    )"""
+        )
+        ctes.append(
+            f"""b{i} AS (
+        SELECT l, r, c FROM p{i} ORDER BY c DESC, l || {s} || r LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"""v{i} AS (
+        SELECT v.word, v.n,
+               replace(v.seq,
+                       {s} || b.l || {s} || {s} || b.r || {s},
+                       {s} || b.l || b.r || {s}) AS seq
+        FROM v{i - 1} v CROSS JOIN b{i} b
+    )"""
+        )
+    return ",\n    ".join(ctes)
+
+
+_BPE_K = 8
+
+ORACLES["bpe_merges"] = f"""
+    WITH {_bpe_oracle_ctes(_BPE_K)}
+    {" UNION ALL ".join(
+        f'''SELECT CAST({i} AS INT) AS rank, l AS "left", r AS "right",
+            CAST(c AS BIGINT) AS pair_count FROM b{i}'''
+        for i in range(1, _BPE_K + 1)
+    )}
+"""
+
+ORACLES["bpe_segment"] = f"""
+    WITH {_bpe_oracle_ctes(_BPE_K)},
+    seg AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+               length(d.text) AS n_chars,
+               w.word
+        FROM documents d,
+             UNNEST(regexp_split_to_array(d.text, '\\s+')) AS w(word)
+        WHERE length(w.word) > 0
+    ),
+    wcnt AS (
+        SELECT word,
+               len(string_split(trim(seq, chr(31)), chr(31) || chr(31)))
+                   AS ntok
+        FROM v{_BPE_K}
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               any_value(n_chars) AS n_chars,
+               CAST(sum(ntok) AS BIGINT) AS n_tokens
+        FROM seg JOIN wcnt USING (word)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, CAST(n_chars AS BIGINT) AS n_chars,
+           round(n_chars / n_tokens, 4) AS chars_per_token
+    FROM per_doc
 """
 
 ORACLES.update(_report_oracles())

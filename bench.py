@@ -120,6 +120,8 @@ HEADLINE = [
     # round-4 additions
     "suffix_dedup",
     "suffix_gate",
+    "bpe_merges",
+    "bpe_segment",
 ]
 
 

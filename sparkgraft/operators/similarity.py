@@ -1276,3 +1276,49 @@ def random_projection(
         )
     )
     return df.select(F.col(id_col), projected.alias("projected"))
+
+
+def maxsim_rerank(
+    query_tokens: DataFrame,
+    corpus_tokens: DataFrame,
+    k: int = 3,
+    digits: int = 6,
+    score_digits: int = 4,
+) -> DataFrame:
+    """Multi-vector late-interaction scoring (ColBERT-style MaxSim,
+    Khattab & Zaharia 2020): score(q, d) = sum over q's token vectors
+    of the max cosine against d's token vectors; return each query
+    document's top-k corpus documents.
+
+    Inputs are token tables: ``query_tokens`` (q_doc, q_tok, qv) and
+    ``corpus_tokens`` (d_doc, dv) — one row per token vector.  The
+    query side is the bounded rerank set (an ANN candidate stage feeds
+    it at scale) and is BROADCAST; the corpus token table streams
+    through without shuffling raw vectors — the only shuffles carry
+    (q_doc, q_tok, d_doc, cos) and the per-pair partial maxes, both
+    map-side combined.
+
+    Determinism: cosines quantize to ``digits`` before the max, the
+    per-document sum runs over DECIMAL(18,6) (exact, order-free), and
+    ranks tie-break on d_doc.
+    """
+    from pyspark.sql import Window
+
+    q = query_tokens.select("q_doc", "q_tok", F.col("qv"))
+    d = corpus_tokens.select("d_doc", F.col("dv"))
+    cos6 = F.round(_dot(F.col("qv"), F.col("dv")) / (_norm("qv") * _norm("dv")), digits)
+    pairs = d.crossJoin(F.broadcast(q)).select(
+        "q_doc", "q_tok", "d_doc", cos6.alias("c")
+    )
+    best = pairs.groupBy("q_doc", "q_tok", "d_doc").agg(F.max("c").alias("b"))
+    scored = best.groupBy("q_doc", "d_doc").agg(
+        F.round(
+            F.sum(F.col("b").cast("decimal(18,6)")).cast("double"), score_digits
+        ).alias("maxsim")
+    )
+    w = Window.partitionBy("q_doc").orderBy(F.desc("maxsim"), F.asc("d_doc"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_doc", "d_doc", "maxsim", "rnk")
+    )

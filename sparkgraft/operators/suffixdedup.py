@@ -255,7 +255,9 @@ def substring_dedup_stats(
         F.col(id_col).cast("string").alias(id_col),
         F.length(text_col).alias("n_chars"),
     )
-    joined = base.join(per_doc, id_col, "left").select(
+    # per_doc is corpus-scaled (one row per duplicated doc) — pin a
+    # shuffled join so a size misestimate can't broadcast it.
+    joined = base.join(per_doc.hint("merge"), id_col, "left").select(
         id_col,
         "n_chars",
         F.coalesce("n_spans", F.lit(0)).alias("n_spans"),

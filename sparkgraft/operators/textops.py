@@ -141,7 +141,12 @@ def minhash_dedup_pairs(
         .distinct()
     )
     # Verify: attach each side's shingle set exactly once per pair.
-    sh_tbl = base.select(F.col("id"), F.col("sh"))
+    # Both join sides scale with the corpus (pairs ~ bucket collisions,
+    # sh_tbl = the corpus' shingle sets), so pin spillable sort-merge: a size
+    # MISestimate must never flip the shingle table into a broadcast —
+    # measured at 32x-replicated sf0.1, the planner did exactly that
+    # and OOMed the driver building a multi-GB broadcast relation.
+    sh_tbl = base.select(F.col("id"), F.col("sh")).hint("merge")
     verified = (
         pairs.join(sh_tbl.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh_tbl.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
@@ -202,7 +207,12 @@ def ngram_jaccard_pairs(
         ).alias("sh"),
     )
     a = base.select("g", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = base.select("g", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # Both self-join sides carry corpus-scaled shingle arrays — pin a
+    # shuffled join so a size misestimate can't broadcast one (same
+    # measured driver-OOM cliff as minhash_dedup_pairs' verify join).
+    b = base.select("g", F.col("id").alias("id_b"), F.col("sh").alias("sh_b")).hint(
+        "shuffle_hash"
+    )
     return (
         a.join(b, "g")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -521,10 +531,12 @@ def paragraph_dedup(
         ).alias("text_dedup"),
     )
     totals = paras.groupBy("id").agg(F.count("*").alias("n_paras"))
+    # reassembled carries full reassembled TEXT per doc — corpus-scaled;
+    # never let a misestimate broadcast it.
     return (
         docs.select(F.col(id_col).alias("id"))
-        .join(totals, "id", "left")
-        .join(reassembled, "id", "left")
+        .join(totals.hint("merge"), "id", "left")
+        .join(reassembled.hint("merge"), "id", "left")
         .select(
             F.col("id").alias(id_col),
             F.coalesce(F.col("n_paras"), F.lit(0)).alias("n_paras"),
@@ -994,12 +1006,18 @@ def incremental_dedup(
         .select("new_id", "hist_id")
         .distinct()
     )
+    # Both verify sides scale with the corpus — pin spillable sort-merge so a size
+    # misestimate can't broadcast a shingle table (see the note in
+    # minhash_dedup_pairs; same driver-OOM cliff, measured).
     verified = (
         cand.join(
-            new_base.withColumnsRenamed({"id": "new_id", "sh": "sh_n"}), "new_id"
+            new_base.withColumnsRenamed({"id": "new_id", "sh": "sh_n"}).hint("merge"),
+            "new_id",
         )
         .join(
-            hist_base.withColumnsRenamed({"id": "hist_id", "sh": "sh_h"}),
+            hist_base.withColumnsRenamed({"id": "hist_id", "sh": "sh_h"}).hint(
+                "shuffle_hash"
+            ),
             "hist_id",
         )
         .select(
@@ -1015,7 +1033,7 @@ def incremental_dedup(
     )
     return (
         new_docs.select(F.col(id_col).alias("new_id"))
-        .join(best, "new_id", "left")
+        .join(best.hint("merge"), "new_id", "left")
         .select(
             F.col("new_id").alias(id_col),
             F.col("dup_of").isNotNull().alias("is_duplicate"),

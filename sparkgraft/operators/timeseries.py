@@ -286,3 +286,99 @@ def holt_forecast(
     return df.select(*keys, ts_col, value_col).groupBy(*keys).applyInPandas(
         fit, schema
     )
+
+
+def holt_winters_forecast(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    season: int = 4,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.4,
+    horizon: int = 4,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-series additive Holt-Winters (triple-exponential) smoothing +
+    ``horizon``-step forecast — the seasonal extension of
+    :func:`holt_forecast`, same grouped ``applyInPandas`` iterative
+    template (O(1) state, O(n) work per series, one Arrow batch each).
+
+    Textbook additive init over the first two seasons: level = mean of
+    season 1, trend = (mean of season 2 - mean of season 1) / m,
+    seasonal_i = y_i - level.  A constant-plus-periodic series whose
+    seasonal components sum to zero over the period is reproduced with
+    ZERO error for any alpha/beta/gamma — the unit-test anchor.  Series
+    shorter than two full seasons fall back to Holt linear semantics
+    (seasonal components pinned to 0).
+
+    Returns one row per series per step 1..horizon: forecast, final
+    level/trend, and the seasonal component applied at that step.
+    Deterministic: fixed sequential fold per series, rows ordered by
+    (ts, value).
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    m = season
+    schema = StructType(
+        [StructField(k, df.schema[k].dataType) for k in keys]
+        + [
+            StructField("step", IntegerType()),
+            StructField("forecast", DoubleType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("seasonal", DoubleType()),
+        ]
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, value_col])
+        y = pdf[value_col].astype(float).to_numpy()
+        n = len(y)
+        seasonal_on = n >= 2 * m
+        if seasonal_on:
+            lvl = float(y[:m].mean())
+            trend = float((y[m : 2 * m].mean() - y[:m].mean()) / m)
+            seas = [float(y[i] - lvl) for i in range(m)]
+            start = m
+        else:
+            # Shorter than two seasons: pure Holt linear (seasonal
+            # components pinned to 0, no seasonal updates).
+            lvl = y[0]
+            trend = (y[1] - y[0]) if n > 1 else 0.0
+            seas = [0.0] * m
+            start = 1
+        for t in range(start, n):
+            s_old = seas[t % m]
+            prev = lvl
+            lvl = alpha * (y[t] - s_old) + (1.0 - alpha) * (lvl + trend)
+            trend = beta * (lvl - prev) + (1.0 - beta) * trend
+            if seasonal_on:
+                seas[t % m] = gamma * (y[t] - lvl) + (1.0 - gamma) * s_old
+        rows = [
+            tuple(pdf.iloc[0][k] for k in keys)
+            + (
+                h,
+                round(lvl + h * trend + seas[(n + h - 1) % m], digits),
+                round(lvl, digits),
+                round(trend, digits),
+                round(seas[(n + h - 1) % m], digits),
+            )
+            for h in range(1, horizon + 1)
+        ]
+        return pd.DataFrame(
+            rows,
+            columns=list(keys)
+            + ["step", "forecast", "level", "trend", "seasonal"],
+        )
+
+    return df.select(*keys, ts_col, value_col).groupBy(*keys).applyInPandas(
+        fit, schema
+    )

@@ -62,6 +62,14 @@ def get_spark(
         master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
+    if master and master.startswith("local"):
+        # Local mode runs every executor thread inside ONE JVM whose heap
+        # defaults to 1g — 32 concurrent tasks starve at soak scale (the
+        # harness box has 128 GiB).  Only effective when this call is the
+        # one that launches the JVM; a cluster manager overrides it.
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+        )
     conf = dict(DEFAULT_CONF)
     if extra_conf:
         conf.update(extra_conf)
