@@ -1894,7 +1894,7 @@ def q_suffix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkgraft.operators import suffixdedup as SFX
 
     return SFX.exact_substring_spans(
-        _t(spark, sf_dir, "documents"), min_len=25, n_shards=8
+        _t(spark, sf_dir, "documents"), min_len=25, n_shards=16
     )
 
 
@@ -1907,7 +1907,7 @@ def q_suffix_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SFX.substring_dedup_stats(
         _t(spark, sf_dir, "documents"),
         min_len=25,
-        n_shards=8,
+        n_shards=16,
         max_coverage=0.30,
     )
 
@@ -1921,7 +1921,7 @@ def q_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkgraft.operators import suffixdedup as SFX
 
     return SFX.longest_duplicated_substring(
-        _t(spark, sf_dir, "documents"), n_shards=8
+        _t(spark, sf_dir, "documents"), n_shards=16
     )
 
 
@@ -1950,6 +1950,50 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         gamma=0.4,
         horizon=4,
     )
+
+
+def q_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch relative-error quantiles (Masson et al. 2019) per
+    event_type: one-pass log-bucket histogram (mergeable by cell-wise
+    addition — the distributed/streaming percentile shape), cumulative
+    walk to p50/p90/p99, every estimate within alpha=1% of the true
+    quantile."""
+    from sparkgraft.operators.sketch import ddsketch_build, ddsketch_quantiles
+
+    sk = ddsketch_build(
+        _t(spark, sf_dir, "events"), "value", ["event_type"], alpha=0.01
+    )
+    return ddsketch_quantiles(
+        sk, ["event_type"], qs=(0.5, 0.9, 0.99), alpha=0.01
+    )
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the supplier co-purchase graph
+    (suppliers linked when they serve the same order) — degree-ordered
+    compact-forward enumeration: wedges only at each node's
+    out-neighborhood under the (degree, id) orientation, one equi-join
+    to close; shuffles carry node pairs only."""
+    from sparkgraft.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s1"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s2"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("s1") < F.col("s2"))
+        .select(F.col("s1").alias("src"), F.col("s2").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+def q_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021): word-count
+    and word-length bounds, symbol/bullet/ellipsis ratios, alpha-word
+    fraction, duplicate-line fraction, char entropy — all shuffle-free
+    projections; keep = conjunction of the classic thresholds."""
+    return T.gopher_quality(_t(spark, sf_dir, "documents"))
 
 
 def q_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2555,6 +2599,66 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     _FIXTURE_CACHE[("stream_dedup", sf_dir)] = rows
     return spark.createDataFrame(rows, "event_type string, n long")
+
+
+def q_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup ADMISSION (rows-only): documents staged as
+    two arrival files — the second containing exact replicas of half
+    the first plus fresh docs — drained through ``dedup_admission``
+    (per-batch MinHash check against the persisted signature index,
+    admitted signatures appended).  Returns per-batch admit/reject
+    counts; replay idempotence is asserted in tests/test_round4_ops.py.
+    Memoized per sf_dir like the other streaming fixtures."""
+    import json as _json
+    import tempfile
+
+    from sparkgraft.streaming.pipeline import dedup_admission
+
+    cached = _FIXTURE_CACHE.get(("stream_admission", sf_dir))
+    if cached is not None:
+        return spark.createDataFrame(
+            cached, "batch long, admitted long, rejected long"
+        )
+
+    docs = [
+        (str(r["doc_id"]), r["text"])
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+        .collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_sadm_")
+    import os
+
+    os.makedirs(f"{tmp}/in", exist_ok=True)
+    b1 = docs[:40]
+    b2 = [(f"re_{i}", t) for i, t in b1[:20]] + docs[40:]
+    for name, rows in (("batch_1", b1), ("batch_2", b2)):
+        with open(f"{tmp}/in/{name}.json", "w") as fh:
+            fh.write(
+                "\n".join(
+                    _json.dumps({"doc_id": i, "text": t}) for i, t in rows
+                )
+            )
+    got: dict[int, tuple[int, int]] = {}
+
+    def sink(df, batch_id):
+        a = df.filter(~F.col("is_duplicate")).count()
+        r = df.count() - a
+        got[batch_id] = (a, r)
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(f"{tmp}/in")
+    )
+    q = dedup_admission(
+        stream, f"{tmp}/hist", f"{tmp}/ckpt", sink, min_jaccard=0.5
+    )
+    q.awaitTermination(300)
+    rows = [(int(b), int(a), int(r)) for b, (a, r) in sorted(got.items())]
+    _FIXTURE_CACHE[("stream_admission", sf_dir)] = rows
+    return spark.createDataFrame(rows, "batch long, admitted long, rejected long")
 
 
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3359,6 +3463,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round 4: multi-vector retrieval + seasonal forecasting ---
     "maxsim_rerank": q_maxsim_rerank,
     "holt_winters": q_holt_winters,
+    "gopher_gate": q_gopher_gate,
+    "triangle_count": q_triangle_count,
+    "ddsketch": q_ddsketch,
+    "stream_admission": q_stream_admission,
 }
 
 
@@ -6465,6 +6573,165 @@ ORACLES["suffix_gate"] = f"""
            round(coalesce(p.dup_chars, 0) / b.n_chars, 4) AS dup_fraction,
            round(coalesce(p.dup_chars, 0) / b.n_chars, 4) <= 0.30 AS keep
     FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+# Mirrors sketch.ddsketch_build/ddsketch_quantiles: same gamma literal
+# on both engines, identical bucket math and walk order.
+import math as _math
+
+_DD_GAMMA = (1.0 + 0.01) / (1.0 - 0.01)
+_DD_LNG = _math.log(_DD_GAMMA)
+
+ORACLES["ddsketch"] = f"""
+    WITH src AS (
+        SELECT event_type, value FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    sk AS (
+        SELECT event_type,
+               CASE WHEN value > 0 THEN 1 WHEN value < 0 THEN -1 ELSE 0 END AS sign,
+               CASE WHEN value > 0 THEN CAST(ceil(ln(value) / {_DD_LNG!r}) AS BIGINT)
+                    WHEN value < 0 THEN CAST(ceil(ln(-value) / {_DD_LNG!r}) AS BIGINT)
+                    ELSE 0 END AS bucket,
+               count(*) AS cnt
+        FROM src GROUP BY 1, 2, 3
+    ),
+    cum AS (
+        SELECT event_type, sign, bucket,
+               sum(cnt) OVER (PARTITION BY event_type
+                              ORDER BY sign, sign * bucket
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type) AS n
+        FROM sk
+    ),
+    qs AS (SELECT CAST(q AS DOUBLE) AS q
+           FROM (VALUES (0.5), (0.9), (0.99)) AS t(q)),
+    hit AS (
+        SELECT * FROM cum CROSS JOIN qs
+        WHERE cum >= floor(q * (n - 1)) + 1
+    ),
+    sel AS (
+        SELECT event_type, q, n, sign, bucket,
+               row_number() OVER (PARTITION BY event_type, q
+                                  ORDER BY sign, sign * bucket) AS rn
+        FROM hit
+    )
+    SELECT event_type, q, CAST(n AS BIGINT) AS n_values,
+           round(CASE WHEN sign = 0 THEN 0.0
+                      ELSE sign * 2.0 * power({_DD_GAMMA!r}, bucket)
+                           / ({_DD_GAMMA!r} + 1.0) END, 4) AS estimate
+    FROM sel WHERE rn = 1
+"""
+
+# Mirrors graph.triangle_count over the supplier co-purchase graph:
+# same canonicalization, (degree, id) orientation, ordered wedges and
+# closing-edge join — exact integer counts.
+ORACLES["triangle_count"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_suppkey < b.l_suppkey
+    ),
+    nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+    deg AS (
+        SELECT node, count(*) AS deg
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node
+    ),
+    o AS (
+        SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS u,
+               CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS v,
+               CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN db.deg ELSE da.deg END AS dv
+        FROM e
+        JOIN deg da ON da.node = e.a
+        JOIN deg db ON db.node = e.b
+    ),
+    wedges AS (
+        SELECT l.u, l.v, r.v AS w
+        FROM o l JOIN o r ON l.u = r.u
+        WHERE (l.dv, l.v) < (r.dv, r.v)
+    ),
+    tris AS (
+        SELECT wg.u, wg.v, wg.w
+        FROM wedges wg JOIN o c ON c.u = wg.v AND c.v = wg.w
+    ),
+    per_node AS (
+        SELECT node, count(*) AS n
+        FROM (
+            SELECT u AS node FROM tris
+            UNION ALL SELECT v FROM tris
+            UNION ALL SELECT w FROM tris
+        )
+        GROUP BY node
+    )
+    SELECT n.node, coalesce(p.n, 0) AS n_triangles
+    FROM nodes n LEFT JOIN per_node p USING (node)
+"""
+
+# Mirrors textops.gopher_quality: identical regexes/splits on both
+# engines; entropy via per-(doc, char) counts with the cnt*ln(cnt)
+# terms quantized to DECIMAL(18,6) before an exact order-free sum
+# (Spark folds the same quantized terms over the sorted distinct-char
+# array — equal because exact decimal addition commutes).
+ORACLES["gopher_gate"] = r"""
+    WITH base AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(text, '\s+') AS toks,
+               string_split(text, chr(10)) AS lines
+        FROM documents
+    ),
+    core AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               list_sum(list_transform(toks, w -> length(w))) AS word_lens,
+               len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym,
+               len(lines) AS n_lines,
+               len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))
+                   AS bullet_lines,
+               len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\s*$')))
+                   AS ellipsis_lines,
+               len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+                   AS alpha_words,
+               len(lines) - len(list_distinct(lines)) AS dup_lines,
+               length(text) AS n_chars
+        FROM base
+    ),
+    cc AS (
+        SELECT doc_id, c, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM base)
+        GROUP BY 1, 2
+    ),
+    ent AS (
+        SELECT doc_id,
+               sum(CAST(round(cnt * ln(cnt), 6) AS DECIMAL(18,6))) AS s
+        FROM cc GROUP BY 1
+    ),
+    m AS (
+        SELECT c.*,
+               CAST(c.word_lens AS DOUBLE) / c.n_words AS mean_wl_raw,
+               round(CAST(c.n_sym AS DOUBLE) / c.n_words, 4) AS symbol_word_ratio,
+               round(CAST(c.bullet_lines AS DOUBLE) / c.n_lines, 4) AS bullet_line_frac,
+               round(CAST(c.ellipsis_lines AS DOUBLE) / c.n_lines, 4) AS ellipsis_line_frac,
+               round(CAST(c.alpha_words AS DOUBLE) / c.n_words, 4) AS alpha_word_frac,
+               round(CAST(c.dup_lines AS DOUBLE) / c.n_lines, 4) AS dup_line_frac,
+               CASE WHEN c.n_chars > 0
+                    THEN round(ln(c.n_chars)
+                               - CAST(e.s AS DOUBLE) / c.n_chars, 4)
+                    ELSE 0.0 END AS char_entropy
+        FROM core c LEFT JOIN ent e USING (doc_id)
+    )
+    SELECT doc_id, n_words,
+           round(mean_wl_raw, 4) AS mean_word_len,
+           symbol_word_ratio, bullet_line_frac, ellipsis_line_frac,
+           alpha_word_frac, dup_line_frac, char_entropy,
+           (n_words >= 10 AND n_words <= 100000
+            AND mean_wl_raw >= 3.0 AND mean_wl_raw <= 10.0
+            AND symbol_word_ratio < 0.1
+            AND bullet_line_frac < 0.9
+            AND ellipsis_line_frac < 0.3
+            AND alpha_word_frac >= 0.8) AS keep
+    FROM m
 """
 
 # Mirrors similarity.maxsim_rerank: cosine rounded to 6 before the

@@ -122,6 +122,10 @@ HEADLINE = [
     "suffix_gate",
     "bpe_merges",
     "bpe_segment",
+    "gopher_gate",
+    "triangle_count",
+    "ddsketch",
+    "maxsim_rerank",
 ]
 
 

@@ -209,3 +209,72 @@ def personalized_pagerank(
             )
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts via the degree-ordered (compact-forward)
+    algorithm: orient every undirected edge from its lower-(degree, id)
+    endpoint to the higher one, enumerate wedges only at each node's
+    out-neighbors (out-degree is O(sqrt(m)) under this orientation — the
+    classic bound that makes distributed triangle counting feasible),
+    and close each wedge with one equi-join back into the oriented edge
+    set.  Shuffles carry (node, node) pairs only.
+
+    Returns (node, n_triangles) for every node incident to an edge,
+    zeros included.  Deterministic: orientation keys on (degree, id),
+    all counts exact integers.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # Orient: u -> v iff (deg(u), u) < (deg(v), v).
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    ed = e.join(da, "a").join(db, "b")
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        F.when(lower_first, F.col("da")).otherwise(F.col("db")).alias("du"),
+    )
+    # Wedges at u over its out-neighborhood, ordered so the closing edge
+    # is oriented v -> w under the same (degree, id) key.
+    l = o.select("u", F.col("v").alias("v"), F.col("dv").alias("dv1"))
+    r = o.select("u", F.col("v").alias("w"), F.col("dv").alias("dv2"))
+    wedges = l.join(r, "u").filter(
+        (F.col("dv1") < F.col("dv2"))
+        | ((F.col("dv1") == F.col("dv2")) & (F.col("v") < F.col("w")))
+    )
+    closing = o.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    tris = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+    per_node = (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return nodes.join(per_node, "node", "left").select(
+        "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )

@@ -229,3 +229,107 @@ def kmv_intersection(
             (F.col("shared") / F.col("kept")) * union_est, digits
         ).alias("intersection_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DDSketch (Masson, Lee & Rong, VLDB 2019): relative-error quantile
+# sketch.  Bucket i = ceil(log_gamma(x)) with gamma = (1+alpha)/(1-alpha)
+# guarantees every estimate is within alpha relative error of the true
+# quantile.  The sketch is a tiny (group, sign, bucket, cnt) table —
+# mergeable by plain cell-wise addition (same law as the CMS above),
+# which is what makes it the production shape for distributed and
+# streaming percentiles: each partition/micro-batch sketches locally,
+# merge is a groupBy sum, quantile reads are a cumulative walk.
+# Zero and negative values get a sign column (-1/0/+1); walk order is
+# (sign, sign*bucket) ascending, i.e. most-negative first.
+# ---------------------------------------------------------------------------
+
+
+def _dd_gamma(alpha: float) -> float:
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def ddsketch_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    alpha: float = 0.01,
+) -> DataFrame:
+    """One pass -> (group..., sign, bucket, cnt); map-side combined."""
+    import math
+
+    lng = math.log(_dd_gamma(alpha))
+    v = F.col(value_col)
+    sign = F.when(v > 0, 1).when(v < 0, -1).otherwise(0)
+    bucket = (
+        F.when(v > 0, F.ceil(F.log(v) / F.lit(lng)))
+        .when(v < 0, F.ceil(F.log(-v) / F.lit(lng)))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return (
+        df.filter(~F.isnan(v) & v.isNotNull())
+        .groupBy(*group_cols, sign.alias("sign"), bucket.alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def ddsketch_merge(
+    a: DataFrame, b: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Cell-wise addition — the distributed/streaming merge law."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "sign", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def ddsketch_quantiles(
+    sketch: DataFrame,
+    group_cols: Sequence[str] = (),
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    alpha: float = 0.01,
+    digits: int = 4,
+) -> DataFrame:
+    """Quantile reads: per group and q, the first bucket (in value
+    order) whose cumulative count reaches rank floor(q*(n-1))+1;
+    estimate = sign * 2*gamma^bucket / (gamma+1).  Deterministic —
+    exact integer ranks, fixed walk order."""
+    import math
+
+    g = _dd_gamma(alpha)
+    gc = list(group_cols)
+    w_ord = Window.partitionBy(*gc).orderBy("sign", F.col("sign") * F.col("bucket"))
+    w_all = Window.partitionBy(*gc)
+    cum = sketch.select(
+        *gc,
+        "sign",
+        "bucket",
+        F.sum("cnt").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    spark = sketch.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    rank = F.floor(F.col("q") * (F.col("n") - 1)) + 1
+    hit = cum.crossJoin(F.broadcast(qdf)).filter(F.col("cum") >= rank)
+    first = hit.groupBy(*gc, "q", "n").agg(
+        F.min(
+            F.struct(
+                F.col("sign"),
+                (F.col("sign") * F.col("bucket")).alias("ord"),
+                F.col("bucket"),
+            )
+        ).alias("fb")
+    )
+    est = F.when(
+        F.col("fb.sign") == 0, F.lit(0.0)
+    ).otherwise(
+        F.col("fb.sign")
+        * F.lit(2.0)
+        * F.pow(F.lit(g), F.col("fb.bucket"))
+        / F.lit(g + 1.0)
+    )
+    return first.select(
+        *gc, "q", F.col("n").alias("n_values"), F.round(est, digits).alias("estimate")
+    )

@@ -943,6 +943,100 @@ def hash_classifier_score(
     )
 
 
+def minhash_prep(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared MinHash prep: (base, banded) for one side of a near-dup
+    check — ``base`` = (id, sh) shingle sets, ``banded`` = (id, band,
+    bucket) LSH keys.  This pair IS the persistable near-dup index: a
+    production ingest pipeline writes it once per batch and appends,
+    instead of re-shingling history every day (see
+    ``streaming.pipeline.dedup_admission`` for the streaming form)."""
+    from sparkgraft.operators.scale import widen_narrow_scan
+
+    rows = num_hashes // bands
+    # Shingling + the md5 minhashes per doc are CPU-dense and run at
+    # the scan's parallelism — widen a narrow scan first (no-op on a
+    # production-wide one).
+    base = widen_narrow_scan(df).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            word_shingles(tokenize(F.col(text_col)), shingle_k)
+        ).alias("sh"),
+    ).persist()
+    sig = base.select("id", "sh", *minhash_signature(F.col("sh"), num_hashes))
+    banded = sig.select(
+        "id",
+        F.explode(
+            lsh_bands([F.col(f"mh_{j}") for j in range(num_hashes)], bands, rows)
+        ).alias("bb"),
+    ).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    return base, banded
+
+
+def crossside_verdicts(
+    new_base: DataFrame,
+    new_banded: DataFrame,
+    hist_base: DataFrame,
+    hist_banded: DataFrame,
+    new_ids: DataFrame,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Core of the incremental near-dup check on PREPPED sides: banded
+    candidate join (cross-side only), exact-Jaccard verify, per-new-doc
+    verdict.  ``new_ids`` = one (new_id) row per incoming doc so clean
+    docs appear with is_duplicate = false."""
+    cand = (
+        new_banded.select("band", "bucket", F.col("id").alias("new_id"))
+        .join(
+            hist_banded.select("band", "bucket", F.col("id").alias("hist_id")),
+            ["band", "bucket"],
+        )
+        .select("new_id", "hist_id")
+        .distinct()
+    )
+    # Both verify sides scale with the corpus — pin spillable sort-merge
+    # so a size misestimate can't broadcast a shingle table (see the
+    # note in minhash_dedup_pairs; same driver-OOM cliff, measured).
+    verified = (
+        cand.join(
+            new_base.withColumnsRenamed({"id": "new_id", "sh": "sh_n"}).hint(
+                "merge"
+            ),
+            "new_id",
+        )
+        .join(
+            hist_base.withColumnsRenamed({"id": "hist_id", "sh": "sh_h"}).hint(
+                "merge"
+            ),
+            "hist_id",
+        )
+        .select(
+            "new_id",
+            "hist_id",
+            F.round(jaccard(F.col("sh_n"), F.col("sh_h")), 4).alias("j"),
+        )
+        .filter(F.col("j") >= min_jaccard)
+    )
+    best = verified.groupBy("new_id").agg(
+        F.min("hist_id").alias("dup_of"),
+        F.max("j").alias("jaccard"),
+    )
+    return new_ids.join(best.hint("merge"), "new_id", "left").select(
+        F.col("new_id"),
+        F.col("dup_of").isNotNull().alias("is_duplicate"),
+        "dup_of",
+        "jaccard",
+    )
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     history: DataFrame,
@@ -971,76 +1065,21 @@ def incremental_dedup(
     admitted).
     """
 
-    def prep(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-        from sparkgraft.operators.scale import widen_narrow_scan
-
-        rows = num_hashes // bands
-        # Shingling + 12 md5 minhashes per doc are CPU-dense and run at
-        # the scan's parallelism — widen a narrow scan first (no-op on
-        # a production-wide one).
-        base = widen_narrow_scan(df).select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(
-                word_shingles(tokenize(F.col(text_col)), shingle_k)
-            ).alias("sh"),
-        ).persist()
-        sig = base.select("id", "sh", *minhash_signature(F.col("sh"), num_hashes))
-        banded = sig.select(
-            "id",
-            F.explode(
-                lsh_bands(
-                    [F.col(f"mh_{j}") for j in range(num_hashes)], bands, rows
-                )
-            ).alias("bb"),
-        ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-        return base, banded
-
-    new_base, new_banded = prep(new_docs)
-    hist_base, hist_banded = prep(history)
-    cand = (
-        new_banded.select("band", "bucket", F.col("id").alias("new_id"))
-        .join(
-            hist_banded.select("band", "bucket", F.col("id").alias("hist_id")),
-            ["band", "bucket"],
-        )
-        .select("new_id", "hist_id")
-        .distinct()
+    new_base, new_banded = minhash_prep(
+        new_docs, id_col, text_col, shingle_k, num_hashes, bands
     )
-    # Both verify sides scale with the corpus — pin spillable sort-merge so a size
-    # misestimate can't broadcast a shingle table (see the note in
-    # minhash_dedup_pairs; same driver-OOM cliff, measured).
-    verified = (
-        cand.join(
-            new_base.withColumnsRenamed({"id": "new_id", "sh": "sh_n"}).hint("merge"),
-            "new_id",
-        )
-        .join(
-            hist_base.withColumnsRenamed({"id": "hist_id", "sh": "sh_h"}).hint(
-                "shuffle_hash"
-            ),
-            "hist_id",
-        )
-        .select(
-            "new_id",
-            "hist_id",
-            F.round(jaccard(F.col("sh_n"), F.col("sh_h")), 4).alias("j"),
-        )
-        .filter(F.col("j") >= min_jaccard)
+    hist_base, hist_banded = minhash_prep(
+        history, id_col, text_col, shingle_k, num_hashes, bands
     )
-    best = verified.groupBy("new_id").agg(
-        F.min("hist_id").alias("dup_of"),
-        F.max("j").alias("jaccard"),
+    out = crossside_verdicts(
+        new_base,
+        new_banded,
+        hist_base,
+        hist_banded,
+        new_docs.select(F.col(id_col).alias("new_id")),
+        min_jaccard,
     )
-    return (
-        new_docs.select(F.col(id_col).alias("new_id"))
-        .join(best.hint("merge"), "new_id", "left")
-        .select(
-            F.col("new_id").alias(id_col),
-            F.col("dup_of").isNotNull().alias("is_duplicate"),
-            "dup_of",
-            "jaccard",
-        )
-    )
+    return out.withColumnRenamed("new_id", id_col)
 
 
 def ngram_lm_score(
@@ -1193,4 +1232,100 @@ def span_coverage_gate(
                 <= F.lit(max_dup_permille) * F.col("n_tokens")
             ).alias("keep"),
         )
+    )
+
+
+def gopher_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, table A1)
+    plus a character-entropy signal — the rule-based filter stage every
+    LLM curation pipeline runs before model-based scoring.
+
+    Per document, all as shuffle-free projections (scan-speed at any
+    corpus size): word count and mean word length bounds, symbol-to-
+    word ratio (# and ellipsis), bullet-started / ellipsis-ended line
+    fractions, fraction of words containing an alphabetic character,
+    duplicate-line fraction, and Shannon character entropy; ``keep``
+    is the conjunction of the classic thresholds.
+
+    Determinism: entropy folds cnt*ln(cnt) terms quantized to
+    DECIMAL(18,6) over the SORTED distinct-character array, so the
+    reduction is exact integer arithmetic in a fixed order — engine-
+    portable (the DuckDB oracle mirrors the same fold).
+    """
+    words = tokenize(F.col(text_col))
+    n_words = F.size(words)
+    word_lens = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    mean_wl = word_lens.cast("double") / n_words
+    n_sym = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\.")).cast("double")
+    lines = F.split(F.col(text_col), r"\n")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))
+    )
+    ellipsis_lines = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$")))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    dup_lines = n_lines - F.size(F.array_distinct(lines))
+    # Shannon entropy over characters: H = ln(n) - sum(cnt*ln(cnt))/n,
+    # each term quantized before the exact decimal fold.
+    chars = F.split(F.col(text_col), "")
+    n_chars = F.length(F.col(text_col))
+    uniq = F.array_sort(F.array_distinct(chars))
+    ent_terms = F.transform(
+        uniq,
+        lambda c: F.round(
+            F.size(F.filter(chars, lambda x: x == c)).cast("double")
+            * F.log(F.size(F.filter(chars, lambda x: x == c)).cast("double")),
+            6,
+        ).cast("decimal(18,6)"),
+    )
+    ent_sum = F.aggregate(
+        ent_terms,
+        F.lit(0).cast("decimal(28,6)"),
+        # Re-cast each step: decimal + decimal widens to (29,6), but the
+        # fold's accumulator type is fixed.  Lossless here (terms are
+        # n*ln(n) for n <= doc length — nowhere near 10^22).
+        lambda a, x: (a + x).cast("decimal(28,6)"),
+    )
+    entropy = F.when(
+        n_chars > 0,
+        F.round(
+            F.log(n_chars.cast("double"))
+            - ent_sum.cast("double") / n_chars.cast("double"),
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+    sym_ratio = F.round(n_sym / n_words, 4)
+    bullet_frac = F.round(bullet_lines.cast("double") / n_lines, 4)
+    ellipsis_frac = F.round(ellipsis_lines.cast("double") / n_lines, 4)
+    alpha_frac = F.round(alpha_words.cast("double") / n_words, 4)
+    dup_line_frac = F.round(dup_lines.cast("double") / n_lines, 4)
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= 3.0)
+        & (mean_wl <= 10.0)
+        & (sym_ratio < 0.1)
+        & (bullet_frac < 0.9)
+        & (ellipsis_frac < 0.3)
+        & (alpha_frac >= 0.8)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        dup_line_frac.alias("dup_line_frac"),
+        entropy.alias("char_entropy"),
+        keep.alias("keep"),
     )

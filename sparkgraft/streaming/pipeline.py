@@ -410,3 +410,107 @@ def drift_monitor(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def dedup_admission(
+    stream,
+    history_dir: str,
+    checkpoint_dir: str,
+    sink,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 12,
+    bands: int = 2,
+    min_jaccard: float = 0.5,
+    trigger: dict | None = None,
+):
+    """Streaming near-dup ADMISSION — the live form of
+    ``textops.incremental_dedup`` and the production daily-ingest
+    shape: each micro-batch's documents are checked against the
+    PERSISTED MinHash index of everything admitted so far, then the
+    admitted (non-duplicate) docs' signatures are appended to that
+    index.  History is never re-shingled: the index holds the prepped
+    (id, sh) shingle sets and (id, band, bucket) LSH keys as two
+    parquet tables under ``history_dir`` — exactly the "write the
+    banded table once, append to it" discipline the batch operator's
+    docstring prescribes.
+
+    Exactly-once under ``foreachBatch`` replays WITHOUT a rewrite-
+    capable store: every index row carries ``_batch_id``, verdicts for
+    batch N are computed against ``_batch_id < N`` only, and the
+    append is skipped when rows for N already exist — so a crash
+    between append and checkpoint-commit replays to identical verdicts
+    and no duplicate index rows.  ``sink(verdicts_df, batch_id)``
+    receives one row per incoming doc: (doc_id, is_duplicate, dup_of,
+    jaccard).
+
+    Scale shape: per batch, one shingle pass over the BATCH only; the
+    candidate join crosses batch x history buckets (compact keys);
+    index append is the admitted subset.  All heavy joins inherit the
+    spillable-merge pinning of crossside_verdicts.
+    """
+    import os
+
+    from sparkgraft.operators.textops import crossside_verdicts, minhash_prep
+
+    base_dir = os.path.join(history_dir, "base")
+    banded_dir = os.path.join(history_dir, "banded")
+
+    def _read_or_empty(spark, path, schema):
+        if os.path.isdir(path):
+            return spark.read.schema(schema).parquet(path)
+        return spark.createDataFrame([], schema)
+
+    def on_batch(batch, batch_id: int) -> None:
+        spark = batch.sparkSession
+        new_base, new_banded = minhash_prep(
+            batch, id_col, text_col, shingle_k, num_hashes, bands
+        )
+        new_base = new_base.persist()
+        base_schema = new_base.schema.add("_batch_id", "long")
+        banded_schema = new_banded.schema.add("_batch_id", "long")
+        hist_base_all = _read_or_empty(spark, base_dir, base_schema)
+        hist_banded_all = _read_or_empty(spark, banded_dir, banded_schema)
+        # Replay safety: verdicts only ever see strictly-older batches.
+        hist_base = hist_base_all.filter(F.col("_batch_id") < batch_id)
+        hist_banded = hist_banded_all.filter(F.col("_batch_id") < batch_id)
+        verdicts = crossside_verdicts(
+            new_base,
+            new_banded,
+            hist_base.drop("_batch_id"),
+            hist_banded.drop("_batch_id"),
+            batch.select(F.col(id_col).alias("new_id")),
+            min_jaccard,
+        ).withColumnRenamed("new_id", id_col)
+        verdicts = verdicts.persist()
+        verdicts.count()
+        sink(verdicts, batch_id)
+        already = (
+            hist_base_all.filter(F.col("_batch_id") == batch_id).limit(1).count()
+            > 0
+        )
+        if not already:
+            admitted = verdicts.filter(~F.col("is_duplicate")).select(
+                F.col(id_col).alias("id")
+            )
+            (
+                new_base.join(admitted, "id")
+                .withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(base_dir)
+            )
+            (
+                new_banded.join(admitted, "id")
+                .withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(banded_dir)
+            )
+        verdicts.unpersist()
+        new_base.unpersist()
+
+    writer = stream.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    trig = trigger or {"availableNow": True}
+    return writer.trigger(**trig).start()

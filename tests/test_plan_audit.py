@@ -184,3 +184,37 @@ def test_span_gate_text_never_shuffles(spark):
     plan = audit.explain_str(df)
     for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in keys, plan
+
+
+def test_suffix_dedup_single_kernel_pass(spark):
+    """The window-count rewrite is real: exactly ONE Arrow kernel
+    (FlatMapGroupsInPandas) in the plan — the two-tier variant ran it
+    from three subtrees (measured 2x slower end-to-end)."""
+    df = entrymod.q_suffix_dedup(spark, SF_DIR)
+    plan = audit.explain_str(df)
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+
+
+def test_gopher_gate_shuffle_free(spark):
+    df = entrymod.q_gopher_gate(spark, SF_DIR)
+    assert audit.count_shuffles(df) == 0, audit.explain_str(df)
+
+
+def test_minhash_verify_joins_never_broadcast_corpus(spark):
+    """The 32x-soak OOM fix is pinned: the exact-Jaccard verify joins
+    must be shuffled sort-merge (spillable), never a broadcast of the
+    corpus-side shingle table — whatever the size estimates say."""
+    df = entrymod.q_minhash_dedup(spark, SF_DIR)
+    plan = audit.explain_str(df)
+    import re
+
+    # Every join whose key list carries id_a/id_b (the verify joins)
+    # must be a SortMergeJoin.
+    for m in re.finditer(r"(\w+Join)\w* \[(id_[ab])[#\d]*\]", plan):
+        assert m.group(1) == "SortMergeJoin", plan
+
+
+def test_maxsim_query_side_broadcasts(spark):
+    df = entrymod.q_maxsim_rerank(spark, SF_DIR)
+    plan = audit.explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan

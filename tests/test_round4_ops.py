@@ -105,3 +105,186 @@ def test_maxsim_matches_reference_and_self_top1(spark):
         top = [r for r in got if r["q_doc"] == qd and r["rnk"] == 1][0]
         assert top["d_doc"] == qd
         assert math.isclose(top["maxsim"], 4.0, abs_tol=1e-6)
+
+
+def tri_counts(spark, edge_list):
+    from sparkgraft.operators.graph import triangle_count
+
+    df = spark.createDataFrame(edge_list, "src int, dst int")
+    return {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+
+
+def test_triangle_count_k4(spark):
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    # K4 has 4 triangles; every node sits in 3.
+    assert tri_counts(spark, edges) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_count_triangle_with_pendant_and_path(spark):
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6), (6, 7)]
+    assert tri_counts(spark, edges) == {
+        1: 1, 2: 1, 3: 1, 4: 0, 5: 0, 6: 0, 7: 0,
+    }
+
+
+def test_triangle_count_bowtie_and_dup_edges(spark):
+    # Two triangles sharing node 3; duplicate/reversed edges collapse.
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3),
+             (2, 1), (1, 3), (3, 3)]
+    assert tri_counts(spark, edges) == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
+
+
+def test_gopher_quality_planted(spark):
+    from sparkgraft.operators.textops import gopher_quality
+
+    good = "the quick brown fox jumps over the lazy dog and keeps running fast today"
+    bullets = "- one\n- two\n- three\n- four"
+    symbols = "lots # of # symbols # here # now # ok # more # and # again # yes"
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, symbols)], "doc_id int, text string"
+    )
+    rows = {r["doc_id"]: r for r in gopher_quality(df, min_words=5).collect()}
+    assert rows[1]["keep"]
+    assert rows[2]["bullet_line_frac"] == 1.0 and not rows[2]["keep"]
+    assert rows[3]["symbol_word_ratio"] == round(9 / 19, 4) and not rows[3]["keep"]
+    # entropy of a single repeated char is 0; of distinct chars = ln(n)
+    import math
+
+    df2 = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abcd")], "doc_id int, text string"
+    )
+    r2 = {r["doc_id"]: r for r in gopher_quality(df2, min_words=1).collect()}
+    assert r2[1]["char_entropy"] == 0.0
+    assert abs(r2[2]["char_entropy"] - round(math.log(4), 4)) < 1e-9
+
+
+def test_ddsketch_relative_error_and_merge_law(spark):
+    from sparkgraft.operators.sketch import (
+        ddsketch_build,
+        ddsketch_merge,
+        ddsketch_quantiles,
+    )
+
+    import random
+
+    rnd = random.Random(42)
+    vals = [rnd.lognormvariate(2.0, 1.0) for _ in range(2000)]
+    half = len(vals) // 2
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    a = spark.createDataFrame([(v,) for v in vals[:half]], "value double")
+    b = spark.createDataFrame([(v,) for v in vals[half:]], "value double")
+
+    alpha = 0.01
+    sk = ddsketch_build(df, "value", alpha=alpha)
+    est = {
+        r["q"]: r["estimate"]
+        for r in ddsketch_quantiles(sk, qs=(0.5, 0.9, 0.99), alpha=alpha).collect()
+    }
+    svals = sorted(vals)
+    for q, e in est.items():
+        exact = svals[int(q * (len(vals) - 1))]
+        assert abs(e - exact) / exact <= alpha + 1e-6, (q, e, exact)
+
+    # Merge law: sketch(A ∪ B) == merge(sketch A, sketch B), exactly.
+    merged = ddsketch_merge(
+        ddsketch_build(a, "value", alpha=alpha),
+        ddsketch_build(b, "value", alpha=alpha),
+    )
+    t1 = sorted(tuple(r) for r in sk.collect())
+    t2 = sorted(tuple(r) for r in merged.collect())
+    assert t1 == t2
+
+
+def test_ddsketch_signs_and_zero(spark):
+    from sparkgraft.operators.sketch import ddsketch_build, ddsketch_quantiles
+
+    vals = [-100.0, -10.0, 0.0, 10.0, 100.0]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    sk = ddsketch_build(df, "value", alpha=0.01)
+    est = {
+        r["q"]: r["estimate"]
+        for r in ddsketch_quantiles(sk, qs=(0.0, 0.5, 1.0), alpha=0.01).collect()
+    }
+    assert est[0.0] < -99  # most negative first in the walk
+    assert est[0.5] == 0.0  # median hits the zero bucket
+    assert abs(est[1.0] - 100.0) / 100.0 <= 0.01
+
+
+def test_streaming_dedup_admission_and_replay(spark, tmp_path):
+    import json
+    import os
+
+    from sparkgraft.streaming.pipeline import dedup_admission
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    hist = str(tmp_path / "history")
+    ckpt = str(tmp_path / "ckpt")
+
+    base_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # Identical shingle set -> identical MinHash bands -> the candidate
+    # join flags it deterministically (a probabilistic near-miss would
+    # make the test flaky at these small band parameters).
+    near = base_text
+    batch1 = [
+        {"doc_id": "a", "text": base_text},
+        {"doc_id": "b", "text": "one two three four five six seven eight nine ten"},
+    ]
+    batch2 = [
+        {"doc_id": "c", "text": near},  # near-dup of a
+        {"doc_id": "d", "text": "totally different words without any overlap here now"},
+    ]
+    with open(src / "b1.json", "w") as fh:
+        fh.write("\n".join(json.dumps(r) for r in batch1))
+
+    got: dict[int, list] = {}
+
+    def sink(df, batch_id):
+        got[batch_id] = sorted(tuple(r) for r in df.collect())
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = dedup_admission(stream, hist, ckpt, sink, min_jaccard=0.5)
+    q.awaitTermination(120)
+
+    with open(src / "b2.json", "w") as fh:
+        fh.write("\n".join(json.dumps(r) for r in batch2))
+    q2 = dedup_admission(stream, hist, ckpt, sink, min_jaccard=0.5)
+    q2.awaitTermination(120)
+
+    all_rows = [r for rows in got.values() for r in rows]
+    by_id = {r[0]: r for r in all_rows}
+    assert not by_id["a"][1] and not by_id["b"][1] and not by_id["d"][1]
+    assert by_id["c"][1] and by_id["c"][2] == "a"  # flagged against history
+
+    # Index holds only admitted docs (a, b, d — not c).
+    idx = spark.read.parquet(os.path.join(hist, "base"))
+    assert sorted(r["id"] for r in idx.select("id").collect()) == ["a", "b", "d"]
+
+    # Crash-replay: fresh checkpoint re-delivers b1.json as batch 0
+    # against an index that already contains batch-0 rows — verdicts
+    # must be identical (strictly-older filter) and no rows duplicated.
+    got2: dict[int, list] = {}
+
+    def sink2(df, batch_id):
+        got2[batch_id] = sorted(tuple(r) for r in df.collect())
+
+    src2 = tmp_path / "arrivals_replay"
+    src2.mkdir()
+    with open(src2 / "b1.json", "w") as fh:
+        fh.write("\n".join(json.dumps(r) for r in batch1))
+    stream2 = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src2))
+    )
+    q3 = dedup_admission(
+        stream2, hist, str(tmp_path / "ckpt2"), sink2, min_jaccard=0.5
+    )
+    q3.awaitTermination(120)
+    assert got2[0] == got[0]
+    idx2 = spark.read.parquet(os.path.join(hist, "base"))
+    assert idx2.count() == idx.count()  # append skipped on replay
