@@ -1150,6 +1150,17 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[flo
     return cent_rows
 
 
+def q_ann_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both pruned-ANN scale paths under one shape (round-4 window
+    merge, same rule as neardup_signals): the IVF nprobe=2 top-5 and
+    the LSH multiprobe top-5, method-tagged and unioned — one driver
+    row witnesses the two pruning strategies; the standalone queries
+    stay oracle-checked at 51+."""
+    ivf = q_cluster_topk(spark, sf_dir).withColumn("method", F.lit("ivf"))
+    lsh = q_lsh_ann_topk(spark, sf_dir).withColumn("method", F.lit("lsh"))
+    return ivf.unionByName(lsh)
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: corpus ∪ planted near-dups (every
     20th vector ×1.01 — same direction, cos=1, tiny L2 offset), cluster
@@ -1952,6 +1963,39 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact benchmark-contamination scan (rows-only: per-character
+    suffix-automaton walk, not SQL-expressible): every 100th doc plays
+    the eval set; each corpus doc reports the length of its longest
+    substring shared with any benchmark doc — the character-exact
+    complement of the n-gram `decontaminate` gate (a verbatim leak vs
+    many short coincidences).  One shuffle-free mapInPandas pass;
+    brute-force-verified in tests/test_suffixdedup.py."""
+    from sparkgraft.operators.suffixdedup import longest_benchmark_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 0).select("text")
+    return longest_benchmark_overlap(docs, bench)
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    2009): the BM25 top-20 ('hash join vector') fused with the
+    embedding top-20 (brute-force cosine, query vec 0, vec_id ≡
+    doc_id) — score = sum of 1/(60+rank), DECIMAL-exact fold, fused
+    top-10.  The RAG-stack merge of lexical and semantic retrieval."""
+    from sparkgraft.operators.relational import rrf_fuse
+
+    lex = T.bm25_rank(
+        _t(spark, sf_dir, "documents"), ["hash", "join", "vector"], k=20
+    ).select("doc_id", "rnk")
+    emb = _t(spark, sf_dir, "embeddings")
+    sem = SIM.brute_force_topk(
+        emb.filter(F.col("vec_id") == 0), emb, k=20
+    ).select(F.col("neighbor_id").alias("doc_id"), "rnk")
+    return rrf_fuse([lex, sem], k=60, topk=10)
+
+
 def q_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDSketch relative-error quantiles (Masson et al. 2019) per
     event_type: one-pass log-bucket histogram (mergeable by cell-wise
@@ -1976,7 +2020,18 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     to close; shuffles carry node pairs only."""
     from sparkgraft.operators.graph import triangle_count
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    # Every 20th order: the full co-purchase graph at bench SF is
+    # near-COMPLETE on the supplier set (density ~1 — every pair
+    # co-occurs somewhere), which makes triangle counting degenerate
+    # (wedge count ~ n*d^2 explodes while the answer approaches "all
+    # triples").  The sampled graph keeps realistic sparsity; the
+    # operator itself is fixture-agnostic.
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s1"))
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("s2"))
     edges = (
@@ -3333,12 +3388,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # CMS flavors beside HLL/percentile — freeing three slots for the
     # round-3 flagships ngram_lm, split_leakage, ivfpq_ann at 48-50.
     # The demoted queries stay oracle-checked at 51+.
+    # Round-4 window merge: the two pruned-ANN witnesses (IVF
+    # cluster_topk + LSH lsh_ann_topk) fold into ann_pruned
+    # (method-tagged union; cosine_topk stays the sole exact-baseline
+    # witness) — the freed slot promotes suffix_dedup, this round's
+    # verdict-mandated flagship.  The standalone ANN queries stay
+    # oracle-checked at 51+.
     "minhash_dedup": q_minhash_dedup,
     "neardup_signals": q_neardup_signals,
     "embedding_dedup": q_embedding_dedup,
     "cosine_topk": q_cosine_topk,
-    "cluster_topk": q_cluster_topk,
-    "lsh_ann_topk": q_lsh_ann_topk,
+    "ann_pruned": q_ann_pruned,
+    "suffix_dedup": q_suffix_dedup,
     "text_profile": q_text_profile,
     "winnowing": q_winnowing,
     "sketch_sanity": q_sketch_sanity,
@@ -3359,8 +3420,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- position 51+: second witnesses / engine extras --------------------
     # (first in line if the driver window ever widens.  The round-4
     # demotions lead — each §2/LLM row they witnessed keeps an
-    # in-window witness: simhash/ngram_jaccard/fuzzy_match via
-    # neardup_signals, text_stats/lang_id via text_profile.)
+    # in-window witness: cluster_topk/lsh_ann_topk via ann_pruned,
+    # simhash/ngram_jaccard/fuzzy_match via neardup_signals,
+    # text_stats/lang_id via text_profile.)
+    "cluster_topk": q_cluster_topk,
+    "lsh_ann_topk": q_lsh_ann_topk,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "fuzzy_match": q_fuzzy_match,
@@ -3454,7 +3518,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "personalized_pagerank": q_personalized_pagerank,
     "streaming_drift": q_streaming_drift,
     # --- round 4: suffix-array-class exact substring dedup ---
-    "suffix_dedup": q_suffix_dedup,
+    # (suffix_dedup itself is in-window above)
     "suffix_gate": q_suffix_gate,
     "longest_repeat": q_longest_repeat,
     # --- round 4: BPE tokenizer training/segmentation ---
@@ -3467,6 +3531,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_count": q_triangle_count,
     "ddsketch": q_ddsketch,
     "stream_admission": q_stream_admission,
+    "hybrid_rrf": q_hybrid_rrf,
+    "benchmark_overlap": q_benchmark_overlap,
 }
 
 
@@ -6432,6 +6498,15 @@ def _llm_oracles() -> dict[str, str]:
                    WHEN 'src3' THEN '4000'
                    ELSE '1999' END
     """
+
+    # Round-4 window merge: both pruned-ANN paths, method-tagged.
+    o["ann_pruned"] = f"""
+        SELECT 'ivf' AS method, query_id, neighbor_id, cos_sim, rnk
+        FROM ({o["cluster_topk"]})
+        UNION ALL
+        SELECT 'lsh' AS method, query_id, neighbor_id, cos_sim, rnk
+        FROM ({o["lsh_ann_topk"]})
+    """
     return o
 
 
@@ -6575,6 +6650,81 @@ ORACLES["suffix_gate"] = f"""
     FROM base b LEFT JOIN per_doc p USING (doc_id)
 """
 
+# Mirrors relational.rrf_fuse over the bm25_search and cosine fixtures:
+# both source rankings re-derived at top-20, reciprocal terms quantized
+# to DECIMAL(18,12) before the exact fused sum, ties on doc_id.
+ORACLES["hybrid_rrf"] = r"""
+    WITH base AS (
+        SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        FROM documents
+    ),
+    d AS (
+        SELECT doc_id, len(t) AS dl,
+               list_filter(t, x -> x IN ('hash', 'join', 'vector')) AS q
+        FROM base
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM d
+    ),
+    m AS (SELECT doc_id, dl, unnest(q) AS term FROM d),
+    tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf FROM m GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    bscored AS (
+        SELECT doc_id,
+               round(sum(
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))
+               ), 4) AS bm25
+        FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        GROUP BY 1
+    ),
+    lex AS (
+        SELECT doc_id, rnk FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk
+            FROM bscored
+        ) WHERE rnk <= 20
+    ),
+    qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+    cscored AS (
+        SELECT e.vec_id AS doc_id,
+               round(
+                   list_sum(list_transform(generate_series(1, len(q.v)),
+                       i -> CAST(q.v[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(q.v,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                   6) AS cos_sim
+        FROM embeddings e CROSS JOIN qv q
+        WHERE e.vec_id <> 0
+    ),
+    sem AS (
+        SELECT doc_id, rnk FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS rnk
+            FROM cscored
+        ) WHERE rnk <= 20
+    ),
+    uni AS (
+        SELECT doc_id, rnk FROM lex UNION ALL SELECT doc_id, rnk FROM sem
+    ),
+    fused AS (
+        SELECT doc_id,
+               sum(CAST(round(1.0 / (60 + rnk), 12) AS DECIMAL(18,12))) AS s,
+               count(*) AS n_lists
+        FROM uni GROUP BY doc_id
+    )
+    SELECT doc_id, round(CAST(s AS DOUBLE), 6) AS rrf_score, n_lists,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rnk
+        FROM fused
+    ) WHERE rnk <= 10
+"""
+
 # Mirrors sketch.ddsketch_build/ddsketch_quantiles: same gamma literal
 # on both engines, identical bucket math and walk order.
 import math as _math
@@ -6627,7 +6777,8 @@ ORACLES["ddsketch"] = f"""
 # same canonicalization, (degree, id) orientation, ordered wedges and
 # closing-edge join — exact integer counts.
 ORACLES["triangle_count"] = """
-    WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                WHERE l_orderkey % 20 = 0),
     e AS (
         SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
         FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey

@@ -126,6 +126,8 @@ HEADLINE = [
     "triangle_count",
     "ddsketch",
     "maxsim_rerank",
+    "hybrid_rrf",
+    "benchmark_overlap",
 ]
 
 

@@ -4,13 +4,15 @@ oracle-checked operators.
 
     scrub (PII) → quality gates (length/stopword + repetition +
     classifier score + bigram-LM coherence + duplicated-span
-    coverage) → near-dup dedup (MinHash pairs → connected
-    components → keep representatives) → semantic dedup (SemDeDup over
-    embeddings) → benchmark decontamination (n-gram overlap) →
-    domain mixing (temperature weights → stratified sample → shuffle
-    key + shard) → chunk (context windows) → pack (fixed-token
-    sequences) → split (leakage-safe train/holdout) → leakage audit
-    (cross-split near-dup check)
+    coverage + Gopher rule battery + exact-substring coverage) →
+    near-dup dedup (MinHash pairs → connected components → keep
+    representatives) → semantic dedup (SemDeDup over embeddings) →
+    benchmark decontamination (n-gram overlap) → domain mixing
+    (temperature weights → stratified sample → shuffle key + shard) →
+    chunk (context windows) → pack (fixed-token sequences) → split
+    (leakage-safe train/holdout) → leakage audit (cross-split
+    near-dup check) → BPE tokenizer trained on the train split +
+    corpus token budget
 
 Every stage is a DataFrame projection/join from `sparkgraft.api` — no
 UDFs, no collect() on data paths (only the final per-stage counts) —
@@ -56,11 +58,25 @@ def main(sf_dir: str) -> None:
     spans = sg.span_coverage_gate(scrubbed, max_dup_permille=300).select(
         "doc_id", F.col("keep").alias("span_ok")
     )
+    # Gopher rule battery (word-length/symbol/bullet/alpha bounds +
+    # char entropy) — the rule-based filter in front of everything
+    # model-based.
+    gopher = sg.gopher_quality(scrubbed).select(
+        "doc_id", F.col("keep").alias("gopher_ok")
+    )
+    # Character-level exact-substring coverage (suffix-array-class,
+    # 25-char windows): catches boilerplate the token-window gate is
+    # too coarse for.
+    substr = sg.substring_dedup_stats(
+        scrubbed, min_len=25, n_shards=8, max_coverage=0.5
+    ).select("doc_id", F.col("keep").alias("substr_ok"))
     kept = (
         scrubbed.join(rep, "doc_id")
         .join(clf, "doc_id")
         .join(lm, "doc_id")
         .join(spans, "doc_id")
+        .join(gopher, "doc_id")
+        .join(substr, "doc_id")
         .filter(
             (F.col("n_tokens") >= 10)
             & (F.col("top_token_share") <= 0.5)
@@ -68,6 +84,8 @@ def main(sf_dir: str) -> None:
             & (F.col("score") >= -0.2)  # drop the worst classifier tail
             & (F.col("avg_logp") >= -9.0)  # incoherent-text tail
             & F.col("span_ok")
+            & F.col("gopher_ok")
+            & F.col("substr_ok")
         )
         .select("doc_id", "text")
     )
@@ -160,11 +178,23 @@ def main(sf_dir: str) -> None:
     )
     n_leaks = leaks.filter(F.col("is_duplicate")).count()
 
+    # 8. Tokenizer: train BPE merges on the TRAIN split only (holdout
+    # must not shape the vocabulary), then report the token budget the
+    # curated corpus yields under it.
+    train_docs = tagged.filter(F.col("split") == "train").select(
+        "doc_id", "text"
+    )
+    merges = sg.train_bpe(train_docs, n_merges=16)
+    tokens = sg.bpe_segment(deduped, merges).agg(
+        F.sum("n_tokens").alias("total_tokens")
+    ).collect()[0]["total_tokens"]
+
     print(
         f"docs={n_raw} -> quality={n_quality} -> dedup={n_dedup} -> "
         f"semdedup={n_semdedup} -> decontaminated={n_clean} -> "
         f"mixed={n_mixed} | packs={n_packs} | "
-        f"chunk-rows per split={per_split} | cross-split leaks={n_leaks}"
+        f"chunk-rows per split={per_split} | cross-split leaks={n_leaks} | "
+        f"bpe merges={merges.count()} total tokens={tokens}"
     )
     spark.stop()
 

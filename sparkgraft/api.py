@@ -44,6 +44,7 @@ from sparkgraft.operators.relational import (
     top_k_per_group,
 )
 from sparkgraft.operators.graph import (
+    triangle_count,
     connected_components,
     dedup_representatives,
     pagerank_exact,
@@ -51,6 +52,9 @@ from sparkgraft.operators.graph import (
 )
 from sparkgraft.operators.reshape import flatten_struct, long_to_wide, wide_to_long
 from sparkgraft.operators.sketch import (
+    ddsketch_build,
+    ddsketch_merge,
+    ddsketch_quantiles,
     cms_build,
     cms_lookup,
     cms_merge,
@@ -75,6 +79,7 @@ from sparkgraft.operators.scale import (
     write_bucketed,
 )
 from sparkgraft.operators.similarity import (
+    maxsim_rerank,
     assign_nearest,
     assign_nearest_multi,
     assign_nearest_pandas,
@@ -132,6 +137,8 @@ from sparkgraft.operators.textops import (
     lang_id,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
+    gopher_quality,
+    minhash_prep,
     ngram_lm_score,
     ngram_support,
     normalize_text,
@@ -149,7 +156,17 @@ from sparkgraft.operators.textops import (
     winnow_fingerprints,
     word_shingles,
 )
+from sparkgraft.operators.bpe import (
+    bpe_segment,
+    train_bpe,
+)
+from sparkgraft.operators.suffixdedup import (
+    exact_substring_spans,
+    longest_duplicated_substring,
+    substring_dedup_stats,
+)
 from sparkgraft.operators.timeseries import (
+    holt_winters_forecast,
     holt_forecast,
     resample_interpolate,
     sessionize,

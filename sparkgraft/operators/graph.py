@@ -228,6 +228,10 @@ def triangle_count(
     zeros included.  Deterministic: orientation keys on (degree, id),
     all counts exact integers.
     """
+    # The canonical edge list feeds five plan branches (nodes, degrees,
+    # orientation, wedges x2, closing) — persist it, else each branch
+    # re-derives it from the caller's (possibly join-heavy) edge
+    # expression; same discipline as minhash_dedup_pairs' base table.
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -235,6 +239,7 @@ def triangle_count(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .distinct()
+        .persist()
     )
     nodes = (
         e.select(F.col("a").alias("node"))
@@ -259,7 +264,7 @@ def triangle_count(
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
         F.when(lower_first, F.col("da")).otherwise(F.col("db")).alias("du"),
-    )
+    ).persist()
     # Wedges at u over its out-neighborhood, ordered so the closing edge
     # is oriented v -> w under the same (degree, id) key.
     l = o.select("u", F.col("v").alias("v"), F.col("dv").alias("dv1"))

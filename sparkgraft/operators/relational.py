@@ -260,3 +260,54 @@ def merge_intervals(
         F.max(end_col).alias("island_end"),
         F.count("*").alias("n_merged"),
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+    k: int = 60,
+    topk: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    hybrid-retrieval combiner: given N ranked lists over the same id
+    space, score(id) = sum over lists of 1/(k + rank), rank the fused
+    scores, keep the top-k.  How lexical (BM25) and semantic (ANN)
+    retrieval merge in a RAG stack.
+
+    Determinism: each reciprocal term quantizes to DECIMAL(18,12)
+    before an exact sum (union order can't perturb the score), the
+    fused rank ties break on id.  Scale: inputs are top-k lists —
+    already tiny — so the union/aggregate is driver-light metadata
+    work no matter the corpus size behind the rankings.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    tagged = [
+        r.select(F.col(id_col).alias("id"), F.col(rank_col).alias("rnk"))
+        for r in rankings
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), tagged)
+    term = (
+        F.round(F.lit(1.0) / (F.lit(k) + F.col("rnk")), 12)
+        .cast("decimal(18,12)")
+    )
+    scored = (
+        u.select("id", term.alias("t"))
+        .groupBy("id")
+        .agg(F.sum("t").alias("s"), F.count("*").alias("n_lists"))
+    )
+    w = Window.orderBy(F.desc("s"), F.asc("id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select(
+            F.col("id").alias(id_col),
+            F.round(F.col("s").cast("double"), digits).alias("rrf_score"),
+            "n_lists",
+            "rnk",
+        )
+    )

@@ -349,3 +349,127 @@ def _shard_of(doc_id: str, n_shards: int = 8) -> int:
     """Python twin of the shard assignment (for tests that plant
     cross-shard repeats deliberately)."""
     return zlib.crc32(doc_id.encode()) % n_shards
+
+
+def _build_suffix_automaton(corpus: str):
+    """Classic online suffix-automaton construction (Blumer et al.
+    1985 form): returns (transitions, links, lengths) over the corpus
+    string.  O(n) states/transitions; pure-Python dicts are fine at
+    benchmark-set sizes (the corpus side never builds one)."""
+    trans: list[dict[str, int]] = [{}]
+    link: list[int] = [-1]
+    length: list[int] = [0]
+    last = 0
+    for ch in corpus:
+        cur = len(trans)
+        trans.append({})
+        link.append(-2)
+        length.append(length[last] + 1)
+        p = last
+        while p != -1 and ch not in trans[p]:
+            trans[p][ch] = cur
+            p = link[p]
+        if p == -1:
+            link[cur] = 0
+        else:
+            q = trans[p][ch]
+            if length[p] + 1 == length[q]:
+                link[cur] = q
+            else:
+                clone = len(trans)
+                trans.append(dict(trans[q]))
+                link.append(link[q])
+                length.append(length[p] + 1)
+                while p != -1 and trans[p].get(ch) == q:
+                    trans[p][ch] = clone
+                    p = link[p]
+                link[q] = clone
+                link[cur] = clone
+        last = cur
+    return trans, link, length
+
+
+def longest_benchmark_overlap(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bench_chars: int = 50_000_000,
+) -> DataFrame:
+    """Exact benchmark-contamination scan: per corpus document, the
+    length of the LONGEST substring it shares with any benchmark
+    document — the character-exact complement to n-gram
+    `textops.decontaminate` (which thresholds on gram-hit ratio and
+    can't tell one long verbatim leak from many short coincidences).
+
+    Architecture: the benchmark side is small by definition (eval
+    suites, not training corpora) — its text is collected once
+    (bounded, enforced by ``max_bench_chars``) and shipped in the
+    kernel closure; each executor builds ONE generalized suffix
+    automaton over it (separator-joined, so matches never span
+    benchmark docs) and every corpus document streams through the
+    classic longest-match walk in O(len) — state (node, match length),
+    suffix-link fallback on mismatch.  The corpus side is a single
+    shuffle-free ``mapInPandas`` scan: this runs at 100 TB as one pass.
+
+    Returns (id, n_chars, max_overlap, overlap_frac 4dp).  Iterative
+    per-character recurrence — not SQL-expressible; verified against
+    brute force in tests.
+    """
+    import pandas as pd
+
+    texts = [r[0] for r in bench.select(text_col).collect()]
+    total = sum(len(t) for t in texts)
+    if total > max_bench_chars:
+        raise ValueError(
+            f"benchmark side is {total} chars (> {max_bench_chars}); "
+            "the automaton side must be the small corpus"
+        )
+    corpus = "\x00".join(texts)
+
+    def kernel(it):
+        trans, link, length = _build_suffix_automaton(corpus)
+
+        def longest(t: str) -> int:
+            best = 0
+            cur = 0
+            l = 0
+            for ch in t:
+                while cur != 0 and ch not in trans[cur]:
+                    cur = link[cur]
+                    l = length[cur]
+                if ch in trans[cur]:
+                    cur = trans[cur][ch]
+                    l += 1
+                else:
+                    cur = 0
+                    l = 0
+                if l > best:
+                    best = l
+            return best
+
+        for pdf in it:
+            ml = [longest(t) for t in pdf["text"]]
+            n = [len(t) for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_chars": pd.Series(n, dtype="int64"),
+                    "max_overlap": pd.Series(ml, dtype="int64"),
+                }
+            )
+
+    src = docs.select(
+        F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("text")
+    )
+    out = src.mapInPandas(kernel, "id string, n_chars long, max_overlap long")
+    frac = F.when(
+        F.col("n_chars") > 0,
+        F.round(F.col("max_overlap") / F.col("n_chars"), 4),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        F.col("id").alias(id_col),
+        "n_chars",
+        "max_overlap",
+        frac.alias("overlap_frac"),
+    )

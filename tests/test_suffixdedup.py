@@ -219,3 +219,52 @@ def test_duplicated_windows_counts_multiplicity(spark):
     df = spark.createDataFrame(docs, "doc_id string, text string")
     cov = duplicated_windows(df, min_len=L, n_shards=5)
     assert set(r["doc_id"] for r in cov.collect()) == set(ids)
+
+
+def brute_longest_common(t: str, bench: list[str]) -> int:
+    best = 0
+    for b in bench:
+        for i in range(len(t)):
+            for j in range(i + best + 1, len(t) + 1):
+                if t[i:j] in b:
+                    best = max(best, j - i)
+                else:
+                    break
+    return best
+
+
+def test_longest_benchmark_overlap_matches_brute_force(spark):
+    from sparkgraft.operators.suffixdedup import longest_benchmark_overlap
+
+    bench_texts = [
+        "the secret benchmark answer is forty two exactly",
+        "another held out evaluation prompt with unique words",
+    ]
+    docs = [
+        ("clean", "no overlap here at all 1234 zz qq"),
+        ("leak", "prefix the secret benchmark answer is forty two exactly suffix"),
+        ("partial", "contains evaluation prompt with some overlap"),
+        ("crossdoc", "answer is forty two exactly another held out"),  # must NOT span bench docs
+        ("empty", ""),
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id string, text string")
+    bdf = spark.createDataFrame([(t,) for t in bench_texts], "text string")
+    got = {
+        r["doc_id"]: (r["max_overlap"], r["n_chars"])
+        for r in longest_benchmark_overlap(ddf, bdf).collect()
+    }
+    for did, t in docs:
+        assert got[did] == (brute_longest_common(t, bench_texts), len(t)), did
+    # The verbatim leak is found at full benchmark-sentence length.
+    assert got["leak"][0] == len(bench_texts[0])
+
+
+def test_longest_benchmark_overlap_bench_size_guard(spark):
+    import pytest as _pytest
+
+    from sparkgraft.operators.suffixdedup import longest_benchmark_overlap
+
+    ddf = spark.createDataFrame([("a", "x")], "doc_id string, text string")
+    bdf = spark.createDataFrame([("y" * 100,)], "text string")
+    with _pytest.raises(ValueError):
+        longest_benchmark_overlap(ddf, bdf, max_bench_chars=10)
