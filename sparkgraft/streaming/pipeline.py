@@ -514,3 +514,96 @@ def dedup_admission(
     )
     trig = trigger or {"availableNow": True}
     return writer.trigger(**trig).start()
+
+
+def quantile_monitor(
+    stream,
+    value_col: str,
+    checkpoint_dir: str,
+    sink,
+    group_cols: list[str] | None = None,
+    alpha: float = 0.01,
+    qs: tuple = (0.5, 0.9, 0.99),
+    trigger: dict | None = None,
+):
+    """Streaming percentiles via the DDSketch merge law — the way
+    live p99s are actually computed at scale: each micro-batch is
+    sketched with ONE distributed pass (``ddsketch_build``), merged
+    cell-wise into the running sketch (bounded state: one count per
+    log-bucket, ~a few hundred rows per group), and
+    ``sink(quantiles_df, batch_id)`` receives the updated
+    p50/p90/p99 per group after every batch.
+
+    The running sketch persists as JSON rows next to the checkpoint,
+    KEYED BY BATCH ID (the drift_monitor discipline): a foreachBatch
+    replay of batch N merges into the PRE-N snapshot instead of
+    double-counting N's values, and a restarted query resumes from the
+    stored sketch instead of silently restarting percentiles from
+    empty.  Estimates match the batch operator exactly on the same
+    data — the merge law is exact, so streaming vs batch is
+    bit-identical (asserted in tests).
+    """
+    import json
+    import os
+
+    from sparkgraft.operators.sketch import ddsketch_build, ddsketch_quantiles
+
+    gc = list(group_cols or [])
+    state_file = os.path.join(checkpoint_dir, "ddsketch_state.json")
+    state = {"rows": [], "batch_id": None, "prev_rows": []}
+    if os.path.exists(state_file):
+        with open(state_file) as fh:
+            stored = json.load(fh)
+        state["rows"] = [tuple(r) for r in stored["rows"]]
+        state["batch_id"] = stored.get("batch_id")
+        state["prev_rows"] = [tuple(r) for r in stored.get("prev_rows", [])]
+
+    def on_batch(batch, batch_id: int) -> None:
+        spark = batch.sparkSession
+        sk = ddsketch_build(batch, value_col, gc, alpha=alpha)
+        schema_str = ", ".join(
+            [f"`{c}` {batch.schema[c].dataType.simpleString()}" for c in gc]
+            + ["sign int", "bucket long", "cnt long"]
+        )
+        # Replay of batch N: merge into the PRE-N snapshot.
+        base_rows = (
+            state["prev_rows"]
+            if state["batch_id"] is not None and batch_id == state["batch_id"]
+            else state["rows"]
+        )
+        if base_rows:
+            prev = spark.createDataFrame(base_rows, schema_str)
+            merged = (
+                sk.unionByName(prev)
+                .groupBy(*gc, "sign", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            merged = sk
+        rows = [tuple(r) for r in merged.collect()]  # bounded: log-buckets
+        quants = ddsketch_quantiles(
+            spark.createDataFrame(rows, schema_str), gc, qs=qs, alpha=alpha
+        )
+        sink(quants, batch_id)
+        if state["batch_id"] is None or batch_id != state["batch_id"]:
+            state["prev_rows"] = state["rows"]
+        state["rows"] = rows
+        state["batch_id"] = batch_id
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        tmp = state_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "rows": [list(r) for r in state["rows"]],
+                    "prev_rows": [list(r) for r in state["prev_rows"]],
+                    "batch_id": batch_id,
+                },
+                fh,
+            )
+        os.replace(tmp, state_file)
+
+    writer = stream.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    trig = trigger or {"availableNow": True}
+    return writer.trigger(**trig).start()

@@ -288,3 +288,76 @@ def test_streaming_dedup_admission_and_replay(spark, tmp_path):
     assert got2[0] == got[0]
     idx2 = spark.read.parquet(os.path.join(hist, "base"))
     assert idx2.count() == idx.count()  # append skipped on replay
+
+
+def test_streaming_quantile_monitor_matches_batch_and_replays(spark, tmp_path):
+    import json
+    import os
+
+    from sparkgraft.operators.sketch import ddsketch_build, ddsketch_quantiles
+    from sparkgraft.streaming.pipeline import quantile_monitor
+
+    import random
+
+    rnd = random.Random(9)
+    vals1 = [rnd.lognormvariate(1.0, 0.8) for _ in range(400)]
+    vals2 = [rnd.lognormvariate(2.5, 0.4) for _ in range(400)]
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for name, vals in (("b1", vals1), ("b2", vals2)):
+        with open(src / f"{name}.json", "w") as fh:
+            fh.write("\n".join(json.dumps({"value": v}) for v in vals))
+
+    got = {}
+
+    def sink(df, batch_id):
+        got[batch_id] = {r["q"]: r["estimate"] for r in df.collect()}
+
+    stream = (
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    ckpt = str(tmp_path / "ck")
+    q = quantile_monitor(stream, "value", ckpt, sink)
+    q.awaitTermination(120)
+    assert len(got) == 2
+
+    # Streaming result after both batches == batch operator on the
+    # union (the merge law is exact).
+    both = spark.createDataFrame([(v,) for v in vals1 + vals2], "value double")
+    batch_q = {
+        r["q"]: r["estimate"]
+        for r in ddsketch_quantiles(ddsketch_build(both, "value")).collect()
+    }
+    assert got[max(got)] == batch_q
+
+    # Replay of the LAST batch (same batch_id, fresh query on a copy of
+    # the state): estimates identical, no double count.
+    state_before = json.load(open(os.path.join(ckpt, "ddsketch_state.json")))
+    src2 = tmp_path / "in2"
+    src2.mkdir()
+    with open(src2 / "b2.json", "w") as fh:
+        fh.write("\n".join(json.dumps({"value": v}) for v in vals2))
+    ck2 = tmp_path / "ck2"
+    ck2.mkdir()
+    # Seed the new checkpoint dir with the post-crash state: the stored
+    # sketch already INCLUDES batch 1 (the replayed one, delivered as
+    # batch 0 here after the simulated crash).
+    state_before["batch_id"] = 0
+    with open(ck2 / "ddsketch_state.json", "w") as fh:
+        json.dump(state_before, fh)
+    got2 = {}
+
+    def sink2(df, batch_id):
+        got2[batch_id] = {r["q"]: r["estimate"] for r in df.collect()}
+
+    stream2 = (
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src2))
+    )
+    q2 = quantile_monitor(stream2, "value", str(ck2), sink2)
+    q2.awaitTermination(120)
+    assert got2[0] == batch_q  # merged into pre-crash snapshot, not doubled

@@ -84,5 +84,58 @@ def main(sf_dir: str) -> None:
     spark.stop()
 
 
+def round4_soak(sf_dir: str) -> None:
+    """Round-4 additions at 1x/8x/32x: suffix-automaton benchmark
+    overlap (linear walk), DDSketch build+quantiles (aggregate-shaped),
+    gopher rule battery (scan-speed claim)."""
+    from sparkgraft.operators.sketch import ddsketch_build, ddsketch_quantiles
+    from sparkgraft.operators.suffixdedup import longest_benchmark_overlap
+    from sparkgraft.operators.textops import gopher_quality
+
+    spark = get_spark("soak-round4")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = read_table(spark, sf_dir, "documents")
+    bench = base.filter(F.col("doc_id") % 100 == 0).select("text")
+    events = read_table(spark, sf_dir, "events")
+    for factor in (1, 8, 32):
+        big = replicate(base, factor)
+        n = big.count()
+        print(f"factor {factor}x: {n} docs")
+        timed("gopher_quality", gopher_quality(big))
+        timed("benchmark_overlap", longest_benchmark_overlap(big, bench))
+        if factor == 1:
+            ev = events.repartition(32).persist()
+        else:
+            reps = spark.range(factor).select(F.col("id").alias("rep"))
+            ev = (
+                events.crossJoin(reps)
+                .select(
+                    (F.col("event_id") + F.col("rep") * 10_000_000).alias(
+                        "event_id"
+                    ),
+                    "event_type",
+                    (F.col("value") * (1.0 + F.col("rep") / 100.0)).alias(
+                        "value"
+                    ),
+                )
+                .repartition(64)
+                .persist()
+            )
+        print(f"  events: {ev.count()}")
+        timed(
+            "ddsketch",
+            ddsketch_quantiles(
+                ddsketch_build(ev, "value", ["event_type"]), ["event_type"]
+            ),
+        )
+        big.unpersist()
+        ev.unpersist()
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
+    target = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    if os.environ.get("SPARK_GRAFT_SOAK_ROUND4"):
+        round4_soak(target)
+    else:
+        main(target)
