@@ -36,6 +36,7 @@ from sparkgraft.operators.merge import (
     validate_rows,
 )
 from sparkgraft.operators.relational import (
+    rrf_fuse,
     asof_join,
     asof_join_pandas,
     broadcast_lookup,
@@ -161,6 +162,7 @@ from sparkgraft.operators.bpe import (
     train_bpe,
 )
 from sparkgraft.operators.suffixdedup import (
+    longest_benchmark_overlap,
     exact_substring_spans,
     longest_duplicated_substring,
     substring_dedup_stats,
