@@ -1587,6 +1587,42 @@ def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ served from a PERSISTED index (sinks/ann_index.py): the
+    offline build writes cluster-PARTITIONED parquet codes + metadata
+    tables (build memoized per sf_dir); serving filters the codes scan
+    to the query batch's probed clusters — parquet partition pruning,
+    plan-asserted — then runs the identical ADC + exact rerank.  Same
+    fixture parameters as ivfpq_ann, so its DuckDB oracle applies
+    verbatim: the round trip must be bit-identical to the in-memory
+    operator."""
+    import os
+    import tempfile
+
+    from sparkgraft.sinks.ann_index import ivfpq_topk_indexed, write_ann_index
+
+    idx = _FIXTURE_CACHE.get(("ann_index_dir", sf_dir))
+    if idx is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        cents = _ivf_centroids(spark, sf_dir)
+        sub = len(cents[0][1]) // 8
+        cbs = [
+            [(c, v[s * sub : (s + 1) * sub]) for c, v in cents]
+            for s in range(8)
+        ]
+        idx = tempfile.mkdtemp(prefix="sparkgraft_annidx_")
+        write_ann_index(idx, emb, cents, cbs)
+        _FIXTURE_CACHE[("ann_index_dir", sf_dir)] = idx
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk_indexed(
+        emb.filter(F.col("vec_id") < 10),
+        idx,
+        nprobe=3,
+        k=5,
+        shortlist=20,
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event inactivity-gap sessionization (30-min gap): session
     ids + session starts assigned to every event, not aggregated away."""
@@ -3535,6 +3571,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_admission": q_stream_admission,
     "hybrid_rrf": q_hybrid_rrf,
     "benchmark_overlap": q_benchmark_overlap,
+    "ann_index_serve": q_ann_index_serve,
 }
 
 
@@ -7023,6 +7060,9 @@ ORACLES["bpe_segment"] = f"""
 
 ORACLES.update(_report_oracles())
 ORACLES.update(_llm_oracles())
+# The persisted-index round trip (sinks/ann_index.py) is bit-identical
+# to the in-memory ivfpq operator by construction — same oracle.
+ORACLES["ann_index_serve"] = ORACLES["ivfpq_ann"]
 
 
 def oracle_sql() -> dict[str, str]:

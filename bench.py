@@ -128,6 +128,7 @@ HEADLINE = [
     "maxsim_rerank",
     "hybrid_rrf",
     "benchmark_overlap",
+    "ann_index_serve",
 ]
 
 

@@ -175,6 +175,11 @@ from sparkgraft.operators.timeseries import (
     time_weighted_avg,
 )
 from sparkgraft.session import get_spark
+from sparkgraft.sinks.ann_index import (
+    ivfpq_topk_indexed,
+    read_ann_index,
+    write_ann_index,
+)
 from sparkgraft.sinks.event_store_sink import (
     read_event_store,
     register_jsonstore_sink,

@@ -1,0 +1,175 @@
+"""Persisted IVF-PQ ANN index: the offline-build / online-serve split
+every production vector store runs.
+
+Layout under ``index_dir`` (all plain parquet — readable by any
+engine):
+
+- ``codes/``      one row per corpus vector — (neighbor_id, cv, cn,
+                  codes), **partitioned by the IVF cluster** (``part``).
+                  This is the scale lever: a query probing ``nprobe``
+                  of ``n_clusters`` clusters reads ONLY those
+                  partitions' files — Spark turns the probe filter
+                  into parquet PartitionFilters, so at 100 TB the
+                  serving scan touches nprobe/n_clusters of the data
+                  (plan-asserted in tests/test_plan_audit.py).
+- ``centroids/``  (cluster, centroid) — k rows.
+- ``codebooks/``  (sub, cluster, centroid) — m*k rows.
+
+The codes table carries the full vector (``cv``) so the exact-cosine
+rerank is self-contained; ADC-only serving (memory-constrained tiers)
+can drop that column and the layout still works — the ADC stage only
+reads (neighbor_id, codes).
+
+Results are BIT-IDENTICAL to the in-memory
+:func:`sparkgraft.operators.similarity.ivfpq_topk` on the same
+centroids/codebooks (same assignment, encode, ADC and rerank
+expressions) — asserted by the oracle query `ann_index_serve`, which
+reuses `ivfpq_ann`'s DuckDB mirror verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkgraft.operators.similarity import (
+    _adc_lookup,
+    _adc_tables,
+    _dot,
+    _norm,
+    assign_nearest,
+    assign_nearest_multi,
+    pq_encode,
+)
+
+
+def write_ann_index(
+    index_dir: str,
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Offline build: assign + encode every vector once, write the
+    cluster-partitioned codes table and the (tiny) index metadata."""
+    from sparkgraft.operators.scale import widen_narrow_scan
+
+    spark = vectors.sparkSession
+    enc = widen_narrow_scan(vectors).select(
+        F.col(id_col).alias("neighbor_id"),
+        assign_nearest(F.col(vec_col), centroids).alias("part"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+        pq_encode(F.col(vec_col), codebooks).alias("codes"),
+    )
+    enc.write.partitionBy("part").mode("overwrite").parquet(
+        f"{index_dir}/codes"
+    )
+    spark.createDataFrame(
+        [(c, [float(x) for x in v]) for c, v in centroids],
+        "cluster int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in v])
+            for s, cb in enumerate(codebooks)
+            for c, v in cb
+        ],
+        "sub int, cluster int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
+
+
+def read_ann_index(
+    spark: SparkSession, index_dir: str
+) -> tuple[list[tuple[int, list[float]]], list[list[tuple[int, list[float]]]], DataFrame]:
+    """Load the index: metadata collects to the driver (bounded — k and
+    m*k rows of floats, the same class as the centroid fit), codes stay
+    a lazy partitioned scan."""
+    centroids = sorted(
+        (r["cluster"], list(r["centroid"]))
+        for r in spark.read.parquet(f"{index_dir}/centroids").collect()
+    )
+    cb_rows = spark.read.parquet(f"{index_dir}/codebooks").collect()
+    n_sub = max(r["sub"] for r in cb_rows) + 1
+    codebooks = [
+        sorted(
+            (r["cluster"], list(r["centroid"]))
+            for r in cb_rows
+            if r["sub"] == s
+        )
+        for s in range(n_sub)
+    ]
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    return centroids, codebooks, codes
+
+
+def ivfpq_topk_indexed(
+    queries: DataFrame,
+    index_dir: str,
+    nprobe: int = 2,
+    k: int = 5,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """Online serving against a persisted index.  The query batch's
+    probed-cluster set (bounded by n_clusters) filters the codes scan
+    BEFORE the join — a literal ``part IN (...)`` predicate Spark
+    pushes into parquet partition pruning, so only probed clusters'
+    files are read.  ADC + exact rerank are the same expressions as
+    the in-memory operator."""
+    centroids, codebooks, codes = read_ann_index(
+        queries.sparkSession, index_dir
+    )
+    m = len(codebooks)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            assign_nearest_multi(F.col(vec_col), centroids, nprobe)
+        ).alias("part"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+        _adc_tables(F.col(vec_col), codebooks).alias("tabs"),
+    )
+    # Driver-side probed-part list: |queries| x nprobe ids, bounded by
+    # n_clusters — the price of a STATIC partition filter on the scan.
+    probed = sorted(
+        {r["part"] for r in q.select("part").distinct().collect()}
+    )
+    pruned = codes.filter(F.col("part").isin(probed))
+    pairs = pruned.join(F.broadcast(q), "part").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        "qv",
+        "cv",
+        "qn",
+        "cn",
+        F.round(_adc_lookup(F.col("tabs"), F.col("codes"), m), digits).alias(
+            "approx_dist"
+        ),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    top = scored.withColumn("arnk", F.row_number().over(w1)).filter(
+        F.col("arnk") <= shortlist
+    )
+    exact = top.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+            digits,
+        ).alias("cos_sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return exact.withColumn("rnk", F.row_number().over(w2)).filter(
+        F.col("rnk") <= k
+    )

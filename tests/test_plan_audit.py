@@ -218,3 +218,15 @@ def test_maxsim_query_side_broadcasts(spark):
     df = entrymod.q_maxsim_rerank(spark, SF_DIR)
     plan = audit.explain_str(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_ann_index_serve_prunes_partitions(spark):
+    """The persisted-index promise is real: the codes scan must carry
+    PartitionFilters on the probed clusters — serving reads
+    nprobe/n_clusters of the data, not the corpus."""
+    df = entrymod.q_ann_index_serve(spark, SF_DIR)
+    plan = audit.explain_str(df, "formatted")
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "part" in m.group(1), plan[:4000]

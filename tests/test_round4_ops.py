@@ -361,3 +361,49 @@ def test_streaming_quantile_monitor_matches_batch_and_replays(spark, tmp_path):
     q2 = quantile_monitor(stream2, "value", str(ck2), sink2)
     q2.awaitTermination(120)
     assert got2[0] == batch_q  # merged into pre-crash snapshot, not doubled
+
+
+def test_ann_index_roundtrip_equals_in_memory(spark, tmp_path):
+    from sparkgraft.operators.similarity import (
+        centroids_from_labels,
+        ivfpq_topk,
+    )
+    from sparkgraft.sinks.ann_index import (
+        ivfpq_topk_indexed,
+        read_ann_index,
+        write_ann_index,
+    )
+    from sparkgraft.sources.readers import read_table
+    from tests.conftest import SF_DIR
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cents = sorted(
+        (r["cluster"], list(r["centroid"]))
+        for r in centroids_from_labels(emb, "label", "embedding", digits=6).collect()
+    )
+    sub = len(cents[0][1]) // 8
+    cbs = [
+        [(c, v[s * sub : (s + 1) * sub]) for c, v in cents] for s in range(8)
+    ]
+    idx = str(tmp_path / "annidx")
+    write_ann_index(idx, emb, cents, cbs)
+
+    # Metadata survives the round trip exactly.
+    rc, rcb, codes = read_ann_index(spark, idx)
+    assert rc == [(c, [float(x) for x in v]) for c, v in cents]
+    assert len(rcb) == 8 and rcb[0] == [
+        (c, [float(x) for x in v]) for c, v in cbs[0]
+    ]
+    assert codes.count() == emb.count()
+
+    # Served results == in-memory operator, bit for bit.
+    q = emb.filter(F.col("vec_id") < 10)
+    served = sorted(
+        tuple(r)
+        for r in ivfpq_topk_indexed(q, idx, nprobe=3, k=5, shortlist=20).collect()
+    )
+    mem = sorted(
+        tuple(r)
+        for r in ivfpq_topk(q, emb, cents, cbs, nprobe=3, k=5, shortlist=20).collect()
+    )
+    assert served == mem
