@@ -2754,6 +2754,67 @@ def q_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "batch long, admitted long, rejected long")
 
 
+def q_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DDSketch percentiles (rows-only): the events slice
+    staged as two arrival files, drained through ``quantile_monitor``
+    (per-batch one-pass sketch, cell-wise merge into bounded state);
+    returns the FINAL per-type p50/p90/p99 — bit-identical to the
+    batch ddsketch operator on the union (the merge law is exact;
+    asserted in tests).  Memoized per sf_dir like the other streaming
+    fixtures."""
+    import tempfile
+
+    from sparkgraft.streaming.pipeline import quantile_monitor
+
+    cached = _FIXTURE_CACHE.get(("stream_quantiles", sf_dir))
+    if cached is not None:
+        return spark.createDataFrame(
+            cached, "event_type string, q double, n_values long, estimate double"
+        )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter((F.col("event_id") < 2000) & ~F.isnan("value"))
+        .select("event_id", "event_type", "value")
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_squant_")
+    import os
+
+    os.makedirs(f"{tmp}/in", exist_ok=True)
+    for i, pred in ((1, F.col("event_id") % 2 == 0), (2, F.col("event_id") % 2 == 1)):
+        ev.filter(pred).coalesce(1).write.mode("overwrite").json(
+            f"{tmp}/stage_{i}"
+        )
+        import glob
+        import shutil
+
+        src = sorted(glob.glob(f"{tmp}/stage_{i}/part-*.json"))[0]
+        shutil.move(src, f"{tmp}/in/batch_{i}.json")
+
+    got: dict[int, list] = {}
+
+    def sink(df, batch_id):
+        got[batch_id] = [
+            (r["event_type"], r["q"], r["n_values"], r["estimate"])
+            for r in df.collect()
+        ]
+
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .json(f"{tmp}/in")
+    )
+    q = quantile_monitor(
+        stream, "value", f"{tmp}/ckpt", sink, group_cols=["event_type"]
+    )
+    q.awaitTermination(300)
+    rows = sorted(got[max(got)])
+    _FIXTURE_CACHE[("stream_quantiles", sf_dir)] = rows
+    return spark.createDataFrame(
+        rows, "event_type string, q double, n_values long, estimate double"
+    )
+
+
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (rows-only): view and purchase
     events staged as two file streams, inner-joined on user with the
@@ -3572,6 +3633,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_rrf": q_hybrid_rrf,
     "benchmark_overlap": q_benchmark_overlap,
     "ann_index_serve": q_ann_index_serve,
+    "stream_quantiles": q_stream_quantiles,
 }
 
 
