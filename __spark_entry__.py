@@ -932,6 +932,23 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_representatives(pairs, "id_a", "id_b")
 
 
+def q_dedup_clusters_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering via the large-star/small-star two-phase
+    algorithm (Kiveris et al. 2014) — O(log n) rounds regardless of
+    component diameter, the 10^9-edge form of connected components;
+    produces the IDENTICAL grouping as the propagation-based
+    dedup_clusters, so its DuckDB oracle applies verbatim."""
+    from sparkgraft.operators.graph import connected_components_twophase
+
+    pairs = q_minhash_dedup(spark, sf_dir)
+    comp = connected_components_twophase(pairs, "id_a", "id_b")
+    return comp.select(
+        F.col("id"),
+        F.col("cluster_id"),
+        (F.col("id") == F.col("cluster_id")).alias("is_representative"),
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition/diversity gate (distinct ratio, top-token share) —
     the boilerplate/degenerate-text filter for training-data curation;
@@ -3634,6 +3651,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "benchmark_overlap": q_benchmark_overlap,
     "ann_index_serve": q_ann_index_serve,
     "stream_quantiles": q_stream_quantiles,
+    "dedup_clusters_scale": q_dedup_clusters_scale,
 }
 
 
@@ -7125,6 +7143,9 @@ ORACLES.update(_llm_oracles())
 # The persisted-index round trip (sinks/ann_index.py) is bit-identical
 # to the in-memory ivfpq operator by construction — same oracle.
 ORACLES["ann_index_serve"] = ORACLES["ivfpq_ann"]
+# Two-phase CC produces the identical grouping as min-label
+# propagation — same oracle.
+ORACLES["dedup_clusters_scale"] = ORACLES["dedup_clusters"]
 
 
 def oracle_sql() -> dict[str, str]:

@@ -79,3 +79,48 @@ def test_pagerank_exact_deterministic_and_sane(spark):
     assert pr == pr2
     # total mass bounded by the scale and positive
     assert 0 < sum(pr.values()) <= 10**12
+
+
+def test_twophase_equals_label_propagation(spark):
+    import random
+
+    from sparkgraft.operators.graph import (
+        connected_components,
+        connected_components_twophase,
+    )
+
+    def labels(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # Random graph with several components + duplicate/reversed edges
+    # and a short path: equality against the propagation baseline.
+    # (Long paths are checked against the closed-form answer below —
+    # running label propagation on them is exactly the O(diameter)
+    # pathology two-phase exists to avoid.)
+    # Small fixtures: the label-propagation BASELINE costs O(diameter)
+    # driver-looped rounds (~7 s each on the shared test session) — the
+    # very cost profile two-phase replaces, so keep its share tiny.
+    rnd = random.Random(11)
+    randg = [(rnd.randrange(16), rnd.randrange(16)) for _ in range(20)]
+    for edges in (
+        randg,
+        [(i, i + 1) for i in range(6)],
+        [(1, 2), (2, 1), (3, 3), (4, 5)],
+    ):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        a = labels(connected_components(df))
+        b = labels(connected_components_twophase(df))
+        assert a == b, (a[:5], b[:5])
+
+
+def test_twophase_long_path_converges_logarithmically(spark):
+    from sparkgraft.operators.graph import connected_components_twophase
+
+    # 64-node path (diameter 63): label propagation would need 63
+    # rounds; the star alternation must finish inside max_iters=10 and
+    # label every node with the component minimum 0.
+    path = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(path, "id_a long, id_b long")
+    out = connected_components_twophase(df, max_iters=10).collect()
+    assert len(out) == 64
+    assert all(r["cluster_id"] == 0 for r in out)
