@@ -832,11 +832,12 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_neardup_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-signal near-dup panel (round-4 merged witness for the
-    simhash / n-gram-Jaccard / edit-distance family — each operator
-    still runs; one window slot instead of three): per-doc 16-bit
-    SimHash, blocked unigram-Jaccard pairs within each source, and
-    Levenshtein≤2 part-name pairs within each brand, unioned under a
-    common (signal, block, id_a, id_b, value) shape."""
+    simhash / n-gram-Jaccard / edit-distance / winnowing family — each
+    operator still runs; one window slot instead of four): per-doc
+    16-bit SimHash, blocked unigram-Jaccard pairs within each source,
+    Levenshtein≤2 part-name pairs within each brand, and winnowing
+    shared-fingerprint pairs (k=8 char-grams, window=4), unioned under
+    a common (signal, block, id_a, id_b, value) shape."""
     docs = _t(spark, sf_dir, "documents")
     sim = T.simhash16(docs).select(
         F.lit("simhash").alias("signal"),
@@ -878,7 +879,14 @@ def q_neardup_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dist").cast("double").alias("value"),
         )
     )
-    return sim.unionByName(jac).unionByName(fz)
+    win = q_winnowing(spark, sf_dir).select(
+        F.lit("winnowing").alias("signal"),
+        F.lit(None).cast("string").alias("block"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("n_shared").cast("double").alias("value"),
+    )
+    return sim.unionByName(jac).unionByName(fz).unionByName(win)
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1604,6 +1612,18 @@ def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both PQ-ADC scale paths under one shape (round-4 window merge,
+    same rule as ann_pruned): the flat full-corpus ADC top-5 (pq_ann —
+    the documented baseline) and the IVF-probe-pruned ADC top-5
+    (ivfpq_ann — the 100 TB production plan), method-tagged and
+    unioned — one driver row witnesses the quantized-ANN family; the
+    standalone queries stay oracle-checked at 51+."""
+    flat = q_pq_ann(spark, sf_dir).withColumn("method", F.lit("flat"))
+    ivf = q_ivfpq_ann(spark, sf_dir).withColumn("method", F.lit("ivf"))
+    return flat.unionByName(ivf)
+
+
 def q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ served from a PERSISTED index (sinks/ann_index.py): the
     offline build writes cluster-PARTITIONED parquet codes + metadata
@@ -2063,6 +2083,47 @@ def q_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ddsketch_quantiles(
         sk, ["event_type"], qs=(0.5, 0.9, 0.99), alpha=0.01
     )
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift test per event_type:
+    even-user events as the baseline, odd-user events (purchase values
+    scaled x1.2 — a planted distribution shift) as the current batch.
+    All arithmetic exact-integer (DECIMAL(38,0) cross-products, HALF-UP
+    integral-division rounding), so statistic AND verdict are
+    engine-portable; the running-sum window walks per-group distinct
+    VALUES, not raw rows (ks_test_binned is the bounded-domain 100 TB
+    variant)."""
+    from sparkgraft.operators.stats import ks_test
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("user_id") % 2 == 0).select("event_type", "value")
+    cur = ev.filter(F.col("user_id") % 2 == 1).select(
+        "event_type",
+        (
+            F.col("value")
+            * F.when(F.col("event_type") == "purchase", F.lit(1.2)).otherwise(
+                F.lit(1.0)
+            )
+        ).alias("value"),
+    )
+    return ks_test(base, cur, "value", ["event_type"])
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitter tokens (count·100 > corpus token count) via
+    the two-pass Misra-Gries pipeline: per-partition bounded-memory
+    candidate summaries (Arrow kernel, no shuffle, ≤ k-1 counters per
+    partition regardless of vocabulary size), then an exact broadcast-
+    rescan count of the candidate set only — the distinct-key set
+    never shuffles.  Final output is exact and partitioning-
+    independent (the MG guarantee puts every true heavy hitter in the
+    candidate set; the exact filter removes the rest)."""
+    from sparkgraft.operators.sketch import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.tokenize(F.col("text"))).alias("token"))
+    return heavy_hitters(toks, "token", k=100)
 
 
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3492,7 +3553,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "upload_dedup": q_upload_dedup,
     "debounce_gate": q_debounce_gate,
     "alarm_trigger": q_alarm_trigger,
-    "sens_latest_kv": q_sens_latest_kv,
+    # Round-4 promotion: sens_latest_kv was a second witness on every
+    # row it covered (K3 via kv_projection, A2 via latest_per_user +
+    # latest_fallback, P2 via kv_projection) — it moves to 51+ and the
+    # freed slot carries the Gopher rule-based quality gate.
+    "gopher_gate": q_gopher_gate,
     "time_projections": q_time_projections,
     "latest_fallback": q_latest_fallback,
     "event_store_dedup": q_event_store_dedup,
@@ -3517,14 +3582,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pruned": q_ann_pruned,
     "suffix_dedup": q_suffix_dedup,
     "text_profile": q_text_profile,
-    "winnowing": q_winnowing,
+    # Round-4 merge: winnowing joins the neardup_signals panel as its
+    # fourth signal leg — the freed slot carries the BPE tokenizer
+    # (bpe_segment exercises the full train→apply path through the
+    # shared merge-table cache).
+    "bpe_segment": q_bpe_segment,
     "sketch_sanity": q_sketch_sanity,
     "decontaminate": q_decontaminate,
     "paragraph_dedup": q_paragraph_dedup,
     # --- flagship E2E + round-2/3 flagships 40-50 ---
     "e1_flagship": q_e1_flagship,
     "semdedup": q_semdedup,
-    "pq_ann": q_pq_ann,
+    # Round-4 merge: pq_ann + ivfpq_ann fold into adc_ann (flat ADC
+    # baseline + IVF-pruned production plan, method-tagged) — the
+    # second freed slot carries hybrid RRF retrieval fusion at 50.
+    "adc_ann": q_adc_ann,
     "resample": q_resample,
     "robust_outliers": q_robust_outliers,
     "pagerank": q_pagerank,
@@ -3532,13 +3604,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "golden_record": q_golden_record,
     "ngram_lm": q_ngram_lm,
     "split_leakage": q_split_leakage,
-    "ivfpq_ann": q_ivfpq_ann,
+    "hybrid_rrf": q_hybrid_rrf,
     # ---- position 51+: second witnesses / engine extras --------------------
     # (first in line if the driver window ever widens.  The round-4
     # demotions lead — each §2/LLM row they witnessed keeps an
-    # in-window witness: cluster_topk/lsh_ann_topk via ann_pruned,
+    # in-window witness: pq_ann/ivfpq_ann via adc_ann,
+    # cluster_topk/lsh_ann_topk via ann_pruned, winnowing via
+    # neardup_signals' fourth leg, sens_latest_kv via kv_projection +
+    # latest_per_user + latest_fallback,
     # simhash/ngram_jaccard/fuzzy_match via neardup_signals,
     # text_stats/lang_id via text_profile.)
+    "ivfpq_ann": q_ivfpq_ann,
+    "pq_ann": q_pq_ann,
+    "winnowing": q_winnowing,
+    "sens_latest_kv": q_sens_latest_kv,
     "cluster_topk": q_cluster_topk,
     "lsh_ann_topk": q_lsh_ann_topk,
     "simhash": q_simhash,
@@ -3638,20 +3717,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "suffix_gate": q_suffix_gate,
     "longest_repeat": q_longest_repeat,
     # --- round 4: BPE tokenizer training/segmentation ---
+    # (bpe_segment is in-window above; it trains through the shared
+    # merge-table cache, so bpe_merges here is the training witness)
     "bpe_merges": q_bpe_merges,
-    "bpe_segment": q_bpe_segment,
     # --- round 4: multi-vector retrieval + seasonal forecasting ---
+    # (gopher_gate and hybrid_rrf are in-window above)
     "maxsim_rerank": q_maxsim_rerank,
     "holt_winters": q_holt_winters,
-    "gopher_gate": q_gopher_gate,
     "triangle_count": q_triangle_count,
     "ddsketch": q_ddsketch,
     "stream_admission": q_stream_admission,
-    "hybrid_rrf": q_hybrid_rrf,
     "benchmark_overlap": q_benchmark_overlap,
     "ann_index_serve": q_ann_index_serve,
     "stream_quantiles": q_stream_quantiles,
     "dedup_clusters_scale": q_dedup_clusters_scale,
+    # --- round 4 (second session): frequency/drift/training additions ---
+    "heavy_hitters": q_heavy_hitters,
+    "ks_drift": q_ks_drift,
 }
 
 
@@ -4848,6 +4930,10 @@ def _llm_oracles() -> dict[str, str]:
         FROM part a JOIN part b
           ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         WHERE levenshtein(a.p_name, b.p_name) <= 2
+        UNION ALL
+        SELECT 'winnowing', CAST(NULL AS VARCHAR), id_a, id_b,
+               CAST(n_shared AS DOUBLE)
+        FROM ({ORACLES["winnowing"]})
     """
 
     o["text_profile"] = f"""
@@ -5591,6 +5677,15 @@ def _llm_oracles() -> dict[str, str]:
                                          ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
             FROM scored
         ) WHERE rnk <= 5
+    """
+
+    # Round-4 window merge: the quantized-ANN family under one row —
+    # the flat full-corpus ADC baseline beside the IVF-probe-pruned
+    # production plan (both component oracles verbatim).
+    o["adc_ann"] = f"""
+        SELECT 'flat' AS method, * FROM ({o["pq_ann"]})
+        UNION ALL
+        SELECT 'ivf' AS method, * FROM ({o["ivfpq_ann"]})
     """
 
     # Mirrors timeseries.sessionize: lag-gap break + running sum.
@@ -7146,6 +7241,73 @@ ORACLES["ann_index_serve"] = ORACLES["ivfpq_ann"]
 # Two-phase CC produces the identical grouping as min-label
 # propagation — same oracle.
 ORACLES["dedup_clusters_scale"] = ORACLES["dedup_clusters"]
+
+# Heavy hitters: the two-pass MG pipeline's FINAL output is the exact
+# heavy-hitter set — oracle is the plain exact aggregate + threshold.
+ORACLES["heavy_hitters"] = r"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
+        FROM documents
+    ),
+    tot AS (SELECT count(*) AS n_total FROM toks)
+    SELECT token, count(*) AS n,
+           round(count(*) / (SELECT CAST(n_total AS DOUBLE) FROM tot), 6)
+               AS share
+    FROM toks GROUP BY token
+    HAVING count(*) * 100 > (SELECT n_total FROM tot)
+"""
+
+# KS: exact integer cross-products in HUGEINT mirror the operator's
+# DECIMAL(38,0); ks_stat via the same 2S+n integral-division HALF-UP;
+# verdict via the same squared rejection rule (c(0.05) = 1358/1000).
+ORACLES["ks_drift"] = """
+    WITH av AS (
+        SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+        WHERE user_id % 2 = 0 AND value IS NOT NULL AND NOT isnan(value)
+    ),
+    bv AS (
+        SELECT event_type,
+               CAST(value AS DOUBLE)
+                 * CASE WHEN event_type = 'purchase' THEN 1.2 ELSE 1.0 END AS v
+        FROM events
+        WHERE user_id % 2 = 1 AND value IS NOT NULL AND NOT isnan(value)
+    ),
+    u AS (
+        SELECT event_type, v, 1 AS ca, 0 AS cb FROM av
+        UNION ALL
+        SELECT event_type, v, 0 AS ca, 1 AS cb FROM bv
+    ),
+    counts AS (
+        SELECT event_type, v, sum(ca) AS ca, sum(cb) AS cb
+        FROM u GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type,
+               sum(ca) OVER (PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+               sum(cb) OVER (PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+               sum(ca) OVER (PARTITION BY event_type) AS na,
+               sum(cb) OVER (PARTITION BY event_type) AS nb
+        FROM counts
+    ),
+    agg AS (
+        SELECT event_type,
+               max(abs(CAST(cum_a AS HUGEINT) * nb
+                       - CAST(cum_b AS HUGEINT) * na)) AS m,
+               max(na) AS na, max(nb) AS nb
+        FROM cum GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           CAST((2 * m * 1000000 + CAST(na AS HUGEINT) * nb)
+                // (2 * CAST(na AS HUGEINT) * nb) AS DOUBLE) / 1000000.0
+               AS ks_stat,
+           (m * 1000) * (m * 1000)
+               > CAST(1358 AS HUGEINT) * 1358 * (na + nb) * na * nb AS drift
+    FROM agg
+"""
 
 
 def oracle_sql() -> dict[str, str]:

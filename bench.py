@@ -129,6 +129,9 @@ HEADLINE = [
     "hybrid_rrf",
     "benchmark_overlap",
     "ann_index_serve",
+    # round-4 second-session additions
+    "heavy_hitters",
+    "ks_drift",
 ]
 
 

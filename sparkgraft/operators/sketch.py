@@ -245,6 +245,91 @@ def kmv_intersection(
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (Misra & Gries 1982; mergeable-summaries
+# form per Agarwal et al., PODS 2012).  The frequency complement of the
+# sketches above: which keys exceed n/k of a 100 TB stream, without
+# ever shuffling the full distinct-key set.  Phase 1 keeps at most k-1
+# counters PER PARTITION (an Arrow-batched kernel; no shuffle, bounded
+# memory regardless of key cardinality) with the classic guarantee
+# that every key with global count > n/k survives in at least one
+# partition summary.  Phase 2 broadcasts the tiny candidate set back
+# for an exact rescan count — so the FINAL output (candidates filtered
+# by exact count*k > n) is the exact heavy-hitter set, deterministic
+# and independent of partitioning even though the intermediate
+# summaries are not.
+# ---------------------------------------------------------------------------
+
+
+def mg_summaries(df: DataFrame, key_col: str, k: int = 100) -> DataFrame:
+    """Per-partition Misra-Gries summaries: ``(key, lb)`` rows (at most
+    k-1 per partition; ``lb`` is a lower bound on the key's partition
+    count, undercounting by at most n_p/k) plus one ``(NULL, n_p)`` row
+    carrying the partition's row count so downstream thresholds need no
+    second corpus pass.
+
+    Batches merge by counter addition followed by the mergeable-
+    summaries trim (subtract the k-th largest counter, drop non-
+    positive) — vectorized over each Arrow batch's value_counts, never
+    per row.
+    """
+    import pandas as pd
+
+    def summarize(batches):
+        counters = pd.Series(dtype="int64")
+        n_part = 0
+        for pdf in batches:
+            col = pdf[key_col].dropna().astype(str)
+            n_part += len(col)
+            counters = counters.add(col.value_counts(), fill_value=0)
+            if len(counters) > k - 1:
+                import numpy as np
+
+                vals = counters.to_numpy()
+                sub = np.partition(vals, len(vals) - k + 1)[len(vals) - k + 1]
+                counters = counters[counters > sub] - sub
+        out = pd.DataFrame(
+            {"key": counters.index.astype(str), "lb": counters.astype("int64")}
+        )
+        total = pd.DataFrame({"key": [None], "lb": [n_part]})
+        yield pd.concat([out, total], ignore_index=True)
+
+    return df.select(F.col(key_col).cast("string").alias(key_col)).mapInPandas(
+        summarize, "key string, lb long"
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, key_col: str, k: int = 100, digits: int = 6
+) -> DataFrame:
+    """Exact heavy hitters (count*k > n) in two passes: Misra-Gries
+    candidates per partition, then an exact broadcast-rescan count of
+    the candidate set only.  Output ``(key_col, n, share)`` — exact
+    counts, deterministic for any partitioning (every true heavy
+    hitter is guaranteed into the candidate set; false candidates are
+    removed by the exact filter)."""
+    summ = mg_summaries(df, key_col, k=k)
+    cand = summ.filter(F.col("key").isNotNull()).select("key").distinct()
+    totals = summ.filter(F.col("key").isNull()).agg(
+        F.sum("lb").alias("n_total")
+    )
+    exact = (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .join(F.broadcast(cand), "key")
+        .groupBy("key")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(totals))
+        .filter(F.col("n") * k > F.col("n_total"))
+        .select(
+            F.col("key").alias(key_col),
+            "n",
+            F.round(F.col("n") / F.col("n_total"), digits).alias("share"),
+        )
+    )
+
+
 def _dd_gamma(alpha: float) -> float:
     return (1.0 + alpha) / (1.0 - alpha)
 

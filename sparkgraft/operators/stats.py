@@ -476,6 +476,147 @@ def drift_report(
     )
 
 
+def ks_test(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    crit_num: int = 1358,
+    crit_den: int = 1000,
+    digits: int = 6,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift test per group — the
+    distribution-level complement of :func:`drift_report`'s profile
+    diffs: D = max_x |F_a(x) - F_b(x)| over the two samples' ECDFs.
+
+    Scale shape: one union + one groupBy collapses both samples to
+    per-distinct-value counts (map-side combined), so the subsequent
+    running-sum window walks the VALUE DOMAIN per group, not the raw
+    rows.  For high-cardinality continuous values at 100 TB, use
+    :func:`ks_test_binned` (DDSketch-bucketed, bounded domain) instead.
+
+    Everything is exact integer arithmetic: D's numerator is
+    max |cum_a·n_b - cum_b·n_a| in DECIMAL(38,0); ``ks_stat`` is that
+    ratio HALF-UP-rounded via integral division (the exact_mean
+    pattern); the verdict compares (M·crit_den)² against
+    crit_num²·(n_a+n_b)·n_a·n_b — the squared form of the classic
+    D > c(α)·sqrt((n_a+n_b)/(n_a·n_b)) rejection rule (c(0.05) =
+    1.358) — so verdicts are tie-proof and engine-portable.  DECIMAL
+    headroom covers n_a·n_b up to ~3e15 per group; beyond that, bin
+    first (the binned variant's cumulative counts are per-bucket and
+    the domain is ~log-bounded).
+    """
+    gc = list(group_cols)
+
+    def prep(df: DataFrame) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        return df.filter(v.isNotNull() & ~F.isnan(v)).select(
+            *gc, v.alias("v")
+        )
+
+    counts = (
+        prep(a)
+        .withColumn("ca", F.lit(1))
+        .withColumn("cb", F.lit(0))
+        .unionByName(
+            prep(b).withColumn("ca", F.lit(0)).withColumn("cb", F.lit(1))
+        )
+        .groupBy(*gc, "v")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    w_ord = Window.partitionBy(*gc).orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy(*gc)
+    cum = counts.select(
+        *gc,
+        F.sum("ca").over(w_ord).alias("cum_a"),
+        F.sum("cb").over(w_ord).alias("cum_b"),
+        F.sum("ca").over(w_all).alias("na"),
+        F.sum("cb").over(w_all).alias("nb"),
+    )
+    m = F.abs(
+        _dec(F.col("cum_a")) * _dec(F.col("nb"))
+        - _dec(F.col("cum_b")) * _dec(F.col("na"))
+    )
+    agg = cum.select(*gc, m.alias("m"), "na", "nb").groupBy(*gc).agg(
+        F.max("m").alias("m"), F.max("na").alias("na"), F.max("nb").alias("nb")
+    )
+    na, nb = _dec(F.col("na")), _dec(F.col("nb"))
+    scale = F.lit(10**digits).cast("decimal(38,0)")
+    two = F.lit(2).cast("decimal(38,0)")
+    ks_r = F.call_function(
+        "div", two * F.col("m") * scale + na * nb, two * na * nb
+    )
+    lhs = (F.col("m") * F.lit(crit_den).cast("decimal(38,0)")) * (
+        F.col("m") * F.lit(crit_den).cast("decimal(38,0)")
+    )
+    rhs = (
+        F.lit(crit_num * crit_num).cast("decimal(38,0)")
+        * (na + nb)
+        * na
+        * nb
+    )
+    return agg.select(
+        *gc,
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        (ks_r.cast("double") / F.lit(float(10**digits))).alias("ks_stat"),
+        (lhs > rhs).alias("drift"),
+    )
+
+
+def ks_test_binned(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    alpha: float = 0.01,
+    crit_num: int = 1358,
+    crit_den: int = 1000,
+    digits: int = 6,
+) -> DataFrame:
+    """KS over DDSketch log-buckets — the 100 TB path: each sample
+    collapses to ~log-many (sign, bucket) cells per group (map-side
+    combined, domain bounded regardless of value cardinality), then
+    the exact KS machinery runs on the bucket representatives.  The
+    statistic differs from the exact one by at most the mass inside a
+    single alpha-relative-error bucket — the standard sketch trade."""
+    import math
+
+    lng = math.log((1.0 + alpha) / (1.0 - alpha))
+    g = (1.0 + alpha) / (1.0 - alpha)
+
+    def to_rep(df: DataFrame) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        bucket = (
+            F.when(v > 0, F.ceil(F.log(v) / F.lit(lng)))
+            .when(v < 0, F.ceil(F.log(-v) / F.lit(lng)))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        sign = F.when(v > 0, 1).when(v < 0, -1).otherwise(0)
+        rep = F.when(sign == 0, F.lit(0.0)).otherwise(
+            sign.cast("double")
+            * F.lit(2.0)
+            * F.pow(F.lit(g), bucket)
+            / F.lit(g + 1.0)
+        )
+        return df.filter(v.isNotNull() & ~F.isnan(v)).select(
+            *group_cols, rep.alias("__rep")
+        )
+
+    return ks_test(
+        to_rep(a),
+        to_rep(b),
+        "__rep",
+        group_cols,
+        crit_num=crit_num,
+        crit_den=crit_den,
+        digits=digits,
+    )
+
+
 def winsorize(
     df: DataFrame,
     keys: Sequence[str],
