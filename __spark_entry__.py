@@ -2085,6 +2085,57 @@ def q_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The trained weight vector is deterministic per (session, sf_dir) —
+# training runs driver-side aggregate jobs, so cache it the way the
+# BPE merge table is cached (both classifier queries share one fit).
+_CLS_CACHE: dict[tuple[int, str], list] = {}
+
+_CLS_ITERS = 4
+
+
+def _trained_weights(spark: SparkSession, sf_dir: str) -> list:
+    from sparkgraft.operators.trainer import doc_features, train_hard_logistic
+
+    key = (id(spark), sf_dir)
+    got = _CLS_CACHE.get(key)
+    if got is None:
+        feats = doc_features(_t(spark, sf_dir, "documents"))
+        got = train_hard_logistic(
+            feats,
+            ["x_words", "x_wordlen", "x_digit"],
+            "label",
+            n_iters=_CLS_ITERS,
+        )
+        _CLS_CACHE[key] = got
+    return got
+
+
+def q_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier TRAINING (the fastText-style curation loop's
+    fit step): hard-sigmoid logistic regression over quantized doc
+    features (words/100, mean word length, digit ratio; label = is-
+    English), 4 batch-GD iterations — each ONE map-side-combined
+    aggregate; driver state is the scaled weight vector.  All exact
+    scaled-integer arithmetic, so the oracle replays the identical
+    iterations as unrolled CTEs."""
+    w = _trained_weights(spark, sf_dir)
+    return spark.createDataFrame(
+        [(k, int(v)) for k, v in w], "feature string, w_scaled long"
+    )
+
+
+def q_classifier_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve the trained quality classifier over the corpus: exact
+    scaled probability (HALF-UP at 10^4) + thresholded label —
+    shuffle-free scan-speed projection (the trained counterpart of
+    classifier_score's hash-weight stand-in)."""
+    from sparkgraft.operators.trainer import doc_features, predict_hard_logistic
+
+    w = _trained_weights(spark, sf_dir)
+    feats = doc_features(_t(spark, sf_dir, "documents"))
+    return predict_hard_logistic(feats, w, keep_cols=["doc_id"])
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov drift test per event_type:
     even-user events as the baseline, odd-user events (purchase values
@@ -3734,6 +3785,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round 4 (second session): frequency/drift/training additions ---
     "heavy_hitters": q_heavy_hitters,
     "ks_drift": q_ks_drift,
+    "train_classifier": q_train_classifier,
+    "classifier_predictions": q_classifier_predictions,
 }
 
 
@@ -7255,6 +7308,118 @@ ORACLES["heavy_hitters"] = r"""
                AS share
     FROM toks GROUP BY token
     HAVING count(*) * 100 > (SELECT n_total FROM tot)
+"""
+
+def _trainer_oracle_ctes(n_iters: int) -> str:
+    """Unrolled hard-logistic GD as DuckDB CTEs: feats (quantized
+    scaled-integer features), then per iteration a gradient-sum CTE
+    over feats x the previous 1-row weight CTE, and a weight-update
+    CTE applying the HALF-UP integral-division step — HUGEINT mirrors
+    of trainer.train_hard_logistic's DECIMAL(38,0) arithmetic."""
+    x_scale = 10**4
+    w_scale = 10**8
+    p_den = 4 * x_scale * w_scale  # 4 * Z
+    lr_num, lr_den = 1, 2
+    nw = r"len(regexp_split_to_array(text, '\s+'))"
+    parts = [
+        f"""feats AS (
+        SELECT doc_id,
+               CAST({nw} * 100 AS HUGEINT) AS x_words,
+               CASE WHEN {nw} > 0 THEN
+                   (2 * CAST(length(text) AS HUGEINT) * {x_scale} + {nw})
+                       // (2 * {nw})
+               ELSE 0 END AS x_wordlen,
+               CASE WHEN length(text) > 0 THEN
+                   (2 * CAST(length(text)
+                             - length(regexp_replace(text, '[0-9]', '', 'g'))
+                        AS HUGEINT) * {x_scale} + length(text))
+                       // (2 * length(text))
+               ELSE 0 END AS x_digit,
+               CASE WHEN lang = 'en' THEN CAST(1 AS HUGEINT)
+                    ELSE CAST(0 AS HUGEINT) END AS label
+        FROM documents
+    )""",
+        "nn AS (SELECT count(*) AS n FROM feats)",
+        (
+            "w0 AS (SELECT CAST(0 AS HUGEINT) AS w1, CAST(0 AS HUGEINT)"
+            " AS w2, CAST(0 AS HUGEINT) AS w3, CAST(0 AS HUGEINT) AS b)"
+        ),
+    ]
+
+    def halfup(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN {num} < 0 THEN -((2 * (-({num})) + {den})"
+            f" // (2 * ({den})))"
+            f" ELSE (2 * ({num}) + {den}) // (2 * ({den})) END"
+        )
+
+    for i in range(1, n_iters + 1):
+        z = (
+            f"w.b * {x_scale} + w.w1 * f.x_words + w.w2 * f.x_wordlen"
+            f" + w.w3 * f.x_digit"
+        )
+        p = (
+            f"greatest(CAST(0 AS HUGEINT), least(CAST({p_den} AS HUGEINT),"
+            f" {z} + {p_den // 2}))"
+        )
+        parts.append(
+            f"""g{i} AS (
+        SELECT sum(r * x_words) AS g1, sum(r * x_wordlen) AS g2,
+               sum(r * x_digit) AS g3, sum(r * {x_scale}) AS gb
+        FROM (
+            SELECT {p} - f.label * {p_den} AS r,
+                   f.x_words, f.x_wordlen, f.x_digit
+            FROM feats f, w{i - 1} w
+        )
+    )"""
+        )
+        den = (
+            f"CAST({lr_den} AS HUGEINT) * {p_den} * {x_scale} * nn.n"
+        )
+        ups = ", ".join(
+            f"w.{wc} - {halfup(f'{lr_num} * g.{gc} * {w_scale}', den)} AS {wc}"
+            for wc, gc in (
+                ("w1", "g1"),
+                ("w2", "g2"),
+                ("w3", "g3"),
+                ("b", "gb"),
+            )
+        )
+        parts.append(
+            f"w{i} AS (SELECT {ups} FROM w{i - 1} w, g{i} g, nn)"
+        )
+    return "WITH " + ",\n    ".join(parts)
+
+
+_TRAINER_PREFIX = _trainer_oracle_ctes(_CLS_ITERS)
+
+ORACLES["train_classifier"] = f"""
+    {_TRAINER_PREFIX}
+    SELECT 'x_words' AS feature, CAST(w1 AS BIGINT) AS w_scaled
+    FROM w{_CLS_ITERS}
+    UNION ALL
+    SELECT 'x_wordlen', CAST(w2 AS BIGINT) FROM w{_CLS_ITERS}
+    UNION ALL
+    SELECT 'x_digit', CAST(w3 AS BIGINT) FROM w{_CLS_ITERS}
+    UNION ALL
+    SELECT 'bias', CAST(b AS BIGINT) FROM w{_CLS_ITERS}
+"""
+
+ORACLES["classifier_predictions"] = f"""
+    {_TRAINER_PREFIX}
+    SELECT doc_id,
+           CAST((2 * p_num * {10**4} + {4 * 10**12})
+                // (2 * {4 * 10**12}) AS BIGINT) AS p_scaled,
+           z_num > 0 AS label_pred
+    FROM (
+        SELECT f.doc_id,
+               w.b * {10**4} + w.w1 * f.x_words + w.w2 * f.x_wordlen
+                   + w.w3 * f.x_digit AS z_num,
+               greatest(CAST(0 AS HUGEINT), least(CAST({4 * 10**12} AS HUGEINT),
+                   w.b * {10**4} + w.w1 * f.x_words + w.w2 * f.x_wordlen
+                       + w.w3 * f.x_digit + {2 * 10**12})) AS p_num
+        FROM feats f, w{_CLS_ITERS} w
+    )
 """
 
 # KS: exact integer cross-products in HUGEINT mirror the operator's

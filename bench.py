@@ -132,6 +132,8 @@ HEADLINE = [
     # round-4 second-session additions
     "heavy_hitters",
     "ks_drift",
+    "train_classifier",
+    "classifier_predictions",
 ]
 
 

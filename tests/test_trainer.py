@@ -1,0 +1,115 @@
+"""Hard-sigmoid logistic trainer: exact-integer parity with a Python
+replica, partitioning independence, serving consistency, and learning
+sanity on separable data."""
+
+from __future__ import annotations
+
+import random
+
+from sparkgraft.operators.trainer import (
+    P_DEN,
+    W_SCALE,
+    X_SCALE,
+    Z,
+    _halfup,
+    doc_features,
+    predict_hard_logistic,
+    train_hard_logistic,
+)
+
+
+def py_train(rows, d, n_iters=6, lr_num=1, lr_den=2):
+    """Exact replica of the scaled-integer GD (rows: (x_ints..., y))."""
+    n = len(rows)
+    w = [0] * d
+    b = 0
+    for _ in range(n_iters):
+        g = [0] * (d + 1)
+        for row in rows:
+            xs, y = row[:d], row[d]
+            z_num = b * X_SCALE + sum(wj * xj for wj, xj in zip(w, xs))
+            p_num = max(0, min(P_DEN, z_num + 2 * Z))
+            r = p_num - y * P_DEN
+            for j in range(d):
+                g[j] += r * xs[j]
+            g[d] += r * X_SCALE
+        den = lr_den * P_DEN * X_SCALE * n
+        w = [w[j] - _halfup(lr_num * g[j] * W_SCALE, den) for j in range(d)]
+        b = b - _halfup(lr_num * g[d] * W_SCALE, den)
+    return w, b
+
+
+def sep_rows(n=200, seed=5):
+    """Linearly separable: y = 1 iff x1 + x2 > 20000 (scaled)."""
+    rng = random.Random(seed)
+    rows = []
+    for _ in range(n):
+        x1 = rng.randrange(0, 20000)
+        x2 = rng.randrange(0, 20000)
+        rows.append((x1, x2, 1 if x1 + x2 > 20000 else 0))
+    return rows
+
+
+def test_trainer_matches_python_replica(spark):
+    rows = sep_rows()
+    df = spark.createDataFrame(rows, "x1 long, x2 long, label long")
+    got = dict(train_hard_logistic(df, ["x1", "x2"], "label", n_iters=5))
+    w, b = py_train(rows, 2, n_iters=5)
+    assert got == {"x1": w[0], "x2": w[1], "bias": b}
+
+
+def test_trainer_partitioning_independent(spark):
+    rows = sep_rows(seed=9)
+    df = spark.createDataFrame(rows, "x1 long, x2 long, label long")
+    a = train_hard_logistic(df.repartition(1), ["x1", "x2"], "label")
+    c = train_hard_logistic(df.repartition(17), ["x1", "x2"], "label")
+    assert a == c
+
+
+def test_trainer_learns_separable_data(spark):
+    # centered features: boundary passes through the origin, which GD
+    # from w=0 reaches quickly (uncentered thresholds need a long bias
+    # walk — the doc_features fixture centers via the bias term anyway)
+    rng = random.Random(1)
+    rows = []
+    for _ in range(400):
+        x1 = rng.randrange(-10000, 10000)
+        x2 = rng.randrange(-10000, 10000)
+        rows.append((x1, x2, 1 if x1 + x2 > 0 else 0))
+    df = spark.createDataFrame(rows, "x1 long, x2 long, label long")
+    weights = train_hard_logistic(df, ["x1", "x2"], "label", n_iters=12)
+    pred = predict_hard_logistic(df, weights, keep_cols=["label"])
+    n = pred.count()
+    correct = pred.filter(
+        (pred["label_pred"].cast("long")) == pred["label"]
+    ).count()
+    assert correct / n > 0.9
+
+
+def test_predict_threshold_consistent(spark):
+    rows = sep_rows(n=100, seed=2)
+    df = spark.createDataFrame(rows, "x1 long, x2 long, label long")
+    weights = train_hard_logistic(df, ["x1", "x2"], "label", n_iters=3)
+    for r in predict_hard_logistic(df, weights).collect():
+        assert 0 <= r["p_scaled"] <= X_SCALE
+        assert r["label_pred"] == (r["p_scaled"] > X_SCALE // 2) or (
+            # boundary: label uses z>0, p_scaled rounds — both agree
+            # except exactly at p = 1/2 where label_pred is False
+            r["p_scaled"] == X_SCALE // 2
+        )
+
+
+def test_doc_features_quantization(spark):
+    docs = spark.createDataFrame(
+        [(1, "ab cd3 e", "en"), (2, "", "de")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r["doc_id"]: r for r in doc_features(docs).collect()}
+    # doc 1: 3 words, 8 chars, 1 digit
+    assert rows[1]["x_words"] == 300
+    assert rows[1]["x_wordlen"] == _halfup(8 * X_SCALE, 3)
+    assert rows[1]["x_digit"] == _halfup(1 * X_SCALE, 8)
+    assert rows[1]["label"] == 1
+    # empty doc: split('') -> [''] (1 word), 0 chars
+    assert rows[2]["x_words"] == 100
+    assert rows[2]["x_digit"] == 0 and rows[2]["label"] == 0
