@@ -2085,6 +2085,48 @@ def q_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance of the first 16 embedding coordinates — the
+    fit step of distributed PCA: per-batch X^T X partials (Arrow numpy
+    matmul, int64-exact), DECIMAL(38,0) cross-batch sums, HALF-UP
+    rounding — raw vectors never shuffle; only ~d²/2 partial sums per
+    batch move."""
+    from sparkgraft.operators.linalg import covariance_matrix
+
+    return covariance_matrix(
+        _t(spark, sf_dir, "embeddings"), "embedding", 16
+    )
+
+
+# PCA fit collects the d x d covariance to the driver — deterministic
+# per (session, sf_dir), so cache it like the BPE/classifier fits.
+_PCA_CACHE: dict[tuple[int, str], tuple] = {}
+
+
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding corpus onto its top-8
+    components (fit: exact distributed covariance → driver eigh on the
+    64x64 matrix, signs canonicalized; serve: literal component matrix
+    as JVM array expressions — shuffle-free scan-speed).  Rows-only:
+    the eigendecomposition is not SQL-expressible, but the fit is
+    deterministic (exact-integer covariance + fixed LAPACK build), so
+    the determinism audit covers it; covariance itself is
+    oracle-checked by embedding_covariance."""
+    from sparkgraft.operators.linalg import pca_components, pca_project
+
+    key = (id(spark), sf_dir)
+    got = _PCA_CACHE.get(key)
+    if got is None:
+        got = pca_components(
+            _t(spark, sf_dir, "embeddings"), "embedding", 64, 8
+        )
+        _PCA_CACHE[key] = got
+    comps, _vals, mean = got
+    return pca_project(
+        _t(spark, sf_dir, "embeddings"), "embedding", comps, mean
+    )
+
+
 # The trained weight vector is deterministic per (session, sf_dir) —
 # training runs driver-side aggregate jobs, so cache it the way the
 # BPE merge table is cached (both classifier queries share one fit).
@@ -3787,6 +3829,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ks_drift": q_ks_drift,
     "train_classifier": q_train_classifier,
     "classifier_predictions": q_classifier_predictions,
+    "embedding_covariance": q_embedding_covariance,
+    "pca_project": q_pca_project,
 }
 
 
@@ -7420,6 +7464,40 @@ ORACLES["classifier_predictions"] = f"""
                        + w.w3 * f.x_digit + {2 * 10**12})) AS p_num
         FROM feats f, w{_CLS_ITERS} w
     )
+"""
+
+# Covariance: HUGEINT mirror of linalg.covariance_matrix — identical
+# quantization (round to 1e-6 fixed point), identical exact integer
+# cross-products, identical HALF-UP integral-division rounding.
+ORACLES["embedding_covariance"] = """
+    WITH x AS (
+        SELECT vec_id, i - 1 AS i,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
+                    AS HUGEINT) AS xs
+        FROM embeddings, generate_series(1, 16) AS g(i)
+    ),
+    s AS (SELECT i, sum(xs) AS sx FROM x GROUP BY i),
+    nn AS (SELECT count(*) AS n FROM embeddings),
+    p AS (
+        SELECT a.i AS i, b.i AS j, sum(a.xs * b.xs) AS sxy
+        FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT p.i, p.j,
+               (nn.n * p.sxy - sa.sx * sb.sx) * 100000000 AS num,
+               CAST(nn.n AS HUGEINT) * nn.n * 1000000 * 1000000 AS den
+        FROM p
+        JOIN s sa ON sa.i = p.i
+        JOIN s sb ON sb.i = p.j
+        CROSS JOIN nn
+    )
+    SELECT i, j,
+           CAST(CASE WHEN num < 0
+                     THEN -((2 * (-num) + den) // (2 * den))
+                     ELSE (2 * num + den) // (2 * den) END AS DOUBLE)
+               / 100000000.0 AS cov
+    FROM base
 """
 
 # KS: exact integer cross-products in HUGEINT mirror the operator's

@@ -134,6 +134,8 @@ HEADLINE = [
     "ks_drift",
     "train_classifier",
     "classifier_predictions",
+    "embedding_covariance",
+    "pca_project",
 ]
 
 

@@ -59,10 +59,22 @@ from sparkgraft.operators.sketch import (
     cms_build,
     cms_lookup,
     cms_merge,
+    heavy_hitters,
     kmv_build,
     kmv_estimate,
     kmv_intersection,
     kmv_merge,
+    mg_summaries,
+)
+from sparkgraft.operators.linalg import (
+    covariance_matrix,
+    pca_components,
+    pca_project,
+)
+from sparkgraft.operators.trainer import (
+    doc_features,
+    predict_hard_logistic,
+    train_hard_logistic,
 )
 from sparkgraft.operators.scale import (
     bloom_bitmap,
@@ -114,6 +126,8 @@ from sparkgraft.operators.stats import (
     exact_rounded_sum,
     extended_stats,
     impute_missing,
+    ks_test,
+    ks_test_binned,
     latest_row_fallback,
     latest_rows,
     max_by_key,
