@@ -2085,6 +2085,27 @@ def q_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from a PERSISTED inverted index (sinks/
+    bm25_index.py): the offline build writes md5-bucket-partitioned
+    postings + term df + corpus stats (build memoized per sf_dir);
+    serving prunes the postings scan to the query terms' buckets
+    (parquet PartitionFilters, plan-asserted) and replays bm25_rank's
+    exact scoring — same fixture as bm25_search, so its DuckDB oracle
+    applies verbatim: the round trip must be bit-identical to the
+    in-memory operator."""
+    import tempfile
+
+    from sparkgraft.sinks.bm25_index import bm25_topk_indexed, write_bm25_index
+
+    idx = _FIXTURE_CACHE.get(("bm25_index_dir", sf_dir))
+    if idx is None:
+        idx = tempfile.mkdtemp(prefix="sparkgraft_bm25idx_")
+        write_bm25_index(idx, _t(spark, sf_dir, "documents"))
+        _FIXTURE_CACHE[("bm25_index_dir", sf_dir)] = idx
+    return bm25_topk_indexed(spark, idx, ["hash", "join", "vector"], k=10)
+
+
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact covariance of the first 16 embedding coordinates — the
     fit step of distributed PCA: per-batch X^T X partials (Arrow numpy
@@ -3831,6 +3852,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_predictions": q_classifier_predictions,
     "embedding_covariance": q_embedding_covariance,
     "pca_project": q_pca_project,
+    "bm25_index_serve": q_bm25_index_serve,
 }
 
 
@@ -7335,6 +7357,9 @@ ORACLES.update(_llm_oracles())
 # The persisted-index round trip (sinks/ann_index.py) is bit-identical
 # to the in-memory ivfpq operator by construction — same oracle.
 ORACLES["ann_index_serve"] = ORACLES["ivfpq_ann"]
+# Persisted-index BM25 serving is bit-identical to bm25_rank on the
+# same corpus — same fixture, same oracle.
+ORACLES["bm25_index_serve"] = ORACLES["bm25_search"]
 # Two-phase CC produces the identical grouping as min-label
 # propagation — same oracle.
 ORACLES["dedup_clusters_scale"] = ORACLES["dedup_clusters"]

@@ -136,6 +136,7 @@ HEADLINE = [
     "classifier_predictions",
     "embedding_covariance",
     "pca_project",
+    "bm25_index_serve",
 ]
 
 

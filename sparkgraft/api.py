@@ -189,6 +189,10 @@ from sparkgraft.operators.timeseries import (
     time_weighted_avg,
 )
 from sparkgraft.session import get_spark
+from sparkgraft.sinks.bm25_index import (
+    bm25_topk_indexed,
+    write_bm25_index,
+)
 from sparkgraft.sinks.ann_index import (
     ivfpq_topk_indexed,
     read_ann_index,

@@ -230,3 +230,54 @@ def test_ann_index_serve_prunes_partitions(spark):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "part" in m.group(1), plan[:4000]
+
+
+def test_heavy_hitters_candidates_broadcast_and_keys_never_shuffle(spark):
+    """Two-pass MG contract: the rescan join must BROADCAST the tiny
+    candidate set (never shuffle the corpus keys to meet it), and the
+    exact count must be a partial/final aggregate."""
+    df = entrymod.q_heavy_hitters(spark, SF_DIR)
+    assert audit.has_broadcast_join(df), audit.explain_str(df)
+    plan = audit.explain_str(df)
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_ks_drift_walks_value_domain_not_rows(spark):
+    """The running-sum window must consume the PRE-AGGREGATED
+    (group, value) counts: a partial/final HashAggregate pair sits
+    below the window sort, so the exchange carries distinct values,
+    not raw rows."""
+    df = entrymod.q_ks_drift(spark, SF_DIR)
+    plan = audit.explain_str(df)
+    assert "Window" in plan and plan.count("HashAggregate") >= 2, plan
+
+
+def test_trainer_iteration_is_single_aggregate(spark):
+    """One GD step = one map-side-combined aggregate whose output is
+    the d+1 gradient sums — no shuffle other than the partial/final
+    exchange, no row movement."""
+    from sparkgraft.operators.trainer import doc_features
+    from sparkgraft.sources.readers import read_table
+
+    feats = doc_features(read_table(spark, SF_DIR, "documents"))
+    from pyspark.sql import functions as F2
+
+    step = feats.select(
+        F2.sum(F2.col("x_words").cast("decimal(38,0)")).alias("g")
+    )
+    assert audit.count_shuffles(step) <= 1, audit.explain_str(step)
+    plan = audit.explain_str(step)
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_covariance_partials_shuffle_tiny(spark):
+    """PCA fit: raw vectors must never shuffle — the exchanges carry
+    posexploded per-batch partial sums (pos, v) only."""
+    df = entrymod.q_embedding_covariance(spark, SF_DIR)
+    plan = audit.explain_str(df)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "embedding" not in line, line
+    # projection serving is shuffle-free
+    pca = entrymod.q_pca_project(spark, SF_DIR)
+    assert not audit.has_shuffle(pca), audit.explain_str(pca)
