@@ -3007,6 +3007,76 @@ def q_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KS drift monitor (rows-only): even-user events form
+    the pinned baseline; odd-user events arrive as two files — the
+    first on-distribution, the second with values scaled x1.5 (a
+    planted shift) — drained through ``ks_monitor`` (per-batch DDSketch
+    histogram, cell-wise merge into bounded batch-keyed state, exact-
+    integer KS vs the baseline after every batch).  Returns the final
+    per-type verdicts; statistic is bit-identical to batch
+    ks_test_binned on the streamed union (asserted in tests).
+    Memoized per sf_dir like the other streaming fixtures."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from sparkgraft.streaming.pipeline import ks_monitor
+
+    cached = _FIXTURE_CACHE.get(("stream_ks", sf_dir))
+    schema = "event_type string, n_a long, n_b long, ks_stat double, drift boolean"
+    if cached is not None:
+        return spark.createDataFrame(cached, schema)
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter((F.col("event_id") < 4000) & ~F.isnan("value"))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    baseline = ev.filter(F.col("user_id") % 2 == 0).select(
+        "event_type", "value"
+    )
+    cur = ev.filter(F.col("user_id") % 2 == 1)
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_sks_")
+    os.makedirs(f"{tmp}/in", exist_ok=True)
+    stages = (
+        (1, cur.filter(F.col("event_id") % 2 == 0).select("event_type", "value")),
+        (
+            2,
+            cur.filter(F.col("event_id") % 2 == 1).select(
+                "event_type", (F.col("value") * 1.5).alias("value")
+            ),
+        ),
+    )
+    for i, df in stages:
+        df.coalesce(1).write.mode("overwrite").json(f"{tmp}/stage_{i}")
+        src = sorted(glob.glob(f"{tmp}/stage_{i}/part-*.json"))[0]
+        shutil.move(src, f"{tmp}/in/batch_{i}.json")
+
+    got: dict[int, list] = {}
+
+    def sink(df, batch_id):
+        got[batch_id] = [
+            (r["event_type"], r["n_a"], r["n_b"], r["ks_stat"], r["drift"])
+            for r in df.collect()
+        ]
+
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .json(f"{tmp}/in")
+    )
+    q = ks_monitor(
+        stream, "value", baseline, f"{tmp}/ckpt", sink,
+        group_cols=["event_type"],
+    )
+    q.awaitTermination(300)
+    rows = sorted(got[max(got)])
+    _FIXTURE_CACHE[("stream_ks", sf_dir)] = rows
+    return spark.createDataFrame(rows, schema)
+
+
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (rows-only): view and purchase
     events staged as two file streams, inner-joined on user with the
@@ -3853,6 +3923,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_covariance": q_embedding_covariance,
     "pca_project": q_pca_project,
     "bm25_index_serve": q_bm25_index_serve,
+    "stream_ks": q_stream_ks,
 }
 
 

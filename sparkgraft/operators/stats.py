@@ -524,6 +524,25 @@ def ks_test(
         .groupBy(*gc, "v")
         .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
     )
+    return ks_from_counts(
+        counts, gc, crit_num=crit_num, crit_den=crit_den, digits=digits
+    )
+
+
+def ks_from_counts(
+    counts: DataFrame,
+    group_cols: Sequence[str] = (),
+    crit_num: int = 1358,
+    crit_den: int = 1000,
+    digits: int = 6,
+) -> DataFrame:
+    """KS statistic + verdict from pre-aggregated per-value counts
+    ``(group..., v, ca, cb)`` — the core :func:`ks_test` delegates to,
+    and the entry point for histogram/sketch inputs (the statistic
+    depends only on the ORDER of ``v`` and the counts, so any
+    monotone encoding of the domain works — see
+    ``streaming.pipeline.ks_monitor``)."""
+    gc = list(group_cols)
     w_ord = Window.partitionBy(*gc).orderBy("v").rowsBetween(
         Window.unboundedPreceding, 0
     )

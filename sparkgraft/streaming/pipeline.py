@@ -607,3 +607,123 @@ def quantile_monitor(
     )
     trig = trigger or {"availableNow": True}
     return writer.trigger(**trig).start()
+
+
+def ks_monitor(
+    stream,
+    value_col: str,
+    baseline,
+    checkpoint_dir: str,
+    sink,
+    group_cols: list[str] | None = None,
+    alpha: float = 0.01,
+    trigger: dict | None = None,
+):
+    """Streaming distribution-drift monitor: two-sample KS between a
+    PINNED baseline and everything streamed so far, after every
+    micro-batch — the live form of ``stats.ks_test_binned``.
+
+    Both sides live as DDSketch log-bucket histograms, so state is
+    bounded (~log-many cells per group) and the merge is cell-wise
+    addition; the KS statistic is computed from the histograms via the
+    exact-integer ``stats.ks_from_counts`` machinery over a monotone
+    (sign, bucket) encoding — identical to ks_test_binned on the same
+    union of values (the statistic depends only on bucket ORDER and
+    counts, asserted in tests).
+
+    Replay discipline is quantile_monitor's: running state persists
+    KEYED BY BATCH ID, so a foreachBatch replay of batch N merges into
+    the pre-N snapshot instead of double-counting; the baseline
+    histogram is computed once at monitor start and persisted beside
+    the state, so restarts compare against the identical baseline.
+    ``sink(verdicts_df, batch_id)`` receives one row per group with
+    (n_a, n_b, ks_stat, drift) after every batch.
+    """
+    import json
+    import os
+
+    from sparkgraft.operators.sketch import ddsketch_build
+    from sparkgraft.operators.stats import ks_from_counts
+
+    gc = list(group_cols or [])
+    state_file = os.path.join(checkpoint_dir, "ks_state.json")
+    state = {"rows": [], "batch_id": None, "prev_rows": [], "base": None}
+    if os.path.exists(state_file):
+        with open(state_file) as fh:
+            stored = json.load(fh)
+        state["rows"] = [tuple(r) for r in stored["rows"]]
+        state["batch_id"] = stored.get("batch_id")
+        state["prev_rows"] = [tuple(r) for r in stored.get("prev_rows", [])]
+        state["base"] = [tuple(r) for r in stored["base"]]
+    if state["base"] is None:
+        state["base"] = [
+            tuple(r)
+            for r in ddsketch_build(
+                baseline, value_col, gc, alpha=alpha
+            ).collect()  # bounded: log-bucket cells per group
+        ]
+
+    # monotone single-column encoding of (sign asc, sign*bucket asc)
+    big = 1 << 40
+
+    def on_batch(batch, batch_id: int) -> None:
+        spark = batch.sparkSession
+        sk = ddsketch_build(batch, value_col, gc, alpha=alpha)
+        schema_str = ", ".join(
+            [f"`{c}` {batch.schema[c].dataType.simpleString()}" for c in gc]
+            + ["sign int", "bucket long", "cnt long"]
+        )
+        base_rows = (
+            state["prev_rows"]
+            if state["batch_id"] is not None and batch_id == state["batch_id"]
+            else state["rows"]
+        )
+        if base_rows:
+            prev = spark.createDataFrame(base_rows, schema_str)
+            merged = (
+                sk.unionByName(prev)
+                .groupBy(*gc, "sign", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            merged = sk
+        rows = [tuple(r) for r in merged.collect()]
+        v_ord = (
+            F.col("sign").cast("long") * big
+            + F.col("sign") * F.col("bucket")
+        ).alias("v")
+        a = spark.createDataFrame(state["base"], schema_str).select(
+            *gc, v_ord, F.col("cnt").alias("ca"), F.lit(0).alias("cb")
+        )
+        b = spark.createDataFrame(rows, schema_str).select(
+            *gc, v_ord, F.lit(0).alias("ca"), F.col("cnt").alias("cb")
+        )
+        counts = (
+            a.unionByName(b)
+            .groupBy(*gc, "v")
+            .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+        )
+        sink(ks_from_counts(counts, gc), batch_id)
+        if state["batch_id"] is None or batch_id != state["batch_id"]:
+            state["prev_rows"] = state["rows"]
+        state["rows"] = rows
+        state["batch_id"] = batch_id
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        tmp = state_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "rows": [list(r) for r in state["rows"]],
+                    "prev_rows": [list(r) for r in state["prev_rows"]],
+                    "base": [list(r) for r in state["base"]],
+                    "batch_id": batch_id,
+                },
+                fh,
+            )
+        os.replace(tmp, state_file)
+
+    writer = stream.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    trig = trigger or {"availableNow": True}
+    return writer.trigger(**trig).start()
