@@ -2085,6 +2085,19 @@ def q_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted document subsample (inclusion ∝ n_chars):
+    Efraimidis-Spirakis A-ES priorities from md5-derived uniforms —
+    RNG-free, engine-portable, without replacement; global top-50 via
+    TakeOrderedAndProject."""
+    from sparkgraft.operators.scale import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return weighted_sample(docs, "n_chars", ["doc_id"], k=50)
+
+
 def q_bm25_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 served from a PERSISTED inverted index (sinks/
     bm25_index.py): the offline build writes md5-bucket-partitioned
@@ -3924,6 +3937,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pca_project": q_pca_project,
     "bm25_index_serve": q_bm25_index_serve,
     "stream_ks": q_stream_ks,
+    "weighted_sample": q_weighted_sample,
 }
 
 
@@ -7560,6 +7574,22 @@ ORACLES["classifier_predictions"] = f"""
                        + w.w3 * f.x_digit + {2 * 10**12})) AS p_num
         FROM feats f, w{_CLS_ITERS} w
     )
+"""
+
+# A-ES weighted sampling: identical md5-uniform draw (15 hex chars /
+# 2^60) and identical ln(u)/w priority ordering on both sides.
+ORACLES["weighted_sample"] = """
+    SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (
+                   ORDER BY ln(CAST(CAST('0x' || substr(md5(
+                              concat_ws('|', 'ws', CAST(doc_id AS VARCHAR))),
+                              1, 15) AS BIGINT) AS DOUBLE)
+                             / 1152921504606846976.0) / n_chars DESC,
+                         doc_id ASC
+               ) AS rn
+        FROM documents WHERE n_chars > 0
+    ) WHERE rn <= 50
 """
 
 # Covariance: HUGEINT mirror of linalg.covariance_matrix — identical

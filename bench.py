@@ -137,6 +137,7 @@ HEADLINE = [
     "embedding_covariance",
     "pca_project",
     "bm25_index_serve",
+    "weighted_sample",
 ]
 
 

@@ -88,6 +88,7 @@ from sparkgraft.operators.scale import (
     skew_diagnostics,
     shuffle_key,
     stratified_sample,
+    weighted_sample,
     widen_narrow_scan,
     write_bucketed,
 )

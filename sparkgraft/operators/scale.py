@@ -356,6 +356,55 @@ def stratified_sample(
     return df.filter(bucket < thresh)
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_cols: Sequence[str],
+    k: int,
+    salt: str = "ws",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, algorithm A-ES) — the quality-weighted subsampling step of a
+    curation pipeline (sample training docs ∝ quality score / token
+    count): each row draws a deterministic md5-uniform u ∈ (0,1] from
+    its key and takes priority ln(u)/w; the k LARGEST priorities are a
+    without-replacement sample with inclusion ∝ weight.
+
+    RNG-free: the draw depends only on (salt, key), never on RNG
+    state, partitioning, or row order — reproducible in any engine.
+    Scale shape: pure projection + global top-k via orderBy+limit
+    (TakeOrderedAndProject: per-partition heaps + tiny merge, never a
+    single-partition sort).  Non-positive weights are excluded.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(salt),
+                        *[F.col(c).cast("string") for c in key_cols],
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    w = F.col(weight_col).cast("double")
+    out = df.filter(w > 0).withColumn("__pri", F.log(u) / w)
+    return (
+        out.orderBy(F.col("__pri").desc(), *[F.col(c) for c in key_cols])
+        .limit(k)
+        .drop("__pri")
+    )
+
+
 def shuffle_key(
     id_cols: Sequence[str], salt: str = "shuffle", seed: int = 0
 ) -> Column:
