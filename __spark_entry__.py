@@ -2085,6 +2085,45 @@ def q_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The unigram fit is deterministic per (session, sf_dir) — hard-EM
+# runs driver-side jobs over the word table, so cache it the way the
+# BPE merge table is cached (both unigram queries share one fit).
+_UNIGRAM_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _unigram_pieces_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkgraft.operators.unigram import train_unigram
+
+    key = (id(spark), sf_dir)
+    got = _UNIGRAM_CACHE.get(key)
+    if got is None:
+        got = train_unigram(
+            _t(spark, sf_dir, "documents"), vocab_size=256, iters=2
+        )
+        _UNIGRAM_CACHE[key] = got
+    return got
+
+
+def q_unigram_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo 2018 / SentencePiece, hard-
+    EM): substring seeding and every EM iteration run on the distinct-
+    word table, never the corpus; Viterbi uses integer-quantized
+    log-probs with total-order tie-breaks, so the learned vocabulary is
+    bit-stable under any partitioning (tested).  Rows-only — iterative
+    driver-held state, the BPE-merges class."""
+    return _unigram_pieces_cached(spark, sf_dir)
+
+
+def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned unigram vocabulary: per-doc Viterbi token
+    count + compression ratio — Arrow kernel with per-batch word
+    memoization (the bpe_segment serving shape).  Rows-only."""
+    from sparkgraft.operators.unigram import unigram_segment
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_segment(docs, _unigram_pieces_cached(spark, sf_dir))
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted document subsample (inclusion ∝ n_chars):
     Efraimidis-Spirakis A-ES priorities from md5-derived uniforms —
@@ -3938,6 +3977,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_index_serve": q_bm25_index_serve,
     "stream_ks": q_stream_ks,
     "weighted_sample": q_weighted_sample,
+    "unigram_pieces": q_unigram_pieces,
+    "unigram_segment": q_unigram_segment,
 }
 
 

@@ -138,6 +138,8 @@ HEADLINE = [
     "pca_project",
     "bm25_index_serve",
     "weighted_sample",
+    "unigram_pieces",
+    "unigram_segment",
 ]
 
 

@@ -176,6 +176,11 @@ from sparkgraft.operators.bpe import (
     bpe_segment,
     train_bpe,
 )
+from sparkgraft.operators.unigram import (
+    seed_pieces,
+    train_unigram,
+    unigram_segment,
+)
 from sparkgraft.operators.suffixdedup import (
     longest_benchmark_overlap,
     exact_substring_spans,
