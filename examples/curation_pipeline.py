@@ -189,12 +189,49 @@ def main(sf_dir: str) -> None:
         F.sum("n_tokens").alias("total_tokens")
     ).collect()[0]["total_tokens"]
 
+    # 9. TRAINED quality classifier (hard-sigmoid logistic GD, exact
+    # integer arithmetic): fit on the train split's quantized doc
+    # features, serve over the whole corpus — the trained counterpart
+    # of the hash-weight gate in stage 2, same scan-speed serving.
+    feats = sg.doc_features(docs)
+    train_feats = feats.join(
+        split.filter(F.col("split") == "train").select("doc_id"), "doc_id"
+    )
+    weights = sg.train_hard_logistic(
+        train_feats, ["x_words", "x_wordlen", "x_digit"], "label", n_iters=4
+    )
+    n_model_pos = (
+        sg.predict_hard_logistic(feats, weights, keep_cols=["doc_id"])
+        .filter("label_pred")
+        .count()
+    )
+
+    # 10. Quality-weighted subsample (A-ES, RNG-free): inclusion ∝
+    # document length — the mixing step under a fixed token budget.
+    n_weighted = sg.weighted_sample(
+        docs.select("doc_id", "n_chars"), "n_chars", ["doc_id"], k=100
+    ).count()
+
+    # 11. Corpus health: heavy-hitter tokens (boilerplate detector,
+    # exact two-pass Misra-Gries) and a KS check that curation did not
+    # collapse the length distribution vs the raw corpus.
+    toks = deduped.select(F.explode(sg.tokenize(F.col("text"))).alias("t"))
+    n_hot = sg.heavy_hitters(toks, "t", k=100).count()
+    ks_row = sg.ks_test(
+        docs.select(F.length("text").cast("double").alias("v")),
+        deduped.select(F.length("text").cast("double").alias("v")),
+        "v",
+    ).first()
+
     print(
         f"docs={n_raw} -> quality={n_quality} -> dedup={n_dedup} -> "
         f"semdedup={n_semdedup} -> decontaminated={n_clean} -> "
         f"mixed={n_mixed} | packs={n_packs} | "
         f"chunk-rows per split={per_split} | cross-split leaks={n_leaks} | "
-        f"bpe merges={merges.count()} total tokens={tokens}"
+        f"bpe merges={merges.count()} total tokens={tokens} | "
+        f"model-positive={n_model_pos} | weighted sample={n_weighted} | "
+        f"heavy hitters={n_hot} | "
+        f"length-KS={ks_row['ks_stat']} drift={ks_row['drift']}"
     )
     spark.stop()
 
