@@ -50,8 +50,16 @@ def run(n_partitions: int, sf_dir: str) -> dict[str, str]:
         )
         out[name] = hashlib.md5(repr(rows).encode()).hexdigest()
     spark.stop()
-    # Session-keyed caches must rebuild next session.
-    entrymod._BPE_CACHE.clear()
+    # Session-keyed caches must rebuild next session (id(spark) can be
+    # reused after gc, and a cached DataFrame from a stopped session is
+    # unusable anyway).
+    for cache in (
+        entrymod._BPE_CACHE,
+        entrymod._CLS_CACHE,
+        entrymod._PCA_CACHE,
+        entrymod._UNIGRAM_CACHE,
+    ):
+        cache.clear()
     return out
 
 
