@@ -2085,6 +2085,48 @@ def q_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned snapshot table with TIME TRAVEL (sinks/versioned.py —
+    manifest-based parquet snapshots, atomic pointer flips, the
+    minimal Delta/Iceberg discipline): v0 overwrites with the
+    orderkey%4==0 slice, v1 appends %4==1 (metadata-only on top of
+    v0's files), v2 overwrites with %4==2; every version is then read
+    back THROUGH ITS MANIFEST and summarized.  Oracle-checkable
+    because each snapshot's content is a deterministic slice of
+    orders.  Staging memoized per sf_dir."""
+    import tempfile
+
+    from sparkgraft.sinks.versioned import read_versioned, write_versioned
+
+    t = _FIXTURE_CACHE.get(("snapshot_table", sf_dir))
+    if t is None:
+        t = tempfile.mkdtemp(prefix="sparkgraft_vtbl_")
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        k = F.col("o_orderkey")
+        write_versioned(orders.filter(k % 4 == 0), t, mode="overwrite")
+        write_versioned(orders.filter(k % 4 == 1), t, mode="append")
+        write_versioned(orders.filter(k % 4 == 2), t, mode="overwrite")
+        _FIXTURE_CACHE[("snapshot_table", sf_dir)] = t
+    outs = []
+    for v in range(3):
+        snap = read_versioned(spark, t, version=v)
+        outs.append(
+            snap.agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+                .cast("decimal(38,2)")
+                .cast("double")
+                .alias("spend"),
+            ).select(F.lit(v).alias("version"), "n_rows", "spend")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 # The unigram fit is deterministic per (session, sf_dir) — hard-EM
 # runs driver-side jobs over the word table, so cache it the way the
 # BPE merge table is cached (both unigram queries share one fit).
@@ -3979,6 +4021,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "unigram_pieces": q_unigram_pieces,
     "unigram_segment": q_unigram_segment,
+    "snapshot_travel": q_snapshot_travel,
 }
 
 
@@ -7615,6 +7658,26 @@ ORACLES["classifier_predictions"] = f"""
                        + w.w3 * f.x_digit + {2 * 10**12})) AS p_num
         FROM feats f, w{_CLS_ITERS} w
     )
+"""
+
+# Snapshot time travel: each version's content is a deterministic
+# orders slice (v1 = v0's files + the appended slice), so the
+# manifest-driven reads mirror as plain filtered aggregates.
+ORACLES["snapshot_travel"] = """
+    SELECT 0 AS version, count(*) AS n_rows,
+           cast(cast(round(sum(cast(o_totalprice AS DECIMAL(27,6))), 2)
+                AS DECIMAL(38,2)) AS DOUBLE) AS spend
+    FROM orders WHERE o_orderkey % 4 = 0
+    UNION ALL
+    SELECT 1, count(*),
+           cast(cast(round(sum(cast(o_totalprice AS DECIMAL(27,6))), 2)
+                AS DECIMAL(38,2)) AS DOUBLE)
+    FROM orders WHERE o_orderkey % 4 IN (0, 1)
+    UNION ALL
+    SELECT 2, count(*),
+           cast(cast(round(sum(cast(o_totalprice AS DECIMAL(27,6))), 2)
+                AS DECIMAL(38,2)) AS DOUBLE)
+    FROM orders WHERE o_orderkey % 4 = 2
 """
 
 # A-ES weighted sampling: identical md5-uniform draw (15 hex chars /

@@ -217,6 +217,13 @@ from sparkgraft.sinks.kv import (
     write_matlab,
     write_stats_csv,
 )
+from sparkgraft.sinks.versioned import (
+    latest_version,
+    read_versioned,
+    table_history,
+    vacuum,
+    write_versioned,
+)
 from sparkgraft.sinks.layout import (
     compact_directory,
     write_partitioned,
@@ -243,7 +250,11 @@ from sparkgraft.streaming.joins import interval_join_streams
 from sparkgraft.streaming.pipeline import (
     FilePipeline,
     HealthBoard,
+    dedup_admission,
+    dedup_stream,
     drift_monitor,
+    ks_monitor,
+    quantile_monitor,
     stable_files,
     upsert_sink,
 )
