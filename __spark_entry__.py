@@ -2085,6 +2085,63 @@ def q_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming weighted reservoir (ORACLE-CHECKED streaming — rare:
+    A-ES priorities are deterministic md5 functions, so the final
+    reservoir after draining the corpus-partitioning batches equals
+    the batch weighted_sample of the WHOLE corpus, which SQL mirrors
+    directly): docs arrive as two files (even/odd ids), k=40 sample
+    weighted by n_chars maintained in O(k) batch-keyed state.
+    Memoized per sf_dir like the other streaming fixtures."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from sparkgraft.streaming.pipeline import sample_monitor
+
+    cached = _FIXTURE_CACHE.get(("stream_sample", sf_dir))
+    schema = "doc_id long, source string, n_chars long"
+    if cached is not None:
+        return spark.createDataFrame(cached, schema)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_ssamp_")
+    os.makedirs(f"{tmp}/in", exist_ok=True)
+    for i, pred in (
+        (1, F.col("doc_id") % 2 == 0),
+        (2, F.col("doc_id") % 2 == 1),
+    ):
+        docs.filter(pred).coalesce(1).write.mode("overwrite").json(
+            f"{tmp}/stage_{i}"
+        )
+        src = sorted(glob.glob(f"{tmp}/stage_{i}/part-*.json"))[0]
+        shutil.move(src, f"{tmp}/in/batch_{i}.json")
+
+    got: dict[int, list] = {}
+
+    def sink(df, batch_id):
+        got[batch_id] = [
+            (r["doc_id"], r["source"], r["n_chars"]) for r in df.collect()
+        ]
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(f"{tmp}/in")
+    )
+    q = sample_monitor(
+        stream, "n_chars", ["doc_id"], 40, f"{tmp}/ckpt", sink,
+        salt="stream", carry_cols=["source"],
+    )
+    q.awaitTermination(300)
+    rows = sorted(got[max(got)])
+    _FIXTURE_CACHE[("stream_sample", sf_dir)] = rows
+    return spark.createDataFrame(rows, schema)
+
+
 def q_snapshot_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Versioned snapshot table with TIME TRAVEL (sinks/versioned.py —
     manifest-based parquet snapshots, atomic pointer flips, the
@@ -4022,6 +4079,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_pieces": q_unigram_pieces,
     "unigram_segment": q_unigram_segment,
     "snapshot_travel": q_snapshot_travel,
+    "stream_sample": q_stream_sample,
 }
 
 
@@ -7658,6 +7716,24 @@ ORACLES["classifier_predictions"] = f"""
                        + w.w3 * f.x_digit + {2 * 10**12})) AS p_num
         FROM feats f, w{_CLS_ITERS} w
     )
+"""
+
+# Streaming reservoir: the two staged batches PARTITION the corpus and
+# A-ES priorities are deterministic, so the drained reservoir equals
+# the batch weighted_sample over ALL documents (salt 'stream', k=40).
+ORACLES["stream_sample"] = """
+    SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (
+                   ORDER BY ln(CAST(CAST('0x' || substr(md5(
+                              concat_ws('|', 'stream',
+                                        CAST(doc_id AS VARCHAR))),
+                              1, 15) AS BIGINT) AS DOUBLE)
+                             / 1152921504606846976.0) / n_chars DESC,
+                         doc_id ASC
+               ) AS rn
+        FROM documents WHERE n_chars > 0
+    ) WHERE rn <= 40
 """
 
 # Snapshot time travel: each version's content is a deterministic

@@ -149,6 +149,20 @@ def table_history(table_dir: str) -> list[dict]:
     return out
 
 
+def compact_table(
+    spark: SparkSession, table_dir: str, target_files: int = 1
+) -> int:
+    """OPTIMIZE: rewrite the latest snapshot into ``target_files``
+    files and commit the result as a new version (operation recorded
+    as overwrite of identical data — history keeps the pre-compaction
+    version readable until vacuumed).  The small-file answer for a
+    streaming ingest that lands one version per trigger."""
+    latest = read_versioned(spark, table_dir)
+    return write_versioned(
+        latest.coalesce(target_files), table_dir, mode="overwrite"
+    )
+
+
 def vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
     """Remove data files unreachable from the newest ``keep_versions``
     manifests (crash orphans and compacted-away history).  Returns the

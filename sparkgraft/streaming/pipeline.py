@@ -727,3 +727,92 @@ def ks_monitor(
     )
     trig = trigger or {"availableNow": True}
     return writer.trigger(**trig).start()
+
+
+def sample_monitor(
+    stream,
+    weight_col: str,
+    key_cols: list[str],
+    k: int,
+    checkpoint_dir: str,
+    sink,
+    salt: str = "ws",
+    carry_cols: list[str] | None = None,
+    trigger: dict | None = None,
+):
+    """Streaming weighted reservoir (the live form of
+    ``scale.weighted_sample``): maintain the k highest A-ES priorities
+    ln(u)/w seen so far — a without-replacement weighted sample of the
+    WHOLE stream at every point, in O(k) state.
+
+    A-ES priorities are deterministic md5 functions of (salt, key), so
+    the running reservoir after any prefix is EXACTLY the batch
+    ``weighted_sample`` of that prefix's union (merge law: top-k of
+    (state ∪ batch top-k) = top-k of the union) — asserted in tests
+    and by the oracle-checked ``stream_sample`` query.  State persists
+    KEYED BY BATCH ID (the quantile_monitor replay discipline), so
+    crash replays never re-admit duplicates.  ``sink(reservoir_df,
+    batch_id)`` receives the current sample after every batch.
+    """
+    import json
+    import os
+
+    from sparkgraft.operators.scale import weighted_sample
+
+    state_file = os.path.join(checkpoint_dir, "reservoir_state.json")
+    state = {"rows": [], "batch_id": None, "prev_rows": []}
+    if os.path.exists(state_file):
+        with open(state_file) as fh:
+            stored = json.load(fh)
+        state["rows"] = [tuple(r) for r in stored["rows"]]
+        state["batch_id"] = stored.get("batch_id")
+        state["prev_rows"] = [tuple(r) for r in stored.get("prev_rows", [])]
+
+    def on_batch(batch, batch_id: int) -> None:
+        spark = batch.sparkSession
+        cols = [*key_cols, *(carry_cols or []), weight_col]
+        schema_str = ", ".join(
+            f"`{c}` {batch.schema[c].dataType.simpleString()}" for c in cols
+        )
+        # batch-local top-k (distributed), then merge with the O(k) state
+        local = weighted_sample(
+            batch.select(*cols), weight_col, key_cols, k, salt=salt
+        )
+        base_rows = (
+            state["prev_rows"]
+            if state["batch_id"] is not None and batch_id == state["batch_id"]
+            else state["rows"]
+        )
+        cand = [tuple(r) for r in local.collect()] + base_rows
+        merged_df = weighted_sample(
+            spark.createDataFrame(cand, schema_str)
+            .dropDuplicates(list(key_cols)),
+            weight_col,
+            key_cols,
+            k,
+            salt=salt,
+        )
+        rows = [tuple(r) for r in merged_df.collect()]
+        sink(merged_df, batch_id)
+        if state["batch_id"] is None or batch_id != state["batch_id"]:
+            state["prev_rows"] = state["rows"]
+        state["rows"] = rows
+        state["batch_id"] = batch_id
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        tmp = state_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "rows": [list(r) for r in state["rows"]],
+                    "prev_rows": [list(r) for r in state["prev_rows"]],
+                    "batch_id": batch_id,
+                },
+                fh,
+            )
+        os.replace(tmp, state_file)
+
+    writer = stream.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    trig = trigger or {"availableNow": True}
+    return writer.trigger(**trig).start()

@@ -87,3 +87,18 @@ def test_empty_table_and_bad_mode(spark, tmp_path):
         read_versioned(spark, t)
     with pytest.raises(ValueError):
         write_versioned(df_of(spark, [1]), t, mode="merge")
+
+
+def test_compact_table_preserves_data(spark, tmp_path):
+    from sparkgraft.sinks.versioned import compact_table
+
+    t = str(tmp_path / "tbl")
+    write_versioned(df_of(spark, [1, 2]).repartition(4), t, mode="overwrite")
+    write_versioned(df_of(spark, [3, 4]).repartition(4), t, mode="append")
+    before = ids(read_versioned(spark, t))
+    v = compact_table(spark, t, target_files=1)
+    hist = table_history(t)
+    assert hist[v]["n_files"] == 1 and hist[v]["n_files"] < hist[v - 1]["n_files"]
+    assert ids(read_versioned(spark, t)) == before == [1, 2, 3, 4]
+    # pre-compaction version still time-travels
+    assert ids(read_versioned(spark, t, version=v - 1)) == before
