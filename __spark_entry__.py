@@ -2085,6 +2085,64 @@ def q_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution — the composition the individual
+    operators exist for: two record sources (customers + a perturbed
+    re-registration: '.'-suffixed name, +50 balance, remapped ids) →
+    BLOCKED candidate pairs (same nation, Levenshtein ≤ 1 — never
+    all-pairs) → two-phase connected components (O(log n) rounds — the
+    digit-variant name chains make long paths) → survivorship per
+    cluster (best name by (source priority, record id), max balance).
+    First 2000 customers: a fixed-size fixture like winnowing's."""
+    from sparkgraft.operators.graph import connected_components_twophase
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 2000)
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    )
+    src1 = cust.select(
+        F.col("c_custkey").alias("rec_id"),
+        F.lit(1).alias("prio"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").alias("block"),
+    )
+    src2 = cust.select(
+        (F.col("c_custkey") + 1000000).alias("rec_id"),
+        F.lit(2).alias("prio"),
+        F.concat(F.col("c_name"), F.lit(".")).alias("name"),
+        (F.col("c_acctbal") + 50).alias("acctbal"),
+        F.col("c_nationkey").alias("block"),
+    )
+    recs = src1.unionByName(src2)
+    a = recs.select("block", F.col("rec_id").alias("id_a"), F.col("name").alias("na"))
+    b = recs.select("block", F.col("rec_id").alias("id_b"), F.col("name").alias("nb"))
+    pairs = (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein("na", "nb") <= 1)
+        .select("id_a", "id_b")
+    )
+    labels = connected_components_twophase(pairs)
+    joined = recs.join(
+        labels, recs["rec_id"] == labels["id"], "left"
+    ).select(
+        F.coalesce(F.col("cluster_id"), F.col("rec_id")).alias("cluster"),
+        "rec_id",
+        "prio",
+        "name",
+        "acctbal",
+    )
+    w = Window.partitionBy("cluster").orderBy("prio", "rec_id")
+    ranked = joined.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.max(F.when(F.col("rn") == 1, F.col("name"))).alias("name"),
+        F.round(F.max("acctbal"), 2).alias("max_acctbal"),
+    )
+
+
 def q_stream_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming weighted reservoir (ORACLE-CHECKED streaming — rare:
     A-ES priorities are deterministic md5 functions, so the final
@@ -4080,6 +4138,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_segment": q_unigram_segment,
     "snapshot_travel": q_snapshot_travel,
     "stream_sample": q_stream_sample,
+    "entity_resolution": q_entity_resolution,
 }
 
 
@@ -7716,6 +7775,54 @@ ORACLES["classifier_predictions"] = f"""
                        + w.w3 * f.x_digit + {2 * 10**12})) AS p_num
         FROM feats f, w{_CLS_ITERS} w
     )
+"""
+
+# Entity resolution: blocked Levenshtein pairs → recursive-CTE
+# min-reachable components (the dedup_clusters pattern) → survivorship
+# mirror of the (prio, rec_id) first-non-null rule.
+ORACLES["entity_resolution"] = """
+    WITH RECURSIVE cust AS (
+        SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer
+        WHERE c_custkey < 2000
+    ),
+    recs AS (
+        SELECT c_custkey AS rec_id, 1 AS prio, c_name AS name,
+               c_acctbal AS acctbal, c_nationkey AS block
+        FROM cust
+        UNION ALL
+        SELECT c_custkey + 1000000, 2, c_name || '.',
+               c_acctbal + 50, c_nationkey
+        FROM cust
+    ),
+    pairs AS (
+        SELECT a.rec_id AS id_a, b.rec_id AS id_b
+        FROM recs a JOIN recs b
+          ON a.block = b.block AND a.rec_id < b.rec_id
+        WHERE levenshtein(a.name, b.name) <= 1
+    ),
+    cc_edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    cc_nodes AS (SELECT DISTINCT a AS id FROM cc_edges),
+    reach(id, r) AS (
+        SELECT id, id FROM cc_nodes
+        UNION
+        SELECT e.a, reach.r FROM cc_edges e JOIN reach ON e.b = reach.id
+    ),
+    labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+    tagged AS (
+        SELECT coalesce(l.cluster_id, recs.rec_id) AS cluster,
+               recs.rec_id, recs.prio, recs.name, recs.acctbal,
+               row_number() OVER (
+                   PARTITION BY coalesce(l.cluster_id, recs.rec_id)
+                   ORDER BY recs.prio, recs.rec_id) AS rn
+        FROM recs LEFT JOIN labels l ON l.id = recs.rec_id
+    )
+    SELECT cluster, count(*) AS n_members,
+           max(CASE WHEN rn = 1 THEN name END) AS name,
+           round(max(acctbal), 2) AS max_acctbal
+    FROM tagged GROUP BY cluster
 """
 
 # Streaming reservoir: the two staged batches PARTITION the corpus and

@@ -140,6 +140,9 @@ HEADLINE = [
     "weighted_sample",
     "unigram_pieces",
     "unigram_segment",
+    "snapshot_travel",
+    "stream_sample",
+    "entity_resolution",
 ]
 
 
