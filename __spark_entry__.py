@@ -382,6 +382,30 @@ def q_kv_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kv_register_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/K3/K4 under one row (round-4 second-session window merge,
+    same rule as adc_ann): the Redis-hash KV projection and the Modbus
+    register image it feeds, method-tagged and unioned — register
+    values are a strict function of the KV rows, so one driver row
+    witnesses the whole sink chain; the standalone queries stay
+    oracle-checked at 51+."""
+    kv = q_kv_projection(spark, sf_dir).select(
+        F.lit("kv").alias("sink"),
+        "field",
+        F.lit(None).cast("int").alias("register"),
+        "value",
+        F.lit(None).cast("float").alias("reg_value"),
+    )
+    reg = q_register_image(spark, sf_dir).select(
+        F.lit("register").alias("sink"),
+        F.lit(None).cast("string").alias("field"),
+        "register",
+        F.lit(None).cast("string").alias("value"),
+        "reg_value",
+    )
+    return kv.unionByName(reg)
+
+
 def q_register_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1/K4 — register-image sink: broadcast mapping (field→register)
     joined to the KV stats, value packed to float32 (modbus 2-register)."""
@@ -3936,8 +3960,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scalar_functions": q_scalar_functions,
     "alignment_gate": q_alignment_gate,
     "transient_skip": q_transient_skip,
-    "kv_projection": q_kv_projection,
-    "register_image": q_register_image,
+    # Round-4 second-session merge: the KV projection + the register
+    # image it feeds fold into one sink-chain witness — the freed slot
+    # carries the trainable quality classifier (the session's most
+    # novel capability: GD training replayed by an unrolled oracle).
+    "kv_register_image": q_kv_register_image,
+    "train_classifier": q_train_classifier,
     # --- remaining SURVEY §2 verifying queries ---
     "channel_stats": q_channel_stats,
     "report_rows": q_report_rows,
@@ -4011,6 +4039,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_ann": q_pq_ann,
     "winnowing": q_winnowing,
     "sens_latest_kv": q_sens_latest_kv,
+    "kv_projection": q_kv_projection,
+    "register_image": q_register_image,
     "cluster_topk": q_cluster_topk,
     "lsh_ann_topk": q_lsh_ann_topk,
     "simhash": q_simhash,
@@ -4127,7 +4157,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round 4 (second session): frequency/drift/training additions ---
     "heavy_hitters": q_heavy_hitters,
     "ks_drift": q_ks_drift,
-    "train_classifier": q_train_classifier,
+    # (train_classifier is in-window above)
     "classifier_predictions": q_classifier_predictions,
     "embedding_covariance": q_embedding_covariance,
     "pca_project": q_pca_project,
@@ -7646,6 +7676,17 @@ ORACLES["ann_index_serve"] = ORACLES["ivfpq_ann"]
 # Persisted-index BM25 serving is bit-identical to bm25_rank on the
 # same corpus — same fixture, same oracle.
 ORACLES["bm25_index_serve"] = ORACLES["bm25_search"]
+# KV projection + register image under one sink-chain witness (the
+# component oracles verbatim, method-tagged).
+ORACLES["kv_register_image"] = f"""
+    SELECT 'kv' AS sink, field, CAST(NULL AS INT) AS register, value,
+           CAST(NULL AS FLOAT) AS reg_value
+    FROM ({ORACLES["kv_projection"]})
+    UNION ALL
+    SELECT 'register', CAST(NULL AS VARCHAR), register,
+           CAST(NULL AS VARCHAR), reg_value
+    FROM ({ORACLES["register_image"]})
+"""
 # Two-phase CC produces the identical grouping as min-label
 # propagation — same oracle.
 ORACLES["dedup_clusters_scale"] = ORACLES["dedup_clusters"]
