@@ -196,6 +196,7 @@ from sparkgraft.operators.timeseries import (
 )
 from sparkgraft.session import get_spark
 from sparkgraft.sinks.bm25_index import (
+    append_bm25_index,
     bm25_topk_indexed,
     write_bm25_index,
 )

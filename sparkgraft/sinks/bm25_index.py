@@ -77,6 +77,64 @@ def write_bm25_index(
     stats.write.mode("overwrite").parquet(f"{index_dir}/stats")
 
 
+def append_bm25_index(
+    index_dir: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """Incremental index maintenance — the daily-ingest shape: tokenize
+    ONLY the new documents, append their postings (bucket-partitioned
+    append — existing files untouched), and merge the term-df and
+    corpus-stats tables by plain addition (document frequencies and
+    token counts are sums, so the merged index is EXACTLY the full
+    rebuild over old ∪ new — asserted in tests).  No re-tokenization of
+    history, ever."""
+    spark = docs.sparkSession
+    toks = tokenize(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    postings = base.groupBy("term", "id", "dl").agg(
+        F.count("*").alias("tf")
+    ).withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
+    postings.write.partitionBy("bucket").mode("append").parquet(
+        f"{index_dir}/postings"
+    )
+    new_terms = postings.groupBy("term").agg(F.count("*").alias("df"))
+    old_terms = spark.read.parquet(f"{index_dir}/terms").select("term", "df")
+    merged = (
+        old_terms.unionByName(new_terms)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
+    )
+    # the merged df table rewrites through a staged directory swap —
+    # fully distributed (the vocabulary can be huge at corpus scale;
+    # parquet can't lazily overwrite its own input, and a collect()
+    # would put the vocab on the driver)
+    import os
+    import shutil
+
+    staging = f"{index_dir}/terms_staging"
+    merged.write.partitionBy("bucket").mode("overwrite").parquet(staging)
+    shutil.rmtree(f"{index_dir}/terms")
+    os.replace(staging, f"{index_dir}/terms")
+    new_stats = docs.select(
+        F.size(tokenize(F.col(text_col))).alias("dl")
+    ).agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    old = spark.read.parquet(f"{index_dir}/stats").first()
+    new = new_stats.first()
+    spark.createDataFrame(
+        [(int(old["n_docs"]) + int(new["n_docs"]),
+          int(old["sum_dl"]) + int(new["sum_dl"]))],
+        "n_docs long, sum_dl long",
+    ).write.mode("overwrite").parquet(f"{index_dir}/stats")
+
+
 def bm25_topk_indexed(
     spark: SparkSession,
     index_dir: str,

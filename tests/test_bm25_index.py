@@ -78,3 +78,33 @@ def test_df_counts_are_document_frequencies(spark, index_dir):
     got = {r["term"]: r["df"] for r in terms.filter(
         F.col("term").isin(["hash", "vector", "the"])).collect()}
     assert got == {"hash": 3, "vector": 3, "the": 2}
+
+
+def test_append_equals_full_rebuild(spark):
+    import tempfile
+
+    from sparkgraft.sinks.bm25_index import append_bm25_index
+
+    old = spark.createDataFrame(DOCS[:4], "doc_id long, text string")
+    new = spark.createDataFrame(DOCS[4:], "doc_id long, text string")
+    both = spark.createDataFrame(DOCS, "doc_id long, text string")
+
+    inc = tempfile.mkdtemp(prefix="bm25idx_inc_")
+    write_bm25_index(inc, old, n_buckets=16)
+    append_bm25_index(inc, new, n_buckets=16)
+    full = tempfile.mkdtemp(prefix="bm25idx_full_")
+    write_bm25_index(full, both, n_buckets=16)
+
+    q = ["hash", "join", "vector", "retrieval"]
+    got_inc = sorted(tuple(r) for r in
+                     bm25_topk_indexed(spark, inc, q, k=6, n_buckets=16).collect())
+    got_full = sorted(tuple(r) for r in
+                      bm25_topk_indexed(spark, full, q, k=6, n_buckets=16).collect())
+    assert got_inc == got_full and len(got_inc) > 0
+    # df and stats merged exactly
+    ti = {r["term"]: r["df"] for r in spark.read.parquet(f"{inc}/terms").collect()}
+    tf = {r["term"]: r["df"] for r in spark.read.parquet(f"{full}/terms").collect()}
+    assert ti == tf
+    si = spark.read.parquet(f"{inc}/stats").first()
+    sf_ = spark.read.parquet(f"{full}/stats").first()
+    assert (si["n_docs"], si["sum_dl"]) == (sf_["n_docs"], sf_["sum_dl"])
