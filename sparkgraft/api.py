@@ -219,6 +219,7 @@ from sparkgraft.sinks.kv import (
     write_stats_csv,
 )
 from sparkgraft.sinks.versioned import (
+    compact_table,
     latest_version,
     read_versioned,
     table_history,
@@ -256,6 +257,7 @@ from sparkgraft.streaming.pipeline import (
     drift_monitor,
     ks_monitor,
     quantile_monitor,
+    sample_monitor,
     stable_files,
     upsert_sink,
 )
