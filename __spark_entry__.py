@@ -2109,6 +2109,25 @@ def q_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REWRITE (rows-only — string surgery isn't
+    SQL-mirrorable; the span table it cuts is the oracle-checked
+    suffix_dedup): every maximal duplicated character span removed
+    from its document, remainder stitched — per doc the cut count,
+    characters removed, and deduped length.  Detection → gate →
+    rewrite completes the Lee et al. 2022 pipeline."""
+    from sparkgraft.operators.suffixdedup import remove_duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = remove_duplicated_spans(docs, min_len=25, n_shards=8)
+    return out.select(
+        "doc_id",
+        "n_cut",
+        "chars_cut",
+        F.length("text_dedup").alias("len_dedup"),
+    )
+
+
 def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end entity resolution — the composition the individual
     operators exist for: two record sources (customers + a perturbed
@@ -4179,6 +4198,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_travel": q_snapshot_travel,
     "stream_sample": q_stream_sample,
     "entity_resolution": q_entity_resolution,
+    "dedup_rewrite": q_dedup_rewrite,
 }
 
 

@@ -143,6 +143,7 @@ HEADLINE = [
     "snapshot_travel",
     "stream_sample",
     "entity_resolution",
+    "dedup_rewrite",
 ]
 
 

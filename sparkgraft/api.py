@@ -185,6 +185,7 @@ from sparkgraft.operators.suffixdedup import (
     longest_benchmark_overlap,
     exact_substring_spans,
     longest_duplicated_substring,
+    remove_duplicated_spans,
     substring_dedup_stats,
 )
 from sparkgraft.operators.timeseries import (

@@ -473,3 +473,68 @@ def longest_benchmark_overlap(
         "max_overlap",
         frac.alias("overlap_frac"),
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 25,
+    n_shards: int = 8,
+) -> DataFrame:
+    """The REWRITE step of ExactSubstr dedup (Lee et al. 2022,
+    deduplicate-text-datasets `self-deduplicate`): cut every maximal
+    duplicated span (:func:`exact_substring_spans`) out of its
+    document and stitch the remainder — detection → gate → rewrite is
+    the full pipeline, and this is the rewrite.
+
+    Shape: spans aggregate per doc via ``collect_list`` (bounded —
+    spans per doc, not windows), join back to the text (spillable
+    sort-merge pinned: both sides scale with the corpus and the right
+    side carries text), and an Arrow kernel applies the cuts.  Output:
+    ``(doc_id, text_dedup, n_cut, chars_cut)``; docs with no
+    duplicated span pass through unchanged.
+    """
+    import pandas as pd
+
+    spans = exact_substring_spans(docs, id_col, text_col, min_len, n_shards)
+    cuts = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("cuts")
+    )
+    src = docs.select(
+        F.col(id_col), F.col(text_col).alias("__text")
+    ).join(cuts.hint("merge"), id_col, "left")
+
+    def kernel(batches):
+        for pdf in batches:
+            out_text, n_cut, chars_cut = [], [], []
+            for text, cut in zip(pdf["__text"], pdf["cuts"]):
+                if cut is None or len(cut) == 0:
+                    out_text.append(text)
+                    n_cut.append(0)
+                    chars_cut.append(0)
+                    continue
+                ivs = sorted((int(c["span_start"]), int(c["span_end"]))
+                             for c in cut)
+                pieces, pos, removed = [], 0, 0
+                for s, e in ivs:  # 1-based inclusive
+                    s0, e0 = s - 1, e  # 0-based half-open
+                    pieces.append(text[pos:s0])
+                    removed += max(0, min(e0, len(text)) - s0)
+                    pos = max(pos, e0)
+                pieces.append(text[pos:])
+                out_text.append("".join(pieces))
+                n_cut.append(len(ivs))
+                chars_cut.append(removed)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "text_dedup": out_text,
+                    "n_cut": pd.Series(n_cut, dtype="int64"),
+                    "chars_cut": pd.Series(chars_cut, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(
+        kernel, "doc_id long, text_dedup string, n_cut long, chars_cut long"
+    )

@@ -268,3 +268,50 @@ def test_longest_benchmark_overlap_bench_size_guard(spark):
     bdf = spark.createDataFrame([("y" * 100,)], "text string")
     with _pytest.raises(ValueError):
         longest_benchmark_overlap(ddf, bdf, max_bench_chars=10)
+
+
+def test_remove_duplicated_spans_cuts_planted_repeat(spark):
+    from sparkgraft.operators.suffixdedup import (
+        exact_substring_spans,
+        remove_duplicated_spans,
+    )
+
+    boiler = "This exact boilerplate sentence repeats verbatim in both docs."
+    rows = [
+        (1, f"unique head one {boiler} unique tail one"),
+        (2, f"other opening {boiler} other closing"),
+        (3, "entirely unique document with no repeats whatsoever here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           remove_duplicated_spans(docs, min_len=25).collect()}
+    # the boilerplate is gone from both, unique parts survive
+    for i in (1, 2):
+        assert boiler not in out[i]["text_dedup"]
+        assert out[i]["n_cut"] >= 1 and out[i]["chars_cut"] > 0
+    assert "unique head one" in out[1]["text_dedup"]
+    assert "other closing" in out[2]["text_dedup"]
+    # untouched doc passes through byte-identical
+    assert out[3]["text_dedup"] == rows[2][1]
+    assert out[3]["n_cut"] == 0 and out[3]["chars_cut"] == 0
+    # chars_cut consistency: len(text) - len(dedup) == chars_cut
+    for i in (1, 2, 3):
+        orig = dict((r[0], r[1]) for r in rows)[i]
+        assert len(orig) - len(out[i]["text_dedup"]) == out[i]["chars_cut"]
+    # the rewrite's cut list is exactly the span table
+    spans = exact_substring_spans(docs, min_len=25)
+    assert spans.filter("doc_id = 3").count() == 0
+
+
+def test_remove_spans_overlapping_cuts_merge(spark):
+    from sparkgraft.operators.suffixdedup import remove_duplicated_spans
+
+    # one long repeated block shared by two docs -> one maximal span
+    block = "abcdefghij" * 8  # 80 chars
+    rows = [(1, f"X {block} Y"), (2, f"P {block} Q")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           remove_duplicated_spans(docs, min_len=25).collect()}
+    for i in (1, 2):
+        assert block not in out[i]["text_dedup"]
+        assert out[i]["n_cut"] == 1  # islands merged into one maximal span
