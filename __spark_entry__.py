@@ -3959,6 +3959,67 @@ def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(collected, schema_str)
 
 
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup (rows-only — the DCT kernel isn't
+    SQL-mirrorable; brute-force parity is pytest-asserted): doc_id-
+    seeded FIMG images generated executor-side, every 7th doc paired
+    with a one-pixel-nudged copy (id + 10⁶), pHash → banded Hamming
+    join → exact bit_count verify.  Returns the detected pairs."""
+    from sparkgraft.operators.multimodal import image_phash, phash_neardup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from sparkgraft.operators.multimodal import encode_fake_image
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                px = np.random.RandomState(did).randint(
+                    0, 256, size=(16, 16)
+                ).astype(np.uint8)
+                ids.append(did)
+                blobs.append(encode_fake_image(16, 16, px.tobytes()))
+                if did % 7 == 0:
+                    px2 = px.copy()
+                    px2[5, 5] = min(255, int(px2[5, 5]) + 2)
+                    ids.append(did + 1_000_000)
+                    blobs.append(encode_fake_image(16, 16, px2.tobytes()))
+            yield pd.DataFrame({"media_id": ids, "data": blobs})
+
+    media = docs.mapInPandas(gen, "media_id long, data binary")
+    pairs = phash_neardup(image_phash(media), max_hamming=3, n_bands=4)
+    return pairs.select("id_a", "id_b", "hamming")
+
+
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift detection (Page 1954) per event_type over a
+    planted +4.0 level shift from Jan 16 on: the max(0, S+y) recurrence
+    as two ordered window sums (cumsum − running-min identity), all
+    increments cross-multiplied integers — compact per-(type, side)
+    alarm summary."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value",
+        F.col("value")
+        + F.when(
+            F.col("ts") >= F.lit("2024-01-16").cast("timestamp"), F.lit(4.0)
+        ).otherwise(F.lit(0.0)),
+    )
+    al = S.cusum_changepoints(
+        ev, "event_type", "ts", "event_id", "value",
+        k=0.5, h=10.0, baseline_n=50, digits=6,
+    )
+    return al.groupBy("event_type", "side").agg(
+        F.count("*").alias("n_alarms"),
+        F.min("ts").alias("first_alarm_ts"),
+        F.max("stat").alias("max_stat"),
+    )
+
+
 # Ordering is deliberate: the round-1 driver evaluated only the FIRST 50
 # entries, so the SURVEY §2-core battery comes first, then the rest of the
 # §2-verifying queries, then the LLM-pipeline set; redundant engine extras
@@ -4199,6 +4260,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sample": q_stream_sample,
     "entity_resolution": q_entity_resolution,
     "dedup_rewrite": q_dedup_rewrite,
+    # --- round 4 (third session): changepoints + index maintenance ---
+    "cusum_shift": q_cusum,
+    "phash_dedup": q_phash_dedup,
 }
 
 
@@ -8034,6 +8098,64 @@ ORACLES["ks_drift"] = """
            (m * 1000) * (m * 1000)
                > CAST(1358 AS HUGEINT) * 1358 * (na + nb) * na * nb AS drift
     FROM agg
+"""
+
+
+# Mirrors stats.cusum_changepoints: the max(0, S+y) recurrence as
+# cumsum − running-min, cross-multiplied HUGEINT increments, integral
+# HALF-UP stat rounding — then q_cusum's per-(type, side) summary.
+ORACLES["cusum_shift"] = """
+    WITH src AS (
+        SELECT event_type, ts, event_id,
+               value + CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                            THEN 4.0 ELSE 0.0 END AS value
+        FROM events
+    ),
+    b AS (
+        SELECT event_type, ts, event_id, value,
+               CAST(round(value * 1000000.0) AS HUGEINT) AS xs,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM src
+    ),
+    s AS (
+        SELECT *,
+               CAST(sum(CASE WHEN rn <= 50 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY event_type) AS HUGEINT) AS nb,
+               sum(CASE WHEN rn <= 50 THEN xs END)
+                   OVER (PARTITION BY event_type) AS sb
+        FROM b
+    ),
+    y AS (
+        SELECT *, nb * xs - sb - nb * 500000 AS yp,
+                  sb - nb * xs - nb * 500000 AS yn
+        FROM s
+    ),
+    c AS (
+        SELECT *, sum(yp) OVER wc AS cp, sum(yn) OVER wc AS cn
+        FROM y
+        WINDOW wc AS (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING)
+    ),
+    m AS (
+        SELECT *,
+               cp - least(CAST(0 AS HUGEINT), min(cp) OVER wc) AS sp,
+               cn - least(CAST(0 AS HUGEINT), min(cn) OVER wc) AS sn
+        FROM c
+        WINDOW wc AS (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING)
+    ),
+    al AS (
+        SELECT event_type, ts,
+               CASE WHEN sp > nb * 10000000 THEN 'up' ELSE 'down' END AS side,
+               CAST((2 * (CASE WHEN sp > nb * 10000000 THEN sp ELSE sn END)
+                     + nb) // (2 * nb) AS DOUBLE) / 1000000.0 AS stat
+        FROM m
+        WHERE sp > nb * 10000000 OR sn > nb * 10000000
+    )
+    SELECT event_type, side, count(*) AS n_alarms,
+           min(ts) AS first_alarm_ts, max(stat) AS max_stat
+    FROM al GROUP BY 1, 2
 """
 
 

@@ -25,7 +25,9 @@ from sparkgraft.operators.multimodal import (
     audio_frame_sample,
     decode_sample_files,
     image_features,
+    image_phash,
     image_resize,
+    phash_neardup,
     video_frame_sample,
 )
 from sparkgraft.operators.merge import (
@@ -122,6 +124,7 @@ from sparkgraft.operators.similarity import (
 )
 from sparkgraft.operators.stats import (
     channel_stats,
+    cusum_changepoints,
     equidepth_histogram,
     exact_mean,
     exact_rounded_sum,
@@ -202,6 +205,7 @@ from sparkgraft.sinks.bm25_index import (
     write_bm25_index,
 )
 from sparkgraft.sinks.ann_index import (
+    append_ann_index,
     ivfpq_topk_indexed,
     read_ann_index,
     write_ann_index,

@@ -747,3 +747,98 @@ def rolling_anomaly(
         F.col("__n").alias("n_window"),
         flag.alias("is_anomaly"),
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value: str = "value",
+    k: float = 0.0,
+    h: float = 5.0,
+    baseline_n: int = 50,
+    digits: int = 6,
+) -> DataFrame:
+    """Tabular CUSUM mean-shift detection (Page 1954) per series, with
+    NO floating point in the recurrence: the one-sided statistic
+
+        S⁺_t = max(0, S⁺_{t-1} + (x_t − μ₀ − k))
+
+    rewrites to the window identity  S⁺_t = C_t − min(0, min_{j≤t} C_j)
+    with C the running sum of the increments — so the sequential
+    recurrence becomes two ordered window sums Spark (and any SQL
+    engine) evaluates in one partition sort, no loop, no UDF.
+
+    μ₀ is the per-series mean of the first ``baseline_n`` rows.  To
+    stay exact, every increment is cross-multiplied by the baseline
+    count n_b:  y_t = n_b·x̂_t − Σ_b − n_b·k̂  (x̂ fixed-point scaled),
+    summed in DECIMAL(38,0); the alarm compare ``S > n_b·ĥ`` and the
+    HALF-UP statistic rounding are integral, so flags and stats are
+    bit-identical in every engine and under any partitioning (the
+    reference's alarm-trigger semantics, SURVEY §2.4 A3, generalized
+    from level-crossing to mean-shift detection).
+
+    Output: one row per ALARM sample only — (key, ts, id, value, side
+    ∈ {up, down}, stat) — so at 100 TB the result is alarm-sized, not
+    corpus-sized.  One shuffle on the key; the three window layers
+    share a single partition sort (same ORDER BY).
+    """
+    k_s = int(round(k * MEAN_SCALE))
+    h_s = int(round(h * MEAN_SCALE))
+    w_rn = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    w_all = Window.partitionBy(key_col)
+    w_cum = w_rn.rowsBetween(Window.unboundedPreceding, 0)
+    t = df.select(
+        key_col,
+        ts_col,
+        id_col,
+        F.col(value).alias("__v"),
+        scaled_long(F.col(value)).alias("__xs"),
+    ).withColumn("__rn", F.row_number().over(w_rn))
+    in_base = F.col("__rn") <= baseline_n
+    t = t.withColumn(
+        "__nb", F.sum(F.when(in_base, 1).otherwise(0)).over(w_all)
+    ).withColumn("__sb", F.sum(F.when(in_base, F.col("__xs"))).over(w_all))
+    nb, sb, xs = _dec(F.col("__nb")), _dec(F.col("__sb")), _dec(F.col("__xs"))
+    kd = F.lit(k_s).cast("decimal(38,0)")
+    t = t.withColumn("__yp", nb * xs - sb - nb * kd).withColumn(
+        "__yn", sb - nb * xs - nb * kd
+    )
+    t = t.withColumn("__cp", F.sum("__yp").over(w_cum)).withColumn(
+        "__cn", F.sum("__yn").over(w_cum)
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    t = t.withColumn(
+        "__sp", F.col("__cp") - F.least(zero, F.min("__cp").over(w_cum))
+    ).withColumn(
+        "__sn", F.col("__cn") - F.least(zero, F.min("__cn").over(w_cum))
+    )
+    thresh = nb * F.lit(h_s).cast("decimal(38,0)")
+
+    def _stat(s: Column) -> Column:
+        # HALF-UP round of S/(n_b·scale) to `digits` via integral div
+        # (S ≥ 0 by construction, so truncating div == floor).
+        unit = nb * F.lit(MEAN_SCALE // (10**digits)).cast("decimal(38,0)")
+        r = F.call_function(
+            "div", F.lit(2).cast("decimal(38,0)") * s + unit, 2 * unit
+        )
+        return r.cast("double") / F.lit(float(10**digits))
+
+    up = F.col("__sp") > thresh
+    down = F.col("__sn") > thresh
+    return (
+        t.filter(up | down)
+        .select(
+            key_col,
+            ts_col,
+            id_col,
+            F.col("__v").alias(value),
+            F.when(up, F.lit("up")).otherwise(F.lit("down")).alias("side"),
+            F.when(up, _stat(F.col("__sp")))
+            .otherwise(_stat(F.col("__sn")))
+            .alias("stat"),
+        )
+    )

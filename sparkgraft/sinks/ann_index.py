@@ -80,6 +80,41 @@ def write_ann_index(
     ).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
 
 
+def append_ann_index(
+    index_dir: str,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance — the daily-ingest shape, symmetric
+    to :func:`sparkgraft.sinks.bm25_index.append_bm25_index` on the
+    lexical side: encode ONLY the new vectors against the index's
+    FROZEN centroids/codebooks (real IVF-PQ services never refit
+    per append — quantizer drift is handled by periodic rebuilds) and
+    partition-append their codes.  Existing cluster partitions gain
+    files, none are rewritten, and no history vector is ever re-read.
+
+    Because assignment/encode are pure functions of (vector, frozen
+    metadata), the appended index EXACTLY equals a full rebuild over
+    old ∪ new with the same centroids/codebooks — asserted in
+    tests/test_ann_index_append.py by comparing serving results."""
+    centroids, codebooks, _ = read_ann_index(
+        vectors.sparkSession, index_dir
+    )
+    from sparkgraft.operators.scale import widen_narrow_scan
+
+    enc = widen_narrow_scan(vectors).select(
+        F.col(id_col).alias("neighbor_id"),
+        assign_nearest(F.col(vec_col), centroids).alias("part"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+        pq_encode(F.col(vec_col), codebooks).alias("codes"),
+    )
+    enc.write.partitionBy("part").mode("append").parquet(
+        f"{index_dir}/codes"
+    )
+
+
 def read_ann_index(
     spark: SparkSession, index_dir: str
 ) -> tuple[list[tuple[int, list[float]]], list[list[tuple[int, list[float]]]], DataFrame]:

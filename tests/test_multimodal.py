@@ -285,3 +285,72 @@ def test_sgrf_stream_offset_never_regresses(tmp_path):
     r3 = SgrfStreamReader({"path": str(land)})
     r3.commit({"last": "f_001.sgrf"})
     assert r3.latestOffset() == {"last": "f_001.sgrf"}
+
+
+def test_phash_invariant_to_resize_and_brightness(spark):
+    import numpy as np
+
+    from sparkgraft.operators.multimodal import encode_fake_image, image_phash
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, size=(64, 64)).astype(np.uint8)
+    # Smooth it so downsampling preserves structure.
+    base = (base.astype(float) + np.roll(base, 1, 0) + np.roll(base, 1, 1)) / 3
+    base = base.astype(np.uint8)
+    half = base[::2, ::2]  # 2x downsample of the same scene
+    bright = np.clip(base.astype(int) + 30, 0, 255).astype(np.uint8)
+    other = rng.randint(0, 256, size=(64, 64)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, encode_fake_image(64, 64, base.tobytes())),
+            (2, encode_fake_image(32, 32, half.tobytes())),
+            (3, encode_fake_image(64, 64, bright.tobytes())),
+            (4, encode_fake_image(64, 64, other.tobytes())),
+        ],
+        "media_id long, data binary",
+    )
+    h = {r["media_id"]: r["phash"] for r in image_phash(df).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(h[1], h[2]) <= 6          # resized copy: near
+    assert ham(h[1], h[3]) <= 6          # brightness shift: near
+    assert ham(h[1], h[4]) >= 20         # unrelated: far
+
+
+def test_phash_neardup_matches_brute_force(spark):
+    import numpy as np
+
+    from sparkgraft.operators.multimodal import (
+        encode_fake_image,
+        image_phash,
+        phash_neardup,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(30):
+        px = rng.randint(0, 256, size=(16, 16)).astype(np.uint8)
+        rows.append((i, encode_fake_image(16, 16, px.tobytes())))
+        if i % 5 == 0:  # planted near-dup: one pixel nudged
+            px2 = px.copy()
+            px2[3, 3] = min(255, int(px2[3, 3]) + 2)
+            rows.append((1000 + i, encode_fake_image(16, 16, px2.tobytes())))
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    hashes = image_phash(df)
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in phash_neardup(hashes, max_hamming=3, n_bands=4).collect()
+    )
+    hs = {r["media_id"]: r["phash"] for r in hashes.collect()}
+    brute = sorted(
+        (a, b, bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1"))
+        for a in hs
+        for b in hs
+        if a < b
+        and bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1") <= 3
+    )
+    assert got == brute
+    planted = {(i, 1000 + i) for i in range(0, 30, 5)}
+    assert planted <= {(a, b) for a, b, _ in got}

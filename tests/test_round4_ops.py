@@ -407,3 +407,111 @@ def test_ann_index_roundtrip_equals_in_memory(spark, tmp_path):
         for r in ivfpq_topk(q, emb, cents, cbs, nprobe=3, k=5, shortlist=20).collect()
     )
     assert served == mem
+
+
+def test_ann_index_append_equals_full_rebuild(spark, tmp_path):
+    """Incremental append (frozen centroids/codebooks) must serve
+    bit-identically to a full rebuild over old ∪ new."""
+    from sparkgraft.operators.similarity import centroids_from_labels
+    from sparkgraft.sinks.ann_index import (
+        append_ann_index,
+        ivfpq_topk_indexed,
+        read_ann_index,
+        write_ann_index,
+    )
+    from sparkgraft.sources.readers import read_table
+    from tests.conftest import SF_DIR
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cents = sorted(
+        (r["cluster"], list(r["centroid"]))
+        for r in centroids_from_labels(emb, "label", "embedding", digits=6).collect()
+    )
+    sub = len(cents[0][1]) // 8
+    cbs = [
+        [(c, v[s * sub : (s + 1) * sub]) for c, v in cents] for s in range(8)
+    ]
+    old = emb.filter(F.col("vec_id") % 3 != 0)
+    new = emb.filter(F.col("vec_id") % 3 == 0)
+
+    inc = str(tmp_path / "inc")
+    write_ann_index(inc, old, cents, cbs)
+    n_before = spark.read.parquet(f"{inc}/codes").count()
+    append_ann_index(inc, new)
+
+    full = str(tmp_path / "full")
+    write_ann_index(full, emb, cents, cbs)
+
+    # Codes table: identical rows (append never rewrote history files).
+    inc_codes = sorted(
+        (r["neighbor_id"], r["part"], tuple(r["codes"]))
+        for r in spark.read.parquet(f"{inc}/codes").collect()
+    )
+    full_codes = sorted(
+        (r["neighbor_id"], r["part"], tuple(r["codes"]))
+        for r in spark.read.parquet(f"{full}/codes").collect()
+    )
+    assert inc_codes == full_codes
+    assert n_before == old.count()
+
+    # Metadata untouched by append.
+    rc, rcb, _ = read_ann_index(spark, inc)
+    assert rc == [(c, [float(x) for x in v]) for c, v in cents]
+
+    # Serving: bit-identical results from both indexes.
+    q = emb.filter(F.col("vec_id") < 10)
+    got_inc = sorted(
+        tuple(r)
+        for r in ivfpq_topk_indexed(q, inc, nprobe=3, k=5, shortlist=20).collect()
+    )
+    got_full = sorted(
+        tuple(r)
+        for r in ivfpq_topk_indexed(q, full, nprobe=3, k=5, shortlist=20).collect()
+    )
+    assert got_inc == got_full
+
+
+def test_cusum_matches_sequential_reference(spark):
+    """The window-identity CUSUM must equal the textbook sequential
+    recurrence bit for bit (same integer arithmetic)."""
+    import datetime as dt
+
+    from sparkgraft.operators.stats import MEAN_SCALE, cusum_changepoints
+
+    vals = [10.0, 10.2, 9.9, 10.1, 9.8, 10.0,      # baseline
+            13.5, 13.9, 14.2, 13.7, 14.0,          # upward shift
+            10.0, 9.9, 5.2, 5.0, 4.8, 5.1]         # downward shift
+    rows = [("k", dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), i, v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "key string, ts timestamp, event_id long, value double"
+    )
+    k, h, bn, digits = 0.5, 2.0, 6, 6
+    got = sorted(
+        (r["event_id"], r["side"], r["stat"])
+        for r in cusum_changepoints(
+            df, "key", "ts", "event_id", "value",
+            k=k, h=h, baseline_n=bn, digits=digits,
+        ).collect()
+    )
+
+    xs = [round(v * MEAN_SCALE) for v in vals]
+    nb = min(len(vals), bn)
+    sb = sum(xs[:bn])
+    ks = round(k * MEAN_SCALE)
+    hs = round(h * MEAN_SCALE)
+    sp = sn = 0
+    expect = []
+    for i, x in enumerate(xs):
+        sp = max(0, sp + (nb * x - sb - nb * ks))
+        sn = max(0, sn + (sb - nb * x - nb * ks))
+        up, down = sp > nb * hs, sn > nb * hs
+        if up or down:
+            s = sp if up else sn
+            unit = nb * (MEAN_SCALE // 10**digits)
+            stat = ((2 * s + unit) // (2 * unit)) / 10**digits
+            expect.append((i, "up" if up else "down", stat))
+    assert got == expect
+    # Sanity: both shift directions fire, baseline is quiet.
+    assert {s for _, s, _ in got} == {"up", "down"}
+    assert min(i for i, _, _ in got) >= bn
