@@ -3959,6 +3959,91 @@ def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(collected, schema_str)
 
 
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM monitor (rows-only): the cusum_shift scenario
+    drained as three ts-ordered files (shift lands mid-stream) through
+    ``cusum_monitor`` — O(1) integer state per (key, side), batch-keyed
+    replay discipline.  Alarms are bit-identical to the batch operator
+    on the union (asserted in tests/test_cusum_monitor.py); returns
+    the same per-(type, side) summary shape as cusum_shift.  Memoized
+    per sf_dir like the other streaming fixtures."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from sparkgraft.streaming.pipeline import cusum_monitor
+
+    cached = _FIXTURE_CACHE.get(("stream_cusum", sf_dir))
+    schema = "event_type string, side string, n_alarms long, max_stat double"
+    if cached is not None:
+        return spark.createDataFrame(cached, schema)
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn(
+            "value",
+            F.col("value")
+            + F.when(
+                F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
+                F.lit(4.0),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+            "event_id",
+            "value",
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_scusum_")
+    os.makedirs(f"{tmp}/in", exist_ok=True)
+    cuts = ("2024-01-11", "2024-01-21")
+    stages = (
+        (1, ev.filter(F.col("ts") < cuts[0])),
+        (2, ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1]))),
+        (3, ev.filter(F.col("ts") >= cuts[1])),
+    )
+    for i, df in stages:
+        df.coalesce(1).write.mode("overwrite").json(f"{tmp}/stage_{i}")
+        src = sorted(glob.glob(f"{tmp}/stage_{i}/part-*.json"))[0]
+        dst = f"{tmp}/in/batch_{i}.json"
+        shutil.move(src, dst)
+        # Distinct ascending mtimes pin the (order-sensitive) batch order.
+        os.utime(dst, (1700000000 + i, 1700000000 + i))
+
+    union = ev.withColumn("ts", F.to_timestamp("ts"))
+    alarms: list[tuple] = []
+
+    def sink(df, batch_id):
+        alarms.extend(
+            (r["event_type"], r["side"], r["stat"]) for r in df.collect()
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "event_type string, ts timestamp, event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(f"{tmp}/in")
+    )
+    q = cusum_monitor(
+        stream, union, "event_type", "ts", "event_id", "value",
+        f"{tmp}/ckpt", sink, k=0.5, h=10.0, baseline_n=50, digits=6,
+    )
+    q.awaitTermination(300)
+    agg: dict[tuple, list] = {}
+    for et, side, stat in alarms:
+        cur = agg.setdefault((et, side), [0, float("-inf")])
+        cur[0] += 1
+        cur[1] = max(cur[1], stat)
+    rows = sorted(
+        (et, side, n, mx) for (et, side), (n, mx) in agg.items()
+    )
+    _FIXTURE_CACHE[("stream_cusum", sf_dir)] = rows
+    return spark.createDataFrame(rows, schema)
+
+
 def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup (rows-only — the DCT kernel isn't
     SQL-mirrorable; brute-force parity is pytest-asserted): doc_id-
@@ -4263,6 +4348,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round 4 (third session): changepoints + index maintenance ---
     "cusum_shift": q_cusum,
     "phash_dedup": q_phash_dedup,
+    "stream_cusum": q_stream_cusum,
 }
 
 

@@ -257,6 +257,7 @@ from sparkgraft.streaming.joins import interval_join_streams
 from sparkgraft.streaming.pipeline import (
     FilePipeline,
     HealthBoard,
+    cusum_monitor,
     dedup_admission,
     dedup_stream,
     drift_monitor,

@@ -816,3 +816,210 @@ def sample_monitor(
     )
     trig = trigger or {"availableNow": True}
     return writer.trigger(**trig).start()
+
+
+def cusum_monitor(
+    stream,
+    baseline: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    checkpoint_dir: str,
+    sink,
+    k: float = 0.0,
+    h: float = 5.0,
+    baseline_n: int = 50,
+    digits: int = 6,
+    trigger: dict | None = None,
+):
+    """Streaming CUSUM mean-shift monitor — the live form of
+    ``stats.cusum_changepoints``, in O(1) state per (key, side): the
+    whole recurrence folds into TWO numbers per key and side — the
+    running increment sum C and the running min M = min(0, min_j C_j)
+    — because S_t = C_t − M_{t} (the cumsum − running-min identity).
+    Per batch, the window computation runs distributed in Spark; only
+    one (C, M) row per key collects.
+
+    μ₀ is PINNED at monitor start from the first ``baseline_n`` rows
+    per key of ``baseline`` (the ks_monitor discipline) and persisted
+    beside the state, so restarts monitor against the identical
+    target.  State persists KEYED BY BATCH ID, so a foreachBatch
+    replay of batch N resumes from the pre-N snapshot instead of
+    double-advancing the recurrence (asserted in tests).
+
+    Alarms are bit-identical to the batch operator run over the union
+    of all batches (same integer arithmetic), PROVIDED rows arrive in
+    (ts, id) order across batches — the reference's oldest-first
+    single-flight discipline (SURVEY §2.9 T1/O3), natural for
+    file-cadence ingestion; within a batch, order is free.
+    ``sink(alarms_df, batch_id)`` receives that batch's alarm rows.
+    """
+    import json
+    import os
+    from decimal import Decimal
+
+    from pyspark.sql import Window
+
+    from sparkgraft.operators.stats import MEAN_SCALE, scaled_long
+
+    k_s = int(round(k * MEAN_SCALE))
+    h_s = int(round(h * MEAN_SCALE))
+    state_file = os.path.join(checkpoint_dir, "cusum_state.json")
+    state = {"keys": {}, "batch_id": None, "prev_keys": None, "base": None}
+    if os.path.exists(state_file):
+        with open(state_file) as fh:
+            stored = json.load(fh)
+        state["keys"] = stored["keys"]
+        state["batch_id"] = stored.get("batch_id")
+        state["prev_keys"] = stored.get("prev_keys")
+        state["base"] = stored["base"]
+    if state["base"] is None:
+        w_rn = Window.partitionBy(key_col).orderBy(
+            F.col(ts_col).asc(), F.col(id_col).asc()
+        )
+        base_rows = (
+            baseline.select(
+                F.col(key_col),
+                F.col(ts_col),
+                F.col(id_col),
+                scaled_long(F.col(value_col)).alias("xs"),
+            )
+            .withColumn("rn", F.row_number().over(w_rn))
+            .withColumnRenamed(key_col, "key")
+            .filter(F.col("rn") <= baseline_n)
+            .groupBy("key")
+            .agg(F.count("*").alias("nb"), F.sum("xs").alias("sb"))
+            .collect()  # bounded: one row per monitored key
+        )
+        state["base"] = {
+            str(r["key"]): [int(r["nb"]), int(r["sb"])] for r in base_rows
+        }
+
+    def on_batch(batch, batch_id: int) -> None:
+        spark = batch.sparkSession
+        keys = (
+            state["prev_keys"]
+            if state["batch_id"] is not None
+            and batch_id == state["batch_id"]
+            and state["prev_keys"] is not None
+            else state["keys"]
+        )
+        # Tiny broadcast tables: pinned baseline + per-key (C, M) state.
+        meta_rows = [
+            (
+                kk,
+                nb,
+                Decimal(sb),
+                Decimal(int(keys.get(kk, ["0", "0", "0", "0"])[0])),
+                Decimal(int(keys.get(kk, ["0", "0", "0", "0"])[1])),
+                Decimal(int(keys.get(kk, ["0", "0", "0", "0"])[2])),
+                Decimal(int(keys.get(kk, ["0", "0", "0", "0"])[3])),
+            )
+            for kk, (nb, sb) in state["base"].items()
+        ]
+        meta = spark.createDataFrame(
+            meta_rows,
+            "key string, nb long, sb decimal(38,0), cp0 decimal(38,0), "
+            "mp0 decimal(38,0), cn0 decimal(38,0), mn0 decimal(38,0)",
+        )
+        dec = lambda c: c.cast("decimal(38,0)")
+        t = batch.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("id"),
+            F.col(value_col).alias("v"),
+            scaled_long(F.col(value_col)).alias("xs"),
+        ).join(F.broadcast(meta), "key")
+        nb, sb, xs = dec(F.col("nb")), F.col("sb"), dec(F.col("xs"))
+        kd = F.lit(k_s).cast("decimal(38,0)")
+        t = t.withColumn("yp", nb * xs - sb - nb * kd).withColumn(
+            "yn", sb - nb * xs - nb * kd
+        )
+        w_cum = Window.partitionBy("key").orderBy(
+            F.col("ts").asc(), F.col("id").asc()
+        ).rowsBetween(Window.unboundedPreceding, 0)
+        t = t.withColumn("lcp", F.sum("yp").over(w_cum)).withColumn(
+            "lcn", F.sum("yn").over(w_cum)
+        )
+        t = t.withColumn("rmp", F.min("lcp").over(w_cum)).withColumn(
+            "rmn", F.min("lcn").over(w_cum)
+        )
+        # Global cumsum / running-min: C = C0 + local, M = min(M0, C0+rm).
+        t = (
+            t.withColumn("cp", F.col("cp0") + F.col("lcp"))
+            .withColumn("cn", F.col("cn0") + F.col("lcn"))
+            .withColumn("mp", F.least(F.col("mp0"), F.col("cp0") + F.col("rmp")))
+            .withColumn("mn", F.least(F.col("mn0"), F.col("cn0") + F.col("rmn")))
+        )
+        sp = F.col("cp") - F.col("mp")
+        sn = F.col("cn") - F.col("mn")
+        thresh = nb * F.lit(h_s).cast("decimal(38,0)")
+
+        def _stat(s):
+            unit = nb * F.lit(MEAN_SCALE // (10**digits)).cast("decimal(38,0)")
+            r = F.call_function(
+                "div", F.lit(2).cast("decimal(38,0)") * s + unit, 2 * unit
+            )
+            return r.cast("double") / F.lit(float(10**digits))
+
+        up, down = sp > thresh, sn > thresh
+        alarms = (
+            t.filter(up | down)
+            .select(
+                F.col("key").alias(key_col),
+                F.col("ts").alias(ts_col),
+                F.col("id").alias(id_col),
+                F.col("v").alias(value_col),
+                F.when(up, F.lit("up")).otherwise(F.lit("down")).alias("side"),
+                F.when(up, _stat(sp)).otherwise(_stat(sn)).alias("stat"),
+            )
+        )
+        # New per-key state: one aggregate row per key.
+        fin = (
+            t.groupBy("key")
+            .agg(
+                F.sum("yp").alias("dp"),
+                F.sum("yn").alias("dn"),
+                F.min("rmp").alias("rp"),
+                F.min("rmn").alias("rn_"),
+                F.first("cp0").alias("cp0"),
+                F.first("mp0").alias("mp0"),
+                F.first("cn0").alias("cn0"),
+                F.first("mn0").alias("mn0"),
+            )
+            .collect()
+        )
+        new_keys = dict(keys)
+        for r in fin:
+            cp_new = int(r["cp0"]) + int(r["dp"])
+            cn_new = int(r["cn0"]) + int(r["dn"])
+            mp_new = min(int(r["mp0"]), int(r["cp0"]) + int(r["rp"]))
+            mn_new = min(int(r["mn0"]), int(r["cn0"]) + int(r["rn_"]))
+            new_keys[r["key"]] = [
+                str(cp_new), str(mp_new), str(cn_new), str(mn_new)
+            ]
+        sink(alarms, batch_id)
+        if state["batch_id"] is None or batch_id != state["batch_id"]:
+            state["prev_keys"] = state["keys"]
+        state["keys"] = new_keys
+        state["batch_id"] = batch_id
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        tmp = state_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "keys": state["keys"],
+                    "prev_keys": state["prev_keys"],
+                    "base": state["base"],
+                    "batch_id": batch_id,
+                },
+                fh,
+            )
+        os.replace(tmp, state_file)
+
+    writer = stream.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    trig = trigger or {"availableNow": True}
+    return writer.trigger(**trig).start()
