@@ -3959,6 +3959,43 @@ def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(collected, schema_str)
 
 
+def q_topic_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage topic model (rows-only — iterative fit; planted-
+    recovery, conservation and partition-independence are pytest-
+    asserted): hashed-TF-IDF k-means warm-starts hard-EM PLSA over the
+    documents corpus; returns the top-8 terms per topic plus each
+    topic's doc count — the domain-discovery report a curation mix
+    starts from.  Fit cached per (session, sf_dir) like the other
+    iterative fits."""
+    from sparkgraft.operators.topics import (
+        dominant_topic,
+        topic_model,
+        topic_terms,
+    )
+
+    key = ("topic_model", sf_dir, id(spark))
+    cached = _FIXTURE_CACHE.get(key)
+    schema = "topic int, rnk int, term string, weight long, topic_docs long"
+    if cached is not None:
+        return spark.createDataFrame(cached, schema)
+
+    docs = _t(spark, sf_dir, "documents")
+    dt, wt = topic_model(docs, k=4, dim=64, kmeans_iters=3, em_iters=3)
+    sizes = {
+        r["topic"]: r["n"]
+        for r in dominant_topic(dt)
+        .groupBy("topic")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rows = sorted(
+        (r["topic"], r["rnk"], r["term"], r["weight"], sizes.get(r["topic"], 0))
+        for r in topic_terms(wt, top_m=8).collect()
+    )
+    _FIXTURE_CACHE[key] = rows
+    return spark.createDataFrame(rows, schema)
+
+
 def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CUSUM monitor (rows-only): the cusum_shift scenario
     drained as three ts-ordered files (shift lands mid-stream) through
@@ -4349,6 +4386,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cusum_shift": q_cusum,
     "phash_dedup": q_phash_dedup,
     "stream_cusum": q_stream_cusum,
+    "topic_model": q_topic_model,
 }
 
 

@@ -73,6 +73,15 @@ from sparkgraft.operators.linalg import (
     pca_components,
     pca_project,
 )
+from sparkgraft.operators.topics import (
+    cluster_documents,
+    doc_term_counts,
+    dominant_topic,
+    hashed_tfidf_vectors,
+    plsa_hard_em,
+    topic_model,
+    topic_terms,
+)
 from sparkgraft.operators.trainer import (
     doc_features,
     predict_hard_logistic,

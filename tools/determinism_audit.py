@@ -60,6 +60,11 @@ def run(n_partitions: int, sf_dir: str) -> dict[str, str]:
         entrymod._UNIGRAM_CACHE,
     ):
         cache.clear()
+    # Session-keyed _FIXTURE_CACHE entries carry id(spark) as the third
+    # key element (er_labels, topic_model) — drop those too; sf_dir-keyed
+    # streaming fixtures (2-element keys) stay memoized by design.
+    for key in [k for k in entrymod._FIXTURE_CACHE if len(k) == 3]:
+        del entrymod._FIXTURE_CACHE[key]
     return out
 
 
