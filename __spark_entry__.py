@@ -3959,6 +3959,37 @@ def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(collected, schema_str)
 
 
+def q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping (sinks/layout.py write_with_stats /
+    read_skipping): events staged once per sf_dir as a ts-range-sorted
+    table + min/max manifest; a 3-day window reads ONLY the manifest-
+    surviving files (pruning asserted in tests/test_layout.py), then
+    the exact channel-stats aggregate runs on the pruned scan.  The
+    skipping contract — pruned-read ∘ filter ≡ full-scan ∘ filter —
+    makes the plain-SQL oracle exact."""
+    from sparkgraft.sinks.layout import read_skipping, write_with_stats
+
+    path = _FIXTURE_CACHE.get(("file_skipping", sf_dir))
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="sparkgraft_skip_") + "/events"
+        write_with_stats(
+            _t(spark, sf_dir, "events"), path, ["ts", "value"],
+            sort_col="ts", n_files=8,
+        )
+        _FIXTURE_CACHE[("file_skipping", sf_dir)] = path
+    lo = F.lit("2024-01-10").cast("timestamp")
+    hi = F.lit("2024-01-13").cast("timestamp")
+    keep = (F.col("max_ts") >= lo) & (F.col("min_ts") <= hi)
+    pruned = read_skipping(spark, path, keep).filter(
+        F.col("ts").between(lo, hi)
+    )
+    return S.channel_stats(pruned, ["event_type"], "value").withColumnsRenamed(
+        {"event_type": "channel"}
+    )
+
+
 def q_topic_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage topic model (rows-only — iterative fit; planted-
     recovery, conservation and partition-independence are pytest-
@@ -4387,6 +4418,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phash_dedup": q_phash_dedup,
     "stream_cusum": q_stream_cusum,
     "topic_model": q_topic_model,
+    "file_skipping": q_file_skipping,
 }
 
 
@@ -8280,6 +8312,21 @@ ORACLES["cusum_shift"] = """
     SELECT event_type, side, count(*) AS n_alarms,
            min(ts) AS first_alarm_ts, max(stat) AS max_stat
     FROM al GROUP BY 1, 2
+"""
+
+
+# Mirrors q_file_skipping: skipping is result-transparent (pruned-read
+# ∘ filter ≡ full-scan ∘ filter), so the oracle is channel_stats' SQL
+# over the same ts window on the original events view.
+ORACLES["file_skipping"] = """
+    SELECT event_type AS channel,
+           round(cast(sum(cast(value AS DECIMAL(27,6))) AS DOUBLE)
+                 / count(value), 3) AS mean,
+           round(min(value), 3) AS "min",
+           round(max(value), 3) AS "max"
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-13'
+    GROUP BY event_type
 """
 
 

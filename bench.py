@@ -144,6 +144,11 @@ HEADLINE = [
     "stream_sample",
     "entity_resolution",
     "dedup_rewrite",
+    # round-4 third-session additions
+    "cusum_shift",
+    "phash_dedup",
+    "topic_model",
+    "file_skipping",
 ]
 
 

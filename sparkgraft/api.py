@@ -242,7 +242,10 @@ from sparkgraft.sinks.versioned import (
 )
 from sparkgraft.sinks.layout import (
     compact_directory,
+    prune_files,
+    read_skipping,
     write_partitioned,
+    write_with_stats,
     write_zordered,
     zorder_key,
 )

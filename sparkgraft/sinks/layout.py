@@ -87,3 +87,74 @@ def compact_directory(
     """
     df = spark.read.format(fmt).load(src)
     df.coalesce(target_files).write.mode("overwrite").format(fmt).save(dst)
+
+
+def write_with_stats(
+    df: DataFrame,
+    path: str,
+    stats_cols: Sequence[str],
+    sort_col: str | None = None,
+    n_files: int = 8,
+    fmt: str = "parquet",
+) -> None:
+    """Write + file-level min/max manifest — Delta/Iceberg-style data
+    skipping as plain parquet: after the write, one pass over the
+    written files aggregates per-file (min, max, null-count) for
+    ``stats_cols`` into a ``_stats`` manifest beside the data
+    (underscore-prefixed → invisible to normal readers).
+
+    ``sort_col`` range-partitions + sorts the write on that column so
+    each file covers a TIGHT value range — that's what makes the
+    manifest selective (an unsorted write gives every file the full
+    range and skipping prunes nothing).  For multi-dimensional
+    selectivity, pre-sort with :func:`write_zordered`'s key instead.
+
+    At 100 TB the manifest is one row per file — millions of rows at
+    most, the same scale as the driver's own file listing.
+    """
+    w = df
+    if sort_col is not None:
+        w = df.repartitionByRange(n_files, F.col(sort_col)).sortWithinPartitions(
+            sort_col
+        )
+    w.write.mode("overwrite").format(fmt).save(path)
+    written = df.sparkSession.read.format(fmt).load(path)
+    aggs = []
+    for c in stats_cols:
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"nulls_{c}"
+            ),
+        ]
+    man = written.groupBy(
+        F.input_file_name().alias("file")
+    ).agg(F.count("*").alias("n_rows"), *aggs)
+    man.write.mode("overwrite").parquet(f"{path}/_stats")
+
+
+def prune_files(spark: SparkSession, path: str, keep: Column) -> list[str]:
+    """Evaluate a manifest predicate (over the ``min_*``/``max_*``/
+    ``nulls_*``/``n_rows`` columns) and return the surviving file list.
+    The standard range predicate for ``col BETWEEN lo AND hi`` is
+    ``(max_col >= lo) AND (min_col <= hi)`` — any file whose stats
+    range misses the query range is skipped without opening it."""
+    man = spark.read.parquet(f"{path}/_stats")
+    return sorted(
+        r["file"] for r in man.filter(keep).select("file").collect()
+    )
+
+
+def read_skipping(
+    spark: SparkSession, path: str, keep: Column, fmt: str = "parquet"
+) -> DataFrame:
+    """Scan only the files the manifest predicate keeps.  The caller
+    still applies the exact row-level filter — skipping is a superset
+    guarantee (file stats bound the file's contents), so
+    ``read_skipping(...).filter(p)`` ≡ ``read(path).filter(p)`` with
+    fewer files opened (both asserted in tests/test_layout.py)."""
+    files = prune_files(spark, path, keep)
+    if not files:
+        return spark.read.format(fmt).load(path).limit(0)
+    return spark.read.format(fmt).load(files)

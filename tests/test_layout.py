@@ -145,3 +145,54 @@ def test_zorder_tightens_rowgroup_stats_on_both_dims(spark, tmp_path):
     assert x["y"] > 200, x
     assert z["x"] < 192 and z["y"] < 128, z
     assert z["y"] < x["y"] / 2, (z, x)
+
+
+def test_file_skipping_prunes_and_preserves_results(spark, tmp_path):
+    """write_with_stats + read_skipping: the pruned read opens strictly
+    fewer files yet filtered results equal the full scan's."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.sinks.layout import (
+        prune_files,
+        read_skipping,
+        write_with_stats,
+    )
+    from sparkgraft.sources.readers import read_table
+    from tests.conftest import SF_DIR
+
+    ev = read_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "ev_stats")
+    write_with_stats(ev, path, ["ts", "value"], sort_col="ts", n_files=8)
+
+    man = spark.read.parquet(f"{path}/_stats")
+    total_files = man.count()
+    assert total_files >= 6  # the range partitioning actually split
+
+    lo, hi = "2024-01-10", "2024-01-12"
+    keep = (F.col("max_ts") >= F.lit(lo).cast("timestamp")) & (
+        F.col("min_ts") <= F.lit(hi).cast("timestamp")
+    )
+    kept = prune_files(spark, path, keep)
+    assert 0 < len(kept) < total_files  # skipping really skips
+
+    row_filter = F.col("ts").between(
+        F.lit(lo).cast("timestamp"), F.lit(hi).cast("timestamp")
+    )
+    got = sorted(
+        tuple(r)
+        for r in read_skipping(spark, path, keep).filter(row_filter).collect()
+    )
+    want = sorted(
+        tuple(r) for r in spark.read.parquet(path).filter(row_filter).collect()
+    )
+    assert got == want and got
+
+    # Manifest row counts reconcile with the table.
+    assert man.agg(F.sum("n_rows")).first()[0] == ev.count()
+
+    # Empty-selection predicate yields an empty frame with the schema.
+    nothing = read_skipping(
+        spark, path, F.col("max_value") < F.lit(-1e18)
+    )
+    assert nothing.count() == 0
+    assert nothing.columns == spark.read.parquet(path).columns

@@ -281,3 +281,68 @@ def test_covariance_partials_shuffle_tiny(spark):
     # projection serving is shuffle-free
     pca = entrymod.q_pca_project(spark, SF_DIR)
     assert not audit.has_shuffle(pca), audit.explain_str(pca)
+
+
+def test_cusum_windows_share_one_sort(spark):
+    """The three window layers (cumsum, running-min, rank) all order by
+    (ts, id) within the key partition — Spark must plan ONE exchange on
+    the key, not one per layer."""
+    df = entrymod.q_cusum(spark, SF_DIR)
+    # one shuffle for the window partition + one for the final summary
+    assert audit.count_shuffles(df) <= 2, audit.explain_str(df)
+
+
+def test_phash_neardup_shuffles_hashes_not_pixels(spark):
+    """The banded Hamming join must exchange only (band, bucket, id,
+    hash) rows — image bytes stay inside the one Arrow kernel pass and
+    never reach an exchange."""
+    import numpy as np
+
+    from sparkgraft.operators.multimodal import (
+        encode_fake_image,
+        image_phash,
+        phash_neardup,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, encode_fake_image(8, 8, rng.randint(0, 256, 64).astype(np.uint8).tobytes()))
+        for i in range(10)
+    ]
+    media = spark.createDataFrame(rows, "media_id long, data binary")
+    df = phash_neardup(image_phash(media), max_hamming=3, n_bands=4)
+    plan = audit.explain_str(df)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "data" not in line, line
+
+
+def test_topic_em_step_never_shuffles_text(spark):
+    """One EM iteration's joins key on d / w — the exchanges carry
+    (d, w, n, z) and K-vector rows only; document text is dropped at
+    doc_term_counts and never appears in any exchange."""
+    from sparkgraft.operators.topics import doc_term_counts
+    from sparkgraft.sources.readers import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    counts = doc_term_counts(docs)
+    plan = audit.explain_str(counts)
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+    # the count table itself: one shuffle (groupBy d,w), map-side combined
+    assert audit.count_shuffles(counts) == 1, plan
+
+
+def test_hashed_tfidf_vector_build_bounded_exchanges(spark):
+    """Vectorization exchanges carry (d, slot, long-weight) cells and
+    (term, df) counts — never text; the slot sums are exact longs."""
+    from sparkgraft.operators.topics import doc_term_counts, hashed_tfidf_vectors
+    from sparkgraft.sources.readers import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    vecs = hashed_tfidf_vectors(doc_term_counts(docs), dim=32)
+    plan = audit.explain_str(vecs)
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
