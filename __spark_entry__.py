@@ -3959,6 +3959,61 @@ def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(collected, schema_str)
 
 
+def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup via spectral landmark fingerprints (rows-only —
+    the FFT kernel isn't SQL-mirrorable; offset/score behavior is
+    pytest-asserted): doc_id-seeded tonal tracks generated executor-
+    side, every 11th doc paired with a noise-prefixed shifted copy
+    (id + 10⁶), fingerprint → hash join → offset-histogram vote.
+    Returns the detected (pair, offset, votes) rows."""
+    from sparkgraft.operators.multimodal import audio_fingerprint, audio_match
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from sparkgraft.operators.multimodal import encode_fake_audio
+
+        seg = 128 * 4  # 4 hops per melody note
+        n_seg = 12
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rng = np.random.RandomState(did)
+                # A doc-seeded MELODY (frequency steps), not a steady
+                # tone — steady spectra match at every offset and drown
+                # the vote histogram; time-varying content only aligns
+                # for true copies.
+                notes = 300 + 25 * rng.randint(0, 100, size=n_seg)
+                tseg = np.arange(seg) / 8000.0
+                sig = np.concatenate(
+                    [np.sin(2 * np.pi * f * tseg) for f in notes]
+                )
+                sig = sig + 0.01 * rng.randn(len(sig))
+                ids.append(did)
+                blobs.append(encode_fake_audio([float(x) for x in sig]))
+                if did % 11 == 0:
+                    pad = 0.01 * np.random.RandomState(did + 1).randn(128 * 4)
+                    shifted = np.concatenate([pad, sig])
+                    ids.append(did + 1_000_000)
+                    blobs.append(
+                        encode_fake_audio([float(x) for x in shifted])
+                    )
+            yield pd.DataFrame({"media_id": ids, "data": blobs})
+
+    media = docs.mapInPandas(gen, "media_id long, data binary")
+    # A true copy aligns every note (414 consistent votes on this
+    # fixture); coincidental multi-note overlaps top out ~130 — 200
+    # separates them with a wide margin on both sides.
+    pairs = audio_match(audio_fingerprint(media), min_matches=200)
+    return pairs.select("id_a", "id_b", "offset", "n_matched")
+
+
 def q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-level data skipping (sinks/layout.py write_with_stats /
     read_skipping): events staged once per sf_dir as a ts-range-sorted
@@ -4419,6 +4474,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_cusum": q_stream_cusum,
     "topic_model": q_topic_model,
     "file_skipping": q_file_skipping,
+    "audio_dedup": q_audio_dedup,
 }
 
 

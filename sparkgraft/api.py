@@ -22,7 +22,9 @@ from sparkgraft.functions.expr import (
     window_end_berlin,
 )
 from sparkgraft.operators.multimodal import (
+    audio_fingerprint,
     audio_frame_sample,
+    audio_match,
     decode_sample_files,
     image_features,
     image_phash,

@@ -354,3 +354,64 @@ def test_phash_neardup_matches_brute_force(spark):
     assert got == brute
     planted = {(i, 1000 + i) for i in range(0, 30, 5)}
     assert planted <= {(a, b) for a, b, _ in got}
+
+
+def test_audio_fingerprint_matches_shifted_copy(spark):
+    """A track containing another's content matches at one consistent
+    offset; unrelated tracks don't reach the match floor."""
+    import numpy as np
+
+    from sparkgraft.operators.multimodal import (
+        audio_fingerprint,
+        audio_match,
+        encode_fake_audio,
+    )
+
+    rng = np.random.RandomState(21)
+    # Tonal content (sums of sines) so spectra have real peaks.
+    t = np.arange(128 * 128) / 8000.0
+
+    def tone(freqs):
+        return sum(np.sin(2 * np.pi * f * t) for f in freqs)
+
+    s1 = tone([440, 880, 1320]) + 0.01 * rng.randn(len(t))
+    pad = 0.01 * rng.randn(128 * 8)  # 8 hops of noise prefix
+    s2 = np.concatenate([pad, s1])   # shifted copy
+    s3 = tone([523, 659, 987]) + 0.01 * rng.randn(len(t))  # unrelated
+
+    df = spark.createDataFrame(
+        [
+            (1, encode_fake_audio([float(x) for x in s1])),
+            (2, encode_fake_audio([float(x) for x in s2])),
+            (3, encode_fake_audio([float(x) for x in s3])),
+        ],
+        "media_id long, data binary",
+    )
+    fps = audio_fingerprint(df)
+    got = {
+        (r["id_a"], r["id_b"]): (r["offset"], r["n_matched"])
+        for r in audio_match(fps, min_matches=20).collect()
+    }
+    assert (1, 2) in got
+    off, n = got[(1, 2)]
+    assert off == -8 and n >= 50  # s2 = 8-hop-delayed s1
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_audio_fingerprint_deterministic(spark):
+    import numpy as np
+
+    from sparkgraft.operators.multimodal import (
+        audio_fingerprint,
+        encode_fake_audio,
+    )
+
+    t = np.arange(128 * 40) / 8000.0
+    s = np.sin(2 * np.pi * 700 * t) + np.sin(2 * np.pi * 1100 * t)
+    df = spark.createDataFrame(
+        [(7, encode_fake_audio([float(x) for x in s]))],
+        "media_id long, data binary",
+    )
+    a = sorted(tuple(r) for r in audio_fingerprint(df).collect())
+    b = sorted(tuple(r) for r in audio_fingerprint(df.repartition(4)).collect())
+    assert a == b and a
