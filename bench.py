@@ -149,6 +149,7 @@ HEADLINE = [
     "phash_dedup",
     "topic_model",
     "file_skipping",
+    "audio_dedup",
 ]
 
 
