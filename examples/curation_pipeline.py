@@ -27,6 +27,7 @@ from __future__ import annotations
 import os
 import sys
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -223,6 +224,23 @@ def main(sf_dir: str) -> None:
         "v",
     ).first()
 
+    # 12. Topic-balanced mix: discover domains (hashed-TF-IDF k-means
+    # warm-starting hard-EM PLSA), then cap any one topic's share of
+    # the final mix — the unsupervised counterpart of the source-
+    # temperature weights in stage 6.
+    dt, wt = sg.topic_model(deduped, k=4, dim=64, kmeans_iters=2, em_iters=2)
+    dom = sg.dominant_topic(dt)
+    w_topic = Window.partitionBy("topic").orderBy(
+        F.md5(F.col("d").cast("string")), F.col("d")
+    )
+    topic_cap = 40  # per-topic document budget
+    n_topic_mix = (
+        dom.withColumn("rn", F.row_number().over(w_topic))
+        .filter(F.col("rn") <= topic_cap)
+        .count()
+    )
+    n_topics = dom.select("topic").distinct().count()
+
     print(
         f"docs={n_raw} -> quality={n_quality} -> dedup={n_dedup} -> "
         f"semdedup={n_semdedup} -> decontaminated={n_clean} -> "
@@ -231,7 +249,8 @@ def main(sf_dir: str) -> None:
         f"bpe merges={merges.count()} total tokens={tokens} | "
         f"model-positive={n_model_pos} | weighted sample={n_weighted} | "
         f"heavy hitters={n_hot} | "
-        f"length-KS={ks_row['ks_stat']} drift={ks_row['drift']}"
+        f"length-KS={ks_row['ks_stat']} drift={ks_row['drift']} | "
+        f"topics={n_topics} topic-balanced mix={n_topic_mix}"
     )
     spark.stop()
 

@@ -525,21 +525,40 @@ def audio_fingerprint(
 
 
 def audio_match(
-    fingerprints: DataFrame, min_matches: int = 5
+    fingerprints: DataFrame,
+    min_matches: int = 5,
+    max_tracks_per_hash: int = 64,
 ) -> DataFrame:
     """Offset-consistent fingerprint matching: pairs of tracks sharing
     ≥ ``min_matches`` landmark hashes at ONE consistent frame offset —
     the Shazam offset-histogram vote, as two grouped aggregates.
 
-    The self-join keys on the long hash (shuffles only (fp, id,
+    **Stop-hash filtering is the scale contract**: a hash occurring in
+    more than ``max_tracks_per_hash`` distinct tracks is dropped
+    before the join (the IR stop-word move — such landmarks carry no
+    pair information but their posting lists square in the self-join).
+    Without it a popular landmark's join output grows quadratically in
+    corpus size — measured: the 5k-track soak fixture went 530 s →
+    8.4 s at identical planted-pair recall (tools/soak_round4c.py).
+    The surviving hot-hash table is tiny and broadcast into an
+    anti-join.
+
+    The self-join then keys on the long hash (shuffles only (fp, id,
     frame) rows — never samples), the offset histogram is a grouped
     count, and the per-pair best offset keeps the max-count bin with a
     deterministic tie-break.  Output: (id_a, id_b, offset, n_matched).
     """
-    l = fingerprints.select(
+    hot = (
+        fingerprints.groupBy("fp")
+        .agg(F.count_distinct("media_id").alias("nt"))
+        .filter(F.col("nt") > max_tracks_per_hash)
+        .select("fp")
+    )
+    kept = fingerprints.join(F.broadcast(hot), "fp", "left_anti")
+    l = kept.select(
         F.col("fp"), F.col("media_id").alias("id_a"), F.col("frame").alias("fa")
     )
-    r = fingerprints.select(
+    r = kept.select(
         F.col("fp"), F.col("media_id").alias("id_b"), F.col("frame").alias("fb")
     )
     votes = (
