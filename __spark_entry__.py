@@ -3959,6 +3959,17 @@ def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(collected, schema_str)
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (contrastive-training data prep): per
+    query vector, the top-5 most-similar OTHER-label candidates below
+    the near-dup ceiling — similar-but-wrong examples, the ones a
+    reranker learns from."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.hard_negative_topk(
+        emb.filter(F.col("vec_id") < 8), emb, k=5, max_sim=0.999
+    )
+
+
 def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup via spectral landmark fingerprints (rows-only —
     the FFT kernel isn't SQL-mirrorable; offset/score behavior is
@@ -4475,6 +4486,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topic_model": q_topic_model,
     "file_skipping": q_file_skipping,
     "audio_dedup": q_audio_dedup,
+    "hard_negatives": q_hard_negatives,
 }
 
 
@@ -8383,6 +8395,37 @@ ORACLES["file_skipping"] = """
     FROM events
     WHERE ts >= TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-13'
     GROUP BY event_type
+"""
+
+
+# Mirrors similarity.hard_negative_topk: cosine_topk's exact scoring
+# plus the negativity predicate (other label, below the near-dup
+# ceiling) fused before the rank.
+ORACLES["hard_negatives"] = """
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS qlabel, embedding AS qv
+        FROM embeddings WHERE vec_id < 8
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, label AS clabel, embedding AS cv
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(
+                   list_sum(list_transform(generate_series(1, len(qv)),
+                                           i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                   6) AS cos_sim
+        FROM c, q
+        WHERE neighbor_id <> query_id AND clabel <> qlabel
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+        FROM scored WHERE cos_sim < 0.999
+    ) WHERE rnk <= 5
 """
 
 

@@ -150,6 +150,7 @@ HEADLINE = [
     "topic_model",
     "file_skipping",
     "audio_dedup",
+    "hard_negatives",
 ]
 
 

@@ -111,6 +111,7 @@ from sparkgraft.operators.similarity import (
     assign_nearest_multi,
     assign_nearest_pandas,
     brute_force_topk,
+    hard_negative_topk,
     centroids_from_labels,
     cosine,
     cosine_pandas_udf,

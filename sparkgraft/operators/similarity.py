@@ -1328,3 +1328,67 @@ def maxsim_rerank(
         .filter(F.col("rnk") <= k)
         .select("q_doc", "d_doc", "maxsim", "rnk")
     )
+
+
+def hard_negative_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    label_col: str = "label",
+    max_sim: float = 0.999,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/reranker training: per
+    query, the k MOST similar candidates that are nevertheless
+    negatives — a different ``label_col`` (class/cluster/source) AND
+    cosine below ``max_sim`` (near-identical vectors are presumed
+    unlabeled positives, the standard false-negative guard).
+
+    Same plan shape as :func:`brute_force_topk` (queries broadcast
+    with their labels, norms hoisted, similarity rounded before
+    ranking, id tie-break) with the negativity predicate fused into
+    the pair filter — so the exact-scoring scan stays a single
+    broadcast-join stage.  For corpus-scale mining swap the candidate
+    side for the IVF/LSH-pruned variants; semantics stay identical
+    above the shortlist.
+    """
+    from sparkgraft.operators.scale import widen_narrow_scan
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("qlabel"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    c = widen_narrow_scan(candidates).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("clabel"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("clabel") != F.col("qlabel"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                digits,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") < max_sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )

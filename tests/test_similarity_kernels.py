@@ -462,3 +462,25 @@ def test_embedding_stats_shape(spark):
     n = emb.count()
     assert all(r["n"] == n for r in rows)
     assert all(r["min"] <= r["mean"] <= r["max"] for r in rows)
+
+
+def test_hard_negative_topk_excludes_same_label_and_neardups(spark):
+    from sparkgraft.operators.similarity import hard_negative_topk
+
+    rows = [
+        (0, "a", [1.0, 0.0, 0.0]),
+        (1, "a", [0.99, 0.14, 0.0]),   # same label: excluded
+        (2, "b", [1.0, 0.001, 0.0]),   # near-dup (cos>0.999): excluded
+        (3, "b", [0.9, 0.43, 0.0]),    # the hard negative
+        (4, "c", [0.0, 1.0, 0.0]),     # easy negative
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    got = [
+        (r["neighbor_id"], r["rnk"])
+        for r in hard_negative_topk(
+            df.filter("vec_id = 0"), df, k=3, max_sim=0.999
+        ).orderBy("rnk").collect()
+    ]
+    assert got == [(3, 1), (4, 2)]  # 1 (same label) and 2 (near-dup) gone
