@@ -4007,13 +4007,13 @@ def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 sig = sig + 0.01 * rng.randn(len(sig))
                 ids.append(did)
-                blobs.append(encode_fake_audio([float(x) for x in sig]))
+                blobs.append(encode_fake_audio(sig))
                 if did % 11 == 0:
                     pad = 0.01 * np.random.RandomState(did + 1).randn(128 * 4)
                     shifted = np.concatenate([pad, sig])
                     ids.append(did + 1_000_000)
                     blobs.append(
-                        encode_fake_audio([float(x) for x in shifted])
+                        encode_fake_audio(shifted)
                     )
             yield pd.DataFrame({"media_id": ids, "data": blobs})
 

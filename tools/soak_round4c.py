@@ -116,7 +116,7 @@ def main(sf_dir: str) -> None:
                         [np.sin(2 * np.pi * f * tseg) for f in notes]
                     ) + 0.01 * rng.randn(seg * n_seg)
                     ids.append(did)
-                    blobs.append(encode_fake_audio([float(x) for x in sig]))
+                    blobs.append(encode_fake_audio(sig))
                 yield pd.DataFrame({"media_id": ids, "data": blobs})
 
         return d.select("doc_id").mapInPandas(k, "media_id long, data binary")
