@@ -244,6 +244,7 @@ from sparkgraft.sinks.versioned import (
     write_versioned,
 )
 from sparkgraft.sinks.layout import (
+    append_with_stats,
     compact_directory,
     prune_files,
     read_skipping,

@@ -158,3 +158,56 @@ def read_skipping(
     if not files:
         return spark.read.format(fmt).load(path).limit(0)
     return spark.read.format(fmt).load(files)
+
+
+def append_with_stats(
+    df: DataFrame,
+    path: str,
+    stats_cols: Sequence[str],
+    sort_col: str | None = None,
+    n_files: int = 4,
+    fmt: str = "parquet",
+) -> None:
+    """Incremental manifest maintenance — the daily-ingest shape for a
+    skipping-indexed table: append the new rows as their own (sorted)
+    files and compute manifest rows for ONLY those files, appended to
+    the ``_stats`` manifest.  Existing data files and their manifest
+    rows are untouched; no history is re-scanned, ever (the
+    append_bm25_index / append_ann_index discipline applied to layout
+    metadata).  The merged manifest exactly describes old ∪ new —
+    asserted in tests against a from-scratch rebuild.
+
+    New files are identified by an anti-join against the existing
+    manifest's file column (never a driver-side listing collect), so
+    the whole append is metadata-scale distributed work."""
+    # Materialized BEFORE the append below — the manifest is both read
+    # (old file set) and appended to in this function, and a lazy scan
+    # could otherwise list the manifest after the new rows land.
+    old_files = (
+        df.sparkSession.read.parquet(f"{path}/_stats")
+        .select("file")
+        .localCheckpoint()
+    )
+    w = df
+    if sort_col is not None:
+        w = df.repartitionByRange(n_files, F.col(sort_col)).sortWithinPartitions(
+            sort_col
+        )
+    w.write.mode("append").format(fmt).save(path)
+    written = df.sparkSession.read.format(fmt).load(path)
+    aggs = []
+    for c in stats_cols:
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"nulls_{c}"
+            ),
+        ]
+    new_man = (
+        written.withColumn("file", F.input_file_name())
+        .join(F.broadcast(old_files), "file", "left_anti")
+        .groupBy("file")
+        .agg(F.count("*").alias("n_rows"), *aggs)
+    )
+    new_man.write.mode("append").parquet(f"{path}/_stats")

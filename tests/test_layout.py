@@ -196,3 +196,58 @@ def test_file_skipping_prunes_and_preserves_results(spark, tmp_path):
     )
     assert nothing.count() == 0
     assert nothing.columns == spark.read.parquet(path).columns
+
+
+def test_append_with_stats_equals_rebuild(spark, tmp_path):
+    """Incremental manifest append ≡ from-scratch manifest over
+    old ∪ new; history files and their manifest rows untouched."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.sinks.layout import (
+        append_with_stats,
+        read_skipping,
+        write_with_stats,
+    )
+    from sparkgraft.sources.readers import read_table
+    from tests.conftest import SF_DIR
+
+    ev = read_table(spark, SF_DIR, "events")
+    old = ev.filter(F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    new = ev.filter(F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+
+    inc = str(tmp_path / "inc")
+    write_with_stats(old, inc, ["ts"], sort_col="ts", n_files=4)
+    man_before = {
+        r["file"]: tuple(r)
+        for r in spark.read.parquet(f"{inc}/_stats").collect()
+    }
+    append_with_stats(new, inc, ["ts"], sort_col="ts", n_files=4)
+    man_after = {
+        r["file"]: tuple(r)
+        for r in spark.read.parquet(f"{inc}/_stats").collect()
+    }
+
+    # Old manifest rows unchanged; new rows cover exactly the new files.
+    for f, row in man_before.items():
+        assert man_after[f] == row
+    assert len(man_after) > len(man_before)
+    assert spark.read.parquet(inc).count() == ev.count()
+    assert (
+        sum(r[1] for r in man_after.values()) == ev.count()
+    )  # n_rows reconciles
+
+    # The merged manifest's stats prune correctly: a ts window landing
+    # in the appended half reads only post-append files, and filtered
+    # results equal the full scan.
+    lo = F.lit("2024-01-20").cast("timestamp")
+    hi = F.lit("2024-01-22").cast("timestamp")
+    keep = (F.col("max_ts") >= lo) & (F.col("min_ts") <= hi)
+    row_filter = F.col("ts").between(lo, hi)
+    got = sorted(
+        tuple(r)
+        for r in read_skipping(spark, inc, keep).filter(row_filter).collect()
+    )
+    want = sorted(
+        tuple(r) for r in spark.read.parquet(inc).filter(row_filter).collect()
+    )
+    assert got == want and got
