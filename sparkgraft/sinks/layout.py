@@ -93,7 +93,7 @@ def write_with_stats(
     df: DataFrame,
     path: str,
     stats_cols: Sequence[str],
-    sort_col: str | None = None,
+    sort_col: "str | Column | None" = None,
     n_files: int = 8,
     fmt: str = "parquet",
 ) -> None:
@@ -107,16 +107,18 @@ def write_with_stats(
     each file covers a TIGHT value range — that's what makes the
     manifest selective (an unsorted write gives every file the full
     range and skipping prunes nothing).  For multi-dimensional
-    selectivity, pre-sort with :func:`write_zordered`'s key instead.
+    selectivity pass :func:`zorder_key` (any Column works as the sort
+    key) — files then cover tight ranges on EVERY interleaved
+    dimension, and one manifest prunes filters on any of them
+    (asserted in tests/test_layout.py).
 
     At 100 TB the manifest is one row per file — millions of rows at
     most, the same scale as the driver's own file listing.
     """
     w = df
     if sort_col is not None:
-        w = df.repartitionByRange(n_files, F.col(sort_col)).sortWithinPartitions(
-            sort_col
-        )
+        key = F.col(sort_col) if isinstance(sort_col, str) else sort_col
+        w = df.repartitionByRange(n_files, key).sortWithinPartitions(key)
     w.write.mode("overwrite").format(fmt).save(path)
     written = df.sparkSession.read.format(fmt).load(path)
     aggs = []
@@ -164,7 +166,7 @@ def append_with_stats(
     df: DataFrame,
     path: str,
     stats_cols: Sequence[str],
-    sort_col: str | None = None,
+    sort_col: "str | Column | None" = None,
     n_files: int = 4,
     fmt: str = "parquet",
 ) -> None:
@@ -190,9 +192,8 @@ def append_with_stats(
     )
     w = df
     if sort_col is not None:
-        w = df.repartitionByRange(n_files, F.col(sort_col)).sortWithinPartitions(
-            sort_col
-        )
+        key = F.col(sort_col) if isinstance(sort_col, str) else sort_col
+        w = df.repartitionByRange(n_files, key).sortWithinPartitions(key)
     w.write.mode("append").format(fmt).save(path)
     written = df.sparkSession.read.format(fmt).load(path)
     aggs = []

@@ -251,3 +251,51 @@ def test_append_with_stats_equals_rebuild(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(inc).filter(row_filter).collect()
     )
     assert got == want and got
+
+
+def test_zorder_manifest_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-order sort key + stats manifest: ONE layout serves range
+    filters on EITHER interleaved dimension — both prune files, both
+    preserve results."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.sinks.layout import (
+        prune_files,
+        read_skipping,
+        write_with_stats,
+        zorder_key,
+    )
+    from sparkgraft.sources.readers import read_table
+    from tests.conftest import SF_DIR
+
+    ev = read_table(spark, SF_DIR, "events")
+    # Quantize both dims to small non-negative ints for interleaving.
+    day = F.dayofmonth("ts").cast("long")          # 1..31 → 5 bits
+    ubkt = F.pmod(F.col("user_id"), 32).cast("long")
+    zkey = zorder_key([day, ubkt], bits=5)
+    path = str(tmp_path / "ev_z")
+    write_with_stats(
+        ev.withColumn("day", day).withColumn("ubkt", ubkt),
+        path,
+        ["day", "ubkt"],
+        sort_col=zkey,
+        n_files=16,
+    )
+    total = spark.read.parquet(f"{path}/_stats").count()
+
+    for col, lo, hi in (("day", 3, 6), ("ubkt", 10, 13)):
+        keep = (F.col(f"max_{col}") >= lo) & (F.col(f"min_{col}") <= hi)
+        kept = prune_files(spark, path, keep)
+        assert 0 < len(kept) < total, (col, len(kept), total)
+        row_filter = F.col(col).between(lo, hi)
+        got = sorted(
+            tuple(r)
+            for r in read_skipping(spark, path, keep)
+            .filter(row_filter)
+            .collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in spark.read.parquet(path).filter(row_filter).collect()
+        )
+        assert got == want and got
