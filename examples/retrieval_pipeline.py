@@ -100,10 +100,19 @@ def main(sf_dir: str) -> None:
     top = [
         (r["d_doc"], r["maxsim"], r["rnk"]) for r in reranked.collect()
     ]
+
+    # 6. Hard-negative mining for the NEXT reranker's training set:
+    # per query vector, the most-similar other-label candidates below
+    # the near-dup ceiling — similar-but-wrong pairs.
+    hard = sg.hard_negative_topk(
+        emb.filter(F.col("vec_id") < 4), emb, k=3, max_sim=0.999
+    )
+    n_hard = hard.count()
+
     print(
         f"chunks={n_chunks} | lexical_top20={lex.count()} | "
         f"semantic_top20={sem_q0.count()} | fused_top10={fused_ids} | "
-        f"maxsim_top5={top}"
+        f"maxsim_top5={top} | hard_negatives={n_hard}"
     )
     spark.stop()
 
