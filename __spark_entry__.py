@@ -4021,7 +4021,11 @@ def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A true copy aligns every note (414 consistent votes on this
     # fixture); coincidental multi-note overlaps top out ~130 — 200
     # separates them with a wide margin on both sides.
-    pairs = audio_match(audio_fingerprint(media), min_matches=200)
+    # audio_match references the fingerprint table three times (stop-
+    # hash count, left, right) — checkpoint so the synth+FFT kernel
+    # runs ONCE (at scale the landmark table is a persisted index).
+    fps = audio_fingerprint(media).localCheckpoint()
+    pairs = audio_match(fps, min_matches=200)
     return pairs.select("id_a", "id_b", "offset", "n_matched")
 
 
@@ -4211,7 +4215,11 @@ def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "data": blobs})
 
     media = docs.mapInPandas(gen, "media_id long, data binary")
-    pairs = phash_neardup(image_phash(media), max_hamming=3, n_bands=4)
+    # The banded join references the hash table twice (left/right) —
+    # checkpoint it so the generate+DCT kernel runs ONCE, not per
+    # branch (a fingerprint table at scale would be persisted anyway).
+    hashes = image_phash(media).localCheckpoint()
+    pairs = phash_neardup(hashes, max_hamming=3, n_bands=4)
     return pairs.select("id_a", "id_b", "hamming")
 
 
