@@ -76,7 +76,9 @@ from sparkgraft.operators.linalg import (
     pca_project,
 )
 from sparkgraft.operators.topics import (
+    assign_topics,
     cluster_documents,
+    fit_topic_space,
     doc_term_counts,
     dominant_topic,
     hashed_tfidf_vectors,

@@ -89,30 +89,10 @@ def _dec(c: Column) -> Column:
     return c.cast("decimal(38,0)")
 
 
-def hashed_tfidf_vectors(
-    counts: DataFrame, dim: int = 128, digits: int = 6
-) -> DataFrame:
-    """Feature-hash each document's TF-IDF weights into a dense
-    ``dim``-vector: slot = md5(term) mod dim, sign = second md5 bit
-    (collision debiasing), weights fixed-point-scaled so slot sums are
-    exact LONG arithmetic — the vector is bit-identical under any
-    partitioning.  Returns (d, embedding array<double>)."""
-    dfreq = counts.groupBy("w").agg(F.count("*").alias("df"))
-    total = counts.agg(F.count_distinct("d").alias("n_docs"))
-    tfidf = F.round(
-        F.col("n") * F.log(F.col("n_docs").cast("double") / F.col("df")),
-        digits,
-    )
-    sign = F.when(_md5_mod(F.col("w"), 2, "sign") == 0, 1).otherwise(-1)
-    cells = (
-        counts.join(dfreq, "w")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "d",
-            _md5_mod(F.col("w"), dim, "slot").cast("int").alias("slot"),
-            (sign * F.round(tfidf * _W_SCALE, 0).cast("long")).alias("v"),
-        )
-    )
+def _assemble_vectors(cells: DataFrame, dim: int) -> DataFrame:
+    """(d, slot, long-weight) cells → dense (d, embedding) vectors:
+    exact LONG slot sums, map-assembled into a fixed-width array —
+    bit-identical under any partitioning."""
     sums = cells.groupBy("d", "slot").agg(F.sum("v").alias("v"))
     m = sums.groupBy("d").agg(
         F.map_from_entries(F.collect_list(F.struct("slot", "v"))).alias("m")
@@ -123,6 +103,40 @@ def hashed_tfidf_vectors(
         / F.lit(float(_W_SCALE)),
     )
     return m.select("d", vec.alias("embedding"))
+
+
+def _tfidf_cells(
+    counts: DataFrame, dfreq: DataFrame, n_docs, dim: int, digits: int
+) -> DataFrame:
+    """(d, w, n) + (w, df) + corpus size → hashed signed fixed-point
+    TF-IDF cells.  ``n_docs`` is a 1-row DataFrame or an int literal
+    (the serving path pins the TRAINING corpus size)."""
+    if isinstance(n_docs, DataFrame):
+        j = counts.join(dfreq, "w").crossJoin(F.broadcast(n_docs))
+        nd = F.col("n_docs").cast("double")
+    else:
+        j = counts.join(F.broadcast(dfreq), "w")
+        nd = F.lit(float(n_docs))
+    tfidf = F.round(F.col("n") * F.log(nd / F.col("df")), digits)
+    sign = F.when(_md5_mod(F.col("w"), 2, "sign") == 0, 1).otherwise(-1)
+    return j.select(
+        "d",
+        _md5_mod(F.col("w"), dim, "slot").cast("int").alias("slot"),
+        (sign * F.round(tfidf * _W_SCALE, 0).cast("long")).alias("v"),
+    )
+
+
+def hashed_tfidf_vectors(
+    counts: DataFrame, dim: int = 128, digits: int = 6
+) -> DataFrame:
+    """Feature-hash each document's TF-IDF weights into a dense
+    ``dim``-vector: slot = md5(term) mod dim, sign = second md5 bit
+    (collision debiasing), weights fixed-point-scaled so slot sums are
+    exact LONG arithmetic — the vector is bit-identical under any
+    partitioning.  Returns (d, embedding array<double>)."""
+    dfreq = counts.groupBy("w").agg(F.count("*").alias("df"))
+    total = counts.agg(F.count_distinct("d").alias("n_docs"))
+    return _assemble_vectors(_tfidf_cells(counts, dfreq, total, dim, digits), dim)
 
 
 def seed_centroids(
@@ -336,4 +350,62 @@ def dominant_topic(doc_topics: DataFrame) -> DataFrame:
     return doc_topics.groupBy("d").agg(
         (-pick.getField("nz")).cast("int").alias("topic"),
         pick.getField("c").alias("weight"),
+    )
+
+
+def fit_topic_space(
+    docs: DataFrame,
+    k: int = 4,
+    dim: int = 128,
+    kmeans_iters: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Fit the SERVING artifact for topic assignment: the training
+    corpus's document frequencies, corpus size, and k-means centroids.
+    These three pin the vector space — new documents must embed with
+    the TRAINING df/N (not their own batch statistics) or assignments
+    drift with batch composition.
+
+    Returns ``{"dfreq": DataFrame(w, df), "n_docs": int,
+    "centroids": [(id, vec)], "dim": int}``; dfreq is checkpointed
+    (vocabulary-sized)."""
+    from sparkgraft.operators.similarity import kmeans_iterate
+
+    counts = doc_term_counts(docs, id_col, text_col).localCheckpoint()
+    dfreq = (
+        counts.groupBy("w").agg(F.count("*").alias("df")).localCheckpoint()
+    )
+    n_docs = counts.select("d").distinct().count()
+    vecs = _assemble_vectors(
+        _tfidf_cells(counts, dfreq, n_docs, dim, 6), dim
+    ).localCheckpoint()
+    cents = kmeans_iterate(vecs, seed_centroids(vecs, k), iters=kmeans_iters)
+    return {"dfreq": dfreq, "n_docs": n_docs, "centroids": cents, "dim": dim}
+
+
+def assign_topics(
+    new_docs: DataFrame,
+    space: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Online topic assignment against a fitted space: embed new
+    documents with the TRAINING df/N (OOV terms drop — they carry no
+    trained signal), assign to the nearest frozen centroid.  After the
+    per-doc vector aggregate, assignment is the shuffle-free
+    literal-argmin projection — the serving path never refits
+    anything (the ann_index/bm25_index serving discipline).
+
+    On the training corpus itself this reproduces
+    :func:`cluster_documents`' labels exactly (asserted in tests)."""
+    from sparkgraft.operators.similarity import assign_nearest
+
+    counts = doc_term_counts(new_docs, id_col, text_col)
+    vecs = _assemble_vectors(
+        _tfidf_cells(counts, space["dfreq"], space["n_docs"], space["dim"], 6),
+        space["dim"],
+    )
+    return vecs.select(
+        "d", assign_nearest(F.col("embedding"), space["centroids"]).alias("topic")
     )

@@ -108,3 +108,33 @@ def test_hashed_vectors_exact_and_seeds_deterministic(spark):
     s1 = seed_centroids(vecs, 3)
     s2 = seed_centroids(vecs.repartition(3), 3)
     assert s1 == s2 and len(s1) == 3
+
+
+def test_assign_topics_serving_matches_training_labels(spark):
+    """Serving on the training corpus reproduces cluster_documents'
+    labels; new same-vocabulary docs land in their group's topic."""
+    from sparkgraft.operators.topics import assign_topics, fit_topic_space
+
+    docs = _planted_corpus(spark, n_docs=60)
+    space = fit_topic_space(docs, k=2, dim=64, kmeans_iters=4)
+    train_labels = {
+        r["d"]: r["cluster"]
+        for r in cluster_documents(docs, k=2, dim=64, iters=4).collect()
+    }
+    served = {
+        r["d"]: r["topic"] for r in assign_topics(docs, space).collect()
+    }
+    assert served == train_labels
+
+    # Unseen docs from each vocabulary assign to that group's topic.
+    new = spark.createDataFrame(
+        [
+            (1000, " ".join(_draw(999, FRUIT, 25))),
+            (1001, " ".join(_draw(998, ELEC, 25))),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["d"]: r["topic"] for r in assign_topics(new, space).collect()}
+    fruit_topic = train_labels[0]   # doc 0 is a FRUIT doc
+    elec_topic = train_labels[1]    # doc 1 is an ELEC doc
+    assert got[1000] == fruit_topic and got[1001] == elec_topic
