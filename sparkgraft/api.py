@@ -247,7 +247,10 @@ from sparkgraft.sinks.versioned import (
 )
 from sparkgraft.sinks.layout import (
     append_with_stats,
+    bloom_keep,
     compact_directory,
+    read_skipping_blooms,
+    write_bloom_manifest,
     prune_files,
     read_skipping,
     write_partitioned,

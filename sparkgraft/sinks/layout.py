@@ -212,3 +212,111 @@ def append_with_stats(
         .agg(F.count("*").alias("n_rows"), *aggs)
     )
     new_man.write.mode("append").parquet(f"{path}/_stats")
+
+
+def _file_blooms(
+    written: DataFrame,
+    bloom_cols: Sequence[str],
+    bits: int,
+    hashes: int,
+    salt: str,
+) -> DataFrame:
+    """Per-(file, column) Bloom bitmaps: the scale.bloom_bitmap
+    construction grouped by file — (file, bloom_<col> array<long>)."""
+    from sparkgraft.operators.scale import _bloom_pos
+
+    n_words = bits // 64
+    out = None
+    for c in bloom_cols:
+        positions = F.array(
+            *[_bloom_pos(h, F.col(c), bits, salt) for h in range(hashes)]
+        )
+        words = written.select(
+            F.input_file_name().alias("file"), F.explode(positions).alias("pos")
+        ).select(
+            "file",
+            (F.col("pos") / 64).cast("int").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(pmod(pos, 64) as int))").alias("bit"),
+        )
+        per_word = words.groupBy("file", "word_idx").agg(
+            F.bit_or("bit").alias("w")
+        )
+        bm = per_word.groupBy("file").agg(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(
+                        F.map_from_entries(
+                            F.collect_list(F.struct("word_idx", "w"))
+                        ),
+                        i,
+                    ),
+                    F.lit(0).cast("long"),
+                ),
+            ).alias(f"bloom_{c}")
+        )
+        out = bm if out is None else out.join(bm, "file")
+    return out
+
+
+def write_bloom_manifest(
+    spark: SparkSession,
+    path: str,
+    bloom_cols: Sequence[str],
+    bits: int = 4096,
+    hashes: int = 3,
+    salt: str = "bloom",
+    fmt: str = "parquet",
+) -> None:
+    """Add per-file Bloom filters for EQUALITY skipping beside the
+    min/max ``_stats`` manifest: range stats can't prune point lookups
+    on high-cardinality unsorted columns (every file's [min, max]
+    spans the domain), a per-file Bloom can — the Delta/Iceberg
+    bloom-filter-index move as plain parquet (``_blooms``, underscore-
+    invisible).  One scan of the table builds all columns' bitmaps;
+    query with :func:`bloom_keep` through :func:`prune_files` /
+    :func:`read_skipping_blooms`.  No false negatives by construction
+    (same md5 positions at build and probe)."""
+    written = spark.read.format(fmt).load(path)
+    _file_blooms(written, bloom_cols, bits, hashes, salt).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/_blooms")
+
+
+def bloom_keep(
+    col_name: str,
+    value,
+    bits: int = 4096,
+    hashes: int = 3,
+    salt: str = "bloom",
+) -> Column:
+    """Manifest predicate for ``col = value`` against a ``_blooms``
+    manifest: true iff every hash position's bit is set in the file's
+    ``bloom_<col>`` bitmap — i.e. the file MIGHT contain the value
+    (the caller's row filter stays exact)."""
+    from sparkgraft.operators.scale import _bloom_pos, _shiftright_var
+
+    cond = None
+    for h in range(hashes):
+        pos = _bloom_pos(h, F.lit(value), bits, salt)
+        word = F.element_at(
+            F.col(f"bloom_{col_name}"), (pos / 64).cast("int") + F.lit(1)
+        )
+        test = (
+            _shiftright_var(word, F.pmod(pos, F.lit(64))).bitwiseAND(F.lit(1))
+            == 1
+        )
+        cond = test if cond is None else (cond & test)
+    return cond
+
+
+def read_skipping_blooms(
+    spark: SparkSession, path: str, keep: Column, fmt: str = "parquet"
+) -> DataFrame:
+    """Like :func:`read_skipping` but pruning with the ``_blooms``
+    manifest (predicates built with :func:`bloom_keep`)."""
+    man = spark.read.parquet(f"{path}/_blooms")
+    files = sorted(r["file"] for r in man.filter(keep).select("file").collect())
+    if not files:
+        return spark.read.format(fmt).load(path).limit(0)
+    return spark.read.format(fmt).load(files)

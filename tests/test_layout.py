@@ -299,3 +299,51 @@ def test_zorder_manifest_prunes_on_both_dimensions(spark, tmp_path):
             for r in spark.read.parquet(path).filter(row_filter).collect()
         )
         assert got == want and got
+
+
+def test_bloom_manifest_prunes_point_lookups(spark, tmp_path):
+    """Per-file Blooms prune `col = value` where min/max can't (high-
+    cardinality unsorted column spans every file's range); zero false
+    negatives across a planted probe set."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.sinks.layout import (
+        bloom_keep,
+        read_skipping_blooms,
+        write_bloom_manifest,
+        write_with_stats,
+    )
+    from sparkgraft.sources.readers import read_table
+    from tests.conftest import SF_DIR
+
+    ev = read_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "ev_bloom")
+    # sort by ts → event_id is scattered; range stats on event_id are
+    # useless, exactly the case blooms exist for
+    write_with_stats(ev, path, ["ts"], sort_col="ts", n_files=8)
+    write_bloom_manifest(spark, path, ["event_id"])
+    total = spark.read.parquet(f"{path}/_blooms").count()
+    assert total >= 6
+
+    ids = [r["event_id"] for r in ev.limit(20).collect()]
+    pruned_any = False
+    for eid in ids[:5]:
+        keep = bloom_keep("event_id", eid)
+        got = sorted(
+            tuple(r)
+            for r in read_skipping_blooms(spark, path, keep)
+            .filter(F.col("event_id") == eid)
+            .collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in spark.read.parquet(path)
+            .filter(F.col("event_id") == eid)
+            .collect()
+        )
+        assert got == want and got  # no false negatives
+        man = spark.read.parquet(f"{path}/_blooms")
+        n_kept = man.filter(keep).count()
+        if n_kept < total:
+            pruned_any = True
+    assert pruned_any  # blooms actually discriminate
