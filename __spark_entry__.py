@@ -3959,6 +3959,76 @@ def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(collected, schema_str)
 
 
+def q_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file skipping (layout.write_bloom_manifest /
+    bloom_keep): the ts-sorted staged events table gains per-file
+    Blooms on user_id; 5 point lookups read only bloom-surviving files
+    (pruning asserted in tests/test_layout.py), then aggregate.
+    Skipping is false-negative-free, so the plain-SQL oracle is
+    exact."""
+    from sparkgraft.sinks.layout import (
+        bloom_keep,
+        read_skipping_blooms,
+        write_bloom_manifest,
+        write_with_stats,
+    )
+
+    key = ("bloom_skipping_dir", sf_dir)
+    path = _FIXTURE_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="sparkgraft_bloomskip_") + "/events"
+        write_with_stats(
+            _t(spark, sf_dir, "events"), path, ["ts"], sort_col="ts",
+            n_files=8,
+        )
+        write_bloom_manifest(spark, path, ["user_id"])
+        _FIXTURE_CACHE[key] = path
+    parts = []
+    for uid in (3, 17, 42, 71, 99):
+        part = (
+            read_skipping_blooms(spark, path, bloom_keep("user_id", uid))
+            .filter(F.col("user_id") == uid)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.count_distinct("event_type").alias("n_types"),
+                F.max("ts").alias("last_ts"),
+            )
+        )
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_topic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-space SERVING (rows-only — k-means fit; training-parity
+    and vocabulary-routing are pytest-asserted): fit on even docs,
+    assign odd docs with the FROZEN df/N/centroids — per-topic doc
+    counts of the served batch.  Fit cached per (session, sf_dir)."""
+    from sparkgraft.operators.topics import assign_topics, fit_topic_space
+
+    key = ("topic_assign", sf_dir, id(spark))
+    cached = _FIXTURE_CACHE.get(key)
+    schema = "topic int, n_docs long"
+    if cached is not None:
+        return spark.createDataFrame(cached, schema)
+    docs = _t(spark, sf_dir, "documents")
+    space = fit_topic_space(
+        docs.filter(F.col("doc_id") % 2 == 0), k=4, dim=64, kmeans_iters=3
+    )
+    served = assign_topics(docs.filter(F.col("doc_id") % 2 == 1), space)
+    rows = sorted(
+        (r["topic"], r["n"])
+        for r in served.groupBy("topic").agg(F.count("*").alias("n")).collect()
+    )
+    _FIXTURE_CACHE[key] = rows
+    return spark.createDataFrame(rows, schema)
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (contrastive-training data prep): per
     query vector, the top-5 most-similar OTHER-label candidates below
@@ -4495,6 +4565,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "file_skipping": q_file_skipping,
     "audio_dedup": q_audio_dedup,
     "hard_negatives": q_hard_negatives,
+    "bloom_skipping": q_bloom_skipping,
+    "topic_assign": q_topic_assign,
 }
 
 
@@ -8434,6 +8506,18 @@ ORACLES["hard_negatives"] = """
                                      ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
         FROM scored WHERE cos_sim < 0.999
     ) WHERE rnk <= 5
+"""
+
+
+# Mirrors q_bloom_skipping: bloom pruning is false-negative-free, so
+# the oracle is the plain per-user aggregate over the same id set.
+ORACLES["bloom_skipping"] = """
+    SELECT user_id, count(*) AS n_events,
+           count(DISTINCT event_type) AS n_types,
+           max(ts) AS last_ts
+    FROM events
+    WHERE user_id IN (3, 17, 42, 71, 99)
+    GROUP BY user_id
 """
 
 

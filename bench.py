@@ -151,6 +151,8 @@ HEADLINE = [
     "file_skipping",
     "audio_dedup",
     "hard_negatives",
+    "bloom_skipping",
+    "topic_assign",
 ]
 
 
