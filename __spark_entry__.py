@@ -3959,6 +3959,53 @@ def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(collected, schema_str)
 
 
+def q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup (rows-only — per-frame pHash + offset vote;
+    exact-offset behavior pytest-asserted): doc_id-seeded 10-frame
+    clips, every 13th doc paired with a 3-frame-prefixed shifted copy
+    (id + 10⁶); the landmark table feeds the SAME offset_vote_match
+    the audio path uses.  Returns detected (pair, offset, votes)."""
+    from sparkgraft.operators.multimodal import (
+        offset_vote_match,
+        video_fingerprint,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 150
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from sparkgraft.operators.multimodal import encode_fake_video
+
+        def frame(seed):
+            base = np.random.RandomState(seed % 2**31).randint(
+                0, 256, (16, 16)
+            )
+            sm = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) / 3
+            return sm.astype(np.uint8).tobytes()
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                clip = [frame(did * 1000 + i) for i in range(10)]
+                ids.append(did)
+                blobs.append(encode_fake_video(16, 16, clip))
+                if did % 13 == 0:
+                    pad = [frame(did * 1000 + 900 + i) for i in range(3)]
+                    ids.append(did + 1_000_000)
+                    blobs.append(encode_fake_video(16, 16, pad + clip))
+            yield pd.DataFrame({"media_id": ids, "data": blobs})
+
+    media = docs.mapInPandas(gen, "media_id long, data binary")
+    fps = video_fingerprint(media).localCheckpoint()
+    pairs = offset_vote_match(fps, min_matches=8)
+    return pairs.select("id_a", "id_b", "offset", "n_matched")
+
+
 def q_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter file skipping (layout.write_bloom_manifest /
     bloom_keep): the ts-sorted staged events table gains per-file
@@ -4567,6 +4614,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives": q_hard_negatives,
     "bloom_skipping": q_bloom_skipping,
     "topic_assign": q_topic_assign,
+    "video_dedup": q_video_dedup,
 }
 
 

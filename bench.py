@@ -153,6 +153,7 @@ HEADLINE = [
     "hard_negatives",
     "bloom_skipping",
     "topic_assign",
+    "video_dedup",
 ]
 
 

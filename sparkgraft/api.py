@@ -29,7 +29,9 @@ from sparkgraft.operators.multimodal import (
     image_features,
     image_phash,
     image_resize,
+    offset_vote_match,
     phash_neardup,
+    video_fingerprint,
     video_frame_sample,
 )
 from sparkgraft.operators.merge import (

@@ -596,3 +596,42 @@ def audio_match(
         )
         .filter(F.col("n_matched") >= min_matches)
     )
+
+
+# audio_match's vote machinery is modality-agnostic: it consumes any
+# (media_id, frame, fp) landmark table.  offset_vote_match is the
+# generic name; audio_match remains the audio-flavored entry point.
+offset_vote_match = audio_match
+
+
+def video_fingerprint(
+    media: DataFrame,
+    every_n: int = 1,
+    id_col: str = "media_id",
+    bytes_col: str = "data",
+) -> DataFrame:
+    """(media_id, frame, fp) landmark table for videos — the video
+    near-dup signature: sample every ``every_n``-th frame
+    (:func:`video_frame_sample` re-encodes frames as FIMG), pHash each
+    frame through the :func:`image_phash` kernel, with the frame index
+    carried via a composite id (id·2²⁰ + frame; clips stay far below
+    2²⁰ frames), unpacked after.
+
+    Composes directly with :func:`offset_vote_match`: two clips
+    sharing a (possibly time-shifted) segment match at one consistent
+    frame offset — the SAME vote the audio path runs, because the
+    landmark table shape is identical.  Frames flow kernel→kernel in
+    one chain; only (id, frame, hash) rows ever exchange."""
+    frames = video_frame_sample(media, every_n, id_col=id_col, bytes_col=bytes_col)
+    packed = frames.select(
+        (F.col("media_id") * F.lit(1 << 20) + F.col("frame_idx")).alias(
+            "media_id"
+        ),
+        F.col("frame").alias("data"),
+    )
+    hashed = image_phash(packed)
+    return hashed.select(
+        F.shiftright(F.col("media_id"), 20).alias("media_id"),
+        F.col("media_id").bitwiseAND(F.lit((1 << 20) - 1)).alias("frame"),
+        F.col("phash").alias("fp"),
+    )

@@ -415,3 +415,50 @@ def test_audio_fingerprint_deterministic(spark):
     a = sorted(tuple(r) for r in audio_fingerprint(df).collect())
     b = sorted(tuple(r) for r in audio_fingerprint(df.repartition(4)).collect())
     assert a == b and a
+
+
+def test_video_fingerprint_offset_vote_detects_shifted_clip(spark):
+    """A clip containing another's frames matches at the exact frame
+    offset through the SAME vote machinery the audio path uses."""
+    import numpy as np
+
+    from sparkgraft.operators.multimodal import (
+        encode_fake_video,
+        offset_vote_match,
+        video_fingerprint,
+    )
+
+    rng = np.random.RandomState(5)
+
+    def frame(seed):
+        base = np.random.RandomState(seed).randint(0, 256, (16, 16))
+        sm = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) / 3
+        return sm.astype(np.uint8).tobytes()
+
+    clip_a = [frame(100 + i) for i in range(12)]
+    pad = [frame(900 + i) for i in range(4)]
+    clip_b = pad + clip_a          # contains A, shifted by 4 frames
+    clip_c = [frame(500 + i) for i in range(12)]  # unrelated
+
+    df = spark.createDataFrame(
+        [
+            (1, encode_fake_video(16, 16, clip_a)),
+            (2, encode_fake_video(16, 16, clip_b)),
+            (3, encode_fake_video(16, 16, clip_c)),
+        ],
+        "media_id long, data binary",
+    )
+    fps = video_fingerprint(df)
+    # fingerprint table carries real frame indices
+    rows = fps.filter(F.col("media_id") == 2).agg(
+        F.min("frame"), F.max("frame")
+    ).first()
+    assert (rows[0], rows[1]) == (0, 15)
+
+    got = {
+        (r["id_a"], r["id_b"]): (r["offset"], r["n_matched"])
+        for r in offset_vote_match(fps, min_matches=10).collect()
+    }
+    assert got.get((1, 2), (None, 0))[0] == -4
+    assert got[(1, 2)][1] >= 12  # every shared frame votes at -4
+    assert (1, 3) not in got and (2, 3) not in got
