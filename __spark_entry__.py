@@ -3959,6 +3959,51 @@ def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(collected, schema_str)
 
 
+SQL_QUANTIFIED = """
+    SELECT c.c_custkey, c.c_name,
+           (SELECT count(*) FROM orders{sfx} o
+            WHERE o.o_custkey = c.c_custkey) AS n_orders
+    FROM customer{sfx} c
+    WHERE EXISTS (SELECT 1 FROM orders{sfx} o
+                  WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM orders{sfx} o
+          WHERE o.o_custkey = c.c_custkey
+            AND (SELECT count(*) FROM lineitem{sfx} l
+                 WHERE l.l_orderkey = o.o_orderkey) < 3)
+"""
+
+SQL_EXISTS_AGG = """
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders{sfx} o
+    WHERE EXISTS (SELECT 1 FROM lineitem{sfx} l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_quantity > 45)
+    GROUP BY o.o_orderpriority
+"""
+
+
+def q_sql_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Universally-quantified correlated SQL (TPC-H-Q21-flavored):
+    customers ALL of whose orders carry ≥3 lineitems — a scalar
+    correlated subquery nested inside NOT EXISTS, plus a SELECT-list
+    scalar subquery.  Exercises Catalyst's decorrelation end to end
+    (rewritten to aggregates + joins — no per-row subquery execution);
+    all-integer counts, so results are exactly engine-portable."""
+    for t in ("customer", "orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"{t}_sql")
+    return spark.sql(SQL_QUANTIFIED.format(sfx="_sql"))
+
+
+def q_sql_exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existentially-quantified aggregate (TPC-H-Q4 shape): orders with
+    at least one high-quantity lineitem, counted per priority — the
+    EXISTS decorrelates to a left-semi join feeding one aggregate."""
+    for t in ("orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"{t}_sql")
+    return spark.sql(SQL_EXISTS_AGG.format(sfx="_sql"))
+
+
 def q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup (rows-only — per-frame pHash + offset vote;
     exact-offset behavior pytest-asserted): doc_id-seeded 10-frame
@@ -4615,6 +4660,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_skipping": q_bloom_skipping,
     "topic_assign": q_topic_assign,
     "video_dedup": q_video_dedup,
+    "sql_quantified": q_sql_quantified,
+    "sql_exists_agg": q_sql_exists_agg,
 }
 
 
@@ -8567,6 +8614,12 @@ ORACLES["bloom_skipping"] = """
     WHERE user_id IN (3, 17, 42, 71, 99)
     GROUP BY user_id
 """
+
+
+# The quantified-SQL pair runs the IDENTICAL ANSI text in DuckDB —
+# integer-count semantics make the equivalence exact.
+ORACLES["sql_quantified"] = SQL_QUANTIFIED.format(sfx="")
+ORACLES["sql_exists_agg"] = SQL_EXISTS_AGG.format(sfx="")
 
 
 def oracle_sql() -> dict[str, str]:

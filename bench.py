@@ -154,6 +154,8 @@ HEADLINE = [
     "bloom_skipping",
     "topic_assign",
     "video_dedup",
+    "sql_quantified",
+    "sql_exists_agg",
 ]
 
 
