@@ -3959,6 +3959,73 @@ def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(collected, schema_str)
 
 
+def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization with referential integrity: customer and
+    orders both tokenize the customer key with the SAME salt, then
+    join ON THE TOKENS — per-token order counts with the (tokenized)
+    name carried through.  Proves the join-preserving property the
+    operator exists for; raw keys never appear in the output."""
+    from sparkgraft.operators.merge import pseudonymize
+
+    cust = pseudonymize(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+        ["c_custkey", "c_name"],
+        salt="r4",
+    )
+    orders = pseudonymize(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey"),
+        ["o_custkey"],
+        salt="r4",
+    )
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_version_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed BETWEEN SNAPSHOT VERSIONS — versioning (K5
+    promote discipline) composed with snapshot_diff: v0 = orders with
+    key%7 ∈ 0..4; v1 drops the %7==0 keys, adds %7==5, and bumps every
+    %3==0 price by 100 — both committed as versioned-table snapshots,
+    read back THROUGH TIME TRAVEL, diffed, and summarized per
+    (change_type, changed-column signature).  Deterministic slice
+    definitions make the DuckDB full-outer-join mirror exact."""
+    import tempfile
+
+    from sparkgraft.operators.merge import snapshot_diff
+    from sparkgraft.sinks.versioned import read_versioned, write_versioned
+
+    t = _FIXTURE_CACHE.get(("version_cdc_table", sf_dir))
+    if t is None:
+        t = tempfile.mkdtemp(prefix="sparkgraft_cdc_")
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        k = F.col("o_orderkey")
+        v0 = orders.filter(k % 7 <= 4)
+        v1 = orders.filter((k % 7 >= 1) & (k % 7 <= 5)).withColumn(
+            "o_totalprice",
+            F.when(k % 3 == 0, F.col("o_totalprice") + 100.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        write_versioned(v0, t, mode="overwrite")
+        write_versioned(v1, t, mode="overwrite")
+        _FIXTURE_CACHE[("version_cdc_table", sf_dir)] = t
+    diff = snapshot_diff(
+        read_versioned(spark, t, version=0),
+        read_versioned(spark, t, version=1),
+        ["o_orderkey"],
+        ["o_totalprice", "o_orderpriority"],
+    )
+    return diff.groupBy(
+        F.col("change_type"),
+        F.concat_ws(",", "changed_cols").alias("cols"),
+    ).agg(F.count("*").alias("n"))
+
+
 SQL_QUANTIFIED = """
     SELECT c.c_custkey, c.c_name,
            (SELECT count(*) FROM orders{sfx} o
@@ -4662,6 +4729,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_dedup": q_video_dedup,
     "sql_quantified": q_sql_quantified,
     "sql_exists_agg": q_sql_exists_agg,
+    "pseudonymize": q_pseudonymize,
+    "version_cdc": q_version_cdc,
 }
 
 
@@ -8620,6 +8689,62 @@ ORACLES["bloom_skipping"] = """
 # integer-count semantics make the equivalence exact.
 ORACLES["sql_quantified"] = SQL_QUANTIFIED.format(sfx="")
 ORACLES["sql_exists_agg"] = SQL_EXISTS_AGG.format(sfx="")
+
+
+# Mirrors q_pseudonymize: the identical salted-md5 token expressions,
+# joined on tokens — referential integrity through pseudonymization.
+ORACLES["pseudonymize"] = """
+    WITH cust AS (
+        SELECT substr(md5('r4' || chr(31) || CAST(c_custkey AS VARCHAR)), 1, 16) AS c_custkey,
+               substr(md5('r4' || chr(31) || c_name), 1, 16) AS c_name
+        FROM customer
+    ),
+    ords AS (
+        SELECT substr(md5('r4' || chr(31) || CAST(o_custkey AS VARCHAR)), 1, 16) AS o_custkey
+        FROM orders
+    )
+    SELECT c.c_custkey, c.c_name, count(*) AS n_orders
+    FROM cust c JOIN ords o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+"""
+
+# Mirrors q_version_cdc: the slice definitions replayed through a
+# full-outer join; only o_totalprice ever changes, so the changed-cols
+# signature is '' or 'o_totalprice'.
+ORACLES["version_cdc"] = """
+    WITH v0 AS (
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 7 <= 4
+    ),
+    v1 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 7 BETWEEN 1 AND 5
+    ),
+    j AS (
+        SELECT a.o_orderkey AS k0, b.o_orderkey AS k1,
+               a.o_totalprice AS p0, b.o_totalprice AS p1,
+               a.o_orderpriority AS q0, b.o_orderpriority AS q1
+        FROM v0 a FULL OUTER JOIN v1 b ON a.o_orderkey = b.o_orderkey
+    ),
+    cls AS (
+        SELECT CASE WHEN k0 IS NULL THEN 'added'
+                    WHEN k1 IS NULL THEN 'removed'
+                    WHEN p0 IS DISTINCT FROM p1 OR q0 IS DISTINCT FROM q1
+                         THEN 'changed'
+                    ELSE 'unchanged' END AS change_type,
+               CASE WHEN k0 IS NULL OR k1 IS NULL THEN ''
+                    ELSE concat_ws(',',
+                        CASE WHEN p0 IS DISTINCT FROM p1
+                             THEN 'o_totalprice' END,
+                        CASE WHEN q0 IS DISTINCT FROM q1
+                             THEN 'o_orderpriority' END) END AS cols
+        FROM j
+    )
+    SELECT change_type, cols, count(*) AS n FROM cls GROUP BY 1, 2
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -156,6 +156,8 @@ HEADLINE = [
     "video_dedup",
     "sql_quantified",
     "sql_exists_agg",
+    "pseudonymize",
+    "version_cdc",
 ]
 
 

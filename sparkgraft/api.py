@@ -36,6 +36,7 @@ from sparkgraft.operators.multimodal import (
 )
 from sparkgraft.operators.merge import (
     golden_record,
+    pseudonymize,
     merge_upsert,
     scd2_apply,
     snapshot_diff,

@@ -184,3 +184,36 @@ def golden_record(
     return df.groupBy(*entity_cols).agg(
         *aggs, F.count("*").alias("n_sources")
     )
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: list[str],
+    salt: str,
+    token_len: int = 16,
+) -> DataFrame:
+    """Keyed pseudonymization (GDPR-style): replace each identifying
+    column with a deterministic salted-md5 token.  Determinism is the
+    point — the same (salt, value) always maps to the same token, so
+    JOINS ON PSEUDONYMIZED KEYS STILL WORK across tables tokenized
+    with the same salt (referential integrity preserved, asserted by
+    the oracle query), while the raw identifier never leaves the scan.
+    Rotating the salt rotates every token (unlinkability between
+    releases); NULLs stay NULL.
+
+    Pure projection — shuffle-free, codegen'd, engine-portable (md5).
+    This is pseudonymization, not anonymization: with the salt, tokens
+    are recomputable by design (the reference's content-id discipline,
+    SURVEY §2.8 F8, turned on identifiers).
+    """
+    out = df
+    for c in cols:
+        tok = F.substring(
+            F.md5(F.concat_ws("\x1f", F.lit(salt), F.col(c).cast("string"))),
+            1,
+            token_len,
+        )
+        out = out.withColumn(
+            c, F.when(F.col(c).isNotNull(), tok)
+        )
+    return out
