@@ -3959,6 +3959,19 @@ def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(collected, schema_str)
 
 
+def q_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-flavored sequence counting: per user, every
+    view→click→purchase triple with consecutive gaps ≤ 72 h — computed
+    join-free (two RANGE-frame counts anchored on the middle event,
+    one window sort), counting every occurrence where q_funnel counts
+    first occurrences."""
+    ev = _t(spark, sf_dir, "events")
+    return R.sequence_count(
+        ev, "user_id", "ts", "event_type",
+        ("view", "click", "purchase"), within_seconds=72 * 3600,
+    )
+
+
 def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed pseudonymization with referential integrity: customer and
     orders both tokenize the customer key with the SAME salt, then
@@ -4731,6 +4744,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_exists_agg": q_sql_exists_agg,
     "pseudonymize": q_pseudonymize,
     "version_cdc": q_version_cdc,
+    "sequence_count": q_sequence_count,
 }
 
 
@@ -8744,6 +8758,23 @@ ORACLES["version_cdc"] = """
         FROM j
     )
     SELECT change_type, cols, count(*) AS n FROM cls GROUP BY 1, 2
+"""
+
+
+# Mirrors relational.sequence_count via the naive three-way join —
+# exact equivalence is the point (the Spark side never builds pairs).
+ORACLES["sequence_count"] = """
+    SELECT a.user_id, count(*) AS n_matches
+    FROM events a
+    JOIN events b ON b.user_id = a.user_id
+     AND epoch_us(b.ts) > epoch_us(a.ts)
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= CAST(259200 AS BIGINT) * 1000000
+    JOIN events c ON c.user_id = a.user_id
+     AND epoch_us(c.ts) > epoch_us(b.ts)
+     AND epoch_us(c.ts) - epoch_us(b.ts) <= CAST(259200 AS BIGINT) * 1000000
+    WHERE a.event_type = 'view' AND b.event_type = 'click'
+      AND c.event_type = 'purchase'
+    GROUP BY a.user_id
 """
 
 

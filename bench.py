@@ -158,6 +158,7 @@ HEADLINE = [
     "sql_exists_agg",
     "pseudonymize",
     "version_cdc",
+    "sequence_count",
 ]
 
 

@@ -49,6 +49,7 @@ from sparkgraft.operators.relational import (
     broadcast_lookup,
     merge_intervals,
     range_join,
+    sequence_count,
     top_k_per_group,
 )
 from sparkgraft.operators.graph import (

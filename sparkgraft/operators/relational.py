@@ -311,3 +311,54 @@ def rrf_fuse(
             "rnk",
         )
     )
+
+
+def sequence_count(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    pattern: tuple[str, str, str],
+    within_seconds: int,
+) -> DataFrame:
+    """Event-sequence pattern counting (the MATCH_RECOGNIZE-flavored
+    A→B→C detector): per key, the number of ordered triples
+    (a, b, c) with the given event types where each consecutive gap is
+    positive and ≤ ``within_seconds``.
+
+    NO self-joins: anchoring on the middle event, the triple count is
+    Σ_b  |A strictly within w before b| × |C strictly within w after
+    b| — two conditional counts over RANGE frames on the event-time
+    long, evaluated in ONE window sort per key.  A three-way time-
+    constrained self-join (the naive plan) shuffles the fact table
+    three times and explodes on hot keys; this shuffles it once and
+    never materializes a pair.  All-integer arithmetic — the DuckDB
+    three-way-join mirror matches exactly.
+
+    (`q_funnel` is the FIRST-occurrence semantics; this counts every
+    occurrence — the conversion-intensity metric.)
+    """
+    a, b, c = pattern
+    w_us = within_seconds * 1_000_000
+    t = df.select(
+        F.col(key_col).alias("key"),
+        F.unix_micros(F.col(ts_col)).alias("tus"),
+        F.col(type_col).alias("typ"),
+    )
+    w_before = (
+        Window.partitionBy("key").orderBy("tus").rangeBetween(-w_us, -1)
+    )
+    w_after = Window.partitionBy("key").orderBy("tus").rangeBetween(1, w_us)
+    mids = t.withColumn(
+        "n_a",
+        F.count(F.when(F.col("typ") == a, 1)).over(w_before),
+    ).withColumn(
+        "n_c",
+        F.count(F.when(F.col("typ") == c, 1)).over(w_after),
+    ).filter(F.col("typ") == b)
+    return (
+        mids.groupBy("key")
+        .agg(F.sum(F.col("n_a") * F.col("n_c")).alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+        .select(F.col("key").alias(key_col), "n_matches")
+    )
