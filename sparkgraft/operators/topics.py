@@ -392,7 +392,10 @@ def assign_topics(
 ) -> DataFrame:
     """Online topic assignment against a fitted space: embed new
     documents with the TRAINING df/N (OOV terms drop — they carry no
-    trained signal), assign to the nearest frozen centroid.  After the
+    trained signal; a document with NO trained terms at all has no
+    vector and is absent from the output — callers left-join and
+    route such docs to a review bucket), assign to the nearest frozen
+    centroid.  After the
     per-doc vector aggregate, assignment is the shuffle-free
     literal-argmin projection — the serving path never refits
     anything (the ann_index/bm25_index serving discipline).

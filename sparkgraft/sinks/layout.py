@@ -314,9 +314,19 @@ def read_skipping_blooms(
     spark: SparkSession, path: str, keep: Column, fmt: str = "parquet"
 ) -> DataFrame:
     """Like :func:`read_skipping` but pruning with the ``_blooms``
-    manifest (predicates built with :func:`bloom_keep`)."""
+    manifest (predicates built with :func:`bloom_keep`).
+
+    Staleness guard: a file present in the table but ABSENT from the
+    bloom manifest (e.g. appended after the last
+    :func:`write_bloom_manifest`) is always kept — skipping must never
+    produce false negatives, so unindexed files are scanned until the
+    manifest is rebuilt (the rebuild is one full-table pass)."""
     man = spark.read.parquet(f"{path}/_blooms")
-    files = sorted(r["file"] for r in man.filter(keep).select("file").collect())
+    kept = {r["file"] for r in man.filter(keep).select("file").collect()}
+    indexed = {r["file"] for r in man.select("file").collect()}
+    # inputFiles() is file-index metadata — no data scan.
+    table_files = set(spark.read.format(fmt).load(path).inputFiles())
+    files = sorted(kept | (table_files - indexed))
     if not files:
         return spark.read.format(fmt).load(path).limit(0)
     return spark.read.format(fmt).load(files)

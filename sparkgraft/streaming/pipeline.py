@@ -844,7 +844,9 @@ def cusum_monitor(
     μ₀ is PINNED at monitor start from the first ``baseline_n`` rows
     per key of ``baseline`` (the ks_monitor discipline) and persisted
     beside the state, so restarts monitor against the identical
-    target.  State persists KEYED BY BATCH ID, so a foreachBatch
+    target.  Only keys present in the baseline are monitored — batch
+    rows for unknown keys are dropped by the baseline join (new keys
+    need a monitor restart with a refreshed baseline).  State persists KEYED BY BATCH ID, so a foreachBatch
     replay of batch N resumes from the pre-N snapshot instead of
     double-advancing the recurrence (asserted in tests).
 

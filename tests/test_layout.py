@@ -347,3 +347,51 @@ def test_bloom_manifest_prunes_point_lookups(spark, tmp_path):
         if n_kept < total:
             pruned_any = True
     assert pruned_any  # blooms actually discriminate
+
+
+def test_bloom_staleness_guard_never_false_negative(spark, tmp_path):
+    """Files appended after the bloom build are unindexed — the reader
+    must scan them unconditionally until the manifest is rebuilt."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.sinks.layout import (
+        append_with_stats,
+        bloom_keep,
+        read_skipping_blooms,
+        write_bloom_manifest,
+        write_with_stats,
+    )
+    from sparkgraft.sources.readers import read_table
+    from tests.conftest import SF_DIR
+
+    ev = read_table(spark, SF_DIR, "events")
+    old = ev.filter(F.col("event_id") % 2 == 0)
+    new = ev.filter(F.col("event_id") % 2 == 1)
+    path = str(tmp_path / "ev_stale")
+    write_with_stats(old, path, ["ts"], sort_col="ts", n_files=4)
+    write_bloom_manifest(spark, path, ["event_id"])
+    append_with_stats(new, path, ["ts"], sort_col="ts", n_files=4)
+
+    # Probe an id that lives ONLY in the appended (unindexed) half.
+    eid = new.select("event_id").orderBy("event_id").first()[0]
+    got = (
+        read_skipping_blooms(spark, path, bloom_keep("event_id", eid))
+        .filter(F.col("event_id") == eid)
+        .count()
+    )
+    want = spark.read.parquet(path).filter(F.col("event_id") == eid).count()
+    assert got == want and got > 0
+
+    # After a rebuild, the same probe prunes again (fewer files kept
+    # than the table holds) with identical results.
+    write_bloom_manifest(spark, path, ["event_id"])
+    man = spark.read.parquet(f"{path}/_blooms")
+    assert man.count() == len(
+        set(spark.read.parquet(path).inputFiles())
+    )
+    got2 = (
+        read_skipping_blooms(spark, path, bloom_keep("event_id", eid))
+        .filter(F.col("event_id") == eid)
+        .count()
+    )
+    assert got2 == want
