@@ -376,24 +376,30 @@ def weighted_sample(
     (TakeOrderedAndProject: per-partition heaps + tiny merge, never a
     single-partition sort).  Non-positive weights are excluded.
     """
+    # u ∈ (0, 1]: (hash + 1) / 2^60 — a raw hash of exactly 0 would
+    # make ln(u) NULL, sort last under desc ordering and silently drop
+    # the row from the sample regardless of weight.  +1 keeps ln(u)
+    # finite for every key (u = 1 → priority 0, the best possible —
+    # correct A-ES behaviour for the luckiest draw).
     u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        F.lit(salt),
-                        *[F.col(c).cast("string") for c in key_cols],
-                    )
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(salt),
+                            *[F.col(c).cast("string") for c in key_cols],
+                        )
+                    ),
+                    1,
+                    15,
                 ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .cast("double")
+                16,
+                10,
+            ).cast("long")
+            + F.lit(1)
+        ).cast("double")
         / F.lit(float(1 << 60))
     )
     w = F.col(weight_col).cast("double")

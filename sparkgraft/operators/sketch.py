@@ -124,8 +124,11 @@ def cms_lookup(
 
 
 def _kmv_frac(h: Column) -> Column:
-    """md5 hex -> uniform fraction in (0, 1]: first 15 hex chars (60
-    bits — exact in a double) over 2^60."""
+    """md5 hex -> uniform fraction in [0, 1): first 15 hex chars (60
+    bits — exact in a double) over 2^60.  The zero draw (probability
+    2^-60) is mirrored identically by the DuckDB oracles, so the
+    estimate formula stays bit-parity; only ln()-consuming draws
+    (weighted_sample) need the shifted (0, 1] form."""
     return (
         F.conv(F.substring(h, 1, 15), 16, 10).cast("long").cast("double")
         / F.lit(float(1 << 60))
@@ -286,7 +289,11 @@ def mg_summaries(df: DataFrame, key_col: str, k: int = 100) -> DataFrame:
                 import numpy as np
 
                 vals = counters.to_numpy()
-                sub = np.partition(vals, len(vals) - k + 1)[len(vals) - k + 1]
+                # k-th largest (index len-k): strictly-greater survivors are
+                # at most k-1, and undercount stays bounded by n_p/k.  The
+                # (k-1)-th largest over-trims: with k=3 and counts {4,4,1}
+                # (n=9) it would evict BOTH true heavy hitters.
+                sub = np.partition(vals, len(vals) - k)[len(vals) - k]
                 counters = counters[counters > sub] - sub
         out = pd.DataFrame(
             {"key": counters.index.astype(str), "lb": counters.astype("int64")}

@@ -70,14 +70,28 @@ _P1, _B1 = 2147483647, 1_000_003  # 2^31 - 1 (Mersenne), prime base
 _P2, _B2 = 2147483629, 1_000_033
 
 
-def _shard_window_hashes(min_len: int):
+def _shard_window_hashes(min_len: int, stride: int = 1):
     """Build the per-shard kernel: every L-window of every doc in the
     shard -> (doc_id, start, h, local_dup).  ``start`` is 1-based
-    character position (matching SQL ``substr``)."""
+    character position (matching SQL ``substr``).
+
+    ``stride`` > 1 enables the WINNOWING BUDGET MODE (Schleimer et al.
+    2003 sliding-window minimizers): instead of every window, only the
+    minimum-hash window of each ``stride``-wide sliding block is
+    emitted — content-defined selection, so two copies of the same
+    text select the SAME windows regardless of alignment.  Guarantee:
+    every duplicated substring of length >= min_len + stride - 1
+    shares at least one emitted window between its copies (each copy
+    contains the same stride consecutive hashes, whose argmin is a
+    pure function of the block).  Cost drops ~stride x in emitted/
+    shuffled rows; the recall bound is spans shorter than
+    min_len + stride - 1 may be missed and span edges fuzz by up to
+    stride - 1 characters.  stride=1 is the exact mode (default)."""
     import numpy as np
     import pandas as pd
 
     L = min_len
+    s = max(1, int(stride))
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         ids: list[str] = []
@@ -105,8 +119,21 @@ def _shard_window_hashes(min_len: int):
             h2 = (win @ w2) % _P2
             h = h1 * _P2 + h2  # < 2^62, unique per (h1, h2)
             ids.append(doc_id)
-            starts.append(np.arange(1, n - L + 2, dtype=np.int32))
-            hashes.append(h)
+            if s > 1:
+                m = len(h)
+                if m <= s:
+                    sel = np.array([int(np.argmin(h))], dtype=np.int64)
+                else:
+                    blocks = np.lib.stride_tricks.sliding_window_view(h, s)
+                    sel = np.unique(
+                        np.argmin(blocks, axis=1)
+                        + np.arange(m - s + 1, dtype=np.int64)
+                    )
+                starts.append((sel + 1).astype(np.int32))
+                hashes.append(h[sel])
+            else:
+                starts.append(np.arange(1, n - L + 2, dtype=np.int32))
+                hashes.append(h)
         if not ids:
             return pd.DataFrame(
                 {
@@ -138,11 +165,15 @@ def window_hashes_sharded(
     text_col: str = "text",
     min_len: int = 25,
     n_shards: int = 8,
+    stride: int = 1,
 ) -> DataFrame:
     """Stage 1: compact (doc_id, start, h, local_dup) stream of every
     L-window, computed shard-locally so raw text never shuffles.  At
     cluster scale set ``n_shards`` ~ a few x executor count; each shard
-    task holds only its slice of text plus an int64 hash column."""
+    task holds only its slice of text plus an int64 hash column.
+    ``stride`` > 1 = winnowing budget mode (see _shard_window_hashes):
+    ~stride x fewer emitted/shuffled rows, repeats shorter than
+    min_len + stride - 1 may be missed."""
     schema = StructType(
         [
             StructField("doc_id", StringType()),
@@ -157,7 +188,9 @@ def window_hashes_sharded(
         F.col(text_col).alias("text"),
         shard.alias("_shard"),
     )
-    return src.groupBy("_shard").applyInPandas(_shard_window_hashes(min_len), schema)
+    return src.groupBy("_shard").applyInPandas(
+        _shard_window_hashes(min_len, stride), schema
+    )
 
 
 def duplicated_windows(
@@ -166,6 +199,7 @@ def duplicated_windows(
     text_col: str = "text",
     min_len: int = 25,
     n_shards: int = 8,
+    stride: int = 1,
 ) -> DataFrame:
     """Stage 2: (doc_id, start) of every L-window that occurs more than
     once in the corpus, via ``count(*) over (partition by h)`` — ONE
@@ -185,7 +219,9 @@ def duplicated_windows(
     bounded by that hash's true occurrence list, which any exact-dedup
     formulation must materialize somewhere.
     """
-    wins = window_hashes_sharded(docs, id_col, text_col, min_len, n_shards)
+    wins = window_hashes_sharded(
+        docs, id_col, text_col, min_len, n_shards, stride
+    )
     w = Window.partitionBy("h")
     return (
         wins.select("doc_id", "start", "h")
@@ -201,15 +237,24 @@ def exact_substring_spans(
     text_col: str = "text",
     min_len: int = 25,
     n_shards: int = 8,
+    stride: int = 1,
 ) -> DataFrame:
     """Maximal duplicated spans per document: one row per maximal run
     of covered positions — ``(doc_id, span_start, span_end, span_len,
     n_windows)``, 1-based inclusive character positions.  The ExactSubstr
-    cut list."""
-    cov = duplicated_windows(docs, id_col, text_col, min_len, n_shards)
+    cut list.
+
+    ``stride`` > 1 = winnowing budget mode: the per-char shuffle drops
+    ~stride x; every repeat of length >= min_len + stride - 1 is still
+    detected (recall bound), span edges fuzz by up to stride - 1, and
+    the island-merge gap widens to min_len + stride - 1 so one repeat
+    region stays one span (selected minimizers are at most stride
+    apart inside a repeat)."""
+    cov = duplicated_windows(docs, id_col, text_col, min_len, n_shards, stride)
     w = Window.partitionBy("doc_id").orderBy("start")
     gap = F.col("start") - F.lag("start").over(w)
-    brk = F.when(gap.isNull() | (gap > min_len), 1).otherwise(0)
+    gap_thresh = min_len + max(1, int(stride)) - 1
+    brk = F.when(gap.isNull() | (gap > gap_thresh), 1).otherwise(0)
     isl = cov.select(
         "doc_id",
         "start",
@@ -239,13 +284,16 @@ def substring_dedup_stats(
     min_len: int = 25,
     n_shards: int = 8,
     max_coverage: float = 0.5,
+    stride: int = 1,
 ) -> DataFrame:
     """Per-document duplication profile + keep/drop gate: span count,
     covered characters, longest span, covered fraction (4 decimals),
     ``keep = covered fraction <= max_coverage``.  Left join back to the
     corpus so clean documents appear with zeros — the downstream filter
     is a single ``WHERE keep``."""
-    spans = exact_substring_spans(docs, id_col, text_col, min_len, n_shards)
+    spans = exact_substring_spans(
+        docs, id_col, text_col, min_len, n_shards, stride
+    )
     per_doc = spans.groupBy(id_col).agg(
         F.count("*").alias("n_spans"),
         F.sum("span_len").alias("dup_chars"),
@@ -505,6 +553,11 @@ def remove_duplicated_spans(
         F.col(id_col), F.col(text_col).alias("__text")
     ).join(cuts.hint("merge"), id_col, "left")
 
+    # Carry the INPUT id column's name and dtype through — a hardcoded
+    # 'doc_id long' silently breaks string/other id columns despite the
+    # id_col parameter accepting them.
+    id_type = src.schema[id_col].dataType.simpleString()
+
     def kernel(batches):
         for pdf in batches:
             out_text, n_cut, chars_cut = [], [], []
@@ -520,7 +573,10 @@ def remove_duplicated_spans(
                 for s, e in ivs:  # 1-based inclusive
                     s0, e0 = s - 1, e  # 0-based half-open
                     pieces.append(text[pos:s0])
-                    removed += max(0, min(e0, len(text)) - s0)
+                    # Clamp the span start to pos so overlapping spans
+                    # never count the same character twice in the
+                    # removed metric.
+                    removed += max(0, min(e0, len(text)) - max(s0, pos))
                     pos = max(pos, e0)
                 pieces.append(text[pos:])
                 out_text.append("".join(pieces))
@@ -528,7 +584,7 @@ def remove_duplicated_spans(
                 chars_cut.append(removed)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].astype("int64"),
+                    id_col: pdf[id_col],
                     "text_dedup": out_text,
                     "n_cut": pd.Series(n_cut, dtype="int64"),
                     "chars_cut": pd.Series(chars_cut, dtype="int64"),
@@ -536,5 +592,6 @@ def remove_duplicated_spans(
             )
 
     return src.mapInPandas(
-        kernel, "doc_id long, text_dedup string, n_cut long, chars_cut long"
+        kernel,
+        f"`{id_col}` {id_type}, text_dedup string, n_cut long, chars_cut long",
     )

@@ -239,7 +239,14 @@ def upsert_sink(
         """The stored table, surviving a crash mid-commit: if
         ``table_path`` is unreadable, ``table_path + "_next"`` was
         written completely BEFORE the final overwrite started, so it
-        is the last committed state.  None = first batch ever."""
+        is the last committed state.  The fallback REPAIRS the torn
+        commit immediately (re-materializes ``table_path`` from
+        ``_next``) so every later batch reads from ``table_path`` —
+        otherwise the next merge would compute lazily from ``_next``
+        and then overwrite the very path it is reading ("Cannot
+        overwrite a path that is also being read from"), wedging the
+        stream after exactly the crash the fallback exists to survive.
+        None = first batch ever."""
         try:
             return spark.read.parquet(table_path)
         except Exception as exc:
@@ -248,11 +255,15 @@ def upsert_sink(
                 or "Path does not exist" in str(exc)
             )
             try:
-                return spark.read.parquet(table_path + "_next")
+                recovered = spark.read.parquet(table_path + "_next")
             except Exception:
                 if missing:
                     return None  # genuinely first batch
                 raise exc
+            # Finish the interrupted second half of the commit, then
+            # serve the repaired table_path copy.
+            recovered.write.mode("overwrite").parquet(table_path)
+            return spark.read.parquet(table_path)
 
     def apply_batch(batch, batch_id: int) -> None:
         from pyspark.sql import Window
@@ -486,26 +497,42 @@ def dedup_admission(
         verdicts = verdicts.persist()
         verdicts.count()
         sink(verdicts, batch_id)
-        already = (
+        # Replay idempotence is checked PER TABLE: a crash between the
+        # two appends leaves one table with batch N's rows and the
+        # other without, and a single check on either table would then
+        # skip (or duplicate) the other's append on replay — admitted
+        # docs permanently missing their banded LSH keys can never
+        # surface as near-dup candidates again (silent false
+        # negatives).  Independent checks make the replay finish
+        # exactly the missing half.
+        base_done = (
             hist_base_all.filter(F.col("_batch_id") == batch_id).limit(1).count()
             > 0
         )
-        if not already:
+        banded_done = (
+            hist_banded_all.filter(F.col("_batch_id") == batch_id)
+            .limit(1)
+            .count()
+            > 0
+        )
+        if not (base_done and banded_done):
             admitted = verdicts.filter(~F.col("is_duplicate")).select(
                 F.col(id_col).alias("id")
             )
-            (
-                new_base.join(admitted, "id")
-                .withColumn("_batch_id", F.lit(batch_id))
-                .write.mode("append")
-                .parquet(base_dir)
-            )
-            (
-                new_banded.join(admitted, "id")
-                .withColumn("_batch_id", F.lit(batch_id))
-                .write.mode("append")
-                .parquet(banded_dir)
-            )
+            if not base_done:
+                (
+                    new_base.join(admitted, "id")
+                    .withColumn("_batch_id", F.lit(batch_id))
+                    .write.mode("append")
+                    .parquet(base_dir)
+                )
+            if not banded_done:
+                (
+                    new_banded.join(admitted, "id")
+                    .withColumn("_batch_id", F.lit(batch_id))
+                    .write.mode("append")
+                    .parquet(banded_dir)
+                )
         verdicts.unpersist()
         new_base.unpersist()
 

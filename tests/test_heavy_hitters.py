@@ -82,3 +82,17 @@ def test_heavy_hitters_share_column(spark):
     df = spark.createDataFrame([("x",)] * 3 + [("y",)] * 1, "key string")
     row = heavy_hitters(df, "key", k=2).filter(F.col("key") == "x").first()
     assert row["n"] == 3 and abs(row["share"] - 0.75) < 1e-12
+
+
+def test_mg_trim_margin_exact(spark):
+    """Regression: the trim must subtract the k-th largest counter, not
+    the (k-1)-th — with k=3 and single-partition counts A=4, B=4, C=1
+    (n=9) the wrong pivot evicts BOTH true heavy hitters (4*3 > 9) and
+    heavy_hitters() silently returns an empty set."""
+    rows = [("A",)] * 4 + [("B",)] * 4 + [("C",)]
+    df = spark.createDataFrame(rows, "key string").coalesce(1)
+    got = {r["key"]: r["n"] for r in heavy_hitters(df, "key", k=3).collect()}
+    assert got == {"A": 4, "B": 4}
+    # and the per-partition summary keeps at most k-1 counters
+    summ = mg_summaries(df, "key", k=3).collect()
+    assert sum(1 for r in summ if r["key"] is not None) <= 2

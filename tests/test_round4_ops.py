@@ -515,3 +515,67 @@ def test_cusum_matches_sequential_reference(spark):
     # Sanity: both shift directions fire, baseline is quiet.
     assert {s for _, s, _ in got} == {"up", "down"}
     assert min(i for i, _, _ in got) >= bn
+
+
+def test_dedup_admission_repairs_torn_banded_append(spark, tmp_path):
+    """Regression (r4 advice): a crash BETWEEN the base and banded
+    appends leaves admitted docs without LSH keys; a replay that checks
+    only the base table skips both appends, so those docs can never be
+    matched again.  Per-table replay checks must finish exactly the
+    missing half."""
+    import json
+    import os
+    import shutil
+
+    from sparkgraft.streaming.pipeline import dedup_admission
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    hist = str(tmp_path / "history")
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    with open(src / "b1.json", "w") as fh:
+        fh.write(json.dumps({"doc_id": "a", "text": text}))
+
+    def mk_stream():
+        return (
+            spark.readStream.schema("doc_id string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+    sunk: dict[int, list] = {}
+
+    def sink(df, batch_id):
+        sunk[batch_id] = sorted(tuple(r) for r in df.collect())
+
+    q = dedup_admission(mk_stream(), hist, str(tmp_path / "c1"), sink)
+    q.awaitTermination(120)
+    base_dir = os.path.join(hist, "base")
+    banded_dir = os.path.join(hist, "banded")
+    n_base = spark.read.parquet(base_dir).count()
+    assert spark.read.parquet(banded_dir).count() > 0
+
+    # Torn crash: base landed, banded never did.
+    shutil.rmtree(banded_dir)
+
+    # Replay batch 0 (fresh checkpoint, same file): base append must be
+    # skipped, banded append must RUN.
+    q2 = dedup_admission(mk_stream(), hist, str(tmp_path / "c2"), sink)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(base_dir).count() == n_base  # no dupes
+    assert spark.read.parquet(banded_dir).count() > 0  # repaired
+
+    # And the repaired index actually matches: a near-dup of doc a
+    # arriving later is flagged against it.
+    with open(src / "b2.json", "w") as fh:
+        fh.write(json.dumps({"doc_id": "z", "text": text}))
+    got: dict[int, list] = {}
+
+    def sink2(df, batch_id):
+        got[batch_id] = {r["doc_id"]: tuple(r) for r in df.collect()}
+
+    q3 = dedup_admission(mk_stream(), hist, str(tmp_path / "c2"), sink2)
+    q3.awaitTermination(120)
+    z = [v["z"] for v in got.values() if "z" in v][0]
+    assert z[1] and z[2] == "a"  # is_duplicate, matched against a

@@ -315,3 +315,85 @@ def test_remove_spans_overlapping_cuts_merge(spark):
     for i in (1, 2):
         assert block not in out[i]["text_dedup"]
         assert out[i]["n_cut"] == 1  # islands merged into one maximal span
+
+
+def test_remove_spans_string_id_column(spark):
+    """Regression: the rewrite must carry the INPUT id column's name
+    and dtype through (a hardcoded 'doc_id long' broke string ids)."""
+    from sparkgraft.operators.suffixdedup import remove_duplicated_spans
+
+    boiler = "This exact boilerplate sentence repeats verbatim in both docs."
+    rows = [
+        ("doc-a", f"unique head one {boiler} unique tail one"),
+        ("doc-b", f"other opening {boiler} other closing"),
+    ]
+    docs = spark.createDataFrame(rows, "uid string, body string")
+    out_df = remove_duplicated_spans(
+        docs, id_col="uid", text_col="body", min_len=25
+    )
+    assert out_df.schema["uid"].dataType.simpleString() == "string"
+    out = {r["uid"]: r for r in out_df.collect()}
+    assert set(out) == {"doc-a", "doc-b"}
+    for uid, body in rows:
+        assert boiler not in out[uid]["text_dedup"]
+        assert len(body) - len(out[uid]["text_dedup"]) == out[uid]["chars_cut"]
+
+
+def test_winnowing_stride_recall_and_volume(spark):
+    """Budget mode (stride>1): every planted repeat of length
+    >= min_len + stride - 1 is still detected on BOTH copies at any
+    alignment (content-defined minimizer selection), and the emitted
+    window stream shrinks by ~stride x."""
+    from sparkgraft.operators.suffixdedup import (
+        exact_substring_spans,
+        window_hashes_sharded,
+    )
+
+    L, S = 25, 4
+    rep = "the exact same boilerplate block repeated verbatim here!"  # 56 >= L+S-1
+    assert len(rep) >= L + S - 1
+    import random
+
+    rng = random.Random(7)
+
+    def noise(n):
+        return "".join(rng.choice("abcdefghij ") for _ in range(n))
+
+    # different alignments on each side (prefixes of different length)
+    rows = [
+        (1, noise(13) + rep + noise(40)),
+        (2, noise(29) + rep + noise(17)),
+        (3, noise(120)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = exact_substring_spans(docs, min_len=L, stride=S)
+    got = {int(r["doc_id"]): r for r in spans.collect()}
+    for i, txt in ((1, rows[0][1]), (2, rows[1][1])):
+        assert i in got, f"doc {i} repeat missed at stride {S}"
+        s0, e0 = got[i]["span_start"], got[i]["span_end"]
+        # span lands on the repeat, edges fuzzed by < L + S
+        true_start = txt.index(rep) + 1
+        assert abs(s0 - true_start) < L + S
+        assert abs(e0 - (true_start + len(rep) - 1)) < L + S
+    assert 3 not in got  # pure-noise doc stays clean
+
+    n_exact = window_hashes_sharded(docs, min_len=L).count()
+    n_budget = window_hashes_sharded(docs, min_len=L, stride=S).count()
+    assert n_budget < n_exact / (S / 2)  # ~S x reduction, generous bound
+
+
+def test_winnowing_stride_one_is_exact_mode(spark):
+    """stride=1 must reproduce the exact operator bit-for-bit."""
+    from sparkgraft.operators.suffixdedup import exact_substring_spans
+
+    boiler = "This exact boilerplate sentence repeats verbatim in both docs."
+    rows = [
+        (1, f"unique head one {boiler} unique tail one"),
+        (2, f"other opening {boiler} other closing"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(tuple(r) for r in
+               exact_substring_spans(docs, min_len=25).collect())
+    b = sorted(tuple(r) for r in
+               exact_substring_spans(docs, min_len=25, stride=1).collect())
+    assert a == b and len(a) == 2

@@ -12,7 +12,7 @@ from sparkgraft.operators.scale import weighted_sample
 
 def py_priority(key, w, salt="ws"):
     h = hashlib.md5(f"{salt}|{key}".encode()).hexdigest()
-    u = int(h[:15], 16) / float(1 << 60)
+    u = (int(h[:15], 16) + 1) / float(1 << 60)  # (0,1]: ln(u) always finite
     return math.log(u) / w
 
 
