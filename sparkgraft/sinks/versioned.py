@@ -65,22 +65,77 @@ def _read_manifest(table_dir: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _stats_path(table_dir: str, version: int) -> str:
+    return os.path.join(_manifest_dir(table_dir), f"v{version}_stats.parquet")
+
+
+def _file_stats(spark: SparkSession, table_dir: str, rel_files: list[str],
+                stats_cols: list[str]) -> DataFrame:
+    """Per-file (min, max, null-count, n_rows) over exactly
+    ``rel_files`` — one distributed pass, one manifest row per file.
+    ``file`` is stored table-relative so the table directory can
+    move."""
+    from pyspark.sql import functions as F
+
+    paths = [os.path.join(table_dir, f) for f in rel_files]
+    written = spark.read.parquet(*paths)
+    aggs = []
+    for c in stats_cols:
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"nulls_{c}"
+            ),
+        ]
+    prefix = os.path.abspath(table_dir) + os.sep
+    return written.groupBy(
+        F.replace(
+            F.replace(F.input_file_name(), F.lit("file://"), F.lit("")),
+            F.lit(prefix),
+            F.lit(""),
+        ).alias("file")
+    ).agg(F.count("*").alias("n_rows"), *aggs)
+
+
 def write_versioned(
-    df: DataFrame, table_dir: str, mode: str = "append"
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    stats_cols: "list[str] | None" = None,
+    sort_col: str | None = None,
+    n_files: int | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot version; returns the version
     number.  ``mode='append'`` includes the parent snapshot's files in
     the new manifest (no data rewrite — append is metadata-only on top
     of the new files); ``mode='overwrite'`` starts the file list
     fresh.  Data lands before the manifest, the manifest before the
-    pointer flip — each step atomic via ``os.replace``."""
+    pointer flip — each step atomic via ``os.replace``.
+
+    ``stats_cols`` composes data skipping with versioning (Delta
+    parity: per-file stats live in the commit metadata): the commit
+    also writes a per-file min/max/null-count stats table beside its
+    manifest, covering the NEW files only plus the parent's carried
+    stats on append — no history rescan, ever.  A later
+    :func:`read_versioned_skipping` prunes a time-travel read with a
+    stats predicate.  ``sort_col``/``n_files`` range-partition + sort
+    the write so each file covers a tight range (what makes the stats
+    selective — see layout.write_with_stats)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode: {mode}")
     parent = latest_version(table_dir)
     version = 0 if parent is None else parent + 1
     staging = os.path.join(table_dir, "data", f"_staging_v{version}")
-    df.write.mode("overwrite").parquet(staging)
+    w = df
+    if sort_col is not None:
+        from pyspark.sql import functions as F
+
+        key = F.col(sort_col)
+        w = df.repartitionByRange(n_files or 4, key).sortWithinPartitions(key)
+    w.write.mode("overwrite").parquet(staging)
     files = []
+    new_files = []
     n = 0
     for name in sorted(os.listdir(staging)):
         if not name.endswith(".parquet"):
@@ -89,17 +144,33 @@ def write_versioned(
         os.replace(os.path.join(staging, name), final)
         files.append(os.path.relpath(final, table_dir))
         n += 1
+    new_files = list(files)
     for leftover in os.listdir(staging):
         os.remove(os.path.join(staging, leftover))
     os.rmdir(staging)
     if mode == "append" and parent is not None:
         files = _read_manifest(table_dir, parent)["files"] + files
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+    if stats_cols:
+        # Stats land BEFORE the manifest commits — a crash in between
+        # leaves an orphan stats file next to orphan data files, both
+        # invisible until a manifest references them.
+        spark = df.sparkSession
+        new_stats = _file_stats(spark, table_dir, new_files, list(stats_cols))
+        if mode == "append" and parent is not None and os.path.exists(
+            _stats_path(table_dir, parent)
+        ):
+            parent_stats = spark.read.parquet(_stats_path(table_dir, parent))
+            new_stats = parent_stats.unionByName(new_stats)
+        new_stats.write.mode("overwrite").parquet(
+            _stats_path(table_dir, version)
+        )
     manifest = {
         "version": version,
         "parent": parent,
         "operation": mode,
         "files": files,
+        "stats_cols": list(stats_cols) if stats_cols else None,
     }
     mpath = os.path.join(_manifest_dir(table_dir), f"v{version}.json")
     tmp = mpath + ".tmp"
@@ -127,6 +198,34 @@ def read_versioned(
         raise FileNotFoundError(f"version {v} of {table_dir} is empty")
     paths = [os.path.join(table_dir, f) for f in manifest["files"]]
     return spark.read.parquet(*paths)
+
+
+def read_versioned_skipping(
+    spark: SparkSession,
+    table_dir: str,
+    keep,
+    version: int | None = None,
+) -> DataFrame:
+    """Time travel WITH data skipping: scan only the files of snapshot
+    ``version`` whose commit-log stats survive the ``keep`` predicate
+    (over ``min_*``/``max_*``/``nulls_*``/``n_rows`` — same contract as
+    layout.prune_files).  Skipping is a superset guarantee, so
+    ``read_versioned_skipping(...).filter(p)`` ≡
+    ``read_versioned(...).filter(p)`` with fewer files opened (both
+    asserted in tests/test_versioned.py).  The version must have been
+    committed with ``stats_cols``."""
+    v = latest_version(table_dir) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    if not _read_manifest(table_dir, v).get("stats_cols"):
+        raise ValueError(
+            f"version {v} of {table_dir} was committed without stats_cols"
+        )
+    stats = spark.read.parquet(_stats_path(table_dir, v))
+    rel = sorted(r["file"] for r in stats.filter(keep).select("file").collect())
+    if not rel:
+        return read_versioned(spark, table_dir, v).limit(0)
+    return spark.read.parquet(*[os.path.join(table_dir, f) for f in rel])
 
 
 def table_history(table_dir: str) -> list[dict]:

@@ -102,3 +102,104 @@ def test_compact_table_preserves_data(spark, tmp_path):
     assert ids(read_versioned(spark, t)) == before == [1, 2, 3, 4]
     # pre-compaction version still time-travels
     assert ids(read_versioned(spark, t, version=v - 1)) == before
+
+
+def test_versioned_stats_skipping_prunes_and_is_transparent(spark, tmp_path):
+    """Skipping composed with versioning: per-file stats live in the
+    commit metadata, a time-travel read prunes with a range predicate,
+    and the pruned read is result-transparent vs the full snapshot."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.sinks.versioned import (
+        read_versioned,
+        read_versioned_skipping,
+        write_versioned,
+    )
+
+    t = str(tmp_path / "vt")
+    rows = [(i, float(i * 10)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    v0 = write_versioned(
+        df, t, mode="overwrite", stats_cols=["k"], sort_col="k", n_files=8
+    )
+    assert v0 == 0
+    lo, hi = 100, 300
+    keep = (F.col("max_k") >= lo) & (F.col("min_k") <= hi)
+    pruned = read_versioned_skipping(spark, t, keep, version=0)
+    # pruning is real: the sorted 8-file layout keeps only a file subset
+    assert 0 < len(pruned.inputFiles()) < len(
+        read_versioned(spark, t, version=0).inputFiles()
+    )
+    # and transparent: pruned ∘ filter ≡ full ∘ filter
+    a = sorted(
+        tuple(r) for r in pruned.filter(F.col("k").between(lo, hi)).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in read_versioned(spark, t, version=0)
+        .filter(F.col("k").between(lo, hi))
+        .collect()
+    )
+    assert a == b and len(a) == hi - lo + 1
+
+
+def test_versioned_stats_append_carries_parent_stats(spark, tmp_path):
+    """Append commits stats for the NEW files only and carries the
+    parent's rows — the merged stats table equals a rebuild, and
+    time-travel skipping works on both versions."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.sinks.versioned import (
+        _stats_path,
+        read_versioned,
+        read_versioned_skipping,
+        write_versioned,
+    )
+
+    t = str(tmp_path / "vt")
+    base = spark.createDataFrame(
+        [(i, "a") for i in range(1000)], "k long, src string"
+    )
+    extra = spark.createDataFrame(
+        [(i, "b") for i in range(1000, 1500)], "k long, src string"
+    )
+    write_versioned(base, t, mode="overwrite", stats_cols=["k"],
+                    sort_col="k", n_files=4)
+    write_versioned(extra, t, mode="append", stats_cols=["k"],
+                    sort_col="k", n_files=2)
+    s0 = spark.read.parquet(_stats_path(t, 0))
+    s1 = spark.read.parquet(_stats_path(t, 1))
+    assert s1.count() == s0.count() + 2  # parent rows carried + 2 new
+    # v1 stats describe exactly v1's manifest files
+    man_files = set(read_versioned(spark, t, version=1).inputFiles())
+    # skipping into the appended range touches only appended files
+    keep = (F.col("max_k") >= 1200) & (F.col("min_k") <= 1210)
+    pruned = read_versioned_skipping(spark, t, keep, version=1)
+    assert set(pruned.inputFiles()) <= man_files
+    got = sorted(
+        r["k"] for r in pruned.filter(F.col("k").between(1200, 1210)).collect()
+    )
+    assert got == list(range(1200, 1211))
+    # version 0 remains independently skippable (time travel)
+    keep0 = (F.col("max_k") >= 10) & (F.col("min_k") <= 20)
+    p0 = read_versioned_skipping(spark, t, keep0, version=0)
+    assert sorted(
+        r["k"] for r in p0.filter(F.col("k").between(10, 20)).collect()
+    ) == list(range(10, 21))
+
+
+def test_versioned_skipping_requires_stats(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sparkgraft.sinks.versioned import (
+        read_versioned_skipping,
+        write_versioned,
+    )
+
+    t = str(tmp_path / "vt")
+    write_versioned(
+        spark.createDataFrame([(1,)], "k long"), t, mode="overwrite"
+    )
+    with pytest.raises(ValueError, match="without stats_cols"):
+        read_versioned_skipping(spark, t, F.lit(True), version=0)
