@@ -4437,6 +4437,53 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming change-data feed from versioned commits (rows-only —
+    file-stream drain; replay idempotence and bit-identity to batch
+    snapshot_diff are asserted in tests/test_versioned.py): the
+    version_cdc fixture's two commits drained through ``cdc_feed``
+    (each commit's manifest is one micro-batch), summarized per
+    (commit, change_type, changed-cols).  The v1 slice of this summary
+    equals the batch ``version_cdc`` summary minus its 'unchanged'
+    row — the feed drops unchanged rows by construction."""
+    import tempfile
+
+    from sparkgraft.streaming.pipeline import cdc_feed
+
+    cached = _FIXTURE_CACHE.get(("stream_cdc", sf_dir))
+    schema = "commit_version long, change_type string, cols string, n long"
+    if cached is not None:
+        return spark.createDataFrame(cached, schema)
+    q_version_cdc(spark, sf_dir)  # stages + caches the versioned table
+    t = _FIXTURE_CACHE[("version_cdc_table", sf_dir)]
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_scdc_")
+    agg: dict[tuple, int] = {}
+
+    def sink(df, batch_id):
+        # per-commit summary only — CDC rows stay distributed
+        summ = df.groupBy(
+            "_commit_version",
+            "change_type",
+            F.concat_ws(",", "changed_cols").alias("cols"),
+        ).agg(F.count("*").alias("n"))
+        for r in summ.collect():
+            key = (r["_commit_version"], r["change_type"], r["cols"])
+            agg[key] = agg.get(key, 0) + r["n"]
+
+    q = cdc_feed(
+        spark,
+        t,
+        ["o_orderkey"],
+        ["o_totalprice", "o_orderpriority"],
+        f"{tmp}/ckpt",
+        sink,
+    )
+    q.awaitTermination(300)
+    rows = sorted((v, ct, cols, n) for (v, ct, cols), n in agg.items())
+    _FIXTURE_CACHE[("stream_cdc", sf_dir)] = rows
+    return spark.createDataFrame(rows, schema)
+
+
 def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup (rows-only — the DCT kernel isn't
     SQL-mirrorable; brute-force parity is pytest-asserted): doc_id-
@@ -4943,6 +4990,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_exists_agg": q_sql_exists_agg,
     "pseudonymize": q_pseudonymize,
     "version_cdc": q_version_cdc,
+    # --- round 5: streaming CDC feed from versioned commits ---
+    "stream_cdc": q_stream_cdc,
 }
 
 

@@ -203,3 +203,113 @@ def test_versioned_skipping_requires_stats(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="without stats_cols"):
         read_versioned_skipping(spark, t, F.lit(True), version=0)
+
+
+def test_cdc_feed_streams_commits_and_replays_identically(spark, tmp_path):
+    """Streaming CDC from versioned commits: each commit's manifest
+    arrives as a micro-batch and emits snapshot_diff vs its parent;
+    a replay re-emits bit-identical rows; a later commit arrives
+    incrementally."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.operators.merge import snapshot_diff
+    from sparkgraft.sinks.versioned import read_versioned, write_versioned
+    from sparkgraft.streaming.pipeline import cdc_feed
+
+    t = str(tmp_path / "vt")
+    rows0 = [(i, float(i)) for i in range(100)]
+    # v1: drop 0-9, change 10-19, add 100-109
+    rows1 = [(i, float(i) + (100.0 if i < 20 else 0.0)) for i in range(10, 110)]
+    df0 = spark.createDataFrame(rows0, "k long, v double")
+    df1 = spark.createDataFrame(rows1, "k long, v double")
+    write_versioned(df0, t, mode="overwrite")
+    write_versioned(df1, t, mode="overwrite")
+
+    got: dict[int, list] = {}
+
+    def sink(df, batch_id):
+        got.setdefault(batch_id, []).extend(
+            sorted(tuple(r) for r in df.collect())
+        )
+
+    q = cdc_feed(spark, t, ["k"], ["v"], str(tmp_path / "c1"), sink)
+    q.awaitTermination(120)
+    all_rows = sorted(r for rows in got.values() for r in rows)
+
+    # expected: v0 all-added + v1 diff (unchanged dropped)
+    v0 = read_versioned(spark, t, version=0)
+    v1 = read_versioned(spark, t, version=1)
+    exp0 = [
+        (*r, 0)
+        for r in sorted(
+            tuple(x)
+            for x in snapshot_diff(v0.limit(0), v0, ["k"], ["v"]).collect()
+        )
+    ]
+    exp1 = [
+        (*r, 1)
+        for r in sorted(
+            tuple(x)
+            for x in snapshot_diff(v0, v1, ["k"], ["v"])
+            .filter(F.col("change_type") != "unchanged")
+            .collect()
+        )
+    ]
+    assert all_rows == sorted(exp0 + exp1)
+
+    # replay with a fresh checkpoint: bit-identical rows
+    got2: dict[int, list] = {}
+
+    def sink2(df, batch_id):
+        got2.setdefault(batch_id, []).extend(
+            sorted(tuple(r) for r in df.collect())
+        )
+
+    q2 = cdc_feed(spark, t, ["k"], ["v"], str(tmp_path / "c2"), sink2)
+    q2.awaitTermination(120)
+    assert sorted(r for rows in got2.values() for r in rows) == all_rows
+
+    # incremental: a third commit emits ONLY its own diff
+    df2 = spark.createDataFrame(
+        [(i, float(i)) for i in range(50, 150)], "k long, v double"
+    )
+    write_versioned(df2, t, mode="overwrite")
+    before = len(all_rows)
+    q3 = cdc_feed(spark, t, ["k"], ["v"], str(tmp_path / "c1"), sink)
+    q3.awaitTermination(120)
+    new_rows = sorted(r for rows in got.values() for r in rows)[
+        :
+    ]
+    only_new = [r for r in new_rows if r[-1] == 2]
+    exp2 = [
+        (*r, 2)
+        for r in sorted(
+            tuple(x)
+            for x in snapshot_diff(
+                v1, read_versioned(spark, t, version=2), ["k"], ["v"]
+            )
+            .filter(F.col("change_type") != "unchanged")
+            .collect()
+        )
+    ]
+    assert only_new == exp2
+    assert len(new_rows) == before + len(exp2)
+
+
+def test_stream_cdc_summary_equals_batch_version_cdc(spark):
+    """The drained stream_cdc summary's v1 slice equals the batch
+    version_cdc query minus its 'unchanged' row."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    stream = {
+        (r["change_type"], r["cols"]): r["n"]
+        for r in em.queries()["stream_cdc"](spark, sf).collect()
+        if r["commit_version"] == 1
+    }
+    batch = {
+        (r["change_type"], r["cols"]): r["n"]
+        for r in em.queries()["version_cdc"](spark, sf).collect()
+        if r["change_type"] != "unchanged"
+    }
+    assert stream == batch and len(batch) >= 3  # added/removed/changed
