@@ -4437,6 +4437,73 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write table maintenance end to end (sinks/versioned.py
+    delete_versioned / upsert_versioned — Delta DELETE + MERGE parity):
+    v0 commits orders key-sorted with commit-log stats, v1 DELETEs a
+    key range (stats-pruned rewrite: files provably outside the range
+    carry over metadata-only — asserted in tests/test_versioned.py),
+    v2 MERGEs an update+insert source (touched set auto-derived from
+    the source key range).  Every version then reads back through time
+    travel and summarizes — deterministic slice definitions make the
+    DuckDB mirror exact."""
+    import tempfile
+
+    from sparkgraft.sinks.versioned import (
+        delete_versioned,
+        read_versioned,
+        upsert_versioned,
+        write_versioned,
+    )
+
+    t = _FIXTURE_CACHE.get(("versioned_merge_table", sf_dir))
+    if t is None:
+        t = tempfile.mkdtemp(prefix="sparkgraft_vmerge_")
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        write_versioned(
+            orders, t, mode="overwrite",
+            stats_cols=["o_orderkey"], sort_col="o_orderkey", n_files=8,
+        )
+        delete_versioned(
+            spark, t,
+            F.col("o_orderkey").between(2000, 2999),
+            stats_keep=(F.col("max_o_orderkey") >= 2000)
+            & (F.col("min_o_orderkey") <= 2999),
+            sort_col="o_orderkey", n_files=2,
+        )
+        upd = orders.filter(F.col("o_orderkey") % 500 == 0)
+        src = upd.select(
+            "o_orderkey", (F.col("o_totalprice") + 1000.0).alias("o_totalprice")
+        ).unionByName(
+            upd.select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                F.lit(1.0).alias("o_totalprice"),
+            )
+        )
+        upsert_versioned(
+            spark, t, src, ["o_orderkey"], sort_col="o_orderkey", n_files=2
+        )
+        _FIXTURE_CACHE[("versioned_merge_table", sf_dir)] = t
+    outs = []
+    for v in range(3):
+        snap = read_versioned(spark, t, version=v)
+        outs.append(
+            snap.agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+                .cast("decimal(38,2)")
+                .cast("double")
+                .alias("spend"),
+            ).select(F.lit(v).alias("version"), "n_rows", "spend")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming change-data feed from versioned commits (rows-only —
     file-stream drain; replay idempotence and bit-identity to batch
@@ -4990,7 +5057,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_exists_agg": q_sql_exists_agg,
     "pseudonymize": q_pseudonymize,
     "version_cdc": q_version_cdc,
-    # --- round 5: streaming CDC feed from versioned commits ---
+    # --- round 5: versioned-table maintenance + streaming CDC ---
+    "versioned_merge": q_versioned_merge,
     "stream_cdc": q_stream_cdc,
 }
 
@@ -9046,6 +9114,45 @@ ORACLES["sequence_count"] = """
     WHERE a.event_type = 'view' AND b.event_type = 'click'
       AND c.event_type = 'purchase'
     GROUP BY a.user_id
+"""
+
+
+# Mirrors q_versioned_merge: delete + MERGE replayed as plain set
+# algebra over the deterministic slice definitions.
+ORACLES["versioned_merge"] = """
+    WITH v1 AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey NOT BETWEEN 2000 AND 2999
+    ),
+    src AS (
+        SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 500 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 1.0
+        FROM orders WHERE o_orderkey % 500 = 0
+    ),
+    v2 AS (
+        SELECT * FROM v1
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        UNION ALL SELECT * FROM src
+    ),
+    summ AS (
+        SELECT 0 AS version, count(*) AS n_rows,
+               cast(cast(round(sum(cast(o_totalprice AS DECIMAL(27,6))), 2)
+                    AS DECIMAL(38,2)) AS DOUBLE) AS spend
+        FROM orders
+        UNION ALL
+        SELECT 1, count(*),
+               cast(cast(round(sum(cast(o_totalprice AS DECIMAL(27,6))), 2)
+                    AS DECIMAL(38,2)) AS DOUBLE)
+        FROM v1
+        UNION ALL
+        SELECT 2, count(*),
+               cast(cast(round(sum(cast(o_totalprice AS DECIMAL(27,6))), 2)
+                    AS DECIMAL(38,2)) AS DOUBLE)
+        FROM v2
+    )
+    SELECT * FROM summ
 """
 
 

@@ -165,6 +165,7 @@ HEADLINE = [
     "data_skipping",
     "versioned_reads",
     "timeseries_interp",
+    "versioned_merge",
 ]
 
 

@@ -126,6 +126,33 @@ def write_versioned(
         raise ValueError(f"unsupported mode: {mode}")
     parent = latest_version(table_dir)
     version = 0 if parent is None else parent + 1
+    new_files = _land_files(df, table_dir, version, sort_col, n_files)
+    if mode == "append" and parent is not None:
+        files = _read_manifest(table_dir, parent)["files"] + new_files
+    else:
+        files = new_files
+    carry = (
+        _read_manifest(table_dir, parent)["files"]
+        if mode == "append" and parent is not None
+        else []
+    )
+    _commit(
+        df.sparkSession, table_dir, version, parent, mode, files,
+        stats_cols, new_files, carry,
+    )
+    return version
+
+
+def _land_files(
+    df: DataFrame,
+    table_dir: str,
+    version: int,
+    sort_col: str | None = None,
+    n_files: int | None = None,
+) -> list[str]:
+    """Stage ``df``'s parquet files and rename them under the version
+    prefix; returns the table-relative file list.  Data is fully on
+    disk before any metadata references it."""
     staging = os.path.join(table_dir, "data", f"_staging_v{version}")
     w = df
     if sort_col is not None:
@@ -135,7 +162,6 @@ def write_versioned(
         w = df.repartitionByRange(n_files or 4, key).sortWithinPartitions(key)
     w.write.mode("overwrite").parquet(staging)
     files = []
-    new_files = []
     n = 0
     for name in sorted(os.listdir(staging)):
         if not name.endswith(".parquet"):
@@ -144,31 +170,55 @@ def write_versioned(
         os.replace(os.path.join(staging, name), final)
         files.append(os.path.relpath(final, table_dir))
         n += 1
-    new_files = list(files)
     for leftover in os.listdir(staging):
         os.remove(os.path.join(staging, leftover))
     os.rmdir(staging)
-    if mode == "append" and parent is not None:
-        files = _read_manifest(table_dir, parent)["files"] + files
+    return files
+
+
+def _commit(
+    spark: SparkSession,
+    table_dir: str,
+    version: int,
+    parent: "int | None",
+    operation: str,
+    files: list[str],
+    stats_cols: "list[str] | None",
+    new_files: list[str],
+    carried_files: list[str],
+) -> None:
+    """Commit metadata for an already-landed version: stats (new files
+    computed fresh, carried files' rows copied from the parent stats
+    table) land before the manifest, the manifest before the pointer
+    flip — each step atomic via ``os.replace``."""
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     if stats_cols:
-        # Stats land BEFORE the manifest commits — a crash in between
-        # leaves an orphan stats file next to orphan data files, both
-        # invisible until a manifest references them.
-        spark = df.sparkSession
-        new_stats = _file_stats(spark, table_dir, new_files, list(stats_cols))
-        if mode == "append" and parent is not None and os.path.exists(
-            _stats_path(table_dir, parent)
+        from pyspark.sql import functions as F
+
+        stats = None
+        if new_files:
+            stats = _file_stats(spark, table_dir, new_files, list(stats_cols))
+        if (
+            carried_files
+            and parent is not None
+            and os.path.exists(_stats_path(table_dir, parent))
         ):
-            parent_stats = spark.read.parquet(_stats_path(table_dir, parent))
-            new_stats = parent_stats.unionByName(new_stats)
-        new_stats.write.mode("overwrite").parquet(
-            _stats_path(table_dir, version)
-        )
+            parent_stats = spark.read.parquet(
+                _stats_path(table_dir, parent)
+            ).filter(F.col("file").isin(carried_files))
+            stats = (
+                parent_stats
+                if stats is None
+                else parent_stats.unionByName(stats)
+            )
+        if stats is not None:
+            stats.write.mode("overwrite").parquet(
+                _stats_path(table_dir, version)
+            )
     manifest = {
         "version": version,
         "parent": parent,
-        "operation": mode,
+        "operation": operation,
         "files": files,
         "stats_cols": list(stats_cols) if stats_cols else None,
     }
@@ -181,7 +231,6 @@ def write_versioned(
     with open(ltmp, "w") as fh:
         fh.write(str(version))
     os.replace(ltmp, _latest_path(table_dir))
-    return version
 
 
 def read_versioned(
@@ -226,6 +275,130 @@ def read_versioned_skipping(
     if not rel:
         return read_versioned(spark, table_dir, v).limit(0)
     return spark.read.parquet(*[os.path.join(table_dir, f) for f in rel])
+
+
+def _touched_files(
+    spark: SparkSession, table_dir: str, version: int, stats_keep
+) -> tuple[list[str], list[str]]:
+    """Split a snapshot's files into (touched, untouched) under a
+    commit-log stats predicate: untouched files PROVABLY contain no
+    affected row (their stats fail ``stats_keep``) and carry over to
+    the child version unrewritten.  Files not covered by the stats
+    table (or with NULL stats) are conservatively touched — the
+    bloom-manifest staleness discipline."""
+    man = _read_manifest(table_dir, version)
+    if stats_keep is None or not man.get("stats_cols"):
+        return list(man["files"]), []
+    from pyspark.sql import functions as F
+
+    stats = spark.read.parquet(_stats_path(table_dir, version))
+    rows = stats.withColumn("_keep", stats_keep).select("file", "_keep").collect()
+    keep_map = {r["file"]: r["_keep"] for r in rows}
+    touched, untouched = [], []
+    for f in man["files"]:
+        if keep_map.get(f, True) is False:
+            untouched.append(f)
+        else:
+            touched.append(f)
+    return touched, untouched
+
+
+def delete_versioned(
+    spark: SparkSession,
+    table_dir: str,
+    predicate,
+    stats_keep=None,
+    sort_col: str | None = None,
+    n_files: int | None = None,
+) -> int:
+    """Copy-on-write DELETE (Delta/Iceberg ``DELETE WHERE`` parity):
+    commit a new version without the rows matching ``predicate``.
+    With ``stats_keep`` (a file-stats predicate over-approximating
+    "this file may contain a matching row"), only the stats-surviving
+    files are read and rewritten — every other file carries over to
+    the new manifest METADATA-ONLY, its stats rows copied from the
+    parent commit.  At 100 TB a targeted delete rewrites the handful
+    of files whose ranges overlap the predicate, not the table.
+
+    SQL NULL semantics: rows where ``predicate`` is NULL are KEPT
+    (DELETE removes only TRUE matches).  The parent version stays
+    readable (time travel); ``vacuum`` reclaims rewritten files."""
+    from pyspark.sql import functions as F
+
+    parent = latest_version(table_dir)
+    if parent is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    man = _read_manifest(table_dir, parent)
+    version = parent + 1
+    touched, untouched = _touched_files(spark, table_dir, parent, stats_keep)
+    new_files: list[str] = []
+    if touched:
+        remain = spark.read.parquet(
+            *[os.path.join(table_dir, f) for f in touched]
+        ).filter(~F.coalesce(predicate, F.lit(False)))
+        new_files = _land_files(remain, table_dir, version, sort_col, n_files)
+    _commit(
+        spark, table_dir, version, parent, "delete",
+        untouched + new_files, man.get("stats_cols"), new_files, untouched,
+    )
+    return version
+
+
+def upsert_versioned(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key_cols: list[str],
+    stats_keep=None,
+    sort_col: str | None = None,
+    n_files: int | None = None,
+) -> int:
+    """Copy-on-write MERGE upsert (``MERGE INTO ... WHEN MATCHED
+    UPDATE WHEN NOT MATCHED INSERT`` parity): commit a new version
+    where every target row whose key appears in ``source`` is replaced
+    by the source row, and source rows with new keys are inserted.
+
+    File pruning: with single-key commit-log stats, the touched set is
+    derived automatically from the source's key range — files whose
+    [min, max] provably exclude every source key carry over
+    metadata-only (their stats rows copied from the parent).  Pass
+    ``stats_keep`` to prune on a custom predicate; it must
+    over-approximate "this file may contain a source key" (soundness
+    contract — an untouched file with a source key would silently skip
+    the update)."""
+    from pyspark.sql import functions as F
+
+    parent = latest_version(table_dir)
+    if parent is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    man = _read_manifest(table_dir, parent)
+    stats_cols = man.get("stats_cols") or []
+    if stats_keep is None and len(key_cols) == 1 and key_cols[0] in stats_cols:
+        k = key_cols[0]
+        bounds = source.agg(
+            F.min(k).alias("lo"), F.max(k).alias("hi")
+        ).first()
+        if bounds["lo"] is not None:
+            stats_keep = (F.col(f"max_{k}") >= F.lit(bounds["lo"])) & (
+                F.col(f"min_{k}") <= F.lit(bounds["hi"])
+            )
+    version = parent + 1
+    touched, untouched = _touched_files(spark, table_dir, parent, stats_keep)
+    if touched:
+        target = spark.read.parquet(
+            *[os.path.join(table_dir, f) for f in touched]
+        )
+        merged = target.join(
+            source.select(*key_cols), key_cols, "left_anti"
+        ).unionByName(source)
+    else:
+        merged = source
+    new_files = _land_files(merged, table_dir, version, sort_col, n_files)
+    _commit(
+        spark, table_dir, version, parent, "merge",
+        untouched + new_files, man.get("stats_cols"), new_files, untouched,
+    )
+    return version
 
 
 def table_history(table_dir: str) -> list[dict]:

@@ -313,3 +313,111 @@ def test_stream_cdc_summary_equals_batch_version_cdc(spark):
         if r["change_type"] != "unchanged"
     }
     assert stream == batch and len(batch) >= 3  # added/removed/changed
+
+
+def test_delete_versioned_stats_pruned_rewrite(spark, tmp_path):
+    """Copy-on-write DELETE: only stats-surviving files rewrite; every
+    other file carries over byte-identical (same physical file in the
+    child manifest); result equals a full-table delete; the parent
+    stays time-travel readable."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.sinks.versioned import (
+        _read_manifest,
+        delete_versioned,
+        read_versioned,
+        read_versioned_skipping,
+        write_versioned,
+    )
+
+    t = str(tmp_path / "vt")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(4000)], "k long, v double"
+    )
+    write_versioned(df, t, mode="overwrite", stats_cols=["k"],
+                    sort_col="k", n_files=8)
+    lo, hi = 500, 700
+    keep = (F.col("max_k") >= lo) & (F.col("min_k") <= hi)
+    v1 = delete_versioned(
+        spark, t, F.col("k").between(lo, hi), stats_keep=keep,
+        sort_col="k", n_files=2,
+    )
+    assert v1 == 1
+    m0 = _read_manifest(t, 0)
+    m1 = _read_manifest(t, 1)
+    carried = set(m0["files"]) & set(m1["files"])
+    assert len(carried) >= 5  # most of the 8 sorted files untouched
+    assert len(m1["files"]) < len(m0["files"]) + 2
+    got = sorted(r["k"] for r in read_versioned(spark, t, version=1).collect())
+    assert got == [i for i in range(4000) if not (lo <= i <= hi)]
+    # parent unchanged (time travel)
+    assert read_versioned(spark, t, version=0).count() == 4000
+    # child commit-log stats stay usable for skipping
+    p = read_versioned_skipping(
+        spark, t,
+        (F.col("max_k") >= 3000) & (F.col("min_k") <= 3010), version=1,
+    )
+    assert sorted(
+        r["k"] for r in p.filter(F.col("k").between(3000, 3010)).collect()
+    ) == list(range(3000, 3011))
+
+
+def test_delete_versioned_null_predicate_rows_kept(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sparkgraft.sinks.versioned import (
+        delete_versioned,
+        read_versioned,
+        write_versioned,
+    )
+
+    t = str(tmp_path / "vt")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "k long, v double"
+    )
+    write_versioned(df, t, mode="overwrite")
+    delete_versioned(spark, t, F.col("v") > 20.0)  # NULL -> kept
+    got = sorted(r["k"] for r in read_versioned(spark, t).collect())
+    assert got == [1, 2]
+
+
+def test_upsert_versioned_auto_pruned_merge(spark, tmp_path):
+    """MERGE upsert: updates land, new keys insert, files outside the
+    source key range carry over unrewritten, and the result equals the
+    SQL MERGE semantics."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.sinks.versioned import (
+        _read_manifest,
+        read_versioned,
+        upsert_versioned,
+        write_versioned,
+    )
+
+    t = str(tmp_path / "vt")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(4000)], "k long, v double"
+    )
+    write_versioned(df, t, mode="overwrite", stats_cols=["k"],
+                    sort_col="k", n_files=8)
+    src = spark.createDataFrame(
+        [(100, -1.0), (150, -2.0), (4200, -3.0)], "k long, v double"
+    )
+    v1 = upsert_versioned(spark, t, src, ["k"], sort_col="k", n_files=2)
+    assert v1 == 1
+    m0, m1 = _read_manifest(t, 0), _read_manifest(t, 1)
+    # source range [100, 4200] spans most files here, but at least the
+    # carryover mechanism must keep manifest arithmetic consistent
+    carried = set(m0["files"]) & set(m1["files"])
+    got = {r["k"]: r["v"] for r in read_versioned(spark, t, version=1).collect()}
+    assert got[100] == -1.0 and got[150] == -2.0 and got[4200] == -3.0
+    assert len(got) == 4001 and got[99] == 99.0
+
+    # a narrow-range upsert carries over nearly every file
+    src2 = spark.createDataFrame([(10, -9.0), (11, -8.0)], "k long, v double")
+    upsert_versioned(spark, t, src2, ["k"], sort_col="k", n_files=1)
+    m2 = _read_manifest(t, 2)
+    carried2 = set(m1["files"]) & set(m2["files"])
+    assert len(carried2) >= len(m1["files"]) - 2
+    got2 = {r["k"]: r["v"] for r in read_versioned(spark, t).collect()}
+    assert got2[10] == -9.0 and got2[11] == -8.0 and len(got2) == 4001
