@@ -4504,6 +4504,79 @@ def q_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming versioned ingest + METADATA-ONLY summary (ORACLE-
+    checked): three ts-split slices of events drain through
+    ``versioned_sink`` (one append commit per micro-batch, commit-log
+    stats on user_id/value), then ``stats_summary`` reads count/min/
+    max/null-count FROM THE COMMIT LOG ALONE — zero data files opened.
+    The streamed union is exactly the events table, so the plain SQL
+    aggregate is an exact mirror; exactly-once replay is asserted in
+    tests/test_versioned.py.  Fixture memoized per sf_dir."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from sparkgraft.sinks.versioned import stats_summary
+    from sparkgraft.streaming.pipeline import versioned_sink
+
+    cached = _FIXTURE_CACHE.get(("stream_ingest", sf_dir))
+    schema = (
+        "n_rows long, min_user long, max_user long, nulls_user long, "
+        "min_value double, max_value double"
+    )
+    if cached is not None:
+        return spark.createDataFrame(cached, schema)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_singest_")
+    os.makedirs(f"{tmp}/in", exist_ok=True)
+    cuts = ("2024-01-11", "2024-01-21")
+    stages = (
+        (1, ev.filter(F.col("ts") < cuts[0])),
+        (2, ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1]))),
+        (3, ev.filter(F.col("ts") >= cuts[1])),
+    )
+    for i, df in stages:
+        df.coalesce(1).write.mode("overwrite").json(f"{tmp}/stage_{i}")
+        src = sorted(glob.glob(f"{tmp}/stage_{i}/part-*.json"))[0]
+        dst = f"{tmp}/in/batch_{i}.json"
+        shutil.move(src, dst)
+        os.utime(dst, (1700000000 + i, 1700000000 + i))
+    stream = (
+        spark.readStream.schema("user_id long, value double, ts string")
+        .option("maxFilesPerTrigger", "1")
+        .json(f"{tmp}/in")
+    )
+    q = versioned_sink(
+        stream,
+        f"{tmp}/table",
+        f"{tmp}/ckpt",
+        stats_cols=["user_id", "value"],
+        sort_col="user_id",
+        n_files=2,
+    )
+    q.awaitTermination(300)
+    s = stats_summary(spark, f"{tmp}/table").first()
+    rows = [
+        (
+            s["n_rows"],
+            s["min_user_id"],
+            s["max_user_id"],
+            s["nulls_user_id"],
+            s["min_value"],
+            s["max_value"],
+        )
+    ]
+    _FIXTURE_CACHE[("stream_ingest", sf_dir)] = rows
+    return spark.createDataFrame(rows, schema)
+
+
 def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming change-data feed from versioned commits (rows-only —
     file-stream drain; replay idempotence and bit-identity to batch
@@ -5057,9 +5130,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_exists_agg": q_sql_exists_agg,
     "pseudonymize": q_pseudonymize,
     "version_cdc": q_version_cdc,
-    # --- round 5: versioned-table maintenance + streaming CDC ---
+    # --- round 5: versioned-table maintenance + streaming CDC/ingest ---
     "versioned_merge": q_versioned_merge,
     "stream_cdc": q_stream_cdc,
+    "stream_ingest": q_stream_ingest,
 }
 
 
@@ -9114,6 +9188,21 @@ ORACLES["sequence_count"] = """
     WHERE a.event_type = 'view' AND b.event_type = 'click'
       AND c.event_type = 'purchase'
     GROUP BY a.user_id
+"""
+
+
+# Mirrors q_stream_ingest: the streamed union is exactly the events
+# table, and the metadata-only summary must equal the full-scan
+# aggregate (events.value is never NaN in the testdata, so min/max
+# agree bit-for-bit).
+ORACLES["stream_ingest"] = """
+    SELECT count(*) AS n_rows,
+           min(user_id) AS min_user,
+           max(user_id) AS max_user,
+           count(*) - count(user_id) AS nulls_user,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
 """
 
 

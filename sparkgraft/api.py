@@ -243,9 +243,13 @@ from sparkgraft.sinks.kv import (
 )
 from sparkgraft.sinks.versioned import (
     compact_table,
+    delete_versioned,
     latest_version,
     read_versioned,
+    read_versioned_skipping,
+    stats_summary,
     table_history,
+    upsert_versioned,
     vacuum,
     write_versioned,
 )
@@ -282,6 +286,7 @@ from sparkgraft.streaming.joins import interval_join_streams
 from sparkgraft.streaming.pipeline import (
     FilePipeline,
     HealthBoard,
+    cdc_feed,
     cusum_monitor,
     dedup_admission,
     dedup_stream,
@@ -291,6 +296,7 @@ from sparkgraft.streaming.pipeline import (
     sample_monitor,
     stable_files,
     upsert_sink,
+    versioned_sink,
 )
 from sparkgraft.streaming.stateful import ewma_stream, ewma_stream_tws
 

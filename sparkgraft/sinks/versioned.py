@@ -105,6 +105,7 @@ def write_versioned(
     stats_cols: "list[str] | None" = None,
     sort_col: str | None = None,
     n_files: int | None = None,
+    extra_meta: "dict | None" = None,
 ) -> int:
     """Commit ``df`` as a new snapshot version; returns the version
     number.  ``mode='append'`` includes the parent snapshot's files in
@@ -138,7 +139,7 @@ def write_versioned(
     )
     _commit(
         df.sparkSession, table_dir, version, parent, mode, files,
-        stats_cols, new_files, carry,
+        stats_cols, new_files, carry, extra_meta,
     )
     return version
 
@@ -186,6 +187,7 @@ def _commit(
     stats_cols: "list[str] | None",
     new_files: list[str],
     carried_files: list[str],
+    extra_meta: "dict | None" = None,
 ) -> None:
     """Commit metadata for an already-landed version: stats (new files
     computed fresh, carried files' rows copied from the parent stats
@@ -222,6 +224,8 @@ def _commit(
         "files": files,
         "stats_cols": list(stats_cols) if stats_cols else None,
     }
+    if extra_meta:
+        manifest.update(extra_meta)
     mpath = os.path.join(_manifest_dir(table_dir), f"v{version}.json")
     tmp = mpath + ".tmp"
     with open(tmp, "w") as fh:
@@ -234,11 +238,18 @@ def _commit(
 
 
 def read_versioned(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read a snapshot: the latest by default, or any committed
     ``version`` (time travel).  The scan is the manifest's exact file
-    list — ordinary parquet, so pushdown/pruning apply unchanged."""
+    list — ordinary parquet, so pushdown/pruning apply unchanged.
+    ``merge_schema=True`` reconciles schema evolution across commits
+    (an appended version may carry new columns; older files read them
+    as NULL — Delta/Iceberg add-column parity) at the cost of reading
+    every file's footer."""
     v = latest_version(table_dir) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
@@ -246,7 +257,40 @@ def read_versioned(
     if not manifest["files"]:
         raise FileNotFoundError(f"version {v} of {table_dir} is empty")
     paths = [os.path.join(table_dir, f) for f in manifest["files"]]
-    return spark.read.parquet(*paths)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*paths)
+
+
+def stats_summary(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """METADATA-ONLY table summary from the commit-log stats: row
+    count, per-column min/max/null-count — computed from the stats
+    table alone, zero data files opened (the Delta 'SELECT count(*)'
+    optimization).  One row; column set mirrors the commit's
+    stats_cols.  Exactness asserted against full scans in tests."""
+    from pyspark.sql import functions as F
+
+    v = latest_version(table_dir) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    man = _read_manifest(table_dir, v)
+    cols = man.get("stats_cols")
+    if not cols:
+        raise ValueError(
+            f"version {v} of {table_dir} was committed without stats_cols"
+        )
+    stats = spark.read.parquet(_stats_path(table_dir, v))
+    aggs = [F.sum("n_rows").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.min(f"min_{c}").alias(f"min_{c}"),
+            F.max(f"max_{c}").alias(f"max_{c}"),
+            F.sum(f"nulls_{c}").alias(f"nulls_{c}"),
+        ]
+    return stats.agg(*aggs)
 
 
 def read_versioned_skipping(

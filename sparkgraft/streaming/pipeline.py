@@ -1126,3 +1126,64 @@ def cdc_feed(
     )
     trig = trigger or {"availableNow": True}
     return writer.trigger(**trig).start()
+
+
+def versioned_sink(
+    stream,
+    table_dir: str,
+    checkpoint_dir: str,
+    stats_cols: list[str] | None = None,
+    sort_col: str | None = None,
+    n_files: int | None = None,
+    trigger: dict | None = None,
+):
+    """Streaming ingest into a versioned table (sinks/versioned.py):
+    each micro-batch commits ONE append version — immutable files, a
+    manifest recording the batch id, commit-log stats when
+    ``stats_cols`` is given.  Exactly-once: every manifest records its
+    batch id; the sink rebuilds the committed-batch set from the
+    manifests once at start and maintains it in memory, so a
+    ``foreachBatch`` replay of ANY already-committed batch skips —
+    including full-checkpoint-loss replays that re-deliver every
+    batch, not just the crash-interrupted last one.
+
+    This closes the lakehouse loop with the rest of the module: ingest
+    here → ``cdc_feed`` streams each commit's changes downstream →
+    ``delete_versioned``/``upsert_versioned`` maintain → ``vacuum``
+    reclaims.  Returns the started StreamingQuery.
+    """
+    from sparkgraft.sinks.versioned import (
+        _read_manifest,
+        latest_version,
+        write_versioned,
+    )
+
+    committed: set[int] = set()
+    v0 = latest_version(table_dir)
+    if v0 is not None:
+        for v in range(v0 + 1):
+            bid = _read_manifest(table_dir, v).get("batch_id")
+            if bid is not None:
+                committed.add(bid)
+
+    def on_batch(batch, batch_id: int) -> None:
+        if batch_id in committed:
+            return  # replayed batch: its commit already landed
+        if batch.isEmpty():
+            return
+        write_versioned(
+            batch,
+            table_dir,
+            mode="append",
+            stats_cols=stats_cols,
+            sort_col=sort_col,
+            n_files=n_files,
+            extra_meta={"batch_id": batch_id},
+        )
+        committed.add(batch_id)
+
+    writer = stream.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    trig = trigger or {"availableNow": True}
+    return writer.trigger(**trig).start()

@@ -421,3 +421,119 @@ def test_upsert_versioned_auto_pruned_merge(spark, tmp_path):
     assert len(carried2) >= len(m1["files"]) - 2
     got2 = {r["k"]: r["v"] for r in read_versioned(spark, t).collect()}
     assert got2[10] == -9.0 and got2[11] == -8.0 and len(got2) == 4001
+
+
+def test_versioned_sink_streaming_ingest_exactly_once(spark, tmp_path):
+    """Streaming ingest commits one append version per micro-batch;
+    a crash replay (wiped checkpoint, same files) does not double-
+    commit; cdc_feed downstream sees each ingest batch as an
+    added-only commit."""
+    from sparkgraft.sinks.versioned import (
+        latest_version,
+        read_versioned,
+        stats_summary,
+        table_history,
+    )
+    from sparkgraft.streaming.pipeline import cdc_feed, versioned_sink
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b1.csv").write_text("k,v\n1,10\n2,20\n")
+    (src / "b2.csv").write_text("k,v\n3,30\n")
+    t = str(tmp_path / "vt")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("k LONG, v LONG")
+            .option("header", "true")
+            .option("maxFilesPerTrigger", "1")
+            .csv(str(src))
+        )
+        q = versioned_sink(
+            stream, t, str(tmp_path / ckpt), stats_cols=["k"], n_files=1
+        )
+        q.awaitTermination(120)
+
+    drain("c1")
+    assert latest_version(t) == 1  # two batches -> versions 0 and 1
+    assert read_versioned(spark, t).count() == 3
+    # metadata-only summary equals the scan
+    s = stats_summary(spark, t).first()
+    assert s["n_rows"] == 3 and s["min_k"] == 1 and s["max_k"] == 3
+
+    # crash replay: wipe the checkpoint; same files replay as batches
+    # 0/1 — the manifest batch-id ledger must skip BOTH commits
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "c1"))
+    drain("c1")
+    assert latest_version(t) == 1
+    assert read_versioned(spark, t).count() == 3
+
+    # cdc_feed downstream: each ingest commit is added-only
+    got: dict[int, list] = {}
+
+    def sink(df, batch_id):
+        got.setdefault(batch_id, []).extend(
+            sorted(tuple(r) for r in df.collect())
+        )
+
+    q = cdc_feed(spark, t, ["k"], ["v"], str(tmp_path / "cdc"), sink)
+    q.awaitTermination(120)
+    rows = sorted(r for rs in got.values() for r in rs)
+    # row shape: (k, change_type, changed_cols, _commit_version)
+    assert [r[-3] for r in rows] == ["added"] * 3
+    assert {r[-1] for r in rows} <= {0, 1}  # per-commit attribution
+    assert len(table_history(t)) == 2
+
+
+def test_read_versioned_merge_schema_evolution(spark, tmp_path):
+    """Schema evolution: an appended version carries a new column;
+    merge_schema reads reconcile (old files -> NULL)."""
+    from sparkgraft.sinks.versioned import read_versioned, write_versioned
+
+    t = str(tmp_path / "vt")
+    write_versioned(
+        spark.createDataFrame([(1, 10.0)], "k long, v double"), t,
+        mode="overwrite",
+    )
+    write_versioned(
+        spark.createDataFrame(
+            [(2, 20.0, "x")], "k long, v double, tag string"
+        ),
+        t,
+        mode="append",
+    )
+    out = read_versioned(spark, t, merge_schema=True)
+    assert set(out.columns) == {"k", "v", "tag"}
+    rows = {r["k"]: r["tag"] for r in out.collect()}
+    assert rows == {1: None, 2: "x"}
+
+
+def test_stats_summary_matches_full_scan(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sparkgraft.sinks.versioned import (
+        read_versioned,
+        stats_summary,
+        write_versioned,
+    )
+
+    t = str(tmp_path / "vt")
+    df = spark.createDataFrame(
+        [(i, float(i) if i % 5 else None) for i in range(777)],
+        "k long, v double",
+    )
+    write_versioned(df, t, mode="overwrite", stats_cols=["k", "v"],
+                    sort_col="k", n_files=5)
+    meta = stats_summary(spark, t).first()
+    full = read_versioned(spark, t).agg(
+        F.count("*").alias("n"),
+        F.min("k").alias("mink"), F.max("k").alias("maxk"),
+        F.min("v").alias("minv"), F.max("v").alias("maxv"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("nullv"),
+    ).first()
+    assert meta["n_rows"] == full["n"]
+    assert meta["min_k"] == full["mink"] and meta["max_k"] == full["maxk"]
+    assert meta["min_v"] == full["minv"] and meta["max_v"] == full["maxv"]
+    assert meta["nulls_v"] == full["nullv"]
