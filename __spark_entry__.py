@@ -4504,6 +4504,79 @@ def q_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (ORACLE-checked —
+    streaming/pipeline.py view_maintainer): a per-priority (count,
+    spend) view over a versioned orders table is maintained FROM THE
+    CDC FEED through a commit chain of overwrite → COW range delete →
+    group-migrating MERGE (keys %500==0 move to priority 'MOVED' with
+    price+1000; inserts land as 'NEW') — never re-aggregated.  The
+    oracle replays the slice algebra directly; equality with the
+    direct aggregate and replay idempotence are additionally asserted
+    in tests/test_versioned.py.  Fixture memoized per sf_dir."""
+    import tempfile
+
+    from sparkgraft.sinks.versioned import (
+        delete_versioned,
+        read_versioned,
+        upsert_versioned,
+        write_versioned,
+    )
+    from sparkgraft.streaming.pipeline import view_maintainer
+
+    cached = _FIXTURE_CACHE.get(("materialized_view", sf_dir))
+    schema = "o_orderpriority string, n_rows long, spend double"
+    if cached is not None:
+        return spark.createDataFrame(cached, schema)
+
+    t = tempfile.mkdtemp(prefix="sparkgraft_ivm_")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    write_versioned(
+        orders, t, mode="overwrite",
+        stats_cols=["o_orderkey"], sort_col="o_orderkey", n_files=8,
+    )
+    delete_versioned(
+        spark, t,
+        F.col("o_orderkey").between(2000, 2999),
+        stats_keep=(F.col("max_o_orderkey") >= 2000)
+        & (F.col("min_o_orderkey") <= 2999),
+        sort_col="o_orderkey", n_files=2,
+    )
+    upd = orders.filter(F.col("o_orderkey") % 500 == 0)
+    src = upd.select(
+        "o_orderkey",
+        F.lit("MOVED").alias("o_orderpriority"),
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+    ).unionByName(
+        upd.select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            F.lit("NEW").alias("o_orderpriority"),
+            F.lit(1.0).alias("o_totalprice"),
+        )
+    )
+    upsert_versioned(spark, t, src, ["o_orderkey"], sort_col="o_orderkey",
+                     n_files=2)
+    view_dir = f"{t}_view"
+    q = view_maintainer(
+        spark, t, ["o_orderpriority"], ["o_totalprice"], ["o_orderkey"],
+        view_dir, f"{t}_ckpt",
+    )
+    q.awaitTermination(300)
+    out = read_versioned(spark, view_dir).select(
+        "o_orderpriority",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(F.col("sum_o_totalprice"), 2)
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("spend"),
+    )
+    rows = [tuple(r) for r in out.collect()]
+    _FIXTURE_CACHE[("materialized_view", sf_dir)] = rows
+    return spark.createDataFrame(rows, schema)
+
+
 def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming versioned ingest + METADATA-ONLY summary (ORACLE-
     checked): three ts-split slices of events drain through
@@ -5134,6 +5207,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "versioned_merge": q_versioned_merge,
     "stream_cdc": q_stream_cdc,
     "stream_ingest": q_stream_ingest,
+    "materialized_view": q_materialized_view,
 }
 
 
@@ -9203,6 +9277,33 @@ ORACLES["stream_ingest"] = """
            min(value) AS min_value,
            max(value) AS max_value
     FROM events
+"""
+
+
+# Mirrors q_materialized_view: the incrementally maintained view must
+# equal the direct aggregate over the final snapshot's slice algebra.
+ORACLES["materialized_view"] = """
+    WITH v1 AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        WHERE o_orderkey NOT BETWEEN 2000 AND 2999
+    ),
+    src AS (
+        SELECT o_orderkey, 'MOVED' AS o_orderpriority,
+               o_totalprice + 1000.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 500 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'NEW', 1.0
+        FROM orders WHERE o_orderkey % 500 = 0
+    ),
+    v2 AS (
+        SELECT * FROM v1
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        UNION ALL SELECT * FROM src
+    )
+    SELECT o_orderpriority, count(*) AS n_rows,
+           cast(cast(round(sum(cast(o_totalprice AS DECIMAL(27,6))), 2)
+                AS DECIMAL(38,2)) AS DOUBLE) AS spend
+    FROM v2 GROUP BY o_orderpriority
 """
 
 

@@ -166,6 +166,8 @@ HEADLINE = [
     "versioned_reads",
     "timeseries_interp",
     "versioned_merge",
+    "materialized_view",
+    "stream_ingest",
 ]
 
 

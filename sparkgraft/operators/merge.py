@@ -65,6 +65,7 @@ def snapshot_diff(
     new: DataFrame,
     key_cols: list[str],
     compare_cols: list[str],
+    include_values: bool = False,
 ) -> DataFrame:
     """CDC between two table snapshots: full-outer join on the key,
     classify each key as added / removed / changed / unchanged, and
@@ -75,6 +76,11 @@ def snapshot_diff(
     sides shuffle once on the key), per-column comparison as pure
     projection.  Output: key columns, ``change_type``,
     ``changed_cols`` (empty array unless changed).
+
+    ``include_values=True`` additionally emits the full before/after
+    images as ``old_<c>``/``new_<c>`` for every compare column (the
+    Delta CDF preImage/postImage shape) — what incremental view
+    maintenance consumes.
     """
     o = old.select(
         *[F.col(k).alias(f"__ok_{k}") for k in key_cols],
@@ -108,6 +114,11 @@ def snapshot_diff(
         .when(F.size(diffs) > 0, F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
+    extra = []
+    if include_values:
+        for c in compare_cols:
+            extra.append(F.col(f"__o_{c}").alias(f"old_{c}"))
+            extra.append(F.col(f"__n_{c}").alias(f"new_{c}"))
     return j.select(
         *[
             F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}")).alias(k)
@@ -117,6 +128,7 @@ def snapshot_diff(
         F.when(change == "changed", diffs)
         .otherwise(F.array().cast("array<string>"))
         .alias("changed_cols"),
+        *extra,
     )
 
 
@@ -217,3 +229,47 @@ def pseudonymize(
             c, F.when(F.col(c).isNotNull(), tok)
         )
     return out
+
+
+def cdc_group_delta(
+    cdc: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Per-group incremental-view delta from a FULL-IMAGE CDC batch
+    (``snapshot_diff(include_values=True)`` rows; ``group_cols`` and
+    ``sum_cols`` must be among its compare columns): every CDC row
+    contributes up to two legs — its OLD image subtracts at the old
+    group (removed/changed), its NEW image adds at the new group
+    (added/changed) — so an update that MOVES a row between groups
+    migrates its mass correctly, and an unchanged-group update nets
+    zero rows.  Output ``(group_cols..., d_rows, d_sum_<c>)`` with
+    DECIMAL(38,6)-exact sums; deltas are additive across commits (the
+    images telescope), so one delta over a multi-commit batch equals
+    the per-commit chain."""
+
+    def leg(prefix: str, sign: int) -> DataFrame:
+        kinds = ["removed", "changed"] if sign < 0 else ["added", "changed"]
+        return cdc.filter(F.col("change_type").isin(kinds)).select(
+            *[F.col(f"{prefix}_{g}").alias(g) for g in group_cols],
+            F.lit(sign).cast("long").alias("d_rows"),
+            *[
+                (
+                    F.lit(sign)
+                    * F.coalesce(
+                        F.col(f"{prefix}_{c}").cast("decimal(27,6)"),
+                        F.lit(0).cast("decimal(27,6)"),
+                    )
+                ).alias(f"d_sum_{c}")
+                for c in sum_cols
+            ],
+        )
+
+    both = leg("old", -1).unionByName(leg("new", 1))
+    return both.groupBy(*group_cols).agg(
+        F.sum("d_rows").alias("d_rows"),
+        *[
+            F.sum(f"d_sum_{c}").cast("decimal(38,6)").alias(f"d_sum_{c}")
+            for c in sum_cols
+        ],
+    )

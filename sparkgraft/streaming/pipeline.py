@@ -1062,6 +1062,7 @@ def cdc_feed(
     checkpoint_dir: str,
     sink,
     trigger: dict | None = None,
+    include_values: bool = False,
 ):
     """Streaming change-data feed from versioned-table commits (the
     readChangeFeed analog for sinks/versioned.py): every committed
@@ -1114,7 +1115,10 @@ def cdc_feed(
             else:
                 old = read_versioned(bs, table_dir, version=parent)
             d = (
-                snapshot_diff(old, new, key_cols, compare_cols)
+                snapshot_diff(
+                    old, new, key_cols, compare_cols,
+                    include_values=include_values,
+                )
                 .filter(F.col("change_type") != "unchanged")
                 .withColumn("_commit_version", F.lit(version))
             )
@@ -1187,3 +1191,122 @@ def versioned_sink(
     )
     trig = trigger or {"availableNow": True}
     return writer.trigger(**trig).start()
+
+
+def view_maintainer(
+    spark,
+    table_dir: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    key_cols: list[str],
+    view_dir: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+):
+    """Incremental materialized-view maintenance (IVM): a per-group
+    (n_rows, sum_<c>) aggregate view over a versioned table, updated
+    from the full-image CDC feed instead of recomputed — each commit
+    applies ``cdc_group_delta`` (old images subtract, new images add,
+    group-migrating updates move mass) to the stored view.  After any
+    chain of appends / COW deletes / MERGEs the maintained view equals
+    the direct aggregate of the latest snapshot (asserted in tests) —
+    DECIMAL-exact sums make the equality bitwise, not approximate.
+
+    The view itself is stored AS a versioned table whose commits carry
+    the source batch id, so replay idempotence reuses the
+    versioned_sink ledger discipline (the committed-batch set rebuilds
+    from the view's own manifests), and the view's history is itself
+    time-travelable.  Scale shape: per commit, work = one diff join of
+    the two snapshots + a delta aggregate sized by the CHANGED rows +
+    a view-sized merge join — never a full re-aggregation of the
+    table.  Returns the started StreamingQuery.
+    """
+    from sparkgraft.operators.merge import cdc_group_delta
+    from sparkgraft.sinks.versioned import (
+        _read_manifest,
+        latest_version,
+        read_versioned,
+        write_versioned,
+    )
+
+    committed: set[int] = set()
+    v0 = latest_version(view_dir)
+    if v0 is not None:
+        for v in range(v0 + 1):
+            bid = _read_manifest(view_dir, v).get("batch_id")
+            if bid is not None:
+                committed.add(bid)
+
+    compare_cols = list(dict.fromkeys([*group_cols, *sum_cols]))
+
+    def apply_delta(cdc, batch_id: int) -> None:
+        if batch_id in committed:
+            return
+        delta = cdc_group_delta(cdc, group_cols, sum_cols)
+        vcur = latest_version(view_dir)
+        if vcur is None:
+            merged = delta.select(
+                *group_cols,
+                F.col("d_rows").alias("n_rows"),
+                *[
+                    F.col(f"d_sum_{c}").alias(f"sum_{c}")
+                    for c in sum_cols
+                ],
+            )
+        else:
+            cur = read_versioned(spark, view_dir)
+            d = delta.select(
+                *[F.col(g).alias(f"__g_{g}") for g in group_cols],
+                "d_rows",
+                *[f"d_sum_{c}" for c in sum_cols],
+            )
+            cond = None
+            for g in group_cols:
+                eq = F.col(g).eqNullSafe(F.col(f"__g_{g}"))
+                cond = eq if cond is None else (cond & eq)
+            merged = (
+                cur.join(d, cond, "full_outer")
+                .select(
+                    *[
+                        F.coalesce(F.col(g), F.col(f"__g_{g}")).alias(g)
+                        for g in group_cols
+                    ],
+                    (
+                        F.coalesce(F.col("n_rows"), F.lit(0))
+                        + F.coalesce(F.col("d_rows"), F.lit(0))
+                    ).alias("n_rows"),
+                    *[
+                        (
+                            F.coalesce(
+                                F.col(f"sum_{c}"),
+                                F.lit(0).cast("decimal(38,6)"),
+                            )
+                            + F.coalesce(
+                                F.col(f"d_sum_{c}"),
+                                F.lit(0).cast("decimal(38,6)"),
+                            )
+                        )
+                        .cast("decimal(38,6)")
+                        .alias(f"sum_{c}")
+                        for c in sum_cols
+                    ],
+                )
+            )
+        # emptied groups drop, matching a direct GROUP BY of the table
+        merged = merged.filter(F.col("n_rows") > 0)
+        write_versioned(
+            merged, view_dir, mode="overwrite",
+            extra_meta={"batch_id": batch_id},
+        )
+        committed.add(batch_id)
+
+    return cdc_feed(
+        spark,
+        table_dir,
+        key_cols,
+        compare_cols,
+        checkpoint_dir,
+        apply_delta,
+        trigger=trigger,
+        include_values=True,
+    )
