@@ -466,16 +466,45 @@ def table_history(table_dir: str) -> list[dict]:
 
 
 def compact_table(
-    spark: SparkSession, table_dir: str, target_files: int = 1
+    spark: SparkSession,
+    table_dir: str,
+    target_files: int = 1,
+    zorder_cols: "list[str] | None" = None,
+    zorder_bits: int = 8,
+    stats_cols: "list[str] | None" = None,
 ) -> int:
     """OPTIMIZE: rewrite the latest snapshot into ``target_files``
     files and commit the result as a new version (operation recorded
     as overwrite of identical data — history keeps the pre-compaction
     version readable until vacuumed).  The small-file answer for a
-    streaming ingest that lands one version per trigger."""
+    streaming ingest that lands one version per trigger.
+
+    ``zorder_cols`` = OPTIMIZE ZORDER parity: the rewrite range-
+    partitions + sorts on the interleaved Morton key
+    (layout.zorder_key; columns must be integer-quantized), so with
+    ``stats_cols`` the recommitted per-file stats prune range filters
+    on EVERY interleaved dimension."""
     latest = read_versioned(spark, table_dir)
+    if zorder_cols:
+        from pyspark.sql import functions as F
+
+        from sparkgraft.sinks.layout import zorder_key
+
+        keyed = latest.withColumn(
+            "_zkey",
+            zorder_key([F.col(c) for c in zorder_cols], zorder_bits),
+        )
+        compacted = (
+            keyed.repartitionByRange(target_files, "_zkey")
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
+        )
+        return write_versioned(
+            compacted, table_dir, mode="overwrite", stats_cols=stats_cols
+        )
     return write_versioned(
-        latest.coalesce(target_files), table_dir, mode="overwrite"
+        latest.coalesce(target_files), table_dir, mode="overwrite",
+        stats_cols=stats_cols,
     )
 
 

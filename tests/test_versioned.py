@@ -635,3 +635,37 @@ def test_view_maintainer_equals_direct_aggregate(spark, tmp_path):
         for r in read_versioned(spark, view_dir).collect()
     }
     assert got3["lo"][0] == want["lo"][0] + 1
+
+
+def test_compact_table_zorder_with_stats(spark, tmp_path):
+    """OPTIMIZE ZORDER parity: z-ordered compaction + recommitted
+    stats prune range filters on BOTH interleaved dimensions."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.sinks.versioned import (
+        compact_table,
+        read_versioned,
+        read_versioned_skipping,
+        write_versioned,
+    )
+
+    t = str(tmp_path / "vt")
+    rows = [(x, y, float(x * 100 + y)) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long, v double").repartition(7)
+    write_versioned(df, t, mode="overwrite")
+    v = compact_table(
+        spark, t, target_files=16, zorder_cols=["x", "y"], zorder_bits=6,
+        stats_cols=["x", "y"],
+    )
+    total = len(read_versioned(spark, t, version=v).inputFiles())
+    assert total == 16
+    for col, lo, hi in (("x", 5, 8), ("y", 40, 43)):
+        keep = (F.col(f"max_{col}") >= lo) & (F.col(f"min_{col}") <= hi)
+        pruned = read_versioned_skipping(spark, t, keep, version=v)
+        assert len(pruned.inputFiles()) < total  # pruning on this dim
+        got = sorted(
+            tuple(r)
+            for r in pruned.filter(F.col(col).between(lo, hi)).collect()
+        )
+        want = sorted(r for r in rows if lo <= r[0 if col == "x" else 1] <= hi)
+        assert got == want
