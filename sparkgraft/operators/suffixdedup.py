@@ -83,10 +83,12 @@ def _shard_window_hashes(min_len: int, stride: int = 1):
     every duplicated substring of length >= min_len + stride - 1
     shares at least one emitted window between its copies (each copy
     contains the same stride consecutive hashes, whose argmin is a
-    pure function of the block).  Cost drops ~stride x in emitted/
-    shuffled rows; the recall bound is spans shorter than
-    min_len + stride - 1 may be missed and span edges fuzz by up to
-    stride - 1 characters.  stride=1 is the exact mode (default)."""
+    pure function of the block).  Emitted/shuffled rows drop to the
+    winnowing density 2/(stride+1) of the exact stream (measured at
+    sf0.1: stride=4 keeps 0.40, stride=8 keeps 0.22 — SCALE.md); the
+    recall bound is spans shorter than min_len + stride - 1 may be
+    missed and span edges fuzz by up to stride - 1 characters.
+    stride=1 is the exact mode (default)."""
     import numpy as np
     import pandas as pd
 
@@ -172,7 +174,7 @@ def window_hashes_sharded(
     cluster scale set ``n_shards`` ~ a few x executor count; each shard
     task holds only its slice of text plus an int64 hash column.
     ``stride`` > 1 = winnowing budget mode (see _shard_window_hashes):
-    ~stride x fewer emitted/shuffled rows, repeats shorter than
+    the stream thins to density 2/(stride+1); repeats shorter than
     min_len + stride - 1 may be missed."""
     schema = StructType(
         [
@@ -244,9 +246,10 @@ def exact_substring_spans(
     n_windows)``, 1-based inclusive character positions.  The ExactSubstr
     cut list.
 
-    ``stride`` > 1 = winnowing budget mode: the per-char shuffle drops
-    ~stride x; every repeat of length >= min_len + stride - 1 is still
-    detected (recall bound), span edges fuzz by up to stride - 1, and
+    ``stride`` > 1 = winnowing budget mode: the per-char shuffle thins
+    to density 2/(stride+1); every repeat of length >= min_len +
+    stride - 1 is still detected (recall bound), span edges fuzz by up
+    to stride - 1, and
     the island-merge gap widens to min_len + stride - 1 so one repeat
     region stays one span (selected minimizers are at most stride
     apart inside a repeat)."""
