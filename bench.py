@@ -26,6 +26,17 @@ its input by design) and sub-second codegen-compile noise (isolation
 best-of-3: cosine_topk 0.46 s ~= r1's 0.462, exact-mean channel_stats
 0.23 s — both at r1 level).
 
+Round-5 decomposition of the r4 `split_leakage` delta (the only real
+shared-query regression flagged by the r4 verdict, 1.37 -> 1.82 s
+controlled): isolation best-of-3 at sf0.1 with the corpus-join merge
+hints toggled via a DataFrame.hint shim measures hinted = 1.54-1.67 s
+vs unhinted = 1.59 s — the hint itself costs NOTHING at this SF
+(within run-to-run noise; the hinted recheck was the fastest of the
+three runs).  The r4 delta was codegen/environment variance, not the
+hint; the hint stays because it removes a measured driver-OOM class
+at the 32x soak (Catalyst mis-broadcasting multi-GB shingle tables,
+ROUND4.md item 3).  No further re-litigation needed.
+
 Round-4 decomposition of the r3 `rollup_pricing` outlier (1.61x over
 r2, the only shared-query delta >1.25x): separating DataFrame build
 from execution shows ~0.3 s was spark.read.parquet re-listing the
