@@ -4437,6 +4437,31 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via PPJoin prefix filtering
+    (textops.setsim_join, Xiao et al. 2008) — the zero-false-negative
+    complement of minhash_dedup: corpus ∪ planted near-dups (every
+    25th doc + one appended token; the doc_id %7 subset keeps the
+    template-heavy corpus's pair count bench-sane), all pairs with
+    token-Jaccard >= 0.9.  The Spark side joins on rarest-first PREFIX tokens only
+    (the hot-token quadratic never forms — plan-asserted in
+    tests/test_plan_audit.py); the oracle brute-forces the full token
+    join, which is exactly what prefix filtering must equal."""
+    from sparkgraft.operators.textops import setsim_join
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 7 == 0)
+    )
+    planted = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" sparkgraftdup")).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    return setsim_join(corpus, threshold=0.9)
+
+
 def q_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write table maintenance end to end (sinks/versioned.py
     delete_versioned / upsert_versioned — Delta DELETE + MERGE parity):
@@ -5203,6 +5228,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_exists_agg": q_sql_exists_agg,
     "pseudonymize": q_pseudonymize,
     "version_cdc": q_version_cdc,
+    # --- round 5: exact set-similarity join (PPJoin prefix filter) ---
+    "setsim_pairs": q_setsim_pairs,
     # --- round 5: versioned-table maintenance + streaming CDC/ingest ---
     "versioned_merge": q_versioned_merge,
     "stream_cdc": q_stream_cdc,
@@ -9277,6 +9304,42 @@ ORACLES["stream_ingest"] = """
            min(value) AS min_value,
            max(value) AS max_value
     FROM events
+"""
+
+
+# Mirrors q_setsim_pairs by BRUTE FORCE: the full token equi-join +
+# exact Jaccard — exactly what prefix filtering must equal (the
+# no-false-negatives guarantee IS the claim under test).  Ids compare
+# as strings on both sides.
+ORACLES["setsim_pairs"] = r"""
+    WITH sub AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+    ),
+    corpus AS (
+        SELECT CAST(doc_id AS VARCHAR) AS id, text FROM sub
+        UNION ALL
+        SELECT CAST(doc_id + 1000000 AS VARCHAR),
+               text || ' sparkgraftdup'
+        FROM sub WHERE doc_id % 25 = 0
+    ),
+    tok AS (
+        SELECT id, unnest(list_distinct(regexp_split_to_array(text, '\s+'))) AS w
+        FROM corpus
+    ),
+    sz AS (SELECT id, count(*) AS n FROM tok GROUP BY id),
+    ov AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS o
+        FROM tok a JOIN tok b ON a.w = b.w AND a.id < b.id
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT id_a, id_b,
+               round(o * 1.0 / (sa.n + sb.n - o), 4) AS jaccard
+        FROM ov
+        JOIN sz sa ON sa.id = ov.id_a
+        JOIN sz sb ON sb.id = ov.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.9
 """
 
 

@@ -179,6 +179,7 @@ HEADLINE = [
     "versioned_merge",
     "materialized_view",
     "stream_ingest",
+    "setsim_pairs",
 ]
 
 

@@ -17,7 +17,7 @@ which are JVM-implementation-specific).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HEX_HIGH = list("89abcdef")  # md5 nibble with top bit set
@@ -1356,4 +1356,88 @@ def gopher_quality(
         dup_line_frac.alias("dup_line_frac"),
         entropy.alias("char_entropy"),
         keep.alias("keep"),
+    )
+
+
+def setsim_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    digits: int = 4,
+) -> DataFrame:
+    """EXACT set-similarity self-join — every pair with token-set
+    Jaccard >= ``threshold``, found WITHOUT blocking keys and WITHOUT
+    the all-pairs product: PPJoin-style prefix filtering (Xiao et al.
+    WWW 2008), the exact complement of MinHash-LSH (which trades
+    recall for speed; this trades nothing).
+
+    How the pair space collapses:
+
+    1. Tokens order globally by (corpus frequency, token) ascending —
+       RAREST FIRST, totally tie-broken, so every document ranks its
+       tokens identically.
+    2. Each document exposes only its PREFIX: the first
+       ``|S| - ceil(t*|S|) + 1`` tokens in that order.  Two sets with
+       Jaccard >= t must overlap in at least ``ceil(t/(1+t)*(|a|+|b|))``
+       tokens, which pigeonholes at least one shared token into both
+       prefixes — prefix candidates have NO false negatives (the
+       classic prefix-filter guarantee).
+    3. Candidates equi-join on prefix tokens only (rare tokens — the
+       hot-token quadratic never forms), length-filtered by
+       ``t*|a| <= |b| <= |a|/t``, then verified by exact intersection
+       on the full token sets.
+
+    Scale shape: the shuffle carries (token, id, size) prefix rows —
+    a 2/(1+t)-ish fraction of the token stream, skewed toward rare
+    tokens by construction; the verify join is candidate-sized.
+    Output ``(id_a, id_b, jaccard)``, jaccard rounded to ``digits``.
+    """
+    t = float(threshold)
+    base = docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.array_distinct(tokenize(F.col(text_col))).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    tok = base.select("id", F.size("toks").alias("n"),
+                      F.explode("toks").alias("w"))
+    freq = tok.groupBy("w").agg(F.count("*").alias("c"))
+    w_rank = Window.partitionBy("id").orderBy("c", "w")
+    ranked = tok.join(freq, "w").withColumn(
+        "rn", F.row_number().over(w_rank)
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    ).select("w", "id", "n")
+    a = prefix.select(
+        "w", F.col("id").alias("id_a"), F.col("n").alias("n_a")
+    )
+    b = prefix.select(
+        "w", F.col("id").alias("id_b"), F.col("n").alias("n_b")
+    )
+    cand = (
+        a.join(b, "w")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("n_b") >= F.lit(t) * F.col("n_a"))
+            & (F.col("n_a") >= F.lit(t) * F.col("n_b"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # verify on the full sets — candidate-sized join; both text-
+    # carrying sides scale with the corpus, so pin spillable merge
+    # (the minhash verify-join OOM discipline)
+    fa = base.select(F.col("id").alias("id_a"), F.col("toks").alias("t_a"))
+    fb = base.select(F.col("id").alias("id_b"), F.col("toks").alias("t_b"))
+    return (
+        cand.join(fa.hint("merge"), "id_a")
+        .join(fb.hint("merge"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("t_a"), F.col("t_b")), digits).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= t)
     )

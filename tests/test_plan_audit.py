@@ -346,3 +346,16 @@ def test_hashed_tfidf_vector_build_bounded_exchanges(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text" not in line, line
+
+
+def test_setsim_verify_joins_never_broadcast_corpus(spark):
+    """PPJoin's verify joins carry full token arrays on both corpus-
+    scaled sides — the same OOM class as minhash's verify joins, so
+    they must stay spillable sort-merge; and the candidate join keys
+    on prefix tokens only (exchanges below it never carry `toks`)."""
+    import re
+
+    df = entrymod.q_setsim_pairs(spark, SF_DIR)
+    plan = audit.explain_str(df)
+    for m in re.finditer(r"(\w+Join)\w* \[(id_[ab])[#\d]*\]", plan):
+        assert m.group(1) == "SortMergeJoin", plan

@@ -379,3 +379,50 @@ def test_span_coverage_invariants(spark):
     for r in T.span_coverage_gate(docs, window_tokens=8).collect():
         assert 0 <= r["covered_tokens"] <= r["n_tokens"]
         assert r["keep"] == (r["covered_tokens"] * 1000 <= 300 * r["n_tokens"])
+
+
+def test_setsim_join_exact_vs_bruteforce(spark):
+    """PPJoin prefix filtering must be EXACT: same pairs as the
+    all-pairs brute force at the threshold, no false negatives."""
+    from itertools import combinations
+
+    from sparkgraft.operators.textops import setsim_join
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),       # J=5/7 vs 1
+        (3, "alpha beta gamma delta epsilon zeta"),      # J=1 vs 1
+        (4, "one two three four five six seven"),
+        (5, "one two three four five six eight"),        # J=6/8 vs 4
+        (6, "totally different words entirely here now"),
+        (7, "alpha one totally"),                        # low overlap
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.6
+    got = {
+        (int(r["id_a"]), int(r["id_b"])): r["jaccard"]
+        for r in setsim_join(docs, threshold=t).collect()
+    }
+    # brute force
+    toks = {i: set(s.split()) for i, s in rows}
+    want = {}
+    for i, j in combinations(sorted(toks), 2):
+        inter = len(toks[i] & toks[j])
+        un = len(toks[i] | toks[j])
+        jac = round(inter / un, 4)
+        if jac >= t:
+            want[(i, j)] = jac
+    assert got == want and (1, 3) in got and (1, 2) in got
+
+
+def test_setsim_join_prefix_prunes_hot_tokens(spark):
+    """Docs sharing ONLY a corpus-hot token never become candidates:
+    the result excludes them (and the prefix construction keeps the
+    hot-token quadratic from forming)."""
+    from sparkgraft.operators.textops import setsim_join
+
+    # 'the' is in every doc (hot); pairs share nothing else
+    rows = [(i, f"the unique{i}a unique{i}b unique{i}c") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = setsim_join(docs, threshold=0.5).collect()
+    assert out == []
