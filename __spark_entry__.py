@@ -4437,6 +4437,53 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimates (sketch.kmv_build/kmv_intersection)
+    — the distinct-set algebra HLL cannot express, over the viewer vs
+    purchaser user sets: per-set distinct estimates plus Jaccard /
+    union / intersection estimates from the k-smallest-hash union
+    sketch.  Every draw is a deterministic md5 fraction, so the DuckDB
+    oracle replays the IDENTICAL estimator bit-for-bit — the corpus-
+    overlap-at-100TB shape (sketch two corpora independently, merge
+    k-sized summaries, never join the raw sets)."""
+    from sparkgraft.operators.sketch import (
+        kmv_build,
+        kmv_estimate,
+        kmv_intersection,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    k = 64
+    a = kmv_build(
+        ev.filter(F.col("event_type") == "view").withColumn("g", F.lit(1)),
+        ["g"], "user_id", k=k,
+    )
+    b = kmv_build(
+        ev.filter(F.col("event_type") == "purchase").withColumn(
+            "g", F.lit(1)
+        ),
+        ["g"], "user_id", k=k,
+    )
+    a_est = kmv_estimate(a, k=k).select(
+        "g", F.col("distinct_est").alias("viewers_est")
+    )
+    b_est = kmv_estimate(b, k=k).select(
+        "g", F.col("distinct_est").alias("purchasers_est")
+    )
+    inter = kmv_intersection(a, b, ["g"], k=k)
+    return (
+        a_est.join(b_est, "g")
+        .join(inter, "g")
+        .select(
+            "viewers_est",
+            "purchasers_est",
+            "jaccard_est",
+            "union_est",
+            "intersection_est",
+        )
+    )
+
+
 def q_setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join via PPJoin prefix filtering
     (textops.setsim_join, Xiao et al. 2008) — the zero-false-negative
@@ -5230,6 +5277,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "version_cdc": q_version_cdc,
     # --- round 5: exact set-similarity join (PPJoin prefix filter) ---
     "setsim_pairs": q_setsim_pairs,
+    # --- round 5: KMV set-operation estimates (corpus overlap) ---
+    "sketch_overlap": q_sketch_overlap,
     # --- round 5: versioned-table maintenance + streaming CDC/ingest ---
     "versioned_merge": q_versioned_merge,
     "stream_cdc": q_stream_cdc,
@@ -9304,6 +9353,63 @@ ORACLES["stream_ingest"] = """
            min(value) AS min_value,
            max(value) AS max_value
     FROM events
+"""
+
+
+# Mirrors q_sketch_overlap: the IDENTICAL KMV estimator replayed —
+# md5 draws, k-smallest ranking, (k-1)/frac(kth) estimates, Jaccard
+# over the union sketch — deterministic, so exact equality holds.
+ORACLES["sketch_overlap"] = """
+    WITH a AS (
+        SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h
+        FROM events WHERE event_type = 'view'
+    ),
+    b AS (
+        SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h
+        FROM events WHERE event_type = 'purchase'
+    ),
+    ra AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM a),
+    rb AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM b),
+    ka AS (SELECT count(*) AS n,
+                  max(CASE WHEN rn = 64 THEN
+                      CAST(CAST('0x' || substr(h, 1, 15) AS BIGINT) AS DOUBLE)
+                      / 1152921504606846976.0 END) AS kth
+           FROM ra WHERE rn <= 64),
+    kb AS (SELECT count(*) AS n,
+                  max(CASE WHEN rn = 64 THEN
+                      CAST(CAST('0x' || substr(h, 1, 15) AS BIGINT) AS DOUBLE)
+                      / 1152921504606846976.0 END) AS kth
+           FROM rb WHERE rn <= 64),
+    both_sets AS (
+        SELECT h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+            SELECT h, 1 AS in_a, 0 AS in_b FROM ra WHERE rn <= 64
+            UNION ALL
+            SELECT h, 0, 1 FROM rb WHERE rn <= 64
+        ) GROUP BY h
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY h) AS rn FROM both_sets
+    ),
+    agg AS (
+        SELECT count(*) AS kept, sum(in_a * in_b) AS shared,
+               max(CASE WHEN rn = 64 THEN
+                   CAST(CAST('0x' || substr(h, 1, 15) AS BIGINT) AS DOUBLE)
+                   / 1152921504606846976.0 END) AS kth
+        FROM ranked WHERE rn <= 64
+    )
+    SELECT
+        CASE WHEN ka.n < 64 THEN ka.n * 1.0
+             ELSE round(63.0 / ka.kth, 2) END AS viewers_est,
+        CASE WHEN kb.n < 64 THEN kb.n * 1.0
+             ELSE round(63.0 / kb.kth, 2) END AS purchasers_est,
+        round(shared * 1.0 / kept, 6) AS jaccard_est,
+        CASE WHEN kept < 64 THEN kept * 1.0
+             ELSE round(63.0 / agg.kth, 2) END AS union_est,
+        round((shared * 1.0 / kept)
+              * CASE WHEN kept < 64 THEN kept * 1.0
+                     ELSE round(63.0 / agg.kth, 2) END, 2)
+            AS intersection_est
+    FROM agg, ka, kb
 """
 
 

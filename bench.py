@@ -180,6 +180,7 @@ HEADLINE = [
     "materialized_view",
     "stream_ingest",
     "setsim_pairs",
+    "sketch_overlap",
 ]
 
 
