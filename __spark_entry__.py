@@ -4170,23 +4170,26 @@ def q_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         write_bloom_manifest(spark, path, ["user_id"])
         _FIXTURE_CACHE[key] = path
-    parts = []
-    for uid in (3, 17, 42, 71, 99):
-        part = (
-            read_skipping_blooms(spark, path, bloom_keep("user_id", uid))
-            .filter(F.col("user_id") == uid)
-            .groupBy("user_id")
-            .agg(
-                F.count("*").alias("n_events"),
-                F.count_distinct("event_type").alias("n_types"),
-                F.max("ts").alias("last_ts"),
-            )
+    # BATCHED point lookups (round-5 steady-state fix): one pruned read
+    # over the UNION of the per-id bloom predicates, one aggregate —
+    # the 5-sequential-sub-query form paid the manifest/scan overhead
+    # 5x (2.1 s steady-state at sf0.1; this form is sub-second).
+    # Result-identical: the union of surviving files is a superset for
+    # every id, and the row filter is exact.
+    uids = (3, 17, 42, 71, 99)
+    keep = bloom_keep("user_id", uids[0])
+    for uid in uids[1:]:
+        keep = keep | bloom_keep("user_id", uid)
+    return (
+        read_skipping_blooms(spark, path, keep)
+        .filter(F.col("user_id").isin(list(uids)))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("event_type").alias("n_types"),
+            F.max("ts").alias("last_ts"),
         )
-        parts.append(part)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    )
 
 
 def q_topic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -188,12 +188,19 @@ def _calibration_probe(spark) -> float:
     """Fixed-work probe (constant 10M-row JVM-side aggregate): its
     wall-time depends only on box contention, never on engine changes,
     so a contended driver run is machine-distinguishable from a real
-    regression.  Idle 32-CPU reference for this box: ~0.10-0.15 s."""
-    t0 = time.perf_counter()
-    spark.range(10_000_000).selectExpr(
-        "sum(id * 2) as s", "avg(id) as a"
-    ).write.format("noop").mode("overwrite").save()
-    return round(time.perf_counter() - t0, 3)
+    regression.  One untimed warm-up run first (the cold probe would
+    otherwise measure JVM/codegen start-up, not contention), then
+    best-of-2.  Idle 32-CPU reference for this box: ~0.10-0.25 s."""
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        spark.range(10_000_000).selectExpr(
+            "sum(id * 2) as s", "avg(id) as a"
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    once()  # warm
+    return round(min(once(), once()), 3)
 
 
 def main() -> None:
