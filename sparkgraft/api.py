@@ -292,6 +292,7 @@ from sparkgraft.streaming.pipeline import (
     dedup_stream,
     drift_monitor,
     ks_monitor,
+    merge_sink,
     quantile_monitor,
     sample_monitor,
     stable_files,

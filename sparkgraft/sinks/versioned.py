@@ -396,6 +396,7 @@ def upsert_versioned(
     stats_keep=None,
     sort_col: str | None = None,
     n_files: int | None = None,
+    extra_meta: "dict | None" = None,
 ) -> int:
     """Copy-on-write MERGE upsert (``MERGE INTO ... WHEN MATCHED
     UPDATE WHEN NOT MATCHED INSERT`` parity): commit a new version
@@ -441,6 +442,7 @@ def upsert_versioned(
     _commit(
         spark, table_dir, version, parent, "merge",
         untouched + new_files, man.get("stats_cols"), new_files, untouched,
+        extra_meta,
     )
     return version
 

@@ -1140,6 +1140,8 @@ def versioned_sink(
     sort_col: str | None = None,
     n_files: int | None = None,
     trigger: dict | None = None,
+    expectations: dict | None = None,
+    quarantine_dir: str | None = None,
 ):
     """Streaming ingest into a versioned table (sinks/versioned.py):
     each micro-batch commits ONE append version — immutable files, a
@@ -1150,6 +1152,16 @@ def versioned_sink(
     ``foreachBatch`` replay of ANY already-committed batch skips —
     including full-checkpoint-loss replays that re-deliver every
     batch, not just the crash-interrupted last one.
+
+    ``expectations`` (dict of name -> boolean Column, NULL counts as
+    failure — validate_rows semantics) gates admission: rows failing
+    any rule commit to ``quarantine_dir`` as their OWN versioned table
+    (rows carry ``_failed_rules``) instead of the main table — the
+    reference's T3 dead-letter discipline (failed/ dir + health flag,
+    Pipeline.py:195-204) elevated to auditable lakehouse commits.
+    Each destination keeps its own manifest batch ledger, so a crash
+    between the two commits heals on replay (only the missing half
+    lands).
 
     This closes the lakehouse loop with the rest of the module: ingest
     here → ``cdc_feed`` streams each commit's changes downstream →
@@ -1162,29 +1174,63 @@ def versioned_sink(
         write_versioned,
     )
 
-    committed: set[int] = set()
-    v0 = latest_version(table_dir)
-    if v0 is not None:
-        for v in range(v0 + 1):
-            bid = _read_manifest(table_dir, v).get("batch_id")
-            if bid is not None:
-                committed.add(bid)
+    def _ledger(tdir: str) -> set:
+        got: set[int] = set()
+        v0 = latest_version(tdir)
+        if v0 is not None:
+            for v in range(v0 + 1):
+                bid = _read_manifest(tdir, v).get("batch_id")
+                if bid is not None:
+                    got.add(bid)
+        return got
+
+    committed = _ledger(table_dir)
+    committed_q = _ledger(quarantine_dir) if quarantine_dir else set()
 
     def on_batch(batch, batch_id: int) -> None:
-        if batch_id in committed:
-            return  # replayed batch: its commit already landed
-        if batch.isEmpty():
-            return
-        write_versioned(
-            batch,
-            table_dir,
-            mode="append",
-            stats_cols=stats_cols,
-            sort_col=sort_col,
-            n_files=n_files,
-            extra_meta={"batch_id": batch_id},
-        )
-        committed.add(batch_id)
+        good, bad = batch, None
+        if expectations:
+            checks = F.filter(
+                F.array(
+                    *[
+                        F.when(~F.coalesce(cond, F.lit(False)), F.lit(name))
+                        for name, cond in expectations.items()
+                    ]
+                ),
+                lambda x: x.isNotNull(),
+            )
+            tagged = batch.withColumn("_failed_rules", checks)
+            good = tagged.filter(F.size("_failed_rules") == 0).drop(
+                "_failed_rules"
+            )
+            bad = tagged.filter(F.size("_failed_rules") > 0).withColumn(
+                "_failed_rules", F.concat_ws(",", "_failed_rules")
+            )
+        if batch_id not in committed and not good.isEmpty():
+            write_versioned(
+                good,
+                table_dir,
+                mode="append",
+                stats_cols=stats_cols,
+                sort_col=sort_col,
+                n_files=n_files,
+                extra_meta={"batch_id": batch_id},
+            )
+            committed.add(batch_id)
+        if (
+            quarantine_dir
+            and bad is not None
+            and batch_id not in committed_q
+            and not bad.isEmpty()
+        ):
+            write_versioned(
+                bad,
+                quarantine_dir,
+                mode="append",
+                n_files=1,
+                extra_meta={"batch_id": batch_id},
+            )
+            committed_q.add(batch_id)
 
     writer = stream.writeStream.foreachBatch(on_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -1310,3 +1356,75 @@ def view_maintainer(
         trigger=trigger,
         include_values=True,
     )
+
+
+def merge_sink(
+    stream,
+    table_dir: str,
+    key_cols: list[str],
+    order_col: str,
+    checkpoint_dir: str,
+    stats_cols: list[str] | None = None,
+    sort_col: str | None = None,
+    n_files: int | None = None,
+    trigger: dict | None = None,
+):
+    """Streaming MERGE into a versioned table: each micro-batch
+    upserts (matched keys update, new keys insert) as ONE committed
+    version — ``upsert_sink``'s semantics on the transactional
+    primitive instead of bare parquet, with the touched-file set
+    stats-pruned by the source key range (upsert_versioned) so a
+    narrow update batch rewrites a handful of files, not the table.
+
+    Within a batch the newest row per key wins by ``order_col``
+    (ties by nothing further — sources should be unique per
+    (key, order)).  Replay ledger: the committed-batch set rebuilds
+    from the manifests (the versioned_sink discipline).  The first
+    batch ever creates the table.  Returns the started
+    StreamingQuery.
+    """
+    from pyspark.sql import Window
+
+    from sparkgraft.sinks.versioned import (
+        _read_manifest,
+        latest_version,
+        upsert_versioned,
+        write_versioned,
+    )
+
+    committed: set[int] = set()
+    v0 = latest_version(table_dir)
+    if v0 is not None:
+        for v in range(v0 + 1):
+            bid = _read_manifest(table_dir, v).get("batch_id")
+            if bid is not None:
+                committed.add(bid)
+
+    def on_batch(batch, batch_id: int) -> None:
+        if batch_id in committed or batch.isEmpty():
+            return
+        w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+        source = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if latest_version(table_dir) is None:
+            write_versioned(
+                source, table_dir, mode="overwrite",
+                stats_cols=stats_cols, sort_col=sort_col, n_files=n_files,
+                extra_meta={"batch_id": batch_id},
+            )
+        else:
+            upsert_versioned(
+                batch.sparkSession, table_dir, source, key_cols,
+                sort_col=sort_col, n_files=n_files,
+                extra_meta={"batch_id": batch_id},
+            )
+        committed.add(batch_id)
+
+    writer = stream.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    trig = trigger or {"availableNow": True}
+    return writer.trigger(**trig).start()

@@ -669,3 +669,101 @@ def test_compact_table_zorder_with_stats(spark, tmp_path):
         )
         want = sorted(r for r in rows if lo <= r[0 if col == "x" else 1] <= hi)
         assert got == want
+
+
+def test_versioned_sink_expectations_quarantine(spark, tmp_path):
+    """The T3 dead-letter discipline on lakehouse commits: rows
+    failing an expectation commit to the quarantine table with their
+    failed rules; admitted rows commit to the main table; a torn
+    crash between the two commits heals on replay (per-table
+    ledgers)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sparkgraft.sinks.versioned import latest_version, read_versioned
+    from sparkgraft.streaming.pipeline import versioned_sink
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b1.csv").write_text("k,v\n1,10\n2,-5\n3,\n4,40\n")
+    t = str(tmp_path / "main")
+    q = str(tmp_path / "quarantine")
+    rules = {
+        "v_positive": F.col("v") > 0,   # NULL v fails too
+        "k_small": F.col("k") < 100,
+    }
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("k LONG, v LONG")
+            .option("header", "true")
+            .csv(str(src))
+        )
+        s = versioned_sink(
+            stream, t, str(tmp_path / ckpt), n_files=1,
+            expectations=rules, quarantine_dir=q,
+        )
+        s.awaitTermination(120)
+
+    drain("c1")
+    good = sorted(r["k"] for r in read_versioned(spark, t).collect())
+    assert good == [1, 4]
+    bad = {
+        r["k"]: r["_failed_rules"]
+        for r in read_versioned(spark, q).collect()
+    }
+    assert bad == {2: "v_positive", 3: "v_positive"}
+
+    # torn crash: quarantine commit lost, checkpoint wiped -> replay
+    # must re-land ONLY the quarantine half
+    shutil.rmtree(q)
+    shutil.rmtree(str(tmp_path / "c1"))
+    drain("c1")
+    assert latest_version(t) == 0  # main not double-committed
+    assert sorted(read_versioned(spark, q).toPandas()["k"]) == [2, 3]
+
+
+def test_merge_sink_streaming_upsert(spark, tmp_path):
+    """Streaming MERGE: per-batch upsert commits, last-writer-wins by
+    order_col within a batch, cross-batch updates land, replay after
+    checkpoint loss applies nothing twice."""
+    import shutil
+
+    from sparkgraft.sinks.versioned import latest_version, read_versioned
+    from sparkgraft.streaming.pipeline import merge_sink
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b1.csv").write_text("k,v,ord\n1,10,1\n1,11,2\n2,20,1\n")
+    t = str(tmp_path / "tbl")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("k LONG, v LONG, ord LONG")
+            .option("header", "true")
+            .option("maxFilesPerTrigger", "1")
+            .csv(str(src))
+        )
+        s = merge_sink(
+            stream, t, ["k"], "ord", str(tmp_path / ckpt),
+            stats_cols=["k"], sort_col="k", n_files=2,
+        )
+        s.awaitTermination(120)
+
+    drain("c1")
+    got = {r["k"]: r["v"] for r in read_versioned(spark, t).collect()}
+    assert got == {1: 11, 2: 20}  # within-batch last-writer by ord
+
+    (src / "b2.csv").write_text("k,v,ord\n1,99,3\n3,30,1\n")
+    drain("c1")
+    got = {r["k"]: r["v"] for r in read_versioned(spark, t).collect()}
+    assert got == {1: 99, 2: 20, 3: 30}
+    v_after = latest_version(t)
+
+    # full replay: both batches re-deliver; the manifest ledger skips
+    shutil.rmtree(str(tmp_path / "c1"))
+    drain("c1")
+    assert latest_version(t) == v_after
+    got = {r["k"]: r["v"] for r in read_versioned(spark, t).collect()}
+    assert got == {1: 99, 2: 20, 3: 30}
