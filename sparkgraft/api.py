@@ -35,6 +35,7 @@ from sparkgraft.operators.multimodal import (
     video_frame_sample,
 )
 from sparkgraft.operators.merge import (
+    cdc_group_delta,
     golden_record,
     pseudonymize,
     merge_upsert,
@@ -184,6 +185,7 @@ from sparkgraft.operators.textops import (
     pii_redact,
     relative_quality_gate,
     repetition_stats,
+    setsim_join,
     simhash16,
     span_coverage_gate,
     split_sentences,
@@ -298,6 +300,7 @@ from sparkgraft.streaming.pipeline import (
     stable_files,
     upsert_sink,
     versioned_sink,
+    view_maintainer,
 )
 from sparkgraft.streaming.stateful import ewma_stream, ewma_stream_tws
 
