@@ -1063,6 +1063,7 @@ def cdc_feed(
     sink,
     trigger: dict | None = None,
     include_values: bool = False,
+    append_fast_path: bool = True,
 ):
     """Streaming change-data feed from versioned-table commits (the
     readChangeFeed analog for sinks/versioned.py): every committed
@@ -1079,10 +1080,16 @@ def cdc_feed(
     rows are a pure function of the immutable manifests — so a crash
     replay of batch N re-emits bit-identical rows (asserted in tests),
     the idempotence discipline the other monitors carry as state here
-    falling out of the commit protocol's immutability.  At 100 TB the
-    stream reads manifests (one row per FILE) and diffs only the two
-    referenced snapshots; the diff is the same one co-partitioned
-    full-outer join as batch snapshot_diff.
+    falling out of the commit protocol's immutability.
+
+    Scale: APPEND commits (the dominant type under streaming ingest)
+    take a fast path — their changes are exactly the rows of their
+    new files, read directly and emitted as 'added' with NO join
+    touching the table (changed-rows-sized work; contract: appends
+    carry new keys, which is what versioned_sink commits — pass
+    ``append_fast_path=False`` if appends may re-add existing keys).
+    Overwrite/delete/merge commits run the full snapshot_diff (one
+    co-partitioned full-outer join of the two referenced snapshots).
 
     Returns the started StreamingQuery.
     """
@@ -1100,30 +1107,77 @@ def cdc_feed(
         .json(manifest_glob)
     )
 
+    def _added_only(df, version):
+        """Append fast-path emission: every row of the commit's NEW
+        files is an 'added' change — no join touches the table."""
+        cols = [
+            *key_cols,
+            F.lit("added").alias("change_type"),
+            F.array().cast("array<string>").alias("changed_cols"),
+        ]
+        if include_values:
+            for c in compare_cols:
+                cols.append(
+                    F.lit(None).cast(df.schema[c].dataType).alias(f"old_{c}")
+                )
+                cols.append(F.col(c).alias(f"new_{c}"))
+        return df.select(*cols).withColumn(
+            "_commit_version", F.lit(version)
+        )
+
     def on_batch(batch, batch_id: int) -> None:
+        import os as _os
+
+        from sparkgraft.sinks.versioned import _read_manifest
+
         bs = batch.sparkSession
         commits = sorted(
-            (r["version"], r["parent"]) for r in batch.collect()
+            (r["version"], r["parent"], r["operation"])
+            for r in batch.collect()
         )  # bounded: one row per committed version in this batch
         if not commits:
             return
         out = None
-        for version, parent in commits:
-            new = read_versioned(bs, table_dir, version=version)
-            if parent is None:
-                old = new.limit(0)
+        for version, parent, operation in commits:
+            # APPEND FAST PATH: an append commit's changes are exactly
+            # the rows of its new files (added; nothing removed or
+            # changed) — read ONLY those files instead of full-outer-
+            # joining two table-sized snapshots.  Contract: appends
+            # carry NEW keys (the keyed-ingest discipline; what
+            # versioned_sink commits).  Re-adding an existing key needs
+            # append_fast_path=False to be classified by the full diff.
+            if (
+                append_fast_path
+                and operation == "append"
+                and parent is not None
+            ):
+                man_new = set(_read_manifest(table_dir, version)["files"])
+                man_old = set(_read_manifest(table_dir, parent)["files"])
+                fresh = sorted(man_new - man_old)
+                if not fresh:
+                    continue  # metadata-only commit: no row changes
+                df = bs.read.parquet(
+                    *[_os.path.join(table_dir, f) for f in fresh]
+                )
+                d = _added_only(df, version)
+            elif parent is None:
+                d = _added_only(
+                    read_versioned(bs, table_dir, version=version), version
+                )
             else:
                 old = read_versioned(bs, table_dir, version=parent)
-            d = (
-                snapshot_diff(
-                    old, new, key_cols, compare_cols,
-                    include_values=include_values,
+                new = read_versioned(bs, table_dir, version=version)
+                d = (
+                    snapshot_diff(
+                        old, new, key_cols, compare_cols,
+                        include_values=include_values,
+                    )
+                    .filter(F.col("change_type") != "unchanged")
+                    .withColumn("_commit_version", F.lit(version))
                 )
-                .filter(F.col("change_type") != "unchanged")
-                .withColumn("_commit_version", F.lit(version))
-            )
             out = d if out is None else out.unionByName(d)
-        sink(out, batch_id)
+        if out is not None:
+            sink(out, batch_id)
 
     writer = stream.writeStream.foreachBatch(on_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -1248,6 +1302,7 @@ def view_maintainer(
     view_dir: str,
     checkpoint_dir: str,
     trigger: dict | None = None,
+    append_fast_path: bool = True,
 ):
     """Incremental materialized-view maintenance (IVM): a per-group
     (n_rows, sum_<c>) aggregate view over a versioned table, updated
@@ -1355,6 +1410,7 @@ def view_maintainer(
         apply_delta,
         trigger=trigger,
         include_values=True,
+        append_fast_path=append_fast_path,
     )
 
 

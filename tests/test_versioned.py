@@ -767,3 +767,41 @@ def test_merge_sink_streaming_upsert(spark, tmp_path):
     assert latest_version(t) == v_after
     got = {r["k"]: r["v"] for r in read_versioned(spark, t).collect()}
     assert got == {1: 99, 2: 20, 3: 30}
+
+
+def test_cdc_feed_append_fast_path_equals_full_diff(spark, tmp_path):
+    """The append fast path (new-files-only, no join) must emit rows
+    identical to the full snapshot_diff for a keyed append."""
+    from sparkgraft.sinks.versioned import write_versioned
+    from sparkgraft.streaming.pipeline import cdc_feed
+
+    t = str(tmp_path / "vt")
+    write_versioned(
+        spark.createDataFrame([(i, float(i)) for i in range(50)],
+                              "k long, v double"),
+        t, mode="overwrite",
+    )
+    write_versioned(
+        spark.createDataFrame([(i, 1.0) for i in range(50, 80)],
+                              "k long, v double"),
+        t, mode="append",
+    )
+
+    def drain(ckpt, fast):
+        rows = []
+
+        def sink(df, batch_id):
+            rows.extend(sorted(tuple(r) for r in df.collect()))
+
+        q = cdc_feed(
+            spark, t, ["k"], ["v"], str(tmp_path / ckpt), sink,
+            include_values=True, append_fast_path=fast,
+        )
+        q.awaitTermination(120)
+        return sorted(rows)
+
+    fast = drain("cf", True)
+    slow = drain("cs", False)
+    assert fast == slow and len(fast) == 80
+    added_v1 = [r for r in fast if r[-1] == 1]
+    assert len(added_v1) == 30 and all(r[1] == "added" for r in added_v1)

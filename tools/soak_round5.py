@@ -110,5 +110,70 @@ def main(sf_dir: str) -> None:
     spark.stop()
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--ivm" not in sys.argv:
     main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
+
+
+def soak_ivm(sf_dir: str) -> None:
+    """Per-commit IVM maintenance with the append fast path: after the
+    initial view build, a CONSTANT-size append commit's catch-up cost
+    must stay flat while the table grows (new-files-only read + a
+    view-sized merge — never a table diff or re-aggregation)."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.sources.readers import read_table
+    from sparkgraft.session import get_spark
+    from sparkgraft.sinks.versioned import write_versioned
+    from sparkgraft.streaming.pipeline import view_maintainer
+
+    spark = get_spark("soak-r5-ivm")
+    spark.sparkContext.setLogLevel("ERROR")
+    orders0 = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    print("== IVM append catch-up vs table size (fast path) ==")
+    for mult in (1, 8, 32):
+        o = orders0
+        for i in range(1, mult):
+            o = o.unionByName(
+                orders0.select(
+                    (F.col("o_orderkey") + 10_000_000 * i).alias("o_orderkey"),
+                    "o_orderpriority", "o_totalprice",
+                )
+            )
+        t = tempfile.mkdtemp(prefix="sparkgraft_soak_ivm_") + "/t"
+        view = t + "_view"
+        write_versioned(o, t, mode="overwrite", n_files=4 * mult)
+
+        def drain():
+            q = view_maintainer(
+                spark, t, ["o_orderpriority"], ["o_totalprice"],
+                ["o_orderkey"], view, t + "_ckpt",
+            )
+            q.awaitTermination(600)
+
+        _, build_wall = t_(drain)
+        # constant-size append: 1000 new keys regardless of table size
+        write_versioned(
+            orders0.filter(F.col("o_orderkey") < 1000).select(
+                (F.col("o_orderkey") + 900_000_000).alias("o_orderkey"),
+                "o_orderpriority", "o_totalprice",
+            ),
+            t, mode="append", n_files=1,
+        )
+        _, catchup_wall = t_(drain)
+        print(
+            f"  {mult}x rows={o.count()}: initial build={build_wall}s "
+            f"append catch-up={catchup_wall}s"
+        )
+    spark.stop()
+
+
+def t_(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return out, round(time.perf_counter() - t0, 2)
+
+
+if __name__ == "__main__" and "--ivm" in sys.argv:
+    soak_ivm(sys.argv[-1] if sys.argv[-1].startswith("/") else "/root/testdata/sf0.1")
