@@ -9479,6 +9479,51 @@ ORACLES["materialized_view"] = """
 """
 
 
+# Mirrors q_stream_cdc: commit 0 streams as all-added; commit 1 is
+# version_cdc's classification minus the unchanged row (the feed
+# drops unchanged rows by construction).
+ORACLES["stream_cdc"] = """
+    WITH v0 AS (
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 7 <= 4
+    ),
+    v1 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 7 BETWEEN 1 AND 5
+    ),
+    j AS (
+        SELECT a.o_orderkey AS k0, b.o_orderkey AS k1,
+               a.o_totalprice AS p0, b.o_totalprice AS p1,
+               a.o_orderpriority AS q0, b.o_orderpriority AS q1
+        FROM v0 a FULL OUTER JOIN v1 b ON a.o_orderkey = b.o_orderkey
+    ),
+    cls AS (
+        SELECT CASE WHEN k0 IS NULL THEN 'added'
+                    WHEN k1 IS NULL THEN 'removed'
+                    WHEN p0 IS DISTINCT FROM p1 OR q0 IS DISTINCT FROM q1
+                         THEN 'changed'
+                    ELSE 'unchanged' END AS change_type,
+               CASE WHEN k0 IS NULL OR k1 IS NULL THEN ''
+                    ELSE concat_ws(',',
+                        CASE WHEN p0 IS DISTINCT FROM p1
+                             THEN 'o_totalprice' END,
+                        CASE WHEN q0 IS DISTINCT FROM q1
+                             THEN 'o_orderpriority' END) END AS cols
+        FROM j
+    )
+    SELECT CAST(0 AS BIGINT) AS commit_version, 'added' AS change_type,
+           '' AS cols, count(*) AS n
+    FROM v0
+    UNION ALL
+    SELECT 1, change_type, cols, count(*)
+    FROM cls WHERE change_type <> 'unchanged'
+    GROUP BY change_type, cols
+"""
+
+
 # Mirrors q_versioned_merge: delete + MERGE replayed as plain set
 # algebra over the deterministic slice definitions.
 ORACLES["versioned_merge"] = """
