@@ -4356,7 +4356,7 @@ def q_topic_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming CUSUM monitor (rows-only): the cusum_shift scenario
+    """Streaming CUSUM monitor (ORACLE-checked): the cusum_shift scenario
     drained as three ts-ordered files (shift lands mid-stream) through
     ``cusum_monitor`` — O(1) integer state per (key, side), batch-keyed
     replay discipline.  Alarms are bit-identical to the batch operator
@@ -4371,7 +4371,10 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkgraft.streaming.pipeline import cusum_monitor
 
     cached = _FIXTURE_CACHE.get(("stream_cusum", sf_dir))
-    schema = "event_type string, side string, n_alarms long, max_stat double"
+    schema = (
+        "event_type string, side string, n_alarms long, "
+        "first_alarm_ts timestamp, max_stat double"
+    )
     if cached is not None:
         return spark.createDataFrame(cached, schema)
 
@@ -4413,7 +4416,8 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def sink(df, batch_id):
         alarms.extend(
-            (r["event_type"], r["side"], r["stat"]) for r in df.collect()
+            (r["event_type"], r["side"], r["ts"], r["stat"])
+            for r in df.collect()
         )
 
     stream = (
@@ -4429,12 +4433,14 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     agg: dict[tuple, list] = {}
-    for et, side, stat in alarms:
-        cur = agg.setdefault((et, side), [0, float("-inf")])
+    for et, side, ts, stat in alarms:
+        cur = agg.setdefault((et, side), [0, None, float("-inf")])
         cur[0] += 1
-        cur[1] = max(cur[1], stat)
+        cur[1] = ts if cur[1] is None or ts < cur[1] else cur[1]
+        cur[2] = max(cur[2], stat)
     rows = sorted(
-        (et, side, n, mx) for (et, side), (n, mx) in agg.items()
+        (et, side, n, first_ts, mx)
+        for (et, side), (n, first_ts, mx) in agg.items()
     )
     _FIXTURE_CACHE[("stream_cusum", sf_dir)] = rows
     return spark.createDataFrame(rows, schema)
@@ -9477,6 +9483,21 @@ ORACLES["materialized_view"] = """
                 AS DECIMAL(38,2)) AS DOUBLE) AS spend
     FROM v2 GROUP BY o_orderpriority
 """
+
+
+# The streaming CUSUM summary is bit-identical to the batch operator
+# on the ts-ordered union (asserted in tests), so its oracle IS the
+# batch cusum_shift mirror, verbatim.
+ORACLES["stream_cusum"] = ORACLES["cusum_shift"]
+
+# The streaming DDSketch drain merges cell-wise (exact merge law), so
+# the final quantiles equal the batch sketch over the streamed union
+# (events with event_id < 2000) — the ddsketch mirror with that
+# filter added.
+ORACLES["stream_quantiles"] = ORACLES["ddsketch"].replace(
+    "WHERE value IS NOT NULL AND NOT isnan(value)",
+    "WHERE value IS NOT NULL AND NOT isnan(value) AND event_id < 2000",
+)
 
 
 # Mirrors q_stream_cdc: commit 0 streams as all-added; commit 1 is
