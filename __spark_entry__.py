@@ -3283,7 +3283,7 @@ def q_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming KS drift monitor (rows-only): even-user events form
+    """Streaming KS drift monitor (ORACLE-checked): even-user events form
     the pinned baseline; odd-user events arrive as two files — the
     first on-distribution, the second with values scaled x1.5 (a
     planted shift) — drained through ``ks_monitor`` (per-batch DDSketch
@@ -9482,6 +9482,68 @@ ORACLES["materialized_view"] = """
            cast(cast(round(sum(cast(o_totalprice AS DECIMAL(27,6))), 2)
                 AS DECIMAL(38,2)) AS DOUBLE) AS spend
     FROM v2 GROUP BY o_orderpriority
+"""
+
+
+# The streaming KS monitor's statistic is bit-identical to batch
+# ks_test_binned on the streamed union (asserted in tests): values
+# collapse to DDSketch (sign, bucket) cells, then the exact HUGEINT
+# KS walk runs in (sign, sign*bucket) order — the statistic depends
+# only on that order, so no float bucket representative is needed.
+ORACLES["stream_ks"] = f"""
+    WITH ev AS (
+        SELECT event_type, user_id, event_id, CAST(value AS DOUBLE) AS v
+        FROM events
+        WHERE event_id < 4000 AND value IS NOT NULL AND NOT isnan(value)
+    ),
+    av AS (SELECT event_type, v FROM ev WHERE user_id % 2 = 0),
+    bv AS (
+        SELECT event_type,
+               v * CASE WHEN event_id % 2 = 1 THEN 1.5 ELSE 1.0 END AS v
+        FROM ev WHERE user_id % 2 = 1
+    ),
+    u AS (
+        SELECT event_type, v, 1 AS ca, 0 AS cb FROM av
+        UNION ALL
+        SELECT event_type, v, 0 AS ca, 1 AS cb FROM bv
+    ),
+    cells AS (
+        SELECT event_type,
+               CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sign,
+               CASE WHEN v > 0 THEN CAST(ceil(ln(v) / {_DD_LNG!r}) AS BIGINT)
+                    WHEN v < 0 THEN CAST(ceil(ln(-v) / {_DD_LNG!r}) AS BIGINT)
+                    ELSE 0 END AS bucket,
+               sum(ca) AS ca, sum(cb) AS cb
+        FROM u GROUP BY 1, 2, 3
+    ),
+    cum AS (
+        SELECT event_type,
+               sum(ca) OVER (PARTITION BY event_type
+                   ORDER BY sign, sign * bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+               sum(cb) OVER (PARTITION BY event_type
+                   ORDER BY sign, sign * bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+               sum(ca) OVER (PARTITION BY event_type) AS na,
+               sum(cb) OVER (PARTITION BY event_type) AS nb
+        FROM cells
+    ),
+    agg AS (
+        SELECT event_type,
+               max(abs(CAST(cum_a AS HUGEINT) * nb
+                       - CAST(cum_b AS HUGEINT) * na)) AS m,
+               max(na) AS na, max(nb) AS nb
+        FROM cum GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           CAST((2 * m * 1000000 + CAST(na AS HUGEINT) * nb)
+                // (2 * CAST(na AS HUGEINT) * nb) AS DOUBLE) / 1000000.0
+               AS ks_stat,
+           (m * 1000) * (m * 1000)
+               > CAST(1358 AS HUGEINT) * 1358 * (na + nb) * na * nb AS drift
+    FROM agg
 """
 
 
