@@ -3098,7 +3098,7 @@ def q_streaming_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D3 in-stream (rows-only): an events slice is staged twice as
+    """D3 in-stream (ORACLE-checked): an events slice is staged twice as
     arrival files (the second file is a full duplicate batch),
     drained with ``dropDuplicatesWithinWatermark`` under AvailableNow
     — surviving per-type counts equal the batch-side distinct counts,
@@ -3353,7 +3353,7 @@ def q_stream_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream interval join (rows-only): view and purchase
+    """Stream-stream interval join (ORACLE-checked): view and purchase
     events staged as two file streams, inner-joined on user with the
     purchase bounded to [view, view+30 min] — watermarks on both sides
     bound the join state.  Per-user pair counts; equivalence with the
@@ -3423,7 +3423,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-static enrichment (rows-only): an event file stream
+    """Stream-static enrichment (ORACLE-checked): an event file stream
     joined per micro-batch to the static customer→nation dimension
     (broadcast — no stream-side state at all), aggregated to per-nation
     counts.  The standard dimension-enrichment shape: the static side
@@ -3481,7 +3481,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_backfill_dated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1/S7 backfill (rows-only): drain a ``date=YYYY-MM-DD``
+    """T1/S7 backfill (ORACLE-checked): drain a ``date=YYYY-MM-DD``
     partitioned landing zone with Trigger.AvailableNow, pruned to the
     backfill window (every date after the oldest) — the engine analog of
     the reference's finished/-directory reprocessing
@@ -9544,6 +9544,61 @@ ORACLES["stream_ks"] = f"""
            (m * 1000) * (m * 1000)
                > CAST(1358 AS HUGEINT) * 1358 * (na + nb) * na * nb AS drift
     FROM agg
+"""
+
+
+# The stream-stream interval join over a single availableNow drain
+# emits exactly the batch interval join (equivalence asserted in
+# tests/test_streaming_joins.py); the fixture truncates ts to seconds
+# on both sides, so the SQL mirror is a plain bounded join.
+ORACLES["stream_join"] = """
+    WITH ev AS (
+        SELECT event_type, user_id, event_id,
+               date_trunc('second', ts) AS s
+        FROM events WHERE event_id < 4000
+    ),
+    v AS (SELECT user_id, s AS vts FROM ev WHERE event_type = 'view'),
+    p AS (SELECT user_id, s AS pts FROM ev WHERE event_type = 'purchase')
+    SELECT v.user_id, count(*) AS n_pairs
+    FROM v JOIN p ON v.user_id = p.user_id
+     AND p.pts >= v.vts
+     AND p.pts <= v.vts + INTERVAL 1800 SECOND
+    GROUP BY v.user_id
+"""
+
+
+# Streaming dedup over a fully-duplicated second file: survivors are
+# the distinct event ids (second-file rows either match live state or
+# arrive behind the watermark) — per-type distinct counts, the batch
+# mirror the rows-only check always asserted.
+ORACLES["stream_dedup"] = """
+    SELECT event_type, count(DISTINCT event_id) AS n
+    FROM events WHERE event_id < 1000
+    GROUP BY event_type
+"""
+
+
+# Stream-static broadcast enrichment over one drained file — the
+# per-batch dimension join is a plain SQL join on the derived key.
+ORACLES["stream_enrich"] = """
+    SELECT c.c_nationkey AS n_nationkey, count(*) AS n_events
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id % 1000 + 1
+    WHERE e.event_id < 3000
+    GROUP BY 1
+"""
+
+# Dated backfill: the drained window is every date strictly after the
+# oldest landing date (backfill_from = the second-oldest).
+ORACLES["backfill_dated"] = """
+    WITH ev AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS date, event_type
+        FROM events WHERE event_id < 2000
+    ),
+    mn AS (SELECT min(date) AS d0 FROM ev)
+    SELECT date, event_type, count(*) AS n
+    FROM ev, mn WHERE date > d0
+    GROUP BY 1, 2
 """
 
 
