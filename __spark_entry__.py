@@ -2111,9 +2111,9 @@ def q_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ExactSubstr REWRITE (rows-only — string surgery isn't
-    SQL-mirrorable; the span table it cuts is the oracle-checked
-    suffix_dedup): every maximal duplicated character span removed
+    """ExactSubstr REWRITE (ORACLE-checked — the summary needs no
+    string surgery: non-overlapping maximal spans make chars_cut =
+    sum(span_len)): every maximal duplicated character span removed
     from its document, remainder stitched — per doc the cut count,
     characters removed, and deduped length.  Detection → gate →
     rewrite completes the Lee et al. 2022 pipeline."""
@@ -3162,7 +3162,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming near-dup ADMISSION (rows-only): documents staged as
+    """Streaming near-dup ADMISSION (ORACLE-checked): documents staged
+    as
     two arrival files — the second containing exact replicas of half
     the first plus fresh docs — drained through ``dedup_admission``
     (per-batch MinHash check against the persisted signature index,
@@ -3185,6 +3186,7 @@ def q_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 60)
         .select("doc_id", "text")
+        .orderBy("doc_id")
         .collect()
     ]
     tmp = tempfile.mkdtemp(prefix="sparkgraft_sadm_")
@@ -3827,7 +3829,8 @@ def q_correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom keyed streaming state in the graded loop (rows-only):
+    """Custom keyed streaming state in the graded loop (ORACLE-checked
+    via a recursive-CTE replay of the identical IEEE fold):
     per-channel EWMA via applyInPandasWithState over a file stream,
     drained with AvailableNow.  Memoized per sf_dir (see
     q_streaming_stats)."""
@@ -3880,8 +3883,9 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Live drift monitoring (rows-only — streaming isn't SQL-
-    expressible): three deterministic snapshots of the events table
+    """Live drift monitoring (ORACLE-checked — the deterministic
+    snapshot slices replay as two profile diffs in SQL): three
+    deterministic snapshots of the events table
     arrive as files, each micro-batch is profiled distributedly and
     diffed against the previous batch's k-row profile via
     drift_report.  Batch 1 drops every 5th event (rows+range drift);
@@ -6366,6 +6370,63 @@ def _llm_oracles() -> dict[str, str]:
         SELECT id_a, id_b, round(j, 4) AS jaccard FROM best WHERE j >= 0.5
     """
 
+    # Streaming admission replayed: batch 0 (the 40 smallest ids < 60)
+    # admits everything against an empty index; batch 1 (replicas of
+    # the first 20 + the remaining ids) checks the SAME banded-MinHash
+    # candidates + exact-Jaccard verify against batch 0's admitted
+    # signatures.  Integer-ratio Jaccard comparisons port exactly.
+    adm_bands = " UNION ALL ".join(
+        "SELECT id, side, sh, {b} AS band,"
+        " md5(concat_ws('|', {cols})) AS bucket FROM asig".format(
+            b=b, cols=", ".join(f"mh_{6 * b + j}" for j in range(6))
+        )
+        for b in range(2)
+    )
+    o["stream_admission"] = f"""
+        WITH ranked AS (
+            SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) AS rn
+            FROM documents WHERE doc_id < 60
+        ),
+        acorpus AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id, text, 0 AS side
+            FROM ranked WHERE rn <= 40
+            UNION ALL
+            SELECT 're_' || CAST(doc_id AS VARCHAR), text, 1
+            FROM ranked WHERE rn <= 20
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), text, 1
+            FROM ranked WHERE rn > 40
+        ),
+        ash AS (
+            SELECT id, side,
+                   list_distinct(CASE WHEN len(w) >= 3
+                       THEN list_transform(generate_series(1, len(w) - 2),
+                                           i -> array_to_string(w[i:i+2], ' '))
+                       ELSE [] END) AS sh
+            FROM (SELECT id, side, regexp_split_to_array(text, '\\s+') AS w
+                  FROM acorpus)
+        ),
+        asig AS (SELECT id, side, sh, {mh_cols} FROM ash),
+        abanded AS ({adm_bands}),
+        dup2 AS (
+            SELECT DISTINCT n.id
+            FROM abanded n
+            JOIN abanded h ON n.band = h.band AND n.bucket = h.bucket
+             AND n.side = 1 AND h.side = 0
+            WHERE len(list_intersect(n.sh, h.sh))
+                  / CAST(len(list_distinct(list_concat(n.sh, h.sh)))
+                         AS DOUBLE) >= 0.5
+        ),
+        n1 AS (SELECT count(*) AS c FROM acorpus WHERE side = 0),
+        n2 AS (SELECT count(*) AS c FROM acorpus WHERE side = 1),
+        nd AS (SELECT count(*) AS c FROM dup2)
+        SELECT CAST(0 AS BIGINT) AS batch, n1.c AS admitted,
+               CAST(0 AS BIGINT) AS rejected
+        FROM n1
+        UNION ALL
+        SELECT 1, n2.c - nd.c, nd.c FROM n2, nd
+    """
+
     o["ngram_jaccard"] = """
         WITH base AS (
             SELECT source, doc_id AS id,
@@ -7432,6 +7493,71 @@ def _llm_oracles() -> dict[str, str]:
         FROM f
     """
 
+    # Streaming drift monitor replayed: the three snapshots are
+    # deterministic slices; batch 1 diffs snap1 vs snap0, batch 2
+    # diffs snap2 vs snap1 — the same _prof + integer-threshold flag
+    # machinery as the batch drift_report mirror, twice.
+    _drift_flags = """
+            concat_ws(',',
+                CASE WHEN rows_base IS NULL OR rows_cur IS NULL
+                     THEN 'presence' END,
+                CASE WHEN rows_base IS NOT NULL AND rows_cur IS NOT NULL
+                      AND abs(rows_cur - rows_base) * 100 > 10 * rows_base
+                     THEN 'rows' END,
+                CASE WHEN rows_base IS NOT NULL AND rows_cur IS NOT NULL
+                      AND abs(nn_cur * rows_base - nn_base * rows_cur) * 1000
+                          > 20 * rows_base * rows_cur
+                     THEN 'nulls' END,
+                CASE WHEN rows_base IS NOT NULL AND rows_cur IS NOT NULL
+                      AND abs(nd_cur - nd_base) * 100 > 10 * nd_base
+                     THEN 'distinct' END,
+                CASE WHEN rows_base IS NOT NULL AND rows_cur IS NOT NULL
+                      AND (min_cur IS DISTINCT FROM min_base
+                           OR max_cur IS DISTINCT FROM max_base)
+                     THEN 'range' END) AS drift_flags
+    """
+    _drift_pair = """
+        SELECT {batch} AS batch, j."column", j.rows_base, j.rows_cur,
+               {flags}
+        FROM (
+            SELECT b."column",
+                   b.n_rows AS rows_base, b.n_nulls AS nn_base,
+                   b.n_distinct AS nd_base, b.min_val AS min_base,
+                   b.max_val AS max_base,
+                   c.n_rows AS rows_cur, c.n_nulls AS nn_cur,
+                   c.n_distinct AS nd_cur, c.min_val AS min_cur,
+                   c.max_val AS max_cur
+            FROM ({base}) b FULL OUTER JOIN ({cur}) c USING ("column")
+        ) j
+    """
+    o["streaming_drift"] = f"""
+        WITH s0 AS (
+            SELECT event_id, user_id, event_type FROM events
+            WHERE event_id < 1500
+        ),
+        s1 AS (SELECT * FROM s0 WHERE event_id % 5 <> 0),
+        s2 AS (
+            SELECT event_id, user_id,
+                   CASE WHEN user_id % 13 = 0 THEN NULL
+                        ELSE event_type END AS event_type
+            FROM s1
+        ),
+        flagged AS (
+            {_drift_pair.format(batch=1, flags=_drift_flags,
+                                base=_prof.format(src='s0'),
+                                cur=_prof.format(src='s1'))}
+            UNION ALL
+            {_drift_pair.format(batch=2, flags=_drift_flags,
+                                base=_prof.format(src='s1'),
+                                cur=_prof.format(src='s2'))}
+        )
+        SELECT CAST(batch AS BIGINT) AS batch, "column",
+               rows_base, rows_cur, drift_flags,
+               CASE WHEN drift_flags = '' THEN 'ok' ELSE 'drift' END
+                   AS verdict
+        FROM flagged
+    """
+
     # Mirrors stats.robust_outlier_stats: exact scaled longs → median →
     # MAD → 1.4826·z·MAD threshold count (threshold literal shared via
     # repr so both engines multiply the identical double).
@@ -8423,6 +8549,25 @@ _SUFFIX_SPANS_CTE = r"""
 ORACLES["suffix_dedup"] = f"""
     WITH {_SUFFIX_SPANS_CTE}
     SELECT doc_id, span_start, span_end, span_len, n_windows FROM spans
+"""
+
+# The rewrite summary needs no string surgery: maximal spans are
+# non-overlapping, so chars_cut = sum(span_len) and len_dedup =
+# length(text) - chars_cut (the kernel asserts exactly this identity
+# in tests); clean docs left-join in with zeros.
+ORACLES["dedup_rewrite"] = f"""
+    WITH {_SUFFIX_SPANS_CTE},
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_cut, sum(span_len) AS chars_cut
+        FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_cut, 0) AS n_cut,
+           coalesce(p.chars_cut, 0) AS chars_cut,
+           CAST(length(d.text) - coalesce(p.chars_cut, 0) AS INT)
+               AS len_dedup
+    FROM documents d
+    LEFT JOIN per_doc p ON CAST(d.doc_id AS VARCHAR) = p.doc_id
 """
 
 ORACLES["suffix_gate"] = f"""
@@ -9599,6 +9744,29 @@ ORACLES["backfill_dated"] = """
     SELECT date, event_type, count(*) AS n
     FROM ev, mn WHERE date > d0
     GROUP BY 1, 2
+"""
+
+
+# The EWMA left-fold replayed as a recursive CTE: identical IEEE
+# operation order (alpha*v + (1-alpha)*prev over ts-ordered rows)
+# makes the final state bit-identical; round(,6) on both sides.
+ORACLES["streaming_ewma"] = """
+    WITH RECURSIVE src AS (
+        SELECT event_type AS channel, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY ts)
+                   AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events WHERE event_id < 500
+    ),
+    fold AS (
+        SELECT channel, rn, n, value AS ewma FROM src WHERE rn = 1
+        UNION ALL
+        SELECT s.channel, s.rn, s.n, 0.3 * s.value + 0.7 * f.ewma
+        FROM fold f JOIN src s ON s.channel = f.channel
+         AND s.rn = f.rn + 1
+    )
+    SELECT channel, round(ewma, 6) AS ewma, CAST(n AS BIGINT) AS n_samples
+    FROM fold WHERE rn = n
 """
 
 
