@@ -538,9 +538,9 @@ def q_trend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-channel Holt linear forecast (rows-only: the smoothing
-    recurrence is genuinely iterative — each step depends on the
-    previous state, so no SQL oracle exists): 6-hour resampled grid
+    """Per-channel Holt linear forecast (ORACLE-checked: the
+    sequential recurrence replays as a recursive-CTE fold with
+    identical IEEE operation order): 6-hour resampled grid
     per event_type (regular spacing) → grouped applyInPandas
     recurrence → 3-step-ahead forecasts.  Hand-computed recurrence
     tests pin the kernel (exact on linear series, flat on constants);
@@ -2035,8 +2035,9 @@ def q_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-channel additive Holt-Winters forecast (rows-only: triple-
-    exponential smoothing is iterative — no SQL oracle): 6-hour
+    """Per-channel additive Holt-Winters forecast (ORACLE-checked:
+    the triple-smoothing recurrence replays as a recursive-CTE fold,
+    seasonal state in four columns): 6-hour
     resampled grid per event_type → grouped applyInPandas recurrence
     with season m=4 (daily cycle on the 6 h grid) → 4-step forecasts.
     Hand-math anchor tests: exact on constant+periodic series for any
@@ -3036,8 +3037,9 @@ def q_sketch_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_streaming_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1–T4 in the graded loop (rows-only check — streaming isn't
-    SQL-expressible): a sample of events is written out as arrival
+    """T1–T4 in the graded loop (ORACLE-checked — the one-file-per-day
+    drain replays as per-day channel stats): a sample of events is
+    written out as arrival
     files, drained through the FilePipeline with AvailableNow, and the
     per-file channel stats collected from the KV sink are returned.
 
@@ -9768,6 +9770,200 @@ ORACLES["streaming_ewma"] = """
     SELECT channel, round(ewma, 6) AS ewma, CAST(n AS BIGINT) AS n_samples
     FROM fold WHERE rn = n
 """
+
+
+# The FilePipeline drain's KV rows replay as per-day channel stats
+# (one arrival file per day, stem fixed by the staging) formatted to
+# the same <stem>:<channel>:<metric> fields; double-to-string casts
+# agree on these magnitudes (cross-checked green).
+ORACLES["streaming_stats"] = """
+    WITH ev AS (
+        SELECT date_part('day', ts) AS d, event_type AS channel, value
+        FROM events
+        WHERE event_id < 2000 AND date_part('day', ts) IN (1, 2)
+    ),
+    st AS (
+        SELECT d, channel,
+               round(cast(sum(cast(value AS DECIMAL(27,6))) AS DOUBLE)
+                     / count(value), 3) AS mean,
+               round(min(value), 3) AS mn,
+               round(max(value), 3) AS mx
+        FROM ev GROUP BY d, channel
+    ),
+    kv AS (
+        SELECT d, channel, 'mean' AS metric, mean AS v FROM st
+        UNION ALL SELECT d, channel, 'min', mn FROM st
+        UNION ALL SELECT d, channel, 'max', mx FROM st
+    )
+    SELECT concat_ws(':',
+               'Logger1_2024-01-0' || CAST(d AS VARCHAR) || '_00-00-00.csv',
+               channel, metric) AS field,
+           CASE WHEN isnan(v) THEN '' ELSE CAST(v AS VARCHAR) END AS value
+    FROM kv
+"""
+
+
+_HOLT_STEP_US = 21_600_000_000
+_HOLT_GRID_CTE = f"""WITH RECURSIVE obs AS (
+        SELECT event_type, b, vs FROM (
+            SELECT event_type,
+                   epoch_us(ts) // {_HOLT_STEP_US} AS b,
+                   CAST(round(value * 1000000.0) AS BIGINT) AS vs,
+                   row_number() OVER (
+                       PARTITION BY event_type, epoch_us(ts) // {_HOLT_STEP_US}
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE NOT isnan(value)
+        ) WHERE rn = 1
+    ),
+    spans AS (
+        SELECT event_type, min(b) AS b0, max(b) AS b1 FROM obs GROUP BY 1
+    ),
+    grid AS (
+        SELECT event_type, unnest(generate_series(b0, b1)) AS b FROM spans
+    ),
+    filled AS (
+        SELECT g.event_type, g.b, o.vs
+        FROM grid g LEFT JOIN obs o USING (event_type, b)
+    ),
+    win AS (
+        SELECT event_type, b, vs,
+               last_value(CASE WHEN vs IS NOT NULL THEN b END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY b
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+               last_value(vs IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY b
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               first_value(CASE WHEN vs IS NOT NULL THEN b END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY b
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb,
+               first_value(vs IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY b
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+        FROM filled
+    ),
+    vals AS (
+        SELECT event_type, b,
+               CASE WHEN vs IS NOT NULL THEN {_rowmean_sql('vs', '1', 3)}
+                    WHEN pv IS NULL THEN {_rowmean_sql('nv', '1', 3)}
+                    WHEN nv IS NULL THEN {_rowmean_sql('pv', '1', 3)}
+                    ELSE {_rowmean_sql('pv * (nb - b) + nv * (b - pb)', 'nb - pb', 3)}
+               END AS value
+        FROM win
+    ),
+    g AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY b) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM vals
+    ),"""
+
+# Holt linear smoothing replayed as a recursive-CTE fold over the
+# 6-hour resampled grid: identical IEEE operation order (the level
+# expression is duplicated inside the trend update exactly as the
+# kernel computes it), textbook init (level=y0, trend=y1-y0).
+ORACLES["holt_forecast"] = f"""
+    {_HOLT_GRID_CTE}
+    init AS (
+        SELECT g0.event_type, g0.n, 1 AS t, g0.value AS lvl,
+               coalesce(g1.value - g0.value, 0.0) AS trend
+        FROM (SELECT * FROM g WHERE rn = 1) g0
+        LEFT JOIN (SELECT * FROM g WHERE rn = 2) g1
+          ON g1.event_type = g0.event_type
+    ),
+    fold AS (
+        SELECT event_type, n, t, lvl, trend FROM init
+        UNION ALL
+        SELECT f.event_type, f.n, f.t + 1,
+               0.5 * s.value + 0.5 * (f.lvl + f.trend),
+               0.3 * ((0.5 * s.value + 0.5 * (f.lvl + f.trend)) - f.lvl)
+                   + 0.7 * f.trend
+        FROM fold f JOIN g s ON s.event_type = f.event_type
+         AND s.rn = f.t + 1
+    )
+    SELECT event_type, CAST(h AS INT) AS step,
+           round(lvl + h * trend, 6) AS forecast,
+           round(lvl, 6) AS level,
+           round(trend, 6) AS trend
+    FROM fold, (SELECT unnest([1, 2, 3]) AS h)
+    WHERE t = n
+"""
+
+
+# Additive Holt-Winters (m=4) replayed over the same grid: seasonal
+# state rides four recursive-CTE columns, one slot updated per step
+# (slot = 0-based t % 4); init = first-season mean level, season-mean
+# trend, y[i]-level seasonals (the grid is always >= 2 seasons at
+# these SFs, so only the seasonal branch is mirrored).  IEEE order
+# matches the kernel exactly, including the duplicated new-level
+# expression inside the trend and seasonal updates.
+ORACLES["holt_winters"] = f"""
+    {{grid}}
+    first8 AS (
+        SELECT event_type,
+               max(CASE WHEN rn = 1 THEN value END) AS y1,
+               max(CASE WHEN rn = 2 THEN value END) AS y2,
+               max(CASE WHEN rn = 3 THEN value END) AS y3,
+               max(CASE WHEN rn = 4 THEN value END) AS y4,
+               max(CASE WHEN rn = 5 THEN value END) AS y5,
+               max(CASE WHEN rn = 6 THEN value END) AS y6,
+               max(CASE WHEN rn = 7 THEN value END) AS y7,
+               max(CASE WHEN rn = 8 THEN value END) AS y8,
+               max(n) AS n
+        FROM g WHERE rn <= 8 GROUP BY event_type
+    ),
+    init AS (
+        SELECT event_type, n, 4 AS t,
+               (y1 + y2 + y3 + y4) / 4.0 AS lvl,
+               ((y5 + y6 + y7 + y8) / 4.0 - (y1 + y2 + y3 + y4) / 4.0)
+                   / 4.0 AS trend,
+               y1 - (y1 + y2 + y3 + y4) / 4.0 AS s0,
+               y2 - (y1 + y2 + y3 + y4) / 4.0 AS s1,
+               y3 - (y1 + y2 + y3 + y4) / 4.0 AS s2,
+               y4 - (y1 + y2 + y3 + y4) / 4.0 AS s3
+        FROM first8
+    ),
+    fold AS (
+        SELECT event_type, n, t, lvl, trend, s0, s1, s2, s3 FROM init
+        UNION ALL
+        SELECT f.event_type, f.n, f.t + 1,
+               0.5 * (s.value - so.s_old) + 0.5 * (f.lvl + f.trend),
+               0.3 * ((0.5 * (s.value - so.s_old)
+                       + 0.5 * (f.lvl + f.trend)) - f.lvl) + 0.7 * f.trend,
+               CASE WHEN f.t % 4 = 0
+                    THEN 0.4 * (s.value - (0.5 * (s.value - so.s_old)
+                                 + 0.5 * (f.lvl + f.trend))) + 0.6 * so.s_old
+                    ELSE f.s0 END,
+               CASE WHEN f.t % 4 = 1
+                    THEN 0.4 * (s.value - (0.5 * (s.value - so.s_old)
+                                 + 0.5 * (f.lvl + f.trend))) + 0.6 * so.s_old
+                    ELSE f.s1 END,
+               CASE WHEN f.t % 4 = 2
+                    THEN 0.4 * (s.value - (0.5 * (s.value - so.s_old)
+                                 + 0.5 * (f.lvl + f.trend))) + 0.6 * so.s_old
+                    ELSE f.s2 END,
+               CASE WHEN f.t % 4 = 3
+                    THEN 0.4 * (s.value - (0.5 * (s.value - so.s_old)
+                                 + 0.5 * (f.lvl + f.trend))) + 0.6 * so.s_old
+                    ELSE f.s3 END
+        FROM fold f
+        JOIN g s ON s.event_type = f.event_type AND s.rn = f.t + 1
+        CROSS JOIN LATERAL (SELECT CASE f.t % 4
+            WHEN 0 THEN f.s0 WHEN 1 THEN f.s1
+            WHEN 2 THEN f.s2 ELSE f.s3 END AS s_old) so
+    )
+    SELECT event_type, CAST(h AS INT) AS step,
+           round(lvl + h * trend
+                 + CASE (n + h - 1) % 4
+                   WHEN 0 THEN s0 WHEN 1 THEN s1
+                   WHEN 2 THEN s2 ELSE s3 END, 6) AS forecast,
+           round(lvl, 6) AS level,
+           round(trend, 6) AS trend,
+           round(CASE (n + h - 1) % 4
+                 WHEN 0 THEN s0 WHEN 1 THEN s1
+                 WHEN 2 THEN s2 ELSE s3 END, 6) AS seasonal
+    FROM fold, (SELECT unnest([1, 2, 3, 4]) AS h)
+    WHERE t = n
+""".format(grid=_HOLT_GRID_CTE)
 
 
 # The streaming CUSUM summary is bit-identical to the batch operator
