@@ -4499,6 +4499,23 @@ def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware MMR rerank (similarity.mmr_rerank, Carbonell &
+    Goldstein 1998): each query's exact top-20 greedily reduced to 5
+    results by the all-integer objective 7·rel_q − 3·max_sim_q with
+    candidate-id tie-break — the redundancy-trading final stage of the
+    retrieval stack.  The oracle unrolls the 5 greedy steps as chained
+    arg_max CTEs over the identical quantized integers (the
+    train_classifier / bpe unrolling discipline)."""
+    from sparkgraft.operators.similarity import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mmr_rerank(
+        emb.filter(F.col("vec_id") < 8), emb,
+        k_candidates=20, k_select=5, lam_num=7, lam_den=10,
+    )
+
+
 def q_setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join via PPJoin prefix filtering
     (textops.setsim_join, Xiao et al. 2008) — the zero-false-negative
@@ -5292,6 +5309,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "version_cdc": q_version_cdc,
     # --- round 5: exact set-similarity join (PPJoin prefix filter) ---
     "setsim_pairs": q_setsim_pairs,
+    # --- round 5: MMR diversified rerank ---
+    "mmr_rerank": q_mmr_rerank,
     # --- round 5: KMV set-operation estimates (corpus overlap) ---
     "sketch_overlap": q_sketch_overlap,
     # --- round 5: versioned-table maintenance + streaming CDC/ingest ---
@@ -10023,6 +10042,46 @@ ORACLES["stream_cdc"] = """
     SELECT 1, change_type, cols, count(*)
     FROM cls WHERE change_type <> 'unchanged'
     GROUP BY change_type, cols
+"""
+
+
+# Mirrors q_mmr_rerank: the 5 greedy MMR steps unrolled as chained
+# arg_max CTEs over the identical quantized integers — the combined
+# key (obj + 1e7)*1e7 - id is injective, so arg_max is the exact
+# (objective desc, id asc) tie-broken pick.
+ORACLES["mmr_rerank"] = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id, round(list_sum(list_transform(generate_series(1, len(qv)), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
+        FROM c, q WHERE neighbor_id <> query_id
+    ),
+    topk AS (
+        SELECT query_id, neighbor_id, cos_sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+            FROM scored) WHERE rnk <= 20
+    ),
+    rel AS (SELECT query_id, neighbor_id,
+                   CAST(round(cos_sim * 1000000) AS BIGINT) AS rel_q
+            FROM topk),
+    pairsim AS (
+        SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+               CAST(round(round(list_sum(list_transform(generate_series(1, len(ea.embedding)), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+                    * 1000000) AS BIGINT) AS sim_q
+        FROM rel a
+        JOIN rel b ON a.query_id = b.query_id
+         AND a.neighbor_id <> b.neighbor_id
+        JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+        JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+    ),
+    s1 AS (SELECT query_id, arg_max(neighbor_id, (7 * rel_q + 10000000) * 10000000 - neighbor_id) AS c1 FROM rel GROUP BY query_id),
+    s2 AS (SELECT r.query_id, arg_max(r.neighbor_id, (7 * r.rel_q - 3 * coalesce(p1.sim_q, 0) + 10000000) * 10000000 - r.neighbor_id) AS c2 FROM rel r JOIN s1 ON s1.query_id = r.query_id LEFT JOIN pairsim p1 ON p1.query_id = r.query_id AND p1.id_a = r.neighbor_id AND p1.id_b = s1.c1 WHERE r.neighbor_id <> s1.c1 GROUP BY r.query_id),
+    s3 AS (SELECT r.query_id, arg_max(r.neighbor_id, (7 * r.rel_q - 3 * greatest(coalesce(p1.sim_q, 0), coalesce(p2.sim_q, 0)) + 10000000) * 10000000 - r.neighbor_id) AS c3 FROM rel r JOIN s1 ON s1.query_id = r.query_id JOIN s2 ON s2.query_id = r.query_id LEFT JOIN pairsim p1 ON p1.query_id = r.query_id AND p1.id_a = r.neighbor_id AND p1.id_b = s1.c1 LEFT JOIN pairsim p2 ON p2.query_id = r.query_id AND p2.id_a = r.neighbor_id AND p2.id_b = s2.c2 WHERE r.neighbor_id <> s1.c1 AND r.neighbor_id <> s2.c2 GROUP BY r.query_id),
+    s4 AS (SELECT r.query_id, arg_max(r.neighbor_id, (7 * r.rel_q - 3 * greatest(coalesce(p1.sim_q, 0), coalesce(p2.sim_q, 0), coalesce(p3.sim_q, 0)) + 10000000) * 10000000 - r.neighbor_id) AS c4 FROM rel r JOIN s1 ON s1.query_id = r.query_id JOIN s2 ON s2.query_id = r.query_id JOIN s3 ON s3.query_id = r.query_id LEFT JOIN pairsim p1 ON p1.query_id = r.query_id AND p1.id_a = r.neighbor_id AND p1.id_b = s1.c1 LEFT JOIN pairsim p2 ON p2.query_id = r.query_id AND p2.id_a = r.neighbor_id AND p2.id_b = s2.c2 LEFT JOIN pairsim p3 ON p3.query_id = r.query_id AND p3.id_a = r.neighbor_id AND p3.id_b = s3.c3 WHERE r.neighbor_id <> s1.c1 AND r.neighbor_id <> s2.c2 AND r.neighbor_id <> s3.c3 GROUP BY r.query_id),
+    s5 AS (SELECT r.query_id, arg_max(r.neighbor_id, (7 * r.rel_q - 3 * greatest(coalesce(p1.sim_q, 0), coalesce(p2.sim_q, 0), coalesce(p3.sim_q, 0), coalesce(p4.sim_q, 0)) + 10000000) * 10000000 - r.neighbor_id) AS c5 FROM rel r JOIN s1 ON s1.query_id = r.query_id JOIN s2 ON s2.query_id = r.query_id JOIN s3 ON s3.query_id = r.query_id JOIN s4 ON s4.query_id = r.query_id LEFT JOIN pairsim p1 ON p1.query_id = r.query_id AND p1.id_a = r.neighbor_id AND p1.id_b = s1.c1 LEFT JOIN pairsim p2 ON p2.query_id = r.query_id AND p2.id_a = r.neighbor_id AND p2.id_b = s2.c2 LEFT JOIN pairsim p3 ON p3.query_id = r.query_id AND p3.id_a = r.neighbor_id AND p3.id_b = s3.c3 LEFT JOIN pairsim p4 ON p4.query_id = r.query_id AND p4.id_a = r.neighbor_id AND p4.id_b = s4.c4 WHERE r.neighbor_id <> s1.c1 AND r.neighbor_id <> s2.c2 AND r.neighbor_id <> s3.c3 AND r.neighbor_id <> s4.c4 GROUP BY r.query_id)
+    SELECT query_id, c1 AS neighbor_id, CAST(1 AS INT) AS mmr_rank FROM s1 UNION ALL SELECT query_id, c2 AS neighbor_id, CAST(2 AS INT) AS mmr_rank FROM s2 UNION ALL SELECT query_id, c3 AS neighbor_id, CAST(3 AS INT) AS mmr_rank FROM s3 UNION ALL SELECT query_id, c4 AS neighbor_id, CAST(4 AS INT) AS mmr_rank FROM s4 UNION ALL SELECT query_id, c5 AS neighbor_id, CAST(5 AS INT) AS mmr_rank FROM s5
 """
 
 

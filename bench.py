@@ -181,6 +181,7 @@ HEADLINE = [
     "stream_ingest",
     "setsim_pairs",
     "sketch_overlap",
+    "mmr_rerank",
 ]
 
 

@@ -101,7 +101,16 @@ def main(sf_dir: str) -> None:
         (r["d_doc"], r["maxsim"], r["rnk"]) for r in reranked.collect()
     ]
 
-    # 6. Hard-negative mining for the NEXT reranker's training set:
+    # 6. MMR diversification: the final list trades relevance against
+    # redundancy so a cluster of near-identical chunks can't fill the
+    # result — the all-integer greedy objective is oracle-replayable.
+    diversified = sg.mmr_rerank(
+        emb.filter(F.col("vec_id") < 2), emb,
+        k_candidates=10, k_select=5, lam_num=5, lam_den=10,
+    )
+    n_mmr = diversified.count()
+
+    # 7. Hard-negative mining for the NEXT reranker's training set:
     # per query vector, the most-similar other-label candidates below
     # the near-dup ceiling — similar-but-wrong pairs.
     hard = sg.hard_negative_topk(
@@ -112,7 +121,8 @@ def main(sf_dir: str) -> None:
     print(
         f"chunks={n_chunks} | lexical_top20={lex.count()} | "
         f"semantic_top20={sem_q0.count()} | fused_top10={fused_ids} | "
-        f"maxsim_top5={top} | hard_negatives={n_hard}"
+        f"maxsim_top5={top} | mmr_diversified={n_mmr} | "
+        f"hard_negatives={n_hard}"
     )
     spark.stop()
 

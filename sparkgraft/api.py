@@ -114,6 +114,7 @@ from sparkgraft.operators.scale import (
 )
 from sparkgraft.operators.similarity import (
     maxsim_rerank,
+    mmr_rerank,
     assign_nearest,
     assign_nearest_multi,
     assign_nearest_pandas,

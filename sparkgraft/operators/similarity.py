@@ -1392,3 +1392,114 @@ def hard_negative_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k_candidates: int = 20,
+    k_select: int = 5,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998):
+    from each query's exact top-``k_candidates``, greedily select
+    ``k_select`` results trading relevance against redundancy —
+    argmax of ``lam·rel − (1−lam)·max_sim_to_selected`` per step.
+    The diversity-aware final stage of a retrieval stack (after
+    BM25/ANN/RRF/MaxSim, which all optimize pure relevance).
+
+    Engine-portable determinism: relevance and pairwise similarities
+    quantize to 10^digits integers (HALF-UP), the objective is the
+    all-integer ``lam_num·rel_q − (lam_den−lam_num)·pen_q`` with
+    candidate id as the final tie-break — a total order the unrolled
+    SQL oracle replays exactly.
+
+    Scale shape: candidate generation is the existing broadcast top-k;
+    pairwise sims are per-query k² pairs (k=20 → 380 rows/query),
+    computed with the same JVM cosine expression as relevance — the
+    Python kernel only runs the k_select-step greedy over those
+    integers (bounded per-query work, no floats cross the boundary).
+    Output ``(query_id, neighbor_id, mmr_rank)``.
+    """
+    import pandas as pd
+
+    scale = 10**digits
+    topk = brute_force_topk(
+        queries, candidates, k_candidates, id_col, vec_col, digits
+    )
+    rel = topk.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("cos_sim") * scale).cast("long").alias("rel_q"),
+    )
+    emb = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    a = rel.join(emb, "neighbor_id").select(
+        "query_id",
+        F.col("neighbor_id").alias("id_a"),
+        F.col("rel_q").alias("rel_a"),
+        F.col("cv").alias("va"),
+    )
+    b = rel.join(emb, "neighbor_id").select(
+        "query_id",
+        F.col("neighbor_id").alias("id_b"),
+        F.col("cv").alias("vb"),
+    )
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "query_id",
+            "id_a",
+            "rel_a",
+            "id_b",
+            F.round(F.round(cosine(F.col("va"), F.col("vb")), digits) * scale)
+            .cast("long")
+            .alias("sim_q"),
+        )
+    )
+    # rel-only rows keep single-candidate queries alive in the kernel
+    solo = a.select(
+        "query_id", "id_a", "rel_a",
+        F.lit(None).cast("long").alias("id_b"),
+        F.lit(None).cast("long").alias("sim_q"),
+    )
+    src = pairs.unionByName(solo)
+    pen_w = lam_den - lam_num
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        rels: dict[int, int] = {}
+        sims: dict[tuple[int, int], int] = {}
+        qid = pdf["query_id"].iloc[0]
+        for r in pdf.itertuples(index=False):
+            rels[int(r.id_a)] = int(r.rel_a)
+            if r.id_b is not None and not pd.isna(r.id_b):
+                sims[(int(r.id_a), int(r.id_b))] = int(r.sim_q)
+        selected: list[int] = []
+        remaining = set(rels)
+        out = []
+        while remaining and len(selected) < k_select:
+            best_key, best_id = None, None
+            for c in remaining:
+                pen = max(
+                    (sims.get((c, s), 0) for s in selected), default=0
+                )
+                obj = lam_num * rels[c] - pen_w * pen
+                key = (obj, -c)  # obj desc, id asc
+                if best_key is None or key > best_key:
+                    best_key, best_id = key, c
+            selected.append(best_id)
+            remaining.discard(best_id)
+            out.append((qid, best_id, len(selected)))
+        return pd.DataFrame(
+            out, columns=["query_id", "neighbor_id", "mmr_rank"]
+        )
+
+    return src.groupBy("query_id").applyInPandas(
+        greedy, "query_id long, neighbor_id long, mmr_rank int"
+    )

@@ -484,3 +484,34 @@ def test_hard_negative_topk_excludes_same_label_and_neardups(spark):
         ).orderBy("rnk").collect()
     ]
     assert got == [(3, 1), (4, 2)]  # 1 (same label) and 2 (near-dup) gone
+
+
+def test_mmr_rerank_trades_redundancy_for_diversity(spark):
+    """A near-duplicate high-relevance cluster must not fill the MMR
+    list: after the first pick, the redundancy penalty promotes the
+    diverse lower-relevance candidate."""
+    from sparkgraft.operators.similarity import mmr_rerank
+
+    import math
+
+    def unit(vec):
+        n = math.sqrt(sum(x * x for x in vec))
+        return [x / n for x in vec]
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    a = unit([0.99, 0.14, 0.0, 0.0])     # rel ~0.990
+    a2 = unit([0.99, 0.141, 0.0, 0.0])   # near-twin of a
+    b = unit([0.8, 0.0, 0.6, 0.0])       # rel 0.8, diverse
+    rows = [(0, q), (10, a), (11, a2), (12, b)]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    out = mmr_rerank(
+        emb.filter("vec_id = 0"), emb.filter("vec_id > 0"),
+        k_candidates=3, k_select=3, lam_num=5, lam_den=10,
+    )
+    ranked = [r["neighbor_id"] for r in
+              sorted(out.collect(), key=lambda r: r["mmr_rank"])]
+    # pure relevance order would be [10, 11, 12]; MMR demotes the twin
+    assert ranked[0] == 10 and ranked[1] == 12 and ranked[2] == 11
