@@ -3197,13 +3197,23 @@ def q_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(f"{tmp}/in", exist_ok=True)
     b1 = docs[:40]
     b2 = [(f"re_{i}", t) for i, t in b1[:20]] + docs[40:]
-    for name, rows in (("batch_1", b1), ("batch_2", b2)):
+    for n_batch, (name, rows) in enumerate(
+        (("batch_1", b1), ("batch_2", b2))
+    ):
         with open(f"{tmp}/in/{name}.json", "w") as fh:
             fh.write(
                 "\n".join(
                     _json.dumps({"doc_id": i, "text": t}) for i, t in rows
                 )
             )
+        # Distinct ascending mtimes pin the (order-sensitive) batch
+        # order — same-millisecond writes otherwise let the file
+        # source flip which file is batch 0 (the CUSUM fixture
+        # lesson; caught by the oracle-parity test going flaky).
+        os.utime(
+            f"{tmp}/in/{name}.json",
+            (1700000000 + n_batch, 1700000000 + n_batch),
+        )
     got: dict[int, tuple[int, int]] = {}
 
     def sink(df, batch_id):
