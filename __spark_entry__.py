@@ -1992,6 +1992,29 @@ def q_span_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped span-table cache (round-5 verdict task): the
+    suffix family (suffix_dedup / suffix_gate / dedup_rewrite) all
+    consume ``exact_substring_spans(documents, min_len=25)`` — the
+    spans are n_shards-invariant (sharding only groups docs; the
+    duplicate count is global by hash), so ONE localCheckpointed table
+    serves all three and the window-hash Arrow kernel runs once per
+    (session, sf_dir) instead of once per consumer.  localCheckpoint
+    is session-bound, so the key carries id(spark) — the 3-element
+    _FIXTURE_CACHE discipline the determinism audit clears between
+    sessions."""
+    key = ("suffix_spans25", sf_dir, id(spark))
+    spans = _FIXTURE_CACHE.get(key)
+    if spans is None:
+        from sparkgraft.operators import suffixdedup as SFX
+
+        spans = SFX.exact_substring_spans(
+            _t(spark, sf_dir, "documents"), min_len=25, n_shards=16
+        ).localCheckpoint()
+        _FIXTURE_CACHE[key] = spans
+    return spans
+
+
 def q_suffix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-granular exact substring dedup (the suffix-array-class
     surface, Lee et al. 2022): maximal merged spans of positions covered
@@ -1999,25 +2022,23 @@ def q_suffix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas rolling-hash windows (text never shuffles; windows
     travel as int64 hashes), in-shard duplicates confirmed without the
     global count, cross-shard reconciliation on in-shard singletons
-    only, gaps-and-islands span merge."""
-    from sparkgraft.operators import suffixdedup as SFX
-
-    return SFX.exact_substring_spans(
-        _t(spark, sf_dir, "documents"), min_len=25, n_shards=16
-    )
+    only, gaps-and-islands span merge.  Served from the session span
+    cache shared with suffix_gate/dedup_rewrite."""
+    return _suffix_spans(spark, sf_dir)
 
 
 def q_suffix_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document substring-duplication profile + keep/drop gate over
     the suffix_dedup spans: span count, covered chars, longest span,
-    covered fraction (4 dp), keep iff fraction <= 0.30."""
+    covered fraction (4 dp), keep iff fraction <= 0.30.  Consumes the
+    cached span table — no second kernel pass."""
     from sparkgraft.operators import suffixdedup as SFX
 
     return SFX.substring_dedup_stats(
         _t(spark, sf_dir, "documents"),
         min_len=25,
-        n_shards=16,
         max_coverage=0.30,
+        spans=_suffix_spans(spark, sf_dir),
     )
 
 
@@ -2117,11 +2138,14 @@ def q_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum(span_len)): every maximal duplicated character span removed
     from its document, remainder stitched — per doc the cut count,
     characters removed, and deduped length.  Detection → gate →
-    rewrite completes the Lee et al. 2022 pipeline."""
+    rewrite completes the Lee et al. 2022 pipeline.  Consumes the
+    cached span table — no second kernel pass."""
     from sparkgraft.operators.suffixdedup import remove_duplicated_spans
 
     docs = _t(spark, sf_dir, "documents")
-    out = remove_duplicated_spans(docs, min_len=25, n_shards=8)
+    out = remove_duplicated_spans(
+        docs, min_len=25, spans=_suffix_spans(spark, sf_dir)
+    )
     return out.select(
         "doc_id",
         "n_cut",
@@ -4997,6 +5021,106 @@ def q_versioned_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tv_leg.unionByName(cdc_leg).unionByName(pruned_leg)
 
 
+def q_lakehouse_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skipping ∘ versioning merged witness (merge-rule round 5, per
+    the round-5 verdict): data_skipping's (range, bloom) prune legs and
+    versioned_reads' (travel, cdc, pruned) time-travel legs under ONE
+    method-tagged 5-column shape — all five legs are prune-or-manifest
+    reads whose superset/exactness contracts keep the plain-SQL union
+    oracle exact.  The component witnesses stay oracle-checked at
+    51+."""
+    ds = q_data_skipping(spark, sf_dir)
+    vr = q_versioned_reads(spark, sf_dir).select(
+        "method",
+        "key",
+        # counts are < 2^53: exact as double
+        F.col("n").cast("double").alias("v1"),
+        F.col("amount").alias("v2"),
+        F.lit(None).cast("double").alias("v3"),
+    )
+    return ds.unionByName(vr)
+
+
+def q_stats_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-windowed + A6 merged witness (merge-rule round 5): the
+    10-minute tumbling-window channel stats and the full extended
+    metric set share one wide method-tagged shape — 'win' rows carry
+    (mean, mn, mx) per (channel, window), 'ext' rows carry the full
+    (mean, mn, mx, std, p50, p90, n_rows, n_nans) per channel.  The
+    component witnesses stay oracle-checked at 51+."""
+    win = q_windowed_stats(spark, sf_dir)
+    ext = q_extended_stats(spark, sf_dir)
+    null_d = F.lit(None).cast("double")
+    win_leg = win.select(
+        F.lit("win").alias("method"),
+        F.col("event_type").alias("channel"),
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("item"),
+        "mean",
+        F.col("min").alias("mn"),
+        F.col("max").alias("mx"),
+        null_d.alias("std"),
+        null_d.alias("p50"),
+        null_d.alias("p90"),
+        F.lit(None).cast("long").alias("n_rows"),
+        F.lit(None).cast("long").alias("n_nans"),
+    )
+    ext_leg = ext.select(
+        F.lit("ext").alias("method"),
+        F.col("event_type").alias("channel"),
+        F.lit(None).cast("string").alias("item"),
+        "mean",
+        F.col("min").alias("mn"),
+        F.col("max").alias("mx"),
+        "std",
+        "p50",
+        "p90",
+        "n_rows",
+        "n_nans",
+    )
+    return win_leg.unionByName(ext_leg)
+
+
+def q_scalar_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F4/F6/F8/F11 merged scalar witness (merge-rule round 5):
+    the scalar_functions battery and the time_projections battery are
+    both per-event row-level projections, so the merged witness is ONE
+    projection computing all nine derived columns in a single pass —
+    no union, no join.  The component witnesses stay oracle-checked at
+    51+.  (CPU-bound sha256/regex: repartition off the single-file
+    scan so it parallelizes — row-level ops, result unchanged.)"""
+    events = _t(spark, sf_dir, "events")
+    events = events.repartition(spark.sparkContext.defaultParallelism)
+    df = events.select(
+        "event_id",
+        "ts",
+        "value",
+        F.concat(
+            F.lit("Logger1_"),
+            F.date_format("ts", "yyyy-MM-dd_HH-mm-ss"),
+            F.lit(".dat"),
+        ).alias("fname"),
+        F.regexp_replace(
+            F.regexp_replace(F.format_number("value", 2), ",", ""),
+            r"\.",
+            ",",
+        ).alias("vstr"),
+    )
+    return df.select(
+        "event_id",
+        E.filename_timestamp(F.col("fname")).alias("fname_ts"),
+        E.timestamp_to_ole(F.col("ts")).alias("ole_days"),
+        E.ole_to_timestamp(
+            F.floor(E.timestamp_to_ole(F.col("ts"))).cast("double")
+        ).alias("ole_midnight"),
+        E.comma_decimal(F.col("vstr")).alias("value_parsed"),
+        E.content_id(
+            F.col("event_id").cast("string"), F.col("fname")
+        ).alias("content_id"),
+        *E.time_parts(F.col("ts")),
+        E.window_end_berlin(F.col("ts")).alias("window_end_berlin"),
+    )
+
+
 def q_timeseries_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series merged witness: grid resampling with exact
     fixed-point interpolation (resample) and LOCF time-weighted
@@ -5062,8 +5186,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # cusum_shift plus the two merged data-management witnesses.  No
     # sole §2/LLM witness evicted; all demoted queries stay
     # oracle-checked at 51+.
-    "windowed_stats": q_windowed_stats,
-    "extended_stats": q_extended_stats,
+    # Round-6 window reshuffle (merge-rule round 5, per the round-5
+    # verdict): windowed_stats+extended_stats → stats_panel,
+    # scalar_functions+time_projections → scalar_panel (one row-level
+    # projection), data_skipping+versioned_reads → lakehouse_reads —
+    # freeing three slots for the round-5 lakehouse/similarity
+    # flagships versioned_merge (COW DELETE+MERGE algebra), stream_cdc
+    # (the streaming CDC/IVM loop), and setsim_pairs (the exact
+    # set-similarity join).  No sole §2/LLM witness evicted; every §2
+    # row the merged components witnessed keeps its in-window witness
+    # inside the merged query, and all demoted queries stay
+    # oracle-checked at 51+.
+    "stats_panel": q_stats_panel,
     "latest_per_user": q_latest_per_user,
     "top_per_group": q_top_per_group,
     "broadcast_lookup": q_broadcast_lookup,
@@ -5073,7 +5207,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_deltas": q_window_deltas,
     "set_ops": q_set_ops,
     "dedup_exact": q_dedup_exact,
-    "scalar_functions": q_scalar_functions,
+    "scalar_panel": q_scalar_panel,
     "alignment_gate": q_alignment_gate,
     "transient_skip": q_transient_skip,
     # Round-4 second-session merge: the KV projection + the register
@@ -5094,7 +5228,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # latest_fallback, P2 via kv_projection) — it moves to 51+ and the
     # freed slot carries the Gopher rule-based quality gate.
     "gopher_gate": q_gopher_gate,
-    "time_projections": q_time_projections,
     "latest_fallback": q_latest_fallback,
     "event_store_dedup": q_event_store_dedup,
     # --- LLM-data-pipeline first-class set ---
@@ -5138,13 +5271,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_lm": q_ngram_lm,
     "split_leakage": q_split_leakage,
     "hybrid_rrf": q_hybrid_rrf,
-    # --- round-5 promotions: merged data-management witnesses + the
-    # round-4 flagship classes that only had local-mirror evidence ---
-    "data_skipping": q_data_skipping,
-    "versioned_reads": q_versioned_reads,
+    # --- round-5 promotions: the round-4 flagship classes that only
+    # had local-mirror evidence ---
     "sequence_count": q_sequence_count,
     "entity_resolution": q_entity_resolution,
     "cusum_shift": q_cusum,
+    # --- round-6 promotions: the skipping∘versioning merged witness +
+    # the round-5 lakehouse/similarity flagships ---
+    "lakehouse_reads": q_lakehouse_reads,
+    "versioned_merge": q_versioned_merge,
+    "stream_cdc": q_stream_cdc,
+    "setsim_pairs": q_setsim_pairs,
     # ---- position 51+: second witnesses / engine extras --------------------
     # (first in line if the driver window ever widens.  The round-4
     # demotions lead — each §2/LLM row they witnessed keeps an
@@ -5160,6 +5297,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # leg, survivorship via entity_resolution, resample/TWA via
     # timeseries_interp, skipping via data_skipping, versioning via
     # versioned_reads).
+    # Round-6 demotions (merge-rule round 5): every row each one
+    # witnessed keeps its in-window witness inside the merged query —
+    # A1-windowed/§2.5-frames + A6 via stats_panel, F1/F2/F6/F8 +
+    # F4/F11 via scalar_panel, skipping + versioning/CDC via
+    # lakehouse_reads.
+    "windowed_stats": q_windowed_stats,
+    "extended_stats": q_extended_stats,
+    "scalar_functions": q_scalar_functions,
+    "time_projections": q_time_projections,
+    "data_skipping": q_data_skipping,
+    "versioned_reads": q_versioned_reads,
     "top_orders": q_top_orders,
     "report_rows": q_report_rows,
     "report_meta": q_report_meta,
@@ -5317,15 +5465,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_exists_agg": q_sql_exists_agg,
     "pseudonymize": q_pseudonymize,
     "version_cdc": q_version_cdc,
-    # --- round 5: exact set-similarity join (PPJoin prefix filter) ---
-    "setsim_pairs": q_setsim_pairs,
     # --- round 5: MMR diversified rerank ---
     "mmr_rerank": q_mmr_rerank,
     # --- round 5: KMV set-operation estimates (corpus overlap) ---
     "sketch_overlap": q_sketch_overlap,
-    # --- round 5: versioned-table maintenance + streaming CDC/ingest ---
-    "versioned_merge": q_versioned_merge,
-    "stream_cdc": q_stream_cdc,
+    # --- round 5: versioned-table streaming ingest + IVM (setsim_pairs,
+    # versioned_merge, stream_cdc promoted in-window in round 6) ---
     "stream_ingest": q_stream_ingest,
     "materialized_view": q_materialized_view,
 }
@@ -10182,6 +10327,57 @@ ORACLES["versioned_reads"] = (
     " FROM orders WHERE o_orderkey % 4 IN (0, 1)"
     " AND o_orderkey BETWEEN 1000 AND 5000"
 )
+
+# --- Round-6 merged-witness oracles (merge-rule round 5): each is the
+# plain UNION ALL of its component oracles projected to the shared
+# shape — built by string concatenation (component SQL carries literal
+# regex braces that break f-strings).
+
+ORACLES["lakehouse_reads"] = (
+    ORACLES["data_skipping"]
+    + " UNION ALL SELECT method, key, CAST(n AS DOUBLE) AS v1,"
+    " amount AS v2, CAST(NULL AS DOUBLE) AS v3 FROM ("
+    + ORACLES["versioned_reads"]
+    + ")"
+)
+
+ORACLES["stats_panel"] = (
+    "SELECT 'win' AS method, event_type AS channel,"
+    " strftime(window_start, '%Y-%m-%d %H:%M:%S') AS item,"
+    ' mean, "min" AS mn, "max" AS mx,'
+    " CAST(NULL AS DOUBLE) AS std, CAST(NULL AS DOUBLE) AS p50,"
+    " CAST(NULL AS DOUBLE) AS p90, CAST(NULL AS BIGINT) AS n_rows,"
+    " CAST(NULL AS BIGINT) AS n_nans FROM ("
+    + ORACLES["windowed_stats"]
+    + ") UNION ALL "
+    'SELECT \'ext\', event_type, CAST(NULL AS VARCHAR), mean, "min",'
+    ' "max", std, p50, p90, CAST(n_rows AS BIGINT),'
+    " CAST(n_nans AS BIGINT) FROM ("
+    + ORACLES["extended_stats"]
+    + ")"
+)
+
+ORACLES["scalar_panel"] = r"""
+    WITH base AS (
+        SELECT event_id, ts, value,
+               'Logger1_' || strftime(ts, '%Y-%m-%d_%H-%M-%S') || '.dat' AS fname,
+               replace(format('{:.2f}', value), '.', ',') AS vstr
+        FROM events
+    )
+    SELECT event_id,
+           strptime(regexp_extract(fname, '(\d{4}-\d{2}-\d{2})_(\d{2}-\d{2}-\d{2})', 1) || ' ' ||
+                    regexp_extract(fname, '(\d{4}-\d{2}-\d{2})_(\d{2}-\d{2}-\d{2})', 2),
+                    '%Y-%m-%d %H-%M-%S') AS fname_ts,
+           cast(epoch_us(ts) + 2209161600000000 AS DOUBLE) / 86400000000.0 AS ole_days,
+           to_timestamp(floor((epoch(ts) + 2209161600) / 86400.0) * 86400 - 2209161600)::TIMESTAMP AS ole_midnight,
+           cast(replace(vstr, ',', '.') AS DOUBLE) AS value_parsed,
+           substr(sha256(cast(event_id AS VARCHAR) || '|' || fname), 1, 16) AS content_id,
+           strftime(ts, '%Y-%m-%d') AS "Datum",
+           strftime(ts, '%H:%M:%S') AS "Uhrzeit",
+           CAST(floor((epoch_us(ts) % 1000000) / 1000) AS BIGINT) AS "Millisekunden",
+           ts + INTERVAL 70 MINUTE AS window_end_berlin
+    FROM base
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -182,6 +182,15 @@ HEADLINE = [
     "setsim_pairs",
     "sketch_overlap",
     "mmr_rerank",
+    "stream_cdc",
+    # round-6 merged driver-window witnesses (components stay benched
+    # above) + new oracle queries
+    "stats_panel",
+    "scalar_panel",
+    "lakehouse_reads",
+    "suffix_budget",
+    "expectations_gate",
+    "merge_stream",
 ]
 
 
@@ -204,6 +213,37 @@ def _calibration_probe(spark) -> float:
     return round(min(once(), once()), 3)
 
 
+def _arrow_calibration_probe(spark) -> float:
+    """Second fixed-work probe, PYTHON-WORKER-side (round-5 verdict
+    task): a constant 320k-row / 32-group applyInPandas pass through
+    Arrow, so contention in the pyspark worker pool — invisible to the
+    JVM probe — is also machine-distinguishable.  The r5 driver run
+    had loadavg 3.87 at start with a clean JVM probe, and exactly the
+    Arrow-kernel-heavy queries (suffix family) inflated 40-85%; this
+    probe would have flagged it.  Warmed (worker spin-up + Arrow
+    codepath) then best-of-2.  Idle 32-CPU reference for this box:
+    ~0.2-0.5 s."""
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf["v"].astype("float64")
+        for _ in range(50):  # fixed numpy work per group
+            s = (s * 1.000001 + 1.0) % 1_000_003.0
+        return pd.DataFrame({"g": [int(pdf["g"].iloc[0])], "s": [float(s.sum())]})
+
+    base = spark.range(320_000).selectExpr("id % 32 as g", "cast(id as double) as v")
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        base.groupBy("g").applyInPandas(kernel, "g long, s double").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    once()  # warm
+    return round(min(once(), once()), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -220,6 +260,7 @@ def main() -> None:
 
     load_before = os.getloadavg()
     calib_before = _calibration_probe(spark)
+    calib_arrow_before = _arrow_calibration_probe(spark)
 
     # Untimed warm-up pass over EVERY headline query: one-time
     # session artifacts (staged skipping tables + Bloom manifests,
@@ -247,6 +288,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     calib_after = _calibration_probe(spark)
+    calib_arrow_after = _arrow_calibration_probe(spark)
     load_after = os.getloadavg()
 
     total = round(sum(timings.values()), 3)
@@ -267,6 +309,11 @@ def main() -> None:
                 "loadavg_after": [round(x, 2) for x in load_after],
                 "calibration_sec_before": calib_before,
                 "calibration_sec_after": calib_after,
+                # Arrow/python-worker twin probe: JVM probe clean but
+                # this one inflated => python-side contention (the r5
+                # suffix-family blind spot).  Idle reference ~0.2-0.5 s.
+                "calibration_arrow_sec_before": calib_arrow_before,
+                "calibration_arrow_sec_after": calib_arrow_after,
                 "warmup_sec": warmup_sec,
             }
         )

@@ -288,15 +288,23 @@ def substring_dedup_stats(
     n_shards: int = 8,
     max_coverage: float = 0.5,
     stride: int = 1,
+    spans: "DataFrame | None" = None,
 ) -> DataFrame:
     """Per-document duplication profile + keep/drop gate: span count,
     covered characters, longest span, covered fraction (4 decimals),
     ``keep = covered fraction <= max_coverage``.  Left join back to the
     corpus so clean documents appear with zeros — the downstream filter
-    is a single ``WHERE keep``."""
-    spans = exact_substring_spans(
-        docs, id_col, text_col, min_len, n_shards, stride
-    )
+    is a single ``WHERE keep``.
+
+    ``spans``: a precomputed :func:`exact_substring_spans` table over
+    the same corpus/min_len (e.g. checkpointed once and shared across
+    the detect/gate/rewrite stages so the window-hash kernel runs one
+    time, not once per consumer — the session span-table cache
+    discipline).  Output is identical either way."""
+    if spans is None:
+        spans = exact_substring_spans(
+            docs, id_col, text_col, min_len, n_shards, stride
+        )
     per_doc = spans.groupBy(id_col).agg(
         F.count("*").alias("n_spans"),
         F.sum("span_len").alias("dup_chars"),
@@ -532,6 +540,7 @@ def remove_duplicated_spans(
     text_col: str = "text",
     min_len: int = 25,
     n_shards: int = 8,
+    spans: "DataFrame | None" = None,
 ) -> DataFrame:
     """The REWRITE step of ExactSubstr dedup (Lee et al. 2022,
     deduplicate-text-datasets `self-deduplicate`): cut every maximal
@@ -545,10 +554,17 @@ def remove_duplicated_spans(
     side carries text), and an Arrow kernel applies the cuts.  Output:
     ``(doc_id, text_dedup, n_cut, chars_cut)``; docs with no
     duplicated span pass through unchanged.
+
+    ``spans``: optional precomputed :func:`exact_substring_spans`
+    table (see substring_dedup_stats) — lets detect → gate → rewrite
+    share ONE kernel pass.
     """
     import pandas as pd
 
-    spans = exact_substring_spans(docs, id_col, text_col, min_len, n_shards)
+    if spans is None:
+        spans = exact_substring_spans(
+            docs, id_col, text_col, min_len, n_shards
+        )
     cuts = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("cuts")
     )

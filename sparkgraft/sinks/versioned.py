@@ -161,6 +161,11 @@ def _land_files(
 
         key = F.col(sort_col)
         w = df.repartitionByRange(n_files or 4, key).sortWithinPartitions(key)
+    elif n_files is not None:
+        # n_files without sort_col still bounds the file count (the
+        # small-files intent, e.g. a quarantine commit) — coalesce is
+        # deterministic (no shuffle), landing AT MOST n_files files.
+        w = df.coalesce(n_files)
     w.write.mode("overwrite").parquet(staging)
     files = []
     n = 0
@@ -192,7 +197,15 @@ def _commit(
     """Commit metadata for an already-landed version: stats (new files
     computed fresh, carried files' rows copied from the parent stats
     table) land before the manifest, the manifest before the pointer
-    flip — each step atomic via ``os.replace``."""
+    flip — each step atomic via ``os.replace``.
+
+    Coverage invariant: when ``stats_cols`` is set, the committed stats
+    table covers EVERY file in the manifest.  Carried files whose
+    parent stats are missing, incomplete, or computed over different
+    columns get their stats recomputed here (one scan of exactly those
+    files) instead of silently committing a manifest that claims stats
+    coverage it doesn't have — read_versioned_skipping's superset
+    guarantee and stats_summary's exactness both depend on it."""
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     if stats_cols:
         from pyspark.sql import functions as F
@@ -200,18 +213,40 @@ def _commit(
         stats = None
         if new_files:
             stats = _file_stats(spark, table_dir, new_files, list(stats_cols))
-        if (
-            carried_files
-            and parent is not None
-            and os.path.exists(_stats_path(table_dir, parent))
-        ):
-            parent_stats = spark.read.parquet(
+        if carried_files:
+            carried_stats = None
+            missing = list(carried_files)
+            if parent is not None and os.path.exists(
                 _stats_path(table_dir, parent)
-            ).filter(F.col("file").isin(carried_files))
+            ):
+                parent_cols = _read_manifest(table_dir, parent).get(
+                    "stats_cols"
+                )
+                if parent_cols == list(stats_cols):
+                    parent_stats = spark.read.parquet(
+                        _stats_path(table_dir, parent)
+                    ).filter(F.col("file").isin(carried_files))
+                    # bounded collect: one row per carried file
+                    have = {
+                        r["file"]
+                        for r in parent_stats.select("file").collect()
+                    }
+                    missing = [f for f in carried_files if f not in have]
+                    if len(missing) < len(carried_files):
+                        carried_stats = parent_stats
+            if missing:
+                fresh = _file_stats(
+                    spark, table_dir, missing, list(stats_cols)
+                )
+                carried_stats = (
+                    fresh
+                    if carried_stats is None
+                    else carried_stats.unionByName(fresh)
+                )
             stats = (
-                parent_stats
+                carried_stats
                 if stats is None
-                else parent_stats.unionByName(stats)
+                else carried_stats.unionByName(stats)
             )
         if stats is not None:
             stats.write.mode("overwrite").parquet(
@@ -410,12 +445,33 @@ def upsert_versioned(
     ``stats_keep`` to prune on a custom predicate; it must
     over-approximate "this file may contain a source key" (soundness
     contract — an untouched file with a source key would silently skip
-    the update)."""
+    the update).
+
+    Source keys must be UNIQUE (Delta parity: MERGE errors when a
+    target row matches multiple source rows) — duplicates raise
+    instead of silently committing duplicate key rows; pre-dedup with
+    an explicit rule (merge_sink keeps the newest per key by its order
+    column).  NULL source keys never match a target row (SQL equality)
+    and INSERT alongside any existing NULL-key rows."""
     from pyspark.sql import functions as F
 
     parent = latest_version(table_dir)
     if parent is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
+    dup = (
+        source.groupBy(*key_cols)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        key = {k: dup[0][k] for k in key_cols}
+        raise ValueError(
+            f"upsert_versioned: duplicate source key {key} — MERGE "
+            "requires unique source keys; dedup first (e.g. newest per "
+            "key by an order column, as merge_sink does)"
+        )
     man = _read_manifest(table_dir, parent)
     stats_cols = man.get("stats_cols") or []
     if stats_keep is None and len(key_cols) == 1 and key_cols[0] in stats_cols:

@@ -1085,11 +1085,20 @@ def cdc_feed(
     Scale: APPEND commits (the dominant type under streaming ingest)
     take a fast path — their changes are exactly the rows of their
     new files, read directly and emitted as 'added' with NO join
-    touching the table (changed-rows-sized work; contract: appends
-    carry new keys, which is what versioned_sink commits — pass
-    ``append_fast_path=False`` if appends may re-add existing keys).
-    Overwrite/delete/merge commits run the full snapshot_diff (one
-    co-partitioned full-outer join of the two referenced snapshots).
+    touching the table (changed-rows-sized work).  The fast path is
+    only sound when the appended keys are NEW, so with
+    ``append_fast_path=True`` (default) it is taken only when that is
+    cheaply PROVABLE from the parent's commit-log stats (single key
+    column in stats_cols, fresh key range disjoint from every parent
+    file's [min, max]); otherwise the commit falls back to the full
+    snapshot_diff — a re-added existing key is then classified
+    correctly instead of double-counting as 'added'.  Callers that
+    guarantee the new-keys contract themselves (e.g. a versioned_sink
+    ingest keyed by a globally unique event id whose ranges interleave)
+    can pass ``append_fast_path="assume"`` to take the fast path
+    unconditionally; ``False`` disables it.  Overwrite/delete/merge
+    commits always run the full snapshot_diff (one co-partitioned
+    full-outer join of the two referenced snapshots).
 
     Returns the started StreamingQuery.
     """
@@ -1125,6 +1134,49 @@ def cdc_feed(
             "_commit_version", F.lit(version)
         )
 
+    def _keys_provably_new(bs, parent: int, fresh_df) -> bool:
+        """Cheap new-keys validation for the append fast path: with a
+        single key column in the parent's commit-log stats, the fresh
+        files' key range is compared against every parent file's
+        [min, max] — disjoint everywhere proves every appended key is
+        new.  Not provable (multi-column key, no stats, missing/NULL
+        stats rows, or any range overlap) returns False and the caller
+        falls back to the full diff — an over-approximation, never a
+        missed collision."""
+        from sparkgraft.sinks.versioned import _read_manifest, _stats_path
+
+        if len(key_cols) != 1:
+            return False
+        k = key_cols[0]
+        pman = _read_manifest(table_dir, parent)
+        if not pman.get("stats_cols") or k not in pman["stats_cols"]:
+            return False
+        spath = _stats_path(table_dir, parent)
+        if not os.path.exists(spath):
+            return False
+        b = fresh_df.agg(F.min(k).alias("lo"), F.max(k).alias("hi")).first()
+        if b["lo"] is None:
+            return True  # fresh files carry no non-NULL key: vacuously new
+        stats = bs.read.parquet(spath).filter(
+            F.col("file").isin(pman["files"])
+        )
+        covered = stats.count() == len(pman["files"])
+        if not covered:
+            return False
+        overlap = (
+            stats.filter(
+                F.col(f"min_{k}").isNull()
+                | F.col(f"max_{k}").isNull()
+                | (
+                    (F.col(f"max_{k}") >= F.lit(b["lo"]))
+                    & (F.col(f"min_{k}") <= F.lit(b["hi"]))
+                )
+            )
+            .limit(1)
+            .count()
+        )
+        return overlap == 0
+
     def on_batch(batch, batch_id: int) -> None:
         import os as _os
 
@@ -1137,15 +1189,29 @@ def cdc_feed(
         )  # bounded: one row per committed version in this batch
         if not commits:
             return
+
+        def _full_diff(version: int, parent: int):
+            old = read_versioned(bs, table_dir, version=parent)
+            new = read_versioned(bs, table_dir, version=version)
+            return (
+                snapshot_diff(
+                    old, new, key_cols, compare_cols,
+                    include_values=include_values,
+                )
+                .filter(F.col("change_type") != "unchanged")
+                .withColumn("_commit_version", F.lit(version))
+            )
+
         out = None
         for version, parent, operation in commits:
             # APPEND FAST PATH: an append commit's changes are exactly
             # the rows of its new files (added; nothing removed or
             # changed) — read ONLY those files instead of full-outer-
-            # joining two table-sized snapshots.  Contract: appends
-            # carry NEW keys (the keyed-ingest discipline; what
-            # versioned_sink commits).  Re-adding an existing key needs
-            # append_fast_path=False to be classified by the full diff.
+            # joining two table-sized snapshots.  Sound only for NEW
+            # keys: taken when the parent's commit-log stats prove the
+            # fresh key range disjoint, or unconditionally under
+            # "assume" (caller-guaranteed contract); otherwise the
+            # commit falls back to the full diff.
             if (
                 append_fast_path
                 and operation == "append"
@@ -1159,22 +1225,18 @@ def cdc_feed(
                 df = bs.read.parquet(
                     *[_os.path.join(table_dir, f) for f in fresh]
                 )
-                d = _added_only(df, version)
+                if append_fast_path == "assume" or _keys_provably_new(
+                    bs, parent, df
+                ):
+                    d = _added_only(df, version)
+                else:
+                    d = _full_diff(version, parent)
             elif parent is None:
                 d = _added_only(
                     read_versioned(bs, table_dir, version=version), version
                 )
             else:
-                old = read_versioned(bs, table_dir, version=parent)
-                new = read_versioned(bs, table_dir, version=version)
-                d = (
-                    snapshot_diff(
-                        old, new, key_cols, compare_cols,
-                        include_values=include_values,
-                    )
-                    .filter(F.col("change_type") != "unchanged")
-                    .withColumn("_commit_version", F.lit(version))
-                )
+                d = _full_diff(version, parent)
             out = d if out is None else out.unionByName(d)
         if out is not None:
             sink(out, batch_id)
@@ -1320,7 +1382,12 @@ def view_maintainer(
     time-travelable.  Scale shape: per commit, work = one diff join of
     the two snapshots + a delta aggregate sized by the CHANGED rows +
     a view-sized merge join — never a full re-aggregation of the
-    table.  Returns the started StreamingQuery.
+    table.  ``append_fast_path`` follows cdc_feed's validated default:
+    the adds-only shortcut is taken only when the commit-log stats
+    PROVE the appended keys new (or under "assume"), so an append that
+    re-adds an existing key is classified by the full diff instead of
+    silently double-counting in the view.  Returns the started
+    StreamingQuery.
     """
     from sparkgraft.operators.merge import cdc_group_delta
     from sparkgraft.sinks.versioned import (

@@ -805,3 +805,172 @@ def test_cdc_feed_append_fast_path_equals_full_diff(spark, tmp_path):
     assert fast == slow and len(fast) == 80
     added_v1 = [r for r in fast if r[-1] == 1]
     assert len(added_v1) == 30 and all(r[1] == "added" for r in added_v1)
+
+
+def test_commit_recomputes_missing_carried_stats(spark, tmp_path):
+    """ADVICE r5: an append WITH stats_cols onto a parent committed
+    WITHOUT stats must not commit a stats table covering only the new
+    files — carried files' stats are recomputed so skipping stays a
+    superset and stats_summary stays exact."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.sinks.versioned import (
+        _read_manifest,
+        _stats_path,
+        read_versioned,
+        read_versioned_skipping,
+        stats_summary,
+        write_versioned,
+    )
+
+    t = str(tmp_path / "vt")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "k long, v double"
+    )
+    extra = spark.createDataFrame(
+        [(i, 1.0) for i in range(1000, 1200)], "k long, v double"
+    )
+    write_versioned(base, t, mode="overwrite")  # NO stats
+    write_versioned(extra, t, mode="append", stats_cols=["k"],
+                    sort_col="k", n_files=2)
+    man = _read_manifest(t, 1)
+    stats = spark.read.parquet(_stats_path(t, 1))
+    covered = {r["file"] for r in stats.select("file").collect()}
+    assert covered == set(man["files"])  # EVERY manifest file has stats
+    s = stats_summary(spark, t).first()
+    assert s["n_rows"] == 1200 and s["min_k"] == 0 and s["max_k"] == 1199
+    # skipping into the PARENT's range still sees the parent's rows
+    keep = (F.col("max_k") >= 10) & (F.col("min_k") <= 20)
+    pruned = read_versioned_skipping(spark, t, keep).filter(
+        F.col("k").between(10, 20)
+    )
+    full = read_versioned(spark, t).filter(F.col("k").between(10, 20))
+    assert sorted(r["k"] for r in pruned.collect()) == sorted(
+        r["k"] for r in full.collect()
+    )
+
+
+def test_commit_recomputes_carried_stats_on_column_mismatch(spark, tmp_path):
+    """Carried stats are reused only when the parent's stats_cols match
+    the child's — a mismatch recomputes instead of committing a stats
+    table with mixed column meanings."""
+    from sparkgraft.sinks.versioned import (
+        _stats_path,
+        stats_summary,
+        write_versioned,
+    )
+
+    t = str(tmp_path / "vt")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k long, v double"
+    )
+    write_versioned(base, t, mode="overwrite", stats_cols=["v"])
+    write_versioned(
+        spark.createDataFrame([(100, 5.0)], "k long, v double"),
+        t, mode="append", stats_cols=["k"],
+    )
+    stats = spark.read.parquet(_stats_path(t, 1))
+    assert {"min_k", "max_k", "nulls_k"} <= set(stats.columns)
+    s = stats_summary(spark, t).first()
+    assert s["n_rows"] == 101 and s["min_k"] == 0 and s["max_k"] == 100
+
+
+def test_land_files_n_files_without_sort_col(spark, tmp_path):
+    """ADVICE r5: n_files without sort_col must still bound the file
+    count (the quarantine small-files intent), not silently no-op."""
+    from sparkgraft.sinks.versioned import _read_manifest, write_versioned
+
+    t = str(tmp_path / "vt")
+    df = spark.createDataFrame(
+        [(i,) for i in range(1000)], "k long"
+    ).repartition(8)
+    write_versioned(df, t, mode="overwrite", n_files=1)
+    assert len(_read_manifest(t, 0)["files"]) == 1
+
+
+def test_upsert_versioned_duplicate_source_keys_raise(spark, tmp_path):
+    """ADVICE r5: MERGE requires unique source keys (Delta errors on
+    multiple matches) — duplicates raise instead of committing
+    duplicate key rows.  NULL source keys never match and insert."""
+    import pytest
+
+    from sparkgraft.sinks.versioned import (
+        read_versioned,
+        upsert_versioned,
+        write_versioned,
+    )
+
+    t = str(tmp_path / "vt")
+    write_versioned(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double"),
+        t, mode="overwrite",
+    )
+    dup_src = spark.createDataFrame(
+        [(1, -1.0), (1, -2.0)], "k long, v double"
+    )
+    with pytest.raises(ValueError, match="duplicate source key"):
+        upsert_versioned(spark, t, dup_src, ["k"])
+    # NULL key: never matches, inserts alongside
+    null_src = spark.createDataFrame([(None, 9.0)], "k long, v double")
+    upsert_versioned(spark, t, null_src, ["k"])
+    rows = sorted(
+        ((r["k"], r["v"]) for r in read_versioned(spark, t).collect()),
+        key=str,
+    )
+    assert (None, 9.0) in rows and (1, 1.0) in rows and len(rows) == 3
+
+
+def test_cdc_append_fast_path_validates_new_keys_contract(spark, tmp_path):
+    """ADVICE r5: the append fast path must not emit a re-added
+    existing key as 'added' — with commit-log stats the default
+    validates the fresh key range and falls back to the full diff on
+    overlap; a provably disjoint append still takes the fast path."""
+    from sparkgraft.sinks.versioned import write_versioned
+    from sparkgraft.streaming.pipeline import cdc_feed
+
+    t = str(tmp_path / "vt")
+    write_versioned(
+        spark.createDataFrame([(i, float(i)) for i in range(50)],
+                              "k long, v double"),
+        t, mode="overwrite", stats_cols=["k"], sort_col="k", n_files=2,
+    )
+    # v1: disjoint range (provably new -> fast path) ...
+    write_versioned(
+        spark.createDataFrame([(i, 1.0) for i in range(50, 60)],
+                              "k long, v double"),
+        t, mode="append", stats_cols=["k"], sort_col="k", n_files=1,
+    )
+    # ... v2: RE-ADDS key 10 with the same value (overlapping range ->
+    # full diff classifies it; the old unconditional fast path would
+    # have emitted a spurious 'added' for an unchanged key)
+    write_versioned(
+        spark.createDataFrame([(10, 10.0)], "k long, v double"),
+        t, mode="append", stats_cols=["k"],
+    )
+
+    def drain(ckpt, fast):
+        rows = []
+
+        def sink(df, batch_id):
+            rows.extend(tuple(r) for r in df.collect())
+
+        q = cdc_feed(
+            spark, t, ["k"], ["v"], str(tmp_path / ckpt), sink,
+            append_fast_path=fast,
+        )
+        q.awaitTermination(120)
+        return sorted(rows)
+
+    validated = drain("cv", True)
+    full = drain("cf", False)
+    assert validated == full
+    # v2's re-add of an unchanged key emits NOTHING (it is 'unchanged'
+    # under the diff; note the duplicate row itself remains in the
+    # table — CDC classification is about keys)
+    assert [r for r in validated if r[-1] == 2] == []
+    v1 = [r for r in validated if r[-1] == 1]
+    assert len(v1) == 10 and all(r[1] == "added" for r in v1)
+    # "assume" preserves the unconditional fast path: v2 re-emits as added
+    assumed = drain("ca", "assume")
+    v2a = [r for r in assumed if r[-1] == 2]
+    assert len(v2a) == 1 and v2a[0][1] == "added"

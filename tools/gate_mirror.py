@@ -3,7 +3,9 @@
 against ``oracle_sql()`` via DuckDB (column set + order-insensitive
 canonical values) — the exact recipe in .claude/skills/verify.
 
-Run:  python tools/gate_mirror.py [sf_dir]
+Run:  python tools/gate_mirror.py [sf_dir] [name1,name2,...]
+The optional second argument restricts the run to a comma-separated
+query subset (iteration aid; the gate itself always runs everything).
 Exit code 0 = all green.
 """
 
@@ -36,18 +38,26 @@ def canon(v):
     return str(v)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: "set[str] | None" = None) -> int:
     spark = SparkSession.builder.master("local[32]").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    assert entrymod.entry(spark).count() > 0
+    if only is None:
+        assert entrymod.entry(spark).count() > 0
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     oracles = entrymod.oracle_sql()
+    items = sorted(entrymod.queries().items())
+    if only is not None:
+        missing = only - {n for n, _ in items}
+        if missing:
+            print("UNKNOWN QUERIES:", sorted(missing))
+            return 1
+        items = [(n, f) for n, f in items if n in only]
     fails, empties = [], []
-    for name, fn in sorted(entrymod.queries().items()):
+    for name, fn in items:
         sdf = fn(spark, sf_dir)
         srows = [tuple(r) for r in sdf.collect()]
         if not srows:
@@ -73,4 +83,9 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+            set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None,
+        )
+    )
