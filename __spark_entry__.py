@@ -2116,6 +2116,33 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex, sem], k=60, topk=10)
 
 
+def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation (ORACLE-checked) — the measurement
+    leg that completes the RAG stack (index → retrieve → fuse → rerank
+    → EVALUATE): exact cosine top-10 for the first 8 query vectors,
+    judged against same-label relevance (every other vector sharing the
+    query's label is relevant), scored per query as recall@10, RR@10,
+    nDCG@10 with DECIMAL-quantized term sums (relational.
+    retrieval_metrics)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    ranked = SIM.brute_force_topk(queries, emb, k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rnk"
+    )
+    qrels = (
+        queries.select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("doc_id"), "label"),
+            F.col("qlabel") == F.col("label"),
+        )
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id", F.lit(1).alias("rel"))
+    )
+    return R.retrieval_metrics(ranked, qrels, k=10)
+
+
 def q_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDSketch relative-error quantiles (Masson et al. 2019) per
     event_type: one-pass log-bucket histogram (mergeable by cell-wise
@@ -2152,6 +2179,39 @@ def q_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chars_cut",
         F.length("text_dedup").alias("len_dedup"),
     )
+
+
+_WINNOW_PLANT = (
+    " sparkgraft winnowing budget sentinel: planted repeat for the"
+    " stride recall bound"
+)
+
+
+def q_suffix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing BUDGET mode witness (ORACLE-checked — round-5 verdict
+    task 5): exact_substring_spans at stride=4 (Schleimer et al. 2003
+    sliding-window minimizers — the documented 100 TB shuffle-budget
+    lever, density 2/(stride+1)) over documents with a planted >=60-char
+    repeat on every 20th doc (guaranteed detectable: the stride recall
+    bound covers repeats >= min_len + stride - 1 = 28 chars).  The
+    DuckDB mirror replays the FULL selection pipeline — the exact
+    double polynomial rolling hash, per-block argmin with np.argmin's
+    first-index tie rule, duplicate counting over the SELECTED stream
+    only, and the widened island merge (gap > 28) — so the budget
+    mode's span algebra is hash-for-hash oracle-checked, not just
+    recall-bound tested."""
+    from sparkgraft.operators import suffixdedup as SFX
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 20 == 0,
+            F.concat(F.col("text"), F.lit(_WINNOW_PLANT)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return SFX.exact_substring_spans(docs, min_len=25, n_shards=8, stride=4)
 
 
 def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4835,6 +4895,165 @@ def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def _stage_event_batches(spark: SparkSession, sf_dir: str, tmp: str,
+                         cols: list[str]) -> None:
+    """Stage events as three ts-sliced JSON micro-batch files with
+    DISTINCT ASCENDING mtimes (every multi-file streaming fixture pins
+    them — the stream_admission lesson: same-ms mtimes flip batch
+    order).  The union of the slices is exactly the events table, so
+    downstream summaries mirror as plain slice algebra."""
+    import glob
+    import os
+    import shutil
+
+    ev = _t(spark, sf_dir, "events").select(
+        *cols,
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+    )
+    os.makedirs(f"{tmp}/in", exist_ok=True)
+    cuts = ("2024-01-11", "2024-01-21")
+    stages = (
+        (1, ev.filter(F.col("ts") < cuts[0])),
+        (2, ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1]))),
+        (3, ev.filter(F.col("ts") >= cuts[1])),
+    )
+    for i, df in stages:
+        df.coalesce(1).write.mode("overwrite").json(f"{tmp}/stage_{i}")
+        src = sorted(glob.glob(f"{tmp}/stage_{i}/part-*.json"))[0]
+        dst = f"{tmp}/in/batch_{i}.json"
+        shutil.move(src, dst)
+        os.utime(dst, (1700000000 + i, 1700000000 + i))
+
+
+def q_expectations_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-gated streaming ingest (ORACLE-checked — round-5
+    verdict task 4): three ts-slices of events drain through
+    ``versioned_sink`` with two validation rules; passing rows commit
+    to the main table, failing rows commit to the QUARANTINE table as
+    auditable versioned commits carrying ``_failed_rules`` (the
+    reference's T3 dead-letter discipline, Pipeline.py:195-204,
+    elevated to lakehouse commits).  Both destinations read back
+    through time travel and summarize — the streamed union is exactly
+    the events table, so clean = rows passing all rules and quarantine
+    groups by the ordered failed-rule list: plain slice algebra.
+    Replay/torn-crash healing is asserted in tests/test_versioned.py.
+    Fixture memoized per sf_dir."""
+    import tempfile
+
+    from sparkgraft.sinks.versioned import read_versioned
+    from sparkgraft.streaming.pipeline import versioned_sink
+
+    cached = _FIXTURE_CACHE.get(("expectations_gate", sf_dir))
+    schema = "leg string, rules string, n long, amount double"
+    if cached is not None:
+        return spark.createDataFrame(cached, schema)
+
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_expgate_")
+    _stage_event_batches(
+        spark, sf_dir, tmp, ["event_id", "user_id", "event_type", "value"]
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, "
+            "value double, ts string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(f"{tmp}/in")
+    )
+    q = versioned_sink(
+        stream,
+        f"{tmp}/table",
+        f"{tmp}/ckpt",
+        stats_cols=["user_id"],
+        sort_col="user_id",
+        n_files=2,
+        expectations={
+            "type_ok": F.col("event_type") != "error",
+            "value_cap": F.col("value") <= 140.0,
+        },
+        quarantine_dir=f"{tmp}/quarantine",
+    )
+    q.awaitTermination(300)
+    clean_leg = (
+        read_versioned(spark, f"{tmp}/table")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("amount"),
+        )
+        .select(
+            F.lit("clean").alias("leg"),
+            F.lit(None).cast("string").alias("rules"),
+            "n",
+            "amount",
+        )
+    )
+    quar_leg = (
+        read_versioned(spark, f"{tmp}/quarantine")
+        .groupBy(F.col("_failed_rules").alias("rules"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("quarantine").alias("leg"),
+            "rules",
+            "n",
+            F.lit(None).cast("double").alias("amount"),
+        )
+    )
+    rows = [tuple(r) for r in clean_leg.unionByName(quar_leg).collect()]
+    _FIXTURE_CACHE[("expectations_gate", sf_dir)] = rows
+    return spark.createDataFrame(rows, schema)
+
+
+def q_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE sink witness (ORACLE-checked — round-5 verdict
+    task 4): three ts-slices of events drain through ``merge_sink``
+    keyed by user_id with event_id as the within-batch order (globally
+    unique, so newest-per-key is deterministic); each micro-batch
+    commits ONE upsert version (batch 1 creates the table).  The final
+    table therefore holds, per user, the max-event_id row of the LAST
+    slice containing that user — plain slice algebra, SQL-exact.
+    Replay idempotence is asserted in tests/test_versioned.py.
+    Fixture memoized per sf_dir."""
+    import tempfile
+
+    from sparkgraft.sinks.versioned import read_versioned
+    from sparkgraft.streaming.pipeline import merge_sink
+
+    cached = _FIXTURE_CACHE.get(("merge_stream", sf_dir))
+    schema = "user_id long, last_event long, value double"
+    if cached is not None:
+        return spark.createDataFrame(cached, schema)
+
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_mstream_")
+    _stage_event_batches(spark, sf_dir, tmp, ["event_id", "user_id", "value"])
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, value double, ts string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(f"{tmp}/in")
+    )
+    q = merge_sink(
+        stream,
+        f"{tmp}/table",
+        ["user_id"],
+        "event_id",
+        f"{tmp}/ckpt",
+        stats_cols=["user_id"],
+        sort_col="user_id",
+        n_files=2,
+    )
+    q.awaitTermination(300)
+    final = read_versioned(spark, f"{tmp}/table").select(
+        "user_id", F.col("event_id").alias("last_event"), "value"
+    )
+    rows = [tuple(r) for r in final.collect()]
+    _FIXTURE_CACHE[("merge_stream", sf_dir)] = rows
+    return spark.createDataFrame(rows, schema)
+
+
 def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup (rows-only — the DCT kernel isn't
     SQL-mirrorable; brute-force parity is pytest-asserted): doc_id-
@@ -5449,6 +5668,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_travel": q_snapshot_travel,
     "stream_sample": q_stream_sample,
     "dedup_rewrite": q_dedup_rewrite,
+    # --- round 6: winnowing budget-mode witness (stride=4, full SQL
+    # replay of the minimizer selection) ---
+    "suffix_budget": q_suffix_budget,
     # --- round 4 (third session): changepoints + index maintenance ---
     # (cusum_shift, entity_resolution, sequence_count promoted
     # in-window in round 5)
@@ -5473,6 +5695,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # versioned_merge, stream_cdc promoted in-window in round 6) ---
     "stream_ingest": q_stream_ingest,
     "materialized_view": q_materialized_view,
+    # --- round 6: expectations-gated quarantine ingest + streaming
+    # MERGE sink (the last two lakehouse legs without oracle witnesses,
+    # per the round-5 verdict) ---
+    "expectations_gate": q_expectations_gate,
+    "merge_stream": q_merge_stream,
+    # --- round 6: retrieval evaluation (recall/RR/nDCG) — the RAG
+    # stack's measurement leg ---
+    "retrieval_metrics": q_retrieval_metrics,
 }
 
 
@@ -8768,6 +8998,100 @@ ORACLES["suffix_gate"] = f"""
     FROM base b LEFT JOIN per_doc p USING (doc_id)
 """
 
+
+def _winnow_budget_oracle() -> str:
+    """Full SQL replay of the stride=4 winnowing pipeline
+    (suffixdedup._shard_window_hashes budget mode): the exact double
+    polynomial rolling hash (same 31-bit prime moduli/bases, weights
+    inlined), per-block argmin with the first-index tie rule, duplicate
+    counting over the SELECTED minimizer stream only, and the widened
+    island merge (gap > min_len + stride - 1 = 28)."""
+    L, s = 25, 4
+    p1, b1 = 2147483647, 1_000_003
+    p2, b2 = 2147483629, 1_000_033
+    w1, w2 = [0] * L, [0] * L
+    acc1 = acc2 = 1
+    for j in range(L - 1, -1, -1):
+        w1[j], w2[j] = acc1, acc2
+        acc1 = (acc1 * b1) % p1
+        acc2 = (acc2 * b2) % p2
+    w1_lit = "[" + ",".join(map(str, w1)) + "]::BIGINT[]"
+    w2_lit = "[" + ",".join(map(str, w2)) + "]::BIGINT[]"
+    return f"""
+    WITH docs AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CASE WHEN doc_id % 20 = 0
+                    THEN text || '{_WINNOW_PLANT}'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    weights AS (SELECT {w1_lit} AS w1, {w2_lit} AS w2),
+    hashes AS (
+        SELECT doc_id, CAST(t.p AS INT) AS start,
+               (list_sum(list_transform(range(0, {L}), j ->
+                    (ord(substr(text, CAST(t.p AS INT) + j, 1)) * w1[j + 1])
+                    % {p1})) % {p1}) * {p2}
+               + (list_sum(list_transform(range(0, {L}), j ->
+                    (ord(substr(text, CAST(t.p AS INT) + j, 1)) * w2[j + 1])
+                    % {p2})) % {p2}) AS h
+        FROM docs CROSS JOIN weights,
+             UNNEST(generate_series(1, length(text) - {L - 1})) AS t(p)
+        WHERE length(text) >= {L}
+    ),
+    nwin AS (
+        SELECT doc_id, length(text) - {L - 1} AS m
+        FROM docs WHERE length(text) >= {L}
+    ),
+    bidx AS (
+        SELECT doc_id, CAST(t.b AS INT) AS b
+        FROM nwin, UNNEST(generate_series(1, greatest(m - {s - 1}, 1))) AS t(b)
+    ),
+    minim AS (
+        SELECT DISTINCT doc_id, start FROM (
+            SELECT h.doc_id, b.b, h.start,
+                   row_number() OVER (
+                       PARTITION BY h.doc_id, b.b ORDER BY h.h, h.start
+                   ) AS rn
+            FROM hashes h JOIN bidx b
+              ON h.doc_id = b.doc_id
+             AND h.start BETWEEN b.b AND b.b + {s - 1}
+        ) WHERE rn = 1
+    ),
+    sel AS (
+        SELECT m.doc_id, m.start, h.h
+        FROM minim m JOIN hashes h USING (doc_id, start)
+    ),
+    cov AS (
+        SELECT doc_id, start FROM (
+            SELECT doc_id, start, count(*) OVER (PARTITION BY h) AS n_occ
+            FROM sel
+        ) WHERE n_occ > 1
+    ),
+    isl AS (
+        SELECT doc_id, start,
+               CASE WHEN lag(start) OVER pw IS NULL
+                      OR start - lag(start) OVER pw > {L + s - 1}
+                    THEN 1 ELSE 0 END AS brk
+        FROM cov
+        WINDOW pw AS (PARTITION BY doc_id ORDER BY start)
+    ),
+    isl2 AS (
+        SELECT doc_id, start,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl
+    )
+    SELECT doc_id,
+           min(start) AS span_start,
+           max(start) + {L - 1} AS span_end,
+           max(start) + {L - 1} - min(start) + 1 AS span_len,
+           count(*) AS n_windows
+    FROM isl2 GROUP BY doc_id, island
+"""
+
+
+ORACLES["suffix_budget"] = _winnow_budget_oracle()
+
 # Mirrors relational.rrf_fuse over the bm25_search and cosine fixtures:
 # both source rankings re-derived at top-20, reciprocal terms quantized
 # to DECIMAL(18,12) before the exact fused sum, ties on doc_id.
@@ -9580,6 +9904,79 @@ ORACLES["hard_negatives"] = """
 """
 
 
+# Mirrors relational.retrieval_metrics over the cosine-top-10 /
+# same-label-qrels fixture: DCG and RR terms quantize to
+# DECIMAL(18,12) before the exact sum (the rrf_fuse discipline), ideal
+# DCG ranks judgments by (grade desc, doc asc), recall uses the
+# all-relevant denominator.
+ORACLES["retrieval_metrics"] = """
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS qlabel, embedding AS qv
+        FROM embeddings WHERE vec_id < 8
+    ),
+    c AS (
+        SELECT vec_id AS doc_id, label, embedding AS cv FROM embeddings
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, rnk FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, doc_id ASC)
+                       AS rnk
+            FROM (
+                SELECT query_id, doc_id,
+                       round(
+                           list_sum(list_transform(generate_series(1, len(qv)),
+                                                   i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+                           / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                              * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                           6) AS cos_sim
+                FROM c, q WHERE doc_id <> query_id
+            )
+        ) WHERE rnk <= 10
+    ),
+    qrels AS (
+        SELECT q.query_id, c.doc_id, 1 AS rel
+        FROM q JOIN c ON q.qlabel = c.label AND c.doc_id <> q.query_id
+    ),
+    hits AS (
+        SELECT r.query_id, r.rnk, coalesce(qr.rel, 0) AS rel
+        FROM ranked r LEFT JOIN qrels qr
+          ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id
+    ),
+    perq AS (
+        SELECT query_id,
+               sum(CAST(round(rel / log2(rnk + 1.0), 12)
+                        AS DECIMAL(18,12))) AS dcg,
+               max(CASE WHEN rel > 0
+                        THEN CAST(round(1.0 / rnk, 12) AS DECIMAL(18,12))
+                   END) AS best_rr,
+               sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_hits
+        FROM hits GROUP BY query_id
+    ),
+    nrel AS (SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY query_id),
+    ideal AS (
+        SELECT query_id,
+               sum(CAST(round(rel / log2(irnk + 1.0), 12)
+                        AS DECIMAL(18,12))) AS idcg
+        FROM (
+            SELECT query_id, rel,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rel DESC, doc_id ASC) AS irnk
+            FROM qrels
+        ) WHERE irnk <= 10 GROUP BY query_id
+    )
+    SELECT p.query_id,
+           n.n_rel,
+           p.n_hits,
+           round(CAST(p.n_hits AS DOUBLE) / n.n_rel, 6) AS recall_at_k,
+           round(CAST(coalesce(p.best_rr, 0) AS DOUBLE), 6) AS rr,
+           round(CAST(p.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 6)
+               AS ndcg_at_k
+    FROM perq p JOIN nrel n USING (query_id) JOIN ideal i USING (query_id)
+"""
+
+
 # Mirrors q_bloom_skipping: bloom pruning is false-negative-free, so
 # the oracle is the plain per-user aggregate over the same id set.
 ORACLES["bloom_skipping"] = """
@@ -9683,6 +10080,57 @@ ORACLES["stream_ingest"] = """
            min(value) AS min_value,
            max(value) AS max_value
     FROM events
+"""
+
+
+# Mirrors q_expectations_gate: the streamed slices union to exactly the
+# events table, so clean = rows passing BOTH rules and quarantine
+# groups by the ordered failed-rule list (concat_ws skips the NULL arm
+# of each CASE in both engines; NOT coalesce(cond, FALSE) is the
+# NULL-counts-as-failure validate_rows semantics).
+ORACLES["expectations_gate"] = """
+    SELECT 'clean' AS leg, CAST(NULL AS VARCHAR) AS rules,
+           count(*) AS n,
+           cast(cast(round(sum(cast(value AS DECIMAL(27,6))), 2)
+                AS DECIMAL(38,2)) AS DOUBLE) AS amount
+    FROM events
+    WHERE coalesce(event_type <> 'error', FALSE)
+      AND coalesce(value <= 140.0, FALSE)
+    UNION ALL
+    SELECT 'quarantine', rules, count(*) AS n, CAST(NULL AS DOUBLE)
+    FROM (
+        SELECT concat_ws(',',
+            CASE WHEN NOT coalesce(event_type <> 'error', FALSE)
+                 THEN 'type_ok' END,
+            CASE WHEN NOT coalesce(value <= 140.0, FALSE)
+                 THEN 'value_cap' END) AS rules
+        FROM events
+        WHERE NOT (coalesce(event_type <> 'error', FALSE)
+                   AND coalesce(value <= 140.0, FALSE))
+    ) GROUP BY rules
+"""
+
+
+# Mirrors q_merge_stream: per user, the max-event_id row of the LAST
+# ts-slice containing that user (batch order is pinned by ascending
+# file mtimes; event_id is globally unique so newest-per-key is
+# deterministic).
+ORACLES["merge_stream"] = """
+    WITH staged AS (
+        SELECT user_id, event_id, value,
+               CASE WHEN ts < TIMESTAMP '2024-01-11' THEN 1
+                    WHEN ts < TIMESTAMP '2024-01-21' THEN 2
+                    ELSE 3 END AS b
+        FROM events
+    ),
+    last_b AS (SELECT user_id, max(b) AS b FROM staged GROUP BY user_id)
+    SELECT user_id, event_id AS last_event, value FROM (
+        SELECT s.user_id, s.event_id, s.value,
+               row_number() OVER (PARTITION BY s.user_id
+                                  ORDER BY s.event_id DESC) AS rn
+        FROM staged s JOIN last_b l
+          ON s.user_id = l.user_id AND s.b = l.b
+    ) WHERE rn = 1
 """
 
 

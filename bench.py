@@ -37,6 +37,17 @@ hint; the hint stays because it removes a measured driver-OOM class
 at the 32x soak (Catalyst mis-broadcasting multi-GB shingle tables,
 ROUND4.md item 3).  No further re-litigation needed.
 
+Round-6 decomposition of the r5 `setsim_pairs` driver/judge spread
+(1.96 s driver vs 2.77 s judge isolation — the widest relative spread
+among the round-5 queries): the tokenized base and prefix tables were
+referenced 3x/2x in the plan, re-running tokenize + the rank window
+per branch, so wall-time amplified whichever branch hit contention.
+Both are now localCheckpointed inside setsim_join (the LSH-bands
+signature-table discipline; results identical).  Isolation best-of-3
+at sf0.1 on the same semi-loaded box (loadavg ~2.2): 2.874 s
+uncheckpointed -> 2.295 s checkpointed; the remaining cost is the
+candidate verify join — output-sensitive, the honest steady state.
+
 Round-4 decomposition of the r3 `rollup_pricing` outlier (1.61x over
 r2, the only shared-query delta >1.25x): separating DataFrame build
 from execution shows ~0.3 s was spark.read.parquet re-listing the
@@ -191,6 +202,7 @@ HEADLINE = [
     "suffix_budget",
     "expectations_gate",
     "merge_stream",
+    "retrieval_metrics",
 ]
 
 

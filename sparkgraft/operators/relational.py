@@ -362,3 +362,96 @@ def sequence_count(
         .filter(F.col("n_matches") > 0)
         .select(F.col("key").alias(key_col), "n_matches")
     )
+
+
+def retrieval_metrics(
+    ranked: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+    rel_col: str = "rel",
+    digits: int = 6,
+) -> DataFrame:
+    """Per-query retrieval evaluation — the measurement leg of the RAG
+    stack (index → retrieve → fuse → rerank → EVALUATE): recall@k,
+    reciprocal rank (RR@k; mean over queries = MRR), and nDCG@k
+    (Järvelin & Kekäläinen 2002) of a ranked result list against a
+    relevance-judgment table.
+
+    Inputs: ``ranked`` (query, doc, rank — a top-k list), ``qrels``
+    (query, doc, graded rel > 0; unjudged pairs count rel = 0).
+    Output per query: ``(query, n_rel, n_hits, recall_at_k, rr,
+    ndcg_at_k)`` with recall = retrieved-relevant / ALL relevant (the
+    trec_eval denominator) and ideal DCG from the top-``k`` judgments
+    by grade.
+
+    Determinism: every DCG/RR term quantizes to DECIMAL(18,12) before
+    the exact sum (the rrf_fuse discipline — union/partition order
+    can't perturb a decimal sum), final metrics round to ``digits``.
+    Scale: both inputs are top-k lists / judgment tables — metadata-
+    sized next to the corpus; one hash join + three grouped
+    aggregates, each partitioned by query.
+    """
+    rel0 = F.coalesce(F.col(rel_col), F.lit(0))
+    hits = (
+        ranked.filter(F.col(rank_col) <= k)
+        .select(query_col, id_col, rank_col)
+        .join(
+            qrels.select(query_col, id_col, rel_col),
+            [query_col, id_col],
+            "left",
+        )
+        .withColumn("_rel", rel0)
+    )
+    dterm = F.round(
+        F.col("_rel").cast("double") / F.log2(F.col(rank_col) + F.lit(1.0)),
+        12,
+    ).cast("decimal(18,12)")
+    rr_term = F.when(
+        F.col("_rel") > 0,
+        F.round(F.lit(1.0) / F.col(rank_col), 12).cast("decimal(18,12)"),
+    )
+    per_q = hits.groupBy(query_col).agg(
+        F.sum(dterm).alias("_dcg"),
+        F.max(rr_term).alias("_best_rr"),
+        F.sum(F.when(F.col("_rel") > 0, 1).otherwise(0)).alias("n_hits"),
+    )
+    judged = qrels.filter(F.col(rel_col) > 0)
+    n_rel = judged.groupBy(query_col).agg(F.count("*").alias("n_rel"))
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(rel_col).desc(), F.col(id_col).asc()
+    )
+    iterm = F.round(
+        F.col(rel_col).cast("double") / F.log2(F.col("_irnk") + F.lit(1.0)),
+        12,
+    ).cast("decimal(18,12)")
+    ideal = (
+        judged.withColumn("_irnk", F.row_number().over(w))
+        .filter(F.col("_irnk") <= k)
+        .groupBy(query_col)
+        .agg(F.sum(iterm).alias("_idcg"))
+    )
+    return (
+        per_q.join(n_rel, query_col, "left")
+        .join(ideal, query_col, "left")
+        .select(
+            query_col,
+            F.coalesce("n_rel", F.lit(0)).alias("n_rel"),
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_rel"), digits
+            ).alias("recall_at_k"),
+            F.round(
+                F.coalesce(
+                    F.col("_best_rr"), F.lit(0).cast("decimal(18,12)")
+                ).cast("double"),
+                digits,
+            ).alias("rr"),
+            F.round(
+                F.col("_dcg").cast("double") / F.col("_idcg").cast("double"),
+                digits,
+            ).alias("ndcg_at_k"),
+        )
+    )

@@ -1258,6 +1258,8 @@ def versioned_sink(
     trigger: dict | None = None,
     expectations: dict | None = None,
     quarantine_dir: str | None = None,
+    auto_compact_every: int | None = None,
+    compact_target_files: int = 4,
 ):
     """Streaming ingest into a versioned table (sinks/versioned.py):
     each micro-batch commits ONE append version — immutable files, a
@@ -1279,6 +1281,16 @@ def versioned_sink(
     between the two commits heals on replay (only the missing half
     lands).
 
+    ``auto_compact_every=N`` runs OPTIMIZE as part of the sink: after
+    every N ingest commits the snapshot rewrites into
+    ``compact_target_files`` files (one compaction commit; data
+    bit-identical — compact_table parity is tested) so a long-running
+    trigger cadence can't accumulate unbounded small files.  Ingest
+    commits are counted from the manifests (operation == 'append'), so
+    the policy is replay-stable: a replayed batch skips its append AND
+    therefore never re-triggers compaction; a crash between append and
+    compaction self-heals at the next threshold crossing.
+
     This closes the lakehouse loop with the rest of the module: ingest
     here → ``cdc_feed`` streams each commit's changes downstream →
     ``delete_versioned``/``upsert_versioned`` maintain → ``vacuum``
@@ -1286,6 +1298,7 @@ def versioned_sink(
     """
     from sparkgraft.sinks.versioned import (
         _read_manifest,
+        compact_table,
         latest_version,
         write_versioned,
     )
@@ -1302,6 +1315,20 @@ def versioned_sink(
 
     committed = _ledger(table_dir)
     committed_q = _ledger(quarantine_dir) if quarantine_dir else set()
+
+    def _n_appends(tdir: str) -> int:
+        v0 = latest_version(tdir)
+        if v0 is None:
+            return 0
+        return sum(
+            1
+            for v in range(v0 + 1)
+            if _read_manifest(tdir, v)["operation"] == "append"
+        )
+
+    # Append count rebuilds from the manifests (replay-stable, same
+    # discipline as the batch ledger) and advances in memory.
+    appends = [_n_appends(table_dir) if auto_compact_every else 0]
 
     def on_batch(batch, batch_id: int) -> None:
         good, bad = batch, None
@@ -1333,6 +1360,15 @@ def versioned_sink(
                 extra_meta={"batch_id": batch_id},
             )
             committed.add(batch_id)
+            if auto_compact_every:
+                appends[0] += 1
+                if appends[0] % auto_compact_every == 0:
+                    compact_table(
+                        batch.sparkSession,
+                        table_dir,
+                        target_files=compact_target_files,
+                        stats_cols=stats_cols,
+                    )
         if (
             quarantine_dir
             and bad is not None

@@ -188,11 +188,21 @@ def test_span_gate_text_never_shuffles(spark):
 
 def test_suffix_dedup_single_kernel_pass(spark):
     """The window-count rewrite is real: exactly ONE Arrow kernel
-    (FlatMapGroupsInPandas) in the plan — the two-tier variant ran it
-    from three subtrees (measured 2x slower end-to-end)."""
-    df = entrymod.q_suffix_dedup(spark, SF_DIR)
-    plan = audit.explain_str(df)
+    (FlatMapGroupsInPandas) in the span-builder plan — the two-tier
+    variant ran it from three subtrees (measured 2x slower end-to-end).
+    The SERVED q_suffix_dedup is the round-6 session-checkpointed span
+    table: its plan carries ZERO kernels because the single pass
+    already ran at cache build — suffix_gate/dedup_rewrite reuse it."""
+    from sparkgraft.operators import suffixdedup as SFX
+    from sparkgraft.sources.readers import read_table
+
+    built = SFX.exact_substring_spans(
+        read_table(spark, SF_DIR, "documents"), min_len=25, n_shards=16
+    )
+    plan = audit.explain_str(built)
     assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    served = audit.explain_str(entrymod.q_suffix_dedup(spark, SF_DIR))
+    assert served.count("FlatMapGroupsInPandas") == 0, served
 
 
 def test_gopher_gate_shuffle_free(spark):

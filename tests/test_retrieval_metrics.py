@@ -1,0 +1,115 @@
+"""Hand-math anchors for relational.retrieval_metrics (recall@k, RR,
+nDCG@k) — binary and graded relevance, missing-judgment and
+no-relevant-retrieved edges."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from sparkgraft.operators.relational import retrieval_metrics
+
+
+def _q12(x: float) -> float:
+    return round(x, 12)
+
+
+def test_binary_relevance_hand_math(spark):
+    # q1: rel docs {a, b, c}; retrieved [a, x, b] -> hits at ranks 1, 3
+    ranked = spark.createDataFrame(
+        [(1, "a", 1), (1, "x", 2), (1, "b", 3)],
+        "query_id long, doc_id string, rnk long",
+    )
+    qrels = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 1), (1, "c", 1)],
+        "query_id long, doc_id string, rel long",
+    )
+    row = retrieval_metrics(ranked, qrels, k=3).first()
+    assert row["n_rel"] == 3 and row["n_hits"] == 2
+    assert row["recall_at_k"] == round(2 / 3, 6)
+    assert row["rr"] == 1.0
+    dcg = _q12(1 / math.log2(2)) + _q12(0.0) + _q12(1 / math.log2(4))
+    idcg = (
+        _q12(1 / math.log2(2))
+        + _q12(1 / math.log2(3))
+        + _q12(1 / math.log2(4))
+    )
+    assert row["ndcg_at_k"] == round(dcg / idcg, 6)
+
+
+def test_graded_relevance_ideal_ordering(spark):
+    # Graded: d has grade 2, e grade 1; system ranks e first — ideal
+    # DCG must put the grade-2 doc first, so nDCG < 1.
+    ranked = spark.createDataFrame(
+        [(2, "e", 1), (2, "d", 2)],
+        "query_id long, doc_id string, rnk long",
+    )
+    qrels = spark.createDataFrame(
+        [(2, "d", 2), (2, "e", 1)],
+        "query_id long, doc_id string, rel long",
+    )
+    row = retrieval_metrics(ranked, qrels, k=10).first()
+    dcg = _q12(1 / math.log2(2)) + _q12(2 / math.log2(3))
+    idcg = _q12(2 / math.log2(2)) + _q12(1 / math.log2(3))
+    assert row["ndcg_at_k"] == round(dcg / idcg, 6)
+    assert row["ndcg_at_k"] < 1.0
+    assert row["rr"] == 1.0 and row["recall_at_k"] == 1.0
+
+
+def test_no_relevant_retrieved_and_rank_cut(spark):
+    # q3 retrieves only non-relevant inside k (the relevant doc sits
+    # past the cut): rr = 0, recall = 0, ndcg = 0.
+    ranked = spark.createDataFrame(
+        [(3, "x", 1), (3, "y", 2), (3, "g", 11)],
+        "query_id long, doc_id string, rnk long",
+    )
+    qrels = spark.createDataFrame(
+        [(3, "g", 1)], "query_id long, doc_id string, rel long"
+    )
+    row = retrieval_metrics(ranked, qrels, k=10).first()
+    assert row["n_hits"] == 0
+    assert row["rr"] == 0.0 and row["recall_at_k"] == 0.0
+    assert row["ndcg_at_k"] == 0.0
+
+
+def test_partition_count_invariance(spark):
+    # Decimal-quantized sums: identical results across partitionings.
+    rows = [(q, f"d{q}_{i}", i) for q in range(4) for i in range(1, 11)]
+    ranked = spark.createDataFrame(
+        rows, "query_id long, doc_id string, rnk long"
+    )
+    qrels = spark.createDataFrame(
+        [(q, f"d{q}_{i}", 1) for q in range(4) for i in range(1, 16, 2)],
+        "query_id long, doc_id string, rel long",
+    )
+    a = sorted(
+        tuple(r)
+        for r in retrieval_metrics(
+            ranked.repartition(1), qrels.repartition(1), k=10
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in retrieval_metrics(
+            ranked.repartition(13), qrels.repartition(7), k=10
+        ).collect()
+    )
+    assert a == b
+
+
+def test_unjudged_defaults_to_zero_not_dropped(spark):
+    # An unjudged retrieved doc (left join miss) must count as rel=0,
+    # not vanish: dcg unaffected, but it still occupies its rank.
+    ranked = spark.createDataFrame(
+        [(4, "r", 1), (4, "u", 2)], "query_id long, doc_id string, rnk long"
+    )
+    qrels = spark.createDataFrame(
+        [(4, "r", 1), (4, "z", 1)], "query_id long, doc_id string, rel long"
+    )
+    row = retrieval_metrics(ranked, qrels, k=10).first()
+    assert row["n_rel"] == 2 and row["n_hits"] == 1
+    assert row["recall_at_k"] == 0.5
+    dcg = _q12(1 / math.log2(2))
+    idcg = _q12(1 / math.log2(2)) + _q12(1 / math.log2(3))
+    assert row["ndcg_at_k"] == round(dcg / idcg, 6)

@@ -974,3 +974,75 @@ def test_cdc_append_fast_path_validates_new_keys_contract(spark, tmp_path):
     assumed = drain("ca", "assume")
     v2a = [r for r in assumed if r[-1] == 2]
     assert len(v2a) == 1 and v2a[0][1] == "added"
+
+
+def test_versioned_sink_auto_compaction(spark, tmp_path):
+    """auto_compact_every=N runs OPTIMIZE inside the sink: after every
+    N ingest commits the snapshot rewrites into compact_target_files
+    files, data bit-identical; a full replay (wiped checkpoint) skips
+    every append and never re-compacts."""
+    import glob
+    import os
+    import shutil
+
+    from sparkgraft.sinks.versioned import (
+        _read_manifest,
+        latest_version,
+        read_versioned,
+        table_history,
+    )
+    from sparkgraft.streaming.pipeline import versioned_sink
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    for i in range(1, 5):
+        df = spark.createDataFrame(
+            [(i * 100 + j,) for j in range(50)], "k long"
+        ).coalesce(1)
+        df.write.mode("overwrite").json(str(tmp_path / f"stage_{i}"))
+        f = sorted(glob.glob(str(tmp_path / f"stage_{i}" / "part-*.json")))[0]
+        dst = f"{src}/b{i}.json"
+        shutil.move(f, dst)
+        os.utime(dst, (1700000000 + i, 1700000000 + i))
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("k long")
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+        )
+        q = versioned_sink(
+            stream,
+            str(tmp_path / "tbl"),
+            str(tmp_path / ckpt),
+            stats_cols=["k"],
+            sort_col="k",
+            n_files=2,
+            auto_compact_every=2,
+            compact_target_files=1,
+        )
+        q.awaitTermination(120)
+
+    drain("ck1")
+    t = str(tmp_path / "tbl")
+    ops = [h["operation"] for h in table_history(t)]
+    # 4 appends, compaction after the 2nd and 4th
+    assert ops == ["append", "append", "overwrite",
+                   "append", "append", "overwrite"]
+    got = sorted(r["k"] for r in read_versioned(spark, t).collect())
+    assert got == sorted(i * 100 + j for i in range(1, 5) for j in range(50))
+    assert len(_read_manifest(t, latest_version(t))["files"]) == 1
+    # skipping still works on the compacted snapshot (stats recommitted)
+    from pyspark.sql import functions as F
+
+    from sparkgraft.sinks.versioned import read_versioned_skipping
+
+    keep = (F.col("max_k") >= 310) & (F.col("min_k") <= 320)
+    pruned = read_versioned_skipping(spark, t, keep).filter(
+        F.col("k").between(310, 320)
+    )
+    assert sorted(r["k"] for r in pruned.collect()) == list(range(310, 321))
+    # full-checkpoint-loss replay: nothing recommits, nothing recompacts
+    v_before = latest_version(t)
+    drain("ck2")
+    assert latest_version(t) == v_before
