@@ -2199,19 +2199,28 @@ def q_suffix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-index tie rule, duplicate counting over the SELECTED stream
     only, and the widened island merge (gap > 28) — so the budget
     mode's span algebra is hash-for-hash oracle-checked, not just
-    recall-bound tested."""
-    from sparkgraft.operators import suffixdedup as SFX
+    recall-bound tested.  Served from a session span cache (the
+    _suffix_spans discipline — 3-element key, cleared between
+    determinism-audit sessions)."""
+    key = ("suffix_spans25_s4", sf_dir, id(spark))
+    spans = _FIXTURE_CACHE.get(key)
+    if spans is None:
+        from sparkgraft.operators import suffixdedup as SFX
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 20 == 0,
-            F.concat(F.col("text"), F.lit(_WINNOW_PLANT)),
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 20 == 0,
+                F.concat(F.col("text"), F.lit(_WINNOW_PLANT)),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
         )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    return SFX.exact_substring_spans(docs, min_len=25, n_shards=8, stride=4)
+        spans = SFX.exact_substring_spans(
+            docs, min_len=25, n_shards=8, stride=4
+        ).localCheckpoint()
+        _FIXTURE_CACHE[key] = spans
+    return spans
 
 
 def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
