@@ -2568,6 +2568,34 @@ def q_classifier_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predict_hard_logistic(feats, w, keep_cols=["doc_id"])
 
 
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration report (ORACLE-checked) — the curation
+    loop's measurement leg (train → predict → CALIBRATE): the trained
+    quality classifier's exact p_scaled predictions bucketed into 10
+    equal confidence bins (exact integer division), per bin n / mean
+    confidence / empirical accuracy / |acc − conf| gap, plus the
+    bin = −1 summary row carrying ECE as the exact integer sum
+    Σ|pos_b·S − sum_p_b| / (N·S) (trainer.calibration_report).
+
+    Served at integer inverse-temperature 12 (every trained weight
+    ×12 — exact, the Guo et al. 2017 temperature knob): 4 GD
+    iterations leave the hard-sigmoid logits within ~1% of 0.5, so
+    the untempered report collapses into one bin; sharpening spreads
+    the scores across bins without clipping, and the resulting
+    conf ≫ acc gap is exactly the overconfidence signal the ECE
+    diagnostic exists to quantify."""
+    from sparkgraft.operators.trainer import (
+        calibration_report,
+        doc_features,
+        predict_hard_logistic,
+    )
+
+    w = [(k, int(v) * 12) for k, v in _trained_weights(spark, sf_dir)]
+    feats = doc_features(_t(spark, sf_dir, "documents"))
+    preds = predict_hard_logistic(feats, w, keep_cols=["doc_id", "label"])
+    return calibration_report(preds)
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov drift test per event_type:
     even-user events as the baseline, odd-user events (purchase values
@@ -5712,6 +5740,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round 6: retrieval evaluation (recall/RR/nDCG) — the RAG
     # stack's measurement leg ---
     "retrieval_metrics": q_retrieval_metrics,
+    # --- round 6: classifier calibration (reliability bins + exact
+    # ECE) — the curation loop's measurement leg ---
+    "classifier_calibration": q_classifier_calibration,
 }
 
 
@@ -9620,6 +9651,45 @@ ORACLES["classifier_predictions"] = f"""
     )
 """
 
+# Mirrors trainer.calibration_report over the trained classifier's
+# exact predictions at inverse-temperature 12 (every weight ×12): the
+# same unrolled-GD prefix + prediction CTE (label kept), exact integer
+# bin = (p*10) // 10^4 capped at 9, and the ECE row as the exact
+# integer sum |pos*S − sum_p| over bins.
+ORACLES["classifier_calibration"] = f"""
+    {_TRAINER_PREFIX},
+    preds AS (
+        SELECT label,
+               CAST((2 * p_num * {10**4} + {4 * 10**12})
+                    // (2 * {4 * 10**12}) AS HUGEINT) AS p_scaled
+        FROM (
+            SELECT f.label,
+                   greatest(CAST(0 AS HUGEINT), least(CAST({4 * 10**12} AS HUGEINT),
+                       12 * (w.b * {10**4} + w.w1 * f.x_words
+                             + w.w2 * f.x_wordlen + w.w3 * f.x_digit)
+                       + {2 * 10**12})) AS p_num
+            FROM feats f, w{_CLS_ITERS} w
+        )
+    ),
+    per AS (
+        SELECT least((p_scaled * 10) // {10**4}, 9) AS bin,
+               count(*) AS n, sum(p_scaled) AS sum_p, sum(label) AS pos
+        FROM preds GROUP BY 1
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+           round(CAST(sum_p AS DOUBLE) / (n * {10**4}), 6) AS conf,
+           round(CAST(pos AS DOUBLE) / n, 6) AS acc,
+           round(CAST(abs(pos * {10**4} - sum_p) AS DOUBLE)
+                 / (n * {10**4}), 6) AS gap
+    FROM per
+    UNION ALL
+    SELECT -1, CAST(sum(n) AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE),
+           round(CAST(sum(abs(pos * {10**4} - sum_p)) AS DOUBLE)
+                 / (sum(n) * {10**4}), 6)
+    FROM per
+"""
+
 # Entity resolution: blocked Levenshtein pairs → recursive-CTE
 # min-reachable components (the dedup_clusters pattern) → survivorship
 # mirror of the (prio, rec_id) first-non-null rule.
@@ -9949,9 +10019,15 @@ ORACLES["retrieval_metrics"] = """
         FROM q JOIN c ON q.qlabel = c.label AND c.doc_id <> q.query_id
     ),
     hits AS (
-        SELECT r.query_id, r.rnk, coalesce(qr.rel, 0) AS rel
-        FROM ranked r LEFT JOIN qrels qr
-          ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id
+        SELECT query_id, rnk, rel,
+               sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY query_id ORDER BY rnk
+                   ROWS UNBOUNDED PRECEDING) AS cumhits
+        FROM (
+            SELECT r.query_id, r.rnk, coalesce(qr.rel, 0) AS rel
+            FROM ranked r LEFT JOIN qrels qr
+              ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id
+        )
     ),
     perq AS (
         SELECT query_id,
@@ -9960,6 +10036,10 @@ ORACLES["retrieval_metrics"] = """
                max(CASE WHEN rel > 0
                         THEN CAST(round(1.0 / rnk, 12) AS DECIMAL(18,12))
                    END) AS best_rr,
+               sum(CASE WHEN rel > 0
+                        THEN CAST(round(CAST(cumhits AS DOUBLE) / rnk, 12)
+                                  AS DECIMAL(18,12))
+                   END) AS ap_sum,
                sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_hits
         FROM hits GROUP BY query_id
     ),
@@ -9980,6 +10060,8 @@ ORACLES["retrieval_metrics"] = """
            p.n_hits,
            round(CAST(p.n_hits AS DOUBLE) / n.n_rel, 6) AS recall_at_k,
            round(CAST(coalesce(p.best_rr, 0) AS DOUBLE), 6) AS rr,
+           round(CAST(coalesce(p.ap_sum, 0) AS DOUBLE)
+                 / least(n.n_rel, 10), 6) AS ap_at_k,
            round(CAST(p.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 6)
                AS ndcg_at_k
     FROM perq p JOIN nrel n USING (query_id) JOIN ideal i USING (query_id)

@@ -203,6 +203,7 @@ HEADLINE = [
     "expectations_gate",
     "merge_stream",
     "retrieval_metrics",
+    "classifier_calibration",
 ]
 
 

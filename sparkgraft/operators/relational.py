@@ -382,19 +382,25 @@ def retrieval_metrics(
 
     Inputs: ``ranked`` (query, doc, rank — a top-k list), ``qrels``
     (query, doc, graded rel > 0; unjudged pairs count rel = 0).
-    Output per query: ``(query, n_rel, n_hits, recall_at_k, rr,
+    Output per query: ``(query, n_rel, n_hits, recall_at_k, rr, ap_at_k,
     ndcg_at_k)`` with recall = retrieved-relevant / ALL relevant (the
-    trec_eval denominator) and ideal DCG from the top-``k`` judgments
-    by grade.
+    trec_eval denominator), AP@k = Σ_{relevant hit at rank r} P@r /
+    min(n_rel, k) (binary average precision — graded rels count as
+    relevant), and ideal DCG from the top-``k`` judgments by grade.
 
-    Determinism: every DCG/RR term quantizes to DECIMAL(18,12) before
-    the exact sum (the rrf_fuse discipline — union/partition order
-    can't perturb a decimal sum), final metrics round to ``digits``.
-    Scale: both inputs are top-k lists / judgment tables — metadata-
-    sized next to the corpus; one hash join + three grouped
+    Determinism: every DCG/RR/P@r term quantizes to DECIMAL(18,12)
+    before the exact sum (the rrf_fuse discipline — union/partition
+    order can't perturb a decimal sum), final metrics round to
+    ``digits``.  Scale: both inputs are top-k lists / judgment tables —
+    metadata-sized next to the corpus; one hash join + three grouped
     aggregates, each partitioned by query.
     """
     rel0 = F.coalesce(F.col(rel_col), F.lit(0))
+    w_cum = (
+        Window.partitionBy(query_col)
+        .orderBy(rank_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     hits = (
         ranked.filter(F.col(rank_col) <= k)
         .select(query_col, id_col, rank_col)
@@ -404,6 +410,10 @@ def retrieval_metrics(
             "left",
         )
         .withColumn("_rel", rel0)
+        .withColumn(
+            "_cumhits",
+            F.sum(F.when(rel0 > 0, 1).otherwise(0)).over(w_cum),
+        )
     )
     dterm = F.round(
         F.col("_rel").cast("double") / F.log2(F.col(rank_col) + F.lit(1.0)),
@@ -413,9 +423,16 @@ def retrieval_metrics(
         F.col("_rel") > 0,
         F.round(F.lit(1.0) / F.col(rank_col), 12).cast("decimal(18,12)"),
     )
+    ap_term = F.when(
+        F.col("_rel") > 0,
+        F.round(
+            F.col("_cumhits").cast("double") / F.col(rank_col), 12
+        ).cast("decimal(18,12)"),
+    )
     per_q = hits.groupBy(query_col).agg(
         F.sum(dterm).alias("_dcg"),
         F.max(rr_term).alias("_best_rr"),
+        F.sum(ap_term).alias("_ap_sum"),
         F.sum(F.when(F.col("_rel") > 0, 1).otherwise(0)).alias("n_hits"),
     )
     judged = qrels.filter(F.col(rel_col) > 0)
@@ -449,6 +466,13 @@ def retrieval_metrics(
                 ).cast("double"),
                 digits,
             ).alias("rr"),
+            F.round(
+                F.coalesce(
+                    F.col("_ap_sum"), F.lit(0).cast("decimal(18,12)")
+                ).cast("double")
+                / F.least(F.col("n_rel"), F.lit(k)),
+                digits,
+            ).alias("ap_at_k"),
             F.round(
                 F.col("_dcg").cast("double") / F.col("_idcg").cast("double"),
                 digits,

@@ -169,3 +169,70 @@ def doc_features(
         .alias("x_digit"),
         (F.col("lang") == "en").cast("long").alias("label"),
     )
+
+
+def calibration_report(
+    preds: DataFrame,
+    p_col: str = "p_scaled",
+    label_col: str = "label",
+    p_scale: int = 10_000,
+    n_bins: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error over exact
+    scaled-integer predictions — the calibration leg of the quality-
+    classifier curation loop (train → predict → CALIBRATE; Guo et al.
+    2017 temperature-scaling diagnostics, computed here exactly).
+
+    Bins: confidence bucket ``min((p * n_bins) div p_scale, n_bins-1)``
+    (equal-width, last bin closed) — exact integer division, no float
+    bucketing.  Per bin: ``n``, mean confidence, empirical accuracy,
+    ``gap = |acc − conf|``.  Summary row ``bin = -1`` carries
+    ECE = Σ_b (n_b/N)·|acc_b − conf_b|, which reduces to the EXACT
+    integer sum Σ_b |pos_b·S − sum_p_b| / (N·S) — one division at the
+    end, so the SQL mirror is bit-exact and the result is
+    partitioning-invariant.  Scale: one grouped aggregate over the
+    prediction scan into ≤ n_bins rows.
+    """
+    bucket = F.least(
+        F.call_function(
+            "div",
+            F.col(p_col).cast("long") * F.lit(n_bins),
+            F.lit(p_scale).cast("long"),
+        ),
+        F.lit(n_bins - 1).cast("long"),
+    ).cast("long")
+    per = preds.groupBy(bucket.alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(p_col).cast("decimal(38,0)")).alias("_sum_p"),
+        F.sum(F.col(label_col).cast("decimal(38,0)")).alias("_pos"),
+    )
+    gap_num = F.abs(
+        F.col("_pos") * F.lit(p_scale).cast("decimal(38,0)")
+        - F.col("_sum_p")
+    )
+    bins = per.select(
+        "bin",
+        "n",
+        F.round(
+            F.col("_sum_p").cast("double") / (F.col("n") * p_scale), digits
+        ).alias("conf"),
+        F.round(F.col("_pos").cast("double") / F.col("n"), digits).alias(
+            "acc"
+        ),
+        F.round(
+            gap_num.cast("double") / (F.col("n") * p_scale), digits
+        ).alias("gap"),
+    )
+    total = per.select(F.col("n"), gap_num.alias("_g")).agg(
+        F.sum("n").alias("n"), F.sum("_g").alias("_g")
+    ).select(
+        F.lit(-1).cast("long").alias("bin"),
+        "n",
+        F.lit(None).cast("double").alias("conf"),
+        F.lit(None).cast("double").alias("acc"),
+        F.round(
+            F.col("_g").cast("double") / (F.col("n") * p_scale), digits
+        ).alias("gap"),
+    )
+    return bins.unionByName(total)

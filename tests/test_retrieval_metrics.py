@@ -29,6 +29,8 @@ def test_binary_relevance_hand_math(spark):
     assert row["n_rel"] == 3 and row["n_hits"] == 2
     assert row["recall_at_k"] == round(2 / 3, 6)
     assert row["rr"] == 1.0
+    # AP@3 = (P@1 + P@3) / min(3, 3) = (1 + 2/3) / 3
+    assert row["ap_at_k"] == round((_q12(1 / 1) + _q12(2 / 3)) / 3, 6)
     dcg = _q12(1 / math.log2(2)) + _q12(0.0) + _q12(1 / math.log2(4))
     idcg = (
         _q12(1 / math.log2(2))
@@ -55,6 +57,7 @@ def test_graded_relevance_ideal_ordering(spark):
     assert row["ndcg_at_k"] == round(dcg / idcg, 6)
     assert row["ndcg_at_k"] < 1.0
     assert row["rr"] == 1.0 and row["recall_at_k"] == 1.0
+    assert row["ap_at_k"] == 1.0  # both hits at perfect precision
 
 
 def test_no_relevant_retrieved_and_rank_cut(spark):
@@ -70,6 +73,7 @@ def test_no_relevant_retrieved_and_rank_cut(spark):
     row = retrieval_metrics(ranked, qrels, k=10).first()
     assert row["n_hits"] == 0
     assert row["rr"] == 0.0 and row["recall_at_k"] == 0.0
+    assert row["ap_at_k"] == 0.0
     assert row["ndcg_at_k"] == 0.0
 
 
@@ -110,6 +114,7 @@ def test_unjudged_defaults_to_zero_not_dropped(spark):
     row = retrieval_metrics(ranked, qrels, k=10).first()
     assert row["n_rel"] == 2 and row["n_hits"] == 1
     assert row["recall_at_k"] == 0.5
+    assert row["ap_at_k"] == 0.5  # P@1 = 1 over min(2, 10)
     dcg = _q12(1 / math.log2(2))
     idcg = _q12(1 / math.log2(2)) + _q12(1 / math.log2(3))
     assert row["ndcg_at_k"] == round(dcg / idcg, 6)

@@ -113,3 +113,41 @@ def test_doc_features_quantization(spark):
     # empty doc: split('') -> [''] (1 word), 0 chars
     assert rows[2]["x_words"] == 100
     assert rows[2]["x_digit"] == 0 and rows[2]["label"] == 0
+
+
+def test_calibration_report_hand_math(spark):
+    """Reliability bins + exact ECE on a literal prediction set:
+    bin 1 = {1500: wrong}, bin 9 = {9000: right, 9600: right} (and the
+    10000 edge closes into bin 9); ECE reduces to the exact integer
+    sum |pos*S - sum_p| / (N*S)."""
+    from sparkgraft.operators.trainer import calibration_report
+
+    preds = spark.createDataFrame(
+        [(1500, 0), (9000, 1), (9600, 1), (10000, 0)],
+        "p_scaled long, label long",
+    )
+    rows = {r["bin"]: r for r in calibration_report(preds).collect()}
+    assert set(rows) == {1, 9, -1}
+    b1, b9, ece = rows[1], rows[9], rows[-1]
+    assert (b1["n"], b1["conf"], b1["acc"]) == (1, 0.15, 0.0)
+    assert b1["gap"] == 0.15
+    # bin 9: p in {9000, 9600, 10000}, labels {1, 1, 0}
+    assert b9["n"] == 3
+    assert b9["conf"] == round(28600 / 30000, 6)
+    assert b9["acc"] == round(2 / 3, 6)
+    assert b9["gap"] == round(abs(2 * 10000 - 28600) / 30000, 6)
+    # ECE = (|0*S-1500| + |2*S-28600|) / (4*S)
+    assert ece["n"] == 4 and ece["conf"] is None and ece["acc"] is None
+    assert ece["gap"] == round((1500 + 8600) / 40000, 6)
+
+
+def test_calibration_report_partition_invariance(spark):
+    from sparkgraft.operators.trainer import calibration_report
+
+    preds = spark.createDataFrame(
+        [((i * 137) % 10001, i % 2) for i in range(500)],
+        "p_scaled long, label long",
+    )
+    a = sorted(tuple(r) for r in calibration_report(preds.repartition(1)).collect())
+    b = sorted(tuple(r) for r in calibration_report(preds.repartition(17)).collect())
+    assert a == b
