@@ -2596,6 +2596,28 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_report(preds)
 
 
+def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation panel (ORACLE-checked): confusion counts,
+    accuracy, precision/recall/F1, Cohen's kappa at the gate operating
+    point p >= 0.528 (the default z>0 threshold saturates all-positive
+    on this 4-iteration model — a degenerate confusion; a real
+    curation gate picks an operating point on the score distribution),
+    plus threshold-free EXACT tie-aware ROC-AUC via the bounded-domain
+    midrank walk (trainer.classifier_eval — no global row sort)."""
+    from sparkgraft.operators.trainer import (
+        classifier_eval,
+        doc_features,
+        predict_hard_logistic,
+    )
+
+    w = _trained_weights(spark, sf_dir)
+    feats = doc_features(_t(spark, sf_dir, "documents"))
+    preds = predict_hard_logistic(
+        feats, w, keep_cols=["doc_id", "label"]
+    ).withColumn("label_pred", (F.col("p_scaled") >= 5280).cast("long"))
+    return classifier_eval(preds)
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov drift test per event_type:
     even-user events as the baseline, odd-user events (purchase values
@@ -5743,6 +5765,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round 6: classifier calibration (reliability bins + exact
     # ECE) — the curation loop's measurement leg ---
     "classifier_calibration": q_classifier_calibration,
+    # --- round 6: classifier evaluation (confusion/P/R/F1/kappa +
+    # exact tie-aware ROC-AUC, bounded-domain midrank walk) ---
+    "classifier_eval": q_classifier_eval,
 }
 
 
@@ -9688,6 +9713,78 @@ ORACLES["classifier_calibration"] = f"""
            round(CAST(sum(abs(pos * {10**4} - sum_p)) AS DOUBLE)
                  / (sum(n) * {10**4}), 6)
     FROM per
+"""
+
+# Mirrors trainer.classifier_eval at the p >= 0.528 operating point:
+# the untempered prediction CTE, integer confusion algebra, exact
+# kappa = (po·N − pe)/(N² − pe), and the bounded-domain midrank AUC
+# (2·midrank = 2·cum_before + c + 1 keeps everything integer).
+ORACLES["classifier_eval"] = f"""
+    {_TRAINER_PREFIX},
+    preds AS (
+        SELECT label,
+               CAST((2 * p_num * {10**4} + {4 * 10**12})
+                    // (2 * {4 * 10**12}) AS HUGEINT) AS p_scaled
+        FROM (
+            SELECT f.label,
+                   greatest(CAST(0 AS HUGEINT), least(CAST({4 * 10**12} AS HUGEINT),
+                       w.b * {10**4} + w.w1 * f.x_words + w.w2 * f.x_wordlen
+                           + w.w3 * f.x_digit + {2 * 10**12})) AS p_num
+            FROM feats f, w{_CLS_ITERS} w
+        )
+    ),
+    pl AS (
+        SELECT label, p_scaled,
+               CASE WHEN p_scaled >= 5280 THEN 1 ELSE 0 END AS pred
+        FROM preds
+    ),
+    conf AS (
+        SELECT sum(pred * label) AS tp, sum(pred * (1 - label)) AS fp,
+               sum((1 - pred) * label) AS fn,
+               sum((1 - pred) * (1 - label)) AS tn
+        FROM pl
+    ),
+    per_score AS (
+        SELECT p_scaled AS s, count(*) AS c, sum(label) AS cp
+        FROM pl GROUP BY 1
+    ),
+    mr AS (
+        SELECT c, cp,
+               2 * coalesce(sum(c) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS mr2
+        FROM per_score
+    ),
+    s2 AS (SELECT sum(cp * mr2) AS s2 FROM mr)
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6)
+               AS accuracy,
+           CASE WHEN tp + fp > 0
+                THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6)
+           END AS "precision",
+           CASE WHEN tp + fn > 0
+                THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6)
+           END AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6)
+           END AS f1,
+           CASE WHEN (tp + fp + fn + tn) * (tp + fp + fn + tn)
+                     - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) > 0
+                THEN round(
+                    CAST((tp + tn) * (tp + fp + fn + tn)
+                         - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))
+                         AS DOUBLE)
+                    / ((tp + fp + fn + tn) * (tp + fp + fn + tn)
+                       - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))),
+                    6)
+           END AS kappa,
+           CASE WHEN tp + fn > 0 AND fp + tn > 0
+                THEN round(
+                    CAST(s2 - (tp + fn) * (tp + fn + 1) AS DOUBLE)
+                    / (2 * (tp + fn) * (fp + tn)), 6)
+           END AS auc
+    FROM conf, s2
 """
 
 # Entity resolution: blocked Levenshtein pairs → recursive-CTE

@@ -204,6 +204,7 @@ HEADLINE = [
     "merge_stream",
     "retrieval_metrics",
     "classifier_calibration",
+    "classifier_eval",
 ]
 
 

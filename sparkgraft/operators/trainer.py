@@ -236,3 +236,106 @@ def calibration_report(
         ).alias("gap"),
     )
     return bins.unionByName(total)
+
+
+def classifier_eval(
+    preds: DataFrame,
+    p_col: str = "p_scaled",
+    pred_col: str = "label_pred",
+    label_col: str = "label",
+    digits: int = 6,
+) -> DataFrame:
+    """One-row classifier evaluation — confusion counts, accuracy,
+    precision/recall/F1, Cohen's kappa, and EXACT tie-aware ROC-AUC —
+    the measurement leg beside calibration_report.
+
+    AUC is the Mann-Whitney rank-sum statistic computed WITHOUT a
+    global row sort: ``p_col`` is a bounded-domain scaled integer
+    (≤ p_scale+1 distinct values), so scores aggregate to per-score
+    (count, positives) first and midranks walk the score axis — one
+    grouped aggregate plus a GLOBAL window over ≤ p_scale+1 rows — bounded by the
+    score domain, not the data (the
+    ks_test_binned bounded-domain discipline).  Ties get midranks
+    (doubled to stay integer: 2·midrank = 2·cum_before + c + 1), so
+    AUC = (Σ_pos 2·midrank − n_pos(n_pos+1)) / (2·n_pos·n_neg) is an
+    exact integer ratio; every output metric is a round-``digits``
+    double of exact integers — partitioning-invariant by construction.
+    Guards: precision/F1 NULL when nothing is predicted positive,
+    recall NULL when no positives exist, AUC/kappa NULL when one class
+    is absent.
+    """
+    from pyspark.sql import Window
+
+    pred = F.col(pred_col).cast("long")
+    lab = F.col(label_col).cast("long")
+    conf = preds.agg(
+        F.sum(pred * lab).alias("tp"),
+        F.sum(pred * (1 - lab)).alias("fp"),
+        F.sum((1 - pred) * lab).alias("fn"),
+        F.sum((1 - pred) * (1 - lab)).alias("tn"),
+    )
+    per_score = preds.groupBy(F.col(p_col).alias("s")).agg(
+        F.count("*").alias("c"), F.sum(lab).alias("cp")
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    s2 = per_score.select(
+        "c",
+        "cp",
+        (
+            F.lit(2) * F.coalesce(F.sum("c").over(w), F.lit(0))
+            + F.col("c")
+            + F.lit(1)
+        ).alias("mr2"),
+    ).agg(F.sum(F.col("cp") * F.col("mr2")).alias("s2"))
+    d = F.lit(None).cast("double")
+    # DECIMAL(38,0) cross-products: N² and rank sums stay exact far
+    # beyond long range (counts to ~10¹⁹ before 38 digits bind).
+    tp, fp = _dec(F.col("tp")), _dec(F.col("fp"))
+    fn_, tn = _dec(F.col("fn")), _dec(F.col("tn"))
+    npos, nneg = tp + fn_, fp + tn
+    n = npos + nneg
+    po_num = tp + tn
+    pe_num = (tp + fp) * npos + (fn_ + tn) * nneg
+    return conf.crossJoin(s2).select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(po_num.cast("double") / n.cast("double"), digits).alias(
+            "accuracy"
+        ),
+        F.when(
+            tp + fp > 0,
+            F.round(tp.cast("double") / (tp + fp).cast("double"), digits),
+        ).otherwise(d).alias("precision"),
+        F.when(
+            npos > 0,
+            F.round(tp.cast("double") / npos.cast("double"), digits),
+        ).otherwise(d).alias("recall"),
+        F.when(
+            tp + tp + fp + fn_ > 0,
+            F.round(
+                (tp + tp).cast("double")
+                / (tp + tp + fp + fn_).cast("double"),
+                digits,
+            ),
+        ).otherwise(d).alias("f1"),
+        F.when(
+            n * n - pe_num > 0,
+            F.round(
+                (po_num * n - pe_num).cast("double")
+                / (n * n - pe_num).cast("double"),
+                digits,
+            ),
+        ).otherwise(d).alias("kappa"),
+        F.when(
+            (npos > 0) & (nneg > 0),
+            F.round(
+                (_dec(F.col("s2")) - npos * (npos + 1)).cast("double")
+                / (F.lit(2).cast("decimal(38,0)") * npos * nneg).cast(
+                    "double"
+                ),
+                digits,
+            ),
+        ).otherwise(d).alias("auc"),
+    )

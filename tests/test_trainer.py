@@ -151,3 +151,59 @@ def test_calibration_report_partition_invariance(spark):
     a = sorted(tuple(r) for r in calibration_report(preds.repartition(1)).collect())
     b = sorted(tuple(r) for r in calibration_report(preds.repartition(17)).collect())
     assert a == b
+
+
+def test_classifier_eval_hand_math(spark):
+    """Confusion/P/R/F1/kappa/AUC on a literal set with score TIES:
+    scores [1,2,2,3] labels [0,0,1,1], pred = score >= 2."""
+    from sparkgraft.operators.trainer import classifier_eval
+
+    preds = spark.createDataFrame(
+        [(1, 0, 0), (2, 1, 0), (2, 1, 1), (3, 1, 1)],
+        "p_scaled long, label_pred long, label long",
+    )
+    r = classifier_eval(preds).first()
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (2, 1, 0, 1)
+    assert r["accuracy"] == 0.75
+    assert r["precision"] == round(2 / 3, 6)
+    assert r["recall"] == 1.0
+    assert r["f1"] == 0.8
+    # kappa: po = 3/4, pe = (3*2 + 1*2)/16 = 1/2 -> (3/4-1/2)/(1/2)
+    assert r["kappa"] == 0.5
+    # AUC with the tie at score 2: positive midranks = 2.5 (tied pair)
+    # and 4 -> U = (2.5 + 4) - 2*3/2 = 3.5 over n_pos*n_neg = 4
+    assert r["auc"] == round(3.5 / 4, 6)
+
+
+def test_classifier_eval_degenerate_guards(spark):
+    from sparkgraft.operators.trainer import classifier_eval
+
+    # no positives at all: recall/kappa/auc NULL, precision defined
+    preds = spark.createDataFrame(
+        [(1, 0, 0), (2, 0, 0)], "p_scaled long, label_pred long, label long"
+    )
+    r = classifier_eval(preds).first()
+    assert r["recall"] is None and r["auc"] is None
+    assert r["accuracy"] == 1.0
+    # nothing predicted positive: precision/f1 NULL (0 tp, 0 fp)
+    preds2 = spark.createDataFrame(
+        [(9, 0, 1), (1, 0, 0)], "p_scaled long, label_pred long, label long"
+    )
+    r2 = classifier_eval(preds2).first()
+    # precision undefined (0 predicted positive); F1 is 0, not NULL —
+    # positives exist and none were found (2tp+fp+fn = 1 > 0)
+    assert r2["precision"] is None and r2["f1"] == 0.0
+    assert r2["auc"] == 1.0  # the positive outranks the negative
+
+
+def test_classifier_eval_partition_invariance(spark):
+    from sparkgraft.operators.trainer import classifier_eval
+
+    rows = [((i * 37) % 101, (i * 37) % 3 == 0 and 1 or 0, i % 2)
+            for i in range(400)]
+    preds = spark.createDataFrame(
+        rows, "p_scaled long, label_pred long, label long"
+    )
+    a = tuple(classifier_eval(preds.repartition(1)).first())
+    b = tuple(classifier_eval(preds.repartition(19)).first())
+    assert a == b
