@@ -258,6 +258,29 @@ def _arrow_calibration_probe(spark) -> float:
     return round(min(once(), once()), 3)
 
 
+def _scan_calibration_probe(spark, sf_dir: str) -> float:
+    """Third fixed-work probe, SCAN-shaped (round-6 addition): a full
+    parquet read+decode of the events table with a column aggregate,
+    warmed then best-of-2.  The JVM and Arrow probes are CPU-bound and
+    stay clean when the variance source is the storage path (VM block
+    layer / host I/O) — which is exactly where persisted-index serve
+    queries (ann_index_serve, ivfpq_ann, bm25_index_serve) live.  A
+    run where this probe is inflated while the CPU probes are clean is
+    I/O-contended: compare scan/serve-heavy queries only across runs
+    with similar scan calibration.  Idle reference for this box:
+    ~0.3-0.7 s."""
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+            "sum(value) as s", "count(distinct user_id) as u"
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    once()  # warm
+    return round(min(once(), once()), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -275,6 +298,7 @@ def main() -> None:
     load_before = os.getloadavg()
     calib_before = _calibration_probe(spark)
     calib_arrow_before = _arrow_calibration_probe(spark)
+    calib_scan_before = _scan_calibration_probe(spark, sf_dir)
 
     # Untimed warm-up pass over EVERY headline query: one-time
     # session artifacts (staged skipping tables + Bloom manifests,
@@ -303,6 +327,7 @@ def main() -> None:
 
     calib_after = _calibration_probe(spark)
     calib_arrow_after = _arrow_calibration_probe(spark)
+    calib_scan_after = _scan_calibration_probe(spark, sf_dir)
     load_after = os.getloadavg()
 
     total = round(sum(timings.values()), 3)
@@ -328,6 +353,11 @@ def main() -> None:
                 # suffix-family blind spot).  Idle reference ~0.2-0.5 s.
                 "calibration_arrow_sec_before": calib_arrow_before,
                 "calibration_arrow_sec_after": calib_arrow_after,
+                # Scan-shaped probe: inflated here with clean CPU
+                # probes => storage-path contention (hits the
+                # persisted-index serve class).  Idle ref ~0.3-0.7 s.
+                "calibration_scan_sec_before": calib_scan_before,
+                "calibration_scan_sec_after": calib_scan_after,
                 "warmup_sec": warmup_sec,
             }
         )
