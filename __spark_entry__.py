@@ -362,6 +362,35 @@ def q_transient_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("event_type").agg(F.count("*").alias("n_kept"))
 
 
+def q_gate_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4/P5 merged event-gate witness (merge-rule round 6): the
+    alignment + size-health predicate report (P4/P5, per-order) and
+    the 10 s restart-transient suppression summary (P3, per-channel)
+    are both admission-gate predicates over the same pipeline — they
+    union long-form method-tagged: 'align' rows carry (aligned,
+    size_flag) per order key, 'transient' rows carry n_kept per
+    channel.  The component witnesses stay oracle-checked at 51+."""
+    align = q_alignment_gate(spark, sf_dir)
+    trans = q_transient_skip(spark, sf_dir)
+    align_leg = align.select(
+        F.lit("align").alias("method"),
+        F.col("o_orderkey").cast("string").alias("key"),
+        "aligned",
+        "size_flag",
+        F.lit(None).cast("long").alias("n_kept"),
+    )
+    trans_leg = trans.select(
+        F.lit("transient").alias("method"),
+        F.col("event_type").alias("key"),
+        F.lit(None).cast("boolean").alias("aligned"),
+        F.lit(None).cast(align.schema["size_flag"].dataType).alias(
+            "size_flag"
+        ),
+        "n_kept",
+    )
+    return align_leg.unionByName(trans_leg)
+
+
 def q_kv_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2/K3 — row→KV hash projection (Redis-hash semantics): per-channel
     stats exploded to `<channel>:<metric>` → string value fields."""
@@ -2119,14 +2148,16 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-quality evaluation (ORACLE-checked) — the measurement
     leg that completes the RAG stack (index → retrieve → fuse → rerank
-    → EVALUATE): exact cosine top-10 for the first 8 query vectors,
-    judged against same-label relevance (every other vector sharing the
+    → EVALUATE): exact cosine top-10 for the first 6 of 8 judged query
+    vectors (queries 6-7 are judged but UNRETRIEVED — the trec_eval
+    zero-score rows the full-outer qrels join must emit), judged
+    against same-label relevance (every other vector sharing the
     query's label is relevant), scored per query as recall@10, RR@10,
     nDCG@10 with DECIMAL-quantized term sums (relational.
     retrieval_metrics)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    ranked = SIM.brute_force_topk(queries, emb, k=10).select(
+    ranked = SIM.brute_force_topk(queries.filter(F.col("vec_id") < 6), emb, k=10).select(
         "query_id", F.col("neighbor_id").alias("doc_id"), "rnk"
     )
     qrels = (
@@ -5320,15 +5351,31 @@ def q_lakehouse_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stats_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1-windowed + A6 merged witness (merge-rule round 5): the
-    10-minute tumbling-window channel stats and the full extended
-    metric set share one wide method-tagged shape — 'win' rows carry
-    (mean, mn, mx) per (channel, window), 'ext' rows carry the full
-    (mean, mn, mx, std, p50, p90, n_rows, n_nans) per channel.  The
-    component witnesses stay oracle-checked at 51+."""
+    """A1 + A6 merged witness (merge-rule rounds 5-6): the plain
+    per-channel round(3) stats (A1 — the reference's mean/min/max
+    battery), the 10-minute tumbling-window channel stats, and the
+    full extended metric set share one wide method-tagged shape —
+    'plain' rows carry A1's (mean, mn, mx) per channel, 'win' rows the
+    same per (channel, window), 'ext' rows the full (mean, mn, mx,
+    std, p50, p90, n_rows, n_nans) per channel.  The component
+    witnesses stay oracle-checked at 51+."""
     win = q_windowed_stats(spark, sf_dir)
     ext = q_extended_stats(spark, sf_dir)
+    plain = q_channel_stats(spark, sf_dir)
     null_d = F.lit(None).cast("double")
+    plain_leg = plain.select(
+        F.lit("plain").alias("method"),
+        "channel",
+        F.lit(None).cast("string").alias("item"),
+        "mean",
+        F.col("min").alias("mn"),
+        F.col("max").alias("mx"),
+        null_d.alias("std"),
+        null_d.alias("p50"),
+        null_d.alias("p90"),
+        F.lit(None).cast("long").alias("n_rows"),
+        F.lit(None).cast("long").alias("n_nans"),
+    )
     win_leg = win.select(
         F.lit("win").alias("method"),
         F.col("event_type").alias("channel"),
@@ -5355,17 +5402,19 @@ def q_stats_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "n_nans",
     )
-    return win_leg.unionByName(ext_leg)
+    return plain_leg.unionByName(win_leg).unionByName(ext_leg)
 
 
 def q_scalar_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1/F2/F4/F6/F8/F11 merged scalar witness (merge-rule round 5):
-    the scalar_functions battery and the time_projections battery are
-    both per-event row-level projections, so the merged witness is ONE
-    projection computing all nine derived columns in a single pass —
-    no union, no join.  The component witnesses stay oracle-checked at
-    51+.  (CPU-bound sha256/regex: repartition off the single-file
-    scan so it parallelizes — row-level ops, result unchanged.)"""
+    """F1/F2/F4/F6/F8/F11 + P9 merged scalar witness (merge-rule
+    rounds 5-6): the scalar_functions battery, the time_projections
+    battery, and the tolerant numeric/timestamp coercion (P9 — NULL on
+    junk, ``pd.to_numeric(errors='coerce')`` parity) are all per-event
+    row-level projections, so the merged witness is ONE projection
+    computing all twelve derived columns in a single pass — no union,
+    no join.  The component witnesses stay oracle-checked at 51+.
+    (CPU-bound sha256/regex: repartition off the single-file scan so
+    it parallelizes — row-level ops, result unchanged.)"""
     events = _t(spark, sf_dir, "events")
     events = events.repartition(spark.sparkContext.defaultParallelism)
     df = events.select(
@@ -5382,9 +5431,19 @@ def q_scalar_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             r"\.",
             ",",
         ).alias("vstr"),
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit("3,"), (F.col("event_id") % 100).cast("string")),
+        )
+        .when(F.col("event_id") % 3 == 1, F.lit("junk"))
+        .otherwise((F.col("event_id") % 7).cast("string"))
+        .alias("raw"),
     )
     return df.select(
         "event_id",
+        "raw",
+        E.comma_decimal(F.col("raw")).alias("coerced"),
+        F.col("raw").try_cast("timestamp").alias("coerced_ts"),
         E.filename_timestamp(F.col("fname")).alias("fname_ts"),
         E.timestamp_to_ole(F.col("ts")).alias("ole_days"),
         E.ole_to_timestamp(
@@ -5485,9 +5544,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_deltas": q_window_deltas,
     "set_ops": q_set_ops,
     "dedup_exact": q_dedup_exact,
+    # Round-7 window reshuffle (merge-rule round 6, per the round-6
+    # verdict): channel_stats joins stats_panel as its third ('plain')
+    # leg, alignment_gate + transient_skip union into gate_panel (one
+    # method-tagged gate report — P3/P4/P5 all stay witnessed), and
+    # numeric_coercion's P9 try_cast columns ride scalar_panel's
+    # single row-level projection — freeing three slots for the
+    # round-6 measurement legs retrieval_metrics, classifier_eval,
+    # suffix_budget.  No sole §2/LLM witness evicted; every demoted
+    # component stays oracle-checked at 51+.
     "scalar_panel": q_scalar_panel,
-    "alignment_gate": q_alignment_gate,
-    "transient_skip": q_transient_skip,
+    "gate_panel": q_gate_panel,
     # Round-4 second-session merge: the KV projection + the register
     # image it feeds fold into one sink-chain witness — the freed slot
     # carries the trainable quality classifier (the session's most
@@ -5495,9 +5562,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kv_register_image": q_kv_register_image,
     "train_classifier": q_train_classifier,
     # --- remaining SURVEY §2 verifying queries ---
-    "channel_stats": q_channel_stats,
     "report_scan": q_report_scan,
-    "numeric_coercion": q_numeric_coercion,
     "upload_dedup": q_upload_dedup,
     "debounce_gate": q_debounce_gate,
     "alarm_trigger": q_alarm_trigger,
@@ -5560,6 +5625,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "versioned_merge": q_versioned_merge,
     "stream_cdc": q_stream_cdc,
     "setsim_pairs": q_setsim_pairs,
+    # --- round-7 promotions: the round-6 measurement legs (retrieval
+    # evaluation, classifier evaluation incl. exact tie-aware ROC-AUC,
+    # and the winnowing 100 TB budget lever's full SQL replay) ---
+    "retrieval_metrics": q_retrieval_metrics,
+    "classifier_eval": q_classifier_eval,
+    "suffix_budget": q_suffix_budget,
     # ---- position 51+: second witnesses / engine extras --------------------
     # (first in line if the driver window ever widens.  The round-4
     # demotions lead — each §2/LLM row they witnessed keeps an
@@ -5580,6 +5651,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # A1-windowed/§2.5-frames + A6 via stats_panel, F1/F2/F6/F8 +
     # F4/F11 via scalar_panel, skipping + versioning/CDC via
     # lakehouse_reads.
+    # Round-7 demotions (merge-rule round 6): A1-plain via
+    # stats_panel's 'plain' leg, P4/P5 + P3 via gate_panel's two legs,
+    # P9 via scalar_panel's raw/coerced/coerced_ts columns.
+    "channel_stats": q_channel_stats,
+    "alignment_gate": q_alignment_gate,
+    "transient_skip": q_transient_skip,
+    "numeric_coercion": q_numeric_coercion,
     "windowed_stats": q_windowed_stats,
     "extended_stats": q_extended_stats,
     "scalar_functions": q_scalar_functions,
@@ -5727,9 +5805,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_travel": q_snapshot_travel,
     "stream_sample": q_stream_sample,
     "dedup_rewrite": q_dedup_rewrite,
-    # --- round 6: winnowing budget-mode witness (stride=4, full SQL
-    # replay of the minimizer selection) ---
-    "suffix_budget": q_suffix_budget,
+    # (suffix_budget — the winnowing budget-mode witness — promoted
+    # in-window in round 7)
     # --- round 4 (third session): changepoints + index maintenance ---
     # (cusum_shift, entity_resolution, sequence_count promoted
     # in-window in round 5)
@@ -5759,15 +5836,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # per the round-5 verdict) ---
     "expectations_gate": q_expectations_gate,
     "merge_stream": q_merge_stream,
-    # --- round 6: retrieval evaluation (recall/RR/nDCG) — the RAG
-    # stack's measurement leg ---
-    "retrieval_metrics": q_retrieval_metrics,
     # --- round 6: classifier calibration (reliability bins + exact
-    # ECE) — the curation loop's measurement leg ---
+    # ECE) — the curation loop's measurement leg (retrieval_metrics
+    # and classifier_eval promoted in-window in round 7) ---
     "classifier_calibration": q_classifier_calibration,
-    # --- round 6: classifier evaluation (confusion/P/R/F1/kappa +
-    # exact tie-aware ROC-AUC, bounded-domain midrank walk) ---
-    "classifier_eval": q_classifier_eval,
 }
 
 
@@ -10107,7 +10179,7 @@ ORACLES["retrieval_metrics"] = """
                            / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
                               * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
                            6) AS cos_sim
-                FROM c, q WHERE doc_id <> query_id
+                FROM c, q WHERE doc_id <> query_id AND query_id < 6
             )
         ) WHERE rnk <= 10
     ),
@@ -10152,16 +10224,22 @@ ORACLES["retrieval_metrics"] = """
             FROM qrels
         ) WHERE irnk <= 10 GROUP BY query_id
     )
-    SELECT p.query_id,
-           n.n_rel,
-           p.n_hits,
-           round(CAST(p.n_hits AS DOUBLE) / n.n_rel, 6) AS recall_at_k,
+    SELECT query_id,
+           coalesce(n.n_rel, 0) AS n_rel,
+           coalesce(p.n_hits, 0) AS n_hits,
+           CASE WHEN coalesce(n.n_rel, 0) > 0
+                THEN round(CAST(coalesce(p.n_hits, 0) AS DOUBLE) / n.n_rel, 6)
+           END AS recall_at_k,
            round(CAST(coalesce(p.best_rr, 0) AS DOUBLE), 6) AS rr,
-           round(CAST(coalesce(p.ap_sum, 0) AS DOUBLE)
-                 / least(n.n_rel, 10), 6) AS ap_at_k,
-           round(CAST(p.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 6)
-               AS ndcg_at_k
-    FROM perq p JOIN nrel n USING (query_id) JOIN ideal i USING (query_id)
+           CASE WHEN coalesce(n.n_rel, 0) > 0
+                THEN round(CAST(coalesce(p.ap_sum, 0) AS DOUBLE)
+                           / least(n.n_rel, 10), 6)
+           END AS ap_at_k,
+           round(CAST(coalesce(p.dcg, CAST(0 AS DECIMAL(18,12))) AS DOUBLE)
+                 / CAST(i.idcg AS DOUBLE), 6) AS ndcg_at_k
+    FROM perq p
+    FULL OUTER JOIN nrel n USING (query_id)
+    LEFT JOIN ideal i USING (query_id)
 """
 
 
@@ -10978,6 +11056,14 @@ ORACLES["lakehouse_reads"] = (
 )
 
 ORACLES["stats_panel"] = (
+    "SELECT 'plain' AS method, channel,"
+    " CAST(NULL AS VARCHAR) AS item,"
+    ' mean, "min" AS mn, "max" AS mx,'
+    " CAST(NULL AS DOUBLE) AS std, CAST(NULL AS DOUBLE) AS p50,"
+    " CAST(NULL AS DOUBLE) AS p90, CAST(NULL AS BIGINT) AS n_rows,"
+    " CAST(NULL AS BIGINT) AS n_nans FROM ("
+    + ORACLES["channel_stats"]
+    + ") UNION ALL "
     "SELECT 'win' AS method, event_type AS channel,"
     " strftime(window_start, '%Y-%m-%d %H:%M:%S') AS item,"
     ' mean, "min" AS mn, "max" AS mx,'
@@ -10993,14 +11079,31 @@ ORACLES["stats_panel"] = (
     + ")"
 )
 
+ORACLES["gate_panel"] = (
+    "SELECT 'align' AS method, CAST(o_orderkey AS VARCHAR) AS key,"
+    " aligned, size_flag, CAST(NULL AS BIGINT) AS n_kept FROM ("
+    + ORACLES["alignment_gate"]
+    + ") UNION ALL "
+    "SELECT 'transient', event_type, CAST(NULL AS BOOLEAN),"
+    " CAST(NULL AS INTEGER), n_kept FROM ("
+    + ORACLES["transient_skip"]
+    + ")"
+)
+
 ORACLES["scalar_panel"] = r"""
     WITH base AS (
         SELECT event_id, ts, value,
                'Logger1_' || strftime(ts, '%Y-%m-%d_%H-%M-%S') || '.dat' AS fname,
-               replace(format('{:.2f}', value), '.', ',') AS vstr
+               replace(format('{:.2f}', value), '.', ',') AS vstr,
+               CASE WHEN event_id % 3 = 0 THEN '3,' || CAST(event_id % 100 AS VARCHAR)
+                    WHEN event_id % 3 = 1 THEN 'junk'
+                    ELSE CAST(event_id % 7 AS VARCHAR) END AS raw
         FROM events
     )
     SELECT event_id,
+           raw,
+           try_cast(replace(raw, ',', '.') AS DOUBLE) AS coerced,
+           try_cast(raw AS TIMESTAMP) AS coerced_ts,
            strptime(regexp_extract(fname, '(\d{4}-\d{2}-\d{2})_(\d{2}-\d{2}-\d{2})', 1) || ' ' ||
                     regexp_extract(fname, '(\d{4}-\d{2}-\d{2})_(\d{2}-\d{2}-\d{2})', 2),
                     '%Y-%m-%d %H-%M-%S') AS fname_ts,

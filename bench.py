@@ -205,6 +205,9 @@ HEADLINE = [
     "retrieval_metrics",
     "classifier_calibration",
     "classifier_eval",
+    # round-7 merged driver-window witness (gate predicates; the
+    # channel_stats / scalar_functions components stay benched above)
+    "gate_panel",
 ]
 
 

@@ -382,11 +382,16 @@ def retrieval_metrics(
 
     Inputs: ``ranked`` (query, doc, rank — a top-k list), ``qrels``
     (query, doc, graded rel > 0; unjudged pairs count rel = 0).
-    Output per query: ``(query, n_rel, n_hits, recall_at_k, rr, ap_at_k,
-    ndcg_at_k)`` with recall = retrieved-relevant / ALL relevant (the
-    trec_eval denominator), AP@k = Σ_{relevant hit at rank r} P@r /
-    min(n_rel, k) (binary average precision — graded rels count as
-    relevant), and ideal DCG from the top-``k`` judgments by grade.
+    Output per query in ``ranked`` ∪ ``qrels`` (trec_eval style — a
+    judged query whose result list is empty still scores, as zeros):
+    ``(query, n_rel, n_hits, recall_at_k, rr, ap_at_k, ndcg_at_k)``
+    with recall = retrieved-relevant / ALL relevant (the trec_eval
+    denominator), AP@k = Σ_{relevant hit at rank r} P@r / min(n_rel, k)
+    (binary average precision — graded rels count as relevant), and
+    ideal DCG from the top-``k`` judgments by grade.  A ranked query
+    with zero positive judgments has no defined recall/AP/nDCG — those
+    emit NULL (rr still 0) rather than dividing by n_rel = 0 (which
+    would error under ``spark.sql.ansi.enabled``).
 
     Determinism: every DCG/RR/P@r term quantizes to DECIMAL(18,12)
     before the exact sum (the rrf_fuse discipline — union/partition
@@ -450,31 +455,34 @@ def retrieval_metrics(
         .groupBy(query_col)
         .agg(F.sum(iterm).alias("_idcg"))
     )
+    nr = F.coalesce(F.col("n_rel"), F.lit(0))
+    nh = F.coalesce(F.col("n_hits"), F.lit(0))
+    zero_dec = F.lit(0).cast("decimal(18,12)")
     return (
-        per_q.join(n_rel, query_col, "left")
+        per_q.join(n_rel, query_col, "full")
         .join(ideal, query_col, "left")
         .select(
             query_col,
-            F.coalesce("n_rel", F.lit(0)).alias("n_rel"),
-            "n_hits",
-            F.round(
-                F.col("n_hits").cast("double") / F.col("n_rel"), digits
+            nr.alias("n_rel"),
+            nh.alias("n_hits"),
+            F.when(
+                nr > 0, F.round(nh.cast("double") / nr, digits)
             ).alias("recall_at_k"),
             F.round(
-                F.coalesce(
-                    F.col("_best_rr"), F.lit(0).cast("decimal(18,12)")
-                ).cast("double"),
+                F.coalesce(F.col("_best_rr"), zero_dec).cast("double"),
                 digits,
             ).alias("rr"),
-            F.round(
-                F.coalesce(
-                    F.col("_ap_sum"), F.lit(0).cast("decimal(18,12)")
-                ).cast("double")
-                / F.least(F.col("n_rel"), F.lit(k)),
-                digits,
+            F.when(
+                nr > 0,
+                F.round(
+                    F.coalesce(F.col("_ap_sum"), zero_dec).cast("double")
+                    / F.least(nr, F.lit(k)),
+                    digits,
+                ),
             ).alias("ap_at_k"),
             F.round(
-                F.col("_dcg").cast("double") / F.col("_idcg").cast("double"),
+                F.coalesce(F.col("_dcg"), zero_dec).cast("double")
+                / F.col("_idcg").cast("double"),
                 digits,
             ).alias("ndcg_at_k"),
         )

@@ -13,13 +13,22 @@ Layout under ``table_dir``:
 - ``_manifests/_latest``          pointer file holding the newest
   committed version number.
 
-Commit protocol (single-writer): data files are fully written first,
-then the manifest, then the ``_latest`` pointer flips via
-``os.replace`` — readers either see the previous snapshot or the new
-one, never a torn state (the same atomic-promote discipline as the K5
-event store, sinks/event_store_sink.py).  A crash before the pointer
-flip leaves orphan data files that a later ``vacuum`` removes —
-exactly the recovery story of the big table formats.
+Commit protocol (optimistic concurrency): data files (token-unique
+names) and the stats table (token-unique, recorded as ``stats_file``
+in the manifest) are fully written first; then the writer CLAIMS the
+version by creating ``v<N>.json`` via an atomic put-if-absent
+(``os.link`` from a fully-written temp file — complete content AND
+exclusivity in one step).  Manifest creation is the commit point:
+when two writers race the same parent, exactly one claim succeeds and
+the loser raises :class:`CommitConflictError`, cleans up its own
+files, and (inside the public writers) retries against the new parent
+— Delta-style lost-update prevention, detected at commit time rather
+than silently last-writer-wins.  The ``_latest`` pointer is a
+monotone cache flipped after the claim via ``os.replace``; readers
+scan forward past it, so a crash (or a slow writer flipping late)
+never hides or tears a committed version.  A crash before the claim
+leaves orphan data files that a later ``vacuum`` removes — exactly
+the recovery story of the big table formats.
 
 Reads are manifest-driven: ``read_versioned(dir, version)`` loads the
 snapshot's exact file list (time travel), so concurrent writers can
@@ -37,8 +46,16 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed this version first (optimistic-
+    concurrency conflict).  The public writers catch it and retry
+    against the new parent; it surfaces only when retries are
+    exhausted or when calling :func:`_commit` directly."""
 
 
 def _manifest_dir(table_dir: str) -> str:
@@ -49,24 +66,51 @@ def _latest_path(table_dir: str) -> str:
     return os.path.join(_manifest_dir(table_dir), "_latest")
 
 
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(_manifest_dir(table_dir), f"v{version}.json")
+
+
 def latest_version(table_dir: str) -> int | None:
-    """Newest committed version, or None for an empty table."""
+    """Newest COMMITTED version, or None for an empty table.  The
+    commit point is manifest creation, so this starts from the
+    ``_latest`` pointer cache and scans forward while newer manifests
+    exist — a crash between claim and pointer flip (or a slow writer
+    flipping the pointer after a faster successor) never hides a
+    committed version."""
     p = _latest_path(table_dir)
     if not os.path.exists(p):
-        return None
-    with open(p) as fh:
-        return int(fh.read().strip())
+        # No pointer yet: either an empty table or a writer crashed
+        # between its v0 claim and the first pointer flip.
+        if not os.path.exists(_manifest_path(table_dir, 0)):
+            return None
+        v = 0
+    else:
+        with open(p) as fh:
+            v = int(fh.read().strip())
+    while os.path.exists(_manifest_path(table_dir, v + 1)):
+        v += 1
+    return v
 
 
 def _read_manifest(table_dir: str, version: int) -> dict:
-    with open(
-        os.path.join(_manifest_dir(table_dir), f"v{version}.json")
-    ) as fh:
+    with open(_manifest_path(table_dir, version)) as fh:
         return json.load(fh)
 
 
 def _stats_path(table_dir: str, version: int) -> str:
-    return os.path.join(_manifest_dir(table_dir), f"v{version}_stats.parquet")
+    """Stats table location for a version: the manifest's
+    ``stats_file`` when recorded (token-unique name — concurrent
+    losers can never have clobbered it), else the legacy fixed name
+    (pre-OCC tables)."""
+    default = os.path.join(
+        _manifest_dir(table_dir), f"v{version}_stats.parquet"
+    )
+    mpath = _manifest_path(table_dir, version)
+    if os.path.exists(mpath):
+        sf = _read_manifest(table_dir, version).get("stats_file")
+        if sf:
+            return os.path.join(_manifest_dir(table_dir), sf)
+    return default
 
 
 def _file_stats(spark: SparkSession, table_dir: str, rel_files: list[str],
@@ -106,6 +150,7 @@ def write_versioned(
     sort_col: str | None = None,
     n_files: int | None = None,
     extra_meta: "dict | None" = None,
+    retries: int = 20,
 ) -> int:
     """Commit ``df`` as a new snapshot version; returns the version
     number.  ``mode='append'`` includes the parent snapshot's files in
@@ -122,26 +167,41 @@ def write_versioned(
     :func:`read_versioned_skipping` prunes a time-travel read with a
     stats predicate.  ``sort_col``/``n_files`` range-partition + sort
     the write so each file covers a tight range (what makes the stats
-    selective — see layout.write_with_stats)."""
+    selective — see layout.write_with_stats).
+
+    Concurrency: on a commit conflict (another writer claimed the
+    version first) the already-landed data files are REUSED — the
+    rows being appended/overwritten don't depend on the parent — and
+    the commit retries against the new parent, up to ``retries``
+    times before :class:`CommitConflictError` propagates."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode: {mode}")
     parent = latest_version(table_dir)
     version = 0 if parent is None else parent + 1
     new_files = _land_files(df, table_dir, version, sort_col, n_files)
-    if mode == "append" and parent is not None:
-        files = _read_manifest(table_dir, parent)["files"] + new_files
-    else:
-        files = new_files
-    carry = (
-        _read_manifest(table_dir, parent)["files"]
-        if mode == "append" and parent is not None
-        else []
-    )
-    _commit(
-        df.sparkSession, table_dir, version, parent, mode, files,
-        stats_cols, new_files, carry, extra_meta,
-    )
-    return version
+    for attempt in range(retries + 1):
+        if mode == "append" and parent is not None:
+            files = _read_manifest(table_dir, parent)["files"] + new_files
+        else:
+            files = new_files
+        carry = (
+            _read_manifest(table_dir, parent)["files"]
+            if mode == "append" and parent is not None
+            else []
+        )
+        try:
+            _commit(
+                df.sparkSession, table_dir, version, parent, mode, files,
+                stats_cols, new_files, carry, extra_meta,
+            )
+            return version
+        except CommitConflictError:
+            if attempt == retries:
+                _remove_files(table_dir, new_files)
+                raise
+            parent = latest_version(table_dir)
+            version = 0 if parent is None else parent + 1
+    raise AssertionError("unreachable")
 
 
 def _land_files(
@@ -153,8 +213,14 @@ def _land_files(
 ) -> list[str]:
     """Stage ``df``'s parquet files and rename them under the version
     prefix; returns the table-relative file list.  Data is fully on
-    disk before any metadata references it."""
-    staging = os.path.join(table_dir, "data", f"_staging_v{version}")
+    disk before any metadata references it.  Names carry a per-write
+    token (``v<N>-<token>-<n>.parquet``) so concurrent writers racing
+    the same version can never clobber each other's files — the name
+    records the version at LAND time; on a commit retry the same
+    files commit under the next version, and the manifest (never the
+    name) is authoritative."""
+    token = uuid.uuid4().hex[:8]
+    staging = os.path.join(table_dir, "data", f"_staging_v{version}-{token}")
     w = df
     if sort_col is not None:
         from pyspark.sql import functions as F
@@ -172,7 +238,9 @@ def _land_files(
     for name in sorted(os.listdir(staging)):
         if not name.endswith(".parquet"):
             continue
-        final = os.path.join(table_dir, "data", f"v{version}-{n}.parquet")
+        final = os.path.join(
+            table_dir, "data", f"v{version}-{token}-{n}.parquet"
+        )
         os.replace(os.path.join(staging, name), final)
         files.append(os.path.relpath(final, table_dir))
         n += 1
@@ -180,6 +248,16 @@ def _land_files(
         os.remove(os.path.join(staging, leftover))
     os.rmdir(staging)
     return files
+
+
+def _remove_files(table_dir: str, rel_files: list[str]) -> None:
+    """Best-effort cleanup of a conflict loser's OWN landed files
+    (token-unique names — never another writer's)."""
+    for f in rel_files:
+        try:
+            os.remove(os.path.join(table_dir, f))
+        except OSError:
+            pass
 
 
 def _commit(
@@ -196,8 +274,11 @@ def _commit(
 ) -> None:
     """Commit metadata for an already-landed version: stats (new files
     computed fresh, carried files' rows copied from the parent stats
-    table) land before the manifest, the manifest before the pointer
-    flip — each step atomic via ``os.replace``.
+    table) land first under a token-unique name, then the manifest
+    CLAIMS the version via atomic put-if-absent (``os.link``) — the
+    commit point; a lost race raises :class:`CommitConflictError`
+    after cleaning up this writer's stats table.  The ``_latest``
+    pointer flips last (monotone cache; readers scan forward).
 
     Coverage invariant: when ``stats_cols`` is set, the committed stats
     table covers EVERY file in the manifest.  Carried files whose
@@ -207,6 +288,8 @@ def _commit(
     coverage it doesn't have — read_versioned_skipping's superset
     guarantee and stats_summary's exactness both depend on it."""
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+    token = uuid.uuid4().hex[:8]
+    stats_file = None
     if stats_cols:
         from pyspark.sql import functions as F
 
@@ -249,8 +332,9 @@ def _commit(
                 else carried_stats.unionByName(stats)
             )
         if stats is not None:
+            stats_file = f"v{version}_stats-{token}.parquet"
             stats.write.mode("overwrite").parquet(
-                _stats_path(table_dir, version)
+                os.path.join(_manifest_dir(table_dir), stats_file)
             )
     manifest = {
         "version": version,
@@ -259,17 +343,49 @@ def _commit(
         "files": files,
         "stats_cols": list(stats_cols) if stats_cols else None,
     }
+    if stats_file:
+        manifest["stats_file"] = stats_file
     if extra_meta:
         manifest.update(extra_meta)
-    mpath = os.path.join(_manifest_dir(table_dir), f"v{version}.json")
-    tmp = mpath + ".tmp"
+    mpath = _manifest_path(table_dir, version)
+    tmp = mpath + f".tmp-{token}"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
-    os.replace(tmp, mpath)
-    ltmp = _latest_path(table_dir) + ".tmp"
-    with open(ltmp, "w") as fh:
-        fh.write(str(version))
-    os.replace(ltmp, _latest_path(table_dir))
+    try:
+        # Atomic put-if-absent: link the fully-written temp file to the
+        # manifest name — the COMMIT POINT.  Exactly one of N racing
+        # writers succeeds; everyone else gets FileExistsError.
+        os.link(tmp, mpath)
+    except FileExistsError:
+        if stats_file:
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(_manifest_dir(table_dir), stats_file),
+                ignore_errors=True,
+            )
+        raise CommitConflictError(
+            f"version {version} of {table_dir} was committed by another "
+            "writer — retry against the new parent"
+        ) from None
+    finally:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+    # Monotone pointer-cache flip (readers scan forward regardless).
+    cur = -1
+    if os.path.exists(_latest_path(table_dir)):
+        try:
+            with open(_latest_path(table_dir)) as fh:
+                cur = int(fh.read().strip())
+        except ValueError:
+            cur = -1
+    if version > cur:
+        ltmp = _latest_path(table_dir) + f".tmp-{token}"
+        with open(ltmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(ltmp, _latest_path(table_dir))
 
 
 def read_versioned(
@@ -389,6 +505,7 @@ def delete_versioned(
     stats_keep=None,
     sort_col: str | None = None,
     n_files: int | None = None,
+    retries: int = 20,
 ) -> int:
     """Copy-on-write DELETE (Delta/Iceberg ``DELETE WHERE`` parity):
     commit a new version without the rows matching ``predicate``.
@@ -401,26 +518,43 @@ def delete_versioned(
 
     SQL NULL semantics: rows where ``predicate`` is NULL are KEPT
     (DELETE removes only TRUE matches).  The parent version stays
-    readable (time travel); ``vacuum`` reclaims rewritten files."""
+    readable (time travel); ``vacuum`` reclaims rewritten files.
+
+    Concurrency: the deleted row set depends on the parent snapshot,
+    so a commit conflict RE-PLANS against the new parent (the loser's
+    landed files are removed), up to ``retries`` times."""
     from pyspark.sql import functions as F
 
     parent = latest_version(table_dir)
     if parent is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
-    man = _read_manifest(table_dir, parent)
-    version = parent + 1
-    touched, untouched = _touched_files(spark, table_dir, parent, stats_keep)
-    new_files: list[str] = []
-    if touched:
-        remain = spark.read.parquet(
-            *[os.path.join(table_dir, f) for f in touched]
-        ).filter(~F.coalesce(predicate, F.lit(False)))
-        new_files = _land_files(remain, table_dir, version, sort_col, n_files)
-    _commit(
-        spark, table_dir, version, parent, "delete",
-        untouched + new_files, man.get("stats_cols"), new_files, untouched,
-    )
-    return version
+    for attempt in range(retries + 1):
+        man = _read_manifest(table_dir, parent)
+        version = parent + 1
+        touched, untouched = _touched_files(
+            spark, table_dir, parent, stats_keep
+        )
+        new_files: list[str] = []
+        if touched:
+            remain = spark.read.parquet(
+                *[os.path.join(table_dir, f) for f in touched]
+            ).filter(~F.coalesce(predicate, F.lit(False)))
+            new_files = _land_files(
+                remain, table_dir, version, sort_col, n_files
+            )
+        try:
+            _commit(
+                spark, table_dir, version, parent, "delete",
+                untouched + new_files, man.get("stats_cols"), new_files,
+                untouched,
+            )
+            return version
+        except CommitConflictError:
+            _remove_files(table_dir, new_files)
+            if attempt == retries:
+                raise
+            parent = latest_version(table_dir)
+    raise AssertionError("unreachable")
 
 
 def upsert_versioned(
@@ -432,6 +566,7 @@ def upsert_versioned(
     sort_col: str | None = None,
     n_files: int | None = None,
     extra_meta: "dict | None" = None,
+    retries: int = 20,
 ) -> int:
     """Copy-on-write MERGE upsert (``MERGE INTO ... WHEN MATCHED
     UPDATE WHEN NOT MATCHED INSERT`` parity): commit a new version
@@ -452,14 +587,26 @@ def upsert_versioned(
     instead of silently committing duplicate key rows; pre-dedup with
     an explicit rule (merge_sink keeps the newest per key by its order
     column).  NULL source keys never match a target row (SQL equality)
-    and INSERT alongside any existing NULL-key rows."""
+    and INSERT alongside any existing NULL-key rows.
+
+    Concurrency: the merged row set depends on the parent snapshot, so
+    a commit conflict RE-PLANS against the new parent (the loser's
+    landed files are removed), up to ``retries`` times — two writers
+    merging different keys against the same parent both land, serially
+    ordered, with neither update lost."""
     from pyspark.sql import functions as F
 
     parent = latest_version(table_dir)
     if parent is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
+    # NULL-key rows are exempt from the uniqueness check: a NULL key
+    # never matches any target row (SQL equality), so multiple NULL-key
+    # sources are legitimate independent INSERTs, not a MERGE conflict.
+    nonnull = source
+    for k in key_cols:
+        nonnull = nonnull.filter(F.col(k).isNotNull())
     dup = (
-        source.groupBy(*key_cols)
+        nonnull.groupBy(*key_cols)
         .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") > 1)
         .limit(1)
@@ -472,35 +619,50 @@ def upsert_versioned(
             "requires unique source keys; dedup first (e.g. newest per "
             "key by an order column, as merge_sink does)"
         )
-    man = _read_manifest(table_dir, parent)
-    stats_cols = man.get("stats_cols") or []
-    if stats_keep is None and len(key_cols) == 1 and key_cols[0] in stats_cols:
-        k = key_cols[0]
-        bounds = source.agg(
-            F.min(k).alias("lo"), F.max(k).alias("hi")
-        ).first()
-        if bounds["lo"] is not None:
-            stats_keep = (F.col(f"max_{k}") >= F.lit(bounds["lo"])) & (
-                F.col(f"min_{k}") <= F.lit(bounds["hi"])
-            )
-    version = parent + 1
-    touched, untouched = _touched_files(spark, table_dir, parent, stats_keep)
-    if touched:
-        target = spark.read.parquet(
-            *[os.path.join(table_dir, f) for f in touched]
+    auto_keep = stats_keep is None
+    for attempt in range(retries + 1):
+        man = _read_manifest(table_dir, parent)
+        stats_cols = man.get("stats_cols") or []
+        if (
+            auto_keep
+            and len(key_cols) == 1
+            and key_cols[0] in stats_cols
+        ):
+            k = key_cols[0]
+            bounds = source.agg(
+                F.min(k).alias("lo"), F.max(k).alias("hi")
+            ).first()
+            if bounds["lo"] is not None:
+                stats_keep = (F.col(f"max_{k}") >= F.lit(bounds["lo"])) & (
+                    F.col(f"min_{k}") <= F.lit(bounds["hi"])
+                )
+        version = parent + 1
+        touched, untouched = _touched_files(
+            spark, table_dir, parent, stats_keep
         )
-        merged = target.join(
-            source.select(*key_cols), key_cols, "left_anti"
-        ).unionByName(source)
-    else:
-        merged = source
-    new_files = _land_files(merged, table_dir, version, sort_col, n_files)
-    _commit(
-        spark, table_dir, version, parent, "merge",
-        untouched + new_files, man.get("stats_cols"), new_files, untouched,
-        extra_meta,
-    )
-    return version
+        if touched:
+            target = spark.read.parquet(
+                *[os.path.join(table_dir, f) for f in touched]
+            )
+            merged = target.join(
+                source.select(*key_cols), key_cols, "left_anti"
+            ).unionByName(source)
+        else:
+            merged = source
+        new_files = _land_files(merged, table_dir, version, sort_col, n_files)
+        try:
+            _commit(
+                spark, table_dir, version, parent, "merge",
+                untouched + new_files, man.get("stats_cols"), new_files,
+                untouched, extra_meta,
+            )
+            return version
+        except CommitConflictError:
+            _remove_files(table_dir, new_files)
+            if attempt == retries:
+                raise
+            parent = latest_version(table_dir)
+    raise AssertionError("unreachable")
 
 
 def table_history(table_dir: str) -> list[dict]:
@@ -530,6 +692,7 @@ def compact_table(
     zorder_cols: "list[str] | None" = None,
     zorder_bits: int = 8,
     stats_cols: "list[str] | None" = None,
+    extra_meta: "dict | None" = None,
 ) -> int:
     """OPTIMIZE: rewrite the latest snapshot into ``target_files``
     files and commit the result as a new version (operation recorded
@@ -558,11 +721,12 @@ def compact_table(
             .drop("_zkey")
         )
         return write_versioned(
-            compacted, table_dir, mode="overwrite", stats_cols=stats_cols
+            compacted, table_dir, mode="overwrite", stats_cols=stats_cols,
+            extra_meta=extra_meta,
         )
     return write_versioned(
         latest.coalesce(target_files), table_dir, mode="overwrite",
-        stats_cols=stats_cols,
+        stats_cols=stats_cols, extra_meta=extra_meta,
     )
 
 

@@ -25,6 +25,7 @@ first by filename timestamp, matching Pipeline.py:135-160.
 
 from __future__ import annotations
 
+import logging
 import shutil
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -32,6 +33,8 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger("sparkgraft.streaming")
 
 
 @dataclass
@@ -1096,9 +1099,12 @@ def cdc_feed(
     guarantee the new-keys contract themselves (e.g. a versioned_sink
     ingest keyed by a globally unique event id whose ranges interleave)
     can pass ``append_fast_path="assume"`` to take the fast path
-    unconditionally; ``False`` disables it.  Overwrite/delete/merge
-    commits always run the full snapshot_diff (one co-partitioned
-    full-outer join of the two referenced snapshots).
+    unconditionally; ``False`` disables it.  The first fallback logs a
+    warning (logger ``sparkgraft.streaming``) naming the table and the
+    remedies — the correctness is silent but the O(table)-per-commit
+    cost cliff should not be.  Overwrite/delete/merge commits always
+    run the full snapshot_diff (one co-partitioned full-outer join of
+    the two referenced snapshots).
 
     Returns the started StreamingQuery.
     """
@@ -1108,6 +1114,7 @@ def cdc_feed(
     from sparkgraft.sinks.versioned import read_versioned
 
     manifest_glob = os.path.join(table_dir, "_manifests")
+    fallback_seen: list = []  # once-per-stream fallback-warning latch
 
     stream = (
         spark.readStream.schema("version long, parent long, operation string")
@@ -1230,6 +1237,27 @@ def cdc_feed(
                 ):
                     d = _added_only(df, version)
                 else:
+                    # Surface the cost cliff ONCE per stream: the
+                    # fallback is correct but O(table) per commit
+                    # instead of O(changed rows) — operators should
+                    # either add single-key stats_cols to the table or
+                    # pass append_fast_path="assume" if they guarantee
+                    # the new-keys contract themselves.
+                    if not fallback_seen:
+                        fallback_seen.append(version)
+                        _LOG.warning(
+                            "cdc_feed(%s): append commit v%d failed the "
+                            "provably-new-keys check (multi-column key, "
+                            "missing key-column stats, or interleaved "
+                            "key ranges) — falling back to the full "
+                            "snapshot_diff, O(table) per append commit. "
+                            "Add single-key stats_cols to the table or "
+                            'pass append_fast_path="assume" if appended '
+                            "keys are guaranteed new. Logged once; "
+                            "later commits may fall back silently.",
+                            table_dir,
+                            version,
+                        )
                     d = _full_diff(version, parent)
             elif parent is None:
                 d = _added_only(
@@ -1286,10 +1314,15 @@ def versioned_sink(
     ``compact_target_files`` files (one compaction commit; data
     bit-identical — compact_table parity is tested) so a long-running
     trigger cadence can't accumulate unbounded small files.  Ingest
-    commits are counted from the manifests (operation == 'append'), so
-    the policy is replay-stable: a replayed batch skips its append AND
-    therefore never re-triggers compaction; a crash between append and
-    compaction self-heals at the next threshold crossing.
+    commits are counted from the manifests (operation == 'append') and
+    each compaction commit records the append count it covered
+    (``appends_at_compact`` in its manifest), so the policy is both
+    replay-stable (a replayed batch skips its append AND therefore
+    never re-triggers compaction) and recovery-immediate: after a
+    crash between the Nth append and its compaction — or attaching the
+    sink to a table already past the threshold — the NEXT successful
+    append compacts (appends-since-last-compaction >= N), instead of
+    deferring a full extra cycle to 2N.
 
     This closes the lakehouse loop with the rest of the module: ingest
     here → ``cdc_feed`` streams each commit's changes downstream →
@@ -1326,9 +1359,28 @@ def versioned_sink(
             if _read_manifest(tdir, v)["operation"] == "append"
         )
 
+    def _appends_at_last_compact(tdir: str) -> int:
+        """Append count recorded by the newest compaction commit
+        (``appends_at_compact`` in its manifest) — 0 when the table has
+        never compacted.  Rebuilt from manifests so recovery from a
+        crash between the Nth append and its compaction (or attaching
+        to a table already past the threshold) compacts on the NEXT
+        append instead of deferring a full extra cycle to 2N."""
+        v0 = latest_version(tdir)
+        if v0 is None:
+            return 0
+        for v in range(v0, -1, -1):
+            at = _read_manifest(tdir, v).get("appends_at_compact")
+            if at is not None:
+                return at
+        return 0
+
     # Append count rebuilds from the manifests (replay-stable, same
     # discipline as the batch ledger) and advances in memory.
     appends = [_n_appends(table_dir) if auto_compact_every else 0]
+    compacted_at = [
+        _appends_at_last_compact(table_dir) if auto_compact_every else 0
+    ]
 
     def on_batch(batch, batch_id: int) -> None:
         good, bad = batch, None
@@ -1362,13 +1414,15 @@ def versioned_sink(
             committed.add(batch_id)
             if auto_compact_every:
                 appends[0] += 1
-                if appends[0] % auto_compact_every == 0:
+                if appends[0] - compacted_at[0] >= auto_compact_every:
                     compact_table(
                         batch.sparkSession,
                         table_dir,
                         target_files=compact_target_files,
                         stats_cols=stats_cols,
+                        extra_meta={"appends_at_compact": appends[0]},
                     )
+                    compacted_at[0] = appends[0]
         if (
             quarantine_dir
             and bad is not None

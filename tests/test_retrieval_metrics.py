@@ -118,3 +118,43 @@ def test_unjudged_defaults_to_zero_not_dropped(spark):
     dcg = _q12(1 / math.log2(2))
     idcg = _q12(1 / math.log2(2)) + _q12(1 / math.log2(3))
     assert row["ndcg_at_k"] == round(dcg / idcg, 6)
+
+
+def test_judged_but_unretrieved_query_scores_zero(spark):
+    # trec_eval semantics: a query with judgments but no retrieved rows
+    # still appears, scored 0 across the board (full-outer qrels join).
+    ranked = spark.createDataFrame(
+        [(5, "a", 1)], "query_id long, doc_id string, rnk long"
+    )
+    qrels = spark.createDataFrame(
+        [(5, "a", 1), (6, "b", 1), (6, "c", 2)],
+        "query_id long, doc_id string, rel long",
+    )
+    rows = {
+        r["query_id"]: r
+        for r in retrieval_metrics(ranked, qrels, k=10).collect()
+    }
+    assert set(rows) == {5, 6}
+    r6 = rows[6]
+    assert r6["n_rel"] == 2 and r6["n_hits"] == 0
+    assert r6["recall_at_k"] == 0.0
+    assert r6["rr"] == 0.0
+    assert r6["ap_at_k"] == 0.0
+    assert r6["ndcg_at_k"] == 0.0
+
+
+def test_ranked_query_with_no_judgments_emits_null_not_error(spark):
+    # n_rel = 0: recall/AP are undefined -> NULL (never a division by
+    # zero, which errors under spark.sql.ansi.enabled); rr stays 0.
+    ranked = spark.createDataFrame(
+        [(7, "x", 1), (7, "y", 2)], "query_id long, doc_id string, rnk long"
+    )
+    qrels = spark.createDataFrame(
+        [], "query_id long, doc_id string, rel long"
+    )
+    row = retrieval_metrics(ranked, qrels, k=10).first()
+    assert row["n_rel"] == 0 and row["n_hits"] == 0
+    assert row["recall_at_k"] is None
+    assert row["rr"] == 0.0
+    assert row["ap_at_k"] is None
+    assert row["ndcg_at_k"] is None

@@ -918,13 +918,31 @@ def test_upsert_versioned_duplicate_source_keys_raise(spark, tmp_path):
         key=str,
     )
     assert (None, 9.0) in rows and (1, 1.0) in rows and len(rows) == 3
+    # ADVICE r6: MULTIPLE NULL-key source rows are NOT a duplicate-key
+    # conflict — each matches nothing and inserts independently.
+    multi_null = spark.createDataFrame(
+        [(None, 10.0), (None, 11.0), (3, 3.0)], "k long, v double"
+    )
+    upsert_versioned(spark, t, multi_null, ["k"])
+    rows = sorted(
+        ((r["k"], r["v"]) for r in read_versioned(spark, t).collect()),
+        key=str,
+    )
+    assert (None, 10.0) in rows and (None, 11.0) in rows
+    assert (None, 9.0) in rows and (3, 3.0) in rows and len(rows) == 6
 
 
-def test_cdc_append_fast_path_validates_new_keys_contract(spark, tmp_path):
+def test_cdc_append_fast_path_validates_new_keys_contract(
+    spark, tmp_path, caplog
+):
     """ADVICE r5: the append fast path must not emit a re-added
     existing key as 'added' — with commit-log stats the default
     validates the fresh key range and falls back to the full diff on
-    overlap; a provably disjoint append still takes the fast path."""
+    overlap; a provably disjoint append still takes the fast path.
+    ADVICE r6: the first fallback WARNS (once per stream) so the
+    O(table)-per-commit cost cliff is visible to operators."""
+    import logging
+
     from sparkgraft.sinks.versioned import write_versioned
     from sparkgraft.streaming.pipeline import cdc_feed
 
@@ -961,7 +979,13 @@ def test_cdc_append_fast_path_validates_new_keys_contract(spark, tmp_path):
         q.awaitTermination(120)
         return sorted(rows)
 
-    validated = drain("cv", True)
+    with caplog.at_level(logging.WARNING, logger="sparkgraft.streaming"):
+        validated = drain("cv", True)
+    fallback_warns = [
+        r for r in caplog.records if "failed the" in r.getMessage()
+    ]
+    assert len(fallback_warns) == 1  # once per stream, not per commit
+    assert "append_fast_path" in fallback_warns[0].getMessage()
     full = drain("cf", False)
     assert validated == full
     # v2's re-add of an unchanged key emits NOTHING (it is 'unchanged'
@@ -1046,3 +1070,197 @@ def test_versioned_sink_auto_compaction(spark, tmp_path):
     v_before = latest_version(t)
     drain("ck2")
     assert latest_version(t) == v_before
+
+
+def test_auto_compaction_recovery_is_immediate_not_deferred(
+    spark, tmp_path
+):
+    """ADVICE r6: compaction is driven by appends-since-last-compaction
+    (recorded as appends_at_compact in the compaction manifest), not by
+    an exact multiple of the total append count — attaching the sink to
+    a table already past the threshold (or recovering from a crash
+    between the Nth append and its compaction) compacts on the NEXT
+    append instead of deferring a full extra cycle to 2N."""
+    import glob
+    import os
+    import shutil
+
+    from sparkgraft.sinks.versioned import (
+        _read_manifest,
+        latest_version,
+        read_versioned,
+        table_history,
+        write_versioned,
+    )
+    from sparkgraft.streaming.pipeline import versioned_sink
+
+    t = str(tmp_path / "tbl")
+    # A table with 3 uncompacted appends — already past every=3, as if
+    # the compaction after append #3 crashed before committing.
+    for i in range(3):
+        write_versioned(
+            spark.createDataFrame([(i * 10 + j,) for j in range(5)], "k long"),
+            t, mode="append", stats_cols=["k"],
+        )
+    assert [h["operation"] for h in table_history(t)] == ["append"] * 3
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    df = spark.createDataFrame([(100 + j,) for j in range(5)], "k long")
+    df.coalesce(1).write.mode("overwrite").json(str(tmp_path / "stage"))
+    f = sorted(glob.glob(str(tmp_path / "stage" / "part-*.json")))[0]
+    shutil.move(f, f"{src}/b1.json")
+
+    stream = spark.readStream.schema("k long").json(src)
+    q = versioned_sink(
+        stream, t, str(tmp_path / "ck"),
+        stats_cols=["k"], auto_compact_every=3, compact_target_files=1,
+    )
+    q.awaitTermination(120)
+    # Old modulo rule: 4 % 3 != 0 -> deferred to append #6.  New rule:
+    # 4 appends since compaction 0 >= 3 -> compacts right after b1.
+    ops = [h["operation"] for h in table_history(t)]
+    assert ops == ["append"] * 4 + ["overwrite"]
+    man = _read_manifest(t, latest_version(t))
+    assert man["appends_at_compact"] == 4
+    got = sorted(r["k"] for r in read_versioned(spark, t).collect())
+    assert got == sorted(
+        [i * 10 + j for i in range(3) for j in range(5)]
+        + [100 + j for j in range(5)]
+    )
+
+
+def test_commit_conflict_detected_and_loser_cleaned(spark, tmp_path):
+    """Optimistic concurrency (round-7 verdict task): two writers
+    planning the same version — the second manifest claim fails with
+    CommitConflictError instead of silently overwriting the winner's
+    commit (the lost-update hazard of the old single-writer protocol),
+    and the loser's stats table is cleaned up."""
+    import glob
+    import os
+
+    import pytest
+
+    from sparkgraft.sinks.versioned import (
+        CommitConflictError,
+        _commit,
+        _land_files,
+        _read_manifest,
+        _stats_path,
+        latest_version,
+        read_versioned,
+        write_versioned,
+    )
+
+    t = str(tmp_path / "vt")
+    write_versioned(
+        spark.createDataFrame([(1, 1.0)], "k long, v double"),
+        t, mode="overwrite", stats_cols=["k"],
+    )
+    man0 = _read_manifest(t, 0)
+    # Both writers land files for version 1 (token-unique names — no
+    # data clobbering even pre-commit) ...
+    fa = _land_files(
+        spark.createDataFrame([(2, 2.0)], "k long, v double"), t, 1
+    )
+    fb = _land_files(
+        spark.createDataFrame([(3, 3.0)], "k long, v double"), t, 1
+    )
+    assert set(fa).isdisjoint(fb)
+    # ... A claims v1 first and wins;
+    _commit(spark, t, 1, 0, "append", man0["files"] + fa, ["k"], fa,
+            man0["files"])
+    winner_stats = _stats_path(t, 1)
+    # ... B's claim of the same version must conflict, not overwrite.
+    with pytest.raises(CommitConflictError):
+        _commit(spark, t, 1, 0, "append", man0["files"] + fb, ["k"], fb,
+                man0["files"])
+    # Winner's commit is intact: manifest lists A's files, stats path
+    # unchanged and readable, no leftover loser stats directories.
+    assert _read_manifest(t, 1)["files"] == man0["files"] + fa
+    assert _stats_path(t, 1) == winner_stats
+    assert os.path.exists(winner_stats)
+    stats_dirs = glob.glob(os.path.join(t, "_manifests", "v1_stats-*"))
+    assert stats_dirs == [winner_stats]
+    assert latest_version(t) == 1
+    got = sorted((r["k"], r["v"]) for r in read_versioned(spark, t).collect())
+    assert got == [(1, 1.0), (2, 2.0)]
+
+
+def test_two_writer_merge_race_neither_update_lost(spark, tmp_path):
+    """Two threads MERGE different keys against the same parent: one
+    claim wins, the other detects the conflict and retries against the
+    new parent — both updates land in serial order, nothing lost."""
+    import threading
+
+    from sparkgraft.sinks.versioned import (
+        read_versioned,
+        table_history,
+        upsert_versioned,
+        write_versioned,
+    )
+
+    t = str(tmp_path / "vt")
+    write_versioned(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "k long, v double"
+        ),
+        t, mode="overwrite", stats_cols=["k"],
+    )
+    barrier = threading.Barrier(2)
+    results: dict = {}
+    errors: list = []
+
+    def writer(name: str, key: int) -> None:
+        try:
+            src = spark.createDataFrame(
+                [(key, float(key))], "k long, v double"
+            )
+            barrier.wait(timeout=60)
+            results[name] = upsert_versioned(spark, t, src, ["k"])
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errors.append((name, exc))
+
+    ta = threading.Thread(target=writer, args=("a", 100))
+    tb = threading.Thread(target=writer, args=("b", 200))
+    ta.start(); tb.start(); ta.join(120); tb.join(120)
+    assert not errors, errors
+    # Serial order: versions 1 and 2, one per writer, whatever the race
+    assert sorted(results.values()) == [1, 2]
+    ops = [h["operation"] for h in table_history(t)]
+    assert ops == ["overwrite", "merge", "merge"]
+    got = sorted(r["k"] for r in read_versioned(spark, t).collect())
+    assert got == list(range(10)) + [100, 200]
+
+
+def test_latest_version_scans_past_stale_pointer(spark, tmp_path):
+    """The _latest pointer is a cache: a crash between the manifest
+    claim (the commit point) and the pointer flip must not hide the
+    committed version — readers scan forward, and the next commit
+    heals the pointer."""
+    from sparkgraft.sinks.versioned import (
+        latest_version,
+        read_versioned,
+        write_versioned,
+    )
+
+    t = str(tmp_path / "vt")
+    for i in range(3):
+        write_versioned(
+            spark.createDataFrame([(i,)], "k long"), t, mode="append"
+        )
+    assert latest_version(t) == 2
+    # Simulate the crash: pointer lags at 0 while v1/v2 manifests exist
+    with open(f"{t}/_manifests/_latest", "w") as fh:
+        fh.write("0")
+    assert latest_version(t) == 2
+    assert sorted(r["k"] for r in read_versioned(spark, t).collect()) == [
+        0, 1, 2,
+    ]
+    # Next commit appends on the TRUE latest and heals the pointer
+    v = write_versioned(
+        spark.createDataFrame([(3,)], "k long"), t, mode="append"
+    )
+    assert v == 3
+    with open(f"{t}/_manifests/_latest") as fh:
+        assert fh.read().strip() == "3"
