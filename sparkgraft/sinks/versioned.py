@@ -573,10 +573,12 @@ def upsert_versioned(
     where every target row whose key appears in ``source`` is replaced
     by the source row, and source rows with new keys are inserted.
 
-    File pruning: with single-key commit-log stats, the touched set is
-    derived automatically from the source's key range — files whose
-    [min, max] provably exclude every source key carry over
-    metadata-only (their stats rows copied from the parent).  Pass
+    File pruning: when every key column carries commit-log stats, the
+    touched set is derived automatically from the source's per-column
+    key ranges — files whose [min, max] provably exclude every source
+    key (disjoint on ANY key column — conjunctive pruning for
+    composite keys) carry over metadata-only (their stats rows copied
+    from the parent).  Pass
     ``stats_keep`` to prune on a custom predicate; it must
     over-approximate "this file may contain a source key" (soundness
     contract — an untouched file with a source key would silently skip
@@ -625,17 +627,33 @@ def upsert_versioned(
         stats_cols = man.get("stats_cols") or []
         if (
             auto_keep
-            and len(key_cols) == 1
-            and key_cols[0] in stats_cols
+            and key_cols
+            and all(k in stats_cols for k in key_cols)
         ):
-            k = key_cols[0]
-            bounds = source.agg(
-                F.min(k).alias("lo"), F.max(k).alias("hi")
-            ).first()
-            if bounds["lo"] is not None:
-                stats_keep = (F.col(f"max_{k}") >= F.lit(bounds["lo"])) & (
-                    F.col(f"min_{k}") <= F.lit(bounds["hi"])
-                )
+            # Composite keys prune conjunctively: a file MAY contain a
+            # source key only if its [min, max] overlaps the source's
+            # range on EVERY key column — disjointness on ANY column
+            # proves no tuple equality (sound over-approximation).  A
+            # file whose stats are NULL on some column holds only NULL
+            # values there (min/max ignore NULLs), so no row of it can
+            # match on that column — the NULL-propagating conjunction
+            # correctly prunes it.
+            aggs = []
+            for k in key_cols:
+                aggs += [F.min(k).alias(f"lo_{k}"), F.max(k).alias(f"hi_{k}")]
+            bounds = source.agg(*aggs).first()
+            if any(bounds[f"lo_{k}"] is None for k in key_cols):
+                # Some key column is entirely NULL in the source: no
+                # source row can match any target row — pure insert.
+                stats_keep = F.lit(False)
+            else:
+                conj = None
+                for k in key_cols:
+                    term = (
+                        F.col(f"max_{k}") >= F.lit(bounds[f"lo_{k}"])
+                    ) & (F.col(f"min_{k}") <= F.lit(bounds[f"hi_{k}"]))
+                    conj = term if conj is None else (conj & term)
+                stats_keep = conj
         version = parent + 1
         touched, untouched = _touched_files(
             spark, table_dir, parent, stats_keep

@@ -1091,9 +1091,10 @@ def cdc_feed(
     touching the table (changed-rows-sized work).  The fast path is
     only sound when the appended keys are NEW, so with
     ``append_fast_path=True`` (default) it is taken only when that is
-    cheaply PROVABLE from the parent's commit-log stats (single key
-    column in stats_cols, fresh key range disjoint from every parent
-    file's [min, max]); otherwise the commit falls back to the full
+    cheaply PROVABLE from the parent's commit-log stats (every key
+    column in stats_cols, and no parent file whose [min, max] overlaps
+    the fresh key range on ALL key columns — composite keys prune
+    conjunctively); otherwise the commit falls back to the full
     snapshot_diff — a re-added existing key is then classified
     correctly instead of double-counting as 'added'.  Callers that
     guarantee the new-keys contract themselves (e.g. a versioned_sink
@@ -1142,46 +1143,56 @@ def cdc_feed(
         )
 
     def _keys_provably_new(bs, parent: int, fresh_df) -> bool:
-        """Cheap new-keys validation for the append fast path: with a
-        single key column in the parent's commit-log stats, the fresh
-        files' key range is compared against every parent file's
-        [min, max] — disjoint everywhere proves every appended key is
-        new.  Not provable (multi-column key, no stats, missing/NULL
-        stats rows, or any range overlap) returns False and the caller
-        falls back to the full diff — an over-approximation, never a
-        missed collision."""
+        """Cheap new-keys validation for the append fast path: with
+        every key column in the parent's commit-log stats, the fresh
+        files' per-column key ranges are compared against every parent
+        file's [min, max] — a parent file can hold a colliding key
+        tuple only if it overlaps on EVERY key column (composite keys
+        prune conjunctively: disjointness on ANY column proves tuple
+        disjointness), so no file overlapping on all columns proves
+        every appended key new.  Not provable (key column without
+        stats, missing/NULL stats rows, or a file overlapping on all
+        columns) returns False and the caller falls back to the full
+        diff — an over-approximation, never a missed collision."""
         from sparkgraft.sinks.versioned import _read_manifest, _stats_path
 
-        if len(key_cols) != 1:
-            return False
-        k = key_cols[0]
         pman = _read_manifest(table_dir, parent)
-        if not pman.get("stats_cols") or k not in pman["stats_cols"]:
+        if not pman.get("stats_cols") or any(
+            k not in pman["stats_cols"] for k in key_cols
+        ):
             return False
         spath = _stats_path(table_dir, parent)
         if not os.path.exists(spath):
             return False
-        b = fresh_df.agg(F.min(k).alias("lo"), F.max(k).alias("hi")).first()
-        if b["lo"] is None:
-            return True  # fresh files carry no non-NULL key: vacuously new
+        aggs = []
+        for k in key_cols:
+            aggs += [F.min(k).alias(f"lo_{k}"), F.max(k).alias(f"hi_{k}")]
+        b = fresh_df.agg(*aggs).first()
+        if any(b[f"lo_{k}"] is None for k in key_cols):
+            # Some key column carries no non-NULL value in the fresh
+            # files: every appended row has a NULL there and can never
+            # equal a parent key tuple — vacuously new.
+            return True
         stats = bs.read.parquet(spath).filter(
             F.col("file").isin(pman["files"])
         )
         covered = stats.count() == len(pman["files"])
         if not covered:
             return False
-        overlap = (
-            stats.filter(
+        overlap_all_cols = None
+        for k in key_cols:
+            term = (
                 F.col(f"min_{k}").isNull()
                 | F.col(f"max_{k}").isNull()
                 | (
-                    (F.col(f"max_{k}") >= F.lit(b["lo"]))
-                    & (F.col(f"min_{k}") <= F.lit(b["hi"]))
+                    (F.col(f"max_{k}") >= F.lit(b[f"lo_{k}"]))
+                    & (F.col(f"min_{k}") <= F.lit(b[f"hi_{k}"]))
                 )
             )
-            .limit(1)
-            .count()
-        )
+            overlap_all_cols = (
+                term if overlap_all_cols is None else overlap_all_cols & term
+            )
+        overlap = stats.filter(overlap_all_cols).limit(1).count()
         return overlap == 0
 
     def on_batch(batch, batch_id: int) -> None:

@@ -1264,3 +1264,97 @@ def test_latest_version_scans_past_stale_pointer(spark, tmp_path):
     assert v == 3
     with open(f"{t}/_manifests/_latest") as fh:
         assert fh.read().strip() == "3"
+
+
+def test_composite_key_cdc_fast_path_and_merge_prune(spark, tmp_path):
+    """Round-7 verdict task: composite keys prune conjunctively —
+    disjointness on ANY stats column proves key-tuple disjointness.
+    The CDC append fast path fires on a provably-disjoint two-column
+    append (validated == assume on an adds-only table), and a MERGE
+    keyed on two columns auto-prunes its touched set to the files
+    overlapping the source range on BOTH columns."""
+    from sparkgraft.sinks.versioned import (
+        _read_manifest,
+        read_versioned,
+        upsert_versioned,
+        write_versioned,
+    )
+    from sparkgraft.streaming.pipeline import cdc_feed
+
+    t = str(tmp_path / "vt")
+    # v0: (g, k) composite key; files range-split on k: [0..24], [25..49]
+    write_versioned(
+        spark.createDataFrame(
+            [(1, k, float(k)) for k in range(50)], "g long, k long, v double"
+        ),
+        t, mode="overwrite", stats_cols=["g", "k"], sort_col="k", n_files=2,
+    )
+    # v1: same g range but k disjoint (50..59) -> provably new via k
+    write_versioned(
+        spark.createDataFrame(
+            [(1, k, 1.0) for k in range(50, 60)], "g long, k long, v double"
+        ),
+        t, mode="append", stats_cols=["g", "k"], n_files=1,
+    )
+    # v2: k overlaps but g disjoint (g=2) -> provably new via g
+    write_versioned(
+        spark.createDataFrame(
+            [(2, 10, 2.0)], "g long, k long, v double"
+        ),
+        t, mode="append", stats_cols=["g", "k"], n_files=1,
+    )
+    # v3: overlaps on BOTH columns (re-adds g=1,k=10 unchanged) -> must
+    # fall back to the full diff and emit nothing
+    write_versioned(
+        spark.createDataFrame(
+            [(1, 10, 10.0)], "g long, k long, v double"
+        ),
+        t, mode="append", stats_cols=["g", "k"], n_files=1,
+    )
+
+    def drain(ckpt, fast):
+        rows = []
+
+        def sink(df, batch_id):
+            rows.extend(tuple(r) for r in df.collect())
+
+        q = cdc_feed(
+            spark, t, ["g", "k"], ["v"], str(tmp_path / ckpt), sink,
+            append_fast_path=fast,
+        )
+        q.awaitTermination(120)
+        return sorted(rows)
+
+    validated = drain("cv", True)
+    full = drain("cf", False)
+    assert validated == full
+    assert [r for r in validated if r[-1] == 3] == []  # v3 re-add: unchanged
+    assert len([r for r in validated if r[-1] == 1]) == 10
+    assert len([r for r in validated if r[-1] == 2]) == 1
+    # v1 and v2 are adds-only, so "assume" (unconditional fast path)
+    # agrees with the validated run there — proving the conjunctive
+    # check actually TOOK the fast path on both disjoint appends.
+    assumed = drain("ca", "assume")
+    assert [r for r in assumed if r[-1] in (1, 2)] == [
+        r for r in validated if r[-1] in (1, 2)
+    ]
+
+    # MERGE auto-prune on the composite key: source (g=1, k in 52..54)
+    # overlaps only v1's file on both columns — the two v0 files and
+    # the v2/v3 files carry over untouched.
+    man_before = _read_manifest(t, 3)
+    src = spark.createDataFrame(
+        [(1, 52, -1.0), (1, 99, 99.0)], "g long, k long, v double"
+    )
+    v = upsert_versioned(spark, t, src, ["g", "k"])
+    man = _read_manifest(t, v)
+    carried = set(man["files"]) & set(man_before["files"])
+    # 5 parent files; only v1's single file (k in 50..59, g=1) may
+    # overlap (g=1, k in 52..99... the source range k:[52,99] also
+    # overlaps nothing else: v0 k<=49, v2/v3 k=10) -> 4 carried.
+    assert len(man_before["files"]) == 5 and len(carried) == 4
+    got = sorted(
+        (r["g"], r["k"], r["v"]) for r in read_versioned(spark, t).collect()
+    )
+    assert (1, 52, -1.0) in got and (1, 99, 99.0) in got
+    assert len(got) == 50 + 10 + 1 + 1 + 1  # v3's dup row remains; +insert
