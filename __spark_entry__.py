@@ -4382,6 +4382,61 @@ def q_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom manifests IN the versioned commit log (round-7 verdict
+    task; sinks/versioned.py:_commit + read_versioned_bloom): v0
+    commits half the events with bloom_cols=['user_id'], v1 appends
+    the other half WITHOUT re-opting-in (the config and index inherit;
+    only v1's new files are indexed).  Point lookups on the
+    high-cardinality user_id — which the ts-sorted min/max stats
+    can't prune — run as ONE batched bloom-pruned read per snapshot:
+    'latest' rows aggregate the full table, 'v0' rows time-travel to
+    the pre-append snapshot with ITS OWN bloom table.  Blooms are
+    false-negative-free, so the plain-SQL oracle (the same slices by
+    event_id parity) is exact."""
+    from sparkgraft.sinks.versioned import (
+        read_versioned_bloom,
+        write_versioned,
+    )
+
+    key = ("bloom_travel_dir", sf_dir)
+    path = _FIXTURE_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="sparkgraft_bloomtravel_") + "/events"
+        ev = _t(spark, sf_dir, "events")
+        write_versioned(
+            ev.filter(F.col("event_id") % 2 == 0), path, mode="overwrite",
+            stats_cols=["ts"], bloom_cols=["user_id"], sort_col="ts",
+            n_files=8,
+        )
+        write_versioned(
+            ev.filter(F.col("event_id") % 2 == 1), path, mode="append",
+            stats_cols=["ts"], sort_col="ts", n_files=8,
+        )
+        _FIXTURE_CACHE[key] = path
+    uids = [3, 17, 42, 71, 99]
+
+    def leg(df, method: str) -> DataFrame:
+        return (
+            df.filter(F.col("user_id").isin(uids))
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.count_distinct("event_type").alias("n_types"),
+                F.max("ts").alias("last_ts"),
+            )
+            .select(F.lit(method).alias("method"), "*")
+        )
+
+    latest = leg(read_versioned_bloom(spark, path, {"user_id": uids}), "latest")
+    v0 = leg(
+        read_versioned_bloom(spark, path, {"user_id": uids}, version=0), "v0"
+    )
+    return latest.unionByName(v0)
+
+
 def q_topic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic-space SERVING (rows-only — k-means fit; training-parity
     and vocabulary-routing are pytest-asserted): fit on even docs,
@@ -5840,6 +5895,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ECE) — the curation loop's measurement leg (retrieval_metrics
     # and classifier_eval promoted in-window in round 7) ---
     "classifier_calibration": q_classifier_calibration,
+    # --- round 7: Bloom manifests in the versioned commit log —
+    # point-lookup pruning composed with time travel ---
+    "bloom_travel": q_bloom_travel,
 }
 
 
@@ -10251,6 +10309,23 @@ ORACLES["bloom_skipping"] = """
            max(ts) AS last_ts
     FROM events
     WHERE user_id IN (3, 17, 42, 71, 99)
+    GROUP BY user_id
+"""
+
+
+# Mirrors q_bloom_travel: bloom-pruned time travel is false-negative-
+# free, so the oracle is the plain aggregate over the same parity
+# slices — 'latest' = both halves, 'v0' = the even-event_id commit.
+ORACLES["bloom_travel"] = """
+    SELECT 'latest' AS method, user_id, count(*) AS n_events,
+           count(DISTINCT event_type) AS n_types, max(ts) AS last_ts
+    FROM events
+    WHERE user_id IN (3, 17, 42, 71, 99)
+    GROUP BY user_id
+    UNION ALL
+    SELECT 'v0', user_id, count(*), count(DISTINCT event_type), max(ts)
+    FROM events
+    WHERE user_id IN (3, 17, 42, 71, 99) AND event_id % 2 = 0
     GROUP BY user_id
 """
 

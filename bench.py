@@ -208,6 +208,8 @@ HEADLINE = [
     # round-7 merged driver-window witness (gate predicates; the
     # channel_stats / scalar_functions components stay benched above)
     "gate_panel",
+    # round-7 new oracle query: bloom-pruned time travel
+    "bloom_travel",
 ]
 
 

@@ -142,6 +142,47 @@ def _file_stats(spark: SparkSession, table_dir: str, rel_files: list[str],
     ).agg(F.count("*").alias("n_rows"), *aggs)
 
 
+def _file_blooms_rel(
+    spark: SparkSession,
+    table_dir: str,
+    rel_files: list[str],
+    cols: list[str],
+    bits: int,
+    hashes: int,
+    salt: str,
+) -> DataFrame:
+    """Per-file Bloom bitmaps over exactly ``rel_files`` (layout.
+    _file_blooms with the versioned table's relative file naming) —
+    one distributed pass, one row per file."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.sinks.layout import _file_blooms
+
+    paths = [os.path.join(table_dir, f) for f in rel_files]
+    bm = _file_blooms(spark.read.parquet(*paths), cols, bits, hashes, salt)
+    prefix = os.path.abspath(table_dir) + os.sep
+    return bm.withColumn(
+        "file",
+        F.replace(
+            F.replace(F.col("file"), F.lit("file://"), F.lit("")),
+            F.lit(prefix),
+            F.lit(""),
+        ),
+    )
+
+
+def _bloom_config(man: dict) -> "dict | None":
+    """A manifest's Bloom-index configuration, or None."""
+    if not man.get("bloom_cols"):
+        return None
+    return {
+        "cols": list(man["bloom_cols"]),
+        "bits": man.get("bloom_bits", 4096),
+        "hashes": man.get("bloom_hashes", 3),
+        "salt": man.get("bloom_salt", "bloom"),
+    }
+
+
 def write_versioned(
     df: DataFrame,
     table_dir: str,
@@ -151,6 +192,7 @@ def write_versioned(
     n_files: int | None = None,
     extra_meta: "dict | None" = None,
     retries: int = 20,
+    bloom_cols: "list[str] | None" = None,
 ) -> int:
     """Commit ``df`` as a new snapshot version; returns the version
     number.  ``mode='append'`` includes the parent snapshot's files in
@@ -168,6 +210,16 @@ def write_versioned(
     stats predicate.  ``sort_col``/``n_files`` range-partition + sort
     the write so each file covers a tight range (what makes the stats
     selective — see layout.write_with_stats).
+
+    ``bloom_cols`` adds per-file Bloom bitmaps to the commit log
+    (layout.write_bloom_manifest composed into the commit, the
+    Delta/Iceberg bloom-filter-index move): EQUALITY skipping for
+    point lookups on high-cardinality unsorted columns that min/max
+    stats can't prune.  Once enabled, every descendant commit
+    (append/DELETE/MERGE/OPTIMIZE) INHERITS the config and indexes
+    only its new files (carried files' bitmap rows are copied from the
+    parent — no history rescan); query with
+    :func:`read_versioned_bloom`.
 
     Concurrency: on a commit conflict (another writer claimed the
     version first) the already-landed data files are REUSED — the
@@ -193,6 +245,7 @@ def write_versioned(
             _commit(
                 df.sparkSession, table_dir, version, parent, mode, files,
                 stats_cols, new_files, carry, extra_meta,
+                bloom_cols=bloom_cols,
             )
             return version
         except CommitConflictError:
@@ -271,6 +324,10 @@ def _commit(
     new_files: list[str],
     carried_files: list[str],
     extra_meta: "dict | None" = None,
+    bloom_cols: "list[str] | None" = None,
+    bloom_bits: int = 4096,
+    bloom_hashes: int = 3,
+    bloom_salt: str = "bloom",
 ) -> None:
     """Commit metadata for an already-landed version: stats (new files
     computed fresh, carried files' rows copied from the parent stats
@@ -336,6 +393,73 @@ def _commit(
             stats.write.mode("overwrite").parquet(
                 os.path.join(_manifest_dir(table_dir), stats_file)
             )
+    # Bloom manifest (EQUALITY skipping beside the min/max stats):
+    # explicit ``bloom_cols`` enables the index; None INHERITS the
+    # parent commit's bloom config, so append/COW/compact commits keep
+    # point-lookup pruning alive without re-opting-in (Delta
+    # bloom-filter-index persistence).  Coverage invariant mirrors
+    # stats: the bloom table covers EVERY manifest file — carried
+    # files missing from the parent's bloom table (or indexed under a
+    # different config) are recomputed here, one bounded scan.
+    bloom_file = None
+    if bloom_cols:
+        bcfg = {
+            "cols": list(bloom_cols), "bits": bloom_bits,
+            "hashes": bloom_hashes, "salt": bloom_salt,
+        }
+    elif parent is not None:
+        bcfg = _bloom_config(_read_manifest(table_dir, parent))
+    else:
+        bcfg = None
+    if bcfg:
+        from pyspark.sql import functions as F
+
+        blooms = None
+        if new_files:
+            blooms = _file_blooms_rel(spark, table_dir, new_files, **bcfg)
+        if carried_files:
+            carried_bm = None
+            missing = list(carried_files)
+            if parent is not None:
+                pman = _read_manifest(table_dir, parent)
+                ppath = (
+                    os.path.join(_manifest_dir(table_dir), pman["bloom_file"])
+                    if pman.get("bloom_file")
+                    else None
+                )
+                if (
+                    _bloom_config(pman) == bcfg
+                    and ppath
+                    and os.path.exists(ppath)
+                ):
+                    parent_bm = spark.read.parquet(ppath).filter(
+                        F.col("file").isin(carried_files)
+                    )
+                    # bounded collect: one row per carried file
+                    have = {
+                        r["file"]
+                        for r in parent_bm.select("file").collect()
+                    }
+                    missing = [f for f in carried_files if f not in have]
+                    if len(missing) < len(carried_files):
+                        carried_bm = parent_bm
+            if missing:
+                fresh = _file_blooms_rel(spark, table_dir, missing, **bcfg)
+                carried_bm = (
+                    fresh
+                    if carried_bm is None
+                    else carried_bm.unionByName(fresh)
+                )
+            blooms = (
+                carried_bm
+                if blooms is None
+                else carried_bm.unionByName(blooms)
+            )
+        if blooms is not None:
+            bloom_file = f"v{version}_blooms-{token}.parquet"
+            blooms.write.mode("overwrite").parquet(
+                os.path.join(_manifest_dir(table_dir), bloom_file)
+            )
     manifest = {
         "version": version,
         "parent": parent,
@@ -345,6 +469,13 @@ def _commit(
     }
     if stats_file:
         manifest["stats_file"] = stats_file
+    if bcfg:
+        manifest["bloom_cols"] = bcfg["cols"]
+        manifest["bloom_bits"] = bcfg["bits"]
+        manifest["bloom_hashes"] = bcfg["hashes"]
+        manifest["bloom_salt"] = bcfg["salt"]
+        if bloom_file:
+            manifest["bloom_file"] = bloom_file
     if extra_meta:
         manifest.update(extra_meta)
     mpath = _manifest_path(table_dir, version)
@@ -357,13 +488,14 @@ def _commit(
         # writers succeeds; everyone else gets FileExistsError.
         os.link(tmp, mpath)
     except FileExistsError:
-        if stats_file:
-            import shutil
+        import shutil
 
-            shutil.rmtree(
-                os.path.join(_manifest_dir(table_dir), stats_file),
-                ignore_errors=True,
-            )
+        for side in (stats_file, bloom_file):
+            if side:
+                shutil.rmtree(
+                    os.path.join(_manifest_dir(table_dir), side),
+                    ignore_errors=True,
+                )
         raise CommitConflictError(
             f"version {version} of {table_dir} was committed by another "
             "writer — retry against the new parent"
@@ -467,6 +599,75 @@ def read_versioned_skipping(
         )
     stats = spark.read.parquet(_stats_path(table_dir, v))
     rel = sorted(r["file"] for r in stats.filter(keep).select("file").collect())
+    if not rel:
+        return read_versioned(spark, table_dir, v).limit(0)
+    return spark.read.parquet(*[os.path.join(table_dir, f) for f in rel])
+
+
+def read_versioned_bloom(
+    spark: SparkSession,
+    table_dir: str,
+    eq: dict,
+    version: int | None = None,
+) -> DataFrame:
+    """Time travel WITH Bloom equality skipping: scan only the files
+    of snapshot ``version`` whose commit-log Bloom bitmaps might
+    contain EVERY ``col = value`` in ``eq`` (conjunctive point
+    lookup).  A list/tuple/set value means ``col IN (...)`` — ONE
+    pruned read over the union of per-value survivors (the batched
+    form; N sequential point reads would pay the manifest + scan
+    overhead N times).  Blooms have no false negatives by
+    construction (probe
+    positions replay the build's md5 hashing with the commit's
+    recorded bits/hashes/salt), so
+    ``read_versioned_bloom(...).filter(p)`` ≡
+    ``read_versioned(...).filter(p)`` with fewer files opened — the
+    pruning min/max stats can't do for point predicates on
+    high-cardinality unsorted columns.  Files absent from the bloom
+    table are conservatively kept (the staleness guard; the commit
+    coverage invariant makes this unreachable for tables written by
+    this module).  The version must descend from a commit with
+    ``bloom_cols`` covering every queried column."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.sinks.layout import bloom_keep
+
+    v = latest_version(table_dir) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    man = _read_manifest(table_dir, v)
+    bcfg = _bloom_config(man)
+    if bcfg is None or any(c not in bcfg["cols"] for c in eq):
+        raise ValueError(
+            f"version {v} of {table_dir} has no Bloom index covering "
+            f"{sorted(eq)} (bloom_cols={bcfg and bcfg['cols']})"
+        )
+    if not man["files"]:
+        raise FileNotFoundError(f"version {v} of {table_dir} is empty")
+    keep = None
+    for c, value in eq.items():
+        vals = (
+            list(value)
+            if isinstance(value, (list, tuple, set, frozenset))
+            else [value]
+        )
+        term = None
+        for one in vals:
+            t_ = bloom_keep(
+                c, one, bits=bcfg["bits"], hashes=bcfg["hashes"],
+                salt=bcfg["salt"],
+            )
+            term = t_ if term is None else (term | t_)
+        keep = term if keep is None else (keep & term)
+    indexed, kept = set(), set()
+    if man.get("bloom_file"):
+        bm = spark.read.parquet(
+            os.path.join(_manifest_dir(table_dir), man["bloom_file"])
+        ).filter(F.col("file").isin(man["files"]))
+        # bounded collects: one row per manifest file
+        indexed = {r["file"] for r in bm.select("file").collect()}
+        kept = {r["file"] for r in bm.filter(keep).select("file").collect()}
+    rel = sorted(kept | (set(man["files"]) - indexed))
     if not rel:
         return read_versioned(spark, table_dir, v).limit(0)
     return spark.read.parquet(*[os.path.join(table_dir, f) for f in rel])
