@@ -4920,6 +4920,66 @@ def q_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_forget_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation (ORACLE-checked; round-7
+    verdict task; examples/gdpr_forget.py is the full story incl.
+    vacuum): a keyed GDPR DELETE flows delete_versioned → cdc_feed →
+    view_maintainer — the per-user aggregate view retires the
+    forgotten users' groups from the delete commit's CDC rows alone
+    (IVM, never re-aggregated), exactly as if they had never existed.
+    Output: the post-delete view state; the oracle is the direct
+    aggregate excluding the forgotten users.  Physical forgetting
+    (vacuum removes the rewritten files' predecessors; pre-delete time
+    travel then fails while history stays auditable) is asserted in
+    tests/test_versioned.py.  Fixture memoized per sf_dir."""
+    import tempfile
+
+    from sparkgraft.sinks.versioned import (
+        delete_versioned,
+        read_versioned,
+        write_versioned,
+    )
+    from sparkgraft.streaming.pipeline import view_maintainer
+
+    cached = _FIXTURE_CACHE.get(("forget_flow", sf_dir))
+    schema = "user_id long, n_rows long, sum_amount double"
+    if cached is not None:
+        return spark.createDataFrame(cached, schema)
+
+    t = tempfile.mkdtemp(prefix="sparkgraft_forget_")
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        ((F.col("event_id") % 1000) / F.lit(10.0)).alias("amount"),
+    )
+    write_versioned(
+        events, t, mode="overwrite",
+        stats_cols=["user_id"], sort_col="user_id", n_files=8,
+    )
+    delete_versioned(
+        spark, t, F.col("user_id").isin(7, 23),
+        stats_keep=(F.col("max_user_id") >= 7)
+        & (F.col("min_user_id") <= 23),
+        sort_col="user_id", n_files=2,
+    )
+    view_dir = f"{t}_view"
+    q = view_maintainer(
+        spark, t, ["user_id"], ["amount"], ["event_id"],
+        view_dir, f"{t}_ckpt",
+    )
+    q.awaitTermination(300)
+    out = read_versioned(spark, view_dir).select(
+        "user_id",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(F.col("sum_amount"), 2)
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("sum_amount"),
+    )
+    rows = [tuple(r) for r in out.collect()]
+    _FIXTURE_CACHE[("forget_flow", sf_dir)] = rows
+    return spark.createDataFrame(rows, schema)
+
+
 def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming versioned ingest + METADATA-ONLY summary (ORACLE-
     checked): three ts-split slices of events drain through
@@ -5898,6 +5958,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round 7: Bloom manifests in the versioned commit log —
     # point-lookup pruning composed with time travel ---
     "bloom_travel": q_bloom_travel,
+    # --- round 7: right-to-be-forgotten propagation (DELETE → CDC →
+    # IVM view retirement; vacuum story in examples/gdpr_forget.py) ---
+    "forget_flow": q_forget_flow,
 }
 
 
@@ -10326,6 +10389,21 @@ ORACLES["bloom_travel"] = """
     SELECT 'v0', user_id, count(*), count(DISTINCT event_type), max(ts)
     FROM events
     WHERE user_id IN (3, 17, 42, 71, 99) AND event_id % 2 = 0
+    GROUP BY user_id
+"""
+
+
+# Mirrors q_forget_flow: the maintained view after the GDPR delete ≡
+# the direct aggregate with the forgotten users excluded (the IVM
+# equivalence, through a delete commit).  Sum discipline matches the
+# view's DECIMAL(38,6) term quantization.
+ORACLES["forget_flow"] = """
+    SELECT user_id, count(*) AS n_rows,
+           cast(cast(round(sum(cast((event_id % 1000) / 10.0
+                                    AS DECIMAL(27,6))), 2)
+                AS DECIMAL(38,2)) AS DOUBLE) AS sum_amount
+    FROM events
+    WHERE user_id NOT IN (7, 23)
     GROUP BY user_id
 """
 

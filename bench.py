@@ -208,8 +208,10 @@ HEADLINE = [
     # round-7 merged driver-window witness (gate predicates; the
     # channel_stats / scalar_functions components stay benched above)
     "gate_panel",
-    # round-7 new oracle query: bloom-pruned time travel
+    # round-7 new oracle queries: bloom-pruned time travel + the GDPR
+    # delete -> CDC -> IVM retirement flow
     "bloom_travel",
+    "forget_flow",
 ]
 
 

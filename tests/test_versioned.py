@@ -1440,3 +1440,70 @@ def test_bloom_manifest_in_commit_log_prunes_time_travel(spark, tmp_path):
         tuple(r) for r in read_versioned(spark, t).collect()
     )
     assert len(full) == 401 and (137, -1.0) in full
+
+
+def test_gdpr_delete_propagates_and_vacuum_forgets(spark, tmp_path):
+    """Round-7 verdict task (examples/gdpr_forget.py in miniature): a
+    keyed DELETE flows delete_versioned -> cdc_feed -> view_maintainer
+    (the forgotten user's group retires from the view via IVM, never
+    re-aggregation), and vacuum then PHYSICALLY removes the rewritten
+    files' predecessors — pre-delete time travel fails while
+    table_history stays fully auditable."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sparkgraft.sinks.versioned import (
+        delete_versioned,
+        read_versioned,
+        table_history,
+        vacuum,
+        write_versioned,
+    )
+    from sparkgraft.streaming.pipeline import view_maintainer
+
+    t = str(tmp_path / "t")
+    view = str(tmp_path / "view")
+    rows = [(i, i % 5, float(i)) for i in range(100)]
+    write_versioned(
+        spark.createDataFrame(rows, "event_id long, user_id long, v double"),
+        t, mode="overwrite", stats_cols=["user_id"], sort_col="user_id",
+        n_files=4,
+    )
+
+    def drain():
+        q = view_maintainer(
+            spark, t, ["user_id"], ["v"], ["event_id"], view,
+            str(tmp_path / "ck"),
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert read_versioned(spark, view).filter(
+        F.col("user_id") == 3
+    ).count() == 1
+    delete_versioned(
+        spark, t, F.col("user_id") == 3,
+        stats_keep=(F.col("max_user_id") >= 3) & (F.col("min_user_id") <= 3),
+        n_files=1,
+    )
+    drain()
+    after = read_versioned(spark, view)
+    # the forgotten group retired; everyone else intact and exact
+    assert after.filter(F.col("user_id") == 3).count() == 0
+    direct = sorted(
+        (r["user_id"], r["n"])
+        for r in read_versioned(spark, t)
+        .groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    )
+    viewed = sorted(
+        (r["user_id"], r["n_rows"]) for r in after.collect()
+    )
+    assert direct == viewed
+    # physical forgetting: predecessors gone, history auditable
+    deleted = vacuum(t, keep_versions=1)
+    assert deleted
+    with pytest.raises(Exception):
+        read_versioned(spark, t, version=0).count()
+    assert [h["operation"] for h in table_history(t)] == [
+        "overwrite", "delete",
+    ]
