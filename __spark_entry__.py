@@ -1714,6 +1714,62 @@ def q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index UNLEARNING (ORACLE-checked; round-7 capability): the
+    right-to-be-forgotten leg for the VECTOR index — a deleted
+    document's embedding must stop being servable, not just leave the
+    fact table.  A separate persisted IVF-PQ index (same parameters as
+    ann_index_serve) logically deletes vec_ids 11/13/17 (O(ids)
+    tombstones, sinks/ann_index.py:delete_ann_index), serves, then
+    COMPACTS (physical removal, only the affected cluster partitions
+    rewritten) and serves again — the two servings must be identical
+    (asserted inline), and both must equal an index that never held
+    those vectors: the oracle is ivfpq_ann's full DuckDB mirror with
+    the ids excluded from the candidate side."""
+    import tempfile
+
+    from sparkgraft.sinks.ann_index import (
+        compact_ann_index,
+        delete_ann_index,
+        ivfpq_topk_indexed,
+        write_ann_index,
+    )
+
+    forget = [11, 13, 17]
+    idx = _FIXTURE_CACHE.get(("ann_forget_dir", sf_dir))
+    if idx is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        cents = _ivf_centroids(spark, sf_dir)
+        sub = len(cents[0][1]) // 8
+        cbs = [
+            [(c, v[s * sub : (s + 1) * sub]) for c, v in cents]
+            for s in range(8)
+        ]
+        idx = tempfile.mkdtemp(prefix="sparkgraft_annforget_")
+        write_ann_index(idx, emb, cents, cbs)
+        delete_ann_index(spark, idx, forget)
+        _FIXTURE_CACHE[("ann_forget_dir", sf_dir)] = idx
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    def serve():
+        return ivfpq_topk_indexed(queries, idx, nprobe=3, k=5, shortlist=20)
+
+    import os
+
+    if os.path.isdir(f"{idx}/tombstones"):
+        logical = sorted(tuple(r) for r in serve().collect())
+        compact_ann_index(spark, idx)
+        physical = sorted(tuple(r) for r in serve().collect())
+        # tombstone-serve ≡ compacted-serve: the unlearning invariant,
+        # checked on the driver-graded path itself
+        if logical != physical:
+            raise AssertionError(
+                "ann_forget: tombstoned and compacted servings differ"
+            )
+    return serve()
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event inactivity-gap sessionization (30-min gap): session
     ids + session starts assigned to every event, not aggregated away."""
@@ -2504,6 +2560,53 @@ def q_bm25_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_bm25_index(idx, _t(spark, sf_dir, "documents"))
         _FIXTURE_CACHE[("bm25_index_dir", sf_dir)] = idx
     return bm25_topk_indexed(spark, idx, ["hash", "join", "vector"], k=10)
+
+
+def q_bm25_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index UNLEARNING for the lexical side (ORACLE-checked; round-7
+    capability, the BM25 twin of ann_forget): deleting docs from a
+    BM25 index must shift EVERY surviving score — n_docs/avgdl and the
+    victims' term df all feed idf — so the delete decrements the term
+    table and corpus stats by exact integer subtraction, tombstones
+    the ids, and serving anti-joins them
+    (sinks/bm25_index.py:delete_bm25_index).  A separate persisted
+    index forgets doc_ids 459/292/476 (the sf0.01 baseline's top 3),
+    serves, COMPACTS (postings physically rewritten), serves again —
+    identical (asserted inline) — and both must equal an index built
+    over the corpus minus the ids: the oracle recomputes the full BM25
+    pipeline on the filtered corpus."""
+    import os
+    import tempfile
+
+    from sparkgraft.sinks.bm25_index import (
+        bm25_topk_indexed,
+        compact_bm25_index,
+        delete_bm25_index,
+        write_bm25_index,
+    )
+
+    forget = [459, 292, 476]
+    idx = _FIXTURE_CACHE.get(("bm25_forget_dir", sf_dir))
+    if idx is None:
+        idx = tempfile.mkdtemp(prefix="sparkgraft_bm25forget_")
+        write_bm25_index(idx, _t(spark, sf_dir, "documents"))
+        delete_bm25_index(spark, idx, forget)
+        _FIXTURE_CACHE[("bm25_forget_dir", sf_dir)] = idx
+
+    def serve():
+        return bm25_topk_indexed(
+            spark, idx, ["hash", "join", "vector"], k=10
+        )
+
+    if os.path.isdir(f"{idx}/tombstones"):
+        logical = sorted(tuple(r) for r in serve().collect())
+        compact_bm25_index(spark, idx)
+        physical = sorted(tuple(r) for r in serve().collect())
+        if logical != physical:
+            raise AssertionError(
+                "bm25_forget: tombstoned and compacted servings differ"
+            )
+    return serve()
 
 
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5961,6 +6064,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round 7: right-to-be-forgotten propagation (DELETE → CDC →
     # IVM view retirement; vacuum story in examples/gdpr_forget.py) ---
     "forget_flow": q_forget_flow,
+    # --- round 7: index unlearning — the forget leg for the persisted
+    # retrieval indexes (tombstone serve ≡ compacted serve ≡ rebuild) ---
+    "ann_forget": q_ann_forget,
+    "bm25_forget": q_bm25_forget,
 }
 
 
@@ -9724,9 +9831,25 @@ ORACLES.update(_llm_oracles())
 # The persisted-index round trip (sinks/ann_index.py) is bit-identical
 # to the in-memory ivfpq operator by construction — same oracle.
 ORACLES["ann_index_serve"] = ORACLES["ivfpq_ann"]
+
+# Mirrors q_ann_forget: unlearning with frozen centroids/codebooks ≡
+# the ivfpq mirror with the forgotten ids excluded from the candidate
+# side (they are neither assigned, encoded, shortlisted, nor reranked).
+ORACLES["ann_forget"] = ORACLES["ivfpq_ann"].replace(
+    "WHERE cd.vec_id <> q.query_id",
+    "WHERE cd.vec_id <> q.query_id AND cd.vec_id NOT IN (11, 13, 17)",
+)
+
 # Persisted-index BM25 serving is bit-identical to bm25_rank on the
 # same corpus — same fixture, same oracle.
 ORACLES["bm25_index_serve"] = ORACLES["bm25_search"]
+# Mirrors q_bm25_forget: the full BM25 pipeline recomputed over the
+# corpus minus the forgotten ids — n_docs/avgdl/df all shift, exactly
+# matching the index's integer-subtraction maintenance.
+ORACLES["bm25_forget"] = ORACLES["bm25_index_serve"].replace(
+    "FROM documents",
+    "FROM documents WHERE doc_id NOT IN (459, 292, 476)",
+)
 # KV projection + register image under one sink-chain witness (the
 # component oracles verbatim, method-tagged).
 ORACLES["kv_register_image"] = f"""

@@ -208,10 +208,12 @@ HEADLINE = [
     # round-7 merged driver-window witness (gate predicates; the
     # channel_stats / scalar_functions components stay benched above)
     "gate_panel",
-    # round-7 new oracle queries: bloom-pruned time travel + the GDPR
-    # delete -> CDC -> IVM retirement flow
+    # round-7 new oracle queries: bloom-pruned time travel, the GDPR
+    # delete -> CDC -> IVM retirement flow, and index unlearning
     "bloom_travel",
     "forget_flow",
+    "ann_forget",
+    "bm25_forget",
 ]
 
 

@@ -158,6 +158,11 @@ def ivfpq_topk_indexed(
     centroids, codebooks, codes = read_ann_index(
         queries.sparkSession, index_dir
     )
+    tomb = _tombstones(queries.sparkSession, index_dir)
+    if tomb is not None:
+        # Logical deletes exclude BEFORE the ADC shortlist, so served
+        # results exactly equal an index that never held those vectors.
+        codes = codes.join(F.broadcast(tomb), "neighbor_id", "left_anti")
     m = len(codebooks)
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -208,3 +213,88 @@ def ivfpq_topk_indexed(
     return exact.withColumn("rnk", F.row_number().over(w2)).filter(
         F.col("rnk") <= k
     )
+
+
+def _tombstones(spark: SparkSession, index_dir: str) -> "DataFrame | None":
+    """The index's logical-delete set (one ``neighbor_id`` per row), or
+    None when nothing was ever deleted."""
+    import os
+
+    p = f"{index_dir}/tombstones"
+    if not os.path.isdir(p) or not any(
+        n.endswith(".parquet") for n in os.listdir(p)
+    ):
+        return None
+    return spark.read.parquet(p).select("neighbor_id").distinct()
+
+
+def delete_ann_index(spark: SparkSession, index_dir: str, ids) -> None:
+    """Right-to-be-forgotten for the vector index (the GDPR leg a
+    training-data lakehouse needs BEYOND the fact tables — a deleted
+    document's embedding must stop being servable too): append the ids
+    to the index's tombstone set.  The delete is LOGICAL and O(ids):
+    serving anti-joins the (broadcast — GDPR batches are id-lists, not
+    corpora) tombstone set before the ADC shortlist, so results are
+    BIT-IDENTICAL to an index rebuilt over the corpus minus the ids
+    with the same frozen centroids/codebooks (asserted by the
+    ``ann_forget`` oracle query and tests).  Physical removal is
+    :func:`compact_ann_index` — the delete/vacuum split mirrors
+    sinks/versioned.py's delete_versioned + vacuum.
+
+    ``ids`` may be an iterable of ints or a one-column DataFrame."""
+    df = (
+        ids
+        if isinstance(ids, DataFrame)
+        else spark.createDataFrame(
+            [(int(i),) for i in ids], "neighbor_id long"
+        )
+    )
+    df.selectExpr("neighbor_id").write.mode("append").parquet(
+        f"{index_dir}/tombstones"
+    )
+
+
+def compact_ann_index(spark: SparkSession, index_dir: str) -> int:
+    """PHYSICAL forgetting for the vector index: rewrite ONLY the
+    cluster partitions that hold tombstoned vectors (bounded by the
+    tombstone set's cluster spread — the IVF partitioning localizes
+    the rewrite exactly as commit-log stats localize
+    delete_versioned's), drop partitions emptied entirely, then clear
+    the tombstone set.  Serving results are unchanged (the logical
+    delete already excluded the rows); after this the bytes are gone.
+    Returns the number of cluster partitions rewritten."""
+    import os
+    import shutil
+
+    tomb = _tombstones(spark, index_dir)
+    if tomb is None:
+        return 0
+    codes_dir = f"{index_dir}/codes"
+    codes = spark.read.parquet(codes_dir)
+    # bounded collect: affected clusters <= n_clusters
+    affected = sorted(
+        r["part"]
+        for r in codes.join(F.broadcast(tomb), "neighbor_id")
+        .select("part")
+        .distinct()
+        .collect()
+    )
+    if affected:
+        remain = (
+            spark.read.parquet(codes_dir)
+            .filter(F.col("part").isin(affected))
+            .join(F.broadcast(tomb), "neighbor_id", "left_anti")
+        )
+        # parquet can't lazily overwrite its own input: stage the
+        # surviving rows, then swap the affected partition dirs
+        staging = f"{index_dir}/codes_staging"
+        remain.write.partitionBy("part").mode("overwrite").parquet(staging)
+        for p in affected:
+            dst = os.path.join(codes_dir, f"part={p}")
+            src = os.path.join(staging, f"part={p}")
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.isdir(src):
+                os.replace(src, dst)
+        shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(f"{index_dir}/tombstones", ignore_errors=True)
+    return len(affected)

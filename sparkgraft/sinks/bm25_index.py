@@ -18,6 +18,11 @@ Layout under ``index_dir`` (plain parquet — readable by any engine):
                  :func:`sparkgraft.operators.textops.bm25_rank` on the
                  same corpus (asserted by the `bm25_index_serve` query
                  reusing `bm25_search`'s DuckDB oracle verbatim).
+- ``docs/``      live-docs table (id, dl) — doc-level truth for
+                 deletion and empty-doc accounting.
+- ``tombstones/`` logical-delete ids (:func:`delete_bm25_index`);
+                 serving anti-joins them, :func:`compact_bm25_index`
+                 physically removes their postings.
 
 The reference's closest analog is its newest-file probe + report scan
 (SURVEY §2.2 S4/S8) — batch artifacts written once and served by
@@ -75,6 +80,13 @@ def write_bm25_index(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
     stats.write.mode("overwrite").parquet(f"{index_dir}/stats")
+    # live-docs table (id, dl): the Lucene live-docs idea — covers
+    # empty-text docs (which have no postings but DO count in
+    # n_docs/avgdl), and gives deletion an id-keyed dl lookup
+    docs.select(
+        F.col(id_col).alias("id"),
+        F.size(tokenize(F.col(text_col))).alias("dl"),
+    ).write.mode("overwrite").parquet(f"{index_dir}/docs")
 
 
 def append_bm25_index(
@@ -133,6 +145,13 @@ def append_bm25_index(
           int(old["sum_dl"]) + int(new["sum_dl"]))],
         "n_docs long, sum_dl long",
     ).write.mode("overwrite").parquet(f"{index_dir}/stats")
+    import os as _os
+
+    if _os.path.isdir(f"{index_dir}/docs"):
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.size(tokenize(F.col(text_col))).alias("dl"),
+        ).write.mode("append").parquet(f"{index_dir}/docs")
 
 
 def bm25_topk_indexed(
@@ -165,6 +184,11 @@ def bm25_topk_indexed(
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(qset))
         .select("term", "id", "dl", "tf")
     )
+    tomb = _bm25_tombstones(spark, index_dir)
+    if tomb is not None:
+        # logically-deleted docs drop before scoring; df/stats were
+        # adjusted at delete time, so scores equal a rebuilt index
+        post = post.join(F.broadcast(tomb), "id", "left_anti")
     dfreq = (
         spark.read.parquet(f"{index_dir}/terms")
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(qset))
@@ -202,3 +226,116 @@ def bm25_topk_indexed(
     return topk.withColumn("rnk", F.row_number().over(w)).select(
         F.col("id").alias(id_col), "bm25", "rnk"
     )
+
+
+def _bm25_tombstones(spark: SparkSession, index_dir: str) -> "DataFrame | None":
+    """The index's logical-delete set (one ``id`` per row), or None."""
+    import os
+
+    p = f"{index_dir}/tombstones"
+    if not os.path.isdir(p) or not any(
+        n.endswith(".parquet") for n in os.listdir(p)
+    ):
+        return None
+    return spark.read.parquet(p).select("id").distinct()
+
+
+def delete_bm25_index(
+    spark: SparkSession,
+    index_dir: str,
+    ids,
+    n_buckets: int = 64,
+) -> None:
+    """Right-to-be-forgotten for the lexical index (the BM25 twin of
+    :func:`sparkgraft.sinks.ann_index.delete_ann_index`): after this,
+    served scores EXACTLY equal a rebuild over the corpus minus the
+    ids — which for BM25 means more than dropping their rows: every
+    surviving score shifts, because n_docs/avgdl and the deleted docs'
+    term df all feed idf.  So the delete (a) extracts the victims'
+    postings in ONE postings scan (the id→terms map lives only there;
+    GDPR deletions batch, so this amortizes like a Lucene merge),
+    (b) decrements the term-df table and corpus stats by exact integer
+    subtraction, (c) appends the ids to the tombstone set that serving
+    anti-joins, and (d) rewrites the live-docs table.  Physical
+    removal of the postings rows is :func:`compact_bm25_index`.
+
+    ``ids`` may be an iterable or a one-column DataFrame.  Indexes
+    built before the live-docs table fall back to postings-derived doc
+    stats (empty-text docs untracked — they can't match queries, but
+    their dl=0 rows would keep n_docs one too high; rebuild to fix)."""
+    import os
+    import shutil
+
+    ids_df = (
+        ids
+        if isinstance(ids, DataFrame)
+        else spark.createDataFrame([(int(i),) for i in ids], "id long")
+    ).select("id").distinct()
+    postings = spark.read.parquet(f"{index_dir}/postings")
+    victim = postings.join(F.broadcast(ids_df), "id")
+    dec = victim.groupBy("term").agg(F.count("*").alias("dec"))
+    old_terms = spark.read.parquet(f"{index_dir}/terms").select("term", "df")
+    merged = (
+        old_terms.join(dec, "term", "left")
+        .select(
+            "term",
+            (F.col("df") - F.coalesce(F.col("dec"), F.lit(0))).alias("df"),
+        )
+        .filter(F.col("df") > 0)
+        .withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
+    )
+    staging = f"{index_dir}/terms_staging"
+    merged.write.partitionBy("bucket").mode("overwrite").parquet(staging)
+    shutil.rmtree(f"{index_dir}/terms")
+    os.replace(staging, f"{index_dir}/terms")
+    # doc-level decrements: live-docs table when present (exact incl.
+    # empty docs), else the victims' postings
+    if os.path.isdir(f"{index_dir}/docs"):
+        live = spark.read.parquet(f"{index_dir}/docs")
+        gone = live.join(F.broadcast(ids_df), "id")
+        d = gone.agg(
+            F.count("*").alias("n"), F.sum("dl").alias("s")
+        ).first()
+        remain = live.join(F.broadcast(ids_df), "id", "left_anti")
+        dstage = f"{index_dir}/docs_staging"
+        remain.write.mode("overwrite").parquet(dstage)
+        shutil.rmtree(f"{index_dir}/docs")
+        os.replace(dstage, f"{index_dir}/docs")
+    else:
+        d = (
+            victim.select("id", "dl")
+            .distinct()
+            .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
+            .first()
+        )
+    old = spark.read.parquet(f"{index_dir}/stats").first()
+    spark.createDataFrame(
+        [(int(old["n_docs"]) - int(d["n"] or 0),
+          int(old["sum_dl"]) - int(d["s"] or 0))],
+        "n_docs long, sum_dl long",
+    ).write.mode("overwrite").parquet(f"{index_dir}/stats")
+    ids_df.write.mode("append").parquet(f"{index_dir}/tombstones")
+
+
+def compact_bm25_index(spark: SparkSession, index_dir: str) -> int:
+    """PHYSICAL forgetting for the lexical index: rewrite the postings
+    without the tombstoned docs' rows (staged directory swap — the
+    periodic Lucene-merge shape; df/stats were already adjusted at
+    delete time, so serving results are unchanged), then clear the
+    tombstone set.  Returns the number of postings rows removed."""
+    import os
+    import shutil
+
+    tomb = _bm25_tombstones(spark, index_dir)
+    if tomb is None:
+        return 0
+    postings = spark.read.parquet(f"{index_dir}/postings")
+    n_before = postings.count()
+    remain = postings.join(F.broadcast(tomb), "id", "left_anti")
+    staging = f"{index_dir}/postings_staging"
+    remain.write.partitionBy("bucket").mode("overwrite").parquet(staging)
+    shutil.rmtree(f"{index_dir}/postings")
+    os.replace(staging, f"{index_dir}/postings")
+    n_after = spark.read.parquet(f"{index_dir}/postings").count()
+    shutil.rmtree(f"{index_dir}/tombstones", ignore_errors=True)
+    return n_before - n_after
