@@ -4540,6 +4540,101 @@ def q_bloom_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.unionByName(v0)
 
 
+def _synthetic_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-annotator vote table over documents (pure
+    integer arithmetic — SQL-mirrorable): true label = doc_id % 4;
+    5 annotators each skip every 5th doc (staggered), and annotator a
+    mislabels when pmod(doc_id*(a+2)+a, 17) < 2a — annotator 0 is
+    perfect, annotator 4 wrong ~47% of the time (the varying-quality
+    regime label aggregation exists for)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ann = spark.range(5).select(F.col("id").alias("annotator_id"))
+    v = docs.crossJoin(ann).filter(
+        F.pmod(F.col("doc_id") + F.col("annotator_id"), 5) != 0
+    )
+    true = F.pmod(F.col("doc_id"), 4)
+    wrong = F.pmod(
+        true + 1 + F.pmod(F.col("doc_id") + F.col("annotator_id"), 3), 4
+    )
+    noisy = (
+        F.pmod(
+            F.col("doc_id") * (F.col("annotator_id") + 2)
+            + F.col("annotator_id"),
+            17,
+        )
+        < 2 * F.col("annotator_id")
+    )
+    return v.select(
+        F.col("doc_id").alias("item_id"),
+        "annotator_id",
+        F.when(noisy, wrong).otherwise(true).cast("int").alias("label"),
+    )
+
+
+def q_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote label aggregation (ORACLE-checked; round-7
+    capability — the labeled-data curation leg): per-item modal label
+    with the deterministic smallest-label tie-break, vote counts, and
+    agreement ratio over the synthetic varying-quality annotator
+    panel (operators/annotate.py:majority_label)."""
+    from sparkgraft.operators.annotate import majority_label
+
+    return majority_label(_synthetic_votes(spark, sf_dir))
+
+
+def q_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement panel (ORACLE-checked): pairwise
+    Cohen's kappa (every statistic a ratio of integer counts — the
+    annotator-reliability screen that catches the noisy raters) plus
+    the corpus-level Fleiss' kappa as a method-tagged summary row
+    (operators/annotate.py:annotator_kappa/fleiss_kappa)."""
+    from sparkgraft.operators.annotate import annotator_kappa, fleiss_kappa
+
+    votes = _synthetic_votes(spark, sf_dir)
+    pair = annotator_kappa(votes).select(
+        F.lit("pair").alias("method"),
+        F.col("annotator_a").alias("a"),
+        F.col("annotator_b").alias("b"),
+        F.col("n_items").cast("long").alias("n"),
+        "po",
+        "pe",
+        "kappa",
+    )
+    fl = fleiss_kappa(votes).select(
+        F.lit("fleiss").alias("method"),
+        F.lit(None).cast("long").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        F.col("n_items").cast("long").alias("n"),
+        F.col("p_bar").alias("po"),
+        F.col("p_e").alias("pe"),
+        "kappa",
+    )
+    return pair.unionByName(fl)
+
+
+def q_ds_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dawid-Skene EM label aggregation (rows-only — iterative EM with
+    a driver-collected confusion model; spammer-recovery, hand-math
+    and partition-invariance are pytest-asserted in
+    tests/test_annotate.py): per-annotator confusion matrices weight
+    the synthetic panel's votes, out-voting majority where the noisy
+    annotators agree on a wrong label.  Output: per-item EM label +
+    posterior.  Memoized per (session, sf_dir)."""
+    from sparkgraft.operators.annotate import dawid_skene
+
+    key = ("ds_labels", sf_dir, id(spark))
+    cached = _FIXTURE_CACHE.get(key)
+    schema = "item_id long, ds_label int, posterior double"
+    if cached is not None:
+        return spark.createDataFrame(cached, schema)
+    out = dawid_skene(
+        _synthetic_votes(spark, sf_dir), n_classes=4, iters=5
+    )
+    rows = sorted(tuple(r) for r in out.collect())
+    _FIXTURE_CACHE[key] = rows
+    return spark.createDataFrame(rows, schema)
+
+
 def q_topic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic-space SERVING (rows-only — k-means fit; training-parity
     and vocabulary-routing are pytest-asserted): fit on even docs,
@@ -6068,6 +6163,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # retrieval indexes (tombstone serve ≡ compacted serve ≡ rebuild) ---
     "ann_forget": q_ann_forget,
     "bm25_forget": q_bm25_forget,
+    # --- round 7: annotation aggregation — majority vote, rater
+    # agreement (Cohen/Fleiss), Dawid-Skene EM (rows-only) ---
+    "label_vote": q_label_vote,
+    "rater_agreement": q_rater_agreement,
+    "ds_labels": q_ds_labels,
 }
 
 
@@ -10514,6 +10614,121 @@ ORACLES["bloom_travel"] = """
     WHERE user_id IN (3, 17, 42, 71, 99) AND event_id % 2 = 0
     GROUP BY user_id
 """
+
+
+# Deterministic synthetic-vote CTE shared by the annotation oracles
+# (mirrors _synthetic_votes: pure integer arithmetic, nonneg % ≡ pmod).
+_VOTES_SQL = """
+    SELECT d.doc_id AS item_id, a.a AS annotator_id,
+           CAST(CASE WHEN ((d.doc_id * (a.a + 2) + a.a) % 17) < 2 * a.a
+                THEN ((d.doc_id % 4) + 1 + ((d.doc_id + a.a) % 3)) % 4
+                ELSE d.doc_id % 4 END AS INT) AS label
+    FROM documents d CROSS JOIN generate_series(0, 4) AS a(a)
+    WHERE (d.doc_id + a.a) % 5 <> 0
+"""
+
+# Mirrors q_label_vote: modal label with the smallest-label tie-break.
+ORACLES["label_vote"] = (
+    "WITH votes AS (" + _VOTES_SQL + "),"
+    """
+    sel AS (
+        SELECT item_id, label, count(*) AS n_agree
+        FROM votes GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT *, sum(n_agree) OVER (PARTITION BY item_id) AS n_votes,
+               row_number() OVER (PARTITION BY item_id
+                                  ORDER BY n_agree DESC, label ASC) AS rn
+        FROM sel
+    )
+    SELECT item_id, label AS voted_label, n_agree, n_votes,
+           round(CAST(n_agree AS DOUBLE) / n_votes, 6) AS agreement
+    FROM r WHERE rn = 1
+"""
+)
+
+# Mirrors q_rater_agreement: pairwise Cohen's kappa (integer-count
+# ratios, single final divisions) + the Fleiss summary row (P_i
+# DECIMAL(18,12)-quantized before the cross-item sum, same as Spark).
+ORACLES["rater_agreement"] = (
+    "WITH votes AS (" + _VOTES_SQL + "),"
+    """
+    pairs AS (
+        SELECT a.item_id, a.annotator_id AS aa, b.annotator_id AS bb,
+               a.label AS la, b.label AS lb
+        FROM votes a JOIN votes b
+          ON a.item_id = b.item_id AND a.annotator_id < b.annotator_id
+    ),
+    per AS (
+        SELECT aa, bb, count(*) AS n_items,
+               sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS n_eq
+        FROM pairs GROUP BY 1, 2
+    ),
+    ca AS (SELECT aa, bb, la, count(*) AS na FROM pairs GROUP BY 1, 2, 3),
+    cb AS (SELECT aa, bb, lb, count(*) AS nb FROM pairs GROUP BY 1, 2, 3),
+    pe_t AS (
+        SELECT ca.aa, ca.bb, sum(na * nb) AS pe_num
+        FROM ca JOIN cb
+          ON ca.aa = cb.aa AND ca.bb = cb.bb AND ca.la = cb.lb
+        GROUP BY 1, 2
+    ),
+    pairleg AS (
+        SELECT 'pair' AS method, per.aa AS a, per.bb AS b,
+               per.n_items AS n,
+               round(CAST(n_eq AS DOUBLE) / n_items, 6) AS po,
+               round(CAST(coalesce(pe_num, 0) AS DOUBLE)
+                     / (CAST(n_items AS DOUBLE) * n_items), 6) AS pe,
+               CASE WHEN CAST(coalesce(pe_num, 0) AS DOUBLE)
+                         / (CAST(n_items AS DOUBLE) * n_items) < 1.0
+                    THEN round((CAST(n_eq AS DOUBLE) / n_items
+                                - CAST(coalesce(pe_num, 0) AS DOUBLE)
+                                  / (CAST(n_items AS DOUBLE) * n_items))
+                               / (1.0 - CAST(coalesce(pe_num, 0) AS DOUBLE)
+                                        / (CAST(n_items AS DOUBLE) * n_items)),
+                               6)
+               END AS kappa
+        FROM per LEFT JOIN pe_t ON per.aa = pe_t.aa AND per.bb = pe_t.bb
+    ),
+    nij AS (
+        SELECT item_id, label, count(*) AS nij FROM votes GROUP BY 1, 2
+    ),
+    pi AS (
+        SELECT item_id, sum(nij) AS ni, sum(nij * nij) AS sq
+        FROM nij GROUP BY 1 HAVING sum(nij) >= 2
+    ),
+    agg AS (
+        SELECT count(*) AS n_items,
+               sum(CAST(round(CAST(sq - ni AS DOUBLE) / (ni * (ni - 1)), 12)
+                        AS DECIMAL(18,12))) AS p_sum,
+               sum(ni) AS n_votes
+        FROM pi
+    ),
+    marg AS (
+        SELECT sum(nj * nj) AS sq_marg FROM (
+            SELECT label, count(*) AS nj
+            FROM votes v JOIN pi USING (item_id) GROUP BY label
+        )
+    ),
+    fleissleg AS (
+        SELECT 'fleiss' AS method, CAST(NULL AS BIGINT) AS a,
+               CAST(NULL AS BIGINT) AS b, n_items AS n,
+               round(CAST(p_sum AS DOUBLE) / n_items, 6) AS po,
+               round(CAST(sq_marg AS DOUBLE)
+                     / (CAST(n_votes AS DOUBLE) * n_votes), 6) AS pe,
+               CASE WHEN CAST(sq_marg AS DOUBLE)
+                         / (CAST(n_votes AS DOUBLE) * n_votes) < 1.0
+                    THEN round((CAST(p_sum AS DOUBLE) / n_items
+                                - CAST(sq_marg AS DOUBLE)
+                                  / (CAST(n_votes AS DOUBLE) * n_votes))
+                               / (1.0 - CAST(sq_marg AS DOUBLE)
+                                        / (CAST(n_votes AS DOUBLE) * n_votes)),
+                               6)
+               END AS kappa
+        FROM agg CROSS JOIN marg
+    )
+    SELECT * FROM pairleg UNION ALL SELECT * FROM fleissleg
+"""
+)
 
 
 # Mirrors q_forget_flow: the maintained view after the GDPR delete ≡

@@ -214,6 +214,10 @@ HEADLINE = [
     "forget_flow",
     "ann_forget",
     "bm25_forget",
+    # round-7 annotation aggregation
+    "label_vote",
+    "rater_agreement",
+    "ds_labels",
 ]
 
 

@@ -1,0 +1,338 @@
+"""Annotation aggregation — the labeled-data curation leg of a
+training pipeline: multiple annotators (human raters or LLM judges)
+vote on items; the pipeline must fuse votes into labels, measure
+annotator reliability, and weight good annotators above noisy ones.
+
+Operators:
+
+- :func:`majority_label` — per-item modal label with a total
+  deterministic tie-break, vote counts, and agreement ratio.
+- :func:`annotator_kappa` — pairwise Cohen's kappa (chance-corrected
+  agreement over each pair's co-annotated items) plus observed
+  agreement; the annotator-reliability screen.
+- :func:`fleiss_kappa` — corpus-level Fleiss' kappa (Fleiss 1971)
+  for multi-rater agreement with missing votes.
+- :func:`dawid_skene` — Dawid & Skene (1979) EM: per-annotator
+  confusion matrices weight votes, recovering true labels better than
+  majority vote when annotator quality varies.  Iterative (rows-only
+  verification class), but every per-item aggregation quantizes its
+  log-likelihood terms to DECIMAL(18,12) before summing, so results
+  are partition/order invariant — the engine's sequential-float
+  discipline.
+
+Scale shape: votes tables are (items x annotators)-sized — tiny next
+to the corpus.  Majority/kappa are one or two grouped aggregates;
+Dawid-Skene shuffles (item, class) posteriors per iteration and
+broadcasts the (annotators x classes^2)-sized confusion model.
+
+Reference anchor: the reference has no annotation tooling (its scope
+ends at sensor decoding — SURVEY §2); this is a first-class LLM-data
+extension like the dedup/quality/retrieval families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "majority_label",
+    "annotator_kappa",
+    "fleiss_kappa",
+    "dawid_skene",
+]
+
+
+def majority_label(
+    votes: DataFrame,
+    item_col: str = "item_id",
+    annotator_col: str = "annotator_id",
+    label_col: str = "label",
+    digits: int = 6,
+) -> DataFrame:
+    """Per-item majority vote: ``(item, voted_label, n_agree, n_votes,
+    agreement)`` where ties break to the SMALLEST label (total
+    deterministic order).  ``agreement`` = n_agree / n_votes."""
+    counts = votes.groupBy(item_col, label_col).agg(
+        F.count("*").alias("n_agree")
+    )
+    w = Window.partitionBy(item_col).orderBy(
+        F.col("n_agree").desc(), F.col(label_col).asc()
+    )
+    tot = Window.partitionBy(item_col)
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_votes", F.sum("n_agree").over(tot))
+        .filter(F.col("_rn") == 1)
+        .select(
+            item_col,
+            F.col(label_col).alias("voted_label"),
+            "n_agree",
+            "n_votes",
+            F.round(
+                F.col("n_agree").cast("double") / F.col("n_votes"), digits
+            ).alias("agreement"),
+        )
+    )
+
+
+def annotator_kappa(
+    votes: DataFrame,
+    item_col: str = "item_id",
+    annotator_col: str = "annotator_id",
+    label_col: str = "label",
+    digits: int = 6,
+) -> DataFrame:
+    """Pairwise Cohen's kappa: for every annotator pair (a < b), over
+    the items BOTH annotated — ``(annotator_a, annotator_b, n_items,
+    po, pe, kappa)``.  p_o = observed agreement; p_e = chance
+    agreement from each side's label marginals on the co-annotated
+    items (the standard Cohen construction).  Every statistic is a
+    ratio of integer counts (single final division — no float-sum
+    order anywhere), so results are partitioning-invariant.  kappa is
+    NULL when p_e = 1 (degenerate: both sides constant)."""
+    a = votes.select(
+        F.col(item_col).alias("item"),
+        F.col(annotator_col).alias("annotator_a"),
+        F.col(label_col).alias("la"),
+    )
+    b = votes.select(
+        F.col(item_col).alias("item"),
+        F.col(annotator_col).alias("annotator_b"),
+        F.col(label_col).alias("lb"),
+    )
+    pairs = a.join(b, "item").filter(
+        F.col("annotator_a") < F.col("annotator_b")
+    )
+    per = pairs.groupBy("annotator_a", "annotator_b").agg(
+        F.count("*").alias("n_items"),
+        F.sum(
+            F.when(F.col("la") == F.col("lb"), 1).otherwise(0)
+        ).alias("n_eq"),
+    )
+    # label marginals per (pair, label) on the co-annotated items
+    marg = pairs.groupBy("annotator_a", "annotator_b", "la", "lb").agg(
+        F.count("*").alias("n")
+    )
+    ca = marg.groupBy("annotator_a", "annotator_b", "la").agg(
+        F.sum("n").alias("na")
+    )
+    cb = marg.groupBy("annotator_a", "annotator_b", "lb").agg(
+        F.sum("n").alias("nb")
+    )
+    pe_num = (
+        ca.join(
+            cb,
+            (ca["annotator_a"] == cb["annotator_a"])
+            & (ca["annotator_b"] == cb["annotator_b"])
+            & (ca["la"] == cb["lb"]),
+        )
+        .select(ca["annotator_a"], ca["annotator_b"], (F.col("na") * F.col("nb")).alias("prod"))
+        .groupBy("annotator_a", "annotator_b")
+        .agg(F.sum("prod").alias("pe_num"))
+    )
+    po = F.col("n_eq").cast("double") / F.col("n_items")
+    pe = F.col("pe_num").cast("double") / (
+        F.col("n_items").cast("double") * F.col("n_items")
+    )
+    return (
+        per.join(pe_num, ["annotator_a", "annotator_b"], "left")
+        .withColumn("pe_num", F.coalesce("pe_num", F.lit(0)))
+        .select(
+            "annotator_a",
+            "annotator_b",
+            "n_items",
+            F.round(po, digits).alias("po"),
+            F.round(pe, digits).alias("pe"),
+            F.when(
+                pe < 1.0, F.round((po - pe) / (F.lit(1.0) - pe), digits)
+            ).alias("kappa"),
+        )
+    )
+
+
+def fleiss_kappa(
+    votes: DataFrame,
+    item_col: str = "item_id",
+    label_col: str = "label",
+    digits: int = 6,
+) -> DataFrame:
+    """Fleiss' kappa over the whole vote table (items with >= 2 votes;
+    rater counts may vary — the generalized form): one row
+    ``(n_items, p_bar, p_e, kappa)``.  Per-item agreement P_i
+    quantizes to DECIMAL(18,12) before the cross-item sum (partition-
+    invariant); P_e comes from global integer label marginals."""
+    nij = votes.groupBy(item_col, label_col).agg(F.count("*").alias("nij"))
+    per_item = (
+        nij.groupBy(item_col)
+        .agg(
+            F.sum("nij").alias("ni"),
+            F.sum(F.col("nij") * F.col("nij")).alias("sq"),
+        )
+        .filter(F.col("ni") >= 2)
+    )
+    p_i = (
+        (F.col("sq") - F.col("ni")).cast("double")
+        / (F.col("ni") * (F.col("ni") - 1))
+    )
+    agg = per_item.agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.round(p_i, 12).cast("decimal(18,12)")).alias("p_sum"),
+        F.sum("ni").alias("n_votes"),
+    )
+    marg = (
+        votes.join(per_item.select(item_col), item_col)
+        .groupBy(label_col)
+        .agg(F.count("*").alias("nj"))
+        .agg(F.sum(F.col("nj") * F.col("nj")).alias("sq_marg"))
+    )
+    p_bar = F.col("p_sum").cast("double") / F.col("n_items")
+    p_e = F.col("sq_marg").cast("double") / (
+        F.col("n_votes").cast("double") * F.col("n_votes")
+    )
+    return agg.crossJoin(marg).select(
+        "n_items",
+        F.round(p_bar, digits).alias("p_bar"),
+        F.round(p_e, digits).alias("p_e"),
+        F.when(
+            p_e < 1.0,
+            F.round((p_bar - p_e) / (F.lit(1.0) - p_e), digits),
+        ).alias("kappa"),
+    )
+
+
+def dawid_skene(
+    votes: DataFrame,
+    n_classes: int,
+    item_col: str = "item_id",
+    annotator_col: str = "annotator_id",
+    label_col: str = "label",
+    iters: int = 10,
+    smoothing: float = 0.01,
+    digits: int = 6,
+) -> DataFrame:
+    """Dawid & Skene (1979) EM label aggregation: learn a per-annotator
+    confusion matrix and a class prior, then infer each item's label
+    as the posterior argmax — out-votes majority when annotator
+    quality varies, because reliable annotators earn sharper confusion
+    rows.  Labels must be ints in [0, n_classes).
+
+    Output: ``(item, ds_label, posterior)`` per item.
+
+    Determinism: the confusion model (annotators x classes^2 rows +
+    the class prior) collects to the driver each iteration (bounded,
+    broadcast back as literal join tables); per-item log-likelihoods
+    quantize each vote's log term to DECIMAL(18,12) before the sum,
+    and the final argmax breaks ties by class asc — fully
+    partition-invariant despite the float EM.  Hard-EM-free: soft
+    posteriors throughout, matching the paper."""
+    import math
+
+    spark = votes.sparkSession
+    v = votes.select(
+        F.col(item_col).alias("item"),
+        F.col(annotator_col).alias("annotator"),
+        F.col(label_col).cast("int").alias("vote"),
+    )
+    v = v.localCheckpoint()  # votes are metadata-sized; EM re-reads them
+
+    # init: soft class posteriors from normalized vote shares
+    counts = v.groupBy("item", "vote").agg(F.count("*").alias("n"))
+    tot = Window.partitionBy("item")
+    post = counts.select(
+        "item",
+        F.col("vote").alias("cls"),
+        (F.col("n").cast("double") / F.sum("n").over(tot)).alias("p"),
+    )
+
+    classes = list(range(n_classes))
+    for _ in range(iters):
+        # M-step: confusion pi[a][j][k] and prior — BOUNDED collects
+        # (annotators x classes^2 + classes rows)
+        joined = v.join(post, "item")  # (item, annotator, vote, cls, p)
+        conf_rows = (
+            joined.groupBy("annotator", "cls", "vote")
+            .agg(F.sum("p").alias("w"))
+            .collect()
+        )
+        prior_rows = post.groupBy("cls").agg(F.sum("p").alias("w")).collect()
+        n_items_total = sum(r["w"] for r in prior_rows) or 1.0
+        prior = {
+            c: (next((r["w"] for r in prior_rows if r["cls"] == c), 0.0)
+                + smoothing)
+            / (n_items_total + smoothing * n_classes)
+            for c in classes
+        }
+        conf: dict = {}
+        anns = {r["annotator"] for r in conf_rows}
+        for a_ in anns:
+            for j in classes:
+                row_w = [
+                    next(
+                        (
+                            r["w"]
+                            for r in conf_rows
+                            if r["annotator"] == a_
+                            and r["cls"] == j
+                            and r["vote"] == k
+                        ),
+                        0.0,
+                    )
+                    for k in classes
+                ]
+                denom = sum(row_w) + smoothing * n_classes
+                for k in classes:
+                    conf[(a_, j, k)] = (row_w[k] + smoothing) / denom
+        # E-step: per (item, class) decimal-quantized log-likelihood
+        conf_df = spark.createDataFrame(
+            [
+                (a_, j, k, round(math.log(conf[(a_, j, k)]), 12))
+                for (a_, j, k) in conf
+            ],
+            "annotator long, cls int, vote int, logp double",
+        )
+        prior_df = spark.createDataFrame(
+            [(j, round(math.log(prior[j]), 12)) for j in classes],
+            "cls int, logprior double",
+        )
+        ll = (
+            v.crossJoin(F.broadcast(prior_df.select("cls")))
+            .join(F.broadcast(conf_df), ["annotator", "cls", "vote"])
+            .groupBy("item", "cls")
+            .agg(
+                F.sum(
+                    F.round(F.col("logp"), 12).cast("decimal(28,12)")
+                ).alias("ll")
+            )
+            .join(F.broadcast(prior_df), "cls")
+            .select(
+                "item",
+                "cls",
+                (F.col("ll").cast("double") + F.col("logprior")).alias(
+                    "score"
+                ),
+            )
+        )
+        # soft posterior via exp-normalize per item (max-shifted)
+        wmax = Window.partitionBy("item")
+        expd = ll.withColumn(
+            "e", F.exp(F.col("score") - F.max("score").over(wmax))
+        )
+        post = expd.select(
+            "item",
+            "cls",
+            (F.col("e") / F.sum("e").over(wmax)).alias("p"),
+        ).localCheckpoint()
+
+    w = Window.partitionBy("item").orderBy(
+        F.round(F.col("p"), 9).desc(), F.col("cls").asc()
+    )
+    return (
+        post.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("item").alias(item_col),
+            F.col("cls").alias("ds_label"),
+            F.round("p", digits).alias("posterior"),
+        )
+    )
