@@ -4635,6 +4635,40 @@ def q_ds_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining for DPO/RLHF training data
+    (ORACLE-checked; round-7 capability): per source (the prompt
+    group), pair the top-scoring document with up to 3 lower-scoring
+    candidates at score margin >= 50, preferring the largest margins —
+    the standard best-vs-rest contrast-pair construction
+    (operators/scale.py:preference_pairs).  Score here is the document
+    length; in production it is a reward-model/classifier score."""
+    from sparkgraft.operators.scale import preference_pairs
+
+    scored = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("double").alias("q_score"),
+    )
+    return preference_pairs(
+        scored, "source", "doc_id", "q_score", margin=50.0, per_group=3
+    )
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (ORACLE-checked; round-7 capability —
+    Xie et al. 2023 data selection): score every document by the
+    hashed-unigram log importance ratio against the English subset as
+    the target domain (operators/scale.py:dsir_weights).  Per-token
+    log-ratio terms quantize to DECIMAL(18,6) before the per-doc sum
+    (the ngram_lm discipline), so weights are partition/order/engine
+    invariant."""
+    from sparkgraft.operators.scale import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
 def q_topic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic-space SERVING (rows-only — k-means fit; training-parity
     and vocabulary-routing are pytest-asserted): fit on even docs,
@@ -6168,6 +6202,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_vote": q_label_vote,
     "rater_agreement": q_rater_agreement,
     "ds_labels": q_ds_labels,
+    # --- round 7: training-data curation — DPO preference-pair mining
+    # and DSIR importance-resampling weights ---
+    "pref_pairs": q_pref_pairs,
+    "dsir_select": q_dsir_select,
 }
 
 
@@ -10729,6 +10767,81 @@ ORACLES["rater_agreement"] = (
     SELECT * FROM pairleg UNION ALL SELECT * FROM fleissleg
 """
 )
+
+
+# Mirrors q_pref_pairs: best-vs-rest construction — rank window for
+# the chosen row, margin filter, largest-margins-first top-3 (margin
+# desc ≡ rejected_score asc), all ties broken by id asc.
+ORACLES["pref_pairs"] = """
+    WITH ranked AS (
+        SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS q_score,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id ASC
+               ) AS rnk
+        FROM documents
+    ),
+    chosen AS (
+        SELECT source, doc_id AS chosen_id, q_score AS chosen_score
+        FROM ranked WHERE rnk = 1
+    ),
+    rest AS (
+        SELECT source, doc_id AS rejected_id, q_score AS rejected_score
+        FROM ranked WHERE rnk > 1
+    )
+    SELECT source, chosen_id, rejected_id, chosen_score, rejected_score,
+           round(chosen_score - rejected_score, 6) AS score_margin
+    FROM (
+        SELECT c.source, chosen_id, rejected_id, chosen_score,
+               rejected_score,
+               row_number() OVER (
+                   PARTITION BY c.source
+                   ORDER BY rejected_score ASC, rejected_id ASC
+               ) AS prn
+        FROM chosen c JOIN rest r ON c.source = r.source
+        WHERE chosen_score - rejected_score >= 50.0
+    ) WHERE prn <= 3
+"""
+
+# Mirrors q_dsir_select: hashed-unigram bucket LMs (md5 16-bit bucket,
+# the engine's portable hash), add-1 smoothing over 4096 buckets,
+# per-token ln-ratio quantized to DECIMAL(18,6) before the per-doc sum
+# (the ngram_lm discipline — exact integer reduction both engines).
+ORACLES["dsir_select"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(text, '\s+')) AS term
+        FROM documents
+    ),
+    buck AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(term), 1, 4)) AS BIGINT)
+                   % 4096 AS bucket
+        FROM toks
+    ),
+    tgt AS (
+        SELECT bucket, count(*) AS nt FROM buck
+        JOIN documents USING (doc_id)
+        WHERE lang = 'en' GROUP BY bucket
+    ),
+    rawlm AS (SELECT bucket, count(*) AS nr FROM buck GROUP BY bucket),
+    tots AS (
+        SELECT (SELECT coalesce(sum(nt), 0) FROM tgt) AS tt,
+               (SELECT coalesce(sum(nr), 0) FROM rawlm) AS tr
+    ),
+    lm AS (
+        SELECT bucket,
+               ln((coalesce(nt, 0) + 1.0) / (CAST(tt AS DOUBLE) + 4096.0))
+               - ln((coalesce(nr, 0) + 1.0) / (CAST(tr AS DOUBLE) + 4096.0))
+                   AS logratio
+        FROM rawlm FULL JOIN tgt USING (bucket) CROSS JOIN tots
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           round(CAST(sum(CAST(round(logratio, 6) AS DECIMAL(18,6)))
+                      AS DOUBLE), 6) AS logw
+    FROM buck JOIN lm USING (bucket)
+    GROUP BY doc_id
+"""
 
 
 # Mirrors q_forget_flow: the maintained view after the GDPR delete ≡

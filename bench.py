@@ -218,6 +218,9 @@ HEADLINE = [
     "label_vote",
     "rater_agreement",
     "ds_labels",
+    # round-7 training-data curation: DPO preference pairs + DSIR
+    "pref_pairs",
+    "dsir_select",
 ]
 
 

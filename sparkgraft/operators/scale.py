@@ -485,3 +485,159 @@ def skew_diagnostics(df: DataFrame, key_col: str) -> DataFrame:
         .cast("long")
         .alias("salt_buckets"),
     )
+
+
+def preference_pairs(
+    scored: DataFrame,
+    group_col: str,
+    id_col: str,
+    score_col: str,
+    margin: float = 0.0,
+    per_group: int = 3,
+    digits: int = 6,
+) -> DataFrame:
+    """Preference-pair mining for DPO/RLHF-style training data: per
+    group (prompt), pair the highest-scoring candidate (``chosen``)
+    with up to ``per_group`` lower-scoring candidates (``rejected``)
+    whose score deficit is at least ``margin`` — the standard
+    best-vs-rest construction, preferring the LARGEST margins first
+    (most informative contrast pairs).
+
+    Ties break deterministically everywhere (score desc, id asc for
+    the chosen; margin desc ≡ score asc, id asc for the rejected), so
+    the emitted pair set is a pure function of the input.  Output:
+    ``(group, chosen_id, rejected_id, chosen_score, rejected_score,
+    score_margin)``.
+
+    Scale: one rank window + one within-group broadcast-sized join of
+    the 1-row-per-group chosen side — shuffles on the group key only;
+    candidate lists are per-prompt-sized, never corpus-sized."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    ranked = scored.select(group_col, id_col, score_col).withColumn(
+        "_rnk", F.row_number().over(w)
+    )
+    chosen = ranked.filter(F.col("_rnk") == 1).select(
+        group_col,
+        F.col(id_col).alias("chosen_id"),
+        F.col(score_col).alias("chosen_score"),
+    )
+    rest = ranked.filter(F.col("_rnk") > 1).select(
+        group_col,
+        F.col(id_col).alias("rejected_id"),
+        F.col(score_col).alias("rejected_score"),
+    )
+    pw = Window.partitionBy(group_col).orderBy(
+        F.col("rejected_score").asc(), F.col("rejected_id").asc()
+    )
+    return (
+        chosen.join(rest, group_col)
+        .filter(
+            F.col("chosen_score") - F.col("rejected_score") >= F.lit(margin)
+        )
+        .withColumn("_prn", F.row_number().over(pw))
+        .filter(F.col("_prn") <= per_group)
+        .select(
+            group_col,
+            "chosen_id",
+            "rejected_id",
+            "chosen_score",
+            "rejected_score",
+            F.round(
+                F.col("chosen_score") - F.col("rejected_score"), digits
+            ).alias("score_margin"),
+        )
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    smoothing: float = 1.0,
+    digits: int = 6,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023): score every raw document by how much its hashed-unigram
+    distribution looks like the TARGET corpus — log importance weight
+    w(d) = Σ_tokens [log p_target(bucket) − log p_raw(bucket)] with
+    add-``smoothing`` bucket LMs.  Select the top-k by weight to skew
+    a raw crawl toward a high-quality / in-domain target.
+
+    Tokens hash to ``n_buckets`` md5 buckets (the engine's portable
+    hash toolkit — the feature space stays bounded no matter the
+    vocabulary, DSIR's core scaling trick).  The two bucket LMs are
+    metadata-sized (n_buckets rows) and broadcast; per-doc weights
+    quantize each token's log-ratio term to 6 decimals (the ngram_lm
+    log discipline — coarse enough that engine log() ulp differences
+    never flip a digit) and sum as DECIMAL(18,6), so weights are
+    partition/order/engine invariant.  Output: ``(id, n_tokens,
+    logw)`` per raw document."""
+    from sparkgraft.operators.textops import tokenize
+
+    def bucketize(df):
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokenize(F.col(text_col))).alias("term"),
+        ).select(
+            "id",
+            F.pmod(
+                F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast(
+                    "long"
+                ),
+                F.lit(n_buckets),
+            ).alias("bucket"),
+        )
+
+    tgt = bucketize(target).groupBy("bucket").agg(F.count("*").alias("nt"))
+    raw = bucketize(docs)
+    rawlm = raw.groupBy("bucket").agg(F.count("*").alias("nr"))
+    # Corpus totals arrive as broadcast 1-row aggregates (the ngram_lm
+    # vocab pattern) — the whole operator stays one lazy plan with no
+    # driver-side action.
+    tot_t = tgt.agg(F.coalesce(F.sum("nt"), F.lit(0)).alias("tt"))
+    tot_r = rawlm.agg(F.coalesce(F.sum("nr"), F.lit(0)).alias("tr"))
+    lm = (
+        rawlm.join(tgt, "bucket", "full")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("nt"), F.lit(0)) + F.lit(smoothing))
+                    / (
+                        F.col("tt").cast("double")
+                        + F.lit(smoothing * n_buckets)
+                    )
+                )
+                - F.log(
+                    (F.coalesce(F.col("nr"), F.lit(0)) + F.lit(smoothing))
+                    / (
+                        F.col("tr").cast("double")
+                        + F.lit(smoothing * n_buckets)
+                    )
+                )
+            ).alias("logratio"),
+        )
+    )
+    return (
+        raw.join(F.broadcast(lm), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.round(F.col("logratio"), 6).cast("decimal(18,6)")
+            ).alias("_lw"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.round(F.col("_lw").cast("double"), digits).alias("logw"),
+        )
+    )
