@@ -3512,6 +3512,80 @@ def q_stream_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "batch long, admitted long, rejected long")
 
 
+def q_dedup_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index unlearning for the persisted dedup-admission index
+    (ORACLE-checked; round-7 — completes right-to-be-forgotten across
+    all three persisted indexes next to ann_forget/bm25_forget): batch
+    1 builds the signature index, 10 of its docs are forgotten
+    (tombstone + physical compaction of their batch partitions), then
+    batch 2 — replicas of the first 20 docs plus fresh ones — is
+    checked against the SURVIVING index.  Replicas of forgotten
+    content re-admit; replicas of surviving docs stay flagged.  Output
+    is batch 2's full per-doc verdict (streaming/pipeline.py:
+    dedup_admission/delete_dedup_index/compact_dedup_index).
+    Memoized per sf_dir like the other streaming fixtures."""
+    import json as _json
+    import os
+    import tempfile
+
+    from sparkgraft.streaming.pipeline import (
+        compact_dedup_index,
+        dedup_admission,
+        delete_dedup_index,
+    )
+
+    cached = _FIXTURE_CACHE.get(("dedup_forget", sf_dir))
+    schema = "doc_id string, is_duplicate boolean, dup_of string, jaccard double"
+    if cached is not None:
+        return spark.createDataFrame(cached, schema)
+
+    docs = [
+        (str(r["doc_id"]), r["text"])
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_dforget_")
+    os.makedirs(f"{tmp}/in", exist_ok=True)
+    hist, ckpt = f"{tmp}/hist", f"{tmp}/ckpt"
+    got: dict[int, list] = {}
+
+    def sink(df, batch_id):
+        got[batch_id] = sorted(
+            (r["doc_id"], bool(r["is_duplicate"]), r["dup_of"], r["jaccard"])
+            for r in df.collect()
+        )
+
+    def drain(name, rows, mtime):
+        with open(f"{tmp}/in/{name}", "w") as fh:
+            fh.write(
+                "\n".join(
+                    _json.dumps({"doc_id": i, "text": t}) for i, t in rows
+                )
+            )
+        os.utime(f"{tmp}/in/{name}", (mtime, mtime))
+        stream = (
+            spark.readStream.schema("doc_id string, text string")
+            .option("maxFilesPerTrigger", "1")
+            .json(f"{tmp}/in")
+        )
+        q = dedup_admission(stream, hist, ckpt, sink, min_jaccard=0.5)
+        q.awaitTermination(300)
+
+    b1 = docs[:40]
+    drain("batch_1.json", b1, 1700000000)
+    # Forget the 10 smallest-id docs: tombstone, then physical removal.
+    delete_dedup_index(spark, hist, [i for i, _ in b1[:10]])
+    compact_dedup_index(spark, hist)
+    b2 = [(f"re_{i}", t) for i, t in b1[:20]] + docs[40:]
+    drain("batch_2.json", b2, 1700000001)
+    rows = got[1]
+    _FIXTURE_CACHE[("dedup_forget", sf_dir)] = rows
+    return spark.createDataFrame(rows, schema)
+
+
 def q_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DDSketch percentiles (rows-only): the events slice
     staged as two arrival files, drained through ``quantile_monitor``
@@ -6206,6 +6280,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # and DSIR importance-resampling weights ---
     "pref_pairs": q_pref_pairs,
     "dsir_select": q_dsir_select,
+    # --- round 7: index unlearning for the dedup-admission index
+    # (right-to-be-forgotten across all three persisted indexes) ---
+    "dedup_forget": q_dedup_forget,
 }
 
 
@@ -7334,6 +7411,59 @@ def _llm_oracles() -> dict[str, str]:
         FROM n1
         UNION ALL
         SELECT 1, n2.c - nd.c, nd.c FROM n2, nd
+    """
+
+    # Index unlearning for the dedup-admission index: batch 2's
+    # verdicts run against batch 1's signatures MINUS the 10 forgotten
+    # docs (rn <= 10) — replicas of forgotten content re-admit unless
+    # they near-dup a SURVIVING doc; dup_of/jaccard mirror
+    # crossside_verdicts' min-id / max-J exactly (integer-ratio J).
+    o["dedup_forget"] = f"""
+        WITH ranked AS (
+            SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) AS rn
+            FROM documents WHERE doc_id < 60
+        ),
+        acorpus AS (
+            SELECT CAST(doc_id AS VARCHAR) AS id, text, 0 AS side
+            FROM ranked WHERE rn <= 40 AND rn > 10
+            UNION ALL
+            SELECT 're_' || CAST(doc_id AS VARCHAR), text, 1
+            FROM ranked WHERE rn <= 20
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), text, 1
+            FROM ranked WHERE rn > 40
+        ),
+        ash AS (
+            SELECT id, side,
+                   list_distinct(CASE WHEN len(w) >= 3
+                       THEN list_transform(generate_series(1, len(w) - 2),
+                                           i -> array_to_string(w[i:i+2], ' '))
+                       ELSE [] END) AS sh
+            FROM (SELECT id, side, regexp_split_to_array(text, '\\s+') AS w
+                  FROM acorpus)
+        ),
+        asig AS (SELECT id, side, sh, {mh_cols} FROM ash),
+        abanded AS ({adm_bands}),
+        verified AS (
+            SELECT DISTINCT n.id AS new_id, h.id AS hist_id,
+                   round(len(list_intersect(n.sh, h.sh))
+                         / CAST(len(list_distinct(list_concat(n.sh, h.sh)))
+                                AS DOUBLE), 4) AS j
+            FROM abanded n
+            JOIN abanded h ON n.band = h.band AND n.bucket = h.bucket
+             AND n.side = 1 AND h.side = 0
+            WHERE round(len(list_intersect(n.sh, h.sh))
+                        / CAST(len(list_distinct(list_concat(n.sh, h.sh)))
+                               AS DOUBLE), 4) >= 0.5
+        ),
+        best AS (
+            SELECT new_id, min(hist_id) AS dup_of, max(j) AS jaccard
+            FROM verified GROUP BY new_id
+        )
+        SELECT a.id AS doc_id, b.dup_of IS NOT NULL AS is_duplicate,
+               b.dup_of, b.jaccard
+        FROM (SELECT id FROM acorpus WHERE side = 1) a
+        LEFT JOIN best b ON a.id = b.new_id
     """
 
     o["ngram_jaccard"] = """

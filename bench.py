@@ -221,6 +221,8 @@ HEADLINE = [
     # round-7 training-data curation: DPO preference pairs + DSIR
     "pref_pairs",
     "dsir_select",
+    # round-7 index unlearning for the dedup-admission index
+    "dedup_forget",
 ]
 
 

@@ -489,6 +489,15 @@ def dedup_admission(
         # Replay safety: verdicts only ever see strictly-older batches.
         hist_base = hist_base_all.filter(F.col("_batch_id") < batch_id)
         hist_banded = hist_banded_all.filter(F.col("_batch_id") < batch_id)
+        # Right-to-be-forgotten: tombstoned history docs stop matching
+        # immediately (logical delete, O(ids) — see delete_dedup_index;
+        # physical shingle removal is compact_dedup_index).
+        tomb = _dedup_tombstones(spark, history_dir)
+        if tomb is not None:
+            hist_base = hist_base.join(F.broadcast(tomb), "id", "left_anti")
+            hist_banded = hist_banded.join(
+                F.broadcast(tomb), "id", "left_anti"
+            )
         verdicts = crossside_verdicts(
             new_base,
             new_banded,
@@ -508,11 +517,16 @@ def dedup_admission(
         # surface as near-dup candidates again (silent false
         # negatives).  Independent checks make the replay finish
         # exactly the missing half.
-        base_done = (
+        # A batch whose every admitted doc was later forgotten leaves
+        # zero surviving rows after compaction — the compaction ledger
+        # remembers it so a full-checkpoint-loss replay can't
+        # resurrect the forgotten signatures from the source data.
+        compacted = _compacted_batch_ids(spark, history_dir)
+        base_done = batch_id in compacted or (
             hist_base_all.filter(F.col("_batch_id") == batch_id).limit(1).count()
             > 0
         )
-        banded_done = (
+        banded_done = batch_id in compacted or (
             hist_banded_all.filter(F.col("_batch_id") == batch_id)
             .limit(1)
             .count()
@@ -527,6 +541,7 @@ def dedup_admission(
                     new_base.join(admitted, "id")
                     .withColumn("_batch_id", F.lit(batch_id))
                     .write.mode("append")
+                    .partitionBy("_batch_id")
                     .parquet(base_dir)
                 )
             if not banded_done:
@@ -534,6 +549,7 @@ def dedup_admission(
                     new_banded.join(admitted, "id")
                     .withColumn("_batch_id", F.lit(batch_id))
                     .write.mode("append")
+                    .partitionBy("_batch_id")
                     .parquet(banded_dir)
                 )
         verdicts.unpersist()
@@ -544,6 +560,113 @@ def dedup_admission(
     )
     trig = trigger or {"availableNow": True}
     return writer.trigger(**trig).start()
+
+
+def _dedup_tombstones(spark, history_dir: str):
+    """Distinct tombstoned ids of the dedup-admission index, or None."""
+    import os
+
+    p = os.path.join(history_dir, "tombstones")
+    if os.path.isdir(p):
+        return spark.read.parquet(p).select("id").distinct()
+    return None
+
+
+def _compacted_batch_ids(spark, history_dir: str) -> set:
+    """Batch ids fully emptied by compact_dedup_index (bounded: one
+    entry per forgotten-out batch)."""
+    import os
+
+    p = os.path.join(history_dir, "compacted_batches")
+    if not os.path.isdir(p):
+        return set()
+    return {r["_batch_id"] for r in spark.read.parquet(p).collect()}
+
+
+def delete_dedup_index(spark, history_dir: str, ids) -> None:
+    """LOGICAL right-to-be-forgotten for the persisted dedup-admission
+    index (the third persisted index next to ann_index/bm25_index —
+    same tombstone discipline): append the ids to the index's
+    tombstone set, O(ids) work.  From the next micro-batch on, the
+    forgotten docs' signatures stop producing candidates — a
+    re-submitted copy of a forgotten document is ADMITTED, not flagged
+    against content the user asked to erase.  Physical shingle removal
+    (the index's ``base`` table stores content-derived shingle sets,
+    so bytes matter for GDPR) is :func:`compact_dedup_index`.
+
+    ``ids`` may be an iterable of id values or a one-column DataFrame
+    matching the ingest's ``id_col`` type."""
+    from pyspark.sql import DataFrame as _DF
+
+    df = (
+        ids
+        if isinstance(ids, _DF)
+        else spark.createDataFrame([(i,) for i in ids], ["id"])
+    )
+    df.toDF("id").write.mode("append").parquet(
+        f"{history_dir}/tombstones"
+    )
+
+
+def compact_dedup_index(spark, history_dir: str) -> int:
+    """PHYSICAL forgetting for the dedup-admission index: rewrite ONLY
+    the ``_batch_id`` partitions holding tombstoned rows (the appends
+    are batch-partitioned, so the rewrite is bounded by the forgotten
+    docs' batch spread — the ann_index cluster-partition discipline),
+    drop partitions emptied entirely, record fully-emptied batches in
+    the ``compacted_batches`` ledger (replay idempotence survives the
+    empty-batch corner), then clear the tombstone set.  Verdicts are
+    unchanged (the logical delete already excluded the rows); after
+    this the forgotten shingle bytes are gone.  Returns the number of
+    partition directories rewritten or dropped."""
+    import os
+    import shutil
+
+    tomb = _dedup_tombstones(spark, history_dir)
+    if tomb is None:
+        return 0
+    n_touched = 0
+    emptied: set[int] = set()
+    for sub in ("base", "banded"):
+        table_dir = os.path.join(history_dir, sub)
+        if not os.path.isdir(table_dir):
+            continue
+        t = spark.read.parquet(table_dir)
+        # bounded collect: one row per batch containing forgotten docs
+        affected = sorted(
+            r["_batch_id"]
+            for r in t.join(F.broadcast(tomb), "id")
+            .select("_batch_id")
+            .distinct()
+            .collect()
+        )
+        if not affected:
+            continue
+        remain = (
+            spark.read.parquet(table_dir)
+            .filter(F.col("_batch_id").isin(affected))
+            .join(F.broadcast(tomb), "id", "left_anti")
+        )
+        staging = table_dir + "_staging"
+        remain.write.partitionBy("_batch_id").mode("overwrite").parquet(
+            staging
+        )
+        for b in affected:
+            dst = os.path.join(table_dir, f"_batch_id={b}")
+            src = os.path.join(staging, f"_batch_id={b}")
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.isdir(src):
+                os.replace(src, dst)
+            else:
+                emptied.add(int(b))
+            n_touched += 1
+        shutil.rmtree(staging, ignore_errors=True)
+    if emptied:
+        spark.createDataFrame(
+            [(b,) for b in sorted(emptied)], "_batch_id long"
+        ).write.mode("append").parquet(f"{history_dir}/compacted_batches")
+    shutil.rmtree(f"{history_dir}/tombstones", ignore_errors=True)
+    return n_touched
 
 
 def quantile_monitor(
