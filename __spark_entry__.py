@@ -4377,6 +4377,22 @@ def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity + l-diversity audit (ORACLE-checked; round-7 —
+    the pre-release re-identification screen next to pseudonymize):
+    equivalence classes over the (c_nationkey, c_mktsegment)
+    quasi-identifiers with class size (k), distinct account balances
+    (l), and the k>=5 flag (operators/merge.py:anonymity_audit)."""
+    from sparkgraft.operators.merge import anonymity_audit
+
+    return anonymity_audit(
+        _t(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+        sensitive_col="c_acctbal",
+        k=5,
+    )
+
+
 def q_version_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-feed BETWEEN SNAPSHOT VERSIONS — versioning (K5
     promote discipline) composed with snapshot_diff: v0 = orders with
@@ -6283,6 +6299,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round 7: index unlearning for the dedup-admission index
     # (right-to-be-forgotten across all three persisted indexes) ---
     "dedup_forget": q_dedup_forget,
+    # --- round 7: k-anonymity / l-diversity pre-release audit ---
+    "kanon_audit": q_kanon_audit,
 }
 
 
@@ -10897,6 +10915,18 @@ ORACLES["rater_agreement"] = (
     SELECT * FROM pairleg UNION ALL SELECT * FROM fleissleg
 """
 )
+
+
+# Mirrors q_kanon_audit: plain equivalence-class algebra over the
+# quasi-identifier pair; all-integer counts.
+ORACLES["kanon_audit"] = """
+    SELECT c_nationkey, c_mktsegment,
+           count(*) AS n_rows,
+           count(DISTINCT c_acctbal) AS n_sensitive,
+           count(*) >= 5 AS meets_k
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+"""
 
 
 # Mirrors q_pref_pairs: best-vs-rest construction — rank window for

@@ -223,6 +223,8 @@ HEADLINE = [
     "dsir_select",
     # round-7 index unlearning for the dedup-admission index
     "dedup_forget",
+    # round-7 k-anonymity / l-diversity pre-release audit
+    "kanon_audit",
 ]
 
 

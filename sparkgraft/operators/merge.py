@@ -231,6 +231,41 @@ def pseudonymize(
     return out
 
 
+def anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity (+ optional l-diversity) audit — the re-
+    identification-risk check a dataset needs BEFORE release, next to
+    :func:`pseudonymize` (Sweeney 2002; Machanavajjhala 2007): group
+    rows into equivalence classes over the quasi-identifier columns
+    and report each class's size (its k) and, when ``sensitive_col``
+    is given, its number of distinct sensitive values (its l).
+    ``meets_k`` flags classes an attacker can narrow below ``k``
+    candidates; the table's k-anonymity/l-diversity numbers are the
+    min over the output.
+
+    Catalyst's distinct rewrite plans this as two map-side-combined
+    shuffles — first on (quasi, sensitive) (skew-safe: the heavy
+    lifting keys include the sensitive value), then on the quasi keys.
+    Output is class-sized — bounded by the quasi space, never the row
+    count."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col)).alias("n_sensitive")
+        )
+    else:
+        aggs.append(F.lit(None).cast("long").alias("n_sensitive"))
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(*aggs)
+        .withColumn("meets_k", F.col("n_rows") >= F.lit(k))
+    )
+
+
 def cdc_group_delta(
     cdc: DataFrame,
     group_cols: list[str],

@@ -51,3 +51,37 @@ def test_scd2_closes_and_opens_versions(spark):
         r for r in out.collect() if r["k"] == 1 and r["v"] == 10.0
     ][0]
     assert closed_now["valid_to"] == dt.datetime(2024, 1, 1)
+
+
+def test_anonymity_audit_hand_math(spark):
+    from sparkgraft.operators.merge import anonymity_audit
+
+    rows = [
+        ("us", "m", 1),
+        ("us", "m", 1),
+        ("us", "m", 2),
+        ("us", "f", 3),
+        ("de", "m", 4),
+    ]
+    df = spark.createDataFrame(rows, ["country", "gender", "diag"])
+    out = anonymity_audit(df, ["country", "gender"], "diag", k=2)
+    got = sorted(map(tuple, out.collect()))
+    assert got == [
+        ("de", "m", 1, 1, False),  # singleton class: re-identifiable
+        ("us", "f", 1, 1, False),
+        ("us", "m", 3, 2, True),  # k=3, l=2 (diag 1 twice, diag 2)
+    ]
+    # table-level k/l numbers are the mins
+    import pyspark.sql.functions as F
+
+    k_tab, l_tab = out.agg(
+        F.min("n_rows"), F.min("n_sensitive")
+    ).first()
+    assert (k_tab, l_tab) == (1, 1)
+    # without a sensitive column, n_sensitive is NULL
+    plain = anonymity_audit(df, ["country"], k=2)
+    assert all(r["n_sensitive"] is None for r in plain.collect())
+    assert {(r["country"], r["n_rows"], r["meets_k"]) for r in plain.collect()} == {
+        ("us", 4, True),
+        ("de", 1, False),
+    }
