@@ -7,7 +7,8 @@ oracle-checked operators.
     coverage + Gopher rule battery + exact-substring coverage) →
     near-dup dedup (MinHash pairs → connected components → keep
     representatives) → semantic dedup (SemDeDup over embeddings) →
-    benchmark decontamination (n-gram overlap) → domain mixing
+    benchmark decontamination (n-gram overlap) → DSIR importance
+    selection toward an in-domain target → domain mixing
     (temperature weights → stratified sample → shuffle key + shard) →
     chunk (context windows) → pack (fixed-token sequences) → split
     (leakage-safe train/holdout) → leakage audit (cross-split
@@ -137,6 +138,22 @@ def main(sf_dir: str) -> None:
     )
     n_clean = clean.count()
 
+    # 3b'. DSIR importance selection (Xie 2023): weight every surviving
+    # doc by how much its hashed-unigram distribution resembles an
+    # in-domain target (the English subset stands in), and keep the
+    # top-scoring half — the model-free "looks like my target" skew a
+    # crawl gets before mixing.  Weights are DECIMAL-quantized per
+    # token, so the cut is deterministic at any partitioning.
+    target = clean.join(
+        docs.filter(F.col("lang") == "en").select("doc_id"), "doc_id"
+    )
+    dsirw = sg.dsir_weights(clean, target)
+    cutoff = dsirw.approxQuantile("logw", [0.5], 0.0)[0]
+    clean = clean.join(
+        dsirw.filter(F.col("logw") >= cutoff).select("doc_id"), "doc_id"
+    )
+    n_dsir = clean.count()
+
     # 3c. Domain mixing: temperature-upweight small sources, sample
     # each source at its weight-derived rate, attach the deterministic
     # global-shuffle key and output shard.
@@ -244,7 +261,7 @@ def main(sf_dir: str) -> None:
     print(
         f"docs={n_raw} -> quality={n_quality} -> dedup={n_dedup} -> "
         f"semdedup={n_semdedup} -> decontaminated={n_clean} -> "
-        f"mixed={n_mixed} | packs={n_packs} | "
+        f"dsir-selected={n_dsir} -> mixed={n_mixed} | packs={n_packs} | "
         f"chunk-rows per split={per_split} | cross-split leaks={n_leaks} | "
         f"bpe merges={merges.count()} total tokens={tokens} | "
         f"model-positive={n_model_pos} | weighted sample={n_weighted} | "

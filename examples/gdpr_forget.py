@@ -17,6 +17,14 @@ audit trail survives —
                              — the forgotten rows' bytes leave disk;
                              manifests stay, so history is auditable
                              even though the old data is unreadable
+    6. index unlearning      derived artifacts forget too: the
+                             dedup-admission index (which stores
+                             content-derived shingle sets) tombstones
+                             the doc and physically compacts it away —
+                             a re-submitted copy is ADMITTED, no longer
+                             flagged against erased content (the same
+                             delete/compact discipline ships for the
+                             ANN and BM25 indexes)
 
 Assertions along the way prove: the keys are gone from the table, gone
 from the downstream view, their pre-delete file bytes are deleted by
@@ -120,6 +128,55 @@ def main(sf_dir: str) -> None:
     hist = table_history(t)
     assert [h["operation"] for h in hist] == ["overwrite", "delete"]
     print("audit trail:", hist)
+
+    # 6. Derived artifacts forget too: the dedup-admission index holds
+    # content-derived shingle sets, so erasure must reach it.  Build a
+    # tiny index, forget one doc, compact, and prove a re-submitted
+    # copy is ADMITTED (erased content no longer blocks) while the
+    # surviving doc still matches.
+    import json
+
+    from sparkgraft.streaming.pipeline import (
+        compact_dedup_index,
+        dedup_admission,
+        delete_dedup_index,
+    )
+
+    hist_dir, in_dir = os.path.join(base, "didx"), os.path.join(base, "in")
+    os.makedirs(in_dir)
+    verdicts: dict[int, dict] = {}
+
+    def drain(name, rows, mtime):
+        with open(os.path.join(in_dir, name), "w") as fh:
+            fh.write("\n".join(
+                json.dumps({"doc_id": i, "text": tx}) for i, tx in rows
+            ))
+        os.utime(os.path.join(in_dir, name), (mtime, mtime))
+        stream = (
+            spark.readStream.schema("doc_id string, text string")
+            .option("maxFilesPerTrigger", 1).json(in_dir)
+        )
+        q = dedup_admission(
+            stream, hist_dir, os.path.join(base, "dckpt"),
+            lambda df, bid: verdicts.setdefault(
+                bid, {r["doc_id"]: r["is_duplicate"] for r in df.collect()}
+            ),
+        )
+        q.awaitTermination(300)
+
+    ta = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    tb = "one two three four five six seven eight nine ten eleven"
+    drain("b1.json", [("a", ta), ("b", tb)], 1700000000)
+    delete_dedup_index(spark, hist_dir, ["a"])
+    compact_dedup_index(spark, hist_dir)
+    drain("b2.json", [("a2", ta), ("b2", tb)], 1700000001)
+    assert verdicts[1] == {"a2": False, "b2": True}
+    ids_left = {
+        r["id"] for r in spark.read.parquet(f"{hist_dir}/base").collect()
+    }
+    assert "a" not in ids_left  # the shingle bytes are gone
+    print("dedup-index unlearning: re-submitted copy admitted, "
+          f"index ids={sorted(ids_left)}")
     print("GDPR forget flow: OK")
 
 

@@ -34,7 +34,14 @@ from sparkgraft.operators.multimodal import (
     video_fingerprint,
     video_frame_sample,
 )
+from sparkgraft.operators.annotate import (
+    annotator_kappa,
+    dawid_skene,
+    fleiss_kappa,
+    majority_label,
+)
 from sparkgraft.operators.merge import (
+    anonymity_audit,
     cdc_group_delta,
     golden_record,
     pseudonymize,
@@ -101,6 +108,8 @@ from sparkgraft.operators.scale import (
     bloom_prefilter,
     bucketed_join,
     domain_weights,
+    dsir_weights,
+    preference_pairs,
     hash_split,
     salted_join,
     sample_per_group,
@@ -223,10 +232,14 @@ from sparkgraft.session import get_spark
 from sparkgraft.sinks.bm25_index import (
     append_bm25_index,
     bm25_topk_indexed,
+    compact_bm25_index,
+    delete_bm25_index,
     write_bm25_index,
 )
 from sparkgraft.sinks.ann_index import (
     append_ann_index,
+    compact_ann_index,
+    delete_ann_index,
     ivfpq_topk_indexed,
     read_ann_index,
     write_ann_index,
@@ -290,9 +303,11 @@ from sparkgraft.streaming.pipeline import (
     FilePipeline,
     HealthBoard,
     cdc_feed,
+    compact_dedup_index,
     cusum_monitor,
     dedup_admission,
     dedup_stream,
+    delete_dedup_index,
     drift_monitor,
     ks_monitor,
     merge_sink,
