@@ -594,16 +594,17 @@ def delete_dedup_index(spark, history_dir: str, ids) -> None:
     (the index's ``base`` table stores content-derived shingle sets,
     so bytes matter for GDPR) is :func:`compact_dedup_index`.
 
-    ``ids`` may be an iterable of id values or a one-column DataFrame
-    matching the ingest's ``id_col`` type."""
+    ``ids`` may be a non-empty iterable of id values or a one-column
+    DataFrame matching the ingest's ``id_col`` type; an empty iterable
+    is a no-op (schema inference needs at least one value)."""
     from pyspark.sql import DataFrame as _DF
 
-    df = (
-        ids
-        if isinstance(ids, _DF)
-        else spark.createDataFrame([(i,) for i in ids], ["id"])
-    )
-    df.toDF("id").write.mode("append").parquet(
+    if not isinstance(ids, _DF):
+        rows = [(i,) for i in ids]
+        if not rows:
+            return
+        ids = spark.createDataFrame(rows, ["id"])
+    ids.toDF("id").write.mode("append").parquet(
         f"{history_dir}/tombstones"
     )
 
