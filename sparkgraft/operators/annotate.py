@@ -257,39 +257,49 @@ def dawid_skene(
         )
         prior_rows = post.groupBy("cls").agg(F.sum("p").alias("w")).collect()
         n_items_total = sum(r["w"] for r in prior_rows) or 1.0
+        prior_w = {r["cls"]: r["w"] for r in prior_rows}
         prior = {
-            c: (next((r["w"] for r in prior_rows if r["cls"] == c), 0.0)
-                + smoothing)
+            c: (prior_w.get(c, 0.0) + smoothing)
             / (n_items_total + smoothing * n_classes)
             for c in classes
+        }
+        # One dict over the bounded collect, then O(1) lookups — the
+        # naive per-cell next() scan is quadratic in annotators×classes.
+        w_map = {
+            (r["annotator"], r["cls"], r["vote"]): r["w"] for r in conf_rows
         }
         conf: dict = {}
         anns = {r["annotator"] for r in conf_rows}
         for a_ in anns:
             for j in classes:
-                row_w = [
-                    next(
-                        (
-                            r["w"]
-                            for r in conf_rows
-                            if r["annotator"] == a_
-                            and r["cls"] == j
-                            and r["vote"] == k
-                        ),
-                        0.0,
-                    )
-                    for k in classes
-                ]
+                row_w = [w_map.get((a_, j, k), 0.0) for k in classes]
                 denom = sum(row_w) + smoothing * n_classes
                 for k in classes:
                     conf[(a_, j, k)] = (row_w[k] + smoothing) / denom
-        # E-step: per (item, class) decimal-quantized log-likelihood
+        # E-step: per (item, class) decimal-quantized log-likelihood.
+        # The annotator column keeps the INPUT's type (string ids are
+        # as legitimate here as in majority_label/annotator_kappa).
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        conf_schema = StructType(
+            [
+                StructField("annotator", v.schema["annotator"].dataType),
+                StructField("cls", IntegerType()),
+                StructField("vote", IntegerType()),
+                StructField("logp", DoubleType()),
+            ]
+        )
         conf_df = spark.createDataFrame(
             [
                 (a_, j, k, round(math.log(conf[(a_, j, k)]), 12))
                 for (a_, j, k) in conf
             ],
-            "annotator long, cls int, vote int, logp double",
+            conf_schema,
         )
         prior_df = spark.createDataFrame(
             [(j, round(math.log(prior[j]), 12)) for j in classes],

@@ -241,7 +241,8 @@ def delete_ann_index(spark: SparkSession, index_dir: str, ids) -> None:
     :func:`compact_ann_index` — the delete/vacuum split mirrors
     sinks/versioned.py's delete_versioned + vacuum.
 
-    ``ids`` may be an iterable of ints or a one-column DataFrame."""
+    ``ids`` may be an iterable of ints or a one-column DataFrame
+    (any column name — it is renamed, matching delete_dedup_index)."""
     df = (
         ids
         if isinstance(ids, DataFrame)
@@ -249,7 +250,7 @@ def delete_ann_index(spark: SparkSession, index_dir: str, ids) -> None:
             [(int(i),) for i in ids], "neighbor_id long"
         )
     )
-    df.selectExpr("neighbor_id").write.mode("append").parquet(
+    df.toDF("neighbor_id").write.mode("append").parquet(
         f"{index_dir}/tombstones"
     )
 
@@ -296,5 +297,16 @@ def compact_ann_index(spark: SparkSession, index_dir: str) -> int:
             if os.path.isdir(src):
                 os.replace(src, dst)
         shutil.rmtree(staging, ignore_errors=True)
+        # Deleting EVERY vector may empty every partition — leave a
+        # zero-row schema-carrying file so reads keep working (the
+        # GDPR delete-all end state; see bm25's _ensure_nonempty_dir).
+        if not any(
+            f.endswith(".parquet")
+            for _r, _d, fs in os.walk(codes_dir)
+            for f in fs
+        ):
+            spark.createDataFrame([], codes.schema).write.mode(
+                "overwrite"
+            ).parquet(codes_dir)
     shutil.rmtree(f"{index_dir}/tombstones", ignore_errors=True)
     return len(affected)

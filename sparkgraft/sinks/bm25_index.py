@@ -47,6 +47,30 @@ def _term_bucket(term: Column, n_buckets: int) -> Column:
     ).cast("int")
 
 
+def _index_buckets(spark: SparkSession, index_dir: str, fallback: int) -> int:
+    """The bucket count the index was BUILT with (persisted in stats
+    since round 7) — a destructive rewrite or a serve must never trust
+    a caller-passed value that may differ from the layout's.  Falls
+    back to the caller's value for pre-round-7 indexes."""
+    st = spark.read.parquet(f"{index_dir}/stats")
+    if "n_buckets" in st.columns:
+        return int(st.first()["n_buckets"])
+    return fallback
+
+
+def _ensure_nonempty_dir(spark: SparkSession, path: str, schema) -> None:
+    """A partitionBy write of an EMPTY frame produces a file-less
+    directory that later reads can't infer a schema from (the
+    delete-every-doc end state of a GDPR workflow); backfill one
+    zero-row schema-carrying parquet file."""
+    import os
+
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return
+    spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
+
+
 def write_bm25_index(
     index_dir: str,
     docs: DataFrame,
@@ -77,8 +101,9 @@ def write_bm25_index(
     stats = docs.select(
         F.size(tokenize(F.col(text_col))).alias("dl")
     ).agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
-    )
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
+    ).withColumn("n_buckets", F.lit(n_buckets))
     stats.write.mode("overwrite").parquet(f"{index_dir}/stats")
     # live-docs table (id, dl): the Lucene live-docs idea — covers
     # empty-text docs (which have no postings but DO count in
@@ -104,6 +129,7 @@ def append_bm25_index(
     rebuild over old ∪ new — asserted in tests).  No re-tokenization of
     history, ever."""
     spark = docs.sparkSession
+    n_buckets = _index_buckets(spark, index_dir, n_buckets)
     toks = tokenize(F.col(text_col))
     base = docs.select(
         F.col(id_col).alias("id"),
@@ -142,8 +168,9 @@ def append_bm25_index(
     new = new_stats.first()
     spark.createDataFrame(
         [(int(old["n_docs"]) + int(new["n_docs"]),
-          int(old["sum_dl"]) + int(new["sum_dl"]))],
-        "n_docs long, sum_dl long",
+          int(old["sum_dl"]) + int(new["sum_dl"] or 0),
+          n_buckets)],
+        "n_docs long, sum_dl long, n_buckets int",
     ).write.mode("overwrite").parquet(f"{index_dir}/stats")
     import os as _os
 
@@ -170,6 +197,7 @@ def bm25_topk_indexed(
     expressions, so the round trip is bit-identical to the in-memory
     operator."""
     qset = sorted(set(query_terms))
+    n_buckets = _index_buckets(spark, index_dir, n_buckets)
     buckets = sorted(
         {
             int.from_bytes(
@@ -196,7 +224,13 @@ def bm25_topk_indexed(
     )
     stats = spark.read.parquet(f"{index_dir}/stats").select(
         "n_docs",
-        (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+        # empty index (delete-all end state): no postings survive, so
+        # the avgdl placeholder never reaches a score — but the
+        # division must not raise under ANSI mode
+        F.when(
+            F.col("n_docs") > 0,
+            F.col("sum_dl").cast("double") / F.col("n_docs"),
+        ).otherwise(F.lit(1.0)).alias("avgdl"),
     )
     idf = F.log(
         F.lit(1.0)
@@ -266,11 +300,21 @@ def delete_bm25_index(
     import os
     import shutil
 
+    n_buckets = _index_buckets(spark, index_dir, n_buckets)
     ids_df = (
         ids
         if isinstance(ids, DataFrame)
         else spark.createDataFrame([(int(i),) for i in ids], "id long")
-    ).select("id").distinct()
+    ).toDF("id").distinct()
+    # Idempotence: a retried/overlapping GDPR batch must not decrement
+    # df/stats twice for an already-tombstoned (not yet compacted) id —
+    # only ids NEW to the tombstone set participate in the subtraction.
+    prior = _bm25_tombstones(spark, index_dir)
+    if prior is not None:
+        ids_df = ids_df.join(F.broadcast(prior), "id", "left_anti")
+    ids_df = ids_df.localCheckpoint()  # id-list-sized; referenced 4x
+    if not ids_df.limit(1).count():
+        return
     postings = spark.read.parquet(f"{index_dir}/postings")
     victim = postings.join(F.broadcast(ids_df), "id")
     dec = victim.groupBy("term").agg(F.count("*").alias("dec"))
@@ -286,6 +330,7 @@ def delete_bm25_index(
     )
     staging = f"{index_dir}/terms_staging"
     merged.write.partitionBy("bucket").mode("overwrite").parquet(staging)
+    _ensure_nonempty_dir(spark, staging, merged.schema)
     shutil.rmtree(f"{index_dir}/terms")
     os.replace(staging, f"{index_dir}/terms")
     # doc-level decrements: live-docs table when present (exact incl.
@@ -311,8 +356,9 @@ def delete_bm25_index(
     old = spark.read.parquet(f"{index_dir}/stats").first()
     spark.createDataFrame(
         [(int(old["n_docs"]) - int(d["n"] or 0),
-          int(old["sum_dl"]) - int(d["s"] or 0))],
-        "n_docs long, sum_dl long",
+          int(old["sum_dl"]) - int(d["s"] or 0),
+          n_buckets)],
+        "n_docs long, sum_dl long, n_buckets int",
     ).write.mode("overwrite").parquet(f"{index_dir}/stats")
     ids_df.write.mode("append").parquet(f"{index_dir}/tombstones")
 
@@ -334,6 +380,7 @@ def compact_bm25_index(spark: SparkSession, index_dir: str) -> int:
     remain = postings.join(F.broadcast(tomb), "id", "left_anti")
     staging = f"{index_dir}/postings_staging"
     remain.write.partitionBy("bucket").mode("overwrite").parquet(staging)
+    _ensure_nonempty_dir(spark, staging, remain.schema)
     shutil.rmtree(f"{index_dir}/postings")
     os.replace(staging, f"{index_dir}/postings")
     n_after = spark.read.parquet(f"{index_dir}/postings").count()

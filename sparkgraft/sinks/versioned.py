@@ -826,6 +826,12 @@ def upsert_versioned(
     for attempt in range(retries + 1):
         man = _read_manifest(table_dir, parent)
         stats_cols = man.get("stats_cols") or []
+        if auto_keep:
+            # Re-derived per attempt: a conflict's new parent may carry
+            # DIFFERENT stats_cols, and a stale predicate referencing
+            # min_/max_ columns absent from the new stats table would
+            # crash the retry instead of falling back to all-files.
+            stats_keep = None
         if (
             auto_keep
             and key_cols
@@ -949,18 +955,40 @@ def compact_table(
     )
 
 
-def vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
+def vacuum(
+    table_dir: str,
+    keep_versions: int = 1,
+    min_file_age_sec: float = 600.0,
+) -> list[str]:
     """Remove data files unreachable from the newest ``keep_versions``
     manifests (crash orphans and compacted-away history).  Returns the
     deleted file names.  Never touches manifests — history stays
-    auditable even after its data is vacuumed."""
+    auditable even after its data is vacuumed.
+
+    Files referenced by NO manifest at all are spared while younger
+    than ``min_file_age_sec``: under the optimistic-concurrency commit
+    protocol a concurrent writer lands its token-named data files
+    BEFORE claiming the manifest, so a zero-grace vacuum could delete
+    an in-flight commit's files and leave its (subsequently
+    successful) manifest pointing at nothing — the retention-window
+    rule Delta's VACUUM applies to uncommitted files.  Files
+    referenced by a SUPERSEDED manifest (compacted/rewritten history)
+    are committed, never in-flight, and delete immediately regardless
+    of age.  Pass 0 only when no writer can be live."""
+    import time
+
     newest = latest_version(table_dir)
     if newest is None:
         return []
     keep = set()
-    for v in range(max(0, newest - keep_versions + 1), newest + 1):
-        keep.update(_read_manifest(table_dir, v)["files"])
+    referenced = set()
+    for v in range(0, newest + 1):
+        files = _read_manifest(table_dir, v)["files"]
+        referenced.update(files)
+        if v >= newest - keep_versions + 1:
+            keep.update(files)
     data_dir = os.path.join(table_dir, "data")
+    now = time.time()
     deleted = []
     for name in sorted(os.listdir(data_dir)):
         rel = os.path.join("data", name)
@@ -968,6 +996,13 @@ def vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
         if os.path.isdir(full):
             continue
         if rel not in keep:
+            if rel not in referenced:
+                # never committed: possibly an in-flight writer's file
+                try:
+                    if now - os.path.getmtime(full) < min_file_age_sec:
+                        continue
+                except OSError:
+                    continue  # already gone (concurrent cleanup)
             os.remove(full)
             deleted.append(rel)
     return deleted

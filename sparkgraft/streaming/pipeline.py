@@ -463,6 +463,15 @@ def dedup_admission(
     candidate join crosses batch x history buckets (compact keys);
     index append is the admitted subset.  All heavy joins inherit the
     spillable-merge pinning of crossside_verdicts.
+
+    Contract: one ``history_dir`` belongs to ONE checkpoint lineage —
+    verdicts, the replay-done checks, and the compaction ledger are
+    all keyed by that lineage's batch ids.  Attaching a FRESH
+    checkpoint to an existing index only makes sense as a full
+    re-delivery of the same source (batch ids realign; replays of
+    compacted-away batches stay suppressed — by design, so erased
+    content is not resurrected from source).  To ingest NEW data into
+    an existing index, keep the original checkpoint.
     """
     import os
 
@@ -473,6 +482,7 @@ def dedup_admission(
 
     def _read_or_empty(spark, path, schema):
         if os.path.isdir(path):
+            _migrate_flat_dedup_layout(spark, path, schema)
             return spark.read.schema(schema).parquet(path)
         return spark.createDataFrame([], schema)
 
@@ -562,6 +572,29 @@ def dedup_admission(
     return writer.trigger(**trig).start()
 
 
+def _migrate_flat_dedup_layout(spark, path: str, schema) -> None:
+    """One-time layout upgrade for dedup-admission index tables built
+    before the `_batch_id`-partitioned appends: flat root-level files
+    (with `_batch_id` as a data column) mixed with partition
+    directories would make partition discovery fail on the next read,
+    and compaction would miss the flat rows.  Rewrite the flat table
+    into the partitioned layout (staged + swapped) BEFORE the first
+    partitioned append, so a mixed layout never forms."""
+    import os
+    import shutil
+
+    flat = [n for n in os.listdir(path) if n.endswith(".parquet")]
+    if not flat:
+        return
+    df = spark.read.schema(schema).parquet(path)
+    staging = path + "_layout_staging"
+    df.write.partitionBy("_batch_id").mode("overwrite").parquet(staging)
+    backup = path + "_layout_old"
+    os.replace(path, backup)
+    os.replace(staging, path)
+    shutil.rmtree(backup, ignore_errors=True)
+
+
 def _dedup_tombstones(spark, history_dir: str):
     """Distinct tombstoned ids of the dedup-admission index, or None."""
     import os
@@ -632,6 +665,10 @@ def compact_dedup_index(spark, history_dir: str) -> int:
         table_dir = os.path.join(history_dir, sub)
         if not os.path.isdir(table_dir):
             continue
+        # pre-partitioning layouts migrate before the partition swap
+        _migrate_flat_dedup_layout(
+            spark, table_dir, spark.read.parquet(table_dir).schema
+        )
         t = spark.read.parquet(table_dir)
         # bounded collect: one row per batch containing forgotten docs
         affected = sorted(

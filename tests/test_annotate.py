@@ -4,6 +4,8 @@ down-weighting, and partition invariance."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from sparkgraft.operators.annotate import (
     annotator_kappa,
     dawid_skene,
@@ -108,3 +110,17 @@ def test_dawid_skene_partition_invariance(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_dawid_skene_string_annotator_ids(spark):
+    """Regression: the confusion broadcast hardcoded 'annotator long';
+    string rater ids (valid for every other operator here) crashed the
+    first EM iteration."""
+    votes = _spammer_votes(spark, n_items=12).withColumn(
+        "annotator_id",
+        F.concat(F.lit("rater_"), F.col("annotator_id").cast("string")),
+    )
+    out = dawid_skene(votes, n_classes=3, iters=3)
+    got = {r["item_id"]: r["ds_label"] for r in out.collect()}
+    assert len(got) == 12
+    assert all(0 <= v < 3 for v in got.values())

@@ -176,3 +176,116 @@ def test_bm25_delete_then_append_composes(spark, tmp_path):
         n_buckets=8,
     )
     assert _serve_bm25(spark, idx) == _serve_bm25(spark, rebuilt)
+
+
+def test_bm25_delete_is_idempotent(spark, tmp_path):
+    """Regression: re-deleting an already-tombstoned (not yet
+    compacted) id must not decrement df/stats a second time — the
+    overlapping-GDPR-batch case."""
+    docs = _docs(spark)
+    idx = str(tmp_path / "idx")
+    write_bm25_index(idx, docs)
+    delete_bm25_index(spark, idx, [0])
+    s1 = spark.read.parquet(f"{idx}/stats").first()
+    t1 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{idx}/terms").select("term", "df").collect()
+    )
+    # overlapping batch re-deletes 0 alongside a fresh id
+    delete_bm25_index(spark, idx, [0, 2])
+    s2 = spark.read.parquet(f"{idx}/stats").first()
+    assert s2["n_docs"] == s1["n_docs"] - 1  # only doc 2 newly gone
+    # doc 0's terms were NOT decremented again: 'hash' df reflects a
+    # single removal of doc 0 plus nothing from doc 2
+    rebuilt = str(tmp_path / "rebuilt")
+    write_bm25_index(rebuilt, docs.filter(~F.col("doc_id").isin(0, 2)))
+    t2 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{idx}/terms").select("term", "df").collect()
+    )
+    tr = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{rebuilt}/terms").select("term", "df").collect()
+    )
+    assert t2 == tr and t1 != t2
+    # fully-redundant batch is a complete no-op
+    delete_bm25_index(spark, idx, [0, 2])
+    assert sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{idx}/terms").select("term", "df").collect()
+    ) == tr
+
+
+def test_bm25_delete_every_doc_keeps_index_readable(spark, tmp_path):
+    """Regression: the delete-all end state used to leave file-less
+    terms/postings dirs that later reads couldn't infer a schema
+    from."""
+    docs = _docs(spark)
+    idx = str(tmp_path / "idx")
+    write_bm25_index(idx, docs)
+    delete_bm25_index(spark, idx, list(range(7)))
+    assert spark.read.parquet(f"{idx}/terms").count() == 0
+    assert bm25_topk_indexed(spark, idx, ["hash", "join"]).count() == 0
+    removed = compact_bm25_index(spark, idx)
+    assert removed > 0
+    assert spark.read.parquet(f"{idx}/postings").count() == 0
+    assert bm25_topk_indexed(spark, idx, ["hash"]).count() == 0
+    s = spark.read.parquet(f"{idx}/stats").first()
+    assert (s["n_docs"], s["sum_dl"]) == (0, 0)
+
+
+def test_bm25_delete_ignores_wrong_caller_n_buckets(spark, tmp_path):
+    """Regression: the index's bucket count is persisted at build time;
+    a destructive rewrite (delete) or a serve passing a DIFFERENT
+    n_buckets must use the layout's value, not the caller's."""
+    docs = _docs(spark)
+    idx = str(tmp_path / "idx")
+    write_bm25_index(idx, docs, n_buckets=128)
+    expect = sorted(
+        tuple(r)
+        for r in bm25_topk_indexed(spark, idx, ["hash", "join"], k=5).collect()
+    )
+    # wrong n_buckets on serve: persisted value wins
+    got = sorted(
+        tuple(r)
+        for r in bm25_topk_indexed(
+            spark, idx, ["hash", "join"], k=5, n_buckets=16
+        ).collect()
+    )
+    assert got == expect and len(got) > 0
+    # wrong n_buckets on delete: terms stay bucketed per the layout
+    delete_bm25_index(spark, idx, [6], n_buckets=16)
+    rebuilt = str(tmp_path / "rebuilt")
+    write_bm25_index(rebuilt, docs.filter(F.col("doc_id") != 6), n_buckets=128)
+    a = sorted(
+        tuple(r)
+        for r in bm25_topk_indexed(spark, idx, ["hash", "join"], k=5).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in bm25_topk_indexed(
+            spark, rebuilt, ["hash", "join"], k=5
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_ann_delete_every_vector_and_named_dataframe_ids(spark, tmp_path):
+    """Regression pair: delete_ann_index accepts a one-column DataFrame
+    of any name, and compacting away EVERY vector leaves a readable
+    (empty) codes table."""
+    vecs = _vectors(spark, n=12)
+    cents, cbs = _meta()
+    idx = str(tmp_path / "idx")
+    write_ann_index(idx, vecs, cents, cbs)
+    delete_ann_index(
+        spark, idx, vecs.select(F.col("vec_id"))  # named vec_id, not neighbor_id
+    )
+    compact_ann_index(spark, idx)
+    assert spark.read.parquet(f"{idx}/codes").count() == 0
+    assert (
+        ivfpq_topk_indexed(
+            vecs.filter(F.col("vec_id") < 2), idx, nprobe=2, k=3
+        ).count()
+        == 0
+    )

@@ -56,12 +56,21 @@ def test_vacuum_removes_only_unreachable(spark, tmp_path):
     t = str(tmp_path / "tbl")
     write_versioned(df_of(spark, [1, 2]), t, mode="overwrite")
     write_versioned(df_of(spark, [5, 6]), t, mode="overwrite")
-    # plant a crash orphan: data file not referenced by any manifest
+    # plant a STALE crash orphan (unreferenced + old) and a FRESH one
+    # (a concurrent writer's in-flight file under the OCC protocol —
+    # landed before its manifest claim, must survive the grace window)
     orphan = os.path.join(t, "data", "v9-999.parquet")
     with open(orphan, "wb") as fh:
         fh.write(b"junk")
+    os.utime(orphan, (1700000000, 1700000000))  # long past the window
+    inflight = os.path.join(t, "data", "v9-888.parquet")
+    with open(inflight, "wb") as fh:
+        fh.write(b"inflight")
     deleted = vacuum(t, keep_versions=1)
     assert "data/v9-999.parquet" in deleted
+    assert "data/v9-888.parquet" not in deleted
+    assert os.path.exists(inflight)
+    os.remove(inflight)
     assert any(d.startswith("data/v0-") for d in deleted)
     # latest still readable; history still auditable
     assert ids(read_versioned(spark, t)) == [5, 6]
@@ -1507,3 +1516,43 @@ def test_gdpr_delete_propagates_and_vacuum_forgets(spark, tmp_path):
     assert [h["operation"] for h in table_history(t)] == [
         "overwrite", "delete",
     ]
+
+
+def test_upsert_retry_rederives_stats_keep_on_new_parent(
+    spark, tmp_path, monkeypatch
+):
+    """Regression: a conflict's new parent may carry DIFFERENT
+    stats_cols; the retry must re-derive (or drop) the auto stats_keep
+    instead of reusing a predicate referencing min_/max_ columns the
+    new stats table doesn't have."""
+    from sparkgraft.sinks import versioned as V
+
+    t = str(tmp_path / "vt")
+    V.write_versioned(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(6)], "k long, v double"
+        ),
+        t, mode="overwrite", stats_cols=["k"],
+    )
+    real_commit = V._commit
+    armed = {"on": True}
+
+    def racing_commit(*args, **kwargs):
+        if armed["on"]:
+            armed["on"] = False
+            # a concurrent writer wins version 1 with stats on a
+            # DIFFERENT column set (no k coverage)
+            V.write_versioned(
+                spark.createDataFrame(
+                    [(i, float(i)) for i in range(6)], "k long, v double"
+                ),
+                t, mode="overwrite", stats_cols=["v"],
+            )
+        return real_commit(*args, **kwargs)
+
+    monkeypatch.setattr(V, "_commit", racing_commit)
+    src = spark.createDataFrame([(3, 99.0), (100, 1.0)], "k long, v double")
+    ver = V.upsert_versioned(spark, t, src, ["k"])
+    assert ver == 2  # lost v1, retried cleanly against the new parent
+    got = {r["k"]: r["v"] for r in V.read_versioned(spark, t).collect()}
+    assert got[3] == 99.0 and got[100] == 1.0 and len(got) == 7
