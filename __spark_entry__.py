@@ -10757,16 +10757,17 @@ ORACLES["retrieval_metrics"] = """
     SELECT query_id,
            coalesce(n.n_rel, 0) AS n_rel,
            coalesce(p.n_hits, 0) AS n_hits,
-           CASE WHEN coalesce(n.n_rel, 0) > 0
+           CAST(CASE WHEN coalesce(n.n_rel, 0) > 0
                 THEN round(CAST(coalesce(p.n_hits, 0) AS DOUBLE) / n.n_rel, 6)
-           END AS recall_at_k,
-           round(CAST(coalesce(p.best_rr, 0) AS DOUBLE), 6) AS rr,
-           CASE WHEN coalesce(n.n_rel, 0) > 0
+           END AS DECIMAL(18,6)) AS recall_at_k,
+           CAST(round(CAST(coalesce(p.best_rr, 0) AS DOUBLE), 6)
+                AS DECIMAL(18,6)) AS rr,
+           CAST(CASE WHEN coalesce(n.n_rel, 0) > 0
                 THEN round(CAST(coalesce(p.ap_sum, 0) AS DOUBLE)
                            / least(n.n_rel, 10), 6)
-           END AS ap_at_k,
-           round(CAST(coalesce(p.dcg, CAST(0 AS DECIMAL(18,12))) AS DOUBLE)
-                 / CAST(i.idcg AS DOUBLE), 6) AS ndcg_at_k
+           END AS DECIMAL(18,6)) AS ap_at_k,
+           CAST(round(CAST(coalesce(p.dcg, CAST(0 AS DECIMAL(18,12))) AS DOUBLE)
+                 / CAST(i.idcg AS DOUBLE), 6) AS DECIMAL(18,6)) AS ndcg_at_k
     FROM perq p
     FULL OUTER JOIN nrel n USING (query_id)
     LEFT JOIN ideal i USING (query_id)

@@ -395,10 +395,15 @@ def retrieval_metrics(
 
     Determinism: every DCG/RR/P@r term quantizes to DECIMAL(18,12)
     before the exact sum (the rrf_fuse discipline — union/partition
-    order can't perturb a decimal sum), final metrics round to
-    ``digits``.  Scale: both inputs are top-k lists / judgment tables —
-    metadata-sized next to the corpus; one hash join + three grouped
-    aggregates, each partitioned by query.
+    order can't perturb a decimal sum), and the FINAL metric columns
+    are emitted as ``DECIMAL(18,digits)`` — not rounded doubles — so
+    no float-representation surface survives into the output at all
+    (round-8 hardening: the r7 driver gate flagged a hash mismatch on
+    this query that never reproduced locally; exact decimal output
+    makes the comparison engine-invariant by construction).  Scale:
+    both inputs are top-k lists / judgment tables — metadata-sized
+    next to the corpus; one hash join + three grouped aggregates,
+    each partitioned by query.
     """
     rel0 = F.coalesce(F.col(rel_col), F.lit(0))
     w_cum = (
@@ -458,6 +463,7 @@ def retrieval_metrics(
     nr = F.coalesce(F.col("n_rel"), F.lit(0))
     nh = F.coalesce(F.col("n_hits"), F.lit(0))
     zero_dec = F.lit(0).cast("decimal(18,12)")
+    out_t = f"decimal(18,{digits})"
     return (
         per_q.join(n_rel, query_col, "full")
         .join(ideal, query_col, "left")
@@ -467,11 +473,11 @@ def retrieval_metrics(
             nh.alias("n_hits"),
             F.when(
                 nr > 0, F.round(nh.cast("double") / nr, digits)
-            ).alias("recall_at_k"),
+            ).cast(out_t).alias("recall_at_k"),
             F.round(
                 F.coalesce(F.col("_best_rr"), zero_dec).cast("double"),
                 digits,
-            ).alias("rr"),
+            ).cast(out_t).alias("rr"),
             F.when(
                 nr > 0,
                 F.round(
@@ -479,11 +485,11 @@ def retrieval_metrics(
                     / F.least(nr, F.lit(k)),
                     digits,
                 ),
-            ).alias("ap_at_k"),
+            ).cast(out_t).alias("ap_at_k"),
             F.round(
                 F.coalesce(F.col("_dcg"), zero_dec).cast("double")
                 / F.col("_idcg").cast("double"),
                 digits,
-            ).alias("ndcg_at_k"),
+            ).cast(out_t).alias("ndcg_at_k"),
         )
     )

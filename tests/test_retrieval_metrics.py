@@ -15,6 +15,12 @@ def _q12(x: float) -> float:
     return round(x, 12)
 
 
+def _f(v):
+    """Metric columns are DECIMAL(18,6) since round 8 (engine-invariant
+    output); coerce to float for the hand-math comparisons."""
+    return None if v is None else float(v)
+
+
 def test_binary_relevance_hand_math(spark):
     # q1: rel docs {a, b, c}; retrieved [a, x, b] -> hits at ranks 1, 3
     ranked = spark.createDataFrame(
@@ -27,17 +33,17 @@ def test_binary_relevance_hand_math(spark):
     )
     row = retrieval_metrics(ranked, qrels, k=3).first()
     assert row["n_rel"] == 3 and row["n_hits"] == 2
-    assert row["recall_at_k"] == round(2 / 3, 6)
-    assert row["rr"] == 1.0
+    assert _f(row["recall_at_k"]) == round(2 / 3, 6)
+    assert _f(row["rr"]) == 1.0
     # AP@3 = (P@1 + P@3) / min(3, 3) = (1 + 2/3) / 3
-    assert row["ap_at_k"] == round((_q12(1 / 1) + _q12(2 / 3)) / 3, 6)
+    assert _f(row["ap_at_k"]) == round((_q12(1 / 1) + _q12(2 / 3)) / 3, 6)
     dcg = _q12(1 / math.log2(2)) + _q12(0.0) + _q12(1 / math.log2(4))
     idcg = (
         _q12(1 / math.log2(2))
         + _q12(1 / math.log2(3))
         + _q12(1 / math.log2(4))
     )
-    assert row["ndcg_at_k"] == round(dcg / idcg, 6)
+    assert _f(row["ndcg_at_k"]) == round(dcg / idcg, 6)
 
 
 def test_graded_relevance_ideal_ordering(spark):
@@ -54,10 +60,10 @@ def test_graded_relevance_ideal_ordering(spark):
     row = retrieval_metrics(ranked, qrels, k=10).first()
     dcg = _q12(1 / math.log2(2)) + _q12(2 / math.log2(3))
     idcg = _q12(2 / math.log2(2)) + _q12(1 / math.log2(3))
-    assert row["ndcg_at_k"] == round(dcg / idcg, 6)
-    assert row["ndcg_at_k"] < 1.0
-    assert row["rr"] == 1.0 and row["recall_at_k"] == 1.0
-    assert row["ap_at_k"] == 1.0  # both hits at perfect precision
+    assert _f(row["ndcg_at_k"]) == round(dcg / idcg, 6)
+    assert _f(row["ndcg_at_k"]) < 1.0
+    assert _f(row["rr"]) == 1.0 and _f(row["recall_at_k"]) == 1.0
+    assert _f(row["ap_at_k"]) == 1.0  # both hits at perfect precision
 
 
 def test_no_relevant_retrieved_and_rank_cut(spark):
@@ -72,9 +78,9 @@ def test_no_relevant_retrieved_and_rank_cut(spark):
     )
     row = retrieval_metrics(ranked, qrels, k=10).first()
     assert row["n_hits"] == 0
-    assert row["rr"] == 0.0 and row["recall_at_k"] == 0.0
-    assert row["ap_at_k"] == 0.0
-    assert row["ndcg_at_k"] == 0.0
+    assert _f(row["rr"]) == 0.0 and _f(row["recall_at_k"]) == 0.0
+    assert _f(row["ap_at_k"]) == 0.0
+    assert _f(row["ndcg_at_k"]) == 0.0
 
 
 def test_partition_count_invariance(spark):
@@ -113,11 +119,11 @@ def test_unjudged_defaults_to_zero_not_dropped(spark):
     )
     row = retrieval_metrics(ranked, qrels, k=10).first()
     assert row["n_rel"] == 2 and row["n_hits"] == 1
-    assert row["recall_at_k"] == 0.5
-    assert row["ap_at_k"] == 0.5  # P@1 = 1 over min(2, 10)
+    assert _f(row["recall_at_k"]) == 0.5
+    assert _f(row["ap_at_k"]) == 0.5  # P@1 = 1 over min(2, 10)
     dcg = _q12(1 / math.log2(2))
     idcg = _q12(1 / math.log2(2)) + _q12(1 / math.log2(3))
-    assert row["ndcg_at_k"] == round(dcg / idcg, 6)
+    assert _f(row["ndcg_at_k"]) == round(dcg / idcg, 6)
 
 
 def test_judged_but_unretrieved_query_scores_zero(spark):
@@ -137,10 +143,10 @@ def test_judged_but_unretrieved_query_scores_zero(spark):
     assert set(rows) == {5, 6}
     r6 = rows[6]
     assert r6["n_rel"] == 2 and r6["n_hits"] == 0
-    assert r6["recall_at_k"] == 0.0
-    assert r6["rr"] == 0.0
-    assert r6["ap_at_k"] == 0.0
-    assert r6["ndcg_at_k"] == 0.0
+    assert _f(r6["recall_at_k"]) == 0.0
+    assert _f(r6["rr"]) == 0.0
+    assert _f(r6["ap_at_k"]) == 0.0
+    assert _f(r6["ndcg_at_k"]) == 0.0
 
 
 def test_ranked_query_with_no_judgments_emits_null_not_error(spark):
@@ -154,7 +160,7 @@ def test_ranked_query_with_no_judgments_emits_null_not_error(spark):
     )
     row = retrieval_metrics(ranked, qrels, k=10).first()
     assert row["n_rel"] == 0 and row["n_hits"] == 0
-    assert row["recall_at_k"] is None
-    assert row["rr"] == 0.0
-    assert row["ap_at_k"] is None
-    assert row["ndcg_at_k"] is None
+    assert _f(row["recall_at_k"]) is None
+    assert _f(row["rr"]) == 0.0
+    assert _f(row["ap_at_k"]) is None
+    assert _f(row["ndcg_at_k"]) is None

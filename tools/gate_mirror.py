@@ -7,10 +7,17 @@ Run:  python tools/gate_mirror.py [sf_dir] [name1,name2,...]
 The optional second argument restricts the run to a comma-separated
 query subset (iteration aid; the gate itself always runs everything).
 Exit code 0 = all green.
+
+Mismatch capture (round-8): any MISMATCH dumps the full canonical row
+diff — columns, rows only on the Spark side, rows only on the oracle
+side — to ``gate_mismatch_<name>.json`` next to this script, so a
+one-off driver-environment flake (the r7 retrieval_metrics case) is
+diagnosable from the artifact alone instead of being unreproducible.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -36,6 +43,43 @@ def canon(v):
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return str(v)
+
+
+def _capture_mismatch(name, scols, dcols, sset, dset):
+    """Dump the canonical row diff for a failed compare: rows present
+    only on one side (first 50 each way), plus the column sets.  The
+    multiset diff preserves duplicates — a row appearing 2× on one
+    side and 1× on the other shows up once in the diff."""
+    s_only, d_only, i, j = [], [], 0, 0
+    while i < len(sset) or j < len(dset):
+        if j >= len(dset) or (i < len(sset) and sset[i] < dset[j]):
+            s_only.append(sset[i]); i += 1
+        elif i >= len(sset) or dset[j] < sset[i]:
+            d_only.append(dset[j]); j += 1
+        else:
+            i += 1; j += 1
+    out = {
+        "query": name,
+        "spark_columns": sorted(scols),
+        "oracle_columns": sorted(dcols),
+        "spark_rows": len(sset),
+        "oracle_rows": len(dset),
+        "spark_only": s_only[:50],
+        "oracle_only": d_only[:50],
+        "spark_only_total": len(s_only),
+        "oracle_only_total": len(d_only),
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"gate_mismatch_{name}.json",
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, default=str)
+    print(f"  -> row diff captured: {path}")
+    for r in s_only[:5]:
+        print(f"  spark-only : {r}")
+    for r in d_only[:5]:
+        print(f"  oracle-only: {r}")
 
 
 def main(sf_dir: str, only: "set[str] | None" = None) -> int:
@@ -75,6 +119,7 @@ def main(sf_dir: str, only: "set[str] | None" = None) -> int:
         ok = sorted(sdf.columns) == sorted(dcols) and sset == dset
         if not ok:
             fails.append(name)
+            _capture_mismatch(name, sdf.columns, dcols, sset, dset)
         print(f"{name}: {'OK' if ok else 'MISMATCH'} ({len(srows)} rows)")
     print("EMPTIES:", empties or "none")
     print("FAILURES:", fails or "none")
