@@ -50,12 +50,107 @@ def _term_bucket(term: Column, n_buckets: int) -> Column:
 def _index_buckets(spark: SparkSession, index_dir: str, fallback: int) -> int:
     """The bucket count the index was BUILT with (persisted in stats
     since round 7) — a destructive rewrite or a serve must never trust
-    a caller-passed value that may differ from the layout's.  Falls
-    back to the caller's value for pre-round-7 indexes."""
+    a caller-passed value that may differ from the layout's.
+
+    For pre-round-7 indexes whose stats lack the column, the count is
+    DERIVED from the partition layout and VERIFIED by recomputing
+    every term's bucket (one vocabulary-sized scan, paid only by
+    legacy indexes): a guessed count that disagrees with the layout
+    would make later serves prune postings with mismatched bucket ids
+    and silently drop matches.  Raises if neither the derived
+    candidate nor the caller's value reproduces the layout."""
     st = spark.read.parquet(f"{index_dir}/stats")
     if "n_buckets" in st.columns:
         return int(st.first()["n_buckets"])
-    return fallback
+    import os
+    import re
+
+    seen = set()
+    for sub in ("terms", "postings"):
+        p = f"{index_dir}/{sub}"
+        if os.path.isdir(p):
+            for n in os.listdir(p):
+                m = re.fullmatch(r"bucket=(\d+)", n)
+                if m:
+                    seen.add(int(m.group(1)))
+    terms = spark.read.parquet(f"{index_dir}/terms")
+    for cand in dict.fromkeys(([max(seen) + 1] if seen else []) + [fallback]):
+        bad = (
+            terms.filter(_term_bucket(F.col("term"), cand) != F.col("bucket"))
+            .limit(1)
+            .count()
+        )
+        if not bad:
+            return cand
+    raise ValueError(
+        f"cannot determine the build-time bucket count of legacy index "
+        f"{index_dir}: neither the layout-derived candidate nor the "
+        f"caller's value ({fallback}) reproduces the existing bucket "
+        f"partitioning; pass the build-time n_buckets explicitly"
+    )
+
+
+def _repair_bm25_index(index_dir: str) -> None:
+    """Finish or discard a crashed multi-artifact rewrite (round-8
+    hardening).  :func:`delete_bm25_index` and
+    :func:`compact_bm25_index` stage EVERY artifact they will touch,
+    then commit with one atomic journal rename — the single commit
+    point the versioned.py manifest-claim discipline uses.  Repair:
+
+    - journal present → the staged artifacts are the index's truth;
+      apply any swap the crash left unfinished (idempotent — a staged
+      dir that already swapped is simply gone), honor any pending
+      directory clears, then drop the journal;
+    - journal absent → any ``*_staging`` leftovers are pre-commit
+      garbage from a crash during staging; discard them (the live
+      artifacts were never touched).
+
+    Called on every delete/compact/serve entry, so a committed-but-
+    interrupted delete is completed before the index is read — no
+    state where victims are still servable with already-decremented
+    df/stats, and no retried delete double-decrementing because its
+    tombstone append never landed."""
+    import json
+    import os
+    import shutil
+
+    journal = f"{index_dir}/_commit_journal"
+    arts = ("terms", "docs", "stats", "tombstones", "postings")
+    if os.path.isfile(journal):
+        with open(journal) as f:
+            plan = json.load(f)
+        for a in plan.get("staged", []):
+            s = f"{index_dir}/{a}_staging"
+            if os.path.isdir(s):
+                dest = f"{index_dir}/{a}"
+                shutil.rmtree(dest, ignore_errors=True)
+                os.replace(s, dest)
+        for a in plan.get("clear", []):
+            shutil.rmtree(f"{index_dir}/{a}", ignore_errors=True)
+        os.remove(journal)
+    else:
+        for a in arts:
+            s = f"{index_dir}/{a}_staging"
+            if os.path.isdir(s):
+                shutil.rmtree(s)
+
+
+def _commit_bm25_journal(index_dir: str, staged, clear=()) -> None:
+    """Atomically write the commit journal (tmp + rename), then apply
+    it via :func:`_repair_bm25_index`.  The rename is the commit
+    point: before it no live artifact has been touched; after it any
+    crash is finished by the next repair."""
+    import json
+    import os
+
+    journal = f"{index_dir}/_commit_journal"
+    tmp = journal + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"staged": list(staged), "clear": list(clear)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, journal)
+    _repair_bm25_index(index_dir)
 
 
 def _ensure_nonempty_dir(spark: SparkSession, path: str, schema) -> None:
@@ -129,6 +224,7 @@ def append_bm25_index(
     rebuild over old ∪ new — asserted in tests).  No re-tokenization of
     history, ever."""
     spark = docs.sparkSession
+    _repair_bm25_index(index_dir)
     n_buckets = _index_buckets(spark, index_dir, n_buckets)
     toks = tokenize(F.col(text_col))
     base = docs.select(
@@ -153,14 +249,11 @@ def append_bm25_index(
     # the merged df table rewrites through a staged directory swap —
     # fully distributed (the vocabulary can be huge at corpus scale;
     # parquet can't lazily overwrite its own input, and a collect()
-    # would put the vocab on the driver)
-    import os
-    import shutil
-
+    # would put the vocab on the driver); terms + stats stage together
+    # and commit via one journal rename, so the live index never sees
+    # a missing-terms window or a terms/stats mix of old and new
     staging = f"{index_dir}/terms_staging"
     merged.write.partitionBy("bucket").mode("overwrite").parquet(staging)
-    shutil.rmtree(f"{index_dir}/terms")
-    os.replace(staging, f"{index_dir}/terms")
     new_stats = docs.select(
         F.size(tokenize(F.col(text_col))).alias("dl")
     ).agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
@@ -171,7 +264,8 @@ def append_bm25_index(
           int(old["sum_dl"]) + int(new["sum_dl"] or 0),
           n_buckets)],
         "n_docs long, sum_dl long, n_buckets int",
-    ).write.mode("overwrite").parquet(f"{index_dir}/stats")
+    ).write.mode("overwrite").parquet(f"{index_dir}/stats_staging")
+    _commit_bm25_journal(index_dir, ["terms", "stats"])
     import os as _os
 
     if _os.path.isdir(f"{index_dir}/docs"):
@@ -196,6 +290,7 @@ def bm25_topk_indexed(
     term equality into the scan; scoring replays bm25_rank's exact
     expressions, so the round trip is bit-identical to the in-memory
     operator."""
+    _repair_bm25_index(index_dir)
     qset = sorted(set(query_terms))
     n_buckets = _index_buckets(spark, index_dir, n_buckets)
     buckets = sorted(
@@ -296,10 +391,18 @@ def delete_bm25_index(
     ``ids`` may be an iterable or a one-column DataFrame.  Indexes
     built before the live-docs table fall back to postings-derived doc
     stats (empty-text docs untracked — they can't match queries, but
-    their dl=0 rows would keep n_docs one too high; rebuild to fix)."""
-    import os
-    import shutil
+    their dl=0 rows would keep n_docs one too high; rebuild to fix).
 
+    Crash-atomicity (round-8): the delete touches four artifacts
+    (terms, docs, stats, tombstones); ALL are staged first and the
+    whole set commits via one atomic journal rename
+    (:func:`_commit_bm25_journal`) — a crash anywhere leaves either
+    the untouched old index (pre-journal) or a state the next repair
+    finishes (post-journal).  No window where df/stats are decremented
+    but the victims' tombstones are missing."""
+    import os
+
+    _repair_bm25_index(index_dir)
     n_buckets = _index_buckets(spark, index_dir, n_buckets)
     ids_df = (
         ids
@@ -315,6 +418,7 @@ def delete_bm25_index(
     ids_df = ids_df.localCheckpoint()  # id-list-sized; referenced 4x
     if not ids_df.limit(1).count():
         return
+    staged = ["terms", "stats", "tombstones"]
     postings = spark.read.parquet(f"{index_dir}/postings")
     victim = postings.join(F.broadcast(ids_df), "id")
     dec = victim.groupBy("term").agg(F.count("*").alias("dec"))
@@ -331,8 +435,6 @@ def delete_bm25_index(
     staging = f"{index_dir}/terms_staging"
     merged.write.partitionBy("bucket").mode("overwrite").parquet(staging)
     _ensure_nonempty_dir(spark, staging, merged.schema)
-    shutil.rmtree(f"{index_dir}/terms")
-    os.replace(staging, f"{index_dir}/terms")
     # doc-level decrements: live-docs table when present (exact incl.
     # empty docs), else the victims' postings
     if os.path.isdir(f"{index_dir}/docs"):
@@ -342,10 +444,8 @@ def delete_bm25_index(
             F.count("*").alias("n"), F.sum("dl").alias("s")
         ).first()
         remain = live.join(F.broadcast(ids_df), "id", "left_anti")
-        dstage = f"{index_dir}/docs_staging"
-        remain.write.mode("overwrite").parquet(dstage)
-        shutil.rmtree(f"{index_dir}/docs")
-        os.replace(dstage, f"{index_dir}/docs")
+        remain.write.mode("overwrite").parquet(f"{index_dir}/docs_staging")
+        staged.append("docs")
     else:
         d = (
             victim.select("id", "dl")
@@ -359,8 +459,12 @@ def delete_bm25_index(
           int(old["sum_dl"]) - int(d["s"] or 0),
           n_buckets)],
         "n_docs long, sum_dl long, n_buckets int",
-    ).write.mode("overwrite").parquet(f"{index_dir}/stats")
-    ids_df.write.mode("append").parquet(f"{index_dir}/tombstones")
+    ).write.mode("overwrite").parquet(f"{index_dir}/stats_staging")
+    # tombstones: full staged rewrite (prior ∪ new — id-list-sized),
+    # not an append, so the set swaps with the other three artifacts
+    tombs = ids_df if prior is None else prior.unionByName(ids_df).distinct()
+    tombs.write.mode("overwrite").parquet(f"{index_dir}/tombstones_staging")
+    _commit_bm25_journal(index_dir, staged)
 
 
 def compact_bm25_index(spark: SparkSession, index_dir: str) -> int:
@@ -368,10 +472,12 @@ def compact_bm25_index(spark: SparkSession, index_dir: str) -> int:
     without the tombstoned docs' rows (staged directory swap — the
     periodic Lucene-merge shape; df/stats were already adjusted at
     delete time, so serving results are unchanged), then clear the
-    tombstone set.  Returns the number of postings rows removed."""
-    import os
-    import shutil
-
+    tombstone set.  The postings swap and the tombstone clear commit
+    together through the journal (:func:`_commit_bm25_journal`) — a
+    crash can't leave compacted postings with live tombstones (double
+    anti-join is harmless) or vice versa.  Returns the number of
+    postings rows removed."""
+    _repair_bm25_index(index_dir)
     tomb = _bm25_tombstones(spark, index_dir)
     if tomb is None:
         return 0
@@ -381,8 +487,6 @@ def compact_bm25_index(spark: SparkSession, index_dir: str) -> int:
     staging = f"{index_dir}/postings_staging"
     remain.write.partitionBy("bucket").mode("overwrite").parquet(staging)
     _ensure_nonempty_dir(spark, staging, remain.schema)
-    shutil.rmtree(f"{index_dir}/postings")
-    os.replace(staging, f"{index_dir}/postings")
-    n_after = spark.read.parquet(f"{index_dir}/postings").count()
-    shutil.rmtree(f"{index_dir}/tombstones", ignore_errors=True)
+    n_after = spark.read.parquet(staging).count()
+    _commit_bm25_journal(index_dir, ["postings"], clear=["tombstones"])
     return n_before - n_after

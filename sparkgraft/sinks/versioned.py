@@ -505,7 +505,13 @@ def _commit(
             os.remove(tmp)
         except OSError:
             pass
-    # Monotone pointer-cache flip (readers scan forward regardless).
+    # Pointer-cache flip.  Check-then-write, NOT atomic: two racing
+    # committers can interleave so a slow older writer transiently
+    # regresses the pointer (v5 overwriting v6's flip).  That is
+    # tolerated by design — latest_version() always scans FORWARD from
+    # the cached value over the manifest dir, so reads stay correct
+    # and the pointer self-heals on the next commit; the only cost is
+    # extra manifest stat calls until then.
     cur = -1
     if os.path.exists(_latest_path(table_dir)):
         try:
@@ -841,10 +847,13 @@ def upsert_versioned(
             # source key only if its [min, max] overlaps the source's
             # range on EVERY key column — disjointness on ANY column
             # proves no tuple equality (sound over-approximation).  A
-            # file whose stats are NULL on some column holds only NULL
-            # values there (min/max ignore NULLs), so no row of it can
-            # match on that column — the NULL-propagating conjunction
-            # correctly prunes it.
+            # file whose stats are NULL on some column (all values
+            # NULL there — min/max ignore NULLs) makes the conjunction
+            # NULL, and _touched_files treats a NULL _keep as touched:
+            # such files are conservatively REWRITTEN, not pruned — a
+            # missed pruning, never a missed match (they can't match
+            # on the all-NULL column, but proving that isn't worth a
+            # special case for a degenerate stats shape).
             aggs = []
             for k in key_cols:
                 aggs += [F.min(k).alias(f"lo_{k}"), F.max(k).alias(f"hi_{k}")]

@@ -481,6 +481,11 @@ def dedup_admission(
     banded_dir = os.path.join(history_dir, "banded")
 
     def _read_or_empty(spark, path, schema):
+        if not os.path.isdir(path):
+            # a crashed layout migration may have left the table
+            # swapped aside — recover it rather than reading 'empty
+            # history' (which would silently re-admit known dups)
+            _repair_dedup_layout(path)
         if os.path.isdir(path):
             _migrate_flat_dedup_layout(spark, path, schema)
             return spark.read.schema(schema).parquet(path)
@@ -572,27 +577,88 @@ def dedup_admission(
     return writer.trigger(**trig).start()
 
 
+def _repair_dedup_layout(path: str) -> None:
+    """Recover a crashed :func:`_migrate_flat_dedup_layout` (round-8
+    hardening).  The migration commits via a journal file naming its
+    unique backup dir: once the journal exists the staged partitioned
+    copy is the table's truth and repair finishes the swap; without a
+    journal, staging leftovers are pre-commit garbage.  Also restores
+    the two crash states the pre-round-8 migration could leave (table
+    dir swapped aside with a complete staging copy, or an orphaned
+    ``*_layout_old`` backup that would ENOTEMPTY the next migration).
+    Called before every migration AND before any history read that
+    finds the table dir missing — a crashed migration must never read
+    as 'empty dedup history' (silent false admits)."""
+    import glob
+    import os
+    import shutil
+
+    journal = path + "_layout_journal"
+    staging = path + "_layout_staging"
+    if os.path.isfile(journal):
+        with open(journal) as f:
+            backup = f.read().strip()
+        if os.path.isdir(staging):
+            if os.path.isdir(path):
+                if os.path.isdir(backup):
+                    shutil.rmtree(path)
+                else:
+                    os.replace(path, backup)
+            os.replace(staging, path)
+        if backup and os.path.isdir(backup):
+            shutil.rmtree(backup)
+        os.remove(journal)
+        return
+    legacy = sorted(glob.glob(path + "_layout_old*"))
+    if not os.path.isdir(path):
+        if os.path.isdir(staging):
+            # pre-commit staging is written in full before any swap,
+            # so if the table dir is gone the staging copy is complete
+            os.replace(staging, path)
+        elif legacy:
+            os.replace(legacy[0], path)
+            legacy = legacy[1:]
+    if os.path.isdir(staging) and os.path.isdir(path):
+        shutil.rmtree(staging)
+    for b in legacy:
+        if os.path.isdir(b):
+            shutil.rmtree(b)
+
+
 def _migrate_flat_dedup_layout(spark, path: str, schema) -> None:
     """One-time layout upgrade for dedup-admission index tables built
     before the `_batch_id`-partitioned appends: flat root-level files
     (with `_batch_id` as a data column) mixed with partition
     directories would make partition discovery fail on the next read,
     and compaction would miss the flat rows.  Rewrite the flat table
-    into the partitioned layout (staged + swapped) BEFORE the first
-    partitioned append, so a mixed layout never forms."""
+    into the partitioned layout BEFORE the first partitioned append,
+    so a mixed layout never forms.  The swap commits through an atomic
+    journal rename (unique backup name — a leftover backup can never
+    ENOTEMPTY a later run) and any crash is finished by
+    :func:`_repair_dedup_layout` on the next entry."""
     import os
     import shutil
+    import uuid
 
+    _repair_dedup_layout(path)
     flat = [n for n in os.listdir(path) if n.endswith(".parquet")]
     if not flat:
         return
     df = spark.read.schema(schema).parquet(path)
     staging = path + "_layout_staging"
     df.write.partitionBy("_batch_id").mode("overwrite").parquet(staging)
-    backup = path + "_layout_old"
+    backup = path + "_layout_old_" + uuid.uuid4().hex[:8]
+    journal = path + "_layout_journal"
+    tmp = journal + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(backup)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, journal)  # COMMIT: staging is now the table's truth
     os.replace(path, backup)
     os.replace(staging, path)
     shutil.rmtree(backup, ignore_errors=True)
+    os.remove(journal)
 
 
 def _dedup_tombstones(spark, history_dir: str):
