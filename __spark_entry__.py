@@ -5933,6 +5933,216 @@ def q_timeseries_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_leg.unionByName(twa_leg)
 
 
+# ---------------------------------------------------------------------------
+# Round-8 window-surgery panels (merge-rule round 7, per the round-7
+# verdict): same-family witnesses union into method-tagged panels so
+# one driver-window slot carries each family, freeing slots for the
+# round-7 governance/curation flagships.  Heterogeneous component
+# schemas pad with typed NULL columns (the round-6 discipline); every
+# component stays oracle-checked standalone at 51+.
+# ---------------------------------------------------------------------------
+
+
+def q_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-algebra panel (round-8 merge of semi_anti_join + set_ops):
+    the semi/anti equi-join witness beside the INTERSECT/EXCEPT
+    witness (§2.7) — one method-tagged union covers both relational
+    set families in a single driver-window slot."""
+    j = q_semi_anti_join(spark, sf_dir).select(
+        F.lit("semi_anti").alias("method"),
+        F.col("c_mktsegment").alias("grp_key"),
+        "n_active_customers",
+        "n_inactive_customers",
+    )
+    s = q_set_ops(spark, sf_dir).select(
+        F.lit("intersect_except").alias("method"),
+        F.col("user_id").cast("string").alias("grp_key"),
+        F.lit(None).cast("long").alias("n_active_customers"),
+        F.lit(None).cast("long").alias("n_inactive_customers"),
+    )
+    return j.unionByName(s)
+
+
+def q_contamination_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination panel (round-8 merge of decontaminate +
+    split_leakage): the n-gram benchmark-overlap audit beside the
+    train/holdout near-dup leakage audit — the two contamination
+    checks every training corpus runs, in one driver slot."""
+    d = q_decontaminate(spark, sf_dir).select(
+        F.lit("ngram_overlap").alias("method"),
+        "doc_id",
+        "n_grams",
+        "n_hits",
+        F.col("overlap_ratio").alias("ratio"),
+        F.col("contaminated").alias("flagged"),
+        F.lit(None).cast("long").alias("dup_of"),
+    )
+    lk = q_split_leakage(spark, sf_dir).select(
+        F.lit("split_leakage").alias("method"),
+        "doc_id",
+        F.lit(None).cast("int").alias("n_grams"),
+        F.lit(None).cast("long").alias("n_hits"),
+        F.col("jaccard").alias("ratio"),
+        F.col("leaked").alias("flagged"),
+        F.col("train_dup_of").alias("dup_of"),
+    )
+    return d.unionByName(lk)
+
+
+def q_classifier_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier train∘eval panel (round-8 merge of train_classifier
+    + classifier_eval): the fit step's exact scaled weights beside the
+    evaluation row (confusion, P/R/F1, kappa, exact tie-aware AUC) —
+    the curation classifier's full train→measure loop in one slot;
+    both legs share one cached fit."""
+    nl = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
+    t = q_train_classifier(spark, sf_dir).select(
+        F.lit("train").alias("method"),
+        "feature",
+        "w_scaled",
+        nl.alias("tp"),
+        nl.alias("fp"),
+        nl.alias("fn"),
+        nl.alias("tn"),
+        nd.alias("accuracy"),
+        nd.alias("precision"),
+        nd.alias("recall"),
+        nd.alias("f1"),
+        nd.alias("kappa"),
+        nd.alias("auc"),
+    )
+    e = q_classifier_eval(spark, sf_dir).select(
+        F.lit("eval").alias("method"),
+        F.lit(None).cast("string").alias("feature"),
+        nl.alias("w_scaled"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        "accuracy",
+        "precision",
+        "recall",
+        "f1",
+        "kappa",
+        "auc",
+    )
+    return t.unionByName(e)
+
+
+def q_ann_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN strategy panel (round-8 merge of ann_pruned + adc_ann):
+    exact baseline, IVF-pruned, LSH-multiprobe, flat PQ-ADC and
+    IVF-PQ — every ANN serving strategy method-tagged in one slot
+    (tags prefixed to keep the two components' 'ivf' legs distinct)."""
+    a = q_ann_pruned(spark, sf_dir).withColumn(
+        "method", F.concat(F.lit("pruned_"), F.col("method"))
+    )
+    b = q_adc_ann(spark, sf_dir).withColumn(
+        "method", F.concat(F.lit("adc_"), F.col("method"))
+    )
+    return a.unionByName(b)
+
+
+def q_semdedup_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-dedup panel (round-8 merge of embedding_dedup +
+    semdedup): label-blocked pairwise cosine near-dup pairs beside the
+    SemDeDup cluster-scoped keep/drop verdicts — the two
+    embedding-space dedup shapes in one slot."""
+    p = q_embedding_dedup(spark, sf_dir).select(
+        F.lit("pairwise").alias("method"),
+        "part",
+        "id_a",
+        "id_b",
+        "cos_sim",
+        F.lit(None).cast("long").alias("vec_id"),
+        F.lit(None).cast("int").alias("cluster"),
+        F.lit(None).cast("boolean").alias("is_duplicate"),
+        F.lit(None).cast("long").alias("dup_of"),
+    )
+    s = q_semdedup(spark, sf_dir).select(
+        F.lit("semdedup").alias("method"),
+        F.lit(None).cast("int").alias("part"),
+        F.lit(None).cast("long").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.lit(None).cast("double").alias("cos_sim"),
+        "vec_id",
+        "cluster",
+        "is_duplicate",
+        "dup_of",
+    )
+    return p.unionByName(s)
+
+
+def q_forget_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten panel (round-8 merge of ann_forget +
+    bm25_forget + dedup_forget): index unlearning across ALL THREE
+    persisted indexes — vector (IVF-PQ), lexical (BM25 with its global
+    idf shift), and the dedup-admission signature index — each leg
+    asserting tombstone-serve ≡ compacted-serve ≡ rebuild, in one
+    driver-window slot."""
+    a = q_ann_forget(spark, sf_dir).select(
+        F.lit("ann").alias("method"),
+        "query_id",
+        F.col("neighbor_id").cast("string").alias("item"),
+        "rnk",
+        F.col("cos_sim").alias("score"),
+        F.lit(None).cast("boolean").alias("is_duplicate"),
+        F.lit(None).cast("string").alias("dup_of"),
+    )
+    b = q_bm25_forget(spark, sf_dir).select(
+        F.lit("bm25").alias("method"),
+        F.lit(None).cast("long").alias("query_id"),
+        F.col("doc_id").cast("string").alias("item"),
+        "rnk",
+        F.col("bm25").alias("score"),
+        F.lit(None).cast("boolean").alias("is_duplicate"),
+        F.lit(None).cast("string").alias("dup_of"),
+    )
+    c = q_dedup_forget(spark, sf_dir).select(
+        F.lit("dedup").alias("method"),
+        F.lit(None).cast("long").alias("query_id"),
+        F.col("doc_id").alias("item"),
+        F.lit(None).cast("int").alias("rnk"),
+        F.col("jaccard").alias("score"),
+        "is_duplicate",
+        "dup_of",
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+def q_annotate_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotation-aggregation panel (round-8 merge of label_vote +
+    rater_agreement): per-item majority labels beside pairwise Cohen's
+    kappa and the corpus Fleiss' kappa — the labeled-data curation
+    loop's vote∘agreement legs in one slot."""
+    v = q_label_vote(spark, sf_dir).select(
+        F.lit("vote").alias("method"),
+        "item_id",
+        "voted_label",
+        F.lit(None).cast("long").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        "n_agree",
+        F.col("n_votes").alias("n"),
+        F.col("agreement").alias("m1"),
+        F.lit(None).cast("double").alias("m2"),
+        F.lit(None).cast("double").alias("m3"),
+    )
+    k = q_rater_agreement(spark, sf_dir).select(
+        "method",
+        F.lit(None).cast("long").alias("item_id"),
+        F.lit(None).cast("int").alias("voted_label"),
+        "a",
+        "b",
+        F.lit(None).cast("long").alias("n_agree"),
+        "n",
+        F.col("po").alias("m1"),
+        F.col("pe").alias("m2"),
+        F.col("kappa").alias("m3"),
+    )
+    return v.unionByName(k)
+
+
 # Ordering is deliberate: the round-1 driver evaluated only the FIRST 50
 # entries, so the SURVEY §2-core battery comes first, then the rest of the
 # §2-verifying queries, then the LLM-pipeline set; redundant engine extras
@@ -5971,15 +6181,28 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # row the merged components witnessed keeps its in-window witness
     # inside the merged query, and all demoted queries stay
     # oracle-checked at 51+.
+    # Round-8 window reshuffle (merge-rule round 7, per the round-7
+    # verdict): five same-family pairs fold into method-tagged panels —
+    # semi_anti_join+set_ops → set_algebra, decontaminate+split_leakage
+    # → contamination_panel, train_classifier+classifier_eval →
+    # classifier_panel, ann_pruned+adc_ann → ann_panel,
+    # embedding_dedup+semdedup → semdedup_panel — and the round-7
+    # governance/curation families promote in-window: forget_panel
+    # (ann_forget+bm25_forget+dedup_forget — index unlearning across
+    # all three persisted indexes), annotate_panel (label_vote+
+    # rater_agreement), forget_flow, dsir_select, kanon_audit.  No sole
+    # §2/LLM witness evicted: every merged component's rows stay
+    # witnessed inside its panel, and all components remain
+    # oracle-checked standalone at 51+.
     "stats_panel": q_stats_panel,
     "latest_per_user": q_latest_per_user,
     "top_per_group": q_top_per_group,
     "broadcast_lookup": q_broadcast_lookup,
-    "semi_anti_join": q_semi_anti_join,
+    "set_algebra": q_set_algebra,
     "asof_join": q_asof_join,
     "rollup_pricing": q_rollup_pricing,
     "window_deltas": q_window_deltas,
-    "set_ops": q_set_ops,
+    "forget_panel": q_forget_panel,
     "dedup_exact": q_dedup_exact,
     # Round-7 window reshuffle (merge-rule round 6, per the round-6
     # verdict): channel_stats joins stats_panel as its third ('plain')
@@ -5997,7 +6220,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # carries the trainable quality classifier (the session's most
     # novel capability: GD training replayed by an unrolled oracle).
     "kv_register_image": q_kv_register_image,
-    "train_classifier": q_train_classifier,
+    "classifier_panel": q_classifier_panel,
     # --- remaining SURVEY §2 verifying queries ---
     "report_scan": q_report_scan,
     "upload_dedup": q_upload_dedup,
@@ -6026,8 +6249,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle-checked at 51+.
     "minhash_dedup": q_minhash_dedup,
     "neardup_signals": q_neardup_signals,
-    "embedding_dedup": q_embedding_dedup,
-    "ann_pruned": q_ann_pruned,
+    "semdedup_panel": q_semdedup_panel,
+    "ann_panel": q_ann_panel,
     "suffix_dedup": q_suffix_dedup,
     "text_profile": q_text_profile,
     # Round-4 merge: winnowing joins the neardup_signals panel as its
@@ -6036,20 +6259,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # shared merge-table cache).
     "bpe_segment": q_bpe_segment,
     "sketch_sanity": q_sketch_sanity,
-    "decontaminate": q_decontaminate,
+    "contamination_panel": q_contamination_panel,
     "paragraph_dedup": q_paragraph_dedup,
     # --- flagship E2E + round-2/3 flagships 40-50 ---
     "e1_flagship": q_e1_flagship,
-    "semdedup": q_semdedup,
-    # Round-4 merge: pq_ann + ivfpq_ann fold into adc_ann (flat ADC
-    # baseline + IVF-pruned production plan, method-tagged) — the
-    # second freed slot carries hybrid RRF retrieval fusion at 50.
-    "adc_ann": q_adc_ann,
+    "annotate_panel": q_annotate_panel,
+    "forget_flow": q_forget_flow,
     "timeseries_interp": q_timeseries_interp,
     "robust_outliers": q_robust_outliers,
     "pagerank": q_pagerank,
     "ngram_lm": q_ngram_lm,
-    "split_leakage": q_split_leakage,
+    "dsir_select": q_dsir_select,
     "hybrid_rrf": q_hybrid_rrf,
     # --- round-5 promotions: the round-4 flagship classes that only
     # had local-mirror evidence ---
@@ -6066,7 +6286,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # evaluation, classifier evaluation incl. exact tie-aware ROC-AUC,
     # and the winnowing 100 TB budget lever's full SQL replay) ---
     "retrieval_metrics": q_retrieval_metrics,
-    "classifier_eval": q_classifier_eval,
+    "kanon_audit": q_kanon_audit,
     "suffix_budget": q_suffix_budget,
     # ---- position 51+: second witnesses / engine extras --------------------
     # (first in line if the driver window ever widens.  The round-4
@@ -6091,6 +6311,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Round-7 demotions (merge-rule round 6): A1-plain via
     # stats_panel's 'plain' leg, P4/P5 + P3 via gate_panel's two legs,
     # P9 via scalar_panel's raw/coerced/coerced_ts columns.
+    # Round-8 demotions (merge-rule round 7): every row each one
+    # witnessed keeps its in-window witness inside the merged panel —
+    # semi/anti joins + intersect/except via set_algebra, benchmark
+    # decontamination + split leakage via contamination_panel,
+    # classifier train/eval via classifier_panel, all five ANN
+    # strategies via ann_panel, pairwise + cluster-scoped embedding
+    # dedup via semdedup_panel.
+    "semi_anti_join": q_semi_anti_join,
+    "set_ops": q_set_ops,
+    "decontaminate": q_decontaminate,
+    "split_leakage": q_split_leakage,
+    "train_classifier": q_train_classifier,
+    "classifier_eval": q_classifier_eval,
+    "ann_pruned": q_ann_pruned,
+    "adc_ann": q_adc_ann,
+    "embedding_dedup": q_embedding_dedup,
+    "semdedup": q_semdedup,
     "channel_stats": q_channel_stats,
     "alignment_gate": q_alignment_gate,
     "transient_skip": q_transient_skip,
@@ -6280,27 +6517,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round 7: Bloom manifests in the versioned commit log —
     # point-lookup pruning composed with time travel ---
     "bloom_travel": q_bloom_travel,
-    # --- round 7: right-to-be-forgotten propagation (DELETE → CDC →
-    # IVM view retirement; vacuum story in examples/gdpr_forget.py) ---
-    "forget_flow": q_forget_flow,
-    # --- round 7: index unlearning — the forget leg for the persisted
-    # retrieval indexes (tombstone serve ≡ compacted serve ≡ rebuild) ---
+    # --- round 7: index unlearning — the forget legs for the three
+    # persisted indexes (tombstone serve ≡ compacted serve ≡ rebuild;
+    # forget_panel carries all three in-window since round 8, and
+    # forget_flow / dsir_select / kanon_audit promoted in-window) ---
     "ann_forget": q_ann_forget,
     "bm25_forget": q_bm25_forget,
     # --- round 7: annotation aggregation — majority vote, rater
-    # agreement (Cohen/Fleiss), Dawid-Skene EM (rows-only) ---
+    # agreement (Cohen/Fleiss; both in-window via annotate_panel since
+    # round 8), Dawid-Skene EM (rows-only) ---
     "label_vote": q_label_vote,
     "rater_agreement": q_rater_agreement,
     "ds_labels": q_ds_labels,
-    # --- round 7: training-data curation — DPO preference-pair mining
-    # and DSIR importance-resampling weights ---
+    # --- round 7: training-data curation — DPO preference-pair mining ---
     "pref_pairs": q_pref_pairs,
-    "dsir_select": q_dsir_select,
-    # --- round 7: index unlearning for the dedup-admission index
-    # (right-to-be-forgotten across all three persisted indexes) ---
+    # --- round 7: index unlearning for the dedup-admission index ---
     "dedup_forget": q_dedup_forget,
-    # --- round 7: k-anonymity / l-diversity pre-release audit ---
-    "kanon_audit": q_kanon_audit,
 }
 
 
@@ -11882,6 +12114,102 @@ ORACLES["scalar_panel"] = r"""
            ts + INTERVAL 70 MINUTE AS window_end_berlin
     FROM base
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-8 window-surgery panel oracles: each merged panel's oracle is
+# the UNION ALL of its components' (already-green) oracles wrapped
+# with the method tag and typed NULL padding — built by string
+# concatenation (never f-strings: component SQL contains literal
+# regex braces).  Placed after every component assignment so the
+# referenced ORACLES entries all exist.
+# ---------------------------------------------------------------------------
+
+ORACLES["set_algebra"] = (
+    "SELECT 'semi_anti' AS method, c_mktsegment AS grp_key,"
+    " n_active_customers, n_inactive_customers FROM ("
+    + ORACLES["semi_anti_join"]
+    + ") UNION ALL SELECT 'intersect_except', CAST(user_id AS VARCHAR),"
+    " CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM ("
+    + ORACLES["set_ops"]
+    + ")"
+)
+
+ORACLES["contamination_panel"] = (
+    "SELECT 'ngram_overlap' AS method, doc_id, n_grams, n_hits,"
+    " overlap_ratio AS ratio, contaminated AS flagged,"
+    " CAST(NULL AS BIGINT) AS dup_of FROM ("
+    + ORACLES["decontaminate"]
+    + ") UNION ALL SELECT 'split_leakage', doc_id, CAST(NULL AS INT),"
+    " CAST(NULL AS BIGINT), jaccard, leaked, train_dup_of FROM ("
+    + ORACLES["split_leakage"]
+    + ")"
+)
+
+ORACLES["classifier_panel"] = (
+    "SELECT 'train' AS method, feature, w_scaled,"
+    " CAST(NULL AS BIGINT) AS tp, CAST(NULL AS BIGINT) AS fp,"
+    " CAST(NULL AS BIGINT) AS fn, CAST(NULL AS BIGINT) AS tn,"
+    " CAST(NULL AS DOUBLE) AS accuracy, CAST(NULL AS DOUBLE) AS \"precision\","
+    " CAST(NULL AS DOUBLE) AS recall, CAST(NULL AS DOUBLE) AS f1,"
+    " CAST(NULL AS DOUBLE) AS kappa, CAST(NULL AS DOUBLE) AS auc FROM ("
+    + ORACLES["train_classifier"]
+    + ") UNION ALL SELECT 'eval', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),"
+    " tp, fp, fn, tn, accuracy, \"precision\", recall, f1, kappa, auc FROM ("
+    + ORACLES["classifier_eval"]
+    + ")"
+)
+
+ORACLES["ann_panel"] = (
+    "SELECT 'pruned_' || method AS method, query_id, neighbor_id,"
+    " cos_sim, rnk FROM ("
+    + ORACLES["ann_pruned"]
+    + ") UNION ALL SELECT 'adc_' || method, query_id, neighbor_id,"
+    " cos_sim, rnk FROM ("
+    + ORACLES["adc_ann"]
+    + ")"
+)
+
+ORACLES["semdedup_panel"] = (
+    "SELECT 'pairwise' AS method, part, id_a, id_b, cos_sim,"
+    " CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS INT) AS cluster,"
+    " CAST(NULL AS BOOLEAN) AS is_duplicate,"
+    " CAST(NULL AS BIGINT) AS dup_of FROM ("
+    + ORACLES["embedding_dedup"]
+    + ") UNION ALL SELECT 'semdedup', CAST(NULL AS INT),"
+    " CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),"
+    " vec_id, cluster, is_duplicate, dup_of FROM ("
+    + ORACLES["semdedup"]
+    + ")"
+)
+
+ORACLES["forget_panel"] = (
+    "SELECT 'ann' AS method, query_id, CAST(neighbor_id AS VARCHAR) AS item,"
+    " rnk, cos_sim AS score, CAST(NULL AS BOOLEAN) AS is_duplicate,"
+    " CAST(NULL AS VARCHAR) AS dup_of FROM ("
+    + ORACLES["ann_forget"]
+    + ") UNION ALL SELECT 'bm25', CAST(NULL AS BIGINT),"
+    " CAST(doc_id AS VARCHAR), rnk, bm25, CAST(NULL AS BOOLEAN),"
+    " CAST(NULL AS VARCHAR) FROM ("
+    + ORACLES["bm25_forget"]
+    + ") UNION ALL SELECT 'dedup', CAST(NULL AS BIGINT), doc_id,"
+    " CAST(NULL AS INT), jaccard, is_duplicate, dup_of FROM ("
+    + ORACLES["dedup_forget"]
+    + ")"
+)
+
+ORACLES["annotate_panel"] = (
+    "SELECT 'vote' AS method, item_id, voted_label,"
+    " CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b, n_agree,"
+    " n_votes AS n, agreement AS m1, CAST(NULL AS DOUBLE) AS m2,"
+    " CAST(NULL AS DOUBLE) AS m3 FROM ("
+    + ORACLES["label_vote"]
+    + ") UNION ALL SELECT method, CAST(NULL AS BIGINT),"
+    " CAST(NULL AS INT), a, b, CAST(NULL AS BIGINT), n, po, pe, kappa"
+    " FROM ("
+    + ORACLES["rater_agreement"]
+    + ")"
+)
 
 
 def oracle_sql() -> dict[str, str]:

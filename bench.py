@@ -225,6 +225,15 @@ HEADLINE = [
     "dedup_forget",
     # round-7 k-anonymity / l-diversity pre-release audit
     "kanon_audit",
+    # round-8 merged driver-window panels (components stay benched
+    # above for round-over-round continuity)
+    "set_algebra",
+    "contamination_panel",
+    "classifier_panel",
+    "ann_panel",
+    "semdedup_panel",
+    "forget_panel",
+    "annotate_panel",
 ]
 
 
