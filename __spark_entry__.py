@@ -2510,18 +2510,24 @@ def _unigram_pieces_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_unigram_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenizer training (Kudo 2018 / SentencePiece, hard-
-    EM): substring seeding and every EM iteration run on the distinct-
-    word table, never the corpus; Viterbi uses integer-quantized
-    log-probs with total-order tie-breaks, so the learned vocabulary is
-    bit-stable under any partitioning (tested).  Rows-only — iterative
-    driver-held state, the BPE-merges class."""
+    EM; ORACLE-checked since round 8): substring seeding and every EM
+    iteration run on the distinct-word table, never the corpus;
+    Viterbi uses integer-quantized log-probs with total-order
+    tie-breaks, so the learned vocabulary is bit-stable under any
+    partitioning (tested).  The oracle replays the FULL fit in DuckDB
+    — seeding, both hard-EM iterations (per-position DP as unrolled
+    MATERIALIZED CTEs + recursive backtrack for the usage counts), the
+    char-floor/shrink pruning, and the 1e6-quantized ln scores."""
     return _unigram_pieces_cached(spark, sf_dir)
 
 
 def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the learned unigram vocabulary: per-doc Viterbi token
     count + compression ratio — Arrow kernel with per-batch word
-    memoization (the bpe_segment serving shape).  Rows-only."""
+    memoization (the bpe_segment serving shape).  ORACLE-checked since
+    round 8: the oracle retrains the vocabulary in SQL (see
+    unigram_pieces) and re-runs the integer Viterbi per distinct word,
+    joining token counts back to the corpus."""
     from sparkgraft.operators.unigram import unigram_segment
 
     docs = _t(spark, sf_dir, "documents")
@@ -10259,6 +10265,185 @@ ORACLES["maxsim_rerank"] = """
 # replacement; per-symbol wrapping means consecutive matches never
 # share a delimiter).  Tie-break on ``l || chr(31) || r`` matches the
 # Spark side's concat_ws ordering exactly.
+# ---------------------------------------------------------------------------
+# Unigram-LM oracle (round 8, upgrading unigram_pieces/unigram_segment
+# from rows-only): a FULL DuckDB replay of train_unigram(vocab_size=256,
+# iters=2) + the Viterbi segmenter — the BPE-oracle discipline extended
+# to dynamic programming.  Each Viterbi pass unrolls the per-position
+# DP as MATERIALIZED CTEs (d1..dL; DuckDB inlines plain CTEs, and the
+# d-chain's 6-way references would blow up 6^L without materialization)
+# picking per (word, prefix) the best (score DESC, ntok ASC, piece_len
+# DESC) candidate — exactly _viterbi's integer total order
+# (operators/unigram.py:39).  The E-step piece-usage counts come from a
+# recursive backtrack walk over the stored split choices; the M-step
+# (char floor, multi top-k by (cnt DESC, piece), shrink 4/5, final
+# 256-char budget) and the 1e6-quantized ln scores replay
+# _scores_from_counts verbatim.  Corpus words are bounded (L=16 covers
+# every SF's vocabulary), so the whole program is vocabulary-sized.
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_L = 16
+
+
+def _unigram_viterbi_ctes(tag: str, score_cte: str) -> str:
+    ctes = [
+        f"""{tag}_d0 AS MATERIALIZED (
+        SELECT word, CAST(0 AS BIGINT) AS score, 0 AS ntok, 0 AS pl
+        FROM uwords
+    )"""
+    ]
+    for i in range(1, _UNIGRAM_L + 1):
+        branches = []
+        for ln in range(1, min(6, i) + 1):
+            branches.append(
+                f"""SELECT d.word, d.score + s.score AS score,
+                   d.ntok + 1 AS ntok, {ln} AS pl
+            FROM {tag}_d{i - ln} d JOIN {score_cte} s
+              ON s.piece = substr(d.word, {i - ln + 1}, {ln})
+            WHERE length(d.word) >= {i}"""
+            )
+        union = "\n            UNION ALL\n            ".join(branches)
+        ctes.append(
+            f"""{tag}_d{i} AS MATERIALIZED (
+        SELECT word, score, ntok, pl FROM (
+            SELECT word, score, ntok, pl,
+                   row_number() OVER (PARTITION BY word
+                       ORDER BY score DESC, ntok ASC, pl DESC) AS rn
+            FROM (
+            {union}
+            )
+        ) WHERE rn = 1
+    )"""
+        )
+    alls = " UNION ALL ".join(
+        f"SELECT word, {i} AS i, score, ntok, pl FROM {tag}_d{i}"
+        for i in range(1, _UNIGRAM_L + 1)
+    )
+    ctes.append(f"{tag}_all AS MATERIALIZED ({alls})")
+    return ",\n    ".join(ctes)
+
+
+def _unigram_usage_ctes(tag: str) -> str:
+    return f"""{tag}_walk AS (
+        SELECT word, CAST(length(word) AS INTEGER) AS i, pl
+        FROM {tag}_all WHERE i = length(word)
+        UNION ALL
+        SELECT w.word, CAST(w.i - w.pl AS INTEGER) AS i, d.pl
+        FROM {tag}_walk w JOIN {tag}_all d
+          ON d.word = w.word AND d.i = w.i - w.pl
+        WHERE w.i - w.pl > 0
+    ),
+    {tag}_usage AS MATERIALIZED (
+        SELECT substr(w.word, w.i - w.pl + 1, w.pl) AS piece,
+               sum(v.n) AS cnt
+        FROM {tag}_walk w JOIN uwords v ON v.word = w.word
+        GROUP BY 1
+    )"""
+
+
+def _unigram_score_cte(name: str, pieces_cte: str) -> str:
+    return f"""{name} AS MATERIALIZED (
+        SELECT piece,
+               CAST(round(ln(CAST(cnt AS DOUBLE)
+                             / (SELECT CAST(sum(cnt) AS DOUBLE)
+                                FROM {pieces_cte})) * 1000000, 0)
+                    AS BIGINT) AS score
+        FROM {pieces_cte} WHERE cnt > 0
+    )"""
+
+
+def _unigram_mstep_ctes(k: int, usage: str, last: bool) -> str:
+    if last:
+        target = "greatest(0, 256 - (SELECT count(*) FROM uchars))"
+    else:
+        target = (
+            "greatest(256 - (SELECT count(*) FROM uchars), "
+            f"((SELECT count(*) FROM up{k}_multi) * 4) // 5)"
+        )
+    return f"""up{k}_chars AS MATERIALIZED (
+        SELECT c.piece, greatest(coalesce(u.cnt, 0), 1) AS cnt
+        FROM uchars c LEFT JOIN {usage} u ON u.piece = c.piece
+    ),
+    up{k}_multi AS MATERIALIZED (
+        SELECT piece, cnt,
+               row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rk
+        FROM {usage} WHERE length(piece) > 1
+    ),
+    up{k} AS MATERIALIZED (
+        SELECT piece, cnt FROM up{k}_chars
+        UNION ALL
+        SELECT piece, cnt FROM up{k}_multi WHERE rk <= ({target})
+    ),
+    {_unigram_score_cte(f"us{k}", f"up{k}")}"""
+
+
+def _unigram_oracle_sql(final_select: str) -> str:
+    parts = [
+        """uwords AS MATERIALIZED (
+        SELECT word, count(*) AS n
+        FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
+              FROM documents)
+        WHERE length(word) > 0
+        GROUP BY word
+    )""",
+        f"""useed AS MATERIALIZED (
+        SELECT piece, sum(n) AS cnt
+        FROM (
+            SELECT v.n, substr(v.word, t.i, l.pl) AS piece
+            FROM uwords v,
+                 UNNEST(generate_series(1, {_UNIGRAM_L})) AS t(i),
+                 UNNEST(generate_series(1, 6)) AS l(pl)
+            WHERE t.i + l.pl - 1 <= length(v.word)
+        )
+        GROUP BY piece
+    )""",
+        """uchars AS MATERIALIZED (
+        SELECT piece, cnt FROM useed WHERE length(piece) = 1
+    )""",
+        """useed_multi AS MATERIALIZED (
+        SELECT piece, cnt FROM useed WHERE length(piece) > 1
+        ORDER BY cnt DESC, piece ASC LIMIT 4096
+    )""",
+        """up0 AS MATERIALIZED (SELECT piece, cnt FROM uchars
+               UNION ALL SELECT piece, cnt FROM useed_multi)""",
+        _unigram_score_cte("us0", "up0"),
+        _unigram_viterbi_ctes("u1", "us0"),
+        _unigram_usage_ctes("u1"),
+        _unigram_mstep_ctes(1, "u1_usage", last=False),
+        _unigram_viterbi_ctes("u2", "us1"),
+        _unigram_usage_ctes("u2"),
+        _unigram_mstep_ctes(2, "u2_usage", last=True),
+        _unigram_viterbi_ctes("u3", "us2"),
+        """uwtok AS MATERIALIZED (
+        SELECT word, ntok FROM u3_all WHERE i = length(word)
+    )""",
+        """useg AS MATERIALIZED (
+        SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+               length(d.text) AS n_chars, w.word
+        FROM documents d,
+             UNNEST(regexp_split_to_array(d.text, '\\s+')) AS w(word)
+        WHERE length(w.word) > 0
+    )""",
+    ]
+    return "WITH RECURSIVE " + ",\n    ".join(parts) + "\n" + final_select
+
+
+ORACLES["unigram_pieces"] = _unigram_oracle_sql(
+    """SELECT p.piece, CAST(p.cnt AS BIGINT) AS freq,
+              s.score AS score_scaled
+       FROM up2 p JOIN us2 s USING (piece)"""
+)
+
+ORACLES["unigram_segment"] = _unigram_oracle_sql(
+    """SELECT g.doc_id,
+              CAST(sum(t.ntok) AS BIGINT) AS n_tokens,
+              CAST(any_value(g.n_chars) AS BIGINT) AS n_chars,
+              round(any_value(g.n_chars) / sum(t.ntok), 4) AS chars_per_token
+       FROM useg g JOIN uwtok t USING (word)
+       GROUP BY g.doc_id"""
+)
+
+
 def _bpe_oracle_ctes(n_merges: int) -> str:
     s = "chr(31)"
     ctes = [
