@@ -5588,28 +5588,44 @@ def q_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash image near-dup (rows-only — the DCT kernel isn't
-    SQL-mirrorable; brute-force parity is pytest-asserted): doc_id-
-    seeded FIMG images generated executor-side, every 7th doc paired
-    with a one-pixel-nudged copy (id + 10⁶), pHash → banded Hamming
-    join → exact bit_count verify.  Returns the detected pairs."""
+    """Perceptual-hash image near-dup (ORACLE-checked since round 8):
+    doc_id-seeded FIMG images generated executor-side (pixel row y of
+    image d = the md5 digest bytes of "d:y" — the engine's portable
+    hash toolkit, so the oracle regenerates identical pixels in SQL),
+    every 7th doc paired with a one-pixel-nudged copy (id + 10⁶),
+    pHash → banded Hamming join → exact bit_count verify.  The DCT is
+    an integer fixed-point basis matmul (multimodal.dct_basis_int), so
+    the oracle replays hash, banding and verify bit-for-bit with the
+    collapsed 8×16 basis as SQL literals.  Returns the detected
+    pairs."""
     from sparkgraft.operators.multimodal import image_phash, phash_neardup
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches):
+        import hashlib
+
         import numpy as np
         import pandas as pd
 
         from sparkgraft.operators.multimodal import encode_fake_image
 
+        def pixels(did: int) -> "np.ndarray":
+            return np.stack(
+                [
+                    np.frombuffer(
+                        hashlib.md5(f"{did}:{y}".encode()).digest(),
+                        dtype=np.uint8,
+                    )
+                    for y in range(16)
+                ]
+            )
+
         for pdf in batches:
             ids, blobs = [], []
             for did in pdf["doc_id"]:
                 did = int(did)
-                px = np.random.RandomState(did).randint(
-                    0, 256, size=(16, 16)
-                ).astype(np.uint8)
+                px = pixels(did)
                 ids.append(did)
                 blobs.append(encode_fake_image(16, 16, px.tobytes()))
                 if did % 7 == 0:
@@ -12395,6 +12411,107 @@ ORACLES["annotate_panel"] = (
     + ORACLES["rater_agreement"]
     + ")"
 )
+
+
+def _phash_oracle_sql() -> str:
+    """DuckDB replay of ``q_phash_dedup``, exact by construction:
+
+    - pixels regenerate in SQL from the same md5 bytes the Spark-side
+      fixture generator uses (row y of image d = digest of "d:y");
+    - the 2-D DCT collapses to an 8x16 integer basis: the 16x16 image
+      NN-upsamples to 32x32 by index duplication, so
+      ``d[:8,:8] = C @ px @ C.T`` with ``C[k][y] = B[k][2y] +
+      B[k][2y+1]`` (B = multimodal.dct_basis_int(32) — the SAME int64
+      table the kernel multiplies by, inlined here as literals);
+    - every comparison stays integer (|low| < 2^48, median test is
+      ``2*d > s31+s32``), so hash, two's-complement pack, banding and
+      ``bit_count`` verify are bit-identical across engines.
+    """
+    from sparkgraft.operators.multimodal import dct_basis_int
+
+    B = dct_basis_int(32)
+    basis_rows = ", ".join(
+        f"({k}, {y}, {int(B[k, 2 * y]) + int(B[k, 2 * y + 1])})"
+        for k in range(8)
+        for y in range(16)
+    )
+    return (
+        """WITH media AS (
+    SELECT doc_id AS media_id, doc_id AS src, FALSE AS nudged
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, doc_id, TRUE
+    FROM documents WHERE doc_id % 7 = 0
+),
+coords AS (SELECT t1.range AS y, t2.range AS x FROM range(16) t1, range(16) t2),
+pixels AS (
+    SELECT m.media_id, c.y, c.x,
+           CASE WHEN m.nudged AND c.y = 5 AND c.x = 5
+                THEN least(255, raw.p + 2) ELSE raw.p END AS p
+    FROM media m, coords c,
+         LATERAL (SELECT CAST(concat('0x', substr(
+                    md5(concat(m.src, ':', c.y)), 2 * c.x + 1, 2)) AS INT)
+                  AS p) raw
+),
+basis(k, y, c) AS (VALUES """
+        + basis_rows
+        + """),
+rowt AS (
+    SELECT p.media_id, b.k AS u, p.x,
+           SUM(CAST(b.c AS BIGINT) * p.p) AS t
+    FROM pixels p JOIN basis b ON b.y = p.y
+    GROUP BY p.media_id, b.k, p.x
+),
+low AS (
+    SELECT t.media_id, t.u, b.k AS v,
+           CAST(SUM(CAST(b.c AS BIGINT) * t.t) AS BIGINT) AS d
+    FROM rowt t JOIN basis b ON b.y = t.x
+    GROUP BY t.media_id, t.u, b.k
+),
+med AS (
+    SELECT media_id,
+           SUM(CASE WHEN rn IN (32, 33) THEN d ELSE 0 END) AS mid2
+    FROM (SELECT media_id, d,
+                 row_number() OVER (PARTITION BY media_id ORDER BY d) AS rn
+          FROM low)
+    GROUP BY media_id
+),
+hashes AS (
+    SELECT l.media_id,
+           CAST(SUM(CASE WHEN 2 * l.d > m.mid2 THEN
+                    CASE WHEN l.u = 0 AND l.v = 0
+                         THEN CAST(-9223372036854775808 AS HUGEINT)
+                         ELSE CAST(CAST(1 AS BIGINT)
+                                   << (63 - (8 * l.u + l.v)) AS HUGEINT)
+                    END ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS h
+    FROM low l JOIN med m USING (media_id)
+    GROUP BY l.media_id
+),
+banded AS (
+    SELECT h.media_id AS id, h.h, bands.b AS band,
+           CAST(((CAST(h.h AS HUGEINT)
+                  + CASE WHEN h.h < 0
+                         THEN CAST(18446744073709551616 AS HUGEINT)
+                         ELSE CAST(0 AS HUGEINT) END)
+                 // bands.pw) % 65536 AS BIGINT) AS bucket
+    FROM hashes h,
+         (VALUES (0, CAST(1 AS HUGEINT)), (1, CAST(65536 AS HUGEINT)),
+                 (2, CAST(4294967296 AS HUGEINT)),
+                 (3, CAST(281474976710656 AS HUGEINT))) AS bands(b, pw)
+),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.h AS ha, b.h AS hb
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.id < b.id
+)
+SELECT id_a, id_b, bit_count(xor(ha, hb)) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= 3"""
+    )
+
+
+ORACLES["phash_dedup"] = _phash_oracle_sql()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -327,6 +327,23 @@ def video_frame_sample(
 PHASH_SCHEMA = "media_id long, phash long"
 
 
+_DCT_SCALE = 1 << 17
+
+
+def dct_basis_int(n: int, scale: int = _DCT_SCALE) -> "np.ndarray":
+    """Orthonormal DCT-II basis quantized to ``scale`` fixed point
+    (int64).  Shared by the pHash kernel AND the DuckDB oracle's
+    literal generation, so the two sides use the SAME integers by
+    construction.  At scale 2^17 with 8-bit pixels and n ≤ 32 the full
+    d = B·P·Bᵀ stays below 2^49 — exact in int64 AND below 2^53, so
+    every downstream comparison is representation-independent."""
+    kk = np.arange(n)[:, None]
+    nn = np.arange(n)[None, :]
+    basis = np.sqrt(2.0 / n) * np.cos(np.pi * (nn + 0.5) * kk / n)
+    basis[0] *= np.sqrt(0.5)
+    return np.round(basis * scale).astype(np.int64)
+
+
 def image_phash(
     media: DataFrame,
     hash_size: int = 8,
@@ -335,9 +352,13 @@ def image_phash(
     bytes_col: str = "data",
 ) -> DataFrame:
     """Perceptual hash (pHash) for an image binary column: NN-downsample
-    to (hash_size*highfreq_factor)², orthonormal 2-D DCT-II (numpy
-    basis matmul — no scipy), threshold the top-left low-frequency
-    block at its median, pack 64 bits into one long.
+    to (hash_size*highfreq_factor)², orthonormal 2-D DCT-II via an
+    integer fixed-point basis matmul (2^17 quantization — EXACT int64
+    arithmetic, so the hash is bit-identical across engines, summation
+    orders and BLAS builds; round 8 replaced the float matmul for this
+    reason), threshold the top-left low-frequency block at its integer
+    median (2·d > s₃₁+s₃₂ — no float ever forms), pack 64 bits into
+    one long.
 
     The hash is robust to resizing/brightness scaling and small pixel
     noise — the standard image near-dup signature (the visual analog of
@@ -347,10 +368,7 @@ def image_phash(
     n = hash_size * highfreq_factor
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        kk = np.arange(n)[:, None]
-        nn = np.arange(n)[None, :]
-        basis = np.sqrt(2.0 / n) * np.cos(np.pi * (nn + 0.5) * kk / n)
-        basis[0] *= np.sqrt(0.5)
+        basis = dct_basis_int(n)
         for pdf in batches:
             ids, hashes = [], []
             for mid, blob in zip(pdf[id_col], pdf[bytes_col]):
@@ -366,10 +384,12 @@ def image_phash(
                 ).reshape(h, w)
                 ys = (np.arange(n) * h) // n
                 xs = (np.arange(n) * w) // n
-                plane = px[np.ix_(ys, xs)].astype(np.float64)
+                plane = px[np.ix_(ys, xs)].astype(np.int64)
                 d = basis @ plane @ basis.T
-                low = d[:hash_size, :hash_size]
-                bits = (low > np.median(low)).flatten()
+                low = d[:hash_size, :hash_size].flatten()
+                s = np.sort(low)
+                mid2 = int(s[len(s) // 2 - 1]) + int(s[len(s) // 2])
+                bits = 2 * low > mid2  # low > median, in exact integers
                 v = 0
                 for b in bits:
                     v = (v << 1) | int(b)
