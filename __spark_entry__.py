@@ -2950,6 +2950,39 @@ def q_alarm_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return alarms
 
 
+def q_alert_escalation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert cooldown/escalation lifecycle (ORACLE-checked; round 8 —
+    the engine analog of the reference's alerting flow: retry after a
+    fixed cooldown while the condition persists, sevenio/main.py:28-31;
+    0/1 health flags cleared on recovery, README.txt:7-12; per-file
+    channel-max alarm triggers, udbf_file_analysis.py:94-154).
+
+    Daily per-event_type health evaluations — exact fixed-point mean
+    over the day's values > 50 — fold through alerts.alert_lifecycle
+    (cooldown 3 days, escalate after 3 consecutive alarming days):
+    raise / suppress / repeat-per-cooldown-bucket / escalate-once /
+    clear-with-ended-length.  Pure window functions; the evaluation
+    stream is (n_types × n_days) rows regardless of fact-table size."""
+    from sparkgraft.operators.alerts import alert_lifecycle
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(S.scaled_long(F.col("value"))).alias("sv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    evals = daily.select(
+        "event_type",
+        F.datediff(F.col("d"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+        (F.col("sv") > F.lit(50_000_000) * F.col("n")).alias("alarming"),
+    )
+    return alert_lifecycle(
+        evals, ["event_type"], "day", "alarming",
+        cooldown=3, escalate_after=3,
+    )
+
+
 def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 analytic battery: ntile, percent_rank, cume_dist,
     first/last_value over one deterministic ordering."""
@@ -6555,6 +6588,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pref_pairs": q_pref_pairs,
     # --- round 7: index unlearning for the dedup-admission index ---
     "dedup_forget": q_dedup_forget,
+    # --- round 8: alert cooldown/escalation — the last reference
+    # behavior without an engine analog (sevenio retry loop + health
+    # flags), as a batch-evaluation lifecycle fold ---
+    "alert_escalation": q_alert_escalation,
 }
 
 
@@ -12512,6 +12549,65 @@ WHERE bit_count(xor(ha, hb)) <= 3"""
 
 
 ORACLES["phash_dedup"] = _phash_oracle_sql()
+
+# alert_escalation: the lifecycle fold replayed with the same window
+# algebra — gaps-and-islands streaks, cooldown buckets from the streak
+# start (integral division; day >= start so floor == trunc on both
+# engines), grid-repeat on bucket advance, escalate at the 3rd
+# consecutive alarm, clear reports the ended streak's length.  The
+# alarm predicate is exact fixed-point (sum of round(value*1e6) vs
+# 50e6 * n), so no float crosses the engine boundary.
+ORACLES["alert_escalation"] = """
+WITH daily AS (
+    SELECT event_type,
+           date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+           sum(CAST(round(value * 1000000.0) AS BIGINT))
+             > 50000000 * count(*) AS alarming
+    FROM events GROUP BY 1, 2
+),
+seq AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY event_type ORDER BY day)
+           - row_number() OVER (PARTITION BY event_type, alarming
+                                ORDER BY day) AS grp,
+           lag(alarming) OVER (PARTITION BY event_type ORDER BY day)
+             AS prev_alarm
+    FROM daily
+),
+ann AS (
+    SELECT *,
+           CASE WHEN alarming THEN row_number() OVER w END AS len,
+           CASE WHEN alarming THEN
+                min(day) OVER (PARTITION BY event_type, alarming, grp)
+           END AS start_day
+    FROM seq
+    WINDOW w AS (PARTITION BY event_type, alarming, grp ORDER BY day)
+),
+buck AS (
+    SELECT *,
+           CASE WHEN alarming THEN (day - start_day) // 3 END AS bucket
+    FROM ann
+),
+act AS (
+    SELECT *,
+           CASE WHEN alarming THEN
+                    CASE WHEN len = 1 THEN 'raise'
+                         WHEN bucket > coalesce(lag(bucket) OVER w2, -1)
+                              THEN 'repeat'
+                         ELSE 'suppress' END
+                WHEN coalesce(prev_alarm, FALSE) THEN 'clear' END AS action,
+           CASE WHEN alarming THEN len
+                WHEN coalesce(prev_alarm, FALSE) THEN
+                     lag(len) OVER (PARTITION BY event_type ORDER BY day)
+                ELSE 0 END AS streak_len,
+           coalesce(len = 3, FALSE) AS escalated
+    FROM buck
+    WINDOW w2 AS (PARTITION BY event_type, alarming, grp ORDER BY day)
+)
+SELECT event_type, day, action,
+       CAST(streak_len AS BIGINT) AS streak_len, escalated
+FROM act WHERE action IS NOT NULL
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -225,6 +225,8 @@ HEADLINE = [
     "dedup_forget",
     # round-7 k-anonymity / l-diversity pre-release audit
     "kanon_audit",
+    # round-8 alert cooldown/escalation lifecycle
+    "alert_escalation",
     # round-8 merged driver-window panels (components stay benched
     # above for round-over-round continuity)
     "set_algebra",

@@ -1284,6 +1284,136 @@ def cusum_monitor(
     return writer.trigger(**trig).start()
 
 
+def alert_monitor(
+    stream,
+    key_col: str,
+    ts_col: str,
+    alarm_col: str,
+    checkpoint_dir: str,
+    sink,
+    cooldown: int,
+    escalate_after: int,
+    trigger: dict | None = None,
+):
+    """Streaming alert cooldown/escalation — the live form of
+    ``operators.alerts.alert_lifecycle`` (the reference's retry-after-
+    cooldown / escalate-while-unhealthy / clear-on-recovery flow,
+    ``sevenio/main.py:28-31`` + ``README.txt:7-12``).
+
+    Per-key state is FOUR scalars — ``(in_streak, streak_len,
+    streak_start, prev_bucket)`` — because the whole lifecycle is a
+    per-key fold over the evaluation stream; each batch runs the batch
+    operator distributed with the carried state broadcast in, and only
+    one carry-out row per key collects (the evaluation stream is
+    health-flag-sized, one row per key per batch, never fact-table-
+    sized).  State persists KEYED BY BATCH ID, so a foreachBatch
+    replay of batch N resumes from the pre-N snapshot instead of
+    double-advancing the fold (the cusum_monitor discipline).
+
+    Emitted events are bit-identical to ``alert_lifecycle`` run over
+    the union of all batches, PROVIDED evaluations arrive in ``ts``
+    order across batches (oldest-first single-flight, SURVEY §2.9
+    T1/O3); within a batch, order is free.  Keys are tracked as
+    strings.  ``sink(events_df, batch_id)`` receives that batch's
+    alert events.
+    """
+    import json
+    import os
+
+    from sparkgraft.operators.alerts import (
+        _annotate,
+        alert_carry_out,
+    )
+
+    state_file = os.path.join(checkpoint_dir, "alert_state.json")
+    state: dict = {"keys": {}, "batch_id": None, "prev_keys": None}
+    if os.path.exists(state_file):
+        with open(state_file) as fh:
+            stored = json.load(fh)
+        state.update(
+            keys=stored["keys"],
+            batch_id=stored.get("batch_id"),
+            prev_keys=stored.get("prev_keys"),
+        )
+
+    carry_schema = (
+        f"{key_col} string, in_streak boolean, streak_len0 long, "
+        "streak_start0 long, prev_bucket0 long"
+    )
+
+    def on_batch(batch, batch_id: int) -> None:
+        spark = batch.sparkSession
+        keys = (
+            state["prev_keys"]
+            if state["batch_id"] is not None
+            and batch_id == state["batch_id"]
+            and state["prev_keys"] is not None
+            else state["keys"]
+        )
+        carry = None
+        if keys:
+            carry = spark.createDataFrame(
+                [
+                    (kk, bool(st[0]), int(st[1]), st[2], st[3])
+                    for kk, st in keys.items()
+                ],
+                carry_schema,
+            )
+        evals = batch.select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.col(ts_col),
+            F.col(alarm_col),
+        )
+        ann = _annotate(
+            evals,
+            [key_col],
+            ts_col,
+            alarm_col,
+            cooldown,
+            escalate_after,
+            carry,
+        ).localCheckpoint()  # events + carry-out read it once each
+        events = ann.filter(F.col("action").isNotNull()).select(
+            key_col,
+            F.col("_ts").alias(ts_col),
+            "action",
+            "streak_len",
+            "escalated",
+        )
+        sink(events, batch_id)
+        out = alert_carry_out(ann, [key_col], carry).collect()
+        new_keys = dict(keys)
+        for r in out:  # bounded: one row per monitored key
+            new_keys[r[key_col]] = [
+                bool(r["in_streak"]),
+                int(r["streak_len0"]),
+                None if r["streak_start0"] is None else int(r["streak_start0"]),
+                None if r["prev_bucket0"] is None else int(r["prev_bucket0"]),
+            ]
+        if state["batch_id"] is None or batch_id != state["batch_id"]:
+            state["prev_keys"] = state["keys"]
+        state["keys"] = new_keys
+        state["batch_id"] = batch_id
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        tmp = state_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "keys": state["keys"],
+                    "prev_keys": state["prev_keys"],
+                    "batch_id": batch_id,
+                },
+                fh,
+            )
+        os.replace(tmp, state_file)
+
+    writer = stream.writeStream.foreachBatch(on_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    trig = trigger or {"availableNow": True}
+    return writer.trigger(**trig).start()
+
+
 def cdc_feed(
     spark,
     table_dir: str,
