@@ -3884,6 +3884,97 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "n_nationkey long, n_events long")
 
 
+def q_stream_alarm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming alarm correlation (ORACLE-checked; round 8 — the FULL
+    J2 flow): the reference's commented-out alarm chain
+    (udbf_file_analysis.py:94-154) pairs an alarmed 1 Hz file with its
+    same-basename 100 Hz file AND the +10 min end-of-window report,
+    waiting a bounded time for each and shipping whatever arrived when
+    the wait expires.  Here: three event-derived file streams fold
+    through joins.alarm_correlation_streams (chained left-outer
+    stream-stream interval joins; the watermark is the arrival
+    timeout, NULL-padded emission is the wait-expired dead-letter).
+    A far-future sentinel row on every stream advances the global
+    watermark so the AvailableNow drain flushes all real alarms —
+    drain ≡ batch left-join mirror, asserted in
+    tests/test_streaming_joins.py.  Per-(key, status) counts;
+    memoized per sf_dir like the other streaming fixtures."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from sparkgraft.streaming.joins import alarm_correlation_streams
+
+    cached = _FIXTURE_CACHE.get(("stream_alarm_join", sf_dir))
+    if cached is not None:
+        return spark.createDataFrame(
+            cached, "key long, status string, n long"
+        )
+
+    ev = _t(spark, sf_dir, "events")
+    trunc = F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    key = (F.col("user_id") % 50).alias("key")
+    sentinel = "2024-03-01 00:00:00"
+    legs = {
+        "alarms": (
+            ev.filter(F.col("event_id") % 97 == 0)
+            .select(key, trunc.alias("alarm_ts")),
+            "alarm_ts",
+        ),
+        "files": (
+            ev.filter(F.col("event_type") == "view")
+            .select(key, trunc.alias("file_ts")),
+            "file_ts",
+        ),
+        "reports": (
+            ev.filter(F.col("event_type") == "purchase")
+            .select(key, trunc.alias("report_ts")),
+            "report_ts",
+        ),
+    }
+    tmp = tempfile.mkdtemp(prefix="sparkgraft_alarmjoin_")
+    streams = {}
+    for name, (df, ts_col) in legs.items():
+        staged = df.unionByName(
+            spark.createDataFrame([(-1, sentinel)], f"key long, {ts_col} string")
+        )
+        staged.coalesce(1).write.mode("overwrite").option(
+            "header", "true"
+        ).csv(f"{tmp}/stage_{name}")
+        os.makedirs(f"{tmp}/{name}", exist_ok=True)
+        src = sorted(glob.glob(f"{tmp}/stage_{name}/part-*.csv"))[0]
+        shutil.move(src, f"{tmp}/{name}/data.csv")
+        streams[name] = (
+            spark.readStream.schema(f"key long, {ts_col} timestamp")
+            .option("header", "true")
+            .csv(f"{tmp}/{name}")
+        )
+    out = alarm_correlation_streams(
+        streams["alarms"], streams["files"], streams["reports"], "key",
+        file_window=(0, 900), report_window=(300, 1800),
+        watermark="60 seconds",
+    )
+    qname = f"alarmjoin_{abs(hash(tmp)) % 10**8}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = [
+        (r["key"], r["status"], r["n"])
+        for r in spark.sql(
+            f"SELECT key, status, count(*) AS n FROM {qname} "
+            "WHERE key >= 0 GROUP BY 1, 2"
+        ).collect()
+    ]
+    _FIXTURE_CACHE[("stream_alarm_join", sf_dir)] = rows
+    return spark.createDataFrame(rows, "key long, status string, n long")
+
+
 def q_backfill_dated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/S7 backfill (ORACLE-checked): drain a ``date=YYYY-MM-DD``
     partitioned landing zone with Trigger.AvailableNow, pruned to the
@@ -6592,6 +6683,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # behavior without an engine analog (sevenio retry loop + health
     # flags), as a batch-evaluation lifecycle fold ---
     "alert_escalation": q_alert_escalation,
+    # --- round 8: the full J2 alarm-correlation STREAMING witness
+    # (chained outer stream-stream joins + arrival-timeout dead-letter) ---
+    "stream_alarm_join": q_stream_alarm_join,
 }
 
 
@@ -12549,6 +12643,42 @@ WHERE bit_count(xor(ha, hb)) <= 3"""
 
 
 ORACLES["phash_dedup"] = _phash_oracle_sql()
+
+# stream_alarm_join: the AvailableNow drain of the chained outer
+# stream-stream joins equals the batch left-join mirror over the same
+# seconds-truncated inputs (the sentinel flushed every real alarm) —
+# so the oracle IS that mirror, in plain SQL.
+ORACLES["stream_alarm_join"] = """
+WITH a AS (
+    SELECT user_id % 50 AS key, date_trunc('second', ts) AS ats
+    FROM events WHERE event_id % 97 = 0
+),
+f AS (
+    SELECT user_id % 50 AS key, date_trunc('second', ts) AS fts
+    FROM events WHERE event_type = 'view'
+),
+r AS (
+    SELECT user_id % 50 AS key, date_trunc('second', ts) AS rts
+    FROM events WHERE event_type = 'purchase'
+),
+j AS (
+    SELECT a.key, f.fts, r.rts
+    FROM a
+    LEFT JOIN f ON f.key = a.key
+               AND f.fts >= a.ats
+               AND f.fts <= a.ats + INTERVAL 900 SECOND
+    LEFT JOIN r ON r.key = a.key
+               AND r.rts >= a.ats + INTERVAL 300 SECOND
+               AND r.rts <= a.ats + INTERVAL 1800 SECOND
+)
+SELECT key,
+       CASE WHEN fts IS NOT NULL AND rts IS NOT NULL THEN 'paired'
+            WHEN fts IS NOT NULL THEN 'file_only'
+            WHEN rts IS NOT NULL THEN 'report_only'
+            ELSE 'dead_letter' END AS status,
+       CAST(count(*) AS BIGINT) AS n
+FROM j GROUP BY 1, 2
+"""
 
 # alert_escalation: the lifecycle fold replayed with the same window
 # algebra — gaps-and-islands streaks, cooldown buckets from the streak

@@ -227,6 +227,8 @@ HEADLINE = [
     "kanon_audit",
     # round-8 alert cooldown/escalation lifecycle
     "alert_escalation",
+    # round-8 streaming alarm-correlation (full J2)
+    "stream_alarm_join",
     # round-8 merged driver-window panels (components stay benched
     # above for round-over-round continuity)
     "set_algebra",
