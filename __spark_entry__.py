@@ -3963,7 +3963,11 @@ def q_stream_alarm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # fail LOUDLY on a slow drain instead of memoizing a partial
+    # result for the whole session (the unreproducible-flake class)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stream_alarm_join drain did not finish in 600s")
     rows = [
         (r["key"], r["status"], r["n"])
         for r in spark.sql(
@@ -10526,12 +10530,24 @@ def _unigram_mstep_ctes(k: int, usage: str, last: bool) -> str:
 
 def _unigram_oracle_sql(final_select: str) -> str:
     parts = [
-        """uwords AS MATERIALIZED (
-        SELECT word, count(*) AS n
-        FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
-              FROM documents)
-        WHERE length(word) > 0
-        GROUP BY word
+        # the 1-row cross-joined guard ERRORS (lazily evaluated CASE)
+        # if any corpus word exceeds the seed-position bound — without
+        # it a longer word would silently diverge from the Spark
+        # trainer and surface as an inscrutable hash mismatch
+        f"""uwords AS MATERIALIZED (
+        SELECT w.word, w.n
+        FROM (SELECT word, count(*) AS n
+              FROM (SELECT unnest(regexp_split_to_array(text, '\\s+'))
+                      AS word FROM documents)
+              WHERE length(word) > 0
+              GROUP BY word) w,
+             (SELECT CASE WHEN max(length(word)) > {_UNIGRAM_L}
+                     THEN error('unigram oracle: corpus word longer than '
+                                || '{_UNIGRAM_L} chars breaks the seed '
+                                || 'enumeration bound (_UNIGRAM_L)')
+                     ELSE 1 END AS ok
+              FROM (SELECT unnest(regexp_split_to_array(text, '\\s+'))
+                      AS word FROM documents)) g
     )""",
         f"""useed AS MATERIALIZED (
         SELECT piece, sum(n) AS cnt

@@ -59,7 +59,7 @@ def _index_buckets(spark: SparkSession, index_dir: str, fallback: int) -> int:
     would make later serves prune postings with mismatched bucket ids
     and silently drop matches.  Raises if neither the derived
     candidate nor the caller's value reproduces the layout."""
-    st = spark.read.parquet(f"{index_dir}/stats")
+    st = _read_artifact(spark, index_dir, "stats")
     if "n_buckets" in st.columns:
         return int(st.first()["n_buckets"])
     import os
@@ -67,13 +67,12 @@ def _index_buckets(spark: SparkSession, index_dir: str, fallback: int) -> int:
 
     seen = set()
     for sub in ("terms", "postings"):
-        p = f"{index_dir}/{sub}"
-        if os.path.isdir(p):
+        for p in _live_paths(index_dir, sub):
             for n in os.listdir(p):
                 m = re.fullmatch(r"bucket=(\d+)", n)
                 if m:
                     seen.add(int(m.group(1)))
-    terms = spark.read.parquet(f"{index_dir}/terms")
+    terms = _read_artifact(spark, index_dir, "terms")
     for cand in dict.fromkeys(([max(seen) + 1] if seen else []) + [fallback]):
         bad = (
             terms.filter(_term_bucket(F.col("term"), cand) != F.col("bucket"))
@@ -90,26 +89,49 @@ def _index_buckets(spark: SparkSession, index_dir: str, fallback: int) -> int:
     )
 
 
-def _repair_bm25_index(index_dir: str) -> None:
+def _merge_dir_into(src: str, dest: str) -> None:
+    """Move every data file of ``src`` into ``dest``, preserving
+    partition subdirectories — the APPLY step of a journal-committed
+    append.  Idempotent under crash-retry: file names are Spark's
+    UUID-unique part files, each move is one ``os.replace``, and a
+    re-apply simply moves whatever is still left in ``src``."""
+    import os
+    import shutil
+
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        out = dest if rel == "." else os.path.join(dest, rel)
+        for n in files:
+            if n.startswith(("_", ".")):
+                continue  # _SUCCESS / CRC markers need no replay
+            os.makedirs(out, exist_ok=True)
+            os.replace(os.path.join(root, n), os.path.join(out, n))
+    shutil.rmtree(src, ignore_errors=True)
+
+
+def _repair_bm25_index(index_dir: str, discard_precommit: bool = True) -> None:
     """Finish or discard a crashed multi-artifact rewrite (round-8
-    hardening).  :func:`delete_bm25_index` and
-    :func:`compact_bm25_index` stage EVERY artifact they will touch,
-    then commit with one atomic journal rename — the single commit
-    point the versioned.py manifest-claim discipline uses.  Repair:
+    hardening).  Every mutator (:func:`append_bm25_index`,
+    :func:`delete_bm25_index`, :func:`compact_bm25_index`) stages ALL
+    artifacts it will touch — directory swaps as ``*_staging``,
+    additive appends as ``*_incoming`` — then commits with one atomic
+    journal rename, the single commit point the versioned.py
+    manifest-claim discipline uses.  Repair:
 
     - journal present → the staged artifacts are the index's truth;
-      apply any swap the crash left unfinished (idempotent — a staged
-      dir that already swapped is simply gone), honor any pending
-      directory clears, then drop the journal;
-    - journal absent → any ``*_staging`` leftovers are pre-commit
-      garbage from a crash during staging; discard them (the live
-      artifacts were never touched).
-
-    Called on every delete/compact/serve entry, so a committed-but-
-    interrupted delete is completed before the index is read — no
-    state where victims are still servable with already-decremented
-    df/stats, and no retried delete double-decrementing because its
-    tombstone append never landed."""
+      apply any swap/append the crash left unfinished (idempotent — a
+      staged dir that already swapped is simply gone, an incoming dir
+      replays only its remaining files), honor any pending directory
+      clears, then drop the journal;
+    - journal absent → any ``*_staging``/``*_incoming`` leftovers are
+      pre-commit garbage from a crash during staging; discard them
+      (the live artifacts were never touched) — but ONLY when the
+      caller owns the index's write role (``discard_precommit``).  A
+      read-only caller must never remove them: they may belong to a
+      LIVE writer that has not committed yet (the round-8 review's
+      serve-during-delete corruption window).  Serving does not call
+      repair at all — it reads THROUGH a committed journal via
+      :func:`_live_paths`."""
     import json
     import os
     import shutil
@@ -125,17 +147,74 @@ def _repair_bm25_index(index_dir: str) -> None:
                 dest = f"{index_dir}/{a}"
                 shutil.rmtree(dest, ignore_errors=True)
                 os.replace(s, dest)
+        for a in plan.get("append", []):
+            inc = f"{index_dir}/{a}_incoming"
+            if os.path.isdir(inc):
+                os.makedirs(f"{index_dir}/{a}", exist_ok=True)
+                _merge_dir_into(inc, f"{index_dir}/{a}")
         for a in plan.get("clear", []):
             shutil.rmtree(f"{index_dir}/{a}", ignore_errors=True)
         os.remove(journal)
-    else:
+    elif discard_precommit:
         for a in arts:
-            s = f"{index_dir}/{a}_staging"
+            for suffix in ("_staging", "_incoming"):
+                s = f"{index_dir}/{a}{suffix}"
+                if os.path.isdir(s):
+                    shutil.rmtree(s)
+
+
+def _live_paths(index_dir: str, name: str) -> list[str]:
+    """Read-side resolution of artifact ``name`` honoring a committed
+    but not-yet-applied journal — the serve path's NON-MUTATING view:
+
+    - journal stages ``name`` and the staging dir still exists → the
+      staging dir IS the truth (the live dir is the doomed old copy);
+    - journal appends ``name`` → live dir plus the incoming dir (union
+      read — both are committed content);
+    - journal clears ``name`` → nothing;
+    - otherwise → the live dir.
+
+    Returns a (possibly empty) path list; readers skip missing dirs.
+    """
+    import json
+    import os
+
+    live = f"{index_dir}/{name}"
+    journal = f"{index_dir}/_commit_journal"
+    if os.path.isfile(journal):
+        try:
+            with open(journal) as f:
+                plan = json.load(f)
+        except (OSError, ValueError):
+            plan = {}
+        if name in plan.get("clear", []):
+            return []
+        if name in plan.get("staged", []):
+            s = f"{index_dir}/{name}_staging"
             if os.path.isdir(s):
-                shutil.rmtree(s)
+                return [s]
+            return [live] if os.path.isdir(live) else []
+        if name in plan.get("append", []):
+            inc = f"{index_dir}/{name}_incoming"
+            return [p for p in (live, inc) if os.path.isdir(p)]
+    return [live] if os.path.isdir(live) else []
 
 
-def _commit_bm25_journal(index_dir: str, staged, clear=()) -> None:
+def _read_artifact(spark: SparkSession, index_dir: str, name: str):
+    """Read artifact ``name`` through :func:`_live_paths`.  Multiple
+    roots (live + committed incoming) load separately and union —
+    Spark rejects one partitioned read spanning different root dirs.
+    Returns None when the artifact resolves to nothing."""
+    paths = _live_paths(index_dir, name)
+    if not paths:
+        return None
+    out = spark.read.parquet(paths[0])
+    for p in paths[1:]:
+        out = out.unionByName(spark.read.parquet(p))
+    return out
+
+
+def _commit_bm25_journal(index_dir: str, staged, clear=(), append=()) -> None:
     """Atomically write the commit journal (tmp + rename), then apply
     it via :func:`_repair_bm25_index`.  The rename is the commit
     point: before it no live artifact has been touched; after it any
@@ -146,7 +225,14 @@ def _commit_bm25_journal(index_dir: str, staged, clear=()) -> None:
     journal = f"{index_dir}/_commit_journal"
     tmp = journal + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"staged": list(staged), "clear": list(clear)}, f)
+        json.dump(
+            {
+                "staged": list(staged),
+                "clear": list(clear),
+                "append": list(append),
+            },
+            f,
+        )
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, journal)
@@ -222,7 +308,18 @@ def append_bm25_index(
     corpus-stats tables by plain addition (document frequencies and
     token counts are sums, so the merged index is EXACTLY the full
     rebuild over old ∪ new — asserted in tests).  No re-tokenization of
-    history, ever."""
+    history, ever.
+
+    ALL five artifacts commit through ONE journal rename (round-8
+    review hardening): the new postings and docs rows stage as
+    ``*_incoming`` directories and the journal's apply step moves
+    their files into the live dirs, so a crash anywhere leaves either
+    the complete old index (pre-commit: staging/incoming discarded, a
+    retry appends once) or the complete new one (post-commit: repair
+    finishes the moves) — never live postings with undecremented
+    stats, and never a double-counted retry."""
+    import os as _os
+
     spark = docs.sparkSession
     _repair_bm25_index(index_dir)
     n_buckets = _index_buckets(spark, index_dir, n_buckets)
@@ -235,10 +332,13 @@ def append_bm25_index(
     postings = base.groupBy("term", "id", "dl").agg(
         F.count("*").alias("tf")
     ).withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
-    postings.write.partitionBy("bucket").mode("append").parquet(
-        f"{index_dir}/postings"
+    postings.write.partitionBy("bucket").mode("overwrite").parquet(
+        f"{index_dir}/postings_incoming"
     )
-    new_terms = postings.groupBy("term").agg(F.count("*").alias("df"))
+    # df counts come from the STAGED incoming files (one read, and the
+    # journal's truth), not a recomputation of the input
+    staged_postings = spark.read.parquet(f"{index_dir}/postings_incoming")
+    new_terms = staged_postings.groupBy("term").agg(F.count("*").alias("df"))
     old_terms = spark.read.parquet(f"{index_dir}/terms").select("term", "df")
     merged = (
         old_terms.unionByName(new_terms)
@@ -249,11 +349,21 @@ def append_bm25_index(
     # the merged df table rewrites through a staged directory swap —
     # fully distributed (the vocabulary can be huge at corpus scale;
     # parquet can't lazily overwrite its own input, and a collect()
-    # would put the vocab on the driver); terms + stats stage together
-    # and commit via one journal rename, so the live index never sees
-    # a missing-terms window or a terms/stats mix of old and new
+    # would put the vocab on the driver); terms + stats + the postings
+    # and docs appends commit via one journal rename, so the live
+    # index never sees a missing-terms window, a terms/stats mix of
+    # old and new, or postings without their stats
     staging = f"{index_dir}/terms_staging"
     merged.write.partitionBy("bucket").mode("overwrite").parquet(staging)
+    appends = ["postings"]
+    if _os.path.isdir(f"{index_dir}/docs"):
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.size(tokenize(F.col(text_col))).alias("dl"),
+        ).write.mode("overwrite").parquet(f"{index_dir}/docs_incoming")
+        appends.append("docs")
+    # stats come from the INPUT docs (a zero-token doc counts toward
+    # n_docs but produces no postings rows)
     new_stats = docs.select(
         F.size(tokenize(F.col(text_col))).alias("dl")
     ).agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
@@ -265,14 +375,9 @@ def append_bm25_index(
           n_buckets)],
         "n_docs long, sum_dl long, n_buckets int",
     ).write.mode("overwrite").parquet(f"{index_dir}/stats_staging")
-    _commit_bm25_journal(index_dir, ["terms", "stats"])
-    import os as _os
-
-    if _os.path.isdir(f"{index_dir}/docs"):
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.size(tokenize(F.col(text_col))).alias("dl"),
-        ).write.mode("append").parquet(f"{index_dir}/docs")
+    _commit_bm25_journal(
+        index_dir, ["terms", "stats"], append=appends
+    )
 
 
 def bm25_topk_indexed(
@@ -289,8 +394,14 @@ def bm25_topk_indexed(
     postings/terms to their buckets (PartitionFilters) and pushes the
     term equality into the scan; scoring replays bm25_rank's exact
     expressions, so the round trip is bit-identical to the in-memory
-    operator."""
-    _repair_bm25_index(index_dir)
+    operator.
+
+    Serving is strictly NON-MUTATING (round-8 review hardening): a
+    committed-but-unapplied journal is read THROUGH (staged dirs are
+    the truth, incoming appends union in), and a live writer's
+    pre-commit staging is never touched — the previous serve-entry
+    repair could destroy a concurrent delete's staging and corrupt its
+    commit."""
     qset = sorted(set(query_terms))
     n_buckets = _index_buckets(spark, index_dir, n_buckets)
     buckets = sorted(
@@ -303,7 +414,7 @@ def bm25_topk_indexed(
         }
     )
     post = (
-        spark.read.parquet(f"{index_dir}/postings")
+        _read_artifact(spark, index_dir, "postings")
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(qset))
         .select("term", "id", "dl", "tf")
     )
@@ -313,11 +424,11 @@ def bm25_topk_indexed(
         # adjusted at delete time, so scores equal a rebuilt index
         post = post.join(F.broadcast(tomb), "id", "left_anti")
     dfreq = (
-        spark.read.parquet(f"{index_dir}/terms")
+        _read_artifact(spark, index_dir, "terms")
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(qset))
         .select("term", "df")
     )
-    stats = spark.read.parquet(f"{index_dir}/stats").select(
+    stats = _read_artifact(spark, index_dir, "stats").select(
         "n_docs",
         # empty index (delete-all end state): no postings survive, so
         # the avgdl placeholder never reaches a score — but the
@@ -358,15 +469,23 @@ def bm25_topk_indexed(
 
 
 def _bm25_tombstones(spark: SparkSession, index_dir: str) -> "DataFrame | None":
-    """The index's logical-delete set (one ``id`` per row), or None."""
+    """The index's logical-delete set (one ``id`` per row), or None —
+    resolved through any committed journal (a compact's pending
+    ``clear`` means the tombstones are already folded into the staged
+    postings, so the set is empty)."""
     import os
 
-    p = f"{index_dir}/tombstones"
-    if not os.path.isdir(p) or not any(
-        n.endswith(".parquet") for n in os.listdir(p)
-    ):
+    paths = [
+        p
+        for p in _live_paths(index_dir, "tombstones")
+        if any(n.endswith(".parquet") for n in os.listdir(p))
+    ]
+    if not paths:
         return None
-    return spark.read.parquet(p).select("id").distinct()
+    out = spark.read.parquet(paths[0])
+    for p in paths[1:]:
+        out = out.unionByName(spark.read.parquet(p))
+    return out.select("id").distinct()
 
 
 def delete_bm25_index(

@@ -1384,8 +1384,16 @@ def alert_monitor(
         out = alert_carry_out(ann, [key_col], carry).collect()
         new_keys = dict(keys)
         for r in out:  # bounded: one row per monitored key
+            if not r["in_streak"]:
+                # A cleared key's carry row is semantically identical
+                # to no row at all — EVICT it, so state and the
+                # broadcast carry track currently-alarming keys, not
+                # every key ever seen (round-8 review: a rotating key
+                # population would otherwise grow both unboundedly).
+                new_keys.pop(r[key_col], None)
+                continue
             new_keys[r[key_col]] = [
-                bool(r["in_streak"]),
+                True,
                 int(r["streak_len0"]),
                 None if r["streak_start0"] is None else int(r["streak_start0"]),
                 None if r["prev_bucket0"] is None else int(r["prev_bucket0"]),

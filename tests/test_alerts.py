@@ -137,6 +137,10 @@ def test_alert_monitor_matches_batch_and_replays(spark, tmp_path):
     # Crash-replay: re-delivering b2 under the SAME batch id must
     # resume from the pre-b2 snapshot (prev_keys), not double-advance.
     state_full = json.load(open(os.path.join(ckpt, "alert_state.json")))
+    # Cleared keys are EVICTED from carry state (B recovered in b2;
+    # only A is still alarming) — state tracks currently-alarming
+    # keys, not every key ever seen.
+    assert set(state_full["keys"]) == {"A"}
     src3 = tmp_path / "in3"
     src3.mkdir()
     _write_batch(src3 / "b2.json", b2, 1700000003)

@@ -87,9 +87,12 @@ def test_bm25_delete_crash_after_journal_is_finished_by_repair(
     assert _stats(spark, idx) == before
     assert not os.path.isdir(f"{idx}/tombstones")
 
-    # serving repairs, then matches a rebuild minus the victims
+    # serving reads THROUGH the committed journal (staged dirs are the
+    # truth) WITHOUT mutating anything — round-8: a read-only caller
+    # must never apply or discard another process's commit state
     served = _serve(spark, idx)
-    assert not os.path.isfile(f"{idx}/_commit_journal")
+    assert os.path.isfile(f"{idx}/_commit_journal")
+    assert os.path.isdir(f"{idx}/stats_staging")
     rebuilt = str(tmp_path / "rebuilt")
     write_bm25_index(
         rebuilt,
@@ -97,11 +100,12 @@ def test_bm25_delete_crash_after_journal_is_finished_by_repair(
         n_buckets=8,
     )
     assert served == _serve(spark, rebuilt)
-    assert _stats(spark, idx) == _stats(spark, rebuilt)
 
-    # retried delete of the same ids: idempotent (tombstones landed
-    # atomically with the decrements, so the guard sees them)
+    # retried delete of the same ids: its entry repair FINISHES the
+    # committed journal first, then the tombstone guard makes the
+    # retry a no-op (no double-decrement)
     delete_bm25_index(spark, idx, [1, 5], n_buckets=8)
+    assert not os.path.isfile(f"{idx}/_commit_journal")
     assert _stats(spark, idx) == _stats(spark, rebuilt)
     assert _serve(spark, idx) == served
 
@@ -167,14 +171,21 @@ def test_bm25_compact_crash_after_journal_is_finished_by_repair(
     monkeypatch.undo()
     assert real is bm._commit_bm25_journal
 
-    assert _serve(spark, idx) == served  # repair ran at serve entry
+    # serving reads through the pending journal (staged postings,
+    # cleared tombstones) without mutating
+    assert _serve(spark, idx) == served
+    assert os.path.isfile(f"{idx}/_commit_journal")
+
+    # the next mutator entry applies it physically: postings clean,
+    # tombstones cleared, nothing left to compact
+    assert compact_bm25_index(spark, idx) == 0
+    assert not os.path.isfile(f"{idx}/_commit_journal")
     assert not os.path.isdir(f"{idx}/tombstones")
     left = {
         r["id"]
         for r in spark.read.parquet(f"{idx}/postings").select("id").collect()
     }
     assert left.isdisjoint({1, 5})
-    assert compact_bm25_index(spark, idx) == 0
 
 
 def _bucket(term: str, n: int) -> int:
@@ -322,3 +333,115 @@ def test_dedup_layout_precommit_staging_is_discarded(spark, tmp_path):
     assert _rowset(spark, path) == want
     assert not os.path.isdir(path + "_layout_staging")
     assert any(n.startswith("_batch_id=") for n in os.listdir(path))
+
+
+def _more_docs(spark):
+    rows = [
+        (10, "join probe spark"),
+        (11, "hash plan scan scan"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_serve_never_touches_precommit_staging(spark, tmp_path):
+    """Round-8 review: a read-only serve entering while a LIVE writer
+    is still staging (no journal yet) must neither discard the staging
+    nor change what it serves — the old serve-entry repair deleted the
+    staging and could corrupt the writer's subsequent commit."""
+    idx = str(tmp_path / "idx")
+    write_bm25_index(idx, _docs(spark), n_buckets=8)
+    baseline = _serve(spark, idx)
+
+    # a writer mid-staging: half-written artifacts, journal NOT yet
+    # renamed into place
+    os.makedirs(f"{idx}/terms_staging")
+    with open(f"{idx}/terms_staging/part-half-written", "w") as fh:
+        fh.write("not parquet yet")
+    os.makedirs(f"{idx}/postings_incoming/bucket=0")
+
+    assert _serve(spark, idx) == baseline
+    assert os.path.isfile(f"{idx}/terms_staging/part-half-written")
+    assert os.path.isdir(f"{idx}/postings_incoming/bucket=0")
+    # a mutator entering OWNS the write role and discards the garbage
+    bm._repair_bm25_index(idx)
+    assert not os.path.isdir(f"{idx}/terms_staging")
+    assert not os.path.isdir(f"{idx}/postings_incoming")
+
+
+def test_bm25_append_crash_before_commit_then_retry_counts_once(
+    spark, tmp_path, monkeypatch
+):
+    """Round-8 review: the postings/docs appends must sit INSIDE the
+    journal commit.  A crash before the journal rename leaves the live
+    index bit-identical to pre-append (incoming/staging are garbage),
+    and the natural retry appends exactly once — no doubled tf/df."""
+    idx = str(tmp_path / "idx")
+    write_bm25_index(idx, _docs(spark), n_buckets=8)
+    before_stats = _stats(spark, idx)
+    before_serve = _serve(spark, idx)
+
+    def crash(*a, **k):
+        raise RuntimeError("simulated crash before commit")
+
+    monkeypatch.setattr(bm, "_commit_bm25_journal", crash)
+    with pytest.raises(RuntimeError, match="before commit"):
+        bm.append_bm25_index(idx, _more_docs(spark), n_buckets=8)
+    monkeypatch.undo()
+
+    # live index untouched; serve unchanged and non-mutating
+    assert _stats(spark, idx) == before_stats
+    assert _serve(spark, idx) == before_serve
+    assert os.path.isdir(f"{idx}/postings_incoming")
+
+    # retry: discards the garbage at entry, appends exactly once
+    bm.append_bm25_index(idx, _more_docs(spark), n_buckets=8)
+    rebuilt = str(tmp_path / "rebuilt")
+    write_bm25_index(
+        rebuilt, _docs(spark).unionByName(_more_docs(spark)), n_buckets=8
+    )
+    assert _stats(spark, idx) == _stats(spark, rebuilt)
+    assert _serve(spark, idx) == _serve(spark, rebuilt)
+
+
+def test_bm25_append_crash_at_commit_reads_through_then_applies(
+    spark, tmp_path, monkeypatch
+):
+    """Crash right AFTER the append's journal rename: the committed
+    append is the index's truth.  Serving reads THROUGH it (union of
+    live + incoming postings, staged terms/stats) without mutating;
+    the next mutator entry applies it physically, and the result is
+    the rebuild over old ∪ new."""
+    idx = str(tmp_path / "idx")
+    write_bm25_index(idx, _docs(spark), n_buckets=8)
+
+    real_repair = bm._repair_bm25_index
+
+    def journal_only(index_dir, staged, clear=(), append=()):
+        j = f"{index_dir}/_commit_journal"
+        with open(j + ".tmp", "w") as f:
+            json.dump(
+                {"staged": list(staged), "clear": list(clear),
+                 "append": list(append)}, f,
+            )
+        os.replace(j + ".tmp", j)
+        raise RuntimeError("simulated crash at commit point")
+
+    monkeypatch.setattr(bm, "_commit_bm25_journal", journal_only)
+    with pytest.raises(RuntimeError, match="at commit point"):
+        bm.append_bm25_index(idx, _more_docs(spark), n_buckets=8)
+    monkeypatch.undo()
+
+    rebuilt = str(tmp_path / "rebuilt")
+    write_bm25_index(
+        rebuilt, _docs(spark).unionByName(_more_docs(spark)), n_buckets=8
+    )
+    # read-through serve: new docs visible, journal untouched
+    assert _serve(spark, idx) == _serve(spark, rebuilt)
+    assert os.path.isfile(f"{idx}/_commit_journal")
+
+    # mutator entry applies physically; everything matches the rebuild
+    real_repair(idx)
+    assert not os.path.isfile(f"{idx}/_commit_journal")
+    assert not os.path.isdir(f"{idx}/postings_incoming")
+    assert _stats(spark, idx) == _stats(spark, rebuilt)
+    assert _serve(spark, idx) == _serve(spark, rebuilt)
