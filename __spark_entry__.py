@@ -4615,11 +4615,15 @@ def q_sql_exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video near-dup (rows-only — per-frame pHash + offset vote;
-    exact-offset behavior pytest-asserted): doc_id-seeded 10-frame
-    clips, every 13th doc paired with a 3-frame-prefixed shifted copy
-    (id + 10⁶); the landmark table feeds the SAME offset_vote_match
-    the audio path uses.  Returns detected (pair, offset, votes)."""
+    """Video near-dup (ORACLE-checked since round 8): doc_id-seeded
+    10-frame clips, every 13th doc paired with a 3-frame-prefixed
+    shifted copy (id + 10⁶); the landmark table feeds the SAME
+    offset_vote_match the audio path uses.  Frame pixels regenerate
+    from md5 digest bytes with an INTEGER 3-tap smoothing (the phash
+    fixture discipline), and the per-frame pHash is the exact int64
+    fixed-point DCT — so the DuckDB oracle replays frames, hashes,
+    stop-hash filter and offset-histogram vote bit-for-bit.  Returns
+    detected (pair, offset, votes)."""
     from sparkgraft.operators.multimodal import (
         offset_vote_match,
         video_fingerprint,
@@ -4630,16 +4634,24 @@ def q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def gen(batches):
+        import hashlib
+
         import numpy as np
         import pandas as pd
 
         from sparkgraft.operators.multimodal import encode_fake_video
 
         def frame(seed):
-            base = np.random.RandomState(seed % 2**31).randint(
-                0, 256, (16, 16)
-            )
-            sm = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) / 3
+            base = np.stack(
+                [
+                    np.frombuffer(
+                        hashlib.md5(f"{seed}:{y}".encode()).digest(),
+                        dtype=np.uint8,
+                    )
+                    for y in range(16)
+                ]
+            ).astype(np.int64)
+            sm = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) // 3
             return sm.astype(np.uint8).tobytes()
 
         for pdf in batches:
@@ -12560,28 +12572,75 @@ ORACLES["annotate_panel"] = (
 )
 
 
+def _phash_basis_rows() -> str:
+    """The collapsed 8x16 integer DCT basis as SQL literals: a 16x16
+    image NN-upsamples to 32x32 by index duplication, so
+    ``d[:8,:8] = C @ px @ C.T`` with ``C[k][y] = B[k][2y] + B[k][2y+1]``
+    (B = multimodal.dct_basis_int(32) — the SAME int64 table the Arrow
+    kernel multiplies by)."""
+    from sparkgraft.operators.multimodal import dct_basis_int
+
+    B = dct_basis_int(32)
+    return ", ".join(
+        f"({k}, {y}, {int(B[k, 2 * y]) + int(B[k, 2 * y + 1])})"
+        for k in range(8)
+        for y in range(16)
+    )
+
+
+def _phash_cte_block(key: str) -> str:
+    """The pHash replay as CTE text over a ``pixels`` CTE with columns
+    ``({key}, y, x, p)`` — integer basis matmul, integer median
+    threshold (``2*d > s31+s32``), two's-complement 64-bit pack.
+    Emits a ``hashes({key}, h)`` CTE.  Every value stays integer
+    (|low| < 2^48), so the hash is bit-identical to the kernel's."""
+    return (
+        """basis(k, y, c) AS (VALUES """
+        + _phash_basis_rows()
+        + f"""),
+rowt AS (
+    SELECT p.{key}, b.k AS u, p.x,
+           SUM(CAST(b.c AS BIGINT) * p.p) AS t
+    FROM pixels p JOIN basis b ON b.y = p.y
+    GROUP BY p.{key}, b.k, p.x
+),
+low AS (
+    SELECT t.{key}, t.u, b.k AS v,
+           CAST(SUM(CAST(b.c AS BIGINT) * t.t) AS BIGINT) AS d
+    FROM rowt t JOIN basis b ON b.y = t.x
+    GROUP BY t.{key}, t.u, b.k
+),
+med AS (
+    SELECT {key},
+           SUM(CASE WHEN rn IN (32, 33) THEN d ELSE 0 END) AS mid2
+    FROM (SELECT {key}, d,
+                 row_number() OVER (PARTITION BY {key} ORDER BY d) AS rn
+          FROM low)
+    GROUP BY {key}
+),
+hashes AS (
+    SELECT l.{key},
+           CAST(SUM(CASE WHEN 2 * l.d > m.mid2 THEN
+                    CASE WHEN l.u = 0 AND l.v = 0
+                         THEN CAST(-9223372036854775808 AS HUGEINT)
+                         ELSE CAST(CAST(1 AS BIGINT)
+                                   << (63 - (8 * l.u + l.v)) AS HUGEINT)
+                    END ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS h
+    FROM low l JOIN med m USING ({key})
+    GROUP BY l.{key}
+)"""
+    )
+
+
 def _phash_oracle_sql() -> str:
     """DuckDB replay of ``q_phash_dedup``, exact by construction:
 
     - pixels regenerate in SQL from the same md5 bytes the Spark-side
       fixture generator uses (row y of image d = digest of "d:y");
-    - the 2-D DCT collapses to an 8x16 integer basis: the 16x16 image
-      NN-upsamples to 32x32 by index duplication, so
-      ``d[:8,:8] = C @ px @ C.T`` with ``C[k][y] = B[k][2y] +
-      B[k][2y+1]`` (B = multimodal.dct_basis_int(32) — the SAME int64
-      table the kernel multiplies by, inlined here as literals);
-    - every comparison stays integer (|low| < 2^48, median test is
-      ``2*d > s31+s32``), so hash, two's-complement pack, banding and
-      ``bit_count`` verify are bit-identical across engines.
+    - hash / banding / verify replay through :func:`_phash_cte_block`
+      (integer arithmetic end to end), so the result is bit-identical
+      across engines.
     """
-    from sparkgraft.operators.multimodal import dct_basis_int
-
-    B = dct_basis_int(32)
-    basis_rows = ", ".join(
-        f"({k}, {y}, {int(B[k, 2 * y]) + int(B[k, 2 * y + 1])})"
-        for k in range(8)
-        for y in range(16)
-    )
     return (
         """WITH media AS (
     SELECT doc_id AS media_id, doc_id AS src, FALSE AS nudged
@@ -12600,40 +12659,9 @@ pixels AS (
                     md5(concat(m.src, ':', c.y)), 2 * c.x + 1, 2)) AS INT)
                   AS p) raw
 ),
-basis(k, y, c) AS (VALUES """
-        + basis_rows
-        + """),
-rowt AS (
-    SELECT p.media_id, b.k AS u, p.x,
-           SUM(CAST(b.c AS BIGINT) * p.p) AS t
-    FROM pixels p JOIN basis b ON b.y = p.y
-    GROUP BY p.media_id, b.k, p.x
-),
-low AS (
-    SELECT t.media_id, t.u, b.k AS v,
-           CAST(SUM(CAST(b.c AS BIGINT) * t.t) AS BIGINT) AS d
-    FROM rowt t JOIN basis b ON b.y = t.x
-    GROUP BY t.media_id, t.u, b.k
-),
-med AS (
-    SELECT media_id,
-           SUM(CASE WHEN rn IN (32, 33) THEN d ELSE 0 END) AS mid2
-    FROM (SELECT media_id, d,
-                 row_number() OVER (PARTITION BY media_id ORDER BY d) AS rn
-          FROM low)
-    GROUP BY media_id
-),
-hashes AS (
-    SELECT l.media_id,
-           CAST(SUM(CASE WHEN 2 * l.d > m.mid2 THEN
-                    CASE WHEN l.u = 0 AND l.v = 0
-                         THEN CAST(-9223372036854775808 AS HUGEINT)
-                         ELSE CAST(CAST(1 AS BIGINT)
-                                   << (63 - (8 * l.u + l.v)) AS HUGEINT)
-                    END ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS h
-    FROM low l JOIN med m USING (media_id)
-    GROUP BY l.media_id
-),
+"""
+        + _phash_cte_block("media_id")
+        + """,
 banded AS (
     SELECT h.media_id AS id, h.h, bands.b AS band,
            CAST(((CAST(h.h AS HUGEINT)
@@ -12659,6 +12687,87 @@ WHERE bit_count(xor(ha, hb)) <= 3"""
 
 
 ORACLES["phash_dedup"] = _phash_oracle_sql()
+
+
+def _video_oracle_sql() -> str:
+    """DuckDB replay of ``q_video_dedup``, exact end to end: frames
+    regenerate from md5 bytes + the integer 3-tap smoothing
+    ``(p + p_up + p_left) // 3`` (np.roll mirrors as modular index
+    joins); each frame pHashes through :func:`_phash_cte_block` keyed
+    by the SAME ``media_id·2²⁰ + frame`` composite the Spark kernel
+    chain packs; the stop-hash filter (distinct-track count > 64), the
+    offset-histogram vote and the lexicographic best-offset tie-break
+    (max votes, then smallest offset) are integer aggregates."""
+    return (
+        """WITH vdocs AS (
+    SELECT doc_id FROM documents WHERE doc_id < 150
+),
+vframes AS (
+    SELECT doc_id AS media_id, f.i AS frame,
+           doc_id * 1000 + f.i AS seed
+    FROM vdocs, (SELECT unnest(generate_series(0, 9)) AS i) f
+    UNION ALL
+    SELECT doc_id + 1000000, f.i, doc_id * 1000 + 900 + f.i
+    FROM vdocs, (SELECT unnest(generate_series(0, 2)) AS i) f
+    WHERE doc_id % 13 = 0
+    UNION ALL
+    SELECT doc_id + 1000000, f.i + 3, doc_id * 1000 + f.i
+    FROM vdocs, (SELECT unnest(generate_series(0, 9)) AS i) f
+    WHERE doc_id % 13 = 0
+),
+vseeds AS (SELECT DISTINCT seed FROM vframes),
+coords AS (SELECT t1.range AS y, t2.range AS x FROM range(16) t1, range(16) t2),
+rawpx AS MATERIALIZED (
+    SELECT s.seed, c.y, c.x,
+           CAST(concat('0x', substr(
+               md5(concat(s.seed, ':', c.y)), 2 * c.x + 1, 2)) AS INT) AS p
+    FROM vseeds s, coords c
+),
+smpx AS (
+    SELECT a.seed, a.y, a.x, (a.p + u.p + l.p) // 3 AS p
+    FROM rawpx a
+    JOIN rawpx u ON u.seed = a.seed AND u.y = (a.y + 15) % 16
+                AND u.x = a.x
+    JOIN rawpx l ON l.seed = a.seed AND l.y = a.y
+                AND l.x = (a.x + 15) % 16
+),
+pixels AS (
+    SELECT f.media_id * 1048576 + f.frame AS mk, p.y, p.x, p.p
+    FROM vframes f JOIN smpx p ON p.seed = f.seed
+),
+"""
+        + _phash_cte_block("mk")
+        + """,
+fps AS (
+    SELECT mk // 1048576 AS media_id, mk % 1048576 AS frame, h AS fp
+    FROM hashes
+),
+hot AS (
+    SELECT fp FROM fps GROUP BY fp
+    HAVING count(DISTINCT media_id) > 64
+),
+kept AS (
+    SELECT * FROM fps WHERE fp NOT IN (SELECT fp FROM hot)
+),
+votes AS (
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           a.frame - b.frame AS off, count(*) AS n
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.media_id < b.media_id
+    GROUP BY 1, 2, 3
+),
+best AS (
+    SELECT id_a, id_b, off, n,
+           row_number() OVER (PARTITION BY id_a, id_b
+                              ORDER BY n DESC, off ASC) AS rnk
+    FROM votes
+)
+SELECT id_a, id_b, CAST(off AS BIGINT) AS "offset",
+       CAST(n AS BIGINT) AS n_matched
+FROM best WHERE rnk = 1 AND n >= 8"""
+    )
+
+
+ORACLES["video_dedup"] = _video_oracle_sql()
 
 # stream_alarm_join: the AvailableNow drain of the chained outer
 # stream-stream joins equals the batch left-join mirror over the same
