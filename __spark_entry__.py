@@ -4849,9 +4849,12 @@ def q_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ds_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dawid-Skene EM label aggregation (rows-only — iterative EM with
-    a driver-collected confusion model; spammer-recovery, hand-math
-    and partition-invariance are pytest-asserted in
+    """Dawid-Skene EM label aggregation (ORACLE-checked since round 8:
+    the EM unrolls into SQL — every M-step's float confusion sums feed
+    only round(log, 12), every E-step sums those quantized logs as
+    DECIMAL(28,12), and the final rank/output rounds at 9/6 digits,
+    so the chain is engine-invariant end to end; spammer-recovery,
+    hand-math and partition-invariance are pytest-asserted in
     tests/test_annotate.py): per-annotator confusion matrices weight
     the synthetic panel's votes, out-voting majority where the noisy
     annotators agree on a wrong label.  Output: per-item EM label +
@@ -12768,6 +12771,100 @@ FROM best WHERE rnk = 1 AND n >= 8"""
 
 
 ORACLES["video_dedup"] = _video_oracle_sql()
+
+
+def _ds_oracle_sql(iters: int = 5, smoothing: float = 0.01, k: int = 4) -> str:
+    """DuckDB replay of ``q_ds_labels`` — the Dawid-Skene EM unrolled
+    (the unigram-oracle discipline applied to a float EM):
+
+    - the vote fixture is pure integer arithmetic (mirrored verbatim
+      from ``_synthetic_votes``);
+    - each M-step's confusion/prior cells are double sums whose ONLY
+      consumer is ``round(log(·), 12)`` — the 12-digit quantization
+      basin absorbs summation-order ulp wiggle (the property the
+      7-vs-64-partition determinism audit already relies on), and
+      both engines call the same libm log on this box;
+    - each E-step sums the quantized logs as DECIMAL(28,12) (exact),
+      then exp-normalizes; the final argmax ranks by ``round(p, 9)``
+      with a class tie-break and emits ``round(p, 6)`` — the coarse
+      final basins make the whole unrolled chain engine-invariant.
+    """
+    sm, smk = repr(smoothing), repr(smoothing * k)
+    parts = [
+        """dsvotes AS MATERIALIZED (
+    SELECT d.doc_id AS item, a.a AS annotator,
+           CAST(CASE WHEN ((d.doc_id * (a.a + 2) + a.a) % 17) < 2 * a.a
+                THEN (d.doc_id % 4 + 1 + ((d.doc_id + a.a) % 3)) % 4
+                ELSE d.doc_id % 4 END AS INT) AS vote
+    FROM documents d, (SELECT unnest(generate_series(0, 4)) AS a) a
+    WHERE (d.doc_id + a.a) % 5 <> 0
+)""",
+        f"""dscls AS (SELECT unnest(generate_series(0, {k - 1})) AS c)""",
+        """dsann AS (SELECT DISTINCT annotator FROM dsvotes)""",
+        """dspost0 AS (
+    SELECT item, vote AS cls,
+           CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY item) AS p
+    FROM (SELECT item, vote, count(*) AS n FROM dsvotes GROUP BY 1, 2)
+)""",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"dspost{t - 1}"
+        parts.append(f"""dsw{t} AS (
+    SELECT v.annotator, p.cls AS j, v.vote AS k2, SUM(p.p) AS w
+    FROM dsvotes v JOIN {prev} p ON p.item = v.item
+    GROUP BY 1, 2, 3
+)""")
+        parts.append(f"""dsconf{t} AS (
+    SELECT a.annotator, cj.c AS j, ck.c AS k2,
+           round(ln((coalesce(w.w, 0) + {sm})
+                    / (coalesce(rs.s, 0) + {smk})), 12) AS logp
+    FROM dsann a
+    CROSS JOIN dscls cj
+    CROSS JOIN dscls ck
+    LEFT JOIN dsw{t} w ON w.annotator = a.annotator AND w.j = cj.c
+                      AND w.k2 = ck.c
+    LEFT JOIN (SELECT annotator, j, SUM(w) AS s FROM dsw{t}
+               GROUP BY 1, 2) rs
+           ON rs.annotator = a.annotator AND rs.j = cj.c
+)""")
+        parts.append(f"""dsprior{t} AS (
+    SELECT j.c AS cls,
+           round(ln((coalesce(pw.w, 0) + {sm}) / (tot.s + {smk})), 12)
+             AS logprior
+    FROM dscls j
+    LEFT JOIN (SELECT cls, SUM(p) AS w FROM {prev} GROUP BY 1) pw
+           ON pw.cls = j.c
+    CROSS JOIN (SELECT SUM(p) AS s FROM {prev}) tot
+)""")
+        parts.append(f"""dsscore{t} AS (
+    SELECT ll.item, ll.cls,
+           CAST(ll.ll AS DOUBLE) + pr.logprior AS score
+    FROM (SELECT v.item, c.c AS cls,
+                 SUM(CAST(m.logp AS DECIMAL(28,12))) AS ll
+          FROM dsvotes v
+          CROSS JOIN dscls c
+          JOIN dsconf{t} m ON m.annotator = v.annotator AND m.j = c.c
+                          AND m.k2 = v.vote
+          GROUP BY 1, 2) ll
+    JOIN dsprior{t} pr ON pr.cls = ll.cls
+)""")
+        parts.append(f"""dspost{t} AS MATERIALIZED (
+    SELECT item, cls, e / SUM(e) OVER (PARTITION BY item) AS p
+    FROM (SELECT item, cls,
+                 exp(score - MAX(score) OVER (PARTITION BY item)) AS e
+          FROM dsscore{t})
+)""")
+    final = f"""SELECT item AS item_id, CAST(cls AS INT) AS ds_label,
+       round(p, 6) AS posterior
+FROM (SELECT item, cls, p,
+             row_number() OVER (PARTITION BY item
+                                ORDER BY round(p, 9) DESC, cls ASC) AS rn
+      FROM dspost{iters})
+WHERE rn = 1"""
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+ORACLES["ds_labels"] = _ds_oracle_sql()
 
 # stream_alarm_join: the AvailableNow drain of the chained outer
 # stream-stream joins equals the batch left-join mirror over the same
