@@ -4909,8 +4909,11 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_topic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Topic-space SERVING (rows-only — k-means fit; training-parity
-    and vocabulary-routing are pytest-asserted): fit on even docs,
+    """Topic-space SERVING (ORACLE-checked since round 8 — the same
+    stage-verified fit-chain mirror as topic_model, fit on even docs;
+    the serve side embeds odd docs with the TRAINING df/N and assigns
+    to the frozen centroids in SQL; training-parity and
+    vocabulary-routing are pytest-asserted): fit on even docs,
     assign odd docs with the FROZEN df/N/centroids — per-topic doc
     counts of the served batch.  Fit cached per (session, sf_dir)."""
     from sparkgraft.operators.topics import assign_topics, fit_topic_space
@@ -5035,7 +5038,12 @@ def q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_topic_model(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage topic model (rows-only — iterative fit; planted-
+    """Two-stage topic model (ORACLE-checked since round 8: the fit
+    chain mirrors stage-by-stage — exact fixed-point TF-IDF vectors,
+    the md5-ordered greedy farthest-point seeding and every Lloyd/EM
+    step replayed with left-fold distance expressions, the exact_mean
+    integer refit and the DECIMAL(38,0) leave-one-out PLSA scores;
+    each stage verified bit-identical before landing; planted-
     recovery, conservation and partition-independence are pytest-
     asserted): hashed-TF-IDF k-means warm-starts hard-EM PLSA over the
     documents corpus; returns the top-8 terms per topic plus each
@@ -12865,6 +12873,266 @@ WHERE rn = 1"""
 
 
 ORACLES["ds_labels"] = _ds_oracle_sql()
+
+
+def _l2_expr(a: str, b: str, dim: int) -> str:
+    """Left-associated 64-term squared-L2 expression — the SAME
+    addition order as Spark's F.aggregate left fold and the driver
+    seeding's Python ``sum`` (left folds over equal doubles are
+    bit-identical), so distances match without any tolerance."""
+    return (
+        "("
+        + "\n + ".join(
+            f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
+            for i in range(1, dim + 1)
+        )
+        + ")"
+    )
+
+
+def _topic_fit_ctes(doc_where: str, dim: int, k: int, km_iters: int) -> str:
+    """The hashed-TF-IDF → farthest-point seeding → Lloyd chain as
+    DuckDB CTE text (every stage verified bit-identical to the Spark
+    operators on real data before landing):
+
+    - TF-IDF cells quantize through round(·, 6) then an exact long
+      scale, so slot sums (and therefore every embedding component)
+      are exact fixed-point numbers both engines represent identically;
+    - seeding replays the md5-ordered 256-candidate greedy
+      farthest-point walk; distances are raw left folds (bit-identical
+      by construction), the strict-> argmax mirrors as (dmin DESC,
+      rn ASC), and the ``best_d <= 0`` early exit mirrors as
+      ``WHERE dmin > 0`` (once nothing qualifies, later steps add
+      nothing either — same fixed point);
+    - each Lloyd step assigns by round(L2, 9) with the cluster-id
+      tie-break and re-fits via the exact_mean integer kernel
+      ((2|S| + n) // (2n), signed) — integers end to end.
+
+    Emits ``counts``, ``vecs``, ``nd`` and ``cents{km_iters}``;
+    MATERIALIZED throughout (the inlined fold expressions would
+    otherwise blow up exponentially through the iteration chain).
+    """
+    d = _l2_expr
+    sql = f"""toks AS (
+    SELECT doc_id AS d,
+           unnest(regexp_split_to_array(text, '\\s+')) AS w
+    FROM documents WHERE {doc_where}
+),
+counts AS MATERIALIZED (SELECT d, w, count(*) AS n FROM toks GROUP BY 1, 2),
+dfreq AS MATERIALIZED (SELECT w, count(*) AS df FROM counts GROUP BY 1),
+nd AS (SELECT count(DISTINCT d) AS n_docs FROM counts),
+cells AS (
+    SELECT c.d,
+           CAST(CAST(concat('0x', substr(md5(concat('slot', chr(31), c.w)),
+                1, 8)) AS BIGINT) % {dim} AS INT) AS slot,
+           (CASE WHEN CAST(concat('0x', substr(md5(concat('sign', chr(31),
+                c.w)), 1, 8)) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END)
+           * CAST(round(round(c.n * ln(CAST(nd.n_docs AS DOUBLE) / f.df), 6)
+                        * 1000000.0, 0) AS BIGINT) AS v
+    FROM counts c JOIN dfreq f ON f.w = c.w CROSS JOIN nd
+),
+slotsum AS (SELECT d, slot, SUM(v) AS v FROM cells GROUP BY 1, 2),
+vecs AS MATERIALIZED (
+    SELECT dd.d,
+           list(CAST(coalesce(s.v, 0) AS DOUBLE) / 1000000.0
+                ORDER BY g.i) AS emb
+    FROM (SELECT DISTINCT d FROM counts) dd
+    CROSS JOIN (SELECT unnest(generate_series(0, {dim - 1})) AS i) g
+    LEFT JOIN slotsum s ON s.d = dd.d AND s.slot = g.i
+    GROUP BY dd.d
+),
+cand AS MATERIALIZED (
+    SELECT d, emb,
+           row_number() OVER (ORDER BY md5(CAST(d AS VARCHAR)), d) AS rn
+    FROM vecs
+    QUALIFY rn <= 256
+),
+seeds0 AS MATERIALIZED (SELECT 0 AS cid, emb FROM cand WHERE rn = 1)"""
+    for s in range(1, k):
+        sql += f""",
+pick{s} AS (
+    SELECT c.emb
+    FROM cand c,
+         LATERAL (SELECT MIN({d("c.emb", "s.emb", dim)}) AS dmin
+                  FROM seeds{s - 1} s) dm
+    WHERE dm.dmin > 0
+    ORDER BY dm.dmin DESC, c.rn ASC
+    LIMIT 1
+),
+seeds{s} AS MATERIALIZED (
+    SELECT * FROM seeds{s - 1}
+    UNION ALL
+    SELECT {s} AS cid, emb FROM pick{s}
+)"""
+    prev = f"seeds{k - 1}"
+    for t in range(1, km_iters + 1):
+        sql += f""",
+asg{t} AS MATERIALIZED (
+    SELECT v.d, v.emb, c.cid AS cluster
+    FROM vecs v,
+         LATERAL (SELECT s.cid FROM {prev} s
+                  ORDER BY round({d("v.emb", "s.emb", dim)}, 9) ASC,
+                           s.cid ASC
+                  LIMIT 1) c
+),
+cm{t} AS (
+    SELECT cluster, g.i AS pos,
+           SUM(CAST(round(emb[g.i + 1] * 1000000.0, 0) AS BIGINT)) AS s,
+           COUNT(*) AS n
+    FROM asg{t},
+         (SELECT unnest(generate_series(0, {dim - 1})) AS i) g
+    GROUP BY 1, 2
+),
+cents{t} AS MATERIALIZED (
+    SELECT cluster AS cid,
+           list(CAST(CASE WHEN s < 0
+                     THEN -((2 * (-s) + n) // (2 * n))
+                     ELSE (2 * s + n) // (2 * n) END AS DOUBLE)
+                / 1000000.0 ORDER BY pos) AS emb
+    FROM cm{t}
+    GROUP BY cluster
+)"""
+        prev = f"cents{t}"
+    return sql
+
+
+def _topic_model_oracle_sql(
+    dim: int = 64, k: int = 4, km_iters: int = 3, em_iters: int = 3,
+    top_m: int = 8,
+) -> str:
+    """DuckDB replay of ``q_topic_model``: the verified fit chain, the
+    k-means labels, then the hard-EM PLSA unrolled — leave-one-out
+    scores are pure DECIMAL(38,0)/HUGEINT integer arithmetic with the
+    lowest-topic tie-break, and the early-exit-on-converged loop is a
+    fixed point (extra unrolled iterations are the identity), so a
+    full unroll is exact.  Final projection: top-``top_m`` terms per
+    topic + dominant-topic doc counts."""
+    d = _l2_expr
+    sql = (
+        "WITH "
+        + _topic_fit_ctes("TRUE", dim, k, km_iters)
+        + f""",
+labels AS MATERIALIZED (
+    SELECT v.d, c.cid AS z
+    FROM vecs v,
+         LATERAL (SELECT s.cid FROM cents{km_iters} s
+                  ORDER BY round({d("v.emb", "s.emb", dim)}, 9) ASC,
+                           s.cid ASC
+                  LIMIT 1) c
+),
+zcls AS (SELECT unnest(generate_series(0, {k - 1})) AS z),
+vsz AS (SELECT count(DISTINCT w) AS v FROM counts),
+pa0 AS MATERIALIZED (
+    SELECT c.d, c.w, c.n, l.z FROM counts c JOIN labels l ON l.d = c.d
+)"""
+    )
+    for t in range(1, em_iters + 1):
+        p = f"pa{t - 1}"
+        sql += f""",
+pdt{t} AS MATERIALIZED (SELECT d, z, SUM(n) AS c FROM {p} GROUP BY 1, 2),
+pwt{t} AS MATERIALIZED (SELECT w, z, SUM(n) AS c FROM {p} GROUP BY 1, 2),
+ptz{t} AS MATERIALIZED (SELECT z, SUM(n) AS c FROM {p} GROUP BY 1),
+pa{t} AS MATERIALIZED (
+    SELECT d, w, n, z2 AS z FROM (
+        SELECT a.d, a.w, a.n, zz.z AS z2,
+               (CAST(coalesce(dt.c, 0)
+                     - CASE WHEN a.z = zz.z THEN a.n ELSE 0 END
+                     + 1 AS HUGEINT)
+                * CAST(coalesce(wt.c, 0)
+                       - CASE WHEN a.z = zz.z THEN a.n ELSE 0 END
+                       + 1 AS HUGEINT)
+                * CAST(1000000000000 AS HUGEINT))
+               // CAST(tz.c + vsz.v
+                       - CASE WHEN a.z = zz.z THEN a.n ELSE 0 END AS HUGEINT)
+                 AS s
+        FROM {p} a
+        CROSS JOIN zcls zz
+        CROSS JOIN vsz
+        LEFT JOIN pdt{t} dt ON dt.d = a.d AND dt.z = zz.z
+        LEFT JOIN pwt{t} wt ON wt.w = a.w AND wt.z = zz.z
+        LEFT JOIN ptz{t} tz ON tz.z = zz.z
+    )
+    QUALIFY row_number() OVER (PARTITION BY d, w ORDER BY s DESC, z2 ASC) = 1
+)"""
+    sql += f""",
+wtF AS (SELECT w, z, SUM(n) AS c FROM pa{em_iters} GROUP BY 1, 2),
+dtF AS (SELECT d, z, SUM(n) AS c FROM pa{em_iters} GROUP BY 1, 2),
+tterms AS (
+    SELECT z AS topic, rnk, w AS term, c AS weight FROM (
+        SELECT *, row_number() OVER (PARTITION BY z
+                                     ORDER BY c DESC, w ASC) AS rnk
+        FROM wtF WHERE c > 0)
+    WHERE rnk <= {top_m}
+),
+dom AS (
+    SELECT d, z FROM (
+        SELECT *, row_number() OVER (PARTITION BY d
+                                     ORDER BY c DESC, z ASC) AS rn
+        FROM dtF)
+    WHERE rn = 1
+),
+sizes AS (SELECT z AS topic, count(*) AS n FROM dom GROUP BY 1)
+SELECT CAST(t.topic AS INT) AS topic, CAST(t.rnk AS INT) AS rnk, t.term,
+       CAST(t.weight AS BIGINT) AS weight,
+       CAST(coalesce(s.n, 0) AS BIGINT) AS topic_docs
+FROM tterms t LEFT JOIN sizes s USING (topic)"""
+    return sql
+
+
+def _topic_assign_oracle_sql(
+    dim: int = 64, k: int = 4, km_iters: int = 3
+) -> str:
+    """DuckDB replay of ``q_topic_assign``: fit the space on EVEN docs
+    (the verified fit chain), then embed the ODD docs with the
+    TRAINING df/N (OOV terms drop via the inner dfreq join; docs with
+    no trained terms have no vector and are absent — exactly
+    assign_topics' contract) and assign to the frozen centroids."""
+    d = _l2_expr
+    return (
+        "WITH "
+        + _topic_fit_ctes("doc_id % 2 = 0", dim, k, km_iters)
+        + f""",
+stoks AS (
+    SELECT doc_id AS d,
+           unnest(regexp_split_to_array(text, '\\s+')) AS w
+    FROM documents WHERE doc_id % 2 = 1
+),
+scounts AS (SELECT d, w, count(*) AS n FROM stoks GROUP BY 1, 2),
+scells AS (
+    SELECT c.d,
+           CAST(CAST(concat('0x', substr(md5(concat('slot', chr(31), c.w)),
+                1, 8)) AS BIGINT) % {dim} AS INT) AS slot,
+           (CASE WHEN CAST(concat('0x', substr(md5(concat('sign', chr(31),
+                c.w)), 1, 8)) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END)
+           * CAST(round(round(c.n * ln(CAST(nd.n_docs AS DOUBLE) / f.df), 6)
+                        * 1000000.0, 0) AS BIGINT) AS v
+    FROM scounts c JOIN dfreq f ON f.w = c.w CROSS JOIN nd
+),
+sslot AS (SELECT d, slot, SUM(v) AS v FROM scells GROUP BY 1, 2),
+svecs AS MATERIALIZED (
+    SELECT dd.d,
+           list(CAST(coalesce(s.v, 0) AS DOUBLE) / 1000000.0
+                ORDER BY g.i) AS emb
+    FROM (SELECT DISTINCT d FROM scells) dd
+    CROSS JOIN (SELECT unnest(generate_series(0, {dim - 1})) AS i) g
+    LEFT JOIN sslot s ON s.d = dd.d AND s.slot = g.i
+    GROUP BY dd.d
+),
+sassign AS (
+    SELECT v.d, c.cid AS topic
+    FROM svecs v,
+         LATERAL (SELECT s.cid FROM cents{km_iters} s
+                  ORDER BY round({d("v.emb", "s.emb", dim)}, 9) ASC,
+                           s.cid ASC
+                  LIMIT 1) c
+)
+SELECT CAST(topic AS INT) AS topic, CAST(count(*) AS BIGINT) AS n_docs
+FROM sassign GROUP BY 1"""
+    )
+
+
+ORACLES["topic_model"] = _topic_model_oracle_sql()
+ORACLES["topic_assign"] = _topic_assign_oracle_sql()
 
 # stream_alarm_join: the AvailableNow drain of the chained outer
 # stream-stream joins equals the batch left-join mirror over the same
