@@ -2131,8 +2131,11 @@ def q_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level longest repeated substring by distributed binary
     search over the monotone "a duplicated length-l window exists"
     predicate — ~log2(max_doc_len) compact probe jobs, driver state is
-    two integers.  Rows-only (iterative; not expressible as one SQL
-    statement)."""
+    two integers.  ORACLE-checked since round 8: the search unrolls
+    into fixed state CTEs (converged steps carry (lo, hi) unchanged),
+    each probing duplicate-existence by grouping md5'd substrings —
+    equal to the engine's rolling-hash predicate on any collision-free
+    corpus."""
     from sparkgraft.operators import suffixdedup as SFX
 
     return SFX.longest_duplicated_substring(
@@ -2169,8 +2172,11 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact benchmark-contamination scan (rows-only: per-character
-    suffix-automaton walk, not SQL-expressible): every 100th doc plays
+    """Exact benchmark-contamination scan (ORACLE-checked since round
+    8: the automaton walk equals, per doc position, the longest shared
+    substring starting there — monotone in length, so all positions
+    binary-search in lockstep through unrolled CTEs against the
+    enumerated benchmark substring set): every 100th doc plays
     the eval set; each corpus doc reports the length of its longest
     substring shared with any benchmark doc — the character-exact
     complement of the n-gram `decontaminate` gate (a verbatim leak vs
@@ -13133,6 +13139,149 @@ FROM sassign GROUP BY 1"""
 
 ORACLES["topic_model"] = _topic_model_oracle_sql()
 ORACLES["topic_assign"] = _topic_assign_oracle_sql()
+
+
+def _longest_repeat_oracle_sql(steps: int = 14) -> str:
+    """DuckDB replay of ``q_longest_repeat``: the distributed binary
+    search over the monotone "a duplicated length-l window exists"
+    predicate unrolls into ``steps`` state CTEs — each carries the
+    (lo, hi) pair forward, probing duplicate-existence at
+    mid = (lo+hi+1)//2 by grouping md5'd substrings (the engine's
+    double rolling hash is collision-free on this corpus, so the
+    hash-duplicate predicate and the true-substring predicate agree;
+    a future collision would surface as a diagnosable gate mismatch,
+    not silent skew).  14 steps cover any corpus with docs up to
+    2^14 chars; converged steps carry state unchanged (the
+    ``lo >= hi`` guard), mirroring the driver loop's exit.  The final
+    row replays the site pick: max occurrences, then the
+    lexicographically-first (doc_id, start), 1-based starts."""
+    sql = """WITH lr_docs AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+),
+lr_pos AS MATERIALIZED (
+    SELECT d.doc_id, d.text, g.i, length(d.text) AS len
+    FROM lr_docs d,
+         LATERAL (SELECT unnest(generate_series(1, length(d.text)))
+                  AS i) g
+),
+st0 AS (SELECT 0 AS lo, coalesce(max(length(text)), 0) AS hi FROM lr_docs)"""
+    for s in range(1, steps + 1):
+        sql += f""",
+st{s} AS MATERIALIZED (
+    SELECT CASE WHEN t.lo >= t.hi THEN t.lo
+                WHEN d.dup THEN t.mid ELSE t.lo END AS lo,
+           CASE WHEN t.lo >= t.hi THEN t.hi
+                WHEN d.dup THEN t.hi ELSE t.mid - 1 END AS hi
+    FROM (SELECT lo, hi, (lo + hi + 1) // 2 AS mid FROM st{s - 1}) t,
+         LATERAL (SELECT EXISTS (
+                      SELECT 1 FROM lr_pos p
+                      WHERE t.lo < t.hi AND p.i + t.mid - 1 <= p.len
+                      GROUP BY md5(substr(p.text, p.i, CAST(t.mid AS INT)))
+                      HAVING count(*) > 1
+                  ) AS dup) d
+)"""
+    sql += f""",
+lr_fin AS (SELECT lo AS L FROM st{steps}),
+lr_wins AS (
+    SELECT p.doc_id, p.i AS start,
+           md5(substr(p.text, p.i, CAST(f.L AS INT))) AS h
+    FROM lr_pos p, lr_fin f
+    WHERE f.L > 0 AND p.i + f.L - 1 <= p.len
+),
+lr_grp AS (
+    SELECT h, doc_id, start,
+           count(*) OVER (PARTITION BY h) AS n_occurrences,
+           row_number() OVER (PARTITION BY h
+                              ORDER BY doc_id, start) AS rn
+    FROM lr_wins
+),
+lr_best AS (
+    SELECT CAST(f.L AS INT) AS length,
+           CAST(g.n_occurrences AS BIGINT) AS n_occurrences,
+           g.doc_id, CAST(g.start AS INT) AS start
+    FROM lr_grp g, lr_fin f
+    WHERE g.rn = 1 AND g.n_occurrences > 1
+    ORDER BY g.n_occurrences DESC, g.doc_id, g.start
+    LIMIT 1
+)
+SELECT * FROM lr_best
+UNION ALL
+SELECT 0, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS INT)
+FROM lr_fin WHERE L = 0"""
+    return sql
+
+
+ORACLES["longest_repeat"] = _longest_repeat_oracle_sql()
+
+
+def _benchmark_overlap_oracle_sql(steps: int = 12) -> str:
+    """DuckDB replay of ``q_benchmark_overlap``: the suffix-automaton
+    longest-match walk is equivalent to, per doc POSITION, the longest
+    doc substring starting there that appears in the benchmark — a
+    predicate MONOTONE in length (every prefix of a shared string is
+    shared), so all 150k positions binary-search in lockstep through
+    ``steps`` unrolled state CTEs.  The benchmark side is tiny by
+    contract (the operator enforces max_bench_chars), so its FULL
+    substring set enumerates as a (length, md5) table; per-benchmark-
+    doc enumeration matches the automaton's separator discipline
+    (matches never span benchmark docs).  The per-doc answer is the
+    max over its positions; frac replays round(·, 4)."""
+    sql = """WITH bo_bench AS (
+    SELECT text FROM documents WHERE doc_id % 100 = 0
+),
+bo_bmax AS (SELECT coalesce(max(length(text)), 0) AS m FROM bo_bench),
+bo_bset AS MATERIALIZED (
+    SELECT DISTINCT ln.L, md5(substr(b.text, g.i, ln.L)) AS h
+    FROM bo_bench b,
+         LATERAL (SELECT unnest(generate_series(1, length(b.text)))
+                  AS i) g,
+         LATERAL (SELECT unnest(generate_series(1,
+                      length(b.text) - g.i + 1)) AS L) ln
+),
+bo_docs AS MATERIALIZED (
+    SELECT CAST(doc_id AS VARCHAR) AS id, text, length(text) AS len
+    FROM documents
+),
+bo_pst0 AS MATERIALIZED (
+    SELECT d.id, g.i, 0 AS lo, least(d.len - g.i + 1, bm.m) AS hi
+    FROM bo_docs d, bo_bmax bm,
+         LATERAL (SELECT unnest(generate_series(1, d.len)) AS i) g
+)"""
+    for s in range(1, steps + 1):
+        # probe hashes project FIRST, then a pure (L, h) equi-join —
+        # expression equality inside the LEFT JOIN ON degrades DuckDB
+        # to a nested loop over positions x benchmark substrings
+        sql += f""",
+bo_pr{s} AS (
+    SELECT p.id, p.i, p.lo, p.hi, p.mid,
+           CASE WHEN p.lo < p.hi
+                THEN md5(substr(d.text, p.i, CAST(p.mid AS INT))) END AS ph
+    FROM (SELECT id, i, lo, hi, (lo + hi + 1) // 2 AS mid
+          FROM bo_pst{s - 1}) p
+    JOIN bo_docs d ON d.id = p.id
+),
+bo_pst{s} AS MATERIALIZED (
+    SELECT p.id, p.i,
+           CASE WHEN p.lo >= p.hi THEN p.lo
+                WHEN b.h IS NOT NULL THEN p.mid ELSE p.lo END AS lo,
+           CASE WHEN p.lo >= p.hi THEN p.hi
+                WHEN b.h IS NOT NULL THEN p.hi ELSE p.mid - 1 END AS hi
+    FROM bo_pr{s} p
+    LEFT JOIN bo_bset b ON b.L = p.mid AND b.h = p.ph
+)"""
+    sql += f"""
+SELECT d.id AS doc_id, CAST(d.len AS BIGINT) AS n_chars,
+       CAST(coalesce(mx.mo, 0) AS BIGINT) AS max_overlap,
+       CASE WHEN d.len > 0
+            THEN round(CAST(coalesce(mx.mo, 0) AS DOUBLE) / d.len, 4)
+            ELSE 0.0 END AS overlap_frac
+FROM bo_docs d
+LEFT JOIN (SELECT id, max(lo) AS mo FROM bo_pst{steps} GROUP BY 1) mx
+       ON mx.id = d.id"""
+    return sql
+
+
+ORACLES["benchmark_overlap"] = _benchmark_overlap_oracle_sql()
 
 # stream_alarm_join: the AvailableNow drain of the chained outer
 # stream-stream joins equals the batch left-join mirror over the same
