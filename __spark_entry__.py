@@ -10562,9 +10562,11 @@ def _unigram_oracle_sql(final_select: str) -> str:
         # the 1-row cross-joined guard ERRORS (lazily evaluated CASE)
         # if any corpus word exceeds the seed-position bound — without
         # it a longer word would silently diverge from the Spark
-        # trainer and surface as an inscrutable hash mismatch
+        # trainer and surface as an inscrutable hash mismatch.  g.ok
+        # MULTIPLIES into n (a no-op: ok = 1) because an unreferenced
+        # guard column is pruned by the optimizer and never evaluates
         f"""uwords AS MATERIALIZED (
-        SELECT w.word, w.n
+        SELECT w.word, w.n * g.ok AS n
         FROM (SELECT word, count(*) AS n
               FROM (SELECT unnest(regexp_split_to_array(text, '\\s+'))
                       AS word FROM documents)
@@ -13048,7 +13050,7 @@ pa{t} AS MATERIALIZED (
                        - CASE WHEN a.z = zz.z THEN a.n ELSE 0 END
                        + 1 AS HUGEINT)
                 * CAST(1000000000000 AS HUGEINT))
-               // CAST(tz.c + vsz.v
+               // CAST(coalesce(tz.c, 0) + vsz.v
                        - CASE WHEN a.z = zz.z THEN a.n ELSE 0 END AS HUGEINT)
                  AS s
         FROM {p} a
@@ -13150,8 +13152,10 @@ def _longest_repeat_oracle_sql(steps: int = 14) -> str:
     double rolling hash is collision-free on this corpus, so the
     hash-duplicate predicate and the true-substring predicate agree;
     a future collision would surface as a diagnosable gate mismatch,
-    not silent skew).  14 steps cover any corpus with docs up to
-    2^14 chars; converged steps carry state unchanged (the
+    not silent skew).  14 steps guarantee convergence for docs up to
+    16383 chars — a LOAD-BEARING error() guard (referenced through the
+    hi column, so the optimizer cannot prune it) rejects anything
+    longer; converged steps carry state unchanged (the
     ``lo >= hi`` guard), mirroring the driver loop's exit.  The final
     row replays the site pick: max occurrences, then the
     lexicographically-first (doc_id, start), 1-based starts."""
@@ -13164,7 +13168,13 @@ lr_pos AS MATERIALIZED (
          LATERAL (SELECT unnest(generate_series(1, length(d.text)))
                   AS i) g
 ),
-st0 AS (SELECT 0 AS lo, coalesce(max(length(text)), 0) AS hi FROM lr_docs)"""
+st0 AS (SELECT 0 AS lo,
+               CASE WHEN coalesce(max(length(text)), 0) > 16383
+                    THEN CAST(error('longest_repeat oracle: doc longer '
+                         || 'than 16383 chars exceeds the 14-step '
+                         || 'unroll bound') AS BIGINT)
+                    ELSE coalesce(max(length(text)), 0) END AS hi
+        FROM lr_docs)"""
     for s in range(1, steps + 1):
         sql += f""",
 st{s} AS MATERIALIZED (
@@ -13229,7 +13239,13 @@ def _benchmark_overlap_oracle_sql(steps: int = 12) -> str:
     sql = """WITH bo_bench AS (
     SELECT text FROM documents WHERE doc_id % 100 = 0
 ),
-bo_bmax AS (SELECT coalesce(max(length(text)), 0) AS m FROM bo_bench),
+bo_bmax AS (SELECT CASE WHEN coalesce(max(length(text)), 0) > 4095
+                        THEN CAST(error('benchmark_overlap oracle: '
+                             || 'benchmark doc longer than 4095 chars '
+                             || 'exceeds the 12-step unroll bound')
+                             AS BIGINT)
+                        ELSE coalesce(max(length(text)), 0) END AS m
+            FROM bo_bench),
 bo_bset AS MATERIALIZED (
     SELECT DISTINCT ln.L, md5(substr(b.text, g.i, ln.L)) AS h
     FROM bo_bench b,

@@ -109,7 +109,7 @@ def _merge_dir_into(src: str, dest: str) -> None:
     shutil.rmtree(src, ignore_errors=True)
 
 
-def _repair_bm25_index(index_dir: str, discard_precommit: bool = True) -> None:
+def _repair_bm25_index(index_dir: str) -> None:
     """Finish or discard a crashed multi-artifact rewrite (round-8
     hardening).  Every mutator (:func:`append_bm25_index`,
     :func:`delete_bm25_index`, :func:`compact_bm25_index`) stages ALL
@@ -125,13 +125,13 @@ def _repair_bm25_index(index_dir: str, discard_precommit: bool = True) -> None:
       clears, then drop the journal;
     - journal absent → any ``*_staging``/``*_incoming`` leftovers are
       pre-commit garbage from a crash during staging; discard them
-      (the live artifacts were never touched) — but ONLY when the
-      caller owns the index's write role (``discard_precommit``).  A
-      read-only caller must never remove them: they may belong to a
-      LIVE writer that has not committed yet (the round-8 review's
-      serve-during-delete corruption window).  Serving does not call
-      repair at all — it reads THROUGH a committed journal via
-      :func:`_live_paths`."""
+      (the live artifacts were never touched).
+
+    ONLY MUTATORS CALL THIS — a read-only caller must never remove
+    staging/incoming dirs, which may belong to a LIVE writer that has
+    not committed yet (the round-8 review's serve-during-delete
+    corruption window).  Serving never calls repair; it reads THROUGH
+    a committed journal via :func:`_live_paths`."""
     import json
     import os
     import shutil
@@ -155,7 +155,7 @@ def _repair_bm25_index(index_dir: str, discard_precommit: bool = True) -> None:
         for a in plan.get("clear", []):
             shutil.rmtree(f"{index_dir}/{a}", ignore_errors=True)
         os.remove(journal)
-    elif discard_precommit:
+    else:
         for a in arts:
             for suffix in ("_staging", "_incoming"):
                 s = f"{index_dir}/{a}{suffix}"
@@ -204,13 +204,40 @@ def _read_artifact(spark: SparkSession, index_dir: str, name: str):
     """Read artifact ``name`` through :func:`_live_paths`.  Multiple
     roots (live + committed incoming) load separately and union —
     Spark rejects one partitioned read spanning different root dirs.
-    Returns None when the artifact resolves to nothing."""
+
+    Each root's parquet files are SNAPSHOT-LISTED here and read as an
+    explicit file list (with ``basePath`` so partition columns still
+    resolve): a concurrent mutator applying the committed journal
+    moves files between the roots, and lazy directory listing at
+    action time could then count a moved file twice (or miss it).
+    With a pinned list the race degrades to a clean transient
+    FileNotFound the caller can retry — never a silent double-count.
+
+    Raises FileNotFoundError when the artifact resolves to nothing
+    (missing or never-built index) — clearer than the downstream
+    AttributeError/AnalysisException."""
+    import glob
+    import os
+
     paths = _live_paths(index_dir, name)
     if not paths:
-        return None
-    out = spark.read.parquet(paths[0])
-    for p in paths[1:]:
-        out = out.unionByName(spark.read.parquet(p))
+        raise FileNotFoundError(
+            f"bm25 index artifact '{name}' missing under {index_dir} "
+            "(index not built, or artifact cleared)"
+        )
+    out = None
+    for p in paths:
+        files = [
+            f
+            for f in glob.glob(os.path.join(p, "**", "*.parquet"),
+                               recursive=True)
+        ]
+        part = (
+            spark.read.option("basePath", p).parquet(*files)
+            if files
+            else spark.read.parquet(p)  # zero-row schema-carrying dir
+        )
+        out = part if out is None else out.unionByName(part)
     return out
 
 
@@ -334,6 +361,12 @@ def append_bm25_index(
     ).withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
     postings.write.partitionBy("bucket").mode("overwrite").parquet(
         f"{index_dir}/postings_incoming"
+    )
+    # An EMPTY ingest batch (or all-empty texts) leaves a file-less
+    # partitioned dir the read-back below couldn't schema-infer —
+    # backfill a zero-row schema file so the append is a clean no-op.
+    _ensure_nonempty_dir(
+        spark, f"{index_dir}/postings_incoming", postings.schema
     )
     # df counts come from the STAGED incoming files (one read, and the
     # journal's truth), not a recomputation of the input

@@ -445,3 +445,30 @@ def test_bm25_append_crash_at_commit_reads_through_then_applies(
     assert not os.path.isdir(f"{idx}/postings_incoming")
     assert _stats(spark, idx) == _stats(spark, rebuilt)
     assert _serve(spark, idx) == _serve(spark, rebuilt)
+
+
+def test_bm25_append_empty_batch_is_clean_noop(spark, tmp_path):
+    """Round-8 review: an empty ingest batch's partitionBy write
+    leaves a file-less postings_incoming the read-back couldn't
+    schema-infer — the append must instead be a clean no-op (modulo
+    n_docs accounting of zero docs) with the index fully intact."""
+    idx = str(tmp_path / "idx")
+    write_bm25_index(idx, _docs(spark), n_buckets=8)
+    before_serve = _serve(spark, idx)
+    before_stats = _stats(spark, idx)
+
+    empty = _docs(spark).filter("doc_id < 0")
+    bm.append_bm25_index(idx, empty, n_buckets=8)
+
+    assert _serve(spark, idx) == before_serve
+    assert _stats(spark, idx) == before_stats
+    assert not os.path.isfile(f"{idx}/_commit_journal")
+    assert not os.path.isdir(f"{idx}/postings_incoming")
+    # and a real append afterwards still works end to end
+    bm.append_bm25_index(idx, _more_docs(spark), n_buckets=8)
+    rebuilt = str(tmp_path / "rebuilt")
+    write_bm25_index(
+        rebuilt, _docs(spark).unionByName(_more_docs(spark)), n_buckets=8
+    )
+    assert _serve(spark, idx) == _serve(spark, rebuilt)
+    assert _stats(spark, idx) == _stats(spark, rebuilt)
