@@ -7508,6 +7508,28 @@ def _rsum_sql(scaled_sum: str, digits: int) -> str:
     )
 
 
+def _ratio_scaled_sql(num: str, den: str, digits: int) -> str:
+    """DuckDB snippet mirroring stats.exact_ratio_scaled: HALF-UP
+    ``num/den * 10**digits`` as an exact HUGEINT — integer ``//``
+    throughout, no double ever forms (the round-9 ban on
+    ``round(double)`` of integer ratios, which flips between engines
+    exactly when the ratio terminates on a rounding half-boundary —
+    the round-8 Fleiss p_e = 0.2500295 driver flip)."""
+    s = 10**digits
+    return (
+        f"((CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END)"
+        f" * ((2 * abs(CAST(({num}) AS HUGEINT)) * {s}"
+        f" + CAST(({den}) AS HUGEINT))"
+        f" // (2 * CAST(({den}) AS HUGEINT))))"
+    )
+
+
+def _ratio_sql(num: str, den: str, digits: int) -> str:
+    """DuckDB snippet mirroring stats.exact_ratio (double of an exact
+    d-digit decimal — unambiguous nearest-double on every engine)."""
+    return f"({_ratio_scaled_sql(num, den, digits)} / {10**digits}.0)"
+
+
 def _rowmean_sql(num: str, n: str, digits: int) -> str:
     """DuckDB snippet mirroring stats.exact_mean applied row-wise to an
     already-scaled integer numerator and an integer denominator."""
@@ -11294,10 +11316,18 @@ ORACLES["hard_negatives"] = """
 
 
 # Mirrors relational.retrieval_metrics over the cosine-top-10 /
-# same-label-qrels fixture: DCG and RR terms quantize to
-# DECIMAL(18,12) before the exact sum (the rrf_fuse discipline), ideal
-# DCG ranks judgments by (grade desc, doc asc), recall uses the
+# same-label-qrels fixture.  Round-9: the metrics are exact integer
+# arithmetic end to end — DCG/iDCG are integer dot products with the
+# SAME 10^12-scaled literal rank-discount weights the engine embeds
+# (relational.dcg_weights_scaled; no libm log2 on either side), P@r
+# terms quantize HALF-UP to exact 12-digit integers, and every final
+# division goes through the integer-ratio kernel (_ratio_sql).  Ideal
+# DCG ranks judgments by (grade desc, doc asc); recall uses the
 # all-relevant denominator.
+from sparkgraft.operators.relational import dcg_weights_scaled as _dcg_ws
+
+_DCG_LIST = "[" + ", ".join(str(w) for w in _dcg_ws(10)) + "]"
+
 ORACLES["retrieval_metrics"] = """
     WITH q AS (
         SELECT vec_id AS query_id, label AS qlabel, embedding AS qv
@@ -11341,23 +11371,18 @@ ORACLES["retrieval_metrics"] = """
     ),
     perq AS (
         SELECT query_id,
-               sum(CAST(round(rel / log2(rnk + 1.0), 12)
-                        AS DECIMAL(18,12))) AS dcg,
-               max(CASE WHEN rel > 0
-                        THEN CAST(round(1.0 / rnk, 12) AS DECIMAL(18,12))
-                   END) AS best_rr,
-               sum(CASE WHEN rel > 0
-                        THEN CAST(round(CAST(cumhits AS DOUBLE) / rnk, 12)
-                                  AS DECIMAL(18,12))
-                   END) AS ap_sum,
+               sum(rel * (""" + _DCG_LIST + """)[rnk]) AS dcg_s,
+               min(CASE WHEN rel > 0 THEN rnk END) AS r1,
+               sum(CASE WHEN rel > 0 THEN
+               """ + _ratio_scaled_sql("cumhits", "rnk", 12) + """
+                   END) AS ap_s,
                sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_hits
         FROM hits GROUP BY query_id
     ),
     nrel AS (SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY query_id),
     ideal AS (
         SELECT query_id,
-               sum(CAST(round(rel / log2(irnk + 1.0), 12)
-                        AS DECIMAL(18,12))) AS idcg
+               sum(rel * (""" + _DCG_LIST + """)[irnk]) AS idcg_s
         FROM (
             SELECT query_id, rel,
                    row_number() OVER (PARTITION BY query_id
@@ -11368,17 +11393,20 @@ ORACLES["retrieval_metrics"] = """
     SELECT query_id,
            coalesce(n.n_rel, 0) AS n_rel,
            coalesce(p.n_hits, 0) AS n_hits,
-           CAST(CASE WHEN coalesce(n.n_rel, 0) > 0
-                THEN round(CAST(coalesce(p.n_hits, 0) AS DOUBLE) / n.n_rel, 6)
+           CAST(CASE WHEN coalesce(n.n_rel, 0) > 0 THEN
+           """ + _ratio_sql("coalesce(p.n_hits, 0)", "n.n_rel", 6) + """
            END AS DECIMAL(18,6)) AS recall_at_k,
-           CAST(round(CAST(coalesce(p.best_rr, 0) AS DOUBLE), 6)
-                AS DECIMAL(18,6)) AS rr,
-           CAST(CASE WHEN coalesce(n.n_rel, 0) > 0
-                THEN round(CAST(coalesce(p.ap_sum, 0) AS DOUBLE)
-                           / least(n.n_rel, 10), 6)
+           CAST(coalesce(CASE WHEN p.r1 IS NOT NULL THEN
+           """ + _ratio_sql("1", "p.r1", 6) + """
+           END, 0) AS DECIMAL(18,6)) AS rr,
+           CAST(CASE WHEN coalesce(n.n_rel, 0) > 0 THEN
+           """ + _ratio_sql(
+    "coalesce(p.ap_s, 0)", "1000000000000 * least(n.n_rel, 10)", 6
+) + """
            END AS DECIMAL(18,6)) AS ap_at_k,
-           CAST(round(CAST(coalesce(p.dcg, CAST(0 AS DECIMAL(18,12))) AS DOUBLE)
-                 / CAST(i.idcg AS DOUBLE), 6) AS DECIMAL(18,6)) AS ndcg_at_k
+           CAST(CASE WHEN coalesce(n.n_rel, 0) > 0 THEN
+           """ + _ratio_sql("coalesce(p.dcg_s, 0)", "i.idcg_s", 6) + """
+           END AS DECIMAL(18,6)) AS ndcg_at_k
     FROM perq p
     FULL OUTER JOIN nrel n USING (query_id)
     LEFT JOIN ideal i USING (query_id)
@@ -11440,14 +11468,19 @@ ORACLES["label_vote"] = (
         FROM sel
     )
     SELECT item_id, label AS voted_label, n_agree, n_votes,
-           round(CAST(n_agree AS DOUBLE) / n_votes, 6) AS agreement
+           """
+    + _ratio_sql("n_agree", "n_votes", 6)
+    + """ AS agreement
     FROM r WHERE rn = 1
 """
 )
 
-# Mirrors q_rater_agreement: pairwise Cohen's kappa (integer-count
-# ratios, single final divisions) + the Fleiss summary row (P_i
-# DECIMAL(18,12)-quantized before the cross-item sum, same as Spark).
+# Mirrors q_rater_agreement: pairwise Cohen's kappa + the Fleiss
+# summary row, every metric HALF-UP via the exact integer-ratio kernel
+# (round-9: kappa stays rational — (n_eq*n − pe_num)/(n² − pe_num) for
+# Cohen, (A·D − C·B)/(B·(D − C)) for Fleiss with A = Σ 12-digit-scaled
+# P_i, B = n_items·10^12, C = sq_marg, D = n_votes² — so no
+# round(double) of an integer ratio survives on either engine side).
 ORACLES["rater_agreement"] = (
     "WITH votes AS (" + _VOTES_SQL + "),"
     """
@@ -11470,22 +11503,26 @@ ORACLES["rater_agreement"] = (
           ON ca.aa = cb.aa AND ca.bb = cb.bb AND ca.la = cb.lb
         GROUP BY 1, 2
     ),
-    pairleg AS (
-        SELECT 'pair' AS method, per.aa AS a, per.bb AS b,
-               per.n_items AS n,
-               round(CAST(n_eq AS DOUBLE) / n_items, 6) AS po,
-               round(CAST(coalesce(pe_num, 0) AS DOUBLE)
-                     / (CAST(n_items AS DOUBLE) * n_items), 6) AS pe,
-               CASE WHEN CAST(coalesce(pe_num, 0) AS DOUBLE)
-                         / (CAST(n_items AS DOUBLE) * n_items) < 1.0
-                    THEN round((CAST(n_eq AS DOUBLE) / n_items
-                                - CAST(coalesce(pe_num, 0) AS DOUBLE)
-                                  / (CAST(n_items AS DOUBLE) * n_items))
-                               / (1.0 - CAST(coalesce(pe_num, 0) AS DOUBLE)
-                                        / (CAST(n_items AS DOUBLE) * n_items)),
-                               6)
-               END AS kappa
+    pairwide AS (
+        SELECT per.aa, per.bb, n_items, n_eq,
+               coalesce(pe_num, 0) AS pe_num
         FROM per LEFT JOIN pe_t ON per.aa = pe_t.aa AND per.bb = pe_t.bb
+    ),
+    pairleg AS (
+        SELECT 'pair' AS method, aa AS a, bb AS b, n_items AS n,
+               """
+    + _ratio_sql("n_eq", "n_items", 6)
+    + """ AS po,
+               """
+    + _ratio_sql("pe_num", "n_items * n_items", 6)
+    + """ AS pe,
+               CASE WHEN pe_num < n_items * n_items THEN
+               """
+    + _ratio_sql(
+        "n_eq * n_items - pe_num", "n_items * n_items - pe_num", 6
+    )
+    + """ END AS kappa
+        FROM pairwide
     ),
     nij AS (
         SELECT item_id, label, count(*) AS nij FROM votes GROUP BY 1, 2
@@ -11496,8 +11533,9 @@ ORACLES["rater_agreement"] = (
     ),
     agg AS (
         SELECT count(*) AS n_items,
-               sum(CAST(round(CAST(sq - ni AS DOUBLE) / (ni * (ni - 1)), 12)
-                        AS DECIMAL(18,12))) AS p_sum,
+               sum("""
+    + _ratio_scaled_sql("sq - ni", "ni * (ni - 1)", 12)
+    + """) AS p_sum_s,
                sum(ni) AS n_votes
         FROM pi
     ),
@@ -11507,22 +11545,28 @@ ORACLES["rater_agreement"] = (
             FROM votes v JOIN pi USING (item_id) GROUP BY label
         )
     ),
+    fwide AS (
+        SELECT n_items,
+               CAST(p_sum_s AS HUGEINT) AS fa,
+               CAST(n_items AS HUGEINT) * 1000000000000 AS fb,
+               CAST(sq_marg AS HUGEINT) AS fc,
+               CAST(n_votes AS HUGEINT) * n_votes AS fd
+        FROM agg CROSS JOIN marg
+    ),
     fleissleg AS (
         SELECT 'fleiss' AS method, CAST(NULL AS BIGINT) AS a,
                CAST(NULL AS BIGINT) AS b, n_items AS n,
-               round(CAST(p_sum AS DOUBLE) / n_items, 6) AS po,
-               round(CAST(sq_marg AS DOUBLE)
-                     / (CAST(n_votes AS DOUBLE) * n_votes), 6) AS pe,
-               CASE WHEN CAST(sq_marg AS DOUBLE)
-                         / (CAST(n_votes AS DOUBLE) * n_votes) < 1.0
-                    THEN round((CAST(p_sum AS DOUBLE) / n_items
-                                - CAST(sq_marg AS DOUBLE)
-                                  / (CAST(n_votes AS DOUBLE) * n_votes))
-                               / (1.0 - CAST(sq_marg AS DOUBLE)
-                                        / (CAST(n_votes AS DOUBLE) * n_votes)),
-                               6)
-               END AS kappa
-        FROM agg CROSS JOIN marg
+               """
+    + _ratio_sql("fa", "fb", 6)
+    + """ AS po,
+               """
+    + _ratio_sql("fc", "fd", 6)
+    + """ AS pe,
+               CASE WHEN fc < fd THEN
+               """
+    + _ratio_sql("fa * fd - fc * fb", "fb * (fd - fc)", 6)
+    + """ END AS kappa
+        FROM fwide
     )
     SELECT * FROM pairleg UNION ALL SELECT * FROM fleissleg
 """

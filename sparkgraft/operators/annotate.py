@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from sparkgraft.operators.stats import exact_ratio, exact_ratio_scaled
+
 __all__ = [
     "majority_label",
     "annotator_kappa",
@@ -52,7 +54,9 @@ def majority_label(
 ) -> DataFrame:
     """Per-item majority vote: ``(item, voted_label, n_agree, n_votes,
     agreement)`` where ties break to the SMALLEST label (total
-    deterministic order).  ``agreement`` = n_agree / n_votes."""
+    deterministic order).  ``agreement`` = n_agree / n_votes, HALF-UP
+    at ``digits`` via the exact integer kernel (never ``round(double)``
+    of an integer ratio — round-9 discipline)."""
     counts = votes.groupBy(item_col, label_col).agg(
         F.count("*").alias("n_agree")
     )
@@ -69,9 +73,9 @@ def majority_label(
             F.col(label_col).alias("voted_label"),
             "n_agree",
             "n_votes",
-            F.round(
-                F.col("n_agree").cast("double") / F.col("n_votes"), digits
-            ).alias("agreement"),
+            exact_ratio(F.col("n_agree"), F.col("n_votes"), digits).alias(
+                "agreement"
+            ),
         )
     )
 
@@ -88,8 +92,13 @@ def annotator_kappa(
     po, pe, kappa)``.  p_o = observed agreement; p_e = chance
     agreement from each side's label marginals on the co-annotated
     items (the standard Cohen construction).  Every statistic is a
-    ratio of integer counts (single final division — no float-sum
-    order anywhere), so results are partitioning-invariant.  kappa is
+    ratio of integer counts, HALF-UP-rounded via the exact integer
+    kernel — including kappa, which stays rational:
+    ``kappa = (po - pe)/(1 - pe) = (n_eq*n - pe_num)/(n^2 - pe_num)``
+    with n = n_items — so no double ever forms before the final
+    /10^digits (round-9 discipline: ``round(double)`` of an integer
+    ratio flips between engines exactly when the ratio terminates on a
+    rounding half-boundary, as Fleiss p_e did in round 8).  kappa is
     NULL when p_e = 1 (degenerate: both sides constant)."""
     a = votes.select(
         F.col(item_col).alias("item"),
@@ -131,10 +140,9 @@ def annotator_kappa(
         .groupBy("annotator_a", "annotator_b")
         .agg(F.sum("prod").alias("pe_num"))
     )
-    po = F.col("n_eq").cast("double") / F.col("n_items")
-    pe = F.col("pe_num").cast("double") / (
-        F.col("n_items").cast("double") * F.col("n_items")
-    )
+    n = F.col("n_items").cast("decimal(38,0)")
+    n_eq = F.col("n_eq").cast("decimal(38,0)")
+    pe_n = F.col("pe_num").cast("decimal(38,0)")
     return (
         per.join(pe_num, ["annotator_a", "annotator_b"], "left")
         .withColumn("pe_num", F.coalesce("pe_num", F.lit(0)))
@@ -142,10 +150,11 @@ def annotator_kappa(
             "annotator_a",
             "annotator_b",
             "n_items",
-            F.round(po, digits).alias("po"),
-            F.round(pe, digits).alias("pe"),
+            exact_ratio(n_eq, n, digits).alias("po"),
+            exact_ratio(pe_n, n * n, digits).alias("pe"),
             F.when(
-                pe < 1.0, F.round((po - pe) / (F.lit(1.0) - pe), digits)
+                pe_n < n * n,
+                exact_ratio(n_eq * n - pe_n, n * n - pe_n, digits),
             ).alias("kappa"),
         )
     )
@@ -159,9 +168,19 @@ def fleiss_kappa(
 ) -> DataFrame:
     """Fleiss' kappa over the whole vote table (items with >= 2 votes;
     rater counts may vary — the generalized form): one row
-    ``(n_items, p_bar, p_e, kappa)``.  Per-item agreement P_i
-    quantizes to DECIMAL(18,12) before the cross-item sum (partition-
-    invariant); P_e comes from global integer label marginals."""
+    ``(n_items, p_bar, p_e, kappa)``.
+
+    Exactness (round-9): per-item agreement
+    ``P_i = (sq - ni)/(ni*(ni-1))`` quantizes HALF-UP to an exact
+    12-digit INTEGER (``exact_ratio_scaled``) before the cross-item sum
+    (partition-invariant AND engine-invariant), and every emitted
+    metric stays rational in integer arithmetic down to the final
+    /10^digits: with A = Σ P_i_scaled, B = n_items·10^12,
+    C = sq_marg, D = n_votes² — ``p_bar = A/B``, ``p_e = C/D``,
+    ``kappa = (A·D − C·B)/(B·(D − C))``.  Round-8's driver flip was
+    exactly this query's ``p_e`` terminating ON the round(·,6)
+    half-boundary (0.2500295): ``round(double)`` of an integer ratio is
+    engine-dependent by construction and is now banned from emissions."""
     nij = votes.groupBy(item_col, label_col).agg(F.count("*").alias("nij"))
     per_item = (
         nij.groupBy(item_col)
@@ -171,13 +190,14 @@ def fleiss_kappa(
         )
         .filter(F.col("ni") >= 2)
     )
-    p_i = (
-        (F.col("sq") - F.col("ni")).cast("double")
-        / (F.col("ni") * (F.col("ni") - 1))
+    p_i_scaled = exact_ratio_scaled(
+        F.col("sq") - F.col("ni"),
+        F.col("ni") * (F.col("ni") - 1),
+        12,
     )
     agg = per_item.agg(
         F.count("*").alias("n_items"),
-        F.sum(F.round(p_i, 12).cast("decimal(18,12)")).alias("p_sum"),
+        F.sum(p_i_scaled).alias("p_sum_s"),
         F.sum("ni").alias("n_votes"),
     )
     marg = (
@@ -186,17 +206,20 @@ def fleiss_kappa(
         .agg(F.count("*").alias("nj"))
         .agg(F.sum(F.col("nj") * F.col("nj")).alias("sq_marg"))
     )
-    p_bar = F.col("p_sum").cast("double") / F.col("n_items")
-    p_e = F.col("sq_marg").cast("double") / (
-        F.col("n_votes").cast("double") * F.col("n_votes")
+    a = F.col("p_sum_s").cast("decimal(38,0)")
+    b = F.col("n_items").cast("decimal(38,0)") * F.lit(10**12).cast(
+        "decimal(38,0)"
+    )
+    c = F.col("sq_marg").cast("decimal(38,0)")
+    d = F.col("n_votes").cast("decimal(38,0)") * F.col("n_votes").cast(
+        "decimal(38,0)"
     )
     return agg.crossJoin(marg).select(
         "n_items",
-        F.round(p_bar, digits).alias("p_bar"),
-        F.round(p_e, digits).alias("p_e"),
+        exact_ratio(a, b, digits).alias("p_bar"),
+        exact_ratio(c, d, digits).alias("p_e"),
         F.when(
-            p_e < 1.0,
-            F.round((p_bar - p_e) / (F.lit(1.0) - p_e), digits),
+            c < d, exact_ratio(a * d - c * b, b * (d - c), digits)
         ).alias("kappa"),
     )
 

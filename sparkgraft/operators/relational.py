@@ -14,6 +14,23 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def dcg_weights_scaled(k: int) -> list[int]:
+    """The DCG rank-discount constants ``1/log2(r+1)``, r = 1..k, as
+    10^12-scaled integer literals.
+
+    Computed ONCE in Python and embedded as literals on BOTH the engine
+    and oracle sides (round-9 discipline): `F.log2` (JVM libm) vs
+    DuckDB's libm `log2` is an engine-variant float surface, and
+    ``round(double, d)`` of the resulting terms flips between engines
+    when a value lands on a rounding half-boundary.  With literal
+    integer weights, DCG/iDCG become exact integer dot products with
+    the (integer) relevance grades.
+    """
+    import math
+
+    return [round(10**12 / math.log2(r + 1)) for r in range(1, k + 1)]
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -393,18 +410,28 @@ def retrieval_metrics(
     emit NULL (rr still 0) rather than dividing by n_rel = 0 (which
     would error under ``spark.sql.ansi.enabled``).
 
-    Determinism: every DCG/RR/P@r term quantizes to DECIMAL(18,12)
-    before the exact sum (the rrf_fuse discipline — union/partition
-    order can't perturb a decimal sum), and the FINAL metric columns
-    are emitted as ``DECIMAL(18,digits)`` — not rounded doubles — so
-    no float-representation surface survives into the output at all
-    (round-8 hardening: the r7 driver gate flagged a hash mismatch on
-    this query that never reproduced locally; exact decimal output
-    makes the comparison engine-invariant by construction).  Scale:
-    both inputs are top-k lists / judgment tables — metadata-sized
-    next to the corpus; one hash join + three grouped aggregates,
-    each partitioned by query.
+    Determinism (round-9: the r7/r8 driver gate flagged hash flips on
+    this query twice — both times an engine-variant float surface):
+    every metric is now computed in EXACT integer arithmetic down to
+    the final division.  The DCG rank discounts ``1/log2(r+1)`` are
+    10^12-scaled integer literals (:func:`dcg_weights_scaled` — no
+    libm ``log2`` on either engine side), so DCG/iDCG are integer dot
+    products with the integer relevance grades; P@r terms quantize
+    HALF-UP to exact 12-digit integers (``exact_ratio_scaled``) before
+    the integer sum; and recall/RR/AP/nDCG emit through the
+    ``exact_ratio`` integer kernel — ``round(double)`` of a ratio of
+    integers flips between engines exactly when the ratio terminates
+    on a rounding half-boundary, so none survives anywhere in this
+    operator.  Output columns stay ``DECIMAL(18,digits)`` (the r8
+    schema).  Scale: both inputs are top-k lists / judgment tables —
+    metadata-sized next to the corpus; one hash join + three grouped
+    aggregates, each partitioned by query.
     """
+    from sparkgraft.operators.stats import exact_ratio, exact_ratio_scaled
+
+    dcg_w = F.array(
+        *[F.lit(w).cast("long") for w in dcg_weights_scaled(k)]
+    )
     rel0 = F.coalesce(F.col(rel_col), F.lit(0))
     w_cum = (
         Window.partitionBy(query_col)
@@ -425,24 +452,17 @@ def retrieval_metrics(
             F.sum(F.when(rel0 > 0, 1).otherwise(0)).over(w_cum),
         )
     )
-    dterm = F.round(
-        F.col("_rel").cast("double") / F.log2(F.col(rank_col) + F.lit(1.0)),
-        12,
-    ).cast("decimal(18,12)")
-    rr_term = F.when(
-        F.col("_rel") > 0,
-        F.round(F.lit(1.0) / F.col(rank_col), 12).cast("decimal(18,12)"),
+    dterm_s = F.col("_rel").cast("long") * F.element_at(
+        dcg_w, F.col(rank_col).cast("int")
     )
-    ap_term = F.when(
+    ap_term_s = F.when(
         F.col("_rel") > 0,
-        F.round(
-            F.col("_cumhits").cast("double") / F.col(rank_col), 12
-        ).cast("decimal(18,12)"),
+        exact_ratio_scaled(F.col("_cumhits"), F.col(rank_col), 12),
     )
     per_q = hits.groupBy(query_col).agg(
-        F.sum(dterm).alias("_dcg"),
-        F.max(rr_term).alias("_best_rr"),
-        F.sum(ap_term).alias("_ap_sum"),
+        F.sum(dterm_s).alias("_dcg_s"),
+        F.min(F.when(F.col("_rel") > 0, F.col(rank_col))).alias("_r1"),
+        F.sum(ap_term_s).alias("_ap_s"),
         F.sum(F.when(F.col("_rel") > 0, 1).otherwise(0)).alias("n_hits"),
     )
     judged = qrels.filter(F.col(rel_col) > 0)
@@ -450,20 +470,21 @@ def retrieval_metrics(
     w = Window.partitionBy(query_col).orderBy(
         F.col(rel_col).desc(), F.col(id_col).asc()
     )
-    iterm = F.round(
-        F.col(rel_col).cast("double") / F.log2(F.col("_irnk") + F.lit(1.0)),
-        12,
-    ).cast("decimal(18,12)")
+    iterm_s = F.col(rel_col).cast("long") * F.element_at(
+        dcg_w, F.col("_irnk").cast("int")
+    )
     ideal = (
         judged.withColumn("_irnk", F.row_number().over(w))
         .filter(F.col("_irnk") <= k)
         .groupBy(query_col)
-        .agg(F.sum(iterm).alias("_idcg"))
+        .agg(F.sum(iterm_s).alias("_idcg_s"))
     )
     nr = F.coalesce(F.col("n_rel"), F.lit(0))
     nh = F.coalesce(F.col("n_hits"), F.lit(0))
-    zero_dec = F.lit(0).cast("decimal(18,12)")
     out_t = f"decimal(18,{digits})"
+    ap_den = F.lit(10**12).cast("decimal(38,0)") * F.least(
+        nr, F.lit(k)
+    ).cast("decimal(38,0)")
     return (
         per_q.join(n_rel, query_col, "full")
         .join(ideal, query_col, "left")
@@ -471,25 +492,35 @@ def retrieval_metrics(
             query_col,
             nr.alias("n_rel"),
             nh.alias("n_hits"),
-            F.when(
-                nr > 0, F.round(nh.cast("double") / nr, digits)
-            ).cast(out_t).alias("recall_at_k"),
-            F.round(
-                F.coalesce(F.col("_best_rr"), zero_dec).cast("double"),
-                digits,
-            ).cast(out_t).alias("rr"),
+            F.when(nr > 0, exact_ratio(nh, nr, digits))
+            .cast(out_t)
+            .alias("recall_at_k"),
+            F.coalesce(
+                exact_ratio(F.lit(1), F.col("_r1"), digits), F.lit(0.0)
+            )
+            .cast(out_t)
+            .alias("rr"),
             F.when(
                 nr > 0,
-                F.round(
-                    F.coalesce(F.col("_ap_sum"), zero_dec).cast("double")
-                    / F.least(nr, F.lit(k)),
+                exact_ratio(
+                    F.coalesce(F.col("_ap_s"), F.lit(0)).cast(
+                        "decimal(38,0)"
+                    ),
+                    ap_den,
                     digits,
                 ),
-            ).cast(out_t).alias("ap_at_k"),
-            F.round(
-                F.coalesce(F.col("_dcg"), zero_dec).cast("double")
-                / F.col("_idcg").cast("double"),
-                digits,
-            ).cast(out_t).alias("ndcg_at_k"),
+            )
+            .cast(out_t)
+            .alias("ap_at_k"),
+            F.when(
+                nr > 0,
+                exact_ratio(
+                    F.coalesce(F.col("_dcg_s"), F.lit(0)),
+                    F.col("_idcg_s"),
+                    digits,
+                ),
+            )
+            .cast(out_t)
+            .alias("ndcg_at_k"),
         )
     )

@@ -75,6 +75,41 @@ def exact_mean(sum_scaled: Column, n: Column, digits: int) -> Column:
     return signed.cast("double") / F.lit(float(10**digits))
 
 
+def exact_ratio_scaled(num: Column, den: Column, digits: int) -> Column:
+    """HALF-UP-rounded ``num/den * 10**digits`` as an exact integer
+    (DECIMAL(38,0) ``div`` — no double ever forms): the generic
+    integer-ratio kernel behind :func:`exact_ratio`.
+
+    ``num`` may be negative; ``den`` must be positive.  Exposed
+    separately so per-row quantized terms (e.g. Fleiss P_i at 12
+    digits, AP P@r terms) can be summed as exact integers before a
+    final :func:`exact_ratio` division — the engine's answer to the
+    round-8 driver flip, where Fleiss ``p_e`` (a ratio of integer
+    marginals) terminated exactly ON the round(·,6) half-boundary and
+    Spark's BigDecimal HALF_UP disagreed with the driver DuckDB
+    build's float rounding.  Ratios of integers routinely terminate on
+    half-boundaries; ``round(double, d)`` of one is engine-dependent
+    BY CONSTRUCTION and must never be emitted.
+    """
+    two = F.lit(2).cast("decimal(38,0)")
+    p = _dec(F.abs(num)) * F.lit(10**digits).cast("decimal(38,0)")
+    q = _dec(den)
+    r = F.call_function("div", two * p + q, two * q)
+    return F.when(num < 0, -r).otherwise(r)
+
+
+def exact_ratio(num: Column, den: Column, digits: int) -> Column:
+    """HALF-UP-rounded ratio of integers ``num/den`` at ``digits``,
+    engine-invariant: the rounding happens in exact DECIMAL(38,0)
+    arithmetic (:func:`exact_ratio_scaled`), and the final
+    ``scaled/10**digits`` double is the nearest double to a d-digit
+    decimal — unambiguous on every engine (the exact_mean discipline).
+    """
+    return exact_ratio_scaled(num, den, digits).cast("double") / F.lit(
+        float(10**digits)
+    )
+
+
 def channel_stats(
     df: DataFrame,
     keys: Sequence[str | Column],
