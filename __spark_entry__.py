@@ -7805,13 +7805,17 @@ def _llm_oracles() -> dict[str, str]:
         banded AS ({band_rows}),
         pairs AS (
             SELECT a.id AS id_a, b.id AS id_b,
-                   len(list_intersect(a.sh, b.sh))
-                     / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS j
+                   len(list_intersect(a.sh, b.sh)) AS ji,
+                   len(list_distinct(list_concat(a.sh, b.sh))) AS ju
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
         ),
-        best AS (SELECT id_a, id_b, max(j) AS j FROM pairs GROUP BY id_a, id_b)
-        SELECT id_a, id_b, round(j, 4) AS jaccard FROM best WHERE j >= 0.5
+        best AS (
+            SELECT id_a, id_b, max(ji) AS ji, max(ju) AS ju
+            FROM pairs GROUP BY id_a, id_b
+        )
+        SELECT id_a, id_b, {_ratio_sql("ji", "ju", 4)} AS jaccard
+        FROM best WHERE ji / CAST(ju AS DOUBLE) >= 0.5
     """
 
     # Streaming admission replayed: batch 0 (the 40 smallest ids < 60)
@@ -7857,9 +7861,9 @@ def _llm_oracles() -> dict[str, str]:
             FROM abanded n
             JOIN abanded h ON n.band = h.band AND n.bucket = h.bucket
              AND n.side = 1 AND h.side = 0
-            WHERE len(list_intersect(n.sh, h.sh))
-                  / CAST(len(list_distinct(list_concat(n.sh, h.sh)))
-                         AS DOUBLE) >= 0.5
+            WHERE {_ratio_sql("len(list_intersect(n.sh, h.sh))",
+                              "len(list_distinct(list_concat(n.sh, h.sh)))",
+                              4)} >= 0.5
         ),
         n1 AS (SELECT count(*) AS c FROM acorpus WHERE side = 0),
         n2 AS (SELECT count(*) AS c FROM acorpus WHERE side = 1),
@@ -7904,15 +7908,15 @@ def _llm_oracles() -> dict[str, str]:
         abanded AS ({adm_bands}),
         verified AS (
             SELECT DISTINCT n.id AS new_id, h.id AS hist_id,
-                   round(len(list_intersect(n.sh, h.sh))
-                         / CAST(len(list_distinct(list_concat(n.sh, h.sh)))
-                                AS DOUBLE), 4) AS j
+                   {_ratio_sql("len(list_intersect(n.sh, h.sh))",
+                               "len(list_distinct(list_concat(n.sh, h.sh)))",
+                               4)} AS j
             FROM abanded n
             JOIN abanded h ON n.band = h.band AND n.bucket = h.bucket
              AND n.side = 1 AND h.side = 0
-            WHERE round(len(list_intersect(n.sh, h.sh))
-                        / CAST(len(list_distinct(list_concat(n.sh, h.sh)))
-                               AS DOUBLE), 4) >= 0.5
+            WHERE {_ratio_sql("len(list_intersect(n.sh, h.sh))",
+                              "len(list_distinct(list_concat(n.sh, h.sh)))",
+                              4)} >= 0.5
         ),
         best AS (
             SELECT new_id, min(hist_id) AS dup_of, max(j) AS jaccard
@@ -7924,7 +7928,7 @@ def _llm_oracles() -> dict[str, str]:
         LEFT JOIN best b ON a.id = b.new_id
     """
 
-    o["ngram_jaccard"] = """
+    o["ngram_jaccard"] = f"""
         WITH base AS (
             SELECT source, doc_id AS id,
                    list_distinct(regexp_split_to_array(text, '\\s+')) AS sh
@@ -7932,8 +7936,9 @@ def _llm_oracles() -> dict[str, str]:
         ),
         pairs AS (
             SELECT a.source, a.id AS id_a, b.id AS id_b,
-                   round(len(list_intersect(a.sh, b.sh))
-                     / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) AS jaccard
+                   {_ratio_sql("len(list_intersect(a.sh, b.sh))",
+                               "len(list_distinct(list_concat(a.sh, b.sh)))",
+                               4)} AS jaccard
             FROM base a JOIN base b ON a.source = b.source AND a.id < b.id
         )
         SELECT source, id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.62
@@ -7968,9 +7973,9 @@ def _llm_oracles() -> dict[str, str]:
                len(w) AS n_words,
                len(list_distinct(w)) AS n_distinct_words,
                len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens,
-               round(CAST(n_chars - len(w) + 1 AS DOUBLE) / len(w), 4) AS avg_word_len,
-               round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS type_token_ratio,
-               round(CAST(len(list_filter(w, x -> list_contains({stop_en}, x))) AS DOUBLE) / len(w), 4) AS stopword_ratio,
+               {_ratio_sql("n_chars - len(w) + 1", "len(w)", 4)} AS avg_word_len,
+               {_ratio_sql("len(list_distinct(w))", "len(w)", 4)} AS type_token_ratio,
+               {_ratio_sql(f"len(list_filter(w, x -> list_contains({stop_en}, x)))", "len(w)", 4)} AS stopword_ratio,
                (len(w) >= 10
                 AND CAST(n_chars - len(w) + 1 AS DOUBLE) / len(w) >= 2.0
                 AND CAST(n_chars - len(w) + 1 AS DOUBLE) / len(w) <= 12.0
@@ -8000,8 +8005,14 @@ def _llm_oracles() -> dict[str, str]:
         cases.append(f"WHEN {conds} THEN '{lang}'")
     case_sql = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
     any_hit = " OR ".join(f"{score[lang]} > 0" for lang in langs)
+    hits_sql = {
+        lang: f"len(list_filter(dw, x -> list_contains({stoplists[lang]}, x)))"
+        for lang in langs
+    }
     score_cols = ", ".join(
-        f"round({score[lang]}, 4) AS score_{lang}" for lang in langs
+        _ratio_sql(hits_sql[lang], str(len(stoplists[lang].split(","))), 4)
+        + f" AS score_{lang}"
+        for lang in langs
     )
     o["lang_id"] = f"""
         WITH base AS (
@@ -8030,8 +8041,9 @@ def _llm_oracles() -> dict[str, str]:
         ),
         jpairs AS (
             SELECT a.source, a.id AS id_a, b.id AS id_b,
-                   round(len(list_intersect(a.sh, b.sh))
-                     / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) AS jaccard
+                   {_ratio_sql("len(list_intersect(a.sh, b.sh))",
+                               "len(list_distinct(list_concat(a.sh, b.sh)))",
+                               4)} AS jaccard
             FROM jbase a JOIN jbase b ON a.source = b.source AND a.id < b.id
         )
         SELECT 'simhash' AS signal, CAST(NULL AS VARCHAR) AS block,
@@ -9302,7 +9314,7 @@ def _llm_oracles() -> dict[str, str]:
         FROM tagged t LEFT JOIN links k ON t.vec_id = k.cand_id
     """
 
-    o["repetition_stats"] = r"""
+    o["repetition_stats"] = rf"""
         WITH t AS (
             SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
             FROM documents
@@ -9311,10 +9323,11 @@ def _llm_oracles() -> dict[str, str]:
         SELECT doc_id,
                len(toks) AS n_tokens,
                len(dst) AS n_distinct,
-               round(CAST(len(dst) AS DOUBLE) / len(toks), 4) AS distinct_ratio,
-               round(CAST(list_max(list_transform(dst,
-                     tk -> len(list_filter(toks, x -> x = tk)))) AS DOUBLE)
-                     / len(toks), 4) AS top_token_share
+               {_ratio_sql("len(dst)", "len(toks)", 4)} AS distinct_ratio,
+               {_ratio_sql(
+                   "list_max(list_transform(dst,"
+                   " tk -> len(list_filter(toks, x -> x = tk))))",
+                   "len(toks)", 4)} AS top_token_share
         FROM d
     """
 
@@ -9439,7 +9452,7 @@ def _llm_oracles() -> dict[str, str]:
     # Decontamination: the Spark side joins on md5(gram) for shuffle
     # compactness; the oracle joins on the raw gram strings — identical
     # results (the hash only renames the join key).
-    o["decontaminate"] = r"""
+    o["decontaminate"] = rf"""
         WITH toks AS (
             SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
             FROM documents
@@ -9464,9 +9477,9 @@ def _llm_oracles() -> dict[str, str]:
         SELECT corpus.doc_id,
                len(gs) AS n_grams,
                coalesce(n_hits, 0) AS n_hits,
-               round(CASE WHEN len(gs) > 0
-                          THEN CAST(coalesce(n_hits, 0) AS DOUBLE) / len(gs)
-                          ELSE 0.0 END, 4) AS overlap_ratio,
+               CASE WHEN len(gs) > 0
+                    THEN {_ratio_sql("coalesce(n_hits, 0)", "len(gs)", 4)}
+                    ELSE 0.0 END AS overlap_ratio,
                coalesce(n_hits, 0) > 0 AS contaminated
         FROM corpus LEFT JOIN hits USING (doc_id)
     """
@@ -9689,21 +9702,30 @@ def _llm_oracles() -> dict[str, str]:
         SELECT doc_id, sent_id, sentence FROM cleaned WHERE len(sentence) > 0
     """
 
-    o["quality_gate"] = r"""
+    # percent_rank = (rank-1)/(cnt-1) is an integer ratio: emit HALF-UP
+    # via the exact integer kernel (round-9 boundary discipline).
+    o["quality_gate"] = (
+        r"""
         SELECT doc_id, source, n_tokens,
-               round(pct, 6) AS pct,
-               round(pct, 6) >= 0.25 AS keep
+               CASE WHEN cnt > 1 THEN """
+        + _ratio_sql("rn - 1", "cnt - 1", 6)
+        + r""" ELSE 0.0 END AS pct,
+               CASE WHEN cnt > 1 THEN """
+        + _ratio_sql("rn - 1", "cnt - 1", 6)
+        + r""" ELSE 0.0 END >= 0.25 AS keep
         FROM (
             SELECT doc_id, source,
                    len(regexp_split_to_array(text, '\s+')) AS n_tokens,
-                   percent_rank() OVER (
+                   count(*) OVER (PARTITION BY source) AS cnt,
+                   row_number() OVER (
                        PARTITION BY source
                        ORDER BY len(regexp_split_to_array(text, '\s+')) ASC,
                                 doc_id ASC
-                   ) AS pct
+                   ) AS rn
             FROM documents
         )
     """
+    )
 
     o["sample_per_group"] = """
         SELECT doc_id, source FROM (
@@ -10084,8 +10106,10 @@ ORACLES["suffix_gate"] = f"""
            coalesce(p.n_spans, 0) AS n_spans,
            coalesce(p.dup_chars, 0) AS dup_chars,
            coalesce(p.max_span_len, 0) AS max_span_len,
-           round(coalesce(p.dup_chars, 0) / b.n_chars, 4) AS dup_fraction,
-           round(coalesce(p.dup_chars, 0) / b.n_chars, 4) <= 0.30 AS keep
+           {_ratio_sql("coalesce(p.dup_chars, 0)", "b.n_chars", 4)}
+               AS dup_fraction,
+           {_ratio_sql("coalesce(p.dup_chars, 0)", "b.n_chars", 4)}
+               <= 0.30 AS keep
     FROM base b LEFT JOIN per_doc p USING (doc_id)
 """
 
@@ -10358,7 +10382,7 @@ ORACLES["triangle_count"] = """
 # terms quantized to DECIMAL(18,6) before an exact order-free sum
 # (Spark folds the same quantized terms over the sorted distinct-char
 # array — equal because exact decimal addition commutes).
-ORACLES["gopher_gate"] = r"""
+ORACLES["gopher_gate"] = rf"""
     WITH base AS (
         SELECT doc_id, text,
                regexp_split_to_array(text, '\s+') AS toks,
@@ -10394,11 +10418,11 @@ ORACLES["gopher_gate"] = r"""
     m AS (
         SELECT c.*,
                CAST(c.word_lens AS DOUBLE) / c.n_words AS mean_wl_raw,
-               round(CAST(c.n_sym AS DOUBLE) / c.n_words, 4) AS symbol_word_ratio,
-               round(CAST(c.bullet_lines AS DOUBLE) / c.n_lines, 4) AS bullet_line_frac,
-               round(CAST(c.ellipsis_lines AS DOUBLE) / c.n_lines, 4) AS ellipsis_line_frac,
-               round(CAST(c.alpha_words AS DOUBLE) / c.n_words, 4) AS alpha_word_frac,
-               round(CAST(c.dup_lines AS DOUBLE) / c.n_lines, 4) AS dup_line_frac,
+               {_ratio_sql("c.n_sym", "c.n_words", 4)} AS symbol_word_ratio,
+               {_ratio_sql("c.bullet_lines", "c.n_lines", 4)} AS bullet_line_frac,
+               {_ratio_sql("c.ellipsis_lines", "c.n_lines", 4)} AS ellipsis_line_frac,
+               {_ratio_sql("c.alpha_words", "c.n_words", 4)} AS alpha_word_frac,
+               {_ratio_sql("c.dup_lines", "c.n_lines", 4)} AS dup_line_frac,
                CASE WHEN c.n_chars > 0
                     THEN round(ln(c.n_chars)
                                - CAST(e.s AS DOUBLE) / c.n_chars, 4)
@@ -10406,7 +10430,7 @@ ORACLES["gopher_gate"] = r"""
         FROM core c LEFT JOIN ent e USING (doc_id)
     )
     SELECT doc_id, n_words,
-           round(mean_wl_raw, 4) AS mean_word_len,
+           {_ratio_sql("word_lens", "n_words", 4)} AS mean_word_len,
            symbol_word_ratio, bullet_line_frac, ellipsis_line_frac,
            alpha_word_frac, dup_line_frac, char_entropy,
            (n_words >= 10 AND n_words <= 100000
@@ -10654,7 +10678,9 @@ ORACLES["unigram_segment"] = _unigram_oracle_sql(
     """SELECT g.doc_id,
               CAST(sum(t.ntok) AS BIGINT) AS n_tokens,
               CAST(any_value(g.n_chars) AS BIGINT) AS n_chars,
-              round(any_value(g.n_chars) / sum(t.ntok), 4) AS chars_per_token
+              """
+    + _ratio_sql("any_value(g.n_chars)", "sum(t.ntok)", 4)
+    + """ AS chars_per_token
        FROM useg g JOIN uwtok t USING (word)
        GROUP BY g.doc_id"""
 )
@@ -11881,7 +11907,7 @@ ORACLES["sketch_overlap"] = """
 # exact Jaccard — exactly what prefix filtering must equal (the
 # no-false-negatives guarantee IS the claim under test).  Ids compare
 # as strings on both sides.
-ORACLES["setsim_pairs"] = r"""
+ORACLES["setsim_pairs"] = rf"""
     WITH sub AS (
         SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
     ),
@@ -11904,7 +11930,7 @@ ORACLES["setsim_pairs"] = r"""
     ),
     j AS (
         SELECT id_a, id_b,
-               round(o * 1.0 / (sa.n + sb.n - o), 4) AS jaccard
+               {_ratio_sql("o", "sa.n + sb.n - o", 4)} AS jaccard
         FROM ov
         JOIN sz sa ON sa.id = ov.id_a
         JOIN sz sb ON sb.id = ov.id_b
@@ -13333,7 +13359,7 @@ bo_pst{s} AS MATERIALIZED (
 SELECT d.id AS doc_id, CAST(d.len AS BIGINT) AS n_chars,
        CAST(coalesce(mx.mo, 0) AS BIGINT) AS max_overlap,
        CASE WHEN d.len > 0
-            THEN round(CAST(coalesce(mx.mo, 0) AS DOUBLE) / d.len, 4)
+            THEN {_ratio_sql("coalesce(mx.mo, 0)", "d.len", 4)}
             ELSE 0.0 END AS overlap_frac
 FROM bo_docs d
 LEFT JOIN (SELECT id, max(lo) AS mo FROM bo_pst{steps} GROUP BY 1) mx

@@ -54,6 +54,8 @@ import zlib
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from sparkgraft.operators.stats import exact_ratio
 from pyspark.sql.types import (
     BooleanType,
     IntegerType,
@@ -323,7 +325,10 @@ def substring_dedup_stats(
         F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
         F.coalesce("max_span_len", F.lit(0)).alias("max_span_len"),
     )
-    frac = F.round(F.col("dup_chars") / F.col("n_chars"), 4)
+    # Integer ratio -> exact HALF-UP kernel (round-9 boundary
+    # discipline; round(double) flips between engines on exact
+    # half-boundary rationals like 11/32).
+    frac = exact_ratio(F.col("dup_chars"), F.col("n_chars"), 4)
     return joined.select(
         id_col,
         "n_chars",
@@ -524,7 +529,7 @@ def longest_benchmark_overlap(
     out = src.mapInPandas(kernel, "id string, n_chars long, max_overlap long")
     frac = F.when(
         F.col("n_chars") > 0,
-        F.round(F.col("max_overlap") / F.col("n_chars"), 4),
+        exact_ratio(F.col("max_overlap"), F.col("n_chars"), 4),
     ).otherwise(F.lit(0.0))
     return out.select(
         F.col("id").alias(id_col),

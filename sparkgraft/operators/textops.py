@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from sparkgraft.operators.stats import exact_ratio
+
 HEX_HIGH = list("89abcdef")  # md5 nibble with top bit set
 
 
@@ -81,6 +83,25 @@ def jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(da, db)).cast("double")
     union = F.size(F.array_union(da, db)).cast("double")
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def jaccard_rounded(a: Column, b: Column, digits: int = 4) -> Column:
+    """Jaccard of two string arrays, HALF-UP at ``digits`` via the
+    exact integer-ratio kernel.
+
+    Round-9 discipline: Jaccard is a ratio of set sizes, and integer
+    ratios land EXACTLY on rounding half-boundaries (e.g. 11/32 =
+    0.34375 at 4 digits — found by tools/boundary_audit.py in this
+    repo's own corpus), where ``round(double)`` is engine-dependent:
+    Spark rounds the double's exact decimal expansion via BigDecimal
+    HALF_UP, other engines round in float.  The kernel makes the
+    rounding exact integer arithmetic on both sides."""
+    da, db = F.array_distinct(a), F.array_distinct(b)
+    inter = F.size(F.array_intersect(da, db))
+    union = F.size(F.array_union(da, db))
+    return F.when(union > 0, exact_ratio(inter, union, digits)).otherwise(
+        F.lit(0.0)
+    )
 
 
 def minhash_dedup_pairs(
@@ -150,10 +171,17 @@ def minhash_dedup_pairs(
     verified = (
         pairs.join(sh_tbl.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh_tbl.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
-        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("j"))
+        .select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("j"),
+            jaccard_rounded(F.col("sh_a"), F.col("sh_b"), 4).alias(
+                "jaccard"
+            ),
+        )
     )
     return verified.filter(F.col("j") >= min_jaccard).select(
-        "id_a", "id_b", F.round("j", 4).alias("jaccard")
+        "id_a", "id_b", "jaccard"
     )
 
 
@@ -220,7 +248,9 @@ def ngram_jaccard_pairs(
             "g",
             "id_a",
             "id_b",
-            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+            jaccard_rounded(F.col("sh_a"), F.col("sh_b"), 4).alias(
+                "jaccard"
+            ),
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
@@ -249,16 +279,18 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         F.filter(words, lambda w: w.isin(STOPWORDS["en"]))
     )
     bpe_tokens = F.regexp_count(F.col(text_col), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"))
+    # quality_pass thresholds the UNROUNDED double ratio (identical
+    # IEEE division on every engine); emissions go through the exact
+    # integer-ratio kernel (round-9 boundary discipline).
     avg_wl = (n_chars - n_words + 1).cast("double") / n_words
-    ttr = n_distinct.cast("double") / n_words
     return docs.select(
         F.col(id_col),
         n_words.alias("n_words"),
         n_distinct.alias("n_distinct_words"),
         bpe_tokens.alias("n_tokens"),
-        F.round(avg_wl, 4).alias("avg_word_len"),
-        F.round(ttr, 4).alias("type_token_ratio"),
-        F.round(stop_hits.cast("double") / n_words, 4).alias("stopword_ratio"),
+        exact_ratio(n_chars - n_words + 1, n_words, 4).alias("avg_word_len"),
+        exact_ratio(n_distinct, n_words, 4).alias("type_token_ratio"),
+        exact_ratio(stop_hits, n_words, 4).alias("stopword_ratio"),
         (
             (n_words >= 10)
             & (avg_wl >= 2.0)
@@ -273,11 +305,14 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     argmax with deterministic lexicographic tie-break."""
     words = F.array_distinct(tokenize(F.col(text_col)))
     langs = sorted(STOPWORDS)
+    hits = {
+        lang: F.size(F.filter(words, lambda w: w.isin(STOPWORDS[lang])))
+        for lang in langs
+    }
+    # argmax compares the UNROUNDED double ratios (identical IEEE
+    # division everywhere); emission rounds via the integer kernel.
     scores = {
-        lang: F.size(F.filter(words, lambda w: w.isin(STOPWORDS[lang]))).cast(
-            "double"
-        )
-        / F.lit(float(len(STOPWORDS[lang])))
+        lang: hits[lang].cast("double") / F.lit(float(len(STOPWORDS[lang])))
         for lang in langs
     }
     # argmax with lexicographic preference on ties: the first language
@@ -296,7 +331,12 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         any_hit = c if any_hit is None else (any_hit | c)
     return docs.select(
         F.col(id_col),
-        *[F.round(scores[lang], 4).alias(f"score_{lang}") for lang in langs],
+        *[
+            exact_ratio(
+                hits[lang], F.lit(len(STOPWORDS[lang])), 4
+            ).alias(f"score_{lang}")
+            for lang in langs
+        ],
         F.when(any_hit, pred).otherwise(F.lit("unknown")).alias("pred_lang"),
     )
 
@@ -390,10 +430,8 @@ def repetition_stats(
         F.col(id_col),
         n.alias("n_tokens"),
         F.size(distinct).alias("n_distinct"),
-        F.round(F.size(distinct).cast("double") / n, digits).alias(
-            "distinct_ratio"
-        ),
-        F.round(top.cast("double") / n, digits).alias("top_token_share"),
+        exact_ratio(F.size(distinct), n, digits).alias("distinct_ratio"),
+        exact_ratio(top, n, digits).alias("top_token_share"),
     )
 
 
@@ -482,7 +520,12 @@ def decontaminate(
         F.col("id").alias(id_col),
         "n_grams",
         F.col("n_hits").cast("long").alias("n_hits"),
-        F.round(safe_ratio, 4).alias("overlap_ratio"),
+        F.when(
+            F.col("n_grams") > 0,
+            exact_ratio(F.col("n_hits"), F.col("n_grams"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("overlap_ratio"),
         ((F.col("n_hits") > 0) & (safe_ratio > F.lit(max_ratio))).alias(
             "contaminated"
         ),
@@ -594,15 +637,30 @@ def relative_quality_gate(
     cutoff silently deleting whole low-scoring domains.
 
     One shuffle (the per-domain window); percent_rank is rank
-    arithmetic on integers, deterministic with the id tie-break.
+    arithmetic on integers — (rank-1)/(n-1) — emitted HALF-UP through
+    the exact integer-ratio kernel (round-9: the built-in
+    ``percent_rank()`` returns a double whose rounding is
+    engine-dependent exactly when the rank ratio terminates on a
+    half-boundary, e.g. 3/16).  The id tie-break makes rank ==
+    row_number (total order), so the explicit form is identical.
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy(group_col).orderBy(
         F.col(score_col).asc(), F.col(id_col).asc()
     )
+    wn = Window.partitionBy(group_col)
     return (
-        docs.withColumn("pct", F.round(F.percent_rank().over(w), digits))
+        docs.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_cnt", F.count("*").over(wn))
+        .withColumn(
+            "pct",
+            F.when(
+                F.col("_cnt") > 1,
+                exact_ratio(F.col("_rn") - 1, F.col("_cnt") - 1, digits),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("_rn", "_cnt")
         .withColumn("keep", F.col("pct") >= F.lit(min_pct))
     )
 
@@ -1021,7 +1079,7 @@ def crossside_verdicts(
         .select(
             "new_id",
             "hist_id",
-            F.round(jaccard(F.col("sh_n"), F.col("sh_h")), 4).alias("j"),
+            jaccard_rounded(F.col("sh_n"), F.col("sh_h"), 4).alias("j"),
         )
         .filter(F.col("j") >= min_jaccard)
     )
@@ -1264,7 +1322,7 @@ def gopher_quality(
         F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
     )
     mean_wl = word_lens.cast("double") / n_words
-    n_sym = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\.")).cast("double")
+    n_sym = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\."))
     lines = F.split(F.col(text_col), r"\n")
     n_lines = F.size(lines)
     bullet_lines = F.size(
@@ -1330,11 +1388,14 @@ def gopher_quality(
             4,
         ),
     ).otherwise(F.lit(0.0))
-    sym_ratio = F.round(n_sym / n_words, 4)
-    bullet_frac = F.round(bullet_lines.cast("double") / n_lines, 4)
-    ellipsis_frac = F.round(ellipsis_lines.cast("double") / n_lines, 4)
-    alpha_frac = F.round(alpha_words.cast("double") / n_words, 4)
-    dup_line_frac = F.round(dup_lines.cast("double") / n_lines, 4)
+    # Every ratio below divides integer counts: emit HALF-UP via the
+    # exact integer kernel (round-9 — boundary_audit found mean word
+    # length 4.28125 sitting exactly ON the 4-digit half-boundary).
+    sym_ratio = exact_ratio(n_sym, n_words, 4)
+    bullet_frac = exact_ratio(bullet_lines, n_lines, 4)
+    ellipsis_frac = exact_ratio(ellipsis_lines, n_lines, 4)
+    alpha_frac = exact_ratio(alpha_words, n_words, 4)
+    dup_line_frac = exact_ratio(dup_lines, n_lines, 4)
     keep = (
         (n_words >= min_words)
         & (n_words <= max_words)
@@ -1348,7 +1409,7 @@ def gopher_quality(
     return docs.select(
         F.col(id_col),
         n_words.alias("n_words"),
-        F.round(mean_wl, 4).alias("mean_word_len"),
+        exact_ratio(word_lens, n_words, 4).alias("mean_word_len"),
         sym_ratio.alias("symbol_word_ratio"),
         bullet_frac.alias("bullet_line_frac"),
         ellipsis_frac.alias("ellipsis_line_frac"),
@@ -1447,7 +1508,7 @@ def setsim_join(
         .select(
             "id_a",
             "id_b",
-            F.round(jaccard(F.col("t_a"), F.col("t_b")), digits).alias(
+            jaccard_rounded(F.col("t_a"), F.col("t_b"), digits).alias(
                 "jaccard"
             ),
         )

@@ -33,6 +33,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sparkgraft.operators.stats import exact_ratio
+
 from sparkgraft.operators.bpe import word_vocab
 
 
@@ -235,7 +237,7 @@ def unigram_segment(
         "doc_id",
         "n_tokens",
         "n_chars",
-        F.round(F.col("n_chars") / F.col("n_tokens"), 4).alias(
+        exact_ratio(F.col("n_chars"), F.col("n_tokens"), 4).alias(
             "chars_per_token"
         ),
     )
