@@ -196,7 +196,17 @@ def _live_paths(index_dir: str, name: str) -> list[str]:
             return [live] if os.path.isdir(live) else []
         if name in plan.get("append", []):
             inc = f"{index_dir}/{name}_incoming"
-            return [p for p in (live, inc) if os.path.isdir(p)]
+            # INCOMING FIRST: _read_artifact snapshot-lists the roots
+            # in this order, and a concurrent journal apply only moves
+            # files incoming -> live.  Listed incoming-first, a file
+            # moved mid-listing appears in at least one snapshot (a
+            # stale incoming path then fails LOUDLY at scan time);
+            # listed live-first it could leave incoming after the live
+            # glob and arrive in live after the incoming glob — in
+            # NEITHER snapshot, a silent under-read of committed
+            # postings.  _read_artifact dedupes by part basename in
+            # case it lands in both.
+            return [p for p in (inc, live) if os.path.isdir(p)]
     return [live] if os.path.isdir(live) else []
 
 
@@ -210,12 +220,22 @@ def _read_artifact(spark: SparkSession, index_dir: str, name: str):
     resolve): a concurrent mutator applying the committed journal
     moves files between the roots, and lazy directory listing at
     action time could then count a moved file twice (or miss it).
-    With a pinned list the race degrades to a clean transient
-    FileNotFound the caller can retry — never a silent double-count.
+    The roots list incoming-BEFORE-live (``_live_paths``' order) and
+    the combined listing dedupes by part basename (Spark part names
+    are UUID-unique), so a file the journal apply moves mid-listing
+    shows up in at least one snapshot and counts once; a captured
+    incoming path whose file has since moved fails LOUDLY at scan
+    time (clean transient FileNotFound the caller can retry) — never
+    a silent under-read or double-count.  On a basename collision the
+    LIVE copy wins (it is the file's final home; the incoming twin is
+    the one that can vanish).
 
-    Raises FileNotFoundError when the artifact resolves to nothing
-    (missing or never-built index) — clearer than the downstream
-    AttributeError/AnalysisException."""
+    Raises FileNotFoundError when the artifact resolves to nothing —
+    including a root directory with no parquet files at all (Spark's
+    schema inference would otherwise fail with a misleading
+    'Unable to infer schema'; every properly built artifact dir
+    contains at least a zero-row schema file via
+    _ensure_nonempty_dir)."""
     import glob
     import os
 
@@ -225,18 +245,29 @@ def _read_artifact(spark: SparkSession, index_dir: str, name: str):
             f"bm25 index artifact '{name}' missing under {index_dir} "
             "(index not built, or artifact cleared)"
         )
-    out = None
-    for p in paths:
-        files = [
-            f
-            for f in glob.glob(os.path.join(p, "**", "*.parquet"),
-                               recursive=True)
-        ]
-        part = (
-            spark.read.option("basePath", p).parquet(*files)
-            if files
-            else spark.read.parquet(p)  # zero-row schema-carrying dir
+    # Key = root-RELATIVE path (bucket=N/part-...): one write job reuses
+    # the same part basename across partition dirs, so basenames alone
+    # collide WITHIN a root; the journal apply preserves the relative
+    # path when it moves incoming -> live, so cross-root twins of one
+    # file still collapse to a single entry.
+    listed: dict[str, tuple[str, str]] = {}  # relpath -> (root, path)
+    for p in paths:  # incoming first, then live (see _live_paths)
+        for f in glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True):
+            listed[os.path.relpath(f, p)] = (p, f)  # later root (live) wins
+    if not listed:
+        raise FileNotFoundError(
+            f"bm25 index artifact '{name}' has no parquet files under "
+            f"{paths} (index dir corrupted or artifact never built)"
         )
+    out = None
+    by_root: dict[str, list[str]] = {}
+    for root, f in listed.values():
+        by_root.setdefault(root, []).append(f)
+    for root in paths:
+        files = sorted(by_root.get(root, []))
+        if not files:
+            continue
+        part = spark.read.option("basePath", root).parquet(*files)
         out = part if out is None else out.unionByName(part)
     return out
 
@@ -388,13 +419,22 @@ def append_bm25_index(
     # old and new, or postings without their stats
     staging = f"{index_dir}/terms_staging"
     merged.write.partitionBy("bucket").mode("overwrite").parquet(staging)
-    appends = ["postings"]
-    if _os.path.isdir(f"{index_dir}/docs"):
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.size(tokenize(F.col(text_col))).alias("dl"),
-        ).write.mode("overwrite").parquet(f"{index_dir}/docs_incoming")
-        appends.append("docs")
+    # An EMPTY staged frame must NOT journal as an append: its only
+    # content is _ensure_nonempty_dir's zero-row schema file at the
+    # incoming ROOT (bucket as a data column), and the journal apply
+    # would move that flat file into the live bucket-partitioned
+    # postings dir — the exact mixed flat/partitioned layout
+    # _migrate_flat_dedup_layout documents as breaking partition
+    # discovery, in a dir promised as 'plain parquet readable by any
+    # engine'.  Skipped incoming dirs are removed here so a later
+    # repair can't resurrect them.
+    import shutil as _shutil
+
+    appends = []
+    if staged_postings.limit(1).count() > 0:
+        appends.append("postings")
+    else:
+        _shutil.rmtree(f"{index_dir}/postings_incoming", ignore_errors=True)
     # stats come from the INPUT docs (a zero-token doc counts toward
     # n_docs but produces no postings rows)
     new_stats = docs.select(
@@ -402,6 +442,12 @@ def append_bm25_index(
     ).agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
     old = spark.read.parquet(f"{index_dir}/stats").first()
     new = new_stats.first()
+    if _os.path.isdir(f"{index_dir}/docs") and int(new["n_docs"]) > 0:
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.size(tokenize(F.col(text_col))).alias("dl"),
+        ).write.mode("overwrite").parquet(f"{index_dir}/docs_incoming")
+        appends.append("docs")
     spark.createDataFrame(
         [(int(old["n_docs"]) + int(new["n_docs"]),
           int(old["sum_dl"]) + int(new["sum_dl"] or 0),

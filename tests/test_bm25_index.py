@@ -108,3 +108,99 @@ def test_append_equals_full_rebuild(spark):
     si = spark.read.parquet(f"{inc}/stats").first()
     sf_ = spark.read.parquet(f"{full}/stats").first()
     assert (si["n_docs"], si["sum_dl"]) == (sf_["n_docs"], sf_["sum_dl"])
+
+
+def test_empty_append_keeps_partitioned_layout(spark):
+    """ADVICE r8: an empty (or all-empty-text) append must not journal
+    a root-level zero-row schema file into the live bucket-partitioned
+    postings dir (a permanent mixed flat/partitioned layout)."""
+    import glob
+    import os
+
+    from sparkgraft.sinks.bm25_index import append_bm25_index
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    d = tempfile.mkdtemp(prefix="bm25idx_empty_append_")
+    write_bm25_index(d, docs, n_buckets=16)
+    before = sorted(
+        tuple(r)
+        for r in bm25_topk_indexed(
+            spark, d, ["hash", "join"], k=5, n_buckets=16
+        ).collect()
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    append_bm25_index(d, empty, n_buckets=16)
+    # no flat root-level parquet file beside the bucket=N dirs
+    root_files = [
+        f
+        for f in glob.glob(os.path.join(d, "postings", "*.parquet"))
+        if os.path.isfile(f)
+    ]
+    assert root_files == [], root_files
+    # no leftover incoming dir, no journal
+    assert not os.path.isdir(os.path.join(d, "postings_incoming"))
+    assert not os.path.isfile(os.path.join(d, "_commit_journal"))
+    after = sorted(
+        tuple(r)
+        for r in bm25_topk_indexed(
+            spark, d, ["hash", "join"], k=5, n_buckets=16
+        ).collect()
+    )
+    assert before == after
+
+
+def test_read_artifact_snapshot_dedup_and_order(spark):
+    """ADVICE r8: with a committed append journal, _live_paths lists
+    incoming BEFORE live, and _read_artifact dedupes by root-relative
+    path — a file present in both snapshots (journal apply moved it
+    mid-listing) counts ONCE."""
+    import json
+    import os
+    import shutil
+
+    from sparkgraft.sinks.bm25_index import _live_paths, _read_artifact
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    d = tempfile.mkdtemp(prefix="bm25idx_snapshot_")
+    write_bm25_index(d, docs, n_buckets=16)
+    live = os.path.join(d, "postings")
+    inc = os.path.join(d, "postings_incoming")
+    # simulate a committed-but-unapplied append whose files are mid-move:
+    # one live part file also still has its incoming twin (same relpath)
+    n_live = _read_artifact(spark, d, "postings").count()
+    src = None
+    for root, _dirs, files in os.walk(live):
+        for f in files:
+            if f.endswith(".parquet"):
+                src = (root, f)
+                break
+        if src:
+            break
+    rel = os.path.relpath(src[0], live)
+    os.makedirs(os.path.join(inc, rel), exist_ok=True)
+    shutil.copy2(
+        os.path.join(src[0], src[1]), os.path.join(inc, rel, src[1])
+    )
+    with open(os.path.join(d, "_commit_journal"), "w") as f:
+        json.dump({"staged": [], "clear": [], "append": ["postings"]}, f)
+    try:
+        paths = _live_paths(d, "postings")
+        assert paths == [inc, live]  # incoming first
+        n_union = _read_artifact(spark, d, "postings").count()
+        assert n_union == n_live  # deduped, not double-counted
+    finally:
+        os.remove(os.path.join(d, "_commit_journal"))
+        shutil.rmtree(inc, ignore_errors=True)
+
+
+def test_read_artifact_fileless_dir_raises(spark):
+    """ADVICE r8: a root with no parquet files raises FileNotFoundError
+    instead of Spark's misleading 'Unable to infer schema'."""
+    import os
+
+    d = tempfile.mkdtemp(prefix="bm25idx_fileless_")
+    os.makedirs(os.path.join(d, "terms"))
+    from sparkgraft.sinks.bm25_index import _read_artifact
+
+    with pytest.raises(FileNotFoundError):
+        _read_artifact(spark, d, "terms")
