@@ -1350,29 +1350,42 @@ def q_sql_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One template, two engines: {div} is the integer-division operator
+# ("div" on Spark, "//" on DuckDB) and {big} the wide integer type
+# (DECIMAL(38,0) / HUGEINT).  Money never passes through round(double):
+# cents come from exact integer arithmetic — price*(1-disc)*100 is an
+# exact 2-decimal value that lands ON the round(·,0) half-boundary at
+# real half-cents (boundary audit hit 7472152.4999…), and the share is
+# a ratio of integer sums that can terminate on the round(·,6)
+# boundary — both go through the HALF-UP integer kernel instead.
 SQL_MARKET_SHARE = """
-    SELECT o_year,
-           sum(CASE WHEN s_nation = 'NATION_3' THEN volume_cents
-                    ELSE 0 END) AS nation_cents,
-           sum(volume_cents) AS total_cents,
-           round(CAST(sum(CASE WHEN s_nation = 'NATION_3'
-                               THEN volume_cents ELSE 0 END) AS DOUBLE)
-                 / CAST(sum(volume_cents) AS DOUBLE), 6) AS mkt_share
+    SELECT o_year, nation_cents, total_cents,
+           CAST((2 * CAST(nation_cents AS {big}) * 1000000
+                 + CAST(total_cents AS {big}))
+                {div} (2 * CAST(total_cents AS {big})) AS DOUBLE)
+               / 1000000.0 AS mkt_share
     FROM (
-        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
-               CAST(round(l_extendedprice * (1 - l_discount) * 100.0, 0)
-                    AS BIGINT) AS volume_cents,
-               n2.n_name AS s_nation
-        FROM lineitem{sfx}
-        JOIN orders{sfx}   ON l_orderkey = o_orderkey
-        JOIN customer{sfx} ON o_custkey = c_custkey
-        JOIN nation{sfx} n1 ON c_nationkey = n1.n_nationkey
-        JOIN region{sfx}    ON n1.n_regionkey = r_regionkey
-        JOIN supplier{sfx} ON l_suppkey = s_suppkey
-        JOIN nation{sfx} n2 ON s_nationkey = n2.n_nationkey
-        WHERE r_name = 'ASIA'
-    ) AS vol
-    GROUP BY o_year
+        SELECT o_year,
+               sum(CASE WHEN s_nation = 'NATION_3' THEN volume_cents
+                        ELSE 0 END) AS nation_cents,
+               sum(volume_cents) AS total_cents
+        FROM (
+            SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+                   CAST((2 * CAST(round(l_extendedprice * 100.0) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100.0) AS BIGINT))
+                         + 100) {div} 200 AS BIGINT) AS volume_cents,
+                   n2.n_name AS s_nation
+            FROM lineitem{sfx}
+            JOIN orders{sfx}   ON l_orderkey = o_orderkey
+            JOIN customer{sfx} ON o_custkey = c_custkey
+            JOIN nation{sfx} n1 ON c_nationkey = n1.n_nationkey
+            JOIN region{sfx}    ON n1.n_regionkey = r_regionkey
+            JOIN supplier{sfx} ON l_suppkey = s_suppkey
+            JOIN nation{sfx} n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA'
+        ) AS vol
+        GROUP BY o_year
+    ) AS agg
 """
 
 
@@ -1383,8 +1396,9 @@ def q_sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst broadcast-joins every dimension side (region/nation/
     supplier/customer are all tiny next to lineitem) and AQE reorders
     the fact-side joins — the plan a 1000-executor cluster wants, from
-    declarative text.  Money stays in exact BIGINT cents; only the
-    final share ratio is a (deterministic IEEE) double division."""
+    declarative text.  Money stays in exact BIGINT cents end to end
+    (half-cent rounding and the final share ratio both go through the
+    HALF-UP integer kernel — see SQL_MARKET_SHARE's comment)."""
     for t in (
         "lineitem",
         "orders",
@@ -1394,7 +1408,9 @@ def q_sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "supplier",
     ):
         _t(spark, sf_dir, t).createOrReplaceTempView(f"{t}_sql")
-    return spark.sql(SQL_MARKET_SHARE.format(sfx="_sql"))
+    return spark.sql(
+        SQL_MARKET_SHARE.format(sfx="_sql", div="div", big="DECIMAL(38,0)")
+    )
 
 
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1672,9 +1688,32 @@ def q_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documented baseline) and the IVF-probe-pruned ADC top-5
     (ivfpq_ann — the 100 TB production plan), method-tagged and
     unioned — one driver row witnesses the quantized-ANN family; the
-    standalone queries stay oracle-checked at 51+."""
-    flat = q_pq_ann(spark, sf_dir).withColumn("method", F.lit("flat"))
-    ivf = q_ivfpq_ann(spark, sf_dir).withColumn("method", F.lit("ivf"))
+    standalone queries stay oracle-checked at 51+.
+
+    Bench hygiene (round-9, VERDICT task 6): the candidate-side
+    pq_encode — the dominant cost of BOTH legs — materializes ONCE per
+    (session, sf_dir) as a localCheckpointed
+    ``pq_encode_candidates(..., centroids)`` frame and feeds each leg
+    via ``encoded=``; results are bit-identical to the inline path
+    (same expression tree), so the component oracles apply verbatim."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir)
+    sub = len(cents[0][1]) // 8
+    cbs = [
+        [(c, v[s * sub : (s + 1) * sub]) for c, v in cents] for s in range(8)
+    ]
+    key = ("adc_encoded", sf_dir, id(spark))
+    enc = _FIXTURE_CACHE.get(key)
+    if enc is None:
+        enc = SIM.pq_encode_candidates(emb, cbs, cents).localCheckpoint()
+        _FIXTURE_CACHE[key] = enc
+    queries = emb.filter(F.col("vec_id") < 10)
+    flat = SIM.pq_adc_topk(
+        queries, emb, cbs, k=5, shortlist=20, encoded=enc
+    ).withColumn("method", F.lit("flat"))
+    ivf = SIM.ivfpq_topk(
+        queries, emb, cents, cbs, nprobe=3, k=5, shortlist=20, encoded=enc
+    ).withColumn("method", F.lit("ivf"))
     return flat.unionByName(ivf)
 
 
@@ -8675,7 +8714,8 @@ def _llm_oracles() -> dict[str, str]:
         ),
         adc AS (
             SELECT query_id, neighbor_id,
-                   round(list_sum(list(d2 ORDER BY s)), 6) AS approx_dist
+                   list_sum(list(CAST(round(d2 * 1000000000.0) AS BIGINT)
+                                 ORDER BY s)) AS approx_dist
             FROM persub GROUP BY query_id, neighbor_id
         ),
         short AS (
@@ -8775,7 +8815,8 @@ def _llm_oracles() -> dict[str, str]:
         ),
         adc AS (
             SELECT query_id, neighbor_id,
-                   round(list_sum(list(d2 ORDER BY s)), 6) AS approx_dist
+                   list_sum(list(CAST(round(d2 * 1000000000.0) AS BIGINT)
+                                 ORDER BY s)) AS approx_dist
             FROM persub GROUP BY query_id, neighbor_id
         ),
         short AS (
@@ -9862,8 +9903,13 @@ def _llm_oracles() -> dict[str, str]:
         )
         SELECT doc_id, n_tokens,
                coalesce(covered_tokens, 0) AS covered_tokens,
-               round(coalesce(covered_tokens, 0)
-                     / CAST(n_tokens AS DOUBLE), 4) AS dup_fraction,
+               (((CASE WHEN (coalesce(covered_tokens, 0)) < 0
+                       THEN -1 ELSE 1 END)
+                 * ((2 * abs(CAST((coalesce(covered_tokens, 0)) AS HUGEINT))
+                        * 10000
+                     + CAST((n_tokens) AS HUGEINT))
+                    // (2 * CAST((n_tokens) AS HUGEINT))))
+                / 10000.0) AS dup_fraction,
                (coalesce(covered_tokens, 0) * 1000 <= 300 * n_tokens)
                    AS keep
         FROM nt LEFT JOIN cov USING (doc_id)
@@ -9976,7 +10022,9 @@ ORACLES["event_store_dedup"] = f"""
     ) WHERE rn = 1
 """
 
-ORACLES["sql_market_share"] = SQL_MARKET_SHARE.format(sfx="")
+ORACLES["sql_market_share"] = SQL_MARKET_SHARE.format(
+    sfx="", div="//", big="HUGEINT"
+)
 
 ORACLES["training_order"] = """
     SELECT doc_id, source, shard,
@@ -10767,7 +10815,7 @@ ORACLES["bpe_segment"] = f"""
         GROUP BY doc_id
     )
     SELECT doc_id, n_tokens, CAST(n_chars AS BIGINT) AS n_chars,
-           round(n_chars / n_tokens, 4) AS chars_per_token
+           {_ratio_sql('n_chars', 'n_tokens', 4)} AS chars_per_token
     FROM per_doc
 """
 
@@ -12968,6 +13016,24 @@ def _l2_expr(a: str, b: str, dim: int) -> str:
     )
 
 
+def _l2i_expr(a: str, b: str, dim: int) -> str:
+    """EXACT integer squared-L2 over 10^6-scaled BIGINT lists (HUGEINT
+    accumulation) — the engine-invariant assignment distance for the
+    exact-6-digit-decimal TF-IDF space (mirrors
+    similarity.assign_nearest_exact6; see its docstring for why
+    round(double, 9) is banned here: the exact d2 is a 12-digit
+    decimal that lands ON the 9-digit rounding half-boundary)."""
+    return (
+        "("
+        + "\n + ".join(
+            f"CAST({a}[{i}] - {b}[{i}] AS HUGEINT)"
+            f" * CAST({a}[{i}] - {b}[{i}] AS HUGEINT)"
+            for i in range(1, dim + 1)
+        )
+        + ")"
+    )
+
+
 def _topic_fit_ctes(doc_where: str, dim: int, k: int, km_iters: int) -> str:
     """The hashed-TF-IDF → farthest-point seeding → Lloyd chain as
     DuckDB CTE text (every stage verified bit-identical to the Spark
@@ -12989,8 +13055,15 @@ def _topic_fit_ctes(doc_where: str, dim: int, k: int, km_iters: int) -> str:
     Emits ``counts``, ``vecs``, ``nd`` and ``cents{km_iters}``;
     MATERIALIZED throughout (the inlined fold expressions would
     otherwise blow up exponentially through the iteration chain).
+
+    Round-9 revision (boundary audit): Lloyd assignment now compares
+    EXACT 10^6-scaled integer vectors (``iemb``) via :func:`_l2i_expr`
+    — no round(double, 9) anywhere in the assignment chain, mirroring
+    similarity.assign_nearest_exact6.  Seeding folds stay raw doubles
+    (no rounding -> bit-identical by fold order alone).
     """
     d = _l2_expr
+    di = _l2i_expr
     sql = f"""toks AS (
     SELECT doc_id AS d,
            unnest(regexp_split_to_array(text, '\\s+')) AS w
@@ -13013,23 +13086,25 @@ slotsum AS (SELECT d, slot, SUM(v) AS v FROM cells GROUP BY 1, 2),
 vecs AS MATERIALIZED (
     SELECT dd.d,
            list(CAST(coalesce(s.v, 0) AS DOUBLE) / 1000000.0
-                ORDER BY g.i) AS emb
+                ORDER BY g.i) AS emb,
+           list(CAST(coalesce(s.v, 0) AS BIGINT)
+                ORDER BY g.i) AS iemb
     FROM (SELECT DISTINCT d FROM counts) dd
     CROSS JOIN (SELECT unnest(generate_series(0, {dim - 1})) AS i) g
     LEFT JOIN slotsum s ON s.d = dd.d AND s.slot = g.i
     GROUP BY dd.d
 ),
 cand AS MATERIALIZED (
-    SELECT d, emb,
+    SELECT d, emb, iemb,
            row_number() OVER (ORDER BY md5(CAST(d AS VARCHAR)), d) AS rn
     FROM vecs
     QUALIFY rn <= 256
 ),
-seeds0 AS MATERIALIZED (SELECT 0 AS cid, emb FROM cand WHERE rn = 1)"""
+seeds0 AS MATERIALIZED (SELECT 0 AS cid, emb, iemb FROM cand WHERE rn = 1)"""
     for s in range(1, k):
         sql += f""",
 pick{s} AS (
-    SELECT c.emb
+    SELECT c.emb, c.iemb
     FROM cand c,
          LATERAL (SELECT MIN({d("c.emb", "s.emb", dim)}) AS dmin
                   FROM seeds{s - 1} s) dm
@@ -13040,22 +13115,22 @@ pick{s} AS (
 seeds{s} AS MATERIALIZED (
     SELECT * FROM seeds{s - 1}
     UNION ALL
-    SELECT {s} AS cid, emb FROM pick{s}
+    SELECT {s} AS cid, emb, iemb FROM pick{s}
 )"""
     prev = f"seeds{k - 1}"
     for t in range(1, km_iters + 1):
         sql += f""",
 asg{t} AS MATERIALIZED (
-    SELECT v.d, v.emb, c.cid AS cluster
+    SELECT v.d, v.iemb, c.cid AS cluster
     FROM vecs v,
          LATERAL (SELECT s.cid FROM {prev} s
-                  ORDER BY round({d("v.emb", "s.emb", dim)}, 9) ASC,
+                  ORDER BY {di("v.iemb", "s.iemb", dim)} ASC,
                            s.cid ASC
                   LIMIT 1) c
 ),
 cm{t} AS (
     SELECT cluster, g.i AS pos,
-           SUM(CAST(round(emb[g.i + 1] * 1000000.0, 0) AS BIGINT)) AS s,
+           SUM(iemb[g.i + 1]) AS s,
            COUNT(*) AS n
     FROM asg{t},
          (SELECT unnest(generate_series(0, {dim - 1})) AS i) g
@@ -13065,8 +13140,8 @@ cents{t} AS MATERIALIZED (
     SELECT cluster AS cid,
            list(CAST(CASE WHEN s < 0
                      THEN -((2 * (-s) + n) // (2 * n))
-                     ELSE (2 * s + n) // (2 * n) END AS DOUBLE)
-                / 1000000.0 ORDER BY pos) AS emb
+                     ELSE (2 * s + n) // (2 * n) END AS BIGINT)
+                ORDER BY pos) AS iemb
     FROM cm{t}
     GROUP BY cluster
 )"""
@@ -13085,7 +13160,7 @@ def _topic_model_oracle_sql(
     fixed point (extra unrolled iterations are the identity), so a
     full unroll is exact.  Final projection: top-``top_m`` terms per
     topic + dominant-topic doc counts."""
-    d = _l2_expr
+    di = _l2i_expr
     sql = (
         "WITH "
         + _topic_fit_ctes("TRUE", dim, k, km_iters)
@@ -13094,7 +13169,7 @@ labels AS MATERIALIZED (
     SELECT v.d, c.cid AS z
     FROM vecs v,
          LATERAL (SELECT s.cid FROM cents{km_iters} s
-                  ORDER BY round({d("v.emb", "s.emb", dim)}, 9) ASC,
+                  ORDER BY {di("v.iemb", "s.iemb", dim)} ASC,
                            s.cid ASC
                   LIMIT 1) c
 ),
@@ -13165,7 +13240,7 @@ def _topic_assign_oracle_sql(
     TRAINING df/N (OOV terms drop via the inner dfreq join; docs with
     no trained terms have no vector and are absent — exactly
     assign_topics' contract) and assign to the frozen centroids."""
-    d = _l2_expr
+    di = _l2i_expr
     return (
         "WITH "
         + _topic_fit_ctes("doc_id % 2 = 0", dim, k, km_iters)
@@ -13189,8 +13264,8 @@ scells AS (
 sslot AS (SELECT d, slot, SUM(v) AS v FROM scells GROUP BY 1, 2),
 svecs AS MATERIALIZED (
     SELECT dd.d,
-           list(CAST(coalesce(s.v, 0) AS DOUBLE) / 1000000.0
-                ORDER BY g.i) AS emb
+           list(CAST(coalesce(s.v, 0) AS BIGINT)
+                ORDER BY g.i) AS iemb
     FROM (SELECT DISTINCT d FROM scells) dd
     CROSS JOIN (SELECT unnest(generate_series(0, {dim - 1})) AS i) g
     LEFT JOIN sslot s ON s.d = dd.d AND s.slot = g.i
@@ -13200,7 +13275,7 @@ sassign AS (
     SELECT v.d, c.cid AS topic
     FROM svecs v,
          LATERAL (SELECT s.cid FROM cents{km_iters} s
-                  ORDER BY round({d("v.emb", "s.emb", dim)}, 9) ASC,
+                  ORDER BY {di("v.iemb", "s.iemb", dim)} ASC,
                            s.cid ASC
                   LIMIT 1) c
 )

@@ -202,9 +202,16 @@ def bpe_segment(
     out = src.mapInPandas(
         seg, "doc_id string, n_tokens long, n_chars long"
     )
+    from sparkgraft.operators.stats import exact_ratio
+
     return out.select(
         "doc_id",
         "n_tokens",
         "n_chars",
-        F.round(F.col("n_chars") / F.col("n_tokens"), 4).alias("chars_per_token"),
+        # Integer-ratio kernel, never round(double): n_chars/n_tokens
+        # terminates ON the round(·,4) half-boundary for real docs
+        # (boundary audit hit 1.19375), flipping between engines.
+        exact_ratio(F.col("n_chars"), F.col("n_tokens"), 4).alias(
+            "chars_per_token"
+        ),
     )

@@ -422,8 +422,18 @@ def retrieval_metrics(
     ``exact_ratio`` integer kernel — ``round(double)`` of a ratio of
     integers flips between engines exactly when the ratio terminates
     on a rounding half-boundary, so none survives anywhere in this
-    operator.  Output columns stay ``DECIMAL(18,digits)`` (the r8
-    schema).  Scale: both inputs are top-k lists / judgment tables —
+    operator.
+
+    .. warning:: **API-visible schema change (round 8).** The metric
+       columns (``recall_at_k``, ``rr``, ``ap_at_k``, ``ndcg_at_k``)
+       changed type from ``DOUBLE`` to ``DECIMAL(18, digits)``.
+       Values are numerically identical off rounding boundaries, but
+       consumers comparing against float literals, pattern-matching
+       on the schema, or writing into a fixed-``DOUBLE`` sink must
+       cast (``.cast("double")``) — the repo's own tests use a
+       ``float()`` coercion for exactly this reason.
+
+    Scale: both inputs are top-k lists / judgment tables —
     metadata-sized next to the corpus; one hash join + three grouped
     aggregates, each partitioned by query.
     """

@@ -402,6 +402,91 @@ def centroids_from_labels(
     )
 
 
+def _literal_ivec_table(rows: list[tuple[int, list[int]]], id_name: str) -> Column:
+    """Integer twin of :func:`_literal_vec_table`: a small (id, long[])
+    table as ONE plan-time literal (``L`` suffix keeps every element
+    BIGINT)."""
+    parts = ", ".join(
+        "named_struct('{id}', {i}, 'vec', array({xs}))".format(
+            id=id_name,
+            i=int(rid),
+            xs=", ".join(str(int(x)) + "L" for x in rvec),
+        )
+        for rid, rvec in rows
+    )
+    return F.expr(f"array({parts})")
+
+
+def _centroid_dists_exact6(
+    vec: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """EXACT integer L2 distances for vectors whose components are
+    exact 6-digit decimals (the hashed-TF-IDF family): components and
+    centroid entries convert to their 10^6-scaled integers — each is
+    the nearest double of a 6-digit decimal, so ``round(x * 1e6)`` is
+    engine-unambiguous — and d² accumulates in DECIMAL(38,0): the
+    exact 10^12-scaled squared distance, comparable bit-identically on
+    every engine.
+
+    Why not ``round(Σ(x−c)², 9)`` (boundary-audit finding): with
+    6-digit-decimal inputs the exact d² IS a 12-digit decimal, which
+    terminates ON the 9-digit rounding half-boundary for ~1/1000
+    (vector, centroid) pairs — Spark's BigDecimal HALF_UP and DuckDB's
+    float rounding then disagree on the double computed 1e-13 off the
+    exact value, flipping Lloyd assignments between engines (hit:
+    24.5050097135).  Exact integers have no boundary to sit on."""
+    ctab = _literal_ivec_table(
+        [
+            (cid, [int(round(c * 1e6)) for c in cv])
+            for cid, cv in centroids
+        ],
+        "cluster",
+    )
+    xs = F.transform(
+        vec, lambda x: F.round(x.cast("double") * F.lit(1e6)).cast("long")
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    return F.transform(
+        ctab,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    xs,
+                    c["vec"],
+                    lambda a, b: (a - b).cast("decimal(38,0)")
+                    * (a - b).cast("decimal(38,0)"),
+                ),
+                zero,
+                lambda acc, t: acc + t,
+            ).alias("d"),
+            c["cluster"].alias("cluster"),
+        ),
+    )
+
+
+def assign_nearest_exact6(
+    vec: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """:func:`assign_nearest` for exact-6-digit-decimal vector spaces
+    (hashed TF-IDF): the argmin compares EXACT 10^12-scaled integer
+    distances (:func:`_centroid_dists_exact6`), cluster id breaks
+    ties — no ``round(double)`` anywhere, so the assignment is
+    engine-invariant by construction."""
+    dim = len(centroids[0][1])
+    assigned = F.array_min(_centroid_dists_exact6(vec, centroids)).getField(
+        "cluster"
+    )
+    return F.when(F.size(vec) == F.lit(dim), assigned).otherwise(
+        F.raise_error(
+            F.format_string(
+                "assign_nearest_exact6: embedding length %s != centroid dim "
+                + str(dim),
+                F.size(vec),
+            )
+        )
+    )
+
+
 def assign_nearest(
     vec: Column, centroids: list[tuple[int, list[float]]], digits: int = 9
 ) -> Column:
@@ -713,6 +798,7 @@ def kmeans_iterate(
     iters: int = 1,
     vec_col: str = "embedding",
     digits: int = 6,
+    exact6: bool = False,
 ) -> list[tuple[int, list[float]]]:
     """Lloyd k-means refinement in-engine: each iteration assigns every
     vector to its nearest centroid (:func:`assign_nearest` — shuffle-
@@ -727,10 +813,18 @@ def kmeans_iterate(
     centroids → bit-identical centroids every run, under any
     partitioning.  Empty clusters simply drop out of the re-fit (their
     id disappears), matching the standard Lloyd behavior.
+
+    ``exact6=True`` assigns via :func:`assign_nearest_exact6` — use it
+    whenever the vector space is exact 6-digit decimals (hashed
+    TF-IDF): round-9 double distances there land ON rounding
+    half-boundaries (see _centroid_dists_exact6).  The exact_mean
+    refit keeps centroids in the same 6-digit-decimal space, so the
+    property holds across every iteration.
     """
+    assign = assign_nearest_exact6 if exact6 else assign_nearest
     for _ in range(iters):
         assigned = df.withColumn(
-            "cluster", assign_nearest(F.col(vec_col), centroids)
+            "cluster", assign(F.col(vec_col), centroids)
         )
         cents_df = centroids_from_labels(assigned, "cluster", vec_col, digits)
         centroids = sorted(
@@ -1026,15 +1120,58 @@ def _adc_tables(
 
 def _adc_lookup(tabs: Column, codes: Column, m: int) -> Column:
     """ADC pair distance from the query's tables and the candidate's
-    codes: m map lookups summed in FIXED order s = 0..m-1 (the oracle
-    mirrors the same order via an ordered list_sum)."""
+    codes, as an EXACT 10^9-scaled integer: each table entry is the
+    nearest double of a 9-digit decimal (``_adc_tables`` rounds at 9),
+    so ``round(entry * 1e9)`` recovers its scaled integer unambiguously
+    on every engine, and the m lookups sum as LONGs.
+
+    Why integers (round-9 boundary-audit finding): the double sum of m
+    9-digit entries is an exact 9-digit decimal, which lands ON the
+    ``round(·, 6)`` half-boundary for ~1/1000 pairs — re-rounding the
+    sum at 6 made shortlist membership engine-dependent (Spark
+    BigDecimal HALF_UP vs DuckDB float rounding of a value 1e-16 from
+    the boundary).  The exact integer sum has no boundary to sit on;
+    ordering by it is bit-identical everywhere.  The oracle mirrors
+    with ``list_sum`` of ``CAST(round(d2 * 1e9) AS BIGINT)``."""
     adist = None
     for s in range(m):
         d2 = F.element_at(
             F.element_at(tabs, s + 1), F.element_at(codes, s + 1)
         )
-        adist = d2 if adist is None else adist + d2
+        d2s = F.round(d2 * F.lit(1e9)).cast("long")
+        adist = d2s if adist is None else adist + d2s
     return adist
+
+
+def pq_encode_candidates(
+    candidates: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    centroids: list[tuple[int, list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The candidate-side encode frame shared by :func:`pq_adc_topk`
+    and :func:`ivfpq_topk` (columns ``neighbor_id, cv, cn, codes`` and,
+    when ``centroids`` is given, the IVF ``part``): pq_encode +
+    norm over the full corpus is the single most expensive stage of
+    both searches, and a panel running flat ADC *and* IVF-PQ legs over
+    the same corpus recomputes it identically — build it ONCE here,
+    ``localCheckpoint()``, and pass to both via their ``encoded=``
+    parameter (bench: the adc_ann panel drops toward
+    max(component) instead of Σ components).  Results are
+    bit-identical to the inline path: this is the same expression
+    tree, only materialized."""
+    from sparkgraft.operators.scale import widen_narrow_scan
+
+    cols = [
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+        pq_encode(F.col(vec_col), codebooks).alias("codes"),
+    ]
+    if centroids is not None:
+        cols.insert(1, assign_nearest(F.col(vec_col), centroids).alias("part"))
+    return widen_narrow_scan(candidates).select(*cols)
 
 
 def pq_adc_topk(
@@ -1046,6 +1183,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     digits: int = 6,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """PQ ANN with asymmetric distance computation: candidates are
     scored from their CODES, queries stay full precision — stage 1
@@ -1061,17 +1199,18 @@ def pq_adc_topk(
     list_sum), ranks tie-break on id — results are bit-identical to
     decode-and-score.
     """
-    from sparkgraft.operators.scale import widen_narrow_scan
-
     m = len(codebooks)
     # pq_encode + ADC scoring are CPU-dense and run at the candidate
     # scan's parallelism (the query side broadcasts) — widen a narrow
     # scan or the whole scoring stage serializes into one task.
-    enc = widen_narrow_scan(candidates).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        _norm(F.col(vec_col)).alias("cn"),
-        pq_encode(F.col(vec_col), codebooks).alias("codes"),
+    # ``encoded`` (pq_encode_candidates) skips the encode entirely —
+    # the panel path that shares one materialized frame across legs.
+    enc = (
+        encoded.select("neighbor_id", "cv", "cn", "codes")
+        if encoded is not None
+        else pq_encode_candidates(
+            candidates, codebooks, id_col=id_col, vec_col=vec_col
+        )
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -1080,6 +1219,7 @@ def pq_adc_topk(
         _adc_tables(F.col(vec_col), codebooks).alias("tabs"),
     )
     pairs = enc.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    # Exact 1e9-scaled LONG (see _adc_lookup) — no re-round, no boundary.
     adist = _adc_lookup(F.col("tabs"), F.col("codes"), m)
     scored = pairs.select(
         "query_id",
@@ -1088,7 +1228,7 @@ def pq_adc_topk(
         "cv",
         "qn",
         "cn",
-        F.round(adist, digits).alias("approx_dist"),
+        adist.alias("approx_dist"),
     )
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("neighbor_id").asc()
@@ -1123,6 +1263,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     digits: int = 6,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the composition that makes PQ scale — candidates are
     bucketed by nearest IVF centroid (:func:`assign_nearest`) AND
@@ -1145,18 +1286,22 @@ def ivfpq_topk(
     order ADC sums and id tie-breaks are all inherited from the
     composed parts — bit-identical under any partitioning.
     """
-    from sparkgraft.operators.scale import widen_narrow_scan
-
     m = len(codebooks)
     # Same widening rationale as pq_adc_topk: centroid assignment +
     # pq_encode + ADC all run at the candidate scan's parallelism.
-    enc = widen_narrow_scan(candidates).select(
-        F.col(id_col).alias("neighbor_id"),
-        assign_nearest(F.col(vec_col), centroids).alias("part"),
-        F.col(vec_col).alias("cv"),
-        _norm(F.col(vec_col)).alias("cn"),
-        pq_encode(F.col(vec_col), codebooks).alias("codes"),
-    )
+    # ``encoded`` must carry the IVF ``part`` column
+    # (pq_encode_candidates with centroids).
+    if encoded is not None:
+        if "part" not in encoded.columns:
+            raise ValueError(
+                "ivfpq_topk(encoded=...) needs the IVF 'part' column — "
+                "build the frame with pq_encode_candidates(..., centroids)"
+            )
+        enc = encoded.select("neighbor_id", "part", "cv", "cn", "codes")
+    else:
+        enc = pq_encode_candidates(
+            candidates, codebooks, centroids, id_col=id_col, vec_col=vec_col
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.explode(
@@ -1176,9 +1321,8 @@ def ivfpq_topk(
         "cv",
         "qn",
         "cn",
-        F.round(_adc_lookup(F.col("tabs"), F.col("codes"), m), digits).alias(
-            "approx_dist"
-        ),
+        # Exact 1e9-scaled LONG (see _adc_lookup) — no re-round.
+        _adc_lookup(F.col("tabs"), F.col("codes"), m).alias("approx_dist"),
     )
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("neighbor_id").asc()

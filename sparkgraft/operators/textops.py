@@ -1280,9 +1280,13 @@ def span_coverage_gate(
             F.col("id").alias(id_col),
             "n_tokens",
             F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
-            F.round(
-                F.coalesce("covered_tokens", F.lit(0))
-                / F.col("n_tokens").cast("double"),
+            # Integer-ratio kernel, never round(double): covered/n_tokens
+            # terminates ON the round(·,4) half-boundary for real docs
+            # (boundary audit hit 0.96875 = 31/32), flipping between
+            # engines.
+            exact_ratio(
+                F.coalesce("covered_tokens", F.lit(0)),
+                F.col("n_tokens"),
                 digits,
             ).alias("dup_fraction"),
             (

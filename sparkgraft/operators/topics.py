@@ -185,13 +185,20 @@ def cluster_documents(
 ) -> DataFrame:
     """Stage 1 end-to-end: counts → hashed TF-IDF vectors → seeded
     Lloyd iterations (similarity.kmeans_iterate) → (d, cluster)."""
-    from sparkgraft.operators.similarity import assign_nearest, kmeans_iterate
+    from sparkgraft.operators.similarity import (
+        assign_nearest_exact6,
+        kmeans_iterate,
+    )
 
     counts = doc_term_counts(docs, id_col, text_col)
     vecs = hashed_tfidf_vectors(counts, dim=dim).localCheckpoint()
-    cents = kmeans_iterate(vecs, seed_centroids(vecs, k), iters=iters)
+    # TF-IDF vectors are exact 6-digit decimals -> exact integer
+    # distances (round-9 doubles land ON rounding half-boundaries).
+    cents = kmeans_iterate(
+        vecs, seed_centroids(vecs, k), iters=iters, exact6=True
+    )
     return vecs.select(
-        "d", assign_nearest(F.col("embedding"), cents).alias("cluster")
+        "d", assign_nearest_exact6(F.col("embedding"), cents).alias("cluster")
     )
 
 
@@ -314,12 +321,18 @@ def topic_model(
     """The composed two-stage fit: k-means cluster labels warm-start
     the PLSA refinement.  Returns (doc_topics, word_topics)."""
     counts = doc_term_counts(docs, id_col, text_col).localCheckpoint()
-    from sparkgraft.operators.similarity import assign_nearest, kmeans_iterate
+    from sparkgraft.operators.similarity import (
+        assign_nearest_exact6,
+        kmeans_iterate,
+    )
 
     vecs = hashed_tfidf_vectors(counts, dim=dim).localCheckpoint()
-    cents = kmeans_iterate(vecs, seed_centroids(vecs, k), iters=kmeans_iters)
+    # Exact-integer assignment: see cluster_documents' comment.
+    cents = kmeans_iterate(
+        vecs, seed_centroids(vecs, k), iters=kmeans_iters, exact6=True
+    )
     labels = vecs.select(
-        "d", assign_nearest(F.col("embedding"), cents).alias("cluster")
+        "d", assign_nearest_exact6(F.col("embedding"), cents).alias("cluster")
     )
     return plsa_hard_em(counts, k=k, iters=em_iters, init=labels)
 
@@ -380,7 +393,9 @@ def fit_topic_space(
     vecs = _assemble_vectors(
         _tfidf_cells(counts, dfreq, n_docs, dim, 6), dim
     ).localCheckpoint()
-    cents = kmeans_iterate(vecs, seed_centroids(vecs, k), iters=kmeans_iters)
+    cents = kmeans_iterate(
+        vecs, seed_centroids(vecs, k), iters=kmeans_iters, exact6=True
+    )
     return {"dfreq": dfreq, "n_docs": n_docs, "centroids": cents, "dim": dim}
 
 
@@ -402,7 +417,7 @@ def assign_topics(
 
     On the training corpus itself this reproduces
     :func:`cluster_documents`' labels exactly (asserted in tests)."""
-    from sparkgraft.operators.similarity import assign_nearest
+    from sparkgraft.operators.similarity import assign_nearest_exact6
 
     counts = doc_term_counts(new_docs, id_col, text_col)
     vecs = _assemble_vectors(
@@ -410,5 +425,8 @@ def assign_topics(
         space["dim"],
     )
     return vecs.select(
-        "d", assign_nearest(F.col("embedding"), space["centroids"]).alias("topic")
+        "d",
+        assign_nearest_exact6(
+            F.col("embedding"), space["centroids"]
+        ).alias("topic"),
     )

@@ -189,9 +189,8 @@ def ivfpq_topk_indexed(
         "cv",
         "qn",
         "cn",
-        F.round(_adc_lookup(F.col("tabs"), F.col("codes"), m), digits).alias(
-            "approx_dist"
-        ),
+        # Exact 1e9-scaled LONG (see _adc_lookup) — no re-round.
+        _adc_lookup(F.col("tabs"), F.col("codes"), m).alias("approx_dist"),
     )
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("neighbor_id").asc()
