@@ -2680,13 +2680,16 @@ _PCA_CACHE: dict[tuple[int, str], tuple] = {}
 
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection of the embedding corpus onto its top-8
-    components (fit: exact distributed covariance → driver eigh on the
-    64x64 matrix, signs canonicalized; serve: literal component matrix
-    as JVM array expressions — shuffle-free scan-speed).  Rows-only:
-    the eigendecomposition is not SQL-expressible, but the fit is
-    deterministic (exact-integer covariance + fixed LAPACK build), so
-    the determinism audit covers it; covariance itself is
-    oracle-checked by embedding_covariance."""
+    components (fit: exact distributed covariance → driver INTEGER
+    power iteration with deflation on the 64x64 matrix
+    (linalg.power_components_int — round 9: replaced np.linalg.eigh,
+    the repo's last LAPACK dependency), signs canonicalized; serve:
+    literal component matrix as JVM array expressions — shuffle-free
+    scan-speed).  ORACLE-checked since round 9: the fit is exact
+    integer arithmetic end to end, so _pca_oracle_sql replays every
+    power step, the Rayleigh quotient, the deflation and the
+    projection folds verbatim in HUGEINT CTEs — engine parity by
+    construction, no libm eigensolver on either side."""
     from sparkgraft.operators.linalg import pca_components, pca_project
 
     key = (id(spark), sf_dir)
@@ -13286,6 +13289,181 @@ FROM sassign GROUP BY 1"""
 
 ORACLES["topic_model"] = _topic_model_oracle_sql()
 ORACLES["topic_assign"] = _topic_assign_oracle_sql()
+
+
+def _pca_oracle_sql(dim: int = 64, k: int = 8, iters: int = 40) -> str:
+    """DuckDB replay of ``q_pca_project`` (round-9, VERDICT task 4 —
+    the fit was the last driver-LAPACK dependency): the exact integer
+    covariance (the embedding_covariance kernel at dim=64, kept as
+    10^8-scaled HUGEINTs), then ``linalg.power_components_int``
+    replayed VERBATIM — per component, ``iters`` power-iteration steps
+    (HUGEINT matvec → exact integer sqrt via a Newton-corrected
+    float seed → HALF-UP renormalize at 10^9), the Rayleigh quotient,
+    Hotelling deflation and the sign canonicalization, all in the
+    same integer arithmetic — and finally the projection as the same
+    left-fold double dot products the Spark literals compute.  The
+    oracle matches the engine bit-for-bit BY CONSTRUCTION: no libm
+    eigensolver exists on either side.
+
+    Integer sqrt: ``floor(sqrt(n::DOUBLE))`` seeds within ~2^10 of the
+    true root (double ulp at 1e18), three integer Newton steps land in
+    {isqrt, isqrt+1}, and the final compare-correct step makes it
+    exact — ``greatest(·, 1)`` keeps the n = 0 path division-free
+    (it yields s = 0 downstream, the zero-vector guard)."""
+    sq = 10**18
+    v1e9 = 10**9
+    ctes = [
+        f"""x AS (
+    SELECT vec_id, i - 1 AS i,
+           CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
+                AS HUGEINT) AS xs
+    FROM embeddings, generate_series(1, {dim}) AS g(i)
+)""",
+        "s AS (SELECT i, sum(xs) AS sx FROM x GROUP BY i)",
+        "nn AS (SELECT count(*) AS n FROM embeddings)",
+        """p AS (
+    SELECT a.i AS i, b.i AS j, sum(a.xs * b.xs) AS sxy
+    FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+)""",
+        """cint AS (
+    SELECT p.i, p.j,
+           CASE WHEN num < 0 THEN -((2 * (-num) + den) // (2 * den))
+                ELSE (2 * num + den) // (2 * den) END AS v
+    FROM (
+        SELECT p.i, p.j,
+               (nn.n * p.sxy - sa.sx * sb.sx) * 100000000 AS num,
+               CAST(nn.n AS HUGEINT) * nn.n * 1000000 * 1000000 AS den
+        FROM p
+        JOIN s sa ON sa.i = p.i
+        JOIN s sb ON sb.i = p.j
+        CROSS JOIN nn
+    ) p
+)""",
+        """covint0 AS MATERIALIZED (
+    SELECT i, j, v FROM cint
+    UNION ALL
+    SELECT j AS i, i AS j, v FROM cint WHERE i < j
+)""",
+        f"""v0_0 AS (
+    SELECT g.i AS pos, CAST({v1e9} AS HUGEINT) AS val
+    FROM generate_series(0, {dim - 1}) AS g(i)
+)""",
+    ]
+    for c in range(k):
+        if c > 0:
+            ctes.append(f"""v{c}_0 AS (SELECT pos, val FROM v0_0)""")
+        for t in range(1, iters + 1):
+            ctes.append(f"""v{c}_{t} AS MATERIALIZED (
+    SELECT pos,
+           CASE WHEN s = 0 THEN CAST(0 AS HUGEINT)
+                WHEN w < 0 THEN -((2 * (-w) * {v1e9} + s) // (2 * s))
+                ELSE (2 * w * {v1e9} + s) // (2 * s) END AS val
+    FROM (
+        SELECT pos, w, n,
+               CASE WHEN xc * xc > n THEN xc - 1
+                    WHEN (xc + 1) * (xc + 1) <= n THEN xc + 1
+                    ELSE xc END AS s
+        FROM (
+            SELECT pos, w, n, greatest((x2 + n // x2) // 2, 1) AS xc
+            FROM (
+                SELECT pos, w, n, greatest((x1 + n // x1) // 2, 1) AS x2
+                FROM (
+                    SELECT pos, w, n,
+                           greatest((x0 + n // x0) // 2, 1) AS x1
+                    FROM (
+                        SELECT pos, w, n,
+                               CAST(greatest(
+                                   floor(sqrt(CAST(n AS DOUBLE))), 1)
+                                   AS HUGEINT) AS x0
+                        FROM (
+                            SELECT pos, w, SUM(w * w) OVER () AS n
+                            FROM (
+                                SELECT m.i AS pos,
+                                       SUM(CAST(m.v AS HUGEINT) * v.val) AS w
+                                FROM covint{c} m
+                                JOIN v{c}_{t - 1} v ON v.pos = m.j
+                                GROUP BY m.i
+                            )
+                        )
+                    )
+                )
+            )
+        )
+    )
+)""")
+        vT = f"v{c}_{iters}"
+        ctes.append(f"""lam{c} AS MATERIALIZED (
+    SELECT CASE WHEN den = 0 OR den IS NULL THEN CAST(0 AS HUGEINT)
+                WHEN num < 0 THEN -((2 * (-num) + den) // (2 * den))
+                ELSE (2 * num + den) // (2 * den) END AS l
+    FROM (
+        SELECT (SELECT SUM(CAST(m.v AS HUGEINT) * va.val * vb.val)
+                FROM covint{c} m
+                JOIN {vT} va ON va.pos = m.i
+                JOIN {vT} vb ON vb.pos = m.j) AS num,
+               (SELECT SUM(val * val) FROM {vT}) AS den
+    )
+)""")
+        if c + 1 < k:
+            ctes.append(f"""covint{c + 1} AS MATERIALIZED (
+    SELECT i, j,
+           v - CASE WHEN p < 0 THEN -((2 * (-p) + {sq}) // (2 * {sq}))
+                    ELSE (2 * p + {sq}) // (2 * {sq}) END AS v
+    FROM (
+        SELECT m.i, m.j, CAST(m.v AS HUGEINT) AS v,
+               lam.l * vi.val * vj.val AS p
+        FROM covint{c} m
+        JOIN {vT} vi ON vi.pos = m.i
+        JOIN {vT} vj ON vj.pos = m.j
+        CROSS JOIN lam{c} lam
+    )
+)""")
+        ctes.append(f"""comp{c} AS MATERIALIZED (
+    SELECT {c} AS comp, v.pos,
+           CASE WHEN (SELECT val FROM {vT}
+                      ORDER BY abs(val) DESC, pos ASC LIMIT 1) < 0
+                THEN -v.val ELSE v.val END AS val
+    FROM {vT} v
+)""")
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT * FROM comp{c}" for c in range(k)
+    )
+    ctes.append(f"""comps AS (
+    {union}
+)""")
+    ctes.append(f"""clist AS (
+    SELECT comp,
+           list(CAST(val AS DOUBLE) / {float(v1e9)} ORDER BY pos) AS cl
+    FROM comps GROUP BY comp
+)""")
+    ctes.append("""mlist AS (
+    SELECT list(CAST(sx AS DOUBLE) / (nn.n * 1000000.0) ORDER BY i) AS ml
+    FROM s CROSS JOIN nn GROUP BY nn.n
+)""")
+    ctes.append(f"""offs AS (
+    SELECT comp,
+           list_sum(list_transform(generate_series(1, {dim}),
+                                   i -> cl[i] * ml[i])) AS off
+    FROM clist CROSS JOIN mlist
+)""")
+    ctes.append(f"""proj AS (
+    SELECT e.vec_id, c.comp,
+           round(list_sum(list_transform(generate_series(1, {dim}),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * c.cl[i])) - o.off,
+                 6) AS pval
+    FROM embeddings e
+    CROSS JOIN clist c
+    JOIN offs o USING (comp)
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT vec_id, list(pval ORDER BY comp) AS pc"
+        + "\nFROM proj GROUP BY vec_id"
+    )
+
+
+ORACLES["pca_project"] = _pca_oracle_sql()
 
 
 def _longest_repeat_oracle_sql(steps: int = 14) -> str:

@@ -120,38 +120,98 @@ def covariance_matrix(
     )
 
 
+V_SCALE = 10**9  # component-vector fixed point (power iteration)
+COV_SCALE = 10**8  # covariance fixed point (matches covariance_matrix)
+PCA_ITERS = 40
+
+
+def _hup(num: int, den: int) -> int:
+    """HALF-UP signed integral division (the exact_mean kernel, in
+    driver Python ints)."""
+    if den == 0:
+        return 0
+    q = (2 * abs(num) + den) // (2 * den)
+    return -q if num < 0 else q
+
+
+def power_components_int(
+    cov_scaled: list[list[int]], k: int, iters: int = PCA_ITERS
+) -> tuple[list[list[int]], list[int]]:
+    """Top-k eigenpairs of a COV_SCALE-scaled integer symmetric matrix
+    via EXACT INTEGER power iteration with Hotelling deflation — the
+    round-9 replacement for the driver ``np.linalg.eigh`` (VERDICT r8
+    task 4): every step is arbitrary-precision integer arithmetic
+    (matvec → exact ``math.isqrt`` norm → HALF-UP renormalize at
+    V_SCALE; Rayleigh quotient and rank-1 deflation through the same
+    kernel), so the whole fit replays verbatim in SQL HUGEINT CTEs —
+    the DuckDB oracle runs the IDENTICAL algorithm and matches
+    bit-for-bit by construction, independent of any LAPACK build.
+
+    Semantics note: this is a DEFINED algorithm (``iters`` fixed-point
+    iterations from the all-ones start), not a convergence-tolerance
+    eigensolver — components are orthonormal to ~1/V_SCALE, exact
+    eigenvectors in the well-separated-spectrum case and a
+    deterministic orthogonal-ish basis otherwise.  Returns
+    (vectors[k][dim] at V_SCALE, eigenvalues[k] at COV_SCALE),
+    vectors sign-canonicalized (pivot = largest |coordinate|, lowest
+    index on ties, made positive)."""
+    import math
+
+    dim = len(cov_scaled)
+    c = [row[:] for row in cov_scaled]
+    out_v: list[list[int]] = []
+    out_l: list[int] = []
+    for _ in range(k):
+        v = [V_SCALE] * dim
+        for _t in range(iters):
+            w = [sum(c[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+            s = math.isqrt(sum(x * x for x in w))
+            v = [_hup(x * V_SCALE, s) for x in w] if s else [0] * dim
+        w = [sum(c[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        num = sum(v[i] * w[i] for i in range(dim))
+        den = sum(x * x for x in v)
+        lam = _hup(num, den)
+        # deflate BEFORE canonicalization (v v^T is sign-invariant)
+        for i in range(dim):
+            for j in range(dim):
+                c[i][j] -= _hup(lam * v[i] * v[j], V_SCALE * V_SCALE)
+        pivot = min(range(dim), key=lambda i: (-abs(v[i]), i))
+        if v[pivot] < 0:
+            v = [-x for x in v]
+        out_v.append(v)
+        out_l.append(lam)
+    return out_v, out_l
+
+
 def pca_components(
     df: DataFrame, vec_col: str, dim: int, k: int
 ) -> tuple[list[list[float]], list[float], list[float]]:
-    """Fit PCA: exact covariance (above) → driver ``eigh`` on the
-    d x d matrix → top-k components (descending eigenvalue), signs
-    canonicalized.  Returns (components[k][dim], eigenvalues[k],
-    mean[dim]).  The driver never holds more than d² floats."""
-    import numpy as np
-
+    """Fit PCA: exact covariance (above) → driver integer power
+    iteration on the d x d matrix (:func:`power_components_int` —
+    round 9: replaces ``np.linalg.eigh`` so the fit is engine-exact
+    and SQL-replayable, not LAPACK-build-dependent) → top-k
+    components (descending eigenvalue), signs canonicalized.  Returns
+    (components[k][dim], eigenvalues[k], mean[dim]); every returned
+    float is the nearest double of a fixed-point decimal, so the
+    component literals re-enter plans bit-identically.  The driver
+    never holds more than d² ints."""
     rows = covariance_matrix(df, vec_col, dim).collect()
-    cov = np.zeros((dim, dim))
+    cov = [[0] * dim for _ in range(dim)]
     for r in rows:
-        cov[r["i"], r["j"]] = r["cov"]
-        cov[r["j"], r["i"]] = r["cov"]
+        cs = int(round(r["cov"] * COV_SCALE))
+        cov[r["i"]][r["j"]] = cs
+        cov[r["j"]][r["i"]] = cs
     part = pair_sums(df, vec_col, dim)
     tot = part.select(
         F.posexplode("x").alias("i", "v")
     ).groupBy("i").agg(F.sum(_dec(F.col("v"))).alias("sx")).collect()
     n = part.agg(F.sum("n")).first()[0]
-    mean = np.zeros(dim)
+    mean = [0.0] * dim
     for r in tot:
         mean[r["i"]] = int(r["sx"]) / (n * X_SCALE)
-    vals, vecs = np.linalg.eigh(cov)
-    order = np.argsort(vals)[::-1][:k]
-    comps = []
-    for idx in order:
-        v = vecs[:, idx]
-        pivot = int(np.argmax(np.abs(v)))
-        if v[pivot] < 0:
-            v = -v
-        comps.append([float(x) for x in v])
-    return comps, [float(vals[i]) for i in order], [float(m) for m in mean]
+    vecs, lams = power_components_int(cov, k)
+    comps = [[x / V_SCALE for x in v] for v in vecs]
+    return comps, [l / COV_SCALE for l in lams], mean
 
 
 def pca_project(

@@ -85,7 +85,10 @@ def test_covariance_partitioning_independent(spark, data):
 def test_pca_components_orthonormal_and_ordered(spark, data):
     comps, vals, mean = pca_components(vec_df(spark, data), "embedding", 4, 3)
     c = np.array(comps)
-    assert np.allclose(c @ c.T, np.eye(3), atol=1e-9)
+    # r9: the fit is integer power iteration at V_SCALE=1e9 (exact,
+    # SQL-replayable) — components are orthonormal to the fixed-point
+    # quantization (~1e-7 after deflation), not LAPACK's 1e-15.
+    assert np.allclose(c @ c.T, np.eye(3), atol=1e-6)
     assert vals[0] >= vals[1] >= vals[2] >= 0
     # dim0 dominates the top component
     assert abs(c[0][0]) > 0.7
