@@ -4996,12 +4996,17 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio near-dup via spectral landmark fingerprints (rows-only —
-    the FFT kernel isn't SQL-mirrorable; offset/score behavior is
-    pytest-asserted): doc_id-seeded tonal tracks generated executor-
-    side, every 11th doc paired with a noise-prefixed shifted copy
-    (id + 10⁶), fingerprint → hash join → offset-histogram vote.
-    Returns the detected (pair, offset, votes) rows."""
+    """Audio near-dup via spectral landmark fingerprints (ORACLE-
+    checked since round 9 — the fixture is md5-derived and the
+    spectrum is the exact integer rDFT, so the whole chain replays in
+    SQL): doc-seeded tonal MELODIES (12 md5-chosen notes, 512 samples
+    each — steady tones would match at every offset and drown the
+    vote histogram) generated executor-side through scalar libm sin
+    (bit-identical to the oracle's sin on this box) and a float32
+    round-trip; every 11th doc paired with a copy (id + 10⁶) prefixed
+    by 512 samples of md5 pseudo-noise (a 4-hop shift).
+    fingerprint → stop-hash filter → hash join → offset-histogram
+    vote; returns the detected (pair, offset, votes) rows."""
     from sparkgraft.operators.multimodal import audio_fingerprint, audio_match
 
     docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
@@ -5009,6 +5014,9 @@ def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def gen(batches):
+        import hashlib
+        import math
+
         import numpy as np
         import pandas as pd
 
@@ -5016,36 +5024,49 @@ def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         seg = 128 * 4  # 4 hops per melody note
         n_seg = 12
+
+        def h32(txt: str) -> int:
+            return int(hashlib.md5(txt.encode()).hexdigest()[:8], 16)
+
         for pdf in batches:
             ids, blobs = [], []
             for did in pdf["doc_id"]:
                 did = int(did)
-                rng = np.random.RandomState(did)
-                # A doc-seeded MELODY (frequency steps), not a steady
-                # tone — steady spectra match at every offset and drown
-                # the vote histogram; time-varying content only aligns
-                # for true copies.
-                notes = 300 + 25 * rng.randint(0, 100, size=n_seg)
-                tseg = np.arange(seg) / 8000.0
-                sig = np.concatenate(
-                    [np.sin(2 * np.pi * f * tseg) for f in notes]
+                notes = [
+                    300 + 25 * (h32(f"{did}:note:{j}") % 100)
+                    for j in range(n_seg)
+                ]
+                sig = np.array(
+                    [
+                        math.sin(
+                            (2.0 * math.pi * notes[n // seg])
+                            * ((n % seg) / 8000.0)
+                        )
+                        for n in range(n_seg * seg)
+                    ],
+                    dtype=np.float64,
                 )
-                sig = sig + 0.01 * rng.randn(len(sig))
                 ids.append(did)
                 blobs.append(encode_fake_audio(sig))
                 if did % 11 == 0:
-                    pad = 0.01 * np.random.RandomState(did + 1).randn(128 * 4)
-                    shifted = np.concatenate([pad, sig])
+                    pad = np.array(
+                        [
+                            (h32(f"{did}:pad:{n}") % 201 - 100) / 10000.0
+                            for n in range(seg)
+                        ],
+                        dtype=np.float64,
+                    )
                     ids.append(did + 1_000_000)
                     blobs.append(
-                        encode_fake_audio(shifted)
+                        encode_fake_audio(np.concatenate([pad, sig]))
                     )
             yield pd.DataFrame({"media_id": ids, "data": blobs})
 
     media = docs.mapInPandas(gen, "media_id long, data binary")
-    # A true copy aligns every note (414 consistent votes on this
-    # fixture); coincidental multi-note overlaps top out ~130 — 200
-    # separates them with a wide margin on both sides.
+    # A true copy aligns every note (weakest planted pair: 228
+    # consistent votes on this fixture); coincidental multi-note
+    # overlaps top out at 72 — 200 separates them with a wide margin
+    # on both sides (measured r9, md5 fixture + integer rDFT).
     # audio_match references the fingerprint table three times (stop-
     # hash count, left, right) — checkpoint so the synth+FFT kernel
     # runs ONCE (at scale the landmark table is a persisted index).
@@ -13464,6 +13485,140 @@ def _pca_oracle_sql(dim: int = 64, k: int = 8, iters: int = 40) -> str:
 
 
 ORACLES["pca_project"] = _pca_oracle_sql()
+
+
+def _audio_oracle_sql() -> str:
+    """DuckDB replay of ``q_audio_dedup`` (round-9 — the LAST
+    rows-only query): the md5-derived melody/pad fixture regenerates
+    in SQL (same-box libm sin/cos on bit-identical double arguments +
+    a float32 round-trip via CAST AS REAL), samples/Hann/basis
+    quantize exactly as the integer-rDFT kernel
+    (multimodal.AUDIO_X_SCALE/B_SCALE/RE_DOWN), the spectrum is the
+    same exact int64 arithmetic (HALF-UP downscale by 10^8, peaks by
+    integer re²+im² with the k-ascending tie-break), landmarks take
+    the first 3 (dt, f2) per anchor, and the stop-hash filter +
+    offset-histogram vote mirror audio_match verbatim."""
+    return """
+WITH adocs AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+anotes AS (
+    SELECT d.doc_id AS src, j.j,
+           300 + 25 * (CAST(concat('0x', substr(md5(concat(d.doc_id,
+                ':note:', j.j)), 1, 8)) AS BIGINT) % 100) AS f
+    FROM adocs d, generate_series(0, 11) AS j(j)
+),
+asig AS MATERIALIZED (
+    SELECT n.src, g.n + n.j * 512 AS n,
+           CAST(round(CAST(CAST(sin((2 * pi() * n.f) * (g.n / 8000.0))
+                AS REAL) AS DOUBLE) * 10000.0) AS BIGINT) AS xq
+    FROM anotes n, generate_series(0, 511) AS g(n)
+),
+apad AS (
+    SELECT d.doc_id AS src, g.n,
+           CAST(round(CAST(CAST(
+               ((CAST(concat('0x', substr(md5(concat(d.doc_id, ':pad:',
+                     g.n)), 1, 8)) AS BIGINT) % 201) - 100) / 10000.0
+               AS REAL) AS DOUBLE) * 10000.0) AS BIGINT) AS xq
+    FROM adocs d, generate_series(0, 511) AS g(n)
+    WHERE d.doc_id % 11 = 0
+),
+asamples AS MATERIALIZED (
+    SELECT src AS media_id, n, xq FROM asig
+    UNION ALL
+    SELECT src + 1000000, n, xq FROM apad
+    UNION ALL
+    SELECT src + 1000000, n + 512, xq FROM asig WHERE src % 11 = 0
+),
+ahann AS (
+    SELECT g.i,
+           CAST(round((0.5 * (1 - cos((2 * pi() * g.i) / 255.0)))
+                * 10000.0) AS BIGINT) AS h
+    FROM generate_series(0, 255) AS g(i)
+),
+abasis AS MATERIALIZED (
+    SELECT k.k, n.n,
+           CAST(round(cos((2 * pi() * ((k.k * n.n) % 256)) / 256.0)
+                * 1000000.0) AS BIGINT) AS c,
+           CAST(round(sin((2 * pi() * ((k.k * n.n) % 256)) / 256.0)
+                * 1000000.0) AS BIGINT) AS s
+    FROM generate_series(0, 128) AS k(k), generate_series(0, 255) AS n(n)
+),
+anf AS (
+    SELECT media_id, (count(*) - 256) // 128 + 1 AS nf
+    FROM asamples GROUP BY 1
+),
+aframes AS (
+    SELECT media_id, g.t
+    FROM anf, generate_series(0, 50) AS g(t)
+    WHERE g.t < anf.nf
+),
+awin AS MATERIALIZED (
+    SELECT f.media_id, f.t, s.n - f.t * 128 AS i, s.xq * h.h AS xw
+    FROM aframes f
+    JOIN asamples s ON s.media_id = f.media_id
+                   AND s.n >= f.t * 128 AND s.n < f.t * 128 + 256
+    JOIN ahann h ON h.i = s.n - f.t * 128
+),
+aspec0 AS MATERIALIZED (
+    SELECT w.media_id, w.t, b.k,
+           SUM(w.xw * b.c) AS re, SUM(w.xw * b.s) AS im
+    FROM awin w JOIN abasis b ON b.n = w.i
+    GROUP BY 1, 2, 3
+),
+amag AS MATERIALIZED (
+    SELECT media_id, t, k,
+           CASE WHEN k = 0 THEN 0 ELSE rq * rq + iq * iq END AS m
+    FROM (
+        SELECT media_id, t, k,
+               CASE WHEN re < 0
+                    THEN -((2 * (-re) + 100000000) // 200000000)
+                    ELSE (2 * re + 100000000) // 200000000 END AS rq,
+               CASE WHEN im < 0
+                    THEN -((2 * (-im) + 100000000) // 200000000)
+                    ELSE (2 * im + 100000000) // 200000000 END AS iq
+        FROM aspec0
+    )
+),
+apeaks AS MATERIALIZED (
+    SELECT media_id, t, k FROM (
+        SELECT *, row_number() OVER (PARTITION BY media_id, t
+                                     ORDER BY m DESC, k ASC) AS rn
+        FROM amag
+    ) WHERE rn <= 3
+),
+alms AS MATERIALIZED (
+    SELECT media_id, t AS frame, f1 * 1048576 + f2 * 256 + dt AS fp
+    FROM (
+        SELECT a.media_id, a.t, a.k AS f1, b.t - a.t AS dt, b.k AS f2,
+               row_number() OVER (PARTITION BY a.media_id, a.t, a.k
+                                  ORDER BY b.t - a.t ASC, b.k ASC) AS rn
+        FROM apeaks a
+        JOIN apeaks b ON b.media_id = a.media_id
+                     AND b.t > a.t AND b.t <= a.t + 16
+    ) WHERE rn <= 3
+),
+ahot AS (
+    SELECT fp FROM alms GROUP BY fp
+    HAVING count(DISTINCT media_id) > 64
+),
+akept AS (SELECT * FROM alms WHERE fp NOT IN (SELECT fp FROM ahot)),
+avotes AS (
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           a.frame - b.frame AS off, count(*) AS n
+    FROM akept a
+    JOIN akept b ON a.fp = b.fp AND a.media_id < b.media_id
+    GROUP BY 1, 2, 3
+)
+SELECT id_a, id_b, CAST(off AS BIGINT) AS "offset",
+       CAST(n AS BIGINT) AS n_matched
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+                                 ORDER BY n DESC, off ASC) AS rnk
+    FROM avotes
+) WHERE rnk = 1 AND n >= 200
+"""
+
+
+ORACLES["audio_dedup"] = _audio_oracle_sql()
 
 
 def _longest_repeat_oracle_sql(steps: int = 14) -> str:

@@ -470,6 +470,60 @@ def phash_neardup(
 AUDIO_FP_SCHEMA = "media_id long, frame long, fp long"
 
 
+AUDIO_X_SCALE = 10**4  # sample / Hann-window fixed point
+AUDIO_B_SCALE = 10**6  # DFT basis fixed point
+AUDIO_RE_DOWN = 10**8  # re/im downscale before squaring (int64 headroom)
+
+
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """Vectorized round-half-away-from-zero — matches SQL ``round()``
+    (np.rint is banker's: 2.5 → 2, which SQL rounds to 3)."""
+    return np.where(x >= 0.0, np.floor(x + 0.5), np.ceil(x - 0.5))
+
+
+def _halfup_div(v: np.ndarray, d: int) -> np.ndarray:
+    """Vectorized signed HALF-UP integral division (the exact_mean
+    kernel on int64 arrays)."""
+    q = (2 * np.abs(v) + d) // (2 * d)
+    return np.where(v < 0, -q, q)
+
+
+def _audio_dft_basis(frame: int) -> tuple[np.ndarray, np.ndarray]:
+    """Integer rDFT basis at AUDIO_B_SCALE: ``round(cos/sin(2π·(kn mod
+    N)/N) · 1e6)``.  The ``kn mod N`` reduction hands libm the SAME
+    small double argument the SQL mirror computes, and the loop calls
+    SCALAR ``math.cos``/``math.sin`` (libm — numpy's vectorized
+    transcendentals use SIMD polynomials that can differ from libm in
+    the last ulp, which would desync the quantized basis from the
+    DuckDB mirror), so the basis is bit-identical by construction."""
+    import math
+
+    half = frame // 2 + 1
+    c = np.empty((half, frame), dtype=np.int64)
+    s = np.empty((half, frame), dtype=np.int64)
+    for k in range(half):
+        for n in range(frame):
+            ang = 2.0 * math.pi * ((k * n) % frame) / float(frame)
+            cv = math.cos(ang) * AUDIO_B_SCALE
+            sv = math.sin(ang) * AUDIO_B_SCALE
+            c[k, n] = math.floor(cv + 0.5) if cv >= 0 else math.ceil(cv - 0.5)
+            s[k, n] = math.floor(sv + 0.5) if sv >= 0 else math.ceil(sv - 0.5)
+    return c, s
+
+
+def _hann_q(frame: int) -> np.ndarray:
+    """Integer Hann window at AUDIO_X_SCALE via scalar libm cos (same
+    rationale as :func:`_audio_dft_basis`)."""
+    import math
+
+    out = np.empty(frame, dtype=np.int64)
+    for i in range(frame):
+        h = 0.5 * (1.0 - math.cos(2.0 * math.pi * i / (frame - 1)))
+        hv = h * AUDIO_X_SCALE
+        out[i] = math.floor(hv + 0.5) if hv >= 0 else math.ceil(hv - 0.5)
+    return out
+
+
 def audio_fingerprint(
     media: DataFrame,
     frame: int = 256,
@@ -482,9 +536,22 @@ def audio_fingerprint(
 ) -> DataFrame:
     """Spectral landmark fingerprints for an audio binary column
     (Wang 2003, the Shazam scheme): Hann-windowed frames → magnitude
-    spectrum (numpy rfft) → top-P spectral peaks per frame → anchor/
-    target peak pairs within a ``window``-frame fan-out, each packed as
-    one long hash ``f1 << 20 | f2 << 8 | dt``.
+    spectrum → top-P spectral peaks per frame → anchor/target peak
+    pairs within a ``window``-frame fan-out, each packed as one long
+    hash ``f1 << 20 | f2 << 8 | dt``.
+
+    Round 9: the spectrum is an EXACT INTEGER rDFT — samples and the
+    Hann window quantize at 10^4, the cos/sin basis at 10^6
+    (:func:`_audio_dft_basis`), re/im accumulate as exact int64 dot
+    products, downscale HALF-UP by 10^8, and peaks rank by the exact
+    integer ``re² + im²``.  Replaces ``np.fft.rfft``: float magnitudes
+    made peak ordering engine-private (the last rows-only oracle);
+    the integer spectrum replays verbatim in SQL, so ``audio_dedup``
+    is now DuckDB-oracle-checked end to end.  Peak SETS match the
+    float path except where two bins' magnitudes tie within the 1e-4
+    quantization — immaterial for landmark matching (the planted-copy
+    and determinism tests pass unchanged).  Headroom: |sample| ≤ 6.5
+    is asserted (|re| stays under 2^62); fixtures are unit-amplitude.
 
     Landmarks are robust to time offset (matching is offset-invariant
     by construction, see :func:`audio_match`) and amplitude scaling
@@ -495,7 +562,8 @@ def audio_fingerprint(
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        hann = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(frame) / (frame - 1)))
+        hann_q = _hann_q(frame)
+        cb, sb = _audio_dft_basis(frame)
         for pdf in batches:
             ids, frames, fps = [], [], []
             for mid, blob in zip(pdf[id_col], pdf[bytes_col]):
@@ -512,15 +580,25 @@ def audio_fingerprint(
                 n_frames = max(0, (n - frame) // hop + 1)
                 if n_frames <= 0:
                     continue
+                xq = _round_half_away(arr * AUDIO_X_SCALE).astype(np.int64)
+                if np.abs(xq).max(initial=0) > 65535:
+                    raise ValueError(
+                        "audio_fingerprint: |sample| > ~6.5 overflows the "
+                        "integer-DFT headroom — normalize the signal first"
+                    )
                 # All frames at once: strided window matrix → one
-                # batched rfft (equal results to the per-frame loop,
-                # asserted in tests; ~2x on the kernel, measured).
+                # batched int64 matmul against the integer basis
+                # (equal peak sets to the per-frame loop; the exact
+                # arithmetic is what the SQL oracle replays).
                 idx = (
                     np.arange(frame)[None, :]
                     + hop * np.arange(n_frames)[:, None]
                 )
-                mag = np.abs(np.fft.rfft(arr[idx] * hann[None, :], axis=1))
-                mag[:, 0] = 0.0  # DC carries no melody
+                xw = xq[idx] * hann_q[None, :]  # 1e8-scaled windowed
+                re = _halfup_div(xw @ cb.T, AUDIO_RE_DOWN)
+                im = _halfup_div(xw @ sb.T, AUDIO_RE_DOWN)
+                mag = re * re + im * im  # exact int64
+                mag[:, 0] = 0  # DC carries no melody
                 # top-P bins per frame; stable argsort on -mag breaks
                 # ties toward the LOWER bin, so the peak set is a pure
                 # function of the samples
