@@ -1702,11 +1702,16 @@ def q_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cbs = [
         [(c, v[s * sub : (s + 1) * sub]) for c, v in cents] for s in range(8)
     ]
-    key = ("adc_encoded", sf_dir, id(spark))
-    enc = _FIXTURE_CACHE.get(key)
+    # Cache value carries the session OBJECT (not just id(spark) in
+    # the key): holding the reference pins the id against CPython
+    # reuse, and the identity check below rejects a localCheckpoint
+    # bound to a stopped context (round-9 review).
+    key = ("adc_encoded", sf_dir)
+    got = _FIXTURE_CACHE.get(key)
+    enc = got[1] if got is not None and got[0] is spark else None
     if enc is None:
         enc = SIM.pq_encode_candidates(emb, cbs, cents).localCheckpoint()
-        _FIXTURE_CACHE[key] = enc
+        _FIXTURE_CACHE[key] = (spark, enc)
     queries = emb.filter(F.col("vec_id") < 10)
     flat = SIM.pq_adc_topk(
         queries, emb, cbs, k=5, shortlist=20, encoded=enc
@@ -11651,6 +11656,16 @@ ORACLES["rater_agreement"] = (
                CAST(n_votes AS HUGEINT) * n_votes AS fd
         FROM agg CROSS JOIN marg
     ),
+    fq AS (
+        SELECT n_items, fa, fb, fc, fd,
+               """
+    + _ratio_scaled_sql("fa", "fb", 12)
+    + """ AS fpb,
+               """
+    + _ratio_scaled_sql("fc", "fd", 12)
+    + """ AS fpe
+        FROM fwide
+    ),
     fleissleg AS (
         SELECT 'fleiss' AS method, CAST(NULL AS BIGINT) AS a,
                CAST(NULL AS BIGINT) AS b, n_items AS n,
@@ -11660,11 +11675,11 @@ ORACLES["rater_agreement"] = (
                """
     + _ratio_sql("fc", "fd", 6)
     + """ AS pe,
-               CASE WHEN fc < fd THEN
+               CASE WHEN fpe < 1000000000000 THEN
                """
-    + _ratio_sql("fa * fd - fc * fb", "fb * (fd - fc)", 6)
+    + _ratio_sql("fpb - fpe", "1000000000000 - fpe", 6)
     + """ END AS kappa
-        FROM fwide
+        FROM fq
     )
     SELECT * FROM pairleg UNION ALL SELECT * FROM fleissleg
 """

@@ -214,12 +214,23 @@ def fleiss_kappa(
     d = F.col("n_votes").cast("decimal(38,0)") * F.col("n_votes").cast(
         "decimal(38,0)"
     )
+    # Overflow headroom (round-9 review): the one-stage kappa
+    # (A·D − C·B)/(B·(D − C)) scales with n_items·n_votes²·10^12 and
+    # the kernel's extra ·2·10^digits overflows DECIMAL(38,0) near
+    # 10^6 items x 10^6 votes.  Quantize p_bar and p_e to exact
+    # 12-digit integers FIRST (≤ 10^12 at ANY corpus size), then
+    # kappa = (pb − pe)/(10^12 − pe) through the same kernel — the
+    # extra 10^-12 quantization is far below the emitted 10^-digits,
+    # and the oracle mirrors the identical two-stage arithmetic.
+    pb12 = exact_ratio_scaled(a, b, 12)
+    pe12 = exact_ratio_scaled(c, d, 12)
+    one12 = F.lit(10**12).cast("decimal(38,0)")
     return agg.crossJoin(marg).select(
         "n_items",
         exact_ratio(a, b, digits).alias("p_bar"),
         exact_ratio(c, d, digits).alias("p_e"),
         F.when(
-            c < d, exact_ratio(a * d - c * b, b * (d - c), digits)
+            pe12 < one12, exact_ratio(pb12 - pe12, one12 - pe12, digits)
         ).alias("kappa"),
     )
 

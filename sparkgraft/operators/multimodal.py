@@ -550,8 +550,10 @@ def audio_fingerprint(
     is now DuckDB-oracle-checked end to end.  Peak SETS match the
     float path except where two bins' magnitudes tie within the 1e-4
     quantization — immaterial for landmark matching (the planted-copy
-    and determinism tests pass unchanged).  Headroom: |sample| ≤ 6.5
-    is asserted (|re| stays under 2^62); fixtures are unit-amplitude.
+    and determinism tests pass unchanged).  Headroom: tracks with
+    |sample| > ~6.5 scale down by an exact power of two before
+    quantization (peaks are amplitude-invariant; |re| stays under
+    2^62); fixtures are unit-amplitude, so their path is untouched.
 
     Landmarks are robust to time offset (matching is offset-invariant
     by construction, see :func:`audio_match`) and amplitude scaling
@@ -580,12 +582,21 @@ def audio_fingerprint(
                 n_frames = max(0, (n - frame) // hop + 1)
                 if n_frames <= 0:
                     continue
-                xq = _round_half_away(arr * AUDIO_X_SCALE).astype(np.int64)
-                if np.abs(xq).max(initial=0) > 65535:
-                    raise ValueError(
-                        "audio_fingerprint: |sample| > ~6.5 overflows the "
-                        "integer-DFT headroom — normalize the signal first"
+                # Amplitude robustness (round-9 review): tracks louder
+                # than the int64 headroom (|x| > ~6.5) scale down by a
+                # power of two BEFORE quantization instead of failing —
+                # 2^-k is exact in doubles, peaks are amplitude-
+                # invariant, and the factor is a pure function of the
+                # track (deterministic; unit-amplitude fixtures take
+                # k = 0, so the SQL oracle is unaffected).
+                import math as _math
+
+                peak = float(np.abs(arr).max(initial=0.0))
+                if peak > 6.5:
+                    arr = arr * 2.0 ** -int(
+                        _math.ceil(_math.log2(peak / 6.5))
                     )
+                xq = _round_half_away(arr * AUDIO_X_SCALE).astype(np.int64)
                 # All frames at once: strided window matrix → one
                 # batched int64 matmul against the integer basis
                 # (equal peak sets to the per-frame loop; the exact

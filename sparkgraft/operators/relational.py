@@ -449,7 +449,12 @@ def retrieval_metrics(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     hits = (
-        ranked.filter(F.col(rank_col) <= k)
+        # Ranks are 1-based by contract; rows outside [1, k] drop here.
+        # Round-9 review: without the lower bound, rank 0 crashed
+        # element_at(dcg_w, 0) (INVALID_INDEX_OF_ZERO, even non-ANSI)
+        # and a negative rank silently indexed the weight array from
+        # the END — now both are excluded like unjudged rows.
+        ranked.filter((F.col(rank_col) >= 1) & (F.col(rank_col) <= k))
         .select(query_col, id_col, rank_col)
         .join(
             qrels.select(query_col, id_col, rel_col),

@@ -435,6 +435,20 @@ def _centroid_dists_exact6(
     float rounding then disagree on the double computed 1e-13 off the
     exact value, flipping Lloyd assignments between engines (hit:
     24.5050097135).  Exact integers have no boundary to sit on."""
+    # Precondition guard (round-9 review): the 10^6 scaling is only
+    # exact for 6-digit-decimal spaces.  The centroid list is driver-
+    # side — verify each entry round-trips at 1e6 and raise loudly on
+    # misuse instead of silently collapsing finer coordinates (the
+    # vector side comes from the same space by construction: hashed
+    # TF-IDF components and exact_mean(…, 6) refits).
+    for cid, cv in centroids:
+        for c in cv:
+            if abs(c * 1e6 - round(c * 1e6)) > 1e-3:
+                raise ValueError(
+                    f"assign_nearest_exact6: centroid {cid} entry {c!r} "
+                    "is not an exact 6-digit decimal — use assign_nearest "
+                    "for general double spaces"
+                )
     ctab = _literal_ivec_table(
         [
             (cid, [int(round(c * 1e6)) for c in cv])
@@ -821,6 +835,12 @@ def kmeans_iterate(
     refit keeps centroids in the same 6-digit-decimal space, so the
     property holds across every iteration.
     """
+    if exact6 and digits != 6:
+        raise ValueError(
+            "kmeans_iterate(exact6=True) requires digits=6 — the exact "
+            "integer distances scale at 10^6, and an exact_mean refit at "
+            f"digits={digits} would leave the 6-digit-decimal space"
+        )
     assign = assign_nearest_exact6 if exact6 else assign_nearest
     for _ in range(iters):
         assigned = df.withColumn(

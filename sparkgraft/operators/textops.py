@@ -168,20 +168,36 @@ def minhash_dedup_pairs(
     # measured at 32x-replicated sf0.1, the planner did exactly that
     # and OOMed the driver building a multi-GB broadcast relation.
     sh_tbl = base.select(F.col("id"), F.col("sh")).hint("merge")
+    # One intersect/union evaluation per candidate pair (round-9
+    # review: the rounded emission previously recomputed the full set
+    # algebra on top of the filter's — the verify stage is the hot
+    # path).  The threshold compares by integer cross-multiplication
+    # (i·10^6 ≥ t_scaled·u) — exactly equivalent to the former double
+    # `i/u ≥ t` (integer ratios of realistic set sizes are never
+    # within a double ulp of the threshold) and boundary-free.
+    da = F.array_distinct(F.col("sh_a"))
+    db = F.array_distinct(F.col("sh_b"))
+    t_s = int(round(min_jaccard * 10**6))
     verified = (
         pairs.join(sh_tbl.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh_tbl.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
         .select(
             "id_a",
             "id_b",
-            jaccard(F.col("sh_a"), F.col("sh_b")).alias("j"),
-            jaccard_rounded(F.col("sh_a"), F.col("sh_b"), 4).alias(
-                "jaccard"
-            ),
+            F.size(F.array_intersect(da, db)).cast("long").alias("_i"),
+            F.size(F.array_union(da, db)).cast("long").alias("_u"),
         )
     )
-    return verified.filter(F.col("j") >= min_jaccard).select(
-        "id_a", "id_b", "jaccard"
+    keep = F.when(
+        F.col("_u") > 0,
+        F.col("_i") * F.lit(10**6) >= F.lit(t_s) * F.col("_u"),
+    ).otherwise(F.lit(t_s <= 0))
+    return verified.filter(keep).select(
+        "id_a",
+        "id_b",
+        F.when(
+            F.col("_u") > 0, exact_ratio(F.col("_i"), F.col("_u"), 4)
+        ).otherwise(F.lit(0.0)).alias("jaccard"),
     )
 
 

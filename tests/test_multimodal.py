@@ -462,3 +462,37 @@ def test_video_fingerprint_offset_vote_detects_shifted_clip(spark):
     assert got.get((1, 2), (None, 0))[0] == -4
     assert got[(1, 2)][1] >= 12  # every shared frame votes at -4
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_audio_fingerprint_loud_track_normalizes(spark):
+    """Round-9 review: |sample| beyond the integer-DFT headroom scales
+    down by an exact power of two instead of failing the batch, and a
+    loud copy still matches its unit-amplitude original (amplitude
+    robustness)."""
+    import math
+
+    import numpy as np
+
+    from sparkgraft.operators.multimodal import (
+        audio_fingerprint,
+        audio_match,
+        encode_fake_audio,
+    )
+
+    t = np.arange(128 * 64) / 8000.0
+    s = np.array([math.sin((2.0 * math.pi * 700.0) * x)
+                  + math.sin((2.0 * math.pi * 1900.0) * x) for x in t])
+    df = spark.createDataFrame(
+        [
+            (1, encode_fake_audio(s)),
+            (2, encode_fake_audio(s * 3000.0)),  # int16-ish loudness
+        ],
+        "media_id long, data binary",
+    )
+    fps = audio_fingerprint(df)
+    assert fps.filter("media_id = 2").count() > 0
+    got = {
+        (r["id_a"], r["id_b"]): r["offset"]
+        for r in audio_match(fps, min_matches=20).collect()
+    }
+    assert got.get((1, 2)) == 0

@@ -164,3 +164,27 @@ def test_ranked_query_with_no_judgments_emits_null_not_error(spark):
     assert _f(row["rr"]) == 0.0
     assert _f(row["ap_at_k"]) is None
     assert _f(row["ndcg_at_k"]) is None
+
+
+def test_out_of_domain_ranks_dropped(spark):
+    """Round-9 review: rank 0 (or negative) rows are excluded like
+    unjudged rows instead of crashing element_at(dcg_w, 0)."""
+    from sparkgraft.operators.relational import retrieval_metrics
+
+    ranked = spark.createDataFrame(
+        [(1, 10, 0), (1, 11, 1), (1, 12, -3)],
+        "query long, doc long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 1)], "query long, doc long, rel long"
+    )
+    got = {
+        r["query"]: r
+        for r in retrieval_metrics(
+            ranked, qrels, k=10, query_col="query", id_col="doc",
+            rank_col="rank", rel_col="rel",
+        ).collect()
+    }
+    # only the rank-1 hit counts; the rank-0 and rank -3 rows drop
+    assert got[1]["n_hits"] == 1 and float(got[1]["rr"]) == 1.0
+    assert float(got[1]["recall_at_k"]) == 0.5

@@ -515,3 +515,30 @@ def test_mmr_rerank_trades_redundancy_for_diversity(spark):
               sorted(out.collect(), key=lambda r: r["mmr_rank"])]
     # pure relevance order would be [10, 11, 12]; MMR demotes the twin
     assert ranked[0] == 10 and ranked[1] == 12 and ranked[2] == 11
+
+
+def test_exact6_guards(spark):
+    """Round-9 review: exact6 paths validate their 6-digit-decimal
+    precondition instead of silently collapsing finer coordinates."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sparkgraft.operators.similarity import (
+        assign_nearest_exact6,
+        kmeans_iterate,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.5, 0.25])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="digits=6"):
+        kmeans_iterate(df, [(0, [0.5, 0.25])], digits=9, exact6=True)
+    with _pytest.raises(ValueError, match="6-digit decimal"):
+        assign_nearest_exact6(F.col("embedding"), [(0, [0.123456789, 0.0])])
+    # the happy path still assigns
+    got = df.select(
+        assign_nearest_exact6(
+            F.col("embedding"), [(0, [0.5, 0.25]), (1, [9.0, 9.0])]
+        ).alias("c")
+    ).first()["c"]
+    assert got == 0
