@@ -11581,9 +11581,11 @@ ORACLES["label_vote"] = (
 # Mirrors q_rater_agreement: pairwise Cohen's kappa + the Fleiss
 # summary row, every metric HALF-UP via the exact integer-ratio kernel
 # (round-9: kappa stays rational — (n_eq*n − pe_num)/(n² − pe_num) for
-# Cohen, (A·D − C·B)/(B·(D − C)) for Fleiss with A = Σ 12-digit-scaled
-# P_i, B = n_items·10^12, C = sq_marg, D = n_votes² — so no
-# round(double) of an integer ratio survives on either engine side).
+# Cohen; Fleiss kappa = (pb15 − pe15)/(10^15 − pe15) over
+# 15-digit-quantized p_bar/p_e (overflow headroom: the one-stage form
+# scales with n_items·n_votes²·10^12 and overflows DECIMAL(38,0) at
+# ~10^6 items) — so no round(double) of an integer ratio survives on
+# either engine side).
 ORACLES["rater_agreement"] = (
     "WITH votes AS (" + _VOTES_SQL + "),"
     """
@@ -11659,10 +11661,10 @@ ORACLES["rater_agreement"] = (
     fq AS (
         SELECT n_items, fa, fb, fc, fd,
                """
-    + _ratio_scaled_sql("fa", "fb", 12)
+    + _ratio_scaled_sql("fa", "fb", 15)
     + """ AS fpb,
                """
-    + _ratio_scaled_sql("fc", "fd", 12)
+    + _ratio_scaled_sql("fc", "fd", 15)
     + """ AS fpe
         FROM fwide
     ),
@@ -11675,9 +11677,9 @@ ORACLES["rater_agreement"] = (
                """
     + _ratio_sql("fc", "fd", 6)
     + """ AS pe,
-               CASE WHEN fpe < 1000000000000 THEN
+               CASE WHEN fpe < 1000000000000000 THEN
                """
-    + _ratio_sql("fpb - fpe", "1000000000000 - fpe", 6)
+    + _ratio_sql("fpb - fpe", "1000000000000000 - fpe", 6)
     + """ END AS kappa
         FROM fq
     )

@@ -176,8 +176,9 @@ def fleiss_kappa(
     (partition-invariant AND engine-invariant), and every emitted
     metric stays rational in integer arithmetic down to the final
     /10^digits: with A = Σ P_i_scaled, B = n_items·10^12,
-    C = sq_marg, D = n_votes² — ``p_bar = A/B``, ``p_e = C/D``,
-    ``kappa = (A·D − C·B)/(B·(D − C))``.  Round-8's driver flip was
+    C = sq_marg, D = n_votes² — ``p_bar = A/B``, ``p_e = C/D``, and
+    kappa goes through 15-digit-quantized pb/pe (overflow headroom —
+    see the inline comment).  Round-8's driver flip was
     exactly this query's ``p_e`` terminating ON the round(·,6)
     half-boundary (0.2500295): ``round(double)`` of an integer ratio is
     engine-dependent by construction and is now banned from emissions."""
@@ -218,19 +219,23 @@ def fleiss_kappa(
     # (A·D − C·B)/(B·(D − C)) scales with n_items·n_votes²·10^12 and
     # the kernel's extra ·2·10^digits overflows DECIMAL(38,0) near
     # 10^6 items x 10^6 votes.  Quantize p_bar and p_e to exact
-    # 12-digit integers FIRST (≤ 10^12 at ANY corpus size), then
-    # kappa = (pb − pe)/(10^12 − pe) through the same kernel — the
-    # extra 10^-12 quantization is far below the emitted 10^-digits,
-    # and the oracle mirrors the identical two-stage arithmetic.
-    pb12 = exact_ratio_scaled(a, b, 12)
-    pe12 = exact_ratio_scaled(c, d, 12)
-    one12 = F.lit(10**12).cast("decimal(38,0)")
+    # 15-digit integers FIRST (≤ 10^15 at ANY corpus size), then
+    # kappa = (pb − pe)/(10^15 − pe) through the same kernel.  15
+    # digits (not 12): kappa amplifies the quantization by 1/(1−p_e),
+    # so the 5e-16 half-up error stays below the emitted 10^-6
+    # until 1−p_e < ~5e-10 — a regime no real vote table reaches —
+    # while the kernel inputs stay ≤ 10^15·2·10^6 ≪ 10^38 at any
+    # corpus size.  The oracle mirrors the identical two-stage
+    # arithmetic.
+    pb15 = exact_ratio_scaled(a, b, 15)
+    pe15 = exact_ratio_scaled(c, d, 15)
+    one15 = F.lit(10**15).cast("decimal(38,0)")
     return agg.crossJoin(marg).select(
         "n_items",
         exact_ratio(a, b, digits).alias("p_bar"),
         exact_ratio(c, d, digits).alias("p_e"),
         F.when(
-            pe12 < one12, exact_ratio(pb12 - pe12, one12 - pe12, digits)
+            pe15 < one15, exact_ratio(pb15 - pe15, one15 - pe15, digits)
         ).alias("kappa"),
     )
 

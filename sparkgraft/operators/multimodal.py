@@ -582,6 +582,15 @@ def audio_fingerprint(
                 n_frames = max(0, (n - frame) // hop + 1)
                 if n_frames <= 0:
                     continue
+                # Corrupt decodes fail LOUDLY and attributably: a NaN
+                # would otherwise quantize to INT64_MIN garbage
+                # silently, and an inf would crash the rescale below
+                # with a bare OverflowError (round-9 review).
+                if not np.isfinite(arr).all():
+                    raise ValueError(
+                        f"audio_fingerprint: track {mid} contains "
+                        "non-finite samples (corrupt decode)"
+                    )
                 # Amplitude robustness (round-9 review): tracks louder
                 # than the int64 headroom (|x| > ~6.5) scale down by a
                 # power of two BEFORE quantization instead of failing —

@@ -437,16 +437,23 @@ def _centroid_dists_exact6(
     24.5050097135).  Exact integers have no boundary to sit on."""
     # Precondition guard (round-9 review): the 10^6 scaling is only
     # exact for 6-digit-decimal spaces.  The centroid list is driver-
-    # side — verify each entry round-trips at 1e6 and raise loudly on
-    # misuse instead of silently collapsing finer coordinates (the
-    # vector side comes from the same space by construction: hashed
-    # TF-IDF components and exact_mean(…, 6) refits).
+    # side — verify each entry ROUND-TRIPS exactly (S = round(c·1e6);
+    # S/1e6 must reproduce c bit-for-bit — the same division that
+    # built the space, so exact-6-digit values of ANY magnitude pass,
+    # unlike an absolute-epsilon test which false-rejects above ~5e6)
+    # and that S stays inside the double-integer range where
+    # round(c·1e6) is trustworthy.  Raise loudly on misuse instead of
+    # silently collapsing finer coordinates (the vector side comes
+    # from the same space by construction: hashed TF-IDF components
+    # and exact_mean(…, 6) refits).
     for cid, cv in centroids:
         for c in cv:
-            if abs(c * 1e6 - round(c * 1e6)) > 1e-3:
+            sc = round(c * 1e6)
+            if sc / 1e6 != c or abs(sc) >= 2**52:
                 raise ValueError(
                     f"assign_nearest_exact6: centroid {cid} entry {c!r} "
-                    "is not an exact 6-digit decimal — use assign_nearest "
+                    "is not an exact 6-digit decimal (or exceeds the "
+                    "2^52 scaled-integer range) — use assign_nearest "
                     "for general double spaces"
                 )
     ctab = _literal_ivec_table(

@@ -171,27 +171,34 @@ def minhash_dedup_pairs(
     # One intersect/union evaluation per candidate pair (round-9
     # review: the rounded emission previously recomputed the full set
     # algebra on top of the filter's — the verify stage is the hot
-    # path).  The threshold compares by integer cross-multiplication
-    # (i·10^6 ≥ t_scaled·u) — exactly equivalent to the former double
-    # `i/u ≥ t` (integer ratios of realistic set sizes are never
-    # within a double ulp of the threshold) and boundary-free.
-    da = F.array_distinct(F.col("sh_a"))
-    db = F.array_distinct(F.col("sh_b"))
-    t_s = int(round(min_jaccard * 10**6))
+    # path; ``sh`` is already distinct, so no re-dedup either).  The
+    # threshold compares by EXACT rational cross-multiplication:
+    # Fraction(min_jaccard) is the double's exact value, so
+    # ``i·den ≥ num·u`` in DECIMAL(38,0) is precisely the real-number
+    # predicate i/u ≥ t — no quantized threshold, no boundary, and no
+    # vacuous-keep hole for tiny t (the former double-quotient compare
+    # could differ only when the quotient's rounding crossed t, which
+    # integer ratios of realistic set sizes never do).
+    from fractions import Fraction
+
+    t_frac = Fraction(min_jaccard)  # exact value of the double
+    t_num = F.lit(t_frac.numerator).cast("decimal(38,0)")
+    t_den = F.lit(t_frac.denominator).cast("decimal(38,0)")
     verified = (
         pairs.join(sh_tbl.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh_tbl.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
         .select(
             "id_a",
             "id_b",
-            F.size(F.array_intersect(da, db)).cast("long").alias("_i"),
-            F.size(F.array_union(da, db)).cast("long").alias("_u"),
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("_i"),
+            F.size(F.array_union("sh_a", "sh_b")).cast("long").alias("_u"),
         )
     )
     keep = F.when(
         F.col("_u") > 0,
-        F.col("_i") * F.lit(10**6) >= F.lit(t_s) * F.col("_u"),
-    ).otherwise(F.lit(t_s <= 0))
+        F.col("_i").cast("decimal(38,0)") * t_den
+        >= t_num * F.col("_u").cast("decimal(38,0)"),
+    ).otherwise(F.lit(min_jaccard <= 0))
     return verified.filter(keep).select(
         "id_a",
         "id_b",
