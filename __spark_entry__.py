@@ -12949,20 +12949,25 @@ ORACLES["video_dedup"] = _video_oracle_sql()
 
 
 def _ds_oracle_sql(iters: int = 5, smoothing: float = 0.01, k: int = 4) -> str:
-    """DuckDB replay of ``q_ds_labels`` — the Dawid-Skene EM unrolled
-    (the unigram-oracle discipline applied to a float EM):
+    """DuckDB replay of ``q_ds_labels`` — the Dawid-Skene EM unrolled,
+    EXACT since round 9 (the last order-dependent float surface):
 
     - the vote fixture is pure integer arithmetic (mirrored verbatim
       from ``_synthetic_votes``);
-    - each M-step's confusion/prior cells are double sums whose ONLY
-      consumer is ``round(log(·), 12)`` — the 12-digit quantization
-      basin absorbs summation-order ulp wiggle (the property the
-      7-vs-64-partition determinism audit already relies on), and
-      both engines call the same libm log on this box;
-    - each E-step sums the quantized logs as DECIMAL(28,12) (exact),
-      then exp-normalizes; the final argmax ranks by ``round(p, 9)``
-      with a class tie-break and emits ``round(p, 6)`` — the coarse
-      final basins make the whole unrolled chain engine-invariant.
+    - posteriors are 10^12-scaled integers (the exact_ratio_scaled
+      kernel), so every M-step confusion/prior sum is EXACT HUGEINT
+      arithmetic — bit-identical to the engine's decimal sums under
+      any partitioning/thread schedule (the old float sums wobbled
+      with summation order, and one M-step log input measured ~1e-21
+      from the 12-digit rounding boundary — a coin flip under
+      ``round(double, 12)``);
+    - libm log/exp run on IDENTICAL doubles on both engines and their
+      outputs quantize via the product-space HALF-UP
+      ``floor(x·10^12 + 0.5)`` — bit-identical for identical inputs,
+      with no value-vs-product tie ambiguity;
+    - E-steps sum the quantized logs as DECIMAL(28,12) (exact); the
+      final argmax ranks by the 9-digit integer kernel with a class
+      tie-break and emits the 6-digit kernel posterior.
     """
     sm, smk = repr(smoothing), repr(smoothing * k)
     parts = [
@@ -12976,23 +12981,30 @@ def _ds_oracle_sql(iters: int = 5, smoothing: float = 0.01, k: int = 4) -> str:
 )""",
         f"""dscls AS (SELECT unnest(generate_series(0, {k - 1})) AS c)""",
         """dsann AS (SELECT DISTINCT annotator FROM dsvotes)""",
-        """dspost0 AS (
+        """dspost0 AS MATERIALIZED (
     SELECT item, vote AS cls,
-           CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY item) AS p
-    FROM (SELECT item, vote, count(*) AS n FROM dsvotes GROUP BY 1, 2)
+           """
+        + _ratio_scaled_sql("n", "tn", 12)
+        + """ AS p_s
+    FROM (SELECT item, vote, count(*) AS n,
+                 SUM(count(*)) OVER (PARTITION BY item) AS tn
+          FROM dsvotes GROUP BY item, vote)
 )""",
     ]
     for t in range(1, iters + 1):
         prev = f"dspost{t - 1}"
         parts.append(f"""dsw{t} AS (
-    SELECT v.annotator, p.cls AS j, v.vote AS k2, SUM(p.p) AS w
+    SELECT v.annotator, p.cls AS j, v.vote AS k2, SUM(p.p_s) AS w
     FROM dsvotes v JOIN {prev} p ON p.item = v.item
     GROUP BY 1, 2, 3
 )""")
         parts.append(f"""dsconf{t} AS (
     SELECT a.annotator, cj.c AS j, ck.c AS k2,
-           round(ln((coalesce(w.w, 0) + {sm})
-                    / (coalesce(rs.s, 0) + {smk})), 12) AS logp
+           floor(ln((CAST(coalesce(w.w, 0) AS DOUBLE) / 1000000000000.0
+                     + {sm})
+                    / (CAST(coalesce(rs.s, 0) AS DOUBLE)
+                       / 1000000000000.0 + {smk}))
+                 * 1000000000000.0 + 0.5) / 1000000000000.0 AS logp
     FROM dsann a
     CROSS JOIN dscls cj
     CROSS JOIN dscls ck
@@ -13004,12 +13016,14 @@ def _ds_oracle_sql(iters: int = 5, smoothing: float = 0.01, k: int = 4) -> str:
 )""")
         parts.append(f"""dsprior{t} AS (
     SELECT j.c AS cls,
-           round(ln((coalesce(pw.w, 0) + {sm}) / (tot.s + {smk})), 12)
-             AS logprior
+           floor(ln((CAST(coalesce(pw.w, 0) AS DOUBLE) / 1000000000000.0
+                     + {sm})
+                    / (CAST(tot.s AS DOUBLE) / 1000000000000.0 + {smk}))
+                 * 1000000000000.0 + 0.5) / 1000000000000.0 AS logprior
     FROM dscls j
-    LEFT JOIN (SELECT cls, SUM(p) AS w FROM {prev} GROUP BY 1) pw
+    LEFT JOIN (SELECT cls, SUM(p_s) AS w FROM {prev} GROUP BY 1) pw
            ON pw.cls = j.c
-    CROSS JOIN (SELECT SUM(p) AS s FROM {prev}) tot
+    CROSS JOIN (SELECT SUM(p_s) AS s FROM {prev}) tot
 )""")
         parts.append(f"""dsscore{t} AS (
     SELECT ll.item, ll.cls,
@@ -13023,19 +13037,37 @@ def _ds_oracle_sql(iters: int = 5, smoothing: float = 0.01, k: int = 4) -> str:
           GROUP BY 1, 2) ll
     JOIN dsprior{t} pr ON pr.cls = ll.cls
 )""")
-        parts.append(f"""dspost{t} AS MATERIALIZED (
-    SELECT item, cls, e / SUM(e) OVER (PARTITION BY item) AS p
+        parts.append(
+            f"""dspost{t} AS MATERIALIZED (
+    SELECT item, cls,
+           """
+            + _ratio_scaled_sql(
+                "qe", "SUM(qe) OVER (PARTITION BY item)", 12
+            )
+            + f""" AS p_s
     FROM (SELECT item, cls,
-                 exp(score - MAX(score) OVER (PARTITION BY item)) AS e
+                 CAST(floor(exp(score - MAX(score) OVER (PARTITION BY item))
+                            * 1000000000000.0 + 0.5) AS HUGEINT) AS qe
           FROM dsscore{t})
-)""")
-    final = f"""SELECT item AS item_id, CAST(cls AS INT) AS ds_label,
-       round(p, 6) AS posterior
-FROM (SELECT item, cls, p,
+)"""
+        )
+    final = (
+        f"""SELECT item AS item_id, CAST(cls AS INT) AS ds_label,
+       """
+        + _ratio_sql("p_s", "sp", 6)
+        + f""" AS posterior
+FROM (SELECT item, cls, p_s, sp,
              row_number() OVER (PARTITION BY item
-                                ORDER BY round(p, 9) DESC, cls ASC) AS rn
-      FROM dspost{iters})
+                                ORDER BY p9 DESC, cls ASC) AS rn
+      FROM (SELECT item, cls, p_s, sp,
+                   """
+        + _ratio_scaled_sql("p_s", "sp", 9)
+        + f""" AS p9
+            FROM (SELECT item, cls, p_s,
+                         SUM(p_s) OVER (PARTITION BY item) AS sp
+                  FROM dspost{iters})))
 WHERE rn = 1"""
+    )
     return "WITH " + ",\n".join(parts) + "\n" + final
 
 

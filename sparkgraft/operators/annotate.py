@@ -258,14 +258,30 @@ def dawid_skene(
 
     Output: ``(item, ds_label, posterior)`` per item.
 
-    Determinism: the confusion model (annotators x classes^2 rows +
-    the class prior) collects to the driver each iteration (bounded,
-    broadcast back as literal join tables); per-item log-likelihoods
-    quantize each vote's log term to DECIMAL(18,12) before the sum,
-    and the final argmax breaks ties by class asc — fully
-    partition-invariant despite the float EM.  Hard-EM-free: soft
-    posteriors throughout, matching the paper."""
+    Determinism (round-9 rework — the last order-dependent float
+    surface): posteriors live as EXACT 10^12-scaled integers
+    (``p_s``), so every M-step sum is exact integer arithmetic under
+    any partitioning AND matches the SQL oracle's sums bit-for-bit;
+    the only floats are the libm log/exp calls themselves, whose
+    INPUTS are now identical doubles on both engines (exact scaled
+    sums → the same nearest-double conversions) and whose outputs
+    quantize via the product-space HALF-UP ``floor(x·10^12 + 0.5)`` —
+    bit-identical for identical inputs on every engine, with NO
+    rounding-boundary sensitivity (unlike ``round(double, 12)``,
+    whose value-vs-product tie handling differs between engines; a
+    ds M-step log was measured ~1e-21 from a 12-digit boundary, where
+    summation-order wiggle flips the old rounding).  Exp-normalized
+    posteriors quantize through the exact integer-ratio kernel; the
+    final argmax ranks by the 9-digit kernel with a class tie-break.
+    Hard-EM-free: soft posteriors throughout, matching the paper."""
     import math
+
+    from sparkgraft.operators.stats import exact_ratio, exact_ratio_scaled
+
+    def _qlog(x: float) -> float:
+        # floor(x*1e12 + 0.5)/1e12 — the oracle computes the IDENTICAL
+        # IEEE product/add/floor, so ties need no cross-engine rule.
+        return math.floor(x * 1e12 + 0.5) / 1e12
 
     spark = votes.sparkSession
     v = votes.select(
@@ -275,46 +291,51 @@ def dawid_skene(
     )
     v = v.localCheckpoint()  # votes are metadata-sized; EM re-reads them
 
-    # init: soft class posteriors from normalized vote shares
+    # init: soft class posteriors as exact 10^12-scaled integers
     counts = v.groupBy("item", "vote").agg(F.count("*").alias("n"))
     tot = Window.partitionBy("item")
     post = counts.select(
         "item",
         F.col("vote").alias("cls"),
-        (F.col("n").cast("double") / F.sum("n").over(tot)).alias("p"),
+        exact_ratio_scaled(F.col("n"), F.sum("n").over(tot), 12)
+        .cast("decimal(38,0)")
+        .alias("p_s"),
     )
 
     classes = list(range(n_classes))
+    sm = smoothing
+    smk = smoothing * n_classes
     for _ in range(iters):
         # M-step: confusion pi[a][j][k] and prior — BOUNDED collects
-        # (annotators x classes^2 + classes rows)
-        joined = v.join(post, "item")  # (item, annotator, vote, cls, p)
+        # (annotators x classes^2 + classes rows); sums are EXACT ints
+        joined = v.join(post, "item")  # (item, annotator, vote, cls, p_s)
         conf_rows = (
             joined.groupBy("annotator", "cls", "vote")
-            .agg(F.sum("p").alias("w"))
+            .agg(F.sum("p_s").alias("w"))
             .collect()
         )
-        prior_rows = post.groupBy("cls").agg(F.sum("p").alias("w")).collect()
-        n_items_total = sum(r["w"] for r in prior_rows) or 1.0
-        prior_w = {r["cls"]: r["w"] for r in prior_rows}
+        prior_rows = post.groupBy("cls").agg(F.sum("p_s").alias("w")).collect()
+        n_items_total = sum(int(r["w"]) for r in prior_rows)
+        prior_w = {r["cls"]: int(r["w"]) for r in prior_rows}
         prior = {
-            c: (prior_w.get(c, 0.0) + smoothing)
-            / (n_items_total + smoothing * n_classes)
+            c: (prior_w.get(c, 0) / 1e12 + sm)
+            / (n_items_total / 1e12 + smk)
             for c in classes
         }
         # One dict over the bounded collect, then O(1) lookups — the
         # naive per-cell next() scan is quadratic in annotators×classes.
         w_map = {
-            (r["annotator"], r["cls"], r["vote"]): r["w"] for r in conf_rows
+            (r["annotator"], r["cls"], r["vote"]): int(r["w"])
+            for r in conf_rows
         }
         conf: dict = {}
         anns = {r["annotator"] for r in conf_rows}
         for a_ in anns:
             for j in classes:
-                row_w = [w_map.get((a_, j, k), 0.0) for k in classes]
-                denom = sum(row_w) + smoothing * n_classes
+                row_w = [w_map.get((a_, j, k), 0) for k in classes]
+                denom = sum(row_w) / 1e12 + smk  # exact int sum first
                 for k in classes:
-                    conf[(a_, j, k)] = (row_w[k] + smoothing) / denom
+                    conf[(a_, j, k)] = (row_w[k] / 1e12 + sm) / denom
         # E-step: per (item, class) decimal-quantized log-likelihood.
         # The annotator column keeps the INPUT's type (string ids are
         # as legitimate here as in majority_label/annotator_kappa).
@@ -335,13 +356,13 @@ def dawid_skene(
         )
         conf_df = spark.createDataFrame(
             [
-                (a_, j, k, round(math.log(conf[(a_, j, k)]), 12))
+                (a_, j, k, _qlog(math.log(conf[(a_, j, k)])))
                 for (a_, j, k) in conf
             ],
             conf_schema,
         )
         prior_df = spark.createDataFrame(
-            [(j, round(math.log(prior[j]), 12)) for j in classes],
+            [(j, _qlog(math.log(prior[j]))) for j in classes],
             "cls int, logprior double",
         )
         ll = (
@@ -349,9 +370,9 @@ def dawid_skene(
             .join(F.broadcast(conf_df), ["annotator", "cls", "vote"])
             .groupBy("item", "cls")
             .agg(
-                F.sum(
-                    F.round(F.col("logp"), 12).cast("decimal(28,12)")
-                ).alias("ll")
+                # logp literals are exact 12-digit decimals; the cast
+                # recovers them exactly and the sum is exact decimal.
+                F.sum(F.col("logp").cast("decimal(28,12)")).alias("ll")
             )
             .join(F.broadcast(prior_df), "cls")
             .select(
@@ -362,26 +383,46 @@ def dawid_skene(
                 ),
             )
         )
-        # soft posterior via exp-normalize per item (max-shifted)
+        # soft posterior via exp-normalize per item (max-shifted);
+        # each exp quantizes to an exact 10^12-scaled integer so the
+        # normalizing sum and the resulting posterior are exact
+        # integer arithmetic (the kernel), not an order-dependent
+        # float window sum.
         wmax = Window.partitionBy("item")
         expd = ll.withColumn(
-            "e", F.exp(F.col("score") - F.max("score").over(wmax))
+            "qe",
+            F.floor(
+                F.exp(F.col("score") - F.max("score").over(wmax))
+                * F.lit(1e12)
+                + F.lit(0.5)
+            ).cast("decimal(38,0)"),
         )
         post = expd.select(
             "item",
             "cls",
-            (F.col("e") / F.sum("e").over(wmax)).alias("p"),
+            exact_ratio_scaled(F.col("qe"), F.sum("qe").over(wmax), 12)
+            .cast("decimal(38,0)")
+            .alias("p_s"),
         ).localCheckpoint()
 
+    se = Window.partitionBy("item")
+    # The per-item total must materialize BEFORE the top-1 filter — a
+    # window sum in the post-filter select would see only the
+    # surviving row and emit posterior = 1.0.
+    ranked = post.withColumn("_sp", F.sum("p_s").over(se)).withColumn(
+        "_p9", exact_ratio_scaled(F.col("p_s"), F.col("_sp"), 9)
+    )
     w = Window.partitionBy("item").orderBy(
-        F.round(F.col("p"), 9).desc(), F.col("cls").asc()
+        F.col("_p9").desc(), F.col("cls").asc()
     )
     return (
-        post.withColumn("_rn", F.row_number().over(w))
+        ranked.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(
             F.col("item").alias(item_col),
             F.col("cls").alias("ds_label"),
-            F.round("p", digits).alias("posterior"),
+            exact_ratio(F.col("p_s"), F.col("_sp"), digits).alias(
+                "posterior"
+            ),
         )
     )

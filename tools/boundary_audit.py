@@ -115,6 +115,13 @@ def probe_sql(sql: str) -> tuple[str, int]:
 
 def main(sf_dir: str, only: set[str] | None = None) -> int:
     con = duckdb.connect()
+    # Deterministic verdicts: parallel float aggregation is summation-
+    # order-dependent across runs, so a probed value sitting ~1e-21
+    # from a boundary (ds_labels' M-step log, found in round 9) flips
+    # between HIT and clean with the thread schedule.  Single-threaded
+    # execution pins ONE summation order — the audit's verdict is then
+    # a pure function of (code, data).
+    con.execute("SET threads TO 1")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
