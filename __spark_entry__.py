@@ -7422,9 +7422,11 @@ BATCH4_ORACLES: dict[str, str] = {
                TRUE AS approx_median_in_iqr,
                k.kmv_size,
                CASE WHEN k.kmv_size < 64 THEN CAST(k.kmv_size AS DOUBLE)
-                    ELSE round(63.0 /
-                         (CAST(CAST('0x' || substr(k.kth, 1, 15) AS BIGINT) AS DOUBLE)
-                          / 1152921504606846976.0), 2)
+                    ELSE ((2 * CAST('72634054790231359488' AS HUGEINT) * 100
+                           + CAST(CAST('0x' || substr(k.kth, 1, 15)
+                                       AS BIGINT) AS HUGEINT))
+                          // (2 * CAST(CAST('0x' || substr(k.kth, 1, 15)
+                                            AS BIGINT) AS HUGEINT))) / 100.0
                END AS kmv_est,
                e.cms_est,
                e.cms_est >= x.n_rows AS cms_overcount_only
@@ -8973,9 +8975,11 @@ def _llm_oracles() -> dict[str, str]:
         )
         SELECT k.event_type, k.sketch_size,
                CASE WHEN k.sketch_size < 64 THEN CAST(k.sketch_size AS DOUBLE)
-                    ELSE round(63.0 /
-                         (CAST(CAST('0x' || substr(k.kth, 1, 15) AS BIGINT) AS DOUBLE)
-                          / 1152921504606846976.0), 2)
+                    ELSE ((2 * CAST('72634054790231359488' AS HUGEINT) * 100
+                           + CAST(CAST('0x' || substr(k.kth, 1, 15)
+                                       AS BIGINT) AS HUGEINT))
+                          // (2 * CAST(CAST('0x' || substr(k.kth, 1, 15)
+                                            AS BIGINT) AS HUGEINT))) / 100.0
                END AS distinct_est,
                e.n_exact
         FROM kk k JOIN ex e USING (event_type)
@@ -10896,8 +10900,10 @@ ORACLES["heavy_hitters"] = r"""
     ),
     tot AS (SELECT count(*) AS n_total FROM toks)
     SELECT token, count(*) AS n,
-           round(count(*) / (SELECT CAST(n_total AS DOUBLE) FROM tot), 6)
-               AS share
+           (((2 * abs(CAST((count(*)) AS HUGEINT)) * 1000000
+              + CAST(((SELECT n_total FROM tot)) AS HUGEINT))
+             // (2 * CAST(((SELECT n_total FROM tot)) AS HUGEINT)))
+            / 1000000.0) AS share
     FROM toks GROUP BY token
     HAVING count(*) * 100 > (SELECT n_total FROM tot)
 """
@@ -11040,16 +11046,17 @@ ORACLES["classifier_calibration"] = f"""
         FROM preds GROUP BY 1
     )
     SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
-           round(CAST(sum_p AS DOUBLE) / (n * {10**4}), 6) AS conf,
-           round(CAST(pos AS DOUBLE) / n, 6) AS acc,
-           round(CAST(abs(pos * {10**4} - sum_p) AS DOUBLE)
-                 / (n * {10**4}), 6) AS gap
+           {_ratio_sql("sum_p", f"n * {10**4}", 6)} AS conf,
+           {_ratio_sql("pos", "n", 6)} AS acc,
+           {_ratio_sql(f"abs(pos * {10**4} - sum_p)", f"n * {10**4}", 6)}
+               AS gap
     FROM per
     UNION ALL
     SELECT -1, CAST(sum(n) AS BIGINT), CAST(NULL AS DOUBLE),
            CAST(NULL AS DOUBLE),
-           round(CAST(sum(abs(pos * {10**4} - sum_p)) AS DOUBLE)
-                 / (sum(n) * {10**4}), 6)
+           {_ratio_sql(
+               f"sum(abs(pos * {10**4} - sum_p))", f"sum(n) * {10**4}", 6
+           )}
     FROM per
 """
 
@@ -11096,31 +11103,33 @@ ORACLES["classifier_eval"] = f"""
     s2 AS (SELECT sum(cp * mr2) AS s2 FROM mr)
     SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
            CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
-           round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6)
+           {_ratio_sql("tp + tn", "tp + fp + fn + tn", 6)}
                AS accuracy,
            CASE WHEN tp + fp > 0
-                THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6)
+                THEN {_ratio_sql("tp", "tp + fp", 6)}
            END AS "precision",
            CASE WHEN tp + fn > 0
-                THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6)
+                THEN {_ratio_sql("tp", "tp + fn", 6)}
            END AS recall,
            CASE WHEN 2 * tp + fp + fn > 0
-                THEN round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6)
+                THEN {_ratio_sql("2 * tp", "2 * tp + fp + fn", 6)}
            END AS f1,
            CASE WHEN (tp + fp + fn + tn) * (tp + fp + fn + tn)
                      - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) > 0
-                THEN round(
-                    CAST((tp + tn) * (tp + fp + fn + tn)
-                         - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))
-                         AS DOUBLE)
-                    / ((tp + fp + fn + tn) * (tp + fp + fn + tn)
-                       - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))),
-                    6)
+                THEN {_ratio_sql(
+                    "(tp + tn) * (tp + fp + fn + tn)"
+                    " - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))",
+                    "(tp + fp + fn + tn) * (tp + fp + fn + tn)"
+                    " - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))",
+                    6,
+                )}
            END AS kappa,
            CASE WHEN tp + fn > 0 AND fp + tn > 0
-                THEN round(
-                    CAST(s2 - (tp + fn) * (tp + fn + 1) AS DOUBLE)
-                    / (2 * (tp + fn) * (fp + tn)), 6)
+                THEN {_ratio_sql(
+                    "s2 - (tp + fn) * (tp + fn + 1)",
+                    "2 * (tp + fn) * (fp + tn)",
+                    6,
+                )}
            END AS auc
     FROM conf, s2
 """
@@ -11951,13 +11960,13 @@ ORACLES["sketch_overlap"] = """
     rb AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM b),
     ka AS (SELECT count(*) AS n,
                   max(CASE WHEN rn = 64 THEN
-                      CAST(CAST('0x' || substr(h, 1, 15) AS BIGINT) AS DOUBLE)
-                      / 1152921504606846976.0 END) AS kth
+                      CAST(CAST('0x' || substr(h, 1, 15) AS BIGINT)
+                           AS HUGEINT) END) AS kth60
            FROM ra WHERE rn <= 64),
     kb AS (SELECT count(*) AS n,
                   max(CASE WHEN rn = 64 THEN
-                      CAST(CAST('0x' || substr(h, 1, 15) AS BIGINT) AS DOUBLE)
-                      / 1152921504606846976.0 END) AS kth
+                      CAST(CAST('0x' || substr(h, 1, 15) AS BIGINT)
+                           AS HUGEINT) END) AS kth60
            FROM rb WHERE rn <= 64),
     both_sets AS (
         SELECT h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
@@ -11972,23 +11981,31 @@ ORACLES["sketch_overlap"] = """
     agg AS (
         SELECT count(*) AS kept, sum(in_a * in_b) AS shared,
                max(CASE WHEN rn = 64 THEN
-                   CAST(CAST('0x' || substr(h, 1, 15) AS BIGINT) AS DOUBLE)
-                   / 1152921504606846976.0 END) AS kth
+                   CAST(CAST('0x' || substr(h, 1, 15) AS BIGINT)
+                        AS HUGEINT) END) AS kth60
         FROM ranked WHERE rn <= 64
+    ),
+    us AS (
+        SELECT kept, shared,
+               CASE WHEN kept < 64 THEN CAST(kept AS HUGEINT) * 100
+                    ELSE (2 * CAST('72634054790231359488' AS HUGEINT) * 100 + kth60)
+                         // (2 * kth60) END AS union_s
+        FROM agg
     )
     SELECT
         CASE WHEN ka.n < 64 THEN ka.n * 1.0
-             ELSE round(63.0 / ka.kth, 2) END AS viewers_est,
+             ELSE ((2 * CAST('72634054790231359488' AS HUGEINT) * 100 + ka.kth60)
+                   // (2 * ka.kth60)) / 100.0 END AS viewers_est,
         CASE WHEN kb.n < 64 THEN kb.n * 1.0
-             ELSE round(63.0 / kb.kth, 2) END AS purchasers_est,
-        round(shared * 1.0 / kept, 6) AS jaccard_est,
-        CASE WHEN kept < 64 THEN kept * 1.0
-             ELSE round(63.0 / agg.kth, 2) END AS union_est,
-        round((shared * 1.0 / kept)
-              * CASE WHEN kept < 64 THEN kept * 1.0
-                     ELSE round(63.0 / agg.kth, 2) END, 2)
+             ELSE ((2 * CAST('72634054790231359488' AS HUGEINT) * 100 + kb.kth60)
+                   // (2 * kb.kth60)) / 100.0 END AS purchasers_est,
+        ((2 * CAST(shared AS HUGEINT) * 1000000 + kept)
+         // (2 * CAST(kept AS HUGEINT))) / 1000000.0 AS jaccard_est,
+        union_s / 100.0 AS union_est,
+        ((2 * CAST(shared AS HUGEINT) * union_s * 100 + kept * 100)
+         // (2 * CAST(kept AS HUGEINT) * 100)) / 100.0
             AS intersection_est
-    FROM agg, ka, kb
+    FROM us, ka, kb
 """
 
 

@@ -123,6 +123,22 @@ def cms_lookup(
 # distribution (the tests assert equality).
 
 
+def _kmv_h60(h: Column) -> Column:
+    """md5 hex -> the exact 60-bit integer draw (first 15 hex chars).
+    The KMV estimators are ratios of integers over this draw —
+    (k-1)·2^60 / h60 — so they emit through the exact integer-ratio
+    kernel (round-9 discipline: round(double) of an integer ratio is
+    engine-dependent exactly when it terminates on a rounding
+    half-boundary)."""
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+def _dec_lit(v: int) -> Column:
+    """An arbitrary-precision integer literal as DECIMAL(38,0)
+    (python ints beyond 2^63 cannot pass through F.lit)."""
+    return F.expr(f"CAST('{int(v)}' AS DECIMAL(38,0))")
+
+
 def _kmv_frac(h: Column) -> Column:
     """md5 hex -> uniform fraction in [0, 1): first 15 hex chars (60
     bits — exact in a double) over 2^60.  The zero draw (probability
@@ -182,10 +198,12 @@ def kmv_estimate(sketch: DataFrame, k: int = 64, digits: int = 2) -> DataFrame:
     than k hashes the count is EXACT (= its size); otherwise the
     classic (k-1)/frac(k-th smallest) estimator.  Rounded once for
     engine portability."""
+    from sparkgraft.operators.stats import exact_ratio
+
     n_held = F.size("ks")
-    kth = _kmv_frac(F.element_at("ks", k))
+    kth60 = _kmv_h60(F.element_at("ks", k))
     est = F.when(n_held < k, n_held.cast("double")).otherwise(
-        F.round(F.lit(float(k - 1)) / kth, digits)
+        exact_ratio(_dec_lit((k - 1) << 60), kth60, digits)
     )
     return sketch.withColumn("distinct_est", est)
 
@@ -216,20 +234,33 @@ def kmv_intersection(
         "rn",
         F.row_number().over(Window.partitionBy(*group_cols).orderBy("h")),
     ).filter(F.col("rn") <= k)
+    from sparkgraft.operators.stats import exact_ratio, exact_ratio_scaled
+
     agg = ranked.groupBy(*group_cols).agg(
         F.count("*").alias("kept"),
         F.sum(F.col("in_a") * F.col("in_b")).alias("shared"),
-        F.max(F.when(F.col("rn") == k, _kmv_frac(F.col("h")))).alias("kth"),
+        F.max(F.when(F.col("rn") == k, _kmv_h60(F.col("h")))).alias(
+            "kth60"
+        ),
     )
-    union_est = F.when(
-        F.col("kept") < k, F.col("kept").cast("double")
-    ).otherwise(F.round(F.lit(float(k - 1)) / F.col("kth"), digits))
+    # union at `digits` as an exact scaled integer, so the composed
+    # intersection (jaccard x ROUNDED union — the documented estimator
+    # composition) is again one integer ratio through the kernel.
+    u_scale = 10**digits
+    union_s = F.when(
+        F.col("kept") < k,
+        (F.col("kept") * F.lit(u_scale)).cast("decimal(38,0)"),
+    ).otherwise(
+        exact_ratio_scaled(_dec_lit((k - 1) << 60), F.col("kth60"), digits)
+    )
     return agg.select(
         *group_cols,
-        F.round(F.col("shared") / F.col("kept"), 6).alias("jaccard_est"),
-        union_est.alias("union_est"),
-        F.round(
-            (F.col("shared") / F.col("kept")) * union_est, digits
+        exact_ratio(F.col("shared"), F.col("kept"), 6).alias("jaccard_est"),
+        (union_s.cast("double") / F.lit(float(u_scale))).alias("union_est"),
+        exact_ratio(
+            F.col("shared").cast("decimal(38,0)") * union_s,
+            F.col("kept").cast("decimal(38,0)") * F.lit(u_scale),
+            digits,
         ).alias("intersection_est"),
     )
 
@@ -315,6 +346,8 @@ def heavy_hitters(
     counts, deterministic for any partitioning (every true heavy
     hitter is guaranteed into the candidate set; false candidates are
     removed by the exact filter)."""
+    from sparkgraft.operators.stats import exact_ratio
+
     summ = mg_summaries(df, key_col, k=k)
     cand = summ.filter(F.col("key").isNotNull()).select("key").distinct()
     totals = summ.filter(F.col("key").isNull()).agg(
@@ -332,7 +365,9 @@ def heavy_hitters(
         .select(
             F.col("key").alias(key_col),
             "n",
-            F.round(F.col("n") / F.col("n_total"), digits).alias("share"),
+            exact_ratio(F.col("n"), F.col("n_total"), digits).alias(
+                "share"
+            ),
         )
     )
 

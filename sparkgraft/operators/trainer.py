@@ -211,18 +211,18 @@ def calibration_report(
         F.col("_pos") * F.lit(p_scale).cast("decimal(38,0)")
         - F.col("_sum_p")
     )
+    # Integer-ratio kernel, never round(double): every bin metric is a
+    # ratio of exact scaled-integer sums (round-9 boundary-audit
+    # class — bin ratios terminate on rounding half-boundaries).
+    from sparkgraft.operators.stats import exact_ratio
+
+    den = (F.col("n") * p_scale).cast("decimal(38,0)")
     bins = per.select(
         "bin",
         "n",
-        F.round(
-            F.col("_sum_p").cast("double") / (F.col("n") * p_scale), digits
-        ).alias("conf"),
-        F.round(F.col("_pos").cast("double") / F.col("n"), digits).alias(
-            "acc"
-        ),
-        F.round(
-            gap_num.cast("double") / (F.col("n") * p_scale), digits
-        ).alias("gap"),
+        exact_ratio(F.col("_sum_p"), den, digits).alias("conf"),
+        exact_ratio(F.col("_pos"), F.col("n"), digits).alias("acc"),
+        exact_ratio(gap_num, den, digits).alias("gap"),
     )
     total = per.select(F.col("n"), gap_num.alias("_g")).agg(
         F.sum("n").alias("n"), F.sum("_g").alias("_g")
@@ -231,8 +231,8 @@ def calibration_report(
         "n",
         F.lit(None).cast("double").alias("conf"),
         F.lit(None).cast("double").alias("acc"),
-        F.round(
-            F.col("_g").cast("double") / (F.col("n") * p_scale), digits
+        exact_ratio(
+            F.col("_g"), (F.col("n") * p_scale).cast("decimal(38,0)"), digits
         ).alias("gap"),
     )
     return bins.unionByName(total)
@@ -296,45 +296,37 @@ def classifier_eval(
     n = npos + nneg
     po_num = tp + tn
     pe_num = (tp + fp) * npos + (fn_ + tn) * nneg
+    # Integer-ratio kernel, never round(double): every metric is a
+    # ratio of integer confusion counts (round-9 boundary-audit
+    # class — e.g. recall = tp/npos terminates exactly on rounding
+    # half-boundaries for real confusion tables).
+    from sparkgraft.operators.stats import exact_ratio
+
     return conf.crossJoin(s2).select(
         "tp",
         "fp",
         "fn",
         "tn",
-        F.round(po_num.cast("double") / n.cast("double"), digits).alias(
-            "accuracy"
+        exact_ratio(po_num, n, digits).alias("accuracy"),
+        F.when(
+            tp + fp > 0, exact_ratio(tp, tp + fp, digits)
+        ).otherwise(d).alias("precision"),
+        F.when(npos > 0, exact_ratio(tp, npos, digits)).otherwise(d).alias(
+            "recall"
         ),
         F.when(
-            tp + fp > 0,
-            F.round(tp.cast("double") / (tp + fp).cast("double"), digits),
-        ).otherwise(d).alias("precision"),
-        F.when(
-            npos > 0,
-            F.round(tp.cast("double") / npos.cast("double"), digits),
-        ).otherwise(d).alias("recall"),
-        F.when(
             tp + tp + fp + fn_ > 0,
-            F.round(
-                (tp + tp).cast("double")
-                / (tp + tp + fp + fn_).cast("double"),
-                digits,
-            ),
+            exact_ratio(tp + tp, tp + tp + fp + fn_, digits),
         ).otherwise(d).alias("f1"),
         F.when(
             n * n - pe_num > 0,
-            F.round(
-                (po_num * n - pe_num).cast("double")
-                / (n * n - pe_num).cast("double"),
-                digits,
-            ),
+            exact_ratio(po_num * n - pe_num, n * n - pe_num, digits),
         ).otherwise(d).alias("kappa"),
         F.when(
             (npos > 0) & (nneg > 0),
-            F.round(
-                (_dec(F.col("s2")) - npos * (npos + 1)).cast("double")
-                / (F.lit(2).cast("decimal(38,0)") * npos * nneg).cast(
-                    "double"
-                ),
+            exact_ratio(
+                _dec(F.col("s2")) - npos * (npos + 1),
+                F.lit(2).cast("decimal(38,0)") * npos * nneg,
                 digits,
             ),
         ).otherwise(d).alias("auc"),
