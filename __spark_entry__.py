@@ -2259,13 +2259,22 @@ def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-score rows the full-outer qrels join must emit), judged
     against same-label relevance (every other vector sharing the
     query's label is relevant), scored per query as recall@10, RR@10,
-    nDCG@10 with DECIMAL-quantized term sums (relational.
-    retrieval_metrics)."""
+    nDCG@10 via the exact integer-ratio kernels (relational.
+    retrieval_metrics).
+
+    Round-10: the candidate ranking switched from
+    ``round(double_cosine, 6)`` ordering to the component-quantized
+    integer-key ranking (similarity.brute_force_topk_qint) — the
+    ordering itself was the last float surface in this query (a
+    last-ulp cross-engine difference flips which doc ranks 10th,
+    changing n_hits/metrics while row count stays 8 — the r7–r9
+    driver-red signature), and the metric columns reverted from
+    DECIMAL(18,6) to DOUBLE (see relational.retrieval_metrics)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    ranked = SIM.brute_force_topk(queries.filter(F.col("vec_id") < 6), emb, k=10).select(
-        "query_id", F.col("neighbor_id").alias("doc_id"), "rnk"
-    )
+    ranked = SIM.brute_force_topk_qint(
+        queries.filter(F.col("vec_id") < 6), emb, k=10
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rnk")
     qrels = (
         queries.select(
             F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
@@ -2278,6 +2287,33 @@ def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", F.lit(1).alias("rel"))
     )
     return R.retrieval_metrics(ranked, qrels, k=10)
+
+
+def q_retrieval_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic slice 1/2 of q_retrieval_metrics (round-10 window
+    surgery, per the round-9 verdict): the all-BIGINT projection
+    ``(query_id, n_rel, n_hits)`` — no DOUBLE, no DECIMAL, no division
+    anywhere in the emitted columns.  n_rel depends only on the integer
+    label join; n_hits additionally on the top-10 MEMBERSHIP (the
+    ranking).  A driver verdict on this row localizes the never-green
+    divergence: red here = the ranking/membership layer; green here
+    with retrieval_scores red = the metric-emission layer."""
+    return q_retrieval_metrics(spark, sf_dir).select(
+        "query_id", "n_rel", "n_hits"
+    )
+
+
+def q_retrieval_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic slice 2/2 of q_retrieval_metrics (round-10 window
+    surgery): the metric columns ``(query_id, recall_at_k, rr, ap_at_k,
+    ndcg_at_k)`` — DOUBLEs, each the nearest double of an exact 6-digit
+    decimal from the integer-ratio kernel (round-10 reverted the
+    round-8 DECIMAL(18,6) singleton emission).  Red here with
+    retrieval_hits green isolates the divergence to the final division
+    / emission layer, eliminating the ranking hypothesis class."""
+    return q_retrieval_metrics(spark, sf_dir).select(
+        "query_id", "recall_at_k", "rr", "ap_at_k", "ndcg_at_k"
+    )
 
 
 def q_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6390,6 +6426,66 @@ def q_annotate_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.unionByName(k)
 
 
+def q_latest_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 latest-extraction panel (round-10 merge of latest_per_user +
+    latest_fallback — the merge-rule slot funding for the diagnostic
+    window surgery): the latest full events row per user beside the
+    parse-or-fallback latest document per source, method-tagged in one
+    witness.  Every column of both components survives the union."""
+    ev = q_latest_per_user(spark, sf_dir).select(
+        F.lit("events").alias("method"),
+        F.col("user_id").cast("string").alias("grp"),
+        F.col("event_id").alias("id"),
+        F.col("ts"),
+        "event_type",
+        "value",
+        "props",
+    )
+    fb = q_latest_fallback(spark, sf_dir).select(
+        F.lit("fallback").alias("method"),
+        F.col("source").alias("grp"),
+        F.col("doc_id").alias("id"),
+        F.col("parsed_ts").alias("ts"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    return ev.unionByName(fb)
+
+
+def q_dedup_router_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remote-dedup routing panel (round-10 merge of upload_dedup +
+    event_store_dedup — the second merge-rule slot funding): the
+    (name,size) upload router (P10/D4) beside the sha256 first-write-
+    wins event store dedup (S6/D3/F8/K5), method-tagged in one witness.
+    Every column of both components survives the union."""
+    up = q_upload_dedup(spark, sf_dir).select(
+        F.lit("upload").alias("method"),
+        F.col("name").alias("item"),
+        F.col("size").cast("long").alias("size"),
+        "action",
+        F.lit(None).cast("string").alias("message_type"),
+        F.lit(None).cast("string").alias("created_at"),
+        F.lit(None).cast("string").alias("data_url"),
+        F.lit(None).cast("string").alias("version"),
+        F.lit(None).cast("timestamp").alias("stored_at"),
+        F.lit(None).cast("string").alias("event_id"),
+    )
+    es = q_event_store_dedup(spark, sf_dir).select(
+        F.lit("event").alias("method"),
+        F.col("metadata_url").alias("item"),
+        F.lit(None).cast("long").alias("size"),
+        F.lit("store").alias("action"),
+        "message_type",
+        "created_at",
+        "data_url",
+        "version",
+        "stored_at",
+        "event_id",
+    )
+    return up.unionByName(es)
+
+
 # Ordering is deliberate: the round-1 driver evaluated only the FIRST 50
 # entries, so the SURVEY §2-core battery comes first, then the rest of the
 # §2-verifying queries, then the LLM-pipeline set; redundant engine extras
@@ -6441,8 +6537,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # §2/LLM witness evicted: every merged component's rows stay
     # witnessed inside its panel, and all components remain
     # oracle-checked standalone at 51+.
+    # Round-10 DIAGNOSTIC window surgery (per the round-9 verdict,
+    # task 1): the two never-driver-green panels split into typed
+    # slices so CORRECTNESS_r10 carries localization information —
+    # annotate_panel → its two legs label_vote + rater_agreement as
+    # separate entries, retrieval_metrics → an all-BIGINT slice
+    # (retrieval_hits) + the metric-column slice (retrieval_scores).
+    # The two extra slots are funded by the established merge rule:
+    # latest_per_user + latest_fallback → latest_panel (A2 family),
+    # upload_dedup + event_store_dedup → dedup_router_panel (P10
+    # remote-dedup family).  No sole §2/LLM witness evicted; all six
+    # reshaped components stay oracle-checked standalone at 51+.
     "stats_panel": q_stats_panel,
-    "latest_per_user": q_latest_per_user,
+    "latest_panel": q_latest_panel,
     "top_per_group": q_top_per_group,
     "broadcast_lookup": q_broadcast_lookup,
     "set_algebra": q_set_algebra,
@@ -6470,7 +6577,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_panel": q_classifier_panel,
     # --- remaining SURVEY §2 verifying queries ---
     "report_scan": q_report_scan,
-    "upload_dedup": q_upload_dedup,
+    "dedup_router_panel": q_dedup_router_panel,
     "debounce_gate": q_debounce_gate,
     "alarm_trigger": q_alarm_trigger,
     # Round-4 promotion: sens_latest_kv was a second witness on every
@@ -6478,8 +6585,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # latest_fallback, P2 via kv_projection) — it moves to 51+ and the
     # freed slot carries the Gopher rule-based quality gate.
     "gopher_gate": q_gopher_gate,
-    "latest_fallback": q_latest_fallback,
-    "event_store_dedup": q_event_store_dedup,
+    "label_vote": q_label_vote,
+    "rater_agreement": q_rater_agreement,
     # --- LLM-data-pipeline first-class set ---
     # Round-4 reshuffle (per the round-3 verdict): same-family second
     # witnesses merged — simhash + ngram_jaccard + fuzzy_match →
@@ -6510,7 +6617,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paragraph_dedup": q_paragraph_dedup,
     # --- flagship E2E + round-2/3 flagships 40-50 ---
     "e1_flagship": q_e1_flagship,
-    "annotate_panel": q_annotate_panel,
+    "retrieval_hits": q_retrieval_hits,
     "forget_flow": q_forget_flow,
     "timeseries_interp": q_timeseries_interp,
     "robust_outliers": q_robust_outliers,
@@ -6532,7 +6639,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-7 promotions: the round-6 measurement legs (retrieval
     # evaluation, classifier evaluation incl. exact tie-aware ROC-AUC,
     # and the winnowing 100 TB budget lever's full SQL replay) ---
-    "retrieval_metrics": q_retrieval_metrics,
+    "retrieval_scores": q_retrieval_scores,
     "kanon_audit": q_kanon_audit,
     "suffix_budget": q_suffix_budget,
     # ---- position 51+: second witnesses / engine extras --------------------
@@ -6565,6 +6672,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # classifier train/eval via classifier_panel, all five ANN
     # strategies via ann_panel, pairwise + cluster-scoped embedding
     # dedup via semdedup_panel.
+    # Round-10 demotions (diagnostic window surgery): latest_per_user +
+    # latest_fallback via latest_panel's two legs, upload_dedup +
+    # event_store_dedup via dedup_router_panel's two legs;
+    # annotate_panel via its in-window components label_vote +
+    # rater_agreement; retrieval_metrics via its in-window slices
+    # retrieval_hits + retrieval_scores (same underlying computation).
+    "latest_per_user": q_latest_per_user,
+    "latest_fallback": q_latest_fallback,
+    "upload_dedup": q_upload_dedup,
+    "event_store_dedup": q_event_store_dedup,
+    "annotate_panel": q_annotate_panel,
+    "retrieval_metrics": q_retrieval_metrics,
     "semi_anti_join": q_semi_anti_join,
     "set_ops": q_set_ops,
     "decontaminate": q_decontaminate,
@@ -6770,11 +6889,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # forget_flow / dsir_select / kanon_audit promoted in-window) ---
     "ann_forget": q_ann_forget,
     "bm25_forget": q_bm25_forget,
-    # --- round 7: annotation aggregation — majority vote, rater
-    # agreement (Cohen/Fleiss; both in-window via annotate_panel since
-    # round 8), Dawid-Skene EM (rows-only) ---
-    "label_vote": q_label_vote,
-    "rater_agreement": q_rater_agreement,
+    # --- round 7: annotation aggregation — majority vote + rater
+    # agreement (Cohen/Fleiss) are IN-WINDOW as separate entries since
+    # the round-10 diagnostic surgery; Dawid-Skene EM stays here ---
     "ds_labels": q_ds_labels,
     # --- round 7: training-data curation — DPO preference-pair mining ---
     "pref_pairs": q_pref_pairs,
@@ -7556,6 +7673,20 @@ BATCH3_ORACLES: dict[str, str] = {
     """,
 }
 
+# Round-10 version hardening (verdict task 3): every float division in
+# the shared oracle kernels pins its denominator to an explicit
+# CAST(... AS DOUBLE).  A bare decimal literal (`1000000.0`) parses as
+# DECIMAL(8,1) in DuckDB; in 1.0.0 `any / DECIMAL` still produces
+# DOUBLE, but decimal-division typing is exactly the kind of semantics
+# that shifts between DuckDB releases — and the driver's build is
+# unknown.  With the denominator explicitly DOUBLE, `INT-or-HUGEINT /
+# DOUBLE -> DOUBLE` holds in every release (float contagion), so both
+# the RESULT TYPE (double, matching Spark's emission — a driver-side
+# hasher canonicalizes Decimal and float differently) and the NUMERICS
+# (one exactly-rounded IEEE division) are version-invariant.
+# `DOUBLE * decimal-literal` multiplications (e.g. `x * 1000000.0`)
+# are left as-is: float contagion already forces DOUBLE there in every
+# release, because the non-literal operand is DOUBLE.
 def _mean_sql(col: str, digits: int) -> str:
     """DuckDB snippet mirroring stats.exact_mean: HALF-UP mean from an
     exact fixed-point integer sum (tie-proof across engines)."""
@@ -7564,7 +7695,8 @@ def _mean_sql(col: str, digits: int) -> str:
     return (
         f"(CASE WHEN {s} < 0 THEN -1 ELSE 1 END)"
         f" * floor((2 * abs({s}) + {unit} * count({col}))"
-        f" / (2.0 * {unit} * count({col}))) / {10**digits}.0"
+        f" / (CAST(2 AS DOUBLE) * {unit} * count({col})))"
+        f" / CAST({10**digits} AS DOUBLE)"
     )
 
 
@@ -7573,8 +7705,9 @@ def _rsum_sql(scaled_sum: str, digits: int) -> str:
     unit = 1_000_000 // 10**digits
     return (
         f"(CASE WHEN {scaled_sum} < 0 THEN -1 ELSE 1 END)"
-        f" * floor((2 * abs({scaled_sum}) + {unit}) / (2.0 * {unit}))"
-        f" / {10**digits}.0"
+        f" * floor((2 * abs({scaled_sum}) + {unit})"
+        f" / (CAST(2 AS DOUBLE) * {unit}))"
+        f" / CAST({10**digits} AS DOUBLE)"
     )
 
 
@@ -7597,7 +7730,10 @@ def _ratio_scaled_sql(num: str, den: str, digits: int) -> str:
 def _ratio_sql(num: str, den: str, digits: int) -> str:
     """DuckDB snippet mirroring stats.exact_ratio (double of an exact
     d-digit decimal — unambiguous nearest-double on every engine)."""
-    return f"({_ratio_scaled_sql(num, den, digits)} / {10**digits}.0)"
+    return (
+        f"({_ratio_scaled_sql(num, den, digits)}"
+        f" / CAST({10**digits} AS DOUBLE))"
+    )
 
 
 def _rowmean_sql(num: str, n: str, digits: int) -> str:
@@ -7607,7 +7743,8 @@ def _rowmean_sql(num: str, n: str, digits: int) -> str:
     return (
         f"(CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END)"
         f" * floor((2 * abs({num}) + {unit} * ({n}))"
-        f" / (2.0 * {unit} * ({n}))) / {10**digits}.0"
+        f" / (CAST(2 AS DOUBLE) * {unit} * ({n})))"
+        f" / CAST({10**digits} AS DOUBLE)"
     )
 
 
@@ -10055,6 +10192,36 @@ ORACLES["event_store_dedup"] = f"""
     ) WHERE rn = 1
 """
 
+# Round-10 merge panels (slot funding for the diagnostic window
+# surgery): method-tagged unions of the component oracles — the same
+# wrap pattern as annotate_panel/contamination_panel.  Every column of
+# both components survives; the components stay oracle-checked
+# standalone at 51+.
+ORACLES["latest_panel"] = (
+    "SELECT 'events' AS method, CAST(user_id AS VARCHAR) AS grp,"
+    " event_id AS id, ts, event_type, value, props FROM ("
+    + ORACLES["latest_per_user"]
+    + ") UNION ALL SELECT 'fallback', source, doc_id, parsed_ts,"
+    " CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)"
+    " FROM ("
+    + ORACLES["latest_fallback"]
+    + ")"
+)
+
+ORACLES["dedup_router_panel"] = (
+    "SELECT 'upload' AS method, name AS item, CAST(size AS BIGINT) AS size,"
+    " action, CAST(NULL AS VARCHAR) AS message_type,"
+    " CAST(NULL AS VARCHAR) AS created_at, CAST(NULL AS VARCHAR) AS data_url,"
+    " CAST(NULL AS VARCHAR) AS version, CAST(NULL AS TIMESTAMP) AS stored_at,"
+    " CAST(NULL AS VARCHAR) AS event_id FROM ("
+    + ORACLES["upload_dedup"]
+    + ") UNION ALL SELECT 'event', metadata_url, CAST(NULL AS BIGINT),"
+    " 'store', message_type, created_at, data_url, version, stored_at,"
+    " event_id FROM ("
+    + ORACLES["event_store_dedup"]
+    + ")"
+)
+
 ORACLES["sql_market_share"] = SQL_MARKET_SHARE.format(
     sfx="", div="//", big="HUGEINT"
 )
@@ -11428,41 +11595,69 @@ ORACLES["hard_negatives"] = """
 
 
 # Mirrors relational.retrieval_metrics over the cosine-top-10 /
-# same-label-qrels fixture.  Round-9: the metrics are exact integer
+# same-label-qrels fixture.  Round-9 made the METRICS exact integer
 # arithmetic end to end — DCG/iDCG are integer dot products with the
 # SAME 10^12-scaled literal rank-discount weights the engine embeds
 # (relational.dcg_weights_scaled; no libm log2 on either side), P@r
 # terms quantize HALF-UP to exact 12-digit integers, and every final
-# division goes through the integer-ratio kernel (_ratio_sql).  Ideal
-# DCG ranks judgments by (grade desc, doc asc); recall uses the
-# all-relevant denominator.
+# division goes through the integer-ratio kernel (_ratio_sql).
+# Round-10 finished the job on the RANKING (the r7-r9 driver-red
+# class this oracle itself identified in the ADC shortlist): the
+# candidate ordering was `row_number() OVER (ORDER BY round(cos, 6)
+# DESC)` over DOUBLE cosines — a float ordering surface where a
+# last-ulp engine difference flips which doc ranks 10th.  It now
+# mirrors similarity.brute_force_topk_qint: components quantize
+# HALF-UP to 1e4-scaled integers, and the ordering key is the exact
+# integer sign(dot)*((dot^2*1e8) // |c|^2) — every term HUGEINT, no
+# double anywhere between the per-component quantization and the
+# emitted metrics.  The DECIMAL(18,6) emission also reverted to
+# DOUBLE (nearest double of the exact 6-digit decimal — the same
+# bits on every IEEE engine; the round-8 DECIMAL cast made this the
+# driver window's only DECIMAL surface).  Ideal DCG ranks judgments
+# by (grade desc, doc asc); recall uses the all-relevant denominator.
 from sparkgraft.operators.relational import dcg_weights_scaled as _dcg_ws
 
 _DCG_LIST = "[" + ", ".join(str(w) for w in _dcg_ws(10)) + "]"
 
 ORACLES["retrieval_metrics"] = """
     WITH q AS (
-        SELECT vec_id AS query_id, label AS qlabel, embedding AS qv
+        SELECT vec_id AS query_id, label AS qlabel,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))
+                   AS qi
         FROM embeddings WHERE vec_id < 8
     ),
     c AS (
-        SELECT vec_id AS doc_id, label, embedding AS cv FROM embeddings
+        SELECT vec_id AS doc_id, label,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))
+                   AS ci
+        FROM embeddings
+    ),
+    cn AS (
+        SELECT doc_id, ci,
+               list_sum(list_transform(ci, x -> x * x)) AS cn2
+        FROM c
+    ),
+    scored AS (
+        SELECT query_id, doc_id,
+               CAST(list_sum(list_transform(generate_series(1, len(qi)),
+                        i -> list_extract(qi, i) * list_extract(ci, i)))
+                    AS HUGEINT) AS dp,
+               CAST(cn2 AS HUGEINT) AS cn2
+        FROM cn, q WHERE doc_id <> query_id AND query_id < 6 AND cn2 > 0
     ),
     ranked AS (
         SELECT query_id, doc_id, rnk FROM (
             SELECT query_id, doc_id,
                    row_number() OVER (PARTITION BY query_id
-                                      ORDER BY cos_sim DESC, doc_id ASC)
+                                      ORDER BY rk DESC, doc_id ASC)
                        AS rnk
             FROM (
                 SELECT query_id, doc_id,
-                       round(
-                           list_sum(list_transform(generate_series(1, len(qv)),
-                                                   i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
-                           / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                              * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-                           6) AS cos_sim
-                FROM c, q WHERE doc_id <> query_id AND query_id < 6
+                       (CASE WHEN dp < 0 THEN -1 ELSE 1 END)
+                       * ((dp * dp * 100000000) // cn2) AS rk
+                FROM scored
             )
         ) WHERE rnk <= 10
     ),
@@ -11483,7 +11678,7 @@ ORACLES["retrieval_metrics"] = """
     ),
     perq AS (
         SELECT query_id,
-               sum(rel * (""" + _DCG_LIST + """)[rnk]) AS dcg_s,
+               sum(rel * list_extract(""" + _DCG_LIST + """, rnk)) AS dcg_s,
                min(CASE WHEN rel > 0 THEN rnk END) AS r1,
                sum(CASE WHEN rel > 0 THEN
                """ + _ratio_scaled_sql("cumhits", "rnk", 12) + """
@@ -11494,7 +11689,7 @@ ORACLES["retrieval_metrics"] = """
     nrel AS (SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY query_id),
     ideal AS (
         SELECT query_id,
-               sum(rel * (""" + _DCG_LIST + """)[irnk]) AS idcg_s
+               sum(rel * list_extract(""" + _DCG_LIST + """, irnk)) AS idcg_s
         FROM (
             SELECT query_id, rel,
                    row_number() OVER (PARTITION BY query_id
@@ -11505,24 +11700,41 @@ ORACLES["retrieval_metrics"] = """
     SELECT query_id,
            coalesce(n.n_rel, 0) AS n_rel,
            coalesce(p.n_hits, 0) AS n_hits,
-           CAST(CASE WHEN coalesce(n.n_rel, 0) > 0 THEN
+           CASE WHEN coalesce(n.n_rel, 0) > 0 THEN
            """ + _ratio_sql("coalesce(p.n_hits, 0)", "n.n_rel", 6) + """
-           END AS DECIMAL(18,6)) AS recall_at_k,
-           CAST(coalesce(CASE WHEN p.r1 IS NOT NULL THEN
+           END AS recall_at_k,
+           coalesce(CASE WHEN p.r1 IS NOT NULL THEN
            """ + _ratio_sql("1", "p.r1", 6) + """
-           END, 0) AS DECIMAL(18,6)) AS rr,
-           CAST(CASE WHEN coalesce(n.n_rel, 0) > 0 THEN
+           END, 0.0) AS rr,
+           CASE WHEN coalesce(n.n_rel, 0) > 0 THEN
            """ + _ratio_sql(
     "coalesce(p.ap_s, 0)", "1000000000000 * least(n.n_rel, 10)", 6
 ) + """
-           END AS DECIMAL(18,6)) AS ap_at_k,
-           CAST(CASE WHEN coalesce(n.n_rel, 0) > 0 THEN
+           END AS ap_at_k,
+           CASE WHEN coalesce(n.n_rel, 0) > 0 THEN
            """ + _ratio_sql("coalesce(p.dcg_s, 0)", "i.idcg_s", 6) + """
-           END AS DECIMAL(18,6)) AS ndcg_at_k
+           END AS ndcg_at_k
     FROM perq p
     FULL OUTER JOIN nrel n USING (query_id)
     LEFT JOIN ideal i USING (query_id)
 """
+
+
+# Round-10 diagnostic slices (window surgery): the driver judges each
+# typed slice of retrieval_metrics separately, so CORRECTNESS_r10
+# localizes the never-green divergence to the ranking/membership layer
+# (retrieval_hits: pure BIGINT) vs the emission layer
+# (retrieval_scores: the 6-digit-decimal-derived DOUBLEs).
+ORACLES["retrieval_hits"] = (
+    "SELECT query_id, n_rel, n_hits FROM ("
+    + ORACLES["retrieval_metrics"]
+    + ")"
+)
+ORACLES["retrieval_scores"] = (
+    "SELECT query_id, recall_at_k, rr, ap_at_k, ndcg_at_k FROM ("
+    + ORACLES["retrieval_metrics"]
+    + ")"
+)
 
 
 # Mirrors q_bloom_skipping: bloom pruning is false-negative-free, so

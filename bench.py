@@ -238,6 +238,12 @@ HEADLINE = [
     "semdedup_panel",
     "forget_panel",
     "annotate_panel",
+    # round-10 merged driver-window panels + the retrieval diagnostic
+    # slices (components stay benched above for continuity)
+    "latest_panel",
+    "dedup_router_panel",
+    "retrieval_hits",
+    "retrieval_scores",
 ]
 
 

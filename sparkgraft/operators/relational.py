@@ -424,14 +424,17 @@ def retrieval_metrics(
     on a rounding half-boundary, so none survives anywhere in this
     operator.
 
-    .. warning:: **API-visible schema change (round 8).** The metric
-       columns (``recall_at_k``, ``rr``, ``ap_at_k``, ``ndcg_at_k``)
-       changed type from ``DOUBLE`` to ``DECIMAL(18, digits)``.
-       Values are numerically identical off rounding boundaries, but
-       consumers comparing against float literals, pattern-matching
-       on the schema, or writing into a fixed-``DOUBLE`` sink must
-       cast (``.cast("double")``) — the repo's own tests use a
-       ``float()`` coercion for exactly this reason.
+    Output types (round 10): the metric columns (``recall_at_k``,
+    ``rr``, ``ap_at_k``, ``ndcg_at_k``) are ``DOUBLE`` — each is the
+    nearest double of an exact ``digits``-digit decimal computed by
+    the integer kernel, which is the SAME double on every
+    IEEE-conforming engine.  (Round 8 briefly emitted
+    ``DECIMAL(18, digits)`` here; that made this the only
+    DECIMAL-emitting query in the driver window — a singleton surface
+    a driver-side hasher can canonicalize differently from doubles —
+    and broke API consumers expecting floats.  ``CAST(scaled AS
+    DOUBLE) / 10^digits`` carries identical information with none of
+    that, so round 10 reverted it.)
 
     Scale: both inputs are top-k lists / judgment tables —
     metadata-sized next to the corpus; one hash join + three grouped
@@ -496,7 +499,6 @@ def retrieval_metrics(
     )
     nr = F.coalesce(F.col("n_rel"), F.lit(0))
     nh = F.coalesce(F.col("n_hits"), F.lit(0))
-    out_t = f"decimal(18,{digits})"
     ap_den = F.lit(10**12).cast("decimal(38,0)") * F.least(
         nr, F.lit(k)
     ).cast("decimal(38,0)")
@@ -508,12 +510,10 @@ def retrieval_metrics(
             nr.alias("n_rel"),
             nh.alias("n_hits"),
             F.when(nr > 0, exact_ratio(nh, nr, digits))
-            .cast(out_t)
             .alias("recall_at_k"),
             F.coalesce(
                 exact_ratio(F.lit(1), F.col("_r1"), digits), F.lit(0.0)
             )
-            .cast(out_t)
             .alias("rr"),
             F.when(
                 nr > 0,
@@ -525,7 +525,6 @@ def retrieval_metrics(
                     digits,
                 ),
             )
-            .cast(out_t)
             .alias("ap_at_k"),
             F.when(
                 nr > 0,
@@ -535,7 +534,6 @@ def retrieval_metrics(
                     digits,
                 ),
             )
-            .cast(out_t)
             .alias("ndcg_at_k"),
         )
     )

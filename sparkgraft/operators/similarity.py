@@ -119,6 +119,98 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_qint(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    comp_digits: int = 4,
+    key_digits: int = 8,
+) -> DataFrame:
+    """Exact cosine top-k over the component-quantized integer embedding
+    space — a ranking that is bit-identical on ANY engine (round-10).
+
+    :func:`brute_force_topk` orders candidates by ``round(double_cosine,
+    6)``: a float ORDERING surface.  A last-ulp difference between two
+    engines' dot/sqrt pipelines (summation strategy, fused multiplies)
+    flips which candidate ranks k-th even when every EMITTED column is
+    an integer — the value being rounded was never emitted, it ordered
+    the list (the r7–r9 driver-gate lesson, same class as the ADC
+    shortlist fixed in round 9).  Here no float ever forms past the
+    per-component quantization:
+
+    1. each component quantizes HALF-UP (away from zero) to its
+       ``10^comp_digits``-scaled integer — one exactly-rounded IEEE
+       multiply + one round, identical on every engine;
+    2. ranking uses the exact integer key
+
+           key = sign(dot) * ((dot² · 10^key_digits) div ‖c‖²)
+
+       over the integer vectors.  Within a query's partition ‖q‖² is
+       constant, so key ≈ sign·cos²·‖q‖²·10^kd is monotone in cosine
+       for either sign (cos² flips monotonicity for negative cos —
+       the sign factor restores it); ties (key collisions) break by
+       candidate id, deterministically on both engines.
+
+    Bounds: ``|key| ≤ ‖q‖²·10^kd`` (the ‖c‖² divisor cancels against
+    one dot² factor), so dim 64 / |x| ≤ 1 / comp_digits 4 / key_digits
+    8 stays well under 2^63; intermediates run in DECIMAL(38,0).
+    Zero-norm candidates (undefined cosine) are excluded.
+
+    Scale: identical plan shape to :func:`brute_force_topk` — queries
+    broadcast, candidates never shuffle, per-partition rank-limit.
+    """
+    s = 10**comp_digits
+    big = "decimal(38,0)"
+
+    def ivec(col: Column) -> Column:
+        return F.transform(
+            col, lambda x: F.round(x.cast("double") * s).cast("long")
+        )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), ivec(F.col(vec_col)).alias("qi")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), ivec(F.col(vec_col)).alias("ci")
+    ).withColumn(
+        "cn2",
+        F.aggregate(
+            F.transform("ci", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    ).filter(F.col("cn2") > 0)
+    dp = F.aggregate(
+        F.zip_with("qi", "ci", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "cn2", dp.alias("dp"))
+    )
+    dd = F.col("dp").cast(big)
+    key_mag = F.call_function(
+        "div", dd * dd * F.lit(10**key_digits).cast(big), F.col("cn2").cast(big)
+    )
+    keyed = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.when(F.col("dp") < 0, -key_mag).otherwise(key_mag).alias("rk"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rk").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+
+
 def _literal_vec_table(rows: list[tuple[int, list[float]]], id_name: str) -> Column:
     """A small (id, vector) table as ONE plan-time literal:
     ``array<struct<id int, vec array<double>>>`` rendered as a SQL

@@ -16,8 +16,10 @@ def _q12(x: float) -> float:
 
 
 def _f(v):
-    """Metric columns are DECIMAL(18,6) since round 8 (engine-invariant
-    output); coerce to float for the hand-math comparisons."""
+    """Metric columns are DOUBLE again since round 10 (each the nearest
+    double of the exact 6-digit decimal from the integer-ratio kernel;
+    round 8's DECIMAL(18,6) emission was reverted).  The float coercion
+    is kept so these hand-math anchors are emission-type-agnostic."""
     return None if v is None else float(v)
 
 

@@ -542,3 +542,87 @@ def test_exact6_guards(spark):
         ).alias("c")
     ).first()["c"]
     assert got == 0
+
+
+def test_qint_topk_matches_fraction_exact_cosine_ranking(spark):
+    """brute_force_topk_qint's integer key must order candidates
+    exactly as the TRUE cosine over the quantized space — verified
+    against a Fraction-arithmetic ranking (cos² with sign, cross-
+    multiplied, no floats) on real embeddings."""
+    from fractions import Fraction
+
+    from sparkgraft.operators.similarity import brute_force_topk_qint
+    from sparkgraft.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in brute_force_topk_qint(
+            emb.filter(F.col("vec_id") < 4), emb, k=5
+        ).collect()
+    }
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ivecs = {
+        r["vec_id"]: [round(float(x) * 10**4) for x in r["embedding"]]
+        for r in rows
+    }
+    for qid in range(4):
+        qv = ivecs[qid]
+
+        def signed_cos2(cid):
+            cv = ivecs[cid]
+            dp = sum(a * b for a, b in zip(qv, cv))
+            cn2 = sum(a * a for a in cv)
+            qn2 = sum(a * a for a in qv)
+            s = -1 if dp < 0 else 1
+            return s * Fraction(dp * dp, cn2 * qn2)
+
+        order = sorted(
+            (c for c in ivecs if c != qid and any(ivecs[c])),
+            key=lambda c: (-signed_cos2(c), c),
+        )
+        for rnk, cid in enumerate(order[:5], start=1):
+            assert got[(qid, rnk)] == cid, (qid, rnk)
+
+
+def test_qint_topk_negative_cosine_ordering_and_zero_norm(spark):
+    """The sign(dot) factor must restore monotonicity for negative
+    cosines (cos² alone would rank the MOST-opposite vector highest),
+    and zero-norm candidates (undefined cosine) must be excluded."""
+    from sparkgraft.operators.similarity import brute_force_topk_qint
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),       # query
+            (1, [0.9, 0.1]),       # near-parallel        cos ~ +0.994
+            (2, [0.0, 1.0]),       # orthogonal           cos = 0
+            (3, [-0.5, 0.1]),      # mildly opposite      cos ~ -0.981
+            (4, [-1.0, 0.0]),      # exactly opposite     cos = -1
+            (5, [0.0, 0.0]),       # zero norm: excluded
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = brute_force_topk_qint(
+        df.filter(F.col("vec_id") == 0), df, k=10
+    ).collect()
+    order = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rnk"])]
+    assert order == [1, 2, 3, 4]
+
+
+def test_qint_topk_membership_tracks_float_topk(spark):
+    """On real embeddings the quantized-integer ranking and the float
+    ranking agree except at genuine near-ties: top-10 membership per
+    query differs by at most 1 doc on the test corpus."""
+    from sparkgraft.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_qint,
+    )
+    from sparkgraft.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 6)
+    a = _topk_sets(brute_force_topk(q, emb, k=10))
+    b = _topk_sets(brute_force_topk_qint(q, emb, k=10))
+    for qid in a:
+        assert len(a[qid] - b[qid]) <= 1, (qid, a[qid], b[qid])
