@@ -7139,7 +7139,7 @@ ORACLES: dict[str, str] = {
 BATCH4_ORACLES: dict[str, str] = {
     "value_histogram": """
         SELECT event_type,
-               CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+               CAST(floor(value / CAST(10 AS DOUBLE)) AS BIGINT) AS bucket,
                count(*) AS n
         FROM events GROUP BY 1, 2
     """,
@@ -7216,7 +7216,7 @@ BATCH4_ORACLES: dict[str, str] = {
                round(a[1], 4) AS first_el,
                round(list_max(a), 4) AS max_el,
                round(list_min(a), 4) AS min_el,
-               round(list_sort(a)[32], 4) AS median_lo,
+               round(list_extract(list_sort(a), 32), 4) AS median_lo,
                round(sqrt(list_sum(list_transform(a, x -> x * x))), 4) AS l2_norm,
                (len(list_filter(a, x -> x > 0)) > 32) AS mostly_positive
         FROM arrs
@@ -7543,7 +7543,7 @@ BATCH4_ORACLES: dict[str, str] = {
                            + CAST(CAST('0x' || substr(k.kth, 1, 15)
                                        AS BIGINT) AS HUGEINT))
                           // (2 * CAST(CAST('0x' || substr(k.kth, 1, 15)
-                                            AS BIGINT) AS HUGEINT))) / 100.0
+                                            AS BIGINT) AS HUGEINT))) / CAST(100 AS DOUBLE)
                END AS kmv_est,
                e.cms_est,
                e.cms_est >= x.n_rows AS cms_overcount_only
@@ -7938,11 +7938,11 @@ def _report_oracles() -> dict[str, str]:
                    THEN regexp_extract(line, 'Zeit\\s+(\\d{{2}}-\\w{{3}}-\\d{{4}} \\d{{2}}:\\d{{2}}:\\d{{2}})', 1) END),
                    '%d-%b-%Y %H:%M:%S') AS report_ts,
                CAST(replace(min(CASE WHEN line_no = qhdr + 1
-                   THEN regexp_extract_all(trim(line), '{num}')[1] END), ',', '.') AS DOUBLE) AS q50_mm,
+                   THEN list_extract(regexp_extract_all(trim(line), '{num}'), 1) END), ',', '.') AS DOUBLE) AS q50_mm,
                CAST(replace(min(CASE WHEN line_no = qhdr + 1
-                   THEN regexp_extract_all(trim(line), '{num}')[2] END), ',', '.') AS DOUBLE) AS q90_mm,
+                   THEN list_extract(regexp_extract_all(trim(line), '{num}'), 2) END), ',', '.') AS DOUBLE) AS q90_mm,
                CAST(replace(min(CASE WHEN line_no = qhdr + 1
-                   THEN regexp_extract_all(trim(line), '{num}')[3] END), ',', '.') AS DOUBLE) AS wCr_max_mm,
+                   THEN list_extract(regexp_extract_all(trim(line), '{num}'), 3) END), ',', '.') AS DOUBLE) AS wCr_max_mm,
                min(CASE WHEN line LIKE 'Anzahl%'
                    THEN CAST(regexp_extract(line, '(\\d+)', 1) AS BIGINT) END) AS crack_count
         FROM marked GROUP BY file
@@ -8320,7 +8320,7 @@ def _llm_oracles() -> dict[str, str]:
         lits = ", ".join(str(x) for x in plane)
         bucket_terms.append(
             f"(CASE WHEN list_sum(list_transform(generate_series(1, 64), "
-            f"i -> CAST(e[i] AS DOUBLE) * ([{lits}])[i])) > 0 "
+            f"i -> CAST(e[i] AS DOUBLE) * list_extract([{lits}], i))) > 0 "
             f"THEN {1 << p} ELSE 0 END)"
         )
     bucket_sql = " + ".join(bucket_terms)
@@ -8452,8 +8452,8 @@ def _llm_oracles() -> dict[str, str]:
                    (CASE WHEN num < 0 THEN -1 ELSE 1 END)
                    * ((2 * abs(num) + 1000 * CAST(den AS HUGEINT))
                       // (2000 * CAST(den AS HUGEINT)))
-                   / 1000.0
-               ELSE last_vs / 1000000.0 END AS twa
+                   / CAST(1000 AS DOUBLE)
+               ELSE last_vs / CAST(1000000 AS DOUBLE) END AS twa
         FROM agg
     """
 
@@ -8630,7 +8630,7 @@ def _llm_oracles() -> dict[str, str]:
 
     _rp_comps = ", ".join(
         "round(list_sum(list_transform(generate_series(1, 64), "
-        f"i -> CAST(embedding[i] AS DOUBLE) * ([{', '.join(str(x) for x in plane)}])[i]))"
+        f"i -> CAST(embedding[i] AS DOUBLE) * list_extract([{', '.join(str(x) for x in plane)}], i)))"
         " / 4.0, 6)"
         for plane in _hs(16, 64)
     )
@@ -8740,7 +8740,7 @@ def _llm_oracles() -> dict[str, str]:
         )
         SELECT t.event_id, t.event_type, t.value,
                round(least(greatest(CAST(t.vs AS DOUBLE), b.lo), b.hi)
-                     / 1000000.0, 6) AS w_value,
+                     / CAST(1000000 AS DOUBLE), 6) AS w_value,
                (t.vs < b.lo OR t.vs > b.hi) AS clipped
         FROM t JOIN bands b USING (event_type)
     """
@@ -9116,7 +9116,7 @@ def _llm_oracles() -> dict[str, str]:
                            + CAST(CAST('0x' || substr(k.kth, 1, 15)
                                        AS BIGINT) AS HUGEINT))
                           // (2 * CAST(CAST('0x' || substr(k.kth, 1, 15)
-                                            AS BIGINT) AS HUGEINT))) / 100.0
+                                            AS BIGINT) AS HUGEINT))) / CAST(100 AS DOUBLE)
                END AS distinct_est,
                e.n_exact
         FROM kk k JOIN ex e USING (event_type)
@@ -9294,8 +9294,8 @@ def _llm_oracles() -> dict[str, str]:
         ),
         mad AS (SELECT event_type, median(dev) AS mad_s FROM dev GROUP BY event_type)
         SELECT d.event_type, count(*) AS n,
-               any_value(d.med_s) / 1000000.0 AS median,
-               any_value(a.mad_s) / 1000000.0 AS mad,
+               any_value(d.med_s) / CAST(1000000 AS DOUBLE) AS median,
+               any_value(a.mad_s) / CAST(1000000 AS DOUBLE) AS mad,
                CAST(sum(CASE WHEN d.dev > {kz!r} * a.mad_s THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_outliers
         FROM dev d JOIN mad a USING (event_type)
@@ -9578,7 +9578,7 @@ def _llm_oracles() -> dict[str, str]:
         ),
         counted AS (
             SELECT doc_id, toks,
-                   1 + CAST(floor((greatest(0, len(toks) - 32) + 23) / 24.0) AS INT) AS n_chunks
+                   1 + CAST(floor((greatest(0, len(toks) - 32) + 23) / CAST(24 AS DOUBLE)) AS INT) AS n_chunks
             FROM t
         )
         ,
@@ -9601,7 +9601,7 @@ def _llm_oracles() -> dict[str, str]:
         ),
         counted AS (
             SELECT doc_id, toks,
-                   1 + CAST(floor((greatest(0, len(toks) - 32) + 23) / 24.0) AS INT) AS n_chunks
+                   1 + CAST(floor((greatest(0, len(toks) - 32) + 23) / CAST(24 AS DOUBLE)) AS INT) AS n_chunks
             FROM t
         ),
         expanded AS (
@@ -9624,7 +9624,7 @@ def _llm_oracles() -> dict[str, str]:
             FROM chunks
         )
         SELECT shard,
-               CAST(floor((cum_tokens - n_chunk_tokens) / 512.0) AS BIGINT) AS pack_id,
+               CAST(floor((cum_tokens - n_chunk_tokens) / CAST(512 AS DOUBLE)) AS BIGINT) AS pack_id,
                count(*) AS n_chunks,
                sum(n_chunk_tokens) AS n_tokens
         FROM cum GROUP BY 1, 2
@@ -10079,7 +10079,7 @@ def _llm_oracles() -> dict[str, str]:
                         * 10000
                      + CAST((n_tokens) AS HUGEINT))
                     // (2 * CAST((n_tokens) AS HUGEINT))))
-                / 10000.0) AS dup_fraction,
+                / CAST(10000 AS DOUBLE)) AS dup_fraction,
                (coalesce(covered_tokens, 0) * 1000 <= 300 * n_tokens)
                    AS keep
         FROM nt LEFT JOIN cov USING (doc_id)
@@ -11070,7 +11070,7 @@ ORACLES["heavy_hitters"] = r"""
            (((2 * abs(CAST((count(*)) AS HUGEINT)) * 1000000
               + CAST(((SELECT n_total FROM tot)) AS HUGEINT))
              // (2 * CAST(((SELECT n_total FROM tot)) AS HUGEINT)))
-            / 1000000.0) AS share
+            / CAST(1000000 AS DOUBLE)) AS share
     FROM toks GROUP BY token
     HAVING count(*) * 100 > (SELECT n_total FROM tot)
 """
@@ -12002,7 +12002,7 @@ ORACLES["dsir_select"] = r"""
 # view's DECIMAL(38,6) term quantization.
 ORACLES["forget_flow"] = """
     SELECT user_id, count(*) AS n_rows,
-           cast(cast(round(sum(cast((event_id % 1000) / 10.0
+           cast(cast(round(sum(cast((event_id % 1000) / CAST(10 AS DOUBLE)
                                     AS DECIMAL(27,6))), 2)
                 AS DECIMAL(38,2)) AS DOUBLE) AS sum_amount
     FROM events
@@ -12207,15 +12207,15 @@ ORACLES["sketch_overlap"] = """
     SELECT
         CASE WHEN ka.n < 64 THEN ka.n * 1.0
              ELSE ((2 * CAST('72634054790231359488' AS HUGEINT) * 100 + ka.kth60)
-                   // (2 * ka.kth60)) / 100.0 END AS viewers_est,
+                   // (2 * ka.kth60)) / CAST(100 AS DOUBLE) END AS viewers_est,
         CASE WHEN kb.n < 64 THEN kb.n * 1.0
              ELSE ((2 * CAST('72634054790231359488' AS HUGEINT) * 100 + kb.kth60)
-                   // (2 * kb.kth60)) / 100.0 END AS purchasers_est,
+                   // (2 * kb.kth60)) / CAST(100 AS DOUBLE) END AS purchasers_est,
         ((2 * CAST(shared AS HUGEINT) * 1000000 + kept)
-         // (2 * CAST(kept AS HUGEINT))) / 1000000.0 AS jaccard_est,
-        union_s / 100.0 AS union_est,
+         // (2 * CAST(kept AS HUGEINT))) / CAST(1000000 AS DOUBLE) AS jaccard_est,
+        union_s / CAST(100 AS DOUBLE) AS union_est,
         ((2 * CAST(shared AS HUGEINT) * union_s * 100 + kept * 100)
-         // (2 * CAST(kept AS HUGEINT) * 100)) / 100.0
+         // (2 * CAST(kept AS HUGEINT) * 100)) / CAST(100 AS DOUBLE)
             AS intersection_est
     FROM us, ka, kb
 """
@@ -12565,7 +12565,7 @@ ORACLES["holt_winters"] = f"""
     ),
     init AS (
         SELECT event_type, n, 4 AS t,
-               (y1 + y2 + y3 + y4) / 4.0 AS lvl,
+               (y1 + y2 + y3 + y4) / CAST(4 AS DOUBLE) AS lvl,
                ((y5 + y6 + y7 + y8) / 4.0 - (y1 + y2 + y3 + y4) / 4.0)
                    / 4.0 AS trend,
                y1 - (y1 + y2 + y3 + y4) / 4.0 AS s0,
@@ -13794,7 +13794,7 @@ apad AS (
     SELECT d.doc_id AS src, g.n,
            CAST(round(CAST(CAST(
                ((CAST(concat('0x', substr(md5(concat(d.doc_id, ':pad:',
-                     g.n)), 1, 8)) AS BIGINT) % 201) - 100) / 10000.0
+                     g.n)), 1, 8)) AS BIGINT) % 201) - 100) / CAST(10000 AS DOUBLE)
                AS REAL) AS DOUBLE) * 10000.0) AS BIGINT) AS xq
     FROM adocs d, generate_series(0, 511) AS g(n)
     WHERE d.doc_id % 11 = 0

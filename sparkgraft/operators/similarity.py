@@ -161,6 +161,8 @@ def brute_force_topk_qint(
     Scale: identical plan shape to :func:`brute_force_topk` — queries
     broadcast, candidates never shuffle, per-partition rank-limit.
     """
+    from sparkgraft.operators.scale import widen_narrow_scan
+
     s = 10**comp_digits
     big = "decimal(38,0)"
 
@@ -172,7 +174,7 @@ def brute_force_topk_qint(
     q = queries.select(
         F.col(id_col).alias("query_id"), ivec(F.col(vec_col)).alias("qi")
     )
-    c = candidates.select(
+    c = widen_narrow_scan(candidates).select(
         F.col(id_col).alias("neighbor_id"), ivec(F.col(vec_col)).alias("ci")
     ).withColumn(
         "cn2",
