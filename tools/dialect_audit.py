@@ -27,10 +27,9 @@ version-dependent.  Three checks:
    stable named form.
 
 Run:  python tools/dialect_audit.py          # exit 0 = clean
-Baseline divisions are grandfathered in _ALLOWED_DIVISION_QUERIES:
-every entry is driver-GREEN through r9 under the live construct (the
-empirical version evidence), so rewriting them is optional hardening;
-NEW queries must use the pinned kernels.
+Round 10 rewrote every hit, so the baseline is 0/0/0;
+_ALLOWED_DIVISION_QUERIES exists for a future deliberate exception
+(document the driver-green evidence in the entry's comment if used).
 """
 
 from __future__ import annotations
