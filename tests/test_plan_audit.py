@@ -369,3 +369,23 @@ def test_setsim_verify_joins_never_broadcast_corpus(spark):
     plan = audit.explain_str(df)
     for m in re.finditer(r"(\w+Join)\w* \[(id_[ab])[#\d]*\]", plan):
         assert m.group(1) == "SortMergeJoin", plan
+
+
+def test_qint_topk_candidates_broadcast_and_single_shuffle(spark):
+    """brute_force_topk_qint (round 10) must keep the float baseline's
+    plan shape: queries broadcast (no shuffle of the candidate side
+    before scoring), only the final per-query rank exchanges data."""
+    from sparkgraft.operators.similarity import brute_force_topk_qint
+    from sparkgraft.sources.readers import read_table
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    df = brute_force_topk_qint(emb.filter(F.col("vec_id") < 4), emb, k=5)
+    plan = audit.explain_str(df)
+    # A cross join with a broadcast hint compiles to a
+    # BroadcastNestedLoopJoin whose BUILD side is the broadcast
+    # queries — the candidate (streamed) side never shuffles.
+    assert "BroadcastNestedLoopJoin BuildRight" in plan, plan
+    # Only the per-query rank exchanges data by hash; the narrow-scan
+    # widening guard may add one round-robin repartition, which moves
+    # no data to a key (excluded by count_shuffles' hash/range filter).
+    assert audit.count_shuffles(df) <= 1, plan
