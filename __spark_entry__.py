@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from sparkgraft.functions import expr as E
 from sparkgraft.operators import relational as R
+from sparkgraft.operators import scale as SCALE
 from sparkgraft.operators import similarity as SIM
 from sparkgraft.operators import stats as S
 from sparkgraft.operators import textops as T
@@ -909,19 +910,20 @@ def q_neardup_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard").cast("double").alias("value"),
     )
     part = _t(spark, sf_dir, "part")
-    a = part.select(
-        F.col("p_brand").alias("block"),
-        F.col("p_partkey").alias("id_a"),
-        F.col("p_name").alias("name_a"),
-    )
-    b = part.select(
-        F.col("p_brand").alias("block"),
-        F.col("p_partkey").alias("id_b"),
-        F.col("p_name").alias("name_b"),
-    )
+    # Round-10: triangle-decomposed pairs (scale.triangle_self_pairs)
+    # — a plain join on p_brand caps parallelism at n_brands and hands
+    # a hot brand its whole |c|^2 Levenshtein work in one task.
     fz = (
-        a.join(b, "block")
-        .filter(F.col("id_a") < F.col("id_b"))
+        SCALE.triangle_self_pairs(
+            part.select(
+                F.col("p_brand").alias("block"),
+                F.col("p_partkey").alias("pk"),
+                F.col("p_name").alias("name"),
+            ),
+            ["block"],
+            "pk",
+            ["name"],
+        )
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= 2)
         .select(
@@ -2427,12 +2429,14 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("block"),
     )
     recs = src1.unionByName(src2)
-    a = recs.select("block", F.col("rec_id").alias("id_a"), F.col("name").alias("na"))
-    b = recs.select("block", F.col("rec_id").alias("id_b"), F.col("name").alias("nb"))
+    # Round-10: triangle-decomposed pairs (scale.triangle_self_pairs)
+    # — a plain join on nationkey caps parallelism at 25 and hands a
+    # hot nation its whole |c|^2 Levenshtein work in one task.
     pairs = (
-        a.join(b, "block")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.levenshtein("na", "nb") <= 1)
+        SCALE.triangle_self_pairs(
+            recs.select("block", "rec_id", "name"), ["block"], "rec_id", ["name"]
+        )
+        .filter(F.levenshtein("name_a", "name_b") <= 1)
         .select("id_a", "id_b")
     )
     # The CC fit is an iterative driver loop over a deterministic
@@ -3344,8 +3348,24 @@ def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection: corpus ∪ planted duplicates
     (every 20th vector rescaled x2 — same direction, cos=1), pairs with
-    cosine ≥ 0.999 inside the label partition (blocked, no full cross
-    join)."""
+    cosine ≥ 0.999 inside the label partition.
+
+    Round-10: the within-label pair join uses the same TRIANGLE
+    DECOMPOSITION as similarity.semantic_dedup (the round-2 'weak on
+    scale' fix, now applied to the label-blocked shape too): a plain
+    self-join on the label caps parallelism at n_labels and hands a hot
+    label its entire |c|² work in ONE task.  Each row gets a
+    deterministic block b ∈ [0, B); the left side joins cells (b, q≥b),
+    the right side cells (p≤b, b), key = (label, p, q) — every
+    unordered pair meets in exactly one of the B(B+1)/2 cells per
+    label, the heaviest task does |c|²/B² work, and block ids never
+    reach the output, so the result is bit-identical to the plain
+    join.  Norms are hoisted per row (|C| norm computations instead of
+    |pairs|); the hoisted expression tree matches SIM.cosine's, so the
+    rounded cosines are unchanged."""
+    from sparkgraft.operators.similarity import _dot, _norm
+
+    B = 8
     emb = _t(spark, sf_dir, "embeddings")
     base = emb.select(
         "vec_id",
@@ -3359,25 +3379,24 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "label",
     )
-    corpus = base.unionByName(planted)
-    a = corpus.select(
+    corpus = base.unionByName(planted).select(
         F.col("label").alias("part"),
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
-    )
-    b = corpus.select(
-        F.col("label").alias("part"),
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("v"),
+        _norm(F.col("embedding")).alias("n"),
     )
     pairs = (
-        a.join(b, "part")
-        .filter(F.col("id_a") < F.col("id_b"))
+        SCALE.triangle_self_pairs(
+            corpus, ["part"], "vid", ["v", "n"], n_blocks=B
+        )
         .select(
             "part",
             "id_a",
             "id_b",
-            F.round(SIM.cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.999)
     )

@@ -292,6 +292,80 @@ def widen_narrow_scan(df: DataFrame) -> DataFrame:
     return df
 
 
+def triangle_self_pairs(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    id_col: str,
+    payload_cols: Sequence[str],
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Skew-safe unordered self-pairs within a partition key — the
+    triangle decomposition from :func:`similarity.semantic_dedup`'s
+    round-2 fix, factored out for every blocked-pairwise operator
+    (round 10).
+
+    A plain self-join on the blocking key caps parallelism at the
+    number of blocks and hands a hot block its entire |c|² work in ONE
+    task — the skew killer at 100 TB.  Here each row gets a
+    deterministic hash block b ∈ [0, B); the left side participates in
+    upper-triangle cells (b, q ≥ b), the right side in cells (p ≤ b,
+    b), and the join key is (part, p, q) — every unordered pair meets
+    in exactly one of the B(B+1)/2 cells per partition, the heaviest
+    task does |c|²/B² work, and replication cost is ~(B+1)/2 per side.
+    Cell ids never reach the output, so the result is bit-identical to
+    the plain join.
+
+    Output: one row per unordered pair — ``part_cols``, ``id_a`` <
+    ``id_b``, and each payload column as ``{c}_a`` / ``{c}_b`` oriented
+    to match (a row whose id is the lesser contributes the ``_a``
+    payloads).  Rows sharing an id never pair (matching the plain
+    join's strict ``id_a < id_b``).
+    """
+    part_cols = list(part_cols)
+    payload_cols = list(payload_cols)
+    B = max(1, int(n_blocks))
+    base = df.select(
+        *part_cols,
+        F.pmod(F.xxhash64(id_col), F.lit(B)).cast("int").alias("__b"),
+        F.col(id_col).alias("__id"),
+        *payload_cols,
+    )
+    left = base.select(
+        *part_cols,
+        F.col("__b").alias("__p"),
+        F.explode(F.sequence(F.col("__b"), F.lit(B - 1))).alias("__q"),
+        F.col("__id").alias("__lid"),
+        *[F.col(c).alias(f"__l_{c}") for c in payload_cols],
+    )
+    right = base.select(
+        *part_cols,
+        F.explode(F.sequence(F.lit(0), F.col("__b"))).alias("__p"),
+        F.col("__b").alias("__q"),
+        F.col("__id").alias("__rid"),
+        *[F.col(c).alias(f"__r_{c}") for c in payload_cols],
+    )
+    # Diagonal cells (p == q) hold a full block x block product — keep
+    # each unordered pair once via lid < rid; off-diagonal cells pair
+    # disjoint blocks (already unique), the lesser id on either side.
+    joined = left.join(right, part_cols + ["__p", "__q"]).filter(
+        (F.col("__p") != F.col("__q")) | (F.col("__lid") < F.col("__rid"))
+    )
+    lt = F.col("__lid") < F.col("__rid")
+    return joined.select(
+        *part_cols,
+        F.least("__lid", "__rid").alias("id_a"),
+        F.greatest("__lid", "__rid").alias("id_b"),
+        *[
+            F.when(lt, F.col(f"__l_{c}")).otherwise(F.col(f"__r_{c}")).alias(f"{c}_a")
+            for c in payload_cols
+        ],
+        *[
+            F.when(lt, F.col(f"__r_{c}")).otherwise(F.col(f"__l_{c}")).alias(f"{c}_b")
+            for c in payload_cols
+        ],
+    )
+
+
 def hash_split(
     df,
     id_cols,

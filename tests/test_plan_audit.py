@@ -389,3 +389,40 @@ def test_qint_topk_candidates_broadcast_and_single_shuffle(spark):
     # widening guard may add one round-robin repartition, which moves
     # no data to a key (excluded by count_shuffles' hash/range filter).
     assert audit.count_shuffles(df) <= 1, plan
+
+
+def test_triangle_pairwise_sites_include_blocks(spark):
+    """Every blocked-pairwise operator that joins on a COARSE key
+    (label / brand / nationkey) must carry the triangle cells in its
+    join key (round 10: scale.triangle_self_pairs) — a plain self-join
+    caps parallelism at the key's cardinality and hands a hot block
+    its whole |c|^2 work in one task."""
+    import re
+
+    for q in (
+        entrymod.q_embedding_dedup,
+        entrymod.q_neardup_signals,
+    ):
+        plan = audit.explain_str(q(spark, SF_DIR))
+        joins = re.findall(r"(?:HashJoin|SortMergeJoin) \[([^\]]*)\]", plan)
+        assert any("__p" in j and "__q" in j for j in joins), (
+            q.__name__,
+            plan,
+        )
+    # entity_resolution consumes its triangle pairs inside the driver-
+    # cached connected-components fit (the returned DF is built from
+    # the cached labels, so the pair join is not in ITS plan) — assert
+    # the helper's shape directly on the same blocked input.
+    from sparkgraft.operators.scale import triangle_self_pairs
+    from sparkgraft.sources.readers import read_table
+
+    cust = read_table(spark, SF_DIR, "customer").select(
+        F.col("c_nationkey").alias("block"),
+        F.col("c_custkey").alias("rid"),
+        F.col("c_name").alias("name"),
+    )
+    plan = audit.explain_str(
+        triangle_self_pairs(cust, ["block"], "rid", ["name"])
+    )
+    joins = re.findall(r"(?:HashJoin|SortMergeJoin) \[([^\]]*)\]", plan)
+    assert any("__p" in j and "__q" in j for j in joins), plan

@@ -190,3 +190,35 @@ def test_read_table_caches_plan_per_session(spark):
     c = read_table(spark, "/root/testdata/sf0.001", "nation")
     assert c is not a
     assert a.count() == 5
+
+
+def test_triangle_self_pairs_matches_plain_join(spark):
+    """The triangle decomposition must be bit-identical to the plain
+    blocked self-join: same unordered pair set (each exactly once),
+    payloads oriented to the lesser id — including a hot block holding
+    most rows and a block smaller than the block count."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.operators.scale import triangle_self_pairs
+
+    rows = [("hot", i, f"p{i}") for i in range(40)] + [
+        ("cold", 100 + i, f"q{i}") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "block string, rid long, name string")
+    got = {
+        (r["block"], r["id_a"], r["id_b"], r["name_a"], r["name_b"])
+        for r in triangle_self_pairs(
+            df, ["block"], "rid", ["name"], n_blocks=8
+        ).collect()
+    }
+    a = df.select("block", F.col("rid").alias("id_a"), F.col("name").alias("name_a"))
+    b = df.select("block", F.col("rid").alias("id_b"), F.col("name").alias("name_b"))
+    want = {
+        tuple(r)
+        for r in a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("block", "id_a", "id_b", "name_a", "name_b")
+        .collect()
+    }
+    assert got == want
+    assert len(want) == 40 * 39 // 2 + 3
