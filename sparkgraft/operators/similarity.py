@@ -1009,41 +1009,28 @@ def semantic_dedup(
     # same expression tree as cosine() (sqrt of the square-sum, then
     # the product in the divisor), so results are bit-identical, but
     # each pair costs one array scan (the dot) instead of three.
+    from sparkgraft.operators.scale import triangle_self_pairs
+
     base = assigned.select(
         "cluster",
-        F.pmod(F.xxhash64("__id"), F.lit(B)).cast("int").alias("__b"),
         "__id",
         "__v",
         _norm(F.col("__v")).alias("__n"),
     )
-    left = base.select(
-        "cluster",
-        F.col("__b").alias("__p"),
-        F.explode(F.sequence(F.col("__b"), F.lit(B - 1))).alias("__q"),
-        F.col("__id").alias("lid"),
-        F.col("__v").alias("lv"),
-        F.col("__n").alias("ln"),
-    )
-    right = base.select(
-        "cluster",
-        F.explode(F.sequence(F.lit(0), F.col("__b"))).alias("__p"),
-        F.col("__b").alias("__q"),
-        F.col("__id").alias("rid"),
-        F.col("__v").alias("rv"),
-        F.col("__n").alias("rn"),
-    )
-    # Diagonal cells (p == q) hold a full block×block product — keep
-    # each unordered pair once via lid < rid; off-diagonal cells pair
-    # disjoint blocks, so every (lid, rid) is already unique but the
-    # smaller id may sit on either side — orient with least/greatest.
+    # Round-10: the cell construction lives in the shared
+    # scale.triangle_self_pairs helper (this operator's round-2 fix,
+    # factored out for every blocked-pairwise site).  Payloads come
+    # back oriented to the lesser id; the dot is element-wise
+    # commutative and summed in the same array order, so the rounded
+    # cosines are bit-identical to the pre-helper operand order.
     dup_links = (
-        left.join(right, ["cluster", "__p", "__q"])
-        .filter((F.col("__p") != F.col("__q")) | (F.col("lid") < F.col("rid")))
+        triangle_self_pairs(base, ["cluster"], "__id", ["__v", "__n"], B)
         .select(
-            F.greatest("lid", "rid").alias("cand_id"),
-            F.least("lid", "rid").alias("keep_id"),
+            F.col("id_b").alias("cand_id"),
+            F.col("id_a").alias("keep_id"),
             F.round(
-                _dot(F.col("lv"), F.col("rv")) / (F.col("ln") * F.col("rn")),
+                _dot(F.col("__v_a"), F.col("__v_b"))
+                / (F.col("__n_a") * F.col("__n_b")),
                 digits,
             ).alias("cos_sim"),
         )
