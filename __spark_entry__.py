@@ -1361,7 +1361,9 @@ def q_sql_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a ratio of integer sums that can terminate on the round(·,6)
 # boundary — both go through the HALF-UP integer kernel instead.
 SQL_MARKET_SHARE = """
-    SELECT o_year, nation_cents, total_cents,
+    SELECT o_year,
+           CAST(nation_cents AS BIGINT) AS nation_cents,
+           CAST(total_cents AS BIGINT) AS total_cents,
            CAST((2 * CAST(nation_cents AS {big}) * 1000000
                  + CAST(total_cents AS {big}))
                 {div} (2 * CAST(total_cents AS {big})) AS DOUBLE)
@@ -1473,7 +1475,10 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_validate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level expectations over lineitem: named admission rules,
-    per-row failed-rule list + verdict (quarantine-table input)."""
+    per-row failed-rule list + verdict (quarantine-table input).  The
+    gate surface joins the rule list to one VARCHAR ('' = clean):
+    array-typed result columns fetch as numpy arrays under pandas/
+    Arrow fetch paths — the r10 unproven-canonicalization class."""
     from sparkgraft.operators.merge import validate_rows
 
     li = _t(spark, sf_dir, "lineitem")
@@ -1482,7 +1487,8 @@ def q_validate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "discount_le_06": F.col("l_discount") <= 0.06,
         "tax_lt_05": F.col("l_tax") < 0.05,
     }
-    return validate_rows(li, rules, ["l_orderkey", "l_linenumber"])
+    out = validate_rows(li, rules, ["l_orderkey", "l_linenumber"])
+    return out.withColumn("failed_rules", F.concat_ws("|", "failed_rules"))
 
 
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1493,9 +1499,14 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss 64→16 reduction with the deterministic ±1
-    hyperplane matrix as plan-time literals (shuffle-free)."""
-    return SIM.random_projection(
+    hyperplane matrix as plan-time literals (shuffle-free).  The gate
+    surface explodes to one scalar DOUBLE per component (array result
+    columns are the r10 unproven-fetch-canonicalization class)."""
+    proj = SIM.random_projection(
         _t(spark, sf_dir, "embeddings"), out_dim=16
+    )
+    return proj.select(
+        "vec_id", F.posexplode("projected").alias("pos", "projected")
     )
 
 
@@ -1852,9 +1863,11 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # Gate surface: changed_cols joins to one VARCHAR ('' = none) —
+    # array result columns are the r10 unproven-fetch class.
     return snapshot_diff(
         base, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
-    )
+    ).withColumn("changed_cols", F.concat_ws("|", "changed_cols"))
 
 
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2745,9 +2758,11 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _PCA_CACHE[key] = got
     comps, _vals, mean = got
+    # Gate surface: one scalar DOUBLE row per (vector, component) —
+    # array result columns are the r10 unproven-fetch class.
     return pca_project(
         _t(spark, sf_dir, "embeddings"), "embedding", comps, mean
-    )
+    ).select("vec_id", F.posexplode("pc").alias("comp", "pc"))
 
 
 # The trained weight vector is deterministic per (session, sf_dir) —
@@ -2993,10 +3008,18 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding corpus: per-dim
     min/max calibration (1-row broadcast stats) + shuffle-free encode
-    projection — 4x-smaller ANN candidate vectors."""
+    projection — 4x-smaller ANN candidate vectors.  The gate surface
+    joins the code vector to one VARCHAR (integer formatting is
+    engine-identical; array result columns are the r10 unproven-fetch
+    class)."""
     emb = _t(spark, sf_dir, "embeddings")
     stats = SIM.quantization_stats(emb)
-    return SIM.quantize_embeddings(emb, stats).select("vec_id", "codes")
+    return SIM.quantize_embeddings(emb, stats).select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform("codes", lambda c: c.cast("string"))
+        ).alias("codes"),
+    )
 
 
 def q_debounce_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6567,8 +6590,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # upload_dedup + event_store_dedup → dedup_router_panel (P10
     # remote-dedup family).  No sole §2/LLM witness evicted; all six
     # reshaped components stay oracle-checked standalone at 51+.
+    # Round-11 RESTORATION (r10 verdict task 3): the surgery worked —
+    # the r10 split verdict + a judge-side DESCRIBE scan pinned every
+    # driver-red since round 7 to HUGEINT-typed oracle result columns
+    # (the driver's fetch path maps DuckDB HUGEINT to float64: 118
+    # hashes as 118.0), all 8 sites now CAST AS BIGINT and the class
+    # is forbidden by tools/dialect_audit.py.  The window therefore
+    # folds back to its pre-surgery composition: annotate_panel and
+    # retrieval_metrics return (both carrying the BIGINT casts),
+    # latest_panel / dedup_router_panel re-expand into their four
+    # independent A2/P10 leg witnesses.  The four diagnostic slices
+    # stay oracle-checked standalone at 51+.
     "stats_panel": q_stats_panel,
-    "latest_panel": q_latest_panel,
+    "latest_per_user": q_latest_per_user,
+    "latest_fallback": q_latest_fallback,
     "top_per_group": q_top_per_group,
     "broadcast_lookup": q_broadcast_lookup,
     "set_algebra": q_set_algebra,
@@ -6596,7 +6631,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_panel": q_classifier_panel,
     # --- remaining SURVEY §2 verifying queries ---
     "report_scan": q_report_scan,
-    "dedup_router_panel": q_dedup_router_panel,
+    "upload_dedup": q_upload_dedup,
+    "event_store_dedup": q_event_store_dedup,
     "debounce_gate": q_debounce_gate,
     "alarm_trigger": q_alarm_trigger,
     # Round-4 promotion: sens_latest_kv was a second witness on every
@@ -6604,8 +6640,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # latest_fallback, P2 via kv_projection) — it moves to 51+ and the
     # freed slot carries the Gopher rule-based quality gate.
     "gopher_gate": q_gopher_gate,
-    "label_vote": q_label_vote,
-    "rater_agreement": q_rater_agreement,
+    "annotate_panel": q_annotate_panel,
     # --- LLM-data-pipeline first-class set ---
     # Round-4 reshuffle (per the round-3 verdict): same-family second
     # witnesses merged — simhash + ngram_jaccard + fuzzy_match →
@@ -6636,7 +6671,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paragraph_dedup": q_paragraph_dedup,
     # --- flagship E2E + round-2/3 flagships 40-50 ---
     "e1_flagship": q_e1_flagship,
-    "retrieval_hits": q_retrieval_hits,
+    "retrieval_metrics": q_retrieval_metrics,
     "forget_flow": q_forget_flow,
     "timeseries_interp": q_timeseries_interp,
     "robust_outliers": q_robust_outliers,
@@ -6658,7 +6693,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-7 promotions: the round-6 measurement legs (retrieval
     # evaluation, classifier evaluation incl. exact tie-aware ROC-AUC,
     # and the winnowing 100 TB budget lever's full SQL replay) ---
-    "retrieval_scores": q_retrieval_scores,
     "kanon_audit": q_kanon_audit,
     "suffix_budget": q_suffix_budget,
     # ---- position 51+: second witnesses / engine extras --------------------
@@ -6691,18 +6725,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # classifier train/eval via classifier_panel, all five ANN
     # strategies via ann_panel, pairwise + cluster-scoped embedding
     # dedup via semdedup_panel.
-    # Round-10 demotions (diagnostic window surgery): latest_per_user +
-    # latest_fallback via latest_panel's two legs, upload_dedup +
-    # event_store_dedup via dedup_router_panel's two legs;
-    # annotate_panel via its in-window components label_vote +
-    # rater_agreement; retrieval_metrics via its in-window slices
-    # retrieval_hits + retrieval_scores (same underlying computation).
-    "latest_per_user": q_latest_per_user,
-    "latest_fallback": q_latest_fallback,
-    "upload_dedup": q_upload_dedup,
-    "event_store_dedup": q_event_store_dedup,
-    "annotate_panel": q_annotate_panel,
-    "retrieval_metrics": q_retrieval_metrics,
+    # Round-11 demotions (window restoration after the HUGEINT root
+    # cause closed): the four r10 diagnostic slices label_vote +
+    # rater_agreement (witnessed in-window via annotate_panel) and
+    # retrieval_hits + retrieval_scores (via retrieval_metrics — the
+    # same underlying computation), plus the two slot-funding merge
+    # panels latest_panel (via latest_per_user + latest_fallback) and
+    # dedup_router_panel (via upload_dedup + event_store_dedup).
+    "label_vote": q_label_vote,
+    "rater_agreement": q_rater_agreement,
+    "retrieval_hits": q_retrieval_hits,
+    "retrieval_scores": q_retrieval_scores,
+    "latest_panel": q_latest_panel,
+    "dedup_router_panel": q_dedup_router_panel,
     "semi_anti_join": q_semi_anti_join,
     "set_ops": q_set_ops,
     "decontaminate": q_decontaminate,
@@ -7968,8 +8003,8 @@ def _report_oracles() -> dict[str, str]:
     """
     o["crack_density_grid"] = f"""
         WITH {rows_cte}
-        SELECT CAST(floor(X / 1.0) AS BIGINT) AS cell_x,
-               CAST(floor(Y / 0.5) AS BIGINT) AS cell_y,
+        SELECT CAST(floor(CAST(X AS DOUBLE) / 1.0) AS BIGINT) AS cell_x,
+               CAST(floor(CAST(Y AS DOUBLE) / 0.5) AS BIGINT) AS cell_y,
                count(*) AS n_cracks,
                {{mean_wcr}} AS mean_width
         FROM rows_parsed
@@ -8613,14 +8648,14 @@ def _llm_oracles() -> dict[str, str]:
     # Mirrors merge.validate_rows over lineitem admission rules.
     o["validate_rows"] = """
         SELECT l_orderkey, l_linenumber,
-               list_filter([
+               coalesce(array_to_string(list_filter([
                    CASE WHEN NOT coalesce(l_quantity <= 30, FALSE)
                         THEN 'qty_le_30' END,
                    CASE WHEN NOT coalesce(l_discount <= 0.06, FALSE)
                         THEN 'discount_le_06' END,
                    CASE WHEN NOT coalesce(l_tax < 0.05, FALSE)
                         THEN 'tax_lt_05' END
-               ], x -> x IS NOT NULL) AS failed_rules,
+               ], x -> x IS NOT NULL), '|'), '') AS failed_rules,
                (len(list_filter([
                    CASE WHEN NOT coalesce(l_quantity <= 30, FALSE)
                         THEN 'qty_le_30' END,
@@ -8653,8 +8688,14 @@ def _llm_oracles() -> dict[str, str]:
         " / 4.0, 6)"
         for plane in _hs(16, 64)
     )
+    # Exploded to one scalar DOUBLE row per component: array-typed
+    # result columns fetch as numpy arrays under pandas/Arrow fetch
+    # paths (unproven driver canonicalization — the r10 HUGEINT
+    # lesson), so the gate emits only whitelisted scalar types.
     o["random_projection"] = f"""
-        SELECT vec_id, [{_rp_comps}] AS projected FROM embeddings
+        SELECT vec_id, i - 1 AS pos, list_extract(projected, i) AS projected
+        FROM (SELECT vec_id, [{_rp_comps}] AS projected FROM embeddings),
+             generate_series(1, 16) AS g(i)
     """
 
     # Mirrors graph.pagerank_exact: 5 unrolled integer-arithmetic
@@ -9102,8 +9143,11 @@ def _llm_oracles() -> dict[str, str]:
                     WHEN nk IS NULL THEN 'removed'
                     WHEN len(diffs) > 0 THEN 'changed'
                     ELSE 'unchanged' END AS change_type,
-               CASE WHEN ok IS NOT NULL AND nk IS NOT NULL AND len(diffs) > 0
-                    THEN diffs ELSE CAST([] AS VARCHAR[]) END AS changed_cols
+               coalesce(array_to_string(
+                   CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                             AND len(diffs) > 0
+                        THEN diffs ELSE CAST([] AS VARCHAR[]) END,
+                   '|'), '') AS changed_cols
         FROM j
     """
 
@@ -9645,7 +9689,7 @@ def _llm_oracles() -> dict[str, str]:
         SELECT shard,
                CAST(floor((cum_tokens - n_chunk_tokens) / CAST(512 AS DOUBLE)) AS BIGINT) AS pack_id,
                count(*) AS n_chunks,
-               sum(n_chunk_tokens) AS n_tokens
+               CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens
         FROM cum GROUP BY 1, 2
     """
 
@@ -9822,12 +9866,13 @@ def _llm_oracles() -> dict[str, str]:
             FROM per
         )
         SELECT vec_id,
+               array_to_string(
                list_transform(generate_series(1, len(embedding)),
                    i -> CASE WHEN CAST(mxs[i] AS DOUBLE) > CAST(mns[i] AS DOUBLE)
                              THEN CAST(round(
                                   (CAST(embedding[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE)) * 255.0
                                   / (CAST(mxs[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE)), 0) AS INT)
-                             ELSE 0 END) AS codes
+                             ELSE 0 END), ',') AS codes
         FROM embeddings CROSS JOIN arrs
     """
 
@@ -10349,7 +10394,7 @@ ORACLES["dedup_rewrite"] = f"""
     )
     SELECT d.doc_id,
            coalesce(p.n_cut, 0) AS n_cut,
-           coalesce(p.chars_cut, 0) AS chars_cut,
+           CAST(coalesce(p.chars_cut, 0) AS BIGINT) AS chars_cut,
            CAST(length(d.text) - coalesce(p.chars_cut, 0) AS INT)
                AS len_dedup
     FROM documents d
@@ -10371,7 +10416,7 @@ ORACLES["suffix_gate"] = f"""
     SELECT b.doc_id,
            b.n_chars,
            coalesce(p.n_spans, 0) AS n_spans,
-           coalesce(p.dup_chars, 0) AS dup_chars,
+           CAST(coalesce(p.dup_chars, 0) AS BIGINT) AS dup_chars,
            coalesce(p.max_span_len, 0) AS max_span_len,
            {_ratio_sql("coalesce(p.dup_chars, 0)", "b.n_chars", 4)}
                AS dup_fraction,
@@ -11718,7 +11763,7 @@ ORACLES["retrieval_metrics"] = """
     )
     SELECT query_id,
            coalesce(n.n_rel, 0) AS n_rel,
-           coalesce(p.n_hits, 0) AS n_hits,
+           CAST(coalesce(p.n_hits, 0) AS BIGINT) AS n_hits,
            CASE WHEN coalesce(n.n_rel, 0) > 0 THEN
            """ + _ratio_sql("coalesce(p.n_hits, 0)", "n.n_rel", 6) + """
            END AS recall_at_k,
@@ -11810,7 +11855,8 @@ ORACLES["label_vote"] = (
                                   ORDER BY n_agree DESC, label ASC) AS rn
         FROM sel
     )
-    SELECT item_id, label AS voted_label, n_agree, n_votes,
+    SELECT item_id, label AS voted_label, n_agree,
+           CAST(n_votes AS BIGINT) AS n_votes,
            """
     + _ratio_sql("n_agree", "n_votes", 6)
     + """ AS agreement
@@ -12585,12 +12631,13 @@ ORACLES["holt_winters"] = f"""
     init AS (
         SELECT event_type, n, 4 AS t,
                (y1 + y2 + y3 + y4) / CAST(4 AS DOUBLE) AS lvl,
-               ((y5 + y6 + y7 + y8) / 4.0 - (y1 + y2 + y3 + y4) / 4.0)
-                   / 4.0 AS trend,
-               y1 - (y1 + y2 + y3 + y4) / 4.0 AS s0,
-               y2 - (y1 + y2 + y3 + y4) / 4.0 AS s1,
-               y3 - (y1 + y2 + y3 + y4) / 4.0 AS s2,
-               y4 - (y1 + y2 + y3 + y4) / 4.0 AS s3
+               ((y5 + y6 + y7 + y8) / CAST(4 AS DOUBLE)
+                 - (y1 + y2 + y3 + y4) / CAST(4 AS DOUBLE))
+                   / CAST(4 AS DOUBLE) AS trend,
+               y1 - (y1 + y2 + y3 + y4) / CAST(4 AS DOUBLE) AS s0,
+               y2 - (y1 + y2 + y3 + y4) / CAST(4 AS DOUBLE) AS s1,
+               y3 - (y1 + y2 + y3 + y4) / CAST(4 AS DOUBLE) AS s2,
+               y4 - (y1 + y2 + y3 + y4) / CAST(4 AS DOUBLE) AS s3
         FROM first8
     ),
     fold AS (
@@ -13106,7 +13153,7 @@ cand AS (
     JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
                  AND a.id < b.id
 )
-SELECT id_a, id_b, bit_count(xor(ha, hb)) AS hamming
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
 FROM cand
 WHERE bit_count(xor(ha, hb)) <= 3"""
     )
@@ -13774,10 +13821,14 @@ def _pca_oracle_sql(dim: int = 64, k: int = 8, iters: int = 40) -> str:
     CROSS JOIN clist c
     JOIN offs o USING (comp)
 )""")
+    # One scalar row per component (not a DOUBLE[] column): list-typed
+    # result columns fetch as numpy arrays on pandas/Arrow fetch paths
+    # — the same unproven-canonicalization class as the r10 HUGEINT
+    # reds — so the gate surface emits only whitelisted scalar types.
     return (
         "WITH " + ",\n".join(ctes)
-        + "\nSELECT vec_id, list(pval ORDER BY comp) AS pc"
-        + "\nFROM proj GROUP BY vec_id"
+        + "\nSELECT vec_id, comp, pval AS pc"
+        + "\nFROM proj"
     )
 
 
@@ -13805,7 +13856,7 @@ anotes AS (
 ),
 asig AS MATERIALIZED (
     SELECT n.src, g.n + n.j * 512 AS n,
-           CAST(round(CAST(CAST(sin((2 * pi() * n.f) * (g.n / 8000.0))
+           CAST(round(CAST(CAST(sin((2 * pi() * n.f) * (CAST(g.n AS DOUBLE) / 8000.0))
                 AS REAL) AS DOUBLE) * 10000.0) AS BIGINT) AS xq
     FROM anotes n, generate_series(0, 511) AS g(n)
 ),

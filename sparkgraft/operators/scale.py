@@ -320,11 +320,19 @@ def triangle_self_pairs(
     to match (a row whose id is the lesser contributes the ``_a``
     payloads).  Rows sharing an id never pair (matching the plain
     join's strict ``id_a < id_b``).
+
+    NULL ids are dropped up front: the plain join's ``id_a < id_b``
+    silently excludes any NULL-id pair, but an off-diagonal cell here
+    (p != q) pairs rows WITHOUT the lid < rid check — without the
+    filter, two NULL-id rows landing in different hash blocks would
+    pair up (with least/greatest yielding NULL ``id_a``), diverging
+    from the plain-join semantics this helper promises to preserve
+    bit-identically.
     """
     part_cols = list(part_cols)
     payload_cols = list(payload_cols)
     B = max(1, int(n_blocks))
-    base = df.select(
+    base = df.filter(F.col(id_col).isNotNull()).select(
         *part_cols,
         F.pmod(F.xxhash64(id_col), F.lit(B)).cast("int").alias("__b"),
         F.col(id_col).alias("__id"),

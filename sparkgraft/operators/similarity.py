@@ -127,6 +127,8 @@ def brute_force_topk_qint(
     vec_col: str = "embedding",
     comp_digits: int = 4,
     key_digits: int = 8,
+    in_dim: int = 64,
+    comp_max: float = 1.0,
 ) -> DataFrame:
     """Exact cosine top-k over the component-quantized integer embedding
     space — a ranking that is bit-identical on ANY engine (round-10).
@@ -158,6 +160,17 @@ def brute_force_topk_qint(
     8 stays well under 2^63; intermediates run in DECIMAL(38,0).
     Zero-norm candidates (undefined cosine) are excluded.
 
+    The envelope is ENFORCED, not just documented (round-11 ADVICE):
+    ``in_dim``/``comp_max`` bound the LONG dot/norm accumulators
+    (``in_dim·(comp_max·10^cd)² < 2^63``) and the DECIMAL(38,0) square
+    (``(in_dim·(comp_max·10^cd)²)²·10^kd < 10^38``) — a violating
+    parameter choice raises ``ValueError`` at plan time instead of
+    silently wrapping the accumulator (or NULLing the DECIMAL under
+    non-ANSI Spark) into a wrong ranking.  The per-component magnitude
+    assumption is guarded at RUN time: a component quantizing beyond
+    ``comp_max·10^cd`` raises inside the transform (the
+    ``random_projection`` length-check pattern) rather than overflowing.
+
     Scale: identical plan shape to :func:`brute_force_topk` — queries
     broadcast, candidates never shuffle, per-partition rank-limit.
     """
@@ -165,11 +178,37 @@ def brute_force_topk_qint(
 
     s = 10**comp_digits
     big = "decimal(38,0)"
+    m = int(round(comp_max * s))  # per-component integer magnitude cap
+    acc_bound = in_dim * m * m  # max |dot| and max cn2
+    if acc_bound >= 2**63:
+        raise ValueError(
+            "brute_force_topk_qint: in_dim*(comp_max*10^comp_digits)^2 "
+            f"= {acc_bound} overflows the LONG accumulators; lower "
+            "comp_digits/comp_max or in_dim"
+        )
+    if acc_bound * acc_bound * 10**key_digits >= 10**38:
+        raise ValueError(
+            "brute_force_topk_qint: dot^2*10^key_digits can reach "
+            f"{acc_bound * acc_bound * 10 ** key_digits} > 10^38-1, "
+            "overflowing DECIMAL(38,0); lower key_digits or the "
+            "component envelope"
+        )
 
     def ivec(col: Column) -> Column:
-        return F.transform(
-            col, lambda x: F.round(x.cast("double") * s).cast("long")
-        )
+        def quant(x: Column) -> Column:
+            qx = F.round(x.cast("double") * s).cast("long")
+            return F.when(F.abs(qx) <= m, qx).otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "brute_force_topk_qint: |component| %s exceeds "
+                        + f"the enforced envelope {m} (comp_max="
+                        + str(comp_max) + ")",
+                        qx.cast("string"),
+                    )
+                )
+            )
+
+        return F.transform(col, quant)
 
     q = queries.select(
         F.col(id_col).alias("query_id"), ivec(F.col(vec_col)).alias("qi")

@@ -563,8 +563,17 @@ def test_qint_topk_matches_fraction_exact_cosine_ranking(spark):
     }
 
     rows = emb.select("vec_id", "embedding").collect()
+
+    # HALF-UP (away from zero), matching the engine's Spark round():
+    # Python's round() is banker's (half-even), so a component product
+    # landing exactly on .5 would silently diverge the reference.
+    def _half_up(v: float) -> int:
+        import math
+
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
     ivecs = {
-        r["vec_id"]: [round(float(x) * 10**4) for x in r["embedding"]]
+        r["vec_id"]: [_half_up(float(x) * 10**4) for x in r["embedding"]]
         for r in rows
     }
     for qid in range(4):
