@@ -1627,9 +1627,16 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct active users per week offset."""
     ev = _t(spark, sf_dir, "events")
     firsts = ev.groupBy("user_id").agg(F.min("ts").alias("f"))
+    # cohort_week emits as 'yyyy-MM-dd' VARCHAR: a DATE result column
+    # fetches asymmetrically (Spark -> datetime.date objects, DuckDB
+    # pandas path -> datetime64 midnight timestamps) — the same
+    # fetch-canonicalization class as the r10 HUGEINT reds
+    # (tools/fetch_dtype_audit.py).
     joined = ev.join(firsts, "user_id").select(
         "user_id",
-        F.date_trunc("week", F.col("f")).cast("date").alias("cohort_week"),
+        F.date_format(
+            F.date_trunc("week", F.col("f")), "yyyy-MM-dd"
+        ).alias("cohort_week"),
         F.expr(
             "datediff(to_date(ts), to_date(date_trunc('week', f))) div 7"
         ).alias("week_offset"),
@@ -4413,7 +4420,11 @@ def q_calendar_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("o_orderdate").alias("q"),
         F.month("o_orderdate").alias("m"),
         F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
-        F.last_day("o_orderdate").alias("month_end"),
+        # 'yyyy-MM-dd' VARCHAR, not DATE: date results fetch
+        # asymmetrically across engines (fetch_dtype_audit).
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias(
+            "month_end"
+        ),
     ).agg(
         F.count("*").alias("n_orders"),
         F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
@@ -7342,7 +7353,7 @@ BATCH4_ORACLES: dict[str, str] = {
                quarter(o_orderdate) AS q,
                month(o_orderdate) AS m,
                CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
-               last_day(o_orderdate) AS month_end,
+               strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
                count(*) AS n_orders,
                count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
                count(*) FILTER (WHERE o_totalprice > 200000) AS n_big
@@ -8875,7 +8886,8 @@ def _llm_oracles() -> dict[str, str]:
         WITH firsts AS (
             SELECT user_id, min(ts) AS f FROM events GROUP BY user_id
         )
-        SELECT CAST(date_trunc('week', f) AS DATE) AS cohort_week,
+        SELECT strftime(CAST(date_trunc('week', f) AS DATE), '%Y-%m-%d')
+                   AS cohort_week,
                date_diff('day', CAST(date_trunc('week', f) AS DATE),
                          CAST(e.ts AS DATE)) // 7 AS week_offset,
                count(DISTINCT e.user_id) AS n_users

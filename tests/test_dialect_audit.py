@@ -87,6 +87,35 @@ def test_fixed_emissions_fetch_integer_on_pandas_path():
         )
 
 
+def test_date_pandas_fetch_mechanism():
+    """Why DATE is absent from the result-type whitelist: DuckDB's
+    pandas path promotes DATE to a datetime64 midnight timestamp while
+    Spark fetches datetime.date objects — isoformat '2000-11-30' vs
+    '2000-11-30T00:00:00', the HUGEINT asymmetry again.  (The two
+    former DATE emissions now produce 'yyyy-MM-dd' VARCHAR.)"""
+    df = (
+        duckdb.connect()
+        .execute("SELECT DATE '2000-11-30' AS d")
+        .fetchdf()
+    )
+    assert str(df.dtypes["d"]).startswith("datetime64")  # the asymmetry
+    assert "T00:00:00" in df.iloc[0]["d"].isoformat()
+
+
+def test_compatible_kind_matrix():
+    """fetch_dtype_audit's kind-compatibility rules: int/float passes
+    only under genuine NULL promotion (NaN present on the float side),
+    never for a NaN-free float — the HUGEINT signature."""
+    from tools.fetch_dtype_audit import _compatible
+
+    assert _compatible(("i", False), ("i", False))
+    assert _compatible(("i", False), ("u", False))
+    assert _compatible(("i", False), ("f", True))  # NULL promotion
+    assert not _compatible(("i", False), ("f", False))  # HUGEINT class
+    assert not _compatible(("O", False), ("M", False))  # DATE class
+    assert _compatible(("b", False), ("O", False))
+
+
 def test_fixed_emissions_fit_bigint():
     """MAX() probe (r10 verdict task 1): every fixed emission fits
     BIGINT with >= 6 orders of magnitude of headroom at this SF, so

@@ -75,14 +75,19 @@ TABLES = (
 
 # Fetch-stable result types: identical canonical Python values on the
 # fetchall AND pandas/Arrow fetch paths.  FLOAT rides on direct driver
-# evidence (green reg_value hashes, CORRECTNESS_r02..r10).
+# evidence (green reg_value hashes, CORRECTNESS_r02..r10).  DATE is
+# deliberately ABSENT: Spark fetches dates as datetime.date objects
+# ('2000-11-30') while DuckDB's pandas path yields datetime64 midnight
+# timestamps ('2000-11-30 00:00:00') — asymmetric canonicalization,
+# the HUGEINT class again (tools/fetch_dtype_audit.py found the two
+# sites; both now emit 'yyyy-MM-dd' VARCHAR).  TIMESTAMP is symmetric:
+# both paths yield datetime-kind values with identical isoformat.
 ALLOWED_RESULT_TYPES = {
     "BOOLEAN",
     "INTEGER",
     "BIGINT",
     "DOUBLE",
     "VARCHAR",
-    "DATE",
     "TIMESTAMP",
     "FLOAT",
 }
