@@ -222,3 +222,28 @@ def test_triangle_self_pairs_matches_plain_join(spark):
     }
     assert got == want
     assert len(want) == 40 * 39 // 2 + 3
+
+
+def test_triangle_self_pairs_drops_null_ids(spark):
+    """Round-11 ADVICE fix: NULL-id rows must not pair.  The plain
+    join's id_a < id_b drops NULL pairs implicitly; an off-diagonal
+    triangle cell pairs rows WITHOUT that check, so the helper filters
+    NULL ids up front — otherwise two NULL-id rows in different hash
+    blocks would emit a pair with NULL id_a/id_b."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.operators.scale import triangle_self_pairs
+
+    rows = [("g", i, f"p{i}") for i in range(6)] + [
+        ("g", None, "n1"),
+        ("g", None, "n2"),
+        ("g", None, "n3"),
+    ]
+    df = spark.createDataFrame(rows, "block string, rid long, name string")
+    got = triangle_self_pairs(
+        df, ["block"], "rid", ["name"], n_blocks=8
+    ).collect()
+    assert all(
+        r["id_a"] is not None and r["id_b"] is not None for r in got
+    )
+    assert len(got) == 6 * 5 // 2  # NULL-id rows contribute nothing

@@ -619,6 +619,36 @@ def test_qint_topk_negative_cosine_ordering_and_zero_norm(spark):
     assert order == [1, 2, 3, 4]
 
 
+def test_qint_topk_envelope_enforced(spark):
+    """Round-11 ADVICE fix: the overflow envelope is enforced, not
+    documented — a parameter choice that could wrap the LONG
+    accumulators or overflow the DECIMAL(38,0) square raises at plan
+    time, and a component beyond comp_max raises at run time."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql.utils import PythonException
+
+    from sparkgraft.operators.similarity import brute_force_topk_qint
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.5, 0.5])], "vec_id long, embedding array<float>"
+    )
+    # plan-time: comp_digits 10 -> in_dim*(10^10)^2 overflows LONG
+    with pytest.raises(ValueError, match="LONG accumulators"):
+        brute_force_topk_qint(df, df, k=1, comp_digits=10)
+    # plan-time: key_digits pushes the DECIMAL(38,0) square over 10^38
+    with pytest.raises(ValueError, match="DECIMAL"):
+        brute_force_topk_qint(df, df, k=1, key_digits=22)
+    # run-time: |component| 3.0 > comp_max 1.0 raises inside the plan
+    big = spark.createDataFrame(
+        [(0, [3.0, 0.0]), (1, [0.5, 0.5])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises((Py4JJavaError, PythonException, Exception)):
+        brute_force_topk_qint(
+            big.filter(F.col("vec_id") == 0), big, k=1
+        ).collect()
+
+
 def test_qint_topk_membership_tracks_float_topk(spark):
     """On real embeddings the quantized-integer ranking and the float
     ranking agree except at genuine near-ties: top-10 membership per
