@@ -197,7 +197,9 @@ def brute_force_topk_qint(
     def ivec(col: Column) -> Column:
         def quant(x: Column) -> Column:
             qx = F.round(x.cast("double") * s).cast("long")
-            return F.when(F.abs(qx) <= m, qx).otherwise(
+            # NULL components propagate (pre-guard behavior); only a
+            # present component beyond the envelope is a hard error.
+            return F.when(qx.isNull() | (F.abs(qx) <= m), qx).otherwise(
                 F.raise_error(
                     F.format_string(
                         "brute_force_topk_qint: |component| %s exceeds "
@@ -208,7 +210,19 @@ def brute_force_topk_qint(
                 )
             )
 
-        return F.transform(col, quant)
+        # The plan-time overflow envelope assumes ≤ in_dim components;
+        # enforce that against the actual array so a wider vector can't
+        # silently exceed the LONG/DECIMAL accumulator bounds.
+        guarded = F.when(F.size(col) <= in_dim, col).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "brute_force_topk_qint: vector length %s exceeds "
+                    + f"the enforced in_dim {in_dim}",
+                    F.size(col).cast("string"),
+                )
+            )
+        )
+        return F.transform(guarded, quant)
 
     q = queries.select(
         F.col(id_col).alias("query_id"), ivec(F.col(vec_col)).alias("qi")

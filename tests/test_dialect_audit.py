@@ -1,7 +1,8 @@
 """The oracle dialect must stay DuckDB-version- AND fetch-path-
 hardened (round 10, extended round 11): every oracle result column
 must be a fetch-stable type (BOOLEAN/INTEGER/BIGINT/DOUBLE/VARCHAR/
-DATE/TIMESTAMP, plus the driver-proven FLOAT), no integer-numerator
+TIMESTAMP, plus the driver-proven FLOAT — DATE is deliberately
+excluded, see test_date_pandas_fetch_mechanism), no integer-numerator
 bare-decimal-literal divisions, no bracket list-index sugar on
 expressions — the construct classes whose typing/semantics churn
 between DuckDB releases or whose fetch canonicalization diverges

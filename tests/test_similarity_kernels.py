@@ -625,8 +625,6 @@ def test_qint_topk_envelope_enforced(spark):
     accumulators or overflow the DECIMAL(38,0) square raises at plan
     time, and a component beyond comp_max raises at run time."""
     import pytest
-    from py4j.protocol import Py4JJavaError
-    from pyspark.sql.utils import PythonException
 
     from sparkgraft.operators.similarity import brute_force_topk_qint
 
@@ -643,10 +641,48 @@ def test_qint_topk_envelope_enforced(spark):
     big = spark.createDataFrame(
         [(0, [3.0, 0.0]), (1, [0.5, 0.5])], "vec_id long, embedding array<float>"
     )
-    with pytest.raises((Py4JJavaError, PythonException, Exception)):
+    with pytest.raises(Exception, match="exceeds"):
         brute_force_topk_qint(
             big.filter(F.col("vec_id") == 0), big, k=1
         ).collect()
+
+
+def test_qint_topk_vector_length_guard(spark):
+    """Round-12 ADVICE fix: the plan-time overflow envelope assumes at
+    most in_dim components; a wider vector now raises at run time
+    instead of silently exceeding the accumulator bound."""
+    import pytest
+
+    from sparkgraft.operators.similarity import brute_force_topk_qint
+
+    wide = spark.createDataFrame(
+        [(0, [0.5, 0.5, 0.5]), (1, [0.5, 0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="exceeds the enforced in_dim"):
+        brute_force_topk_qint(wide, wide, k=1, in_dim=2).collect()
+    # exactly in_dim components is fine
+    ok = spark.createDataFrame(
+        [(0, [0.5, 0.5]), (1, [0.4, 0.6])], "vec_id long, embedding array<float>"
+    )
+    assert brute_force_topk_qint(ok, ok, k=1, in_dim=2).count() == 2
+
+
+def test_qint_topk_null_components_propagate(spark):
+    """Round-12 ADVICE fix: NULL components must propagate through
+    quantization (pre-guard behavior) rather than trip the envelope
+    raise_error — the NULL-bearing candidate simply drops out via its
+    NULL norm, it does not fail the whole job."""
+    from sparkgraft.operators.similarity import brute_force_topk_qint
+
+    df = spark.createDataFrame(
+        [(0, [0.5, None]), (1, [0.5, 0.5]), (2, [0.4, 0.6])],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.filter(F.col("vec_id") == 1)
+    # must not raise; the NULL-bearing row 0 contributes no valid norm
+    out = brute_force_topk_qint(q, df, k=3).collect()
+    assert all(r.neighbor_id != 0 for r in out)
 
 
 def test_qint_topk_membership_tracks_float_topk(spark):
