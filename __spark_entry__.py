@@ -647,10 +647,7 @@ def q_upload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "name",
         "size",
-        F.when(F.col("rsize").isNull(), F.lit("upload"))
-        .when(F.col("rsize") == F.col("size"), F.lit("skip"))
-        .otherwise(F.lit("rename_dup"))
-        .alias("action"),
+        E.upload_action(F.col("size"), F.col("rsize")).alias("action"),
     )
 
 

@@ -118,6 +118,25 @@ def relative_time(row_index: Column, sample_rate: Column) -> Column:
     return (row_index.cast("double") - F.lit(1.0)) / sample_rate
 
 
+def upload_action(size: Column, remote_size: Column) -> Column:
+    """P10/D4 — remote-dedup routing decision for one candidate file.
+
+    Reference: uploader/main.py:77-85 — no remote counterpart under the
+    plain name → upload; remote exists with the SAME size → skip; remote
+    exists with a DIFFERENT size → upload under a ``.dup_<mtime>``
+    rename.  The decision always compares against the PLAIN remote name:
+    a prior rename cycle leaves the plain name's size unchanged, so a
+    re-offered identical candidate keeps routing ``rename_dup`` (never
+    ``skip``), and a candidate whose size now matches the plain remote
+    again routes ``skip`` even if ``.dup`` copies exist.
+    """
+    return (
+        F.when(remote_size.isNull(), F.lit("upload"))
+        .when(remote_size == size, F.lit("skip"))
+        .otherwise(F.lit("rename_dup"))
+    )
+
+
 def is_10min_aligned(ts: Column) -> Column:
     """P4 — alignment predicate: minute %% 10 == 0 and second == 0.
 
