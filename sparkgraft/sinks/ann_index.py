@@ -115,12 +115,49 @@ def append_ann_index(
     )
 
 
+# Session-scoped index cache (the readers._TABLE_CACHE pattern): a
+# serve re-read the (tiny) centroid/codebook parquet from disk on EVERY
+# call — ~0.35 s of sequential driver work per serve at sf0.1 (r12
+# ann_forget decomposition).  Keyed by applicationId + a stat-based
+# content version, so every mutation path invalidates: write_ann_index
+# rewrites centroids/codebooks/codes, append/compact rewrite codes/
+# (_SUCCESS), delete adds tombstones/ (parent dir mtime).  The codes
+# entry is a lazy immutable plan; centroids/codebooks are driver values.
+_INDEX_CACHE: dict[tuple, tuple] = {}
+
+
+def _index_version(index_dir: str) -> tuple:
+    import os
+
+    parts = []
+    for sub in ("", "codes", "centroids", "codebooks", "tombstones"):
+        p = os.path.join(index_dir, sub) if sub else index_dir
+        try:
+            parts.append(os.stat(p).st_mtime_ns)
+        except FileNotFoundError:
+            parts.append(0)
+    return tuple(parts)
+
+
 def read_ann_index(
     spark: SparkSession, index_dir: str
 ) -> tuple[list[tuple[int, list[float]]], list[list[tuple[int, list[float]]]], DataFrame]:
     """Load the index: metadata collects to the driver (bounded — k and
     m*k rows of floats, the same class as the centroid fit), codes stay
-    a lazy partitioned scan."""
+    a lazy partitioned scan.  Memoized per (session, dir, content
+    version); mutations bump the stat-based version."""
+    key = (
+        spark.sparkContext.applicationId,
+        index_dir,
+        _index_version(index_dir),
+    )
+    hit = _INDEX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for k in [
+        k for k in _INDEX_CACHE if k[0] != key[0] or (k[1] == index_dir)
+    ]:
+        del _INDEX_CACHE[k]
     centroids = sorted(
         (r["cluster"], list(r["centroid"]))
         for r in spark.read.parquet(f"{index_dir}/centroids").collect()
@@ -136,6 +173,7 @@ def read_ann_index(
         for s in range(n_sub)
     ]
     codes = spark.read.parquet(f"{index_dir}/codes")
+    _INDEX_CACHE[key] = (centroids, codebooks, codes)
     return centroids, codebooks, codes
 
 

@@ -56,18 +56,20 @@ SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ROOT = "/tmp/sparkgraft_soak12"
 COPIES = 8
 
-# The slowest bench queries by the round-11/12 full per-query map
-# (override on the command line after `run DIR TAG`).
+# The 10 slowest queries of the round-12 full bench map
+# (bench_full_latest.json) + ann_forget (the r11 watch item); override
+# on the command line after `run DIR TAG`.
 QUERIES = [
-    "semdedup_panel",
     "ann_panel",
-    "forget_panel",
-    "contamination_panel",
+    "semdedup_panel",
     "setsim_pairs",
+    "contamination_panel",
+    "forget_panel",
     "audio_dedup",
-    "annotate_panel",
     "lakehouse_reads",
-    "retrieval_hits",
+    "gopher_gate",
+    "split_leakage",
+    "ivfpq_ann",
     "ann_forget",
 ]
 
