@@ -184,6 +184,8 @@ def run_scale(fixture_dir: str, tag: str, names: list[str]) -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file:{evdir}",
+            # plain-text log: the parser below reads it line-by-line
+            "spark.eventLog.compress": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -211,20 +213,35 @@ def run_scale(fixture_dir: str, tag: str, names: list[str]) -> None:
     spark.stop()
 
     tasks: list[tuple[int, float]] = []  # (finish_ms, runtime_sec)
-    log_path = os.path.join(evdir, app_id)
-    for cand in (log_path, log_path + ".inprogress"):
-        if os.path.exists(cand):
-            log_path = cand
-            break
-    with open(log_path) as fh:
-        for line in fh:
-            if '"SparkListenerTaskEnd"' not in line:
-                continue
-            ev = json.loads(line)
-            info = ev.get("Task Info", {})
-            met = ev.get("Task Metrics") or {}
-            rt = met.get("Executor Run Time", 0) / 1000.0
-            tasks.append((info.get("Finish Time", 0), rt))
+    # Spark 4 defaults to the rolling (v2) layout: a directory
+    # eventlog_v2_<appId>/ holding events_* part files; older layouts
+    # write a single file named <appId>[.inprogress].
+    candidates = []
+    v2 = os.path.join(evdir, f"eventlog_v2_{app_id}")
+    if os.path.isdir(v2):
+        candidates = sorted(
+            os.path.join(v2, n)
+            for n in os.listdir(v2)
+            if n.startswith("events_")
+        )
+    else:
+        for cand in (
+            os.path.join(evdir, app_id),
+            os.path.join(evdir, app_id) + ".inprogress",
+        ):
+            if os.path.exists(cand):
+                candidates = [cand]
+                break
+    for path in candidates:
+        with open(path) as fh:
+            for line in fh:
+                if '"SparkListenerTaskEnd"' not in line:
+                    continue
+                ev = json.loads(line)
+                info = ev.get("Task Info", {})
+                met = ev.get("Task Metrics") or {}
+                rt = met.get("Executor Run Time", 0) / 1000.0
+                tasks.append((info.get("Finish Time", 0), rt))
     out = {}
     for name, (a, b) in spans.items():
         qt = [rt for fin, rt in tasks if a <= fin <= b]
