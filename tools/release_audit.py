@@ -40,8 +40,33 @@ STAGES = [
 ]
 
 
+def census() -> int:
+    """Stage 0 (no Spark): every queries() entry must carry an
+    oracle_sql() entry and vice versa — the 0-rows-only invariant held
+    since round 9."""
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as m
+
+    q, o = set(m.queries()), set(m.oracle_sql())
+    print(
+        f"[release_audit] census: {len(q)} queries / {len(o)} oracles; "
+        f"missing_oracle={sorted(q - o) or 'none'} "
+        f"orphan_oracle={sorted(o - q) or 'none'}"
+    )
+    return 0 if q == o else 1
+
+
 def main(sf_dir: str) -> int:
     results: list[tuple[str, int, float]] = []
+    t0 = time.perf_counter()
+    rc = census()
+    results.append(("census", rc, time.perf_counter() - t0))
+    print(
+        f"[release_audit] {'census':<18} "
+        f"{'PASS' if rc == 0 else 'FAIL'}  "
+        f"({results[-1][2]:.1f}s)",
+        flush=True,
+    )
     for stage in STAGES:
         script = os.path.join(TOOLS_DIR, f"{stage}.py")
         t0 = time.perf_counter()
