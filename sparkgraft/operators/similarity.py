@@ -212,8 +212,12 @@ def brute_force_topk_qint(
 
         # The plan-time overflow envelope assumes ≤ in_dim components;
         # enforce that against the actual array so a wider vector can't
-        # silently exceed the LONG/DECIMAL accumulator bounds.
-        guarded = F.when(F.size(col) <= in_dim, col).otherwise(
+        # silently exceed the LONG/DECIMAL accumulator bounds.  NULL
+        # vectors propagate (size(NULL) is NULL -> the when() condition
+        # is non-true, so without the isNull arm they would hit
+        # raise_error — the same NULL regression class as the
+        # component guard above).
+        guarded = F.when(col.isNull() | (F.size(col) <= in_dim), col).otherwise(
             F.raise_error(
                 F.format_string(
                     "brute_force_topk_qint: vector length %s exceeds "

@@ -158,6 +158,10 @@ def read_ann_index(
         k for k in _INDEX_CACHE if k[0] != key[0] or (k[1] == index_dir)
     ]:
         del _INDEX_CACHE[k]
+    # Bound across DISTINCT dirs too (index_dir is an arbitrary caller
+    # path — e.g. per-test tmp dirs): FIFO-evict beyond 16 entries.
+    while len(_INDEX_CACHE) >= 16:
+        del _INDEX_CACHE[next(iter(_INDEX_CACHE))]
     centroids = sorted(
         (r["cluster"], list(r["centroid"]))
         for r in spark.read.parquet(f"{index_dir}/centroids").collect()

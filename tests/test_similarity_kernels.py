@@ -683,6 +683,16 @@ def test_qint_topk_null_components_propagate(spark):
     # must not raise; the NULL-bearing row 0 contributes no valid norm
     out = brute_force_topk_qint(q, df, k=3).collect()
     assert all(r.neighbor_id != 0 for r in out)
+    # a fully-NULL vector must ALSO propagate (size(NULL) is NULL —
+    # the length guard needs its own isNull arm) and drop out
+    df2 = spark.createDataFrame(
+        [(0, None), (1, [0.5, 0.5]), (2, [0.4, 0.6])],
+        "vec_id long, embedding array<float>",
+    )
+    out2 = brute_force_topk_qint(
+        df2.filter(F.col("vec_id") == 1), df2, k=3
+    ).collect()
+    assert all(r.neighbor_id != 0 for r in out2)
 
 
 def test_qint_topk_membership_tracks_float_topk(spark):

@@ -29,14 +29,18 @@ def test_latest_rows_tie_at_identical_timestamp(spark):
         rows, "user_id int, ts_s string, event_id int, payload string"
     ).withColumn("ts", F.to_timestamp("ts_s"))
     expected = {(1, 11, "b"), (2, 5, "d")}
-    for n in ("7", "64"):
-        spark.conf.set("spark.sql.shuffle.partitions", n)
-        got = {
-            (r.user_id, r.event_id, r.payload)
-            for r in latest_rows(df, ["user_id"], "ts", tiebreak=["event_id"]).collect()
-        }
-        assert got == expected, (n, got)
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        for n in ("7", "64"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            got = {
+                (r.user_id, r.event_id, r.payload)
+                for r in latest_rows(
+                    df, ["user_id"], "ts", tiebreak=["event_id"]
+                ).collect()
+            }
+            assert got == expected, (n, got)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
 
 
 def test_latest_fallback_tie_and_all_unparsable(spark):
@@ -131,12 +135,14 @@ def test_event_store_dedup_stored_at_tie_is_stable(spark):
     ids = with_event_ids(
         df, "metadata_url", "message_type", "created_at", "data_url", "version"
     )
-    for n in ("7", "64"):
-        spark.conf.set("spark.sql.shuffle.partitions", n)
-        out = dedup_events(ids, "stored_at").collect()
-        got = {(r.metadata_url, str(r.stored_at)) for r in out}
-        assert got == {
-            ("m1", "2025-01-01 00:00:00"),
-            ("m2", "2025-01-03 00:00:00"),
-        }, (n, got)
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        for n in ("7", "64"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            out = dedup_events(ids, "stored_at").collect()
+            got = {(r.metadata_url, str(r.stored_at)) for r in out}
+            assert got == {
+                ("m1", "2025-01-01 00:00:00"),
+                ("m2", "2025-01-03 00:00:00"),
+            }, (n, got)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")

@@ -113,12 +113,15 @@ def build_fixture(spark, src_dir: str, out_dir: str, copies: int) -> None:
         for t, ks in ENTITY_KEYS.items()
     }
 
+    user_base = (
+        read_table(spark, src_dir, "events").agg(F.max("user_id")).collect()[0][0]
+        + 1
+    )
+
     def one_copy(t: str, c: int):
         df = read_table(spark, src_dir, t)
         for k in ENTITY_KEYS.get(t, []):
-            base = maxes[t] if k != "user_id" else (
-                df.agg(F.max("user_id")).collect()[0][0] + 1
-            )
+            base = maxes[t] if k != "user_id" else user_base
             df = df.withColumn(k, F.col(k) + F.lit(c * base))
         for fk, ft, _ in FOREIGN_KEYS.get(t, []):
             df = df.withColumn(fk, F.col(fk) + F.lit(c * maxes[ft]))
@@ -200,15 +203,17 @@ def run_scale(fixture_dir: str, tag: str, names: list[str]) -> None:
     for name in names:
         fn = queries[name]
         fn(spark, fixture_dir).write.format("noop").mode("overwrite").save()  # warm
-        t0 = time.time()
+        rows[name] = fn(spark, fixture_dir).count()  # doubles as 2nd warm
         best = float("inf")
         for _ in range(2):
+            # span only the LAST timed run: a both-runs window would
+            # halve max(qt)/sum(qt) and understate the straggler bound
+            t0 = time.time()
             s = time.perf_counter()
             fn(spark, fixture_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - s)
-        spans[name] = (int(t0 * 1000), int(time.time() * 1000))
+            spans[name] = (int(t0 * 1000), int(time.time() * 1000))
         walls[name] = round(best, 3)
-        rows[name] = fn(spark, fixture_dir).count()
         print(f"[{tag}] {name}: wall={walls[name]}s rows={rows[name]}", flush=True)
     spark.stop()
 
@@ -263,16 +268,24 @@ def main() -> int:
 
     from sparkgraft.session import get_spark
 
-    if len(sys.argv) == 1 or sys.argv[1] == "build":
+    if len(sys.argv) == 1 or sys.argv[1] in ("build", "build32"):
+        # build32 adds the 32x curvature point (1x/8x/32x gives the
+        # growth exponent for the scale-growing queries — the 100x
+        # question's local proxy); run it via `run <dir> x32 <q...>`
+        todo = (
+            [(32, "x32")]
+            if len(sys.argv) > 1 and sys.argv[1] == "build32"
+            else [(1, "x1"), (COPIES, "x8")]
+        )
         spark = get_spark("soak12-build")
         spark.sparkContext.setLogLevel("ERROR")
-        for copies, sub in ((1, "x1"), (COPIES, "x8")):
+        for copies, sub in todo:
             marker = f"{ROOT}/{sub}/_READY"
             if not os.path.exists(marker):
                 build_fixture(spark, SRC, f"{ROOT}/{sub}", copies)
                 open(marker, "w").write("ok")
         spark.stop()
-        if len(sys.argv) > 1 and sys.argv[1] == "build":
+        if len(sys.argv) > 1:
             return 0
 
     results = {}
