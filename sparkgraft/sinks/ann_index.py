@@ -118,24 +118,50 @@ def append_ann_index(
 # Session-scoped index cache (the readers._TABLE_CACHE pattern): a
 # serve re-read the (tiny) centroid/codebook parquet from disk on EVERY
 # call — ~0.35 s of sequential driver work per serve at sf0.1 (r12
-# ann_forget decomposition).  Keyed by applicationId + a stat-based
-# content version, so every mutation path invalidates: write_ann_index
-# rewrites centroids/codebooks/codes, append/compact rewrite codes/
-# (_SUCCESS), delete adds tombstones/ (parent dir mtime).  The codes
+# ann_forget decomposition).  Keyed by the SESSION OBJECT identity (not
+# applicationId alone — newSession() siblings share one applicationId,
+# and the cached codes DataFrame is bound to the session that read it)
+# plus a stat-based content version derived from a RECURSIVE file
+# listing, so every mutation path invalidates — including a rewrite
+# that only swaps files INSIDE a codes/part=N partition dir (the
+# compact_ann_index shape).  The invariant "every public mutator bumps
+# _index_version" is pinned by tests/test_index_cache_invariant.py.
+# Non-local paths (any URI scheme) and un-stat-able dirs are
+# UNVERSIONABLE: the cache is bypassed entirely rather than served
+# from a constant version that would never invalidate.  The codes
 # entry is a lazy immutable plan; centroids/codebooks are driver values.
 _INDEX_CACHE: dict[tuple, tuple] = {}
 
 
-def _index_version(index_dir: str) -> tuple:
-    import os
+def _index_version(index_dir: str) -> "tuple | None":
+    """Content version of the index directory: sorted recursive listing
+    of (relative path, mtime_ns, size) for every file, plus the root
+    dir's own mtime.  Any file added, removed, renamed, or rewritten
+    anywhere under the index — including inside a single partition
+    dir — changes the tuple (the invariant the cache tests pin).
 
-    parts = []
-    for sub in ("", "codes", "centroids", "codebooks", "tombstones"):
-        p = os.path.join(index_dir, sub) if sub else index_dir
-        try:
-            parts.append(os.stat(p).st_mtime_ns)
-        except FileNotFoundError:
-            parts.append(0)
+    Returns ``None`` ("unversionable — bypass the cache") when the
+    path carries a URI scheme (hdfs://, s3a://, even file:// — os.stat
+    cannot version those) or when the root cannot be statted."""
+    import os
+    import re
+
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", index_dir):
+        return None
+    try:
+        root_st = os.stat(index_dir)
+    except OSError:
+        return None
+    parts: list[tuple] = [("", root_st.st_mtime_ns, 0)]
+    for root, dirs, files in os.walk(index_dir):
+        dirs.sort()
+        rel = os.path.relpath(root, index_dir)
+        for n in sorted(files):
+            try:
+                st = os.stat(os.path.join(root, n))
+            except OSError:
+                continue  # racing mutator; version differs next call
+            parts.append((f"{rel}/{n}", st.st_mtime_ns, st.st_size))
     return tuple(parts)
 
 
@@ -145,23 +171,31 @@ def read_ann_index(
     """Load the index: metadata collects to the driver (bounded — k and
     m*k rows of floats, the same class as the centroid fit), codes stay
     a lazy partitioned scan.  Memoized per (session, dir, content
-    version); mutations bump the stat-based version."""
+    version); mutations bump the stat-based version; unversionable
+    paths (remote URIs) read fresh every call."""
+    ver = _index_version(index_dir)
     key = (
         spark.sparkContext.applicationId,
+        id(spark),
         index_dir,
-        _index_version(index_dir),
+        ver,
     )
-    hit = _INDEX_CACHE.get(key)
-    if hit is not None:
-        return hit
-    for k in [
-        k for k in _INDEX_CACHE if k[0] != key[0] or (k[1] == index_dir)
-    ]:
-        del _INDEX_CACHE[k]
-    # Bound across DISTINCT dirs too (index_dir is an arbitrary caller
-    # path — e.g. per-test tmp dirs): FIFO-evict beyond 16 entries.
-    while len(_INDEX_CACHE) >= 16:
-        del _INDEX_CACHE[next(iter(_INDEX_CACHE))]
+    if ver is not None:
+        hit = _INDEX_CACHE.get(key)
+        # `is spark` defends id() reuse after a session is GC'd: a hit
+        # must have been written by THIS session object, else reread.
+        if hit is not None and hit[0] is spark:
+            return hit[1]
+        for k in [
+            k
+            for k in _INDEX_CACHE
+            if k[0] != key[0] or (k[1] == key[1] and k[2] == index_dir)
+        ]:
+            del _INDEX_CACHE[k]
+        # Bound across DISTINCT dirs too (index_dir is an arbitrary
+        # caller path — e.g. per-test tmp dirs): FIFO-evict beyond 16.
+        while len(_INDEX_CACHE) >= 16:
+            del _INDEX_CACHE[next(iter(_INDEX_CACHE))]
     centroids = sorted(
         (r["cluster"], list(r["centroid"]))
         for r in spark.read.parquet(f"{index_dir}/centroids").collect()
@@ -177,7 +211,8 @@ def read_ann_index(
         for s in range(n_sub)
     ]
     codes = spark.read.parquet(f"{index_dir}/codes")
-    _INDEX_CACHE[key] = (centroids, codebooks, codes)
+    if ver is not None:
+        _INDEX_CACHE[key] = (spark, (centroids, codebooks, codes))
     return centroids, codebooks, codes
 
 
