@@ -1267,6 +1267,43 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-13 witness for the oversized-cluster split
+    (`similarity.semantic_dedup(max_cluster_size=...)` — verdict r12
+    task 1): the same corpus-with-planted-near-dups as `semdedup`, but
+    every natural cluster (~50 rows at the test SFs) exceeds the cap
+    M=20, so all three split stages execute — md5-slotted seed pick,
+    one exact-fixed-point Lloyd refinement step, and the md5 hard-cap
+    block split — before the within-group pairwise stage.  The oracle
+    mirrors each stage in DuckDB SQL, so the split POLICY (not just
+    the final dup flags) is engine-checked.  The intentional recall
+    trade at split boundaries shows up as capped dup counts <=
+    uncapped; determinism is exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = _ivf_centroids(spark, sf_dir)
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") * F.lit(1.01)
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    out = SIM.semantic_dedup(
+        corpus, cent_rows, threshold=0.999, max_cluster_size=20
+    )
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("subcluster").cast("int").alias("subcluster"),
+        "is_duplicate",
+        F.col("dup_of").cast("long").alias("dup_of"),
+    )
+
+
 def q_ngram_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-LM-style filter: per-doc share of distinct bigrams that
     occur in ≥2 documents corpus-wide (md5-keyed shuffle, exact ratio)."""
@@ -6756,6 +6793,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "adc_ann": q_adc_ann,
     "embedding_dedup": q_embedding_dedup,
     "semdedup": q_semdedup,
+    "semdedup_capped": q_semdedup_capped,
     "channel_stats": q_channel_stats,
     "alignment_gate": q_alignment_gate,
     "transient_skip": q_transient_skip,
@@ -9595,6 +9633,143 @@ def _llm_oracles() -> dict[str, str]:
                (k.dup_of IS NOT NULL) AS is_duplicate,
                CAST(k.dup_of AS BIGINT) AS dup_of
         FROM tagged t LEFT JOIN links k ON t.vec_id = k.cand_id
+    """
+
+    # Round-13: full SQL mirror of the capped split policy — seed pick
+    # (md5-slotted arg_min), one Lloyd refinement step (exact fixed-
+    # point refit), md5 hard-cap blocks — then pairwise within the
+    # final (cluster, sub, block) groups.  M = 20.
+    o["semdedup_capped"] = f"""
+        WITH expl AS (
+            SELECT label AS cluster, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings, generate_series(1, 64) AS g(i)
+        ),
+        per_dim AS (
+            SELECT cluster, pos, {_mean_sql('v', 6)} AS c
+            FROM expl GROUP BY cluster, pos
+        ),
+        centroids AS (
+            SELECT cluster, list(c ORDER BY pos) AS cv2 FROM per_dim GROUP BY cluster
+        ),
+        base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        planted AS (
+            SELECT vec_id + 1000000 AS vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.01) AS e
+            FROM embeddings WHERE vec_id % 20 = 0
+        ),
+        corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        dists AS (
+            SELECT co.vec_id, ct.cluster,
+                   round(list_sum(list_transform(generate_series(1, 64),
+                         i -> (co.e[i] - ct.cv2[i]) * (co.e[i] - ct.cv2[i]))), 9) AS d2
+            FROM corpus co CROSS JOIN centroids ct
+        ),
+        assigned AS (
+            SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2 ASC, cluster ASC) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        ),
+        tagged AS (
+            SELECT a.vec_id, a.cluster, co.e
+            FROM corpus co JOIN assigned a USING (vec_id)
+        ),
+        sizes AS (SELECT cluster, count(*) AS n FROM tagged GROUP BY cluster),
+        osz AS (
+            SELECT cluster, CAST(ceil(n / CAST(20 AS DOUBLE)) AS BIGINT) AS nsub
+            FROM sizes WHERE n > 20
+        ),
+        mb AS (
+            SELECT vec_id,
+                   CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS h,
+                   md5(CAST(vec_id AS VARCHAR)) || '|'
+                     || lpad(CAST(vec_id AS VARCHAR), 20, '0') AS skey
+            FROM tagged
+        ),
+        slotted AS (
+            SELECT t.vec_id, t.cluster, t.e, m.h % o.nsub AS slot, m.skey
+            FROM tagged t JOIN osz o USING (cluster) JOIN mb m USING (vec_id)
+        ),
+        seeds AS (
+            SELECT cluster, slot AS sidx, arg_min(e, skey) AS sv
+            FROM slotted GROUP BY cluster, slot
+        ),
+        sd AS (
+            SELECT s.vec_id, s.cluster, d.sidx,
+                   round(list_sum(list_transform(generate_series(1, 64),
+                         i -> (s.e[i] - d.sv[i]) * (s.e[i] - d.sv[i]))), 9) AS d2
+            FROM slotted s JOIN seeds d USING (cluster)
+        ),
+        sub0 AS (
+            SELECT vec_id, cluster, sidx AS s0 FROM (
+                SELECT vec_id, cluster, sidx,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2 ASC, sidx ASC) AS rn
+                FROM sd
+            ) WHERE rn = 1
+        ),
+        rex AS (
+            SELECT s0.cluster, s0.s0, i AS pos, t.e[i] AS v
+            FROM sub0 s0 JOIN tagged t USING (vec_id),
+                 generate_series(1, 64) AS g(i)
+        ),
+        rper AS (
+            SELECT cluster, s0, pos, {_mean_sql('v', 6)} AS c
+            FROM rex GROUP BY cluster, s0, pos
+        ),
+        rcent AS (
+            SELECT cluster, s0 AS sidx, list(c ORDER BY pos) AS cv
+            FROM rper GROUP BY cluster, s0
+        ),
+        rd AS (
+            SELECT s.vec_id, c.sidx,
+                   round(list_sum(list_transform(generate_series(1, 64),
+                         i -> (s.e[i] - c.cv[i]) * (s.e[i] - c.cv[i]))), 9) AS d2
+            FROM slotted s JOIN rcent c USING (cluster)
+        ),
+        subf AS (
+            SELECT vec_id, sidx AS sub FROM (
+                SELECT vec_id, sidx,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2 ASC, sidx ASC) AS rn
+                FROM rd
+            ) WHERE rn = 1
+        ),
+        subbed AS (
+            SELECT t.vec_id, t.cluster, t.e, COALESCE(sf.sub, 0) AS sub
+            FROM tagged t LEFT JOIN subf sf USING (vec_id)
+        ),
+        blk AS (
+            SELECT cluster, sub, CAST(ceil(count(*) / CAST(20 AS DOUBLE)) AS BIGINT) AS blocks
+            FROM subbed GROUP BY cluster, sub
+        ),
+        final AS (
+            SELECT s.vec_id, s.cluster, s.sub, s.e, m.h % b.blocks AS block
+            FROM subbed s JOIN blk b USING (cluster, sub) JOIN mb m USING (vec_id)
+        ),
+        links AS (
+            SELECT r.vec_id AS cand_id, min(l.vec_id) AS dup_of
+            FROM final l JOIN final r
+              ON l.cluster = r.cluster AND l.sub = r.sub
+             AND l.block = r.block AND l.vec_id < r.vec_id
+            WHERE round(
+                list_sum(list_transform(generate_series(1, 64),
+                                        i -> l.e[i] * r.e[i]))
+                / (sqrt(list_sum(list_transform(l.e, x -> x * x)))
+                   * sqrt(list_sum(list_transform(r.e, x -> x * x)))),
+                6) >= 0.999
+            GROUP BY r.vec_id
+        )
+        SELECT CAST(f.vec_id AS BIGINT) AS vec_id,
+               CAST(f.cluster AS INTEGER) AS cluster,
+               CAST(f.sub AS INTEGER) AS subcluster,
+               (k.dup_of IS NOT NULL) AS is_duplicate,
+               CAST(k.dup_of AS BIGINT) AS dup_of
+        FROM final f LEFT JOIN links k ON f.vec_id = k.cand_id
     """
 
     o["repetition_stats"] = rf"""

@@ -1011,6 +1011,70 @@ def kmeans_iterate(
     return centroids
 
 
+def _literal_seed_table(rows: list[tuple[int, int, list[float]]]) -> Column:
+    """A small (cluster, sidx, vector) table as ONE plan-time literal —
+    the two-id-field twin of :func:`_literal_vec_table`, used by the
+    capped-semdedup refinement to restrict a literal argmin to ONE
+    cluster's seed/sub-centroid set."""
+    parts = ", ".join(
+        "named_struct('cluster', {c}, 'sidx', {s}, 'vec', array({xs}))".format(
+            c=int(c),
+            s=int(s),
+            xs=", ".join(repr(float(x)) + "D" for x in vec),
+        )
+        for c, s, vec in rows
+    )
+    return F.expr(f"array({parts})")
+
+
+def _md5_bucket_long(col: Column) -> Column:
+    """Deterministic engine-portable hash of an id column (the repo's
+    standard md5 toolkit — bm25_index/_term_bucket convention): first
+    8 hex digits of md5 as a non-negative BIGINT < 2^32.  DuckDB
+    mirror: ``CAST('0x' || substr(md5(CAST(x AS VARCHAR)),1,8) AS
+    BIGINT)``."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 8), 16, 10
+    ).cast("long")
+
+
+def _assign_within(
+    vec: Column,
+    cluster: Column,
+    rows: list[tuple[int, int, list[float]]],
+    digits: int = 9,
+) -> Column:
+    """Nearest-seed assignment RESTRICTED to the row's own cluster: the
+    (cluster, sidx, vec) table enters the plan as one literal, is
+    filtered to the row's cluster, and the argmin runs over rounded L2
+    distances with sidx tie-break — the same shuffle-free
+    literal-argmin construction as :func:`assign_nearest`, plus the
+    per-row filter.  Rows whose cluster has no entries (non-oversized
+    clusters in the capped-semdedup flow) get NULL."""
+    tab = _literal_seed_table(rows)
+    cands = F.filter(tab, lambda c: c["cluster"] == cluster)
+    dists = F.transform(
+        cands,
+        lambda c: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        c["vec"],
+                        lambda x, cc: (x.cast("double") - cc)
+                        * (x.cast("double") - cc),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                digits,
+            ).alias("d"),
+            c["sidx"].alias("sidx"),
+        ),
+    )
+    return F.array_min(dists).getField("sidx")
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -1019,6 +1083,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     digits: int = 6,
     n_blocks: int = 8,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the corpus, then
     drop a document iff an earlier-id document in the SAME cluster has
@@ -1047,9 +1112,51 @@ def semantic_dedup(
     need a fixpoint.  Cosines are rounded before the threshold compare
     and survivors tie-break on id, so the output is engine-portable.
 
-    Returns one row per input: (id, cluster, is_duplicate, dup_of)
-    where ``dup_of`` is the smallest earlier id within τ (NULL for
-    survivors).
+    **Oversized-cluster split** (``max_cluster_size``, round-13 — the
+    r12 soak measured Σ|c|² task-seconds growing 16.3× on a 4× input
+    step because the quadratic lives in the SEMANTICS of
+    all-pairs-within-a-cluster; the triangle decomposition distributes
+    it perfectly but cannot shrink it).  With ``max_cluster_size=M``
+    set, clusters larger than M are split before the pairwise stage,
+    bounding within-group pair cost, exactly as SemDeDup production
+    deployments cap cluster sizes:
+
+    1. **Seeds** — each oversized cluster c gets ``ceil(|c|/M)`` seed
+       vectors: rows are slotted by ``md5(id) % n_sub`` and each slot
+       contributes its md5-minimal row (ONE map-side-combinable
+       ``min_by`` aggregate — deterministic pseudo-random distinct
+       seeds, no window, no single-task sort on the mega-cluster).
+    2. **One Lloyd refinement step** — assign to the nearest own-
+       cluster seed (literal-argmin projection), re-fit sub-centroids
+       with the exact fixed-point mean (:func:`centroids_from_labels`
+       — map-side-combined aggregate), re-assign once.  This is
+       :func:`kmeans_iterate` restricted per cluster; one level
+       suffices because step 3 guarantees the bound regardless.
+    3. **Hard cap** — groups still larger than M are split into
+       ``ceil(|g|/M)`` blocks by ``md5(id) % blocks`` (pure
+       projection; group sizes come back via one broadcast join).
+       The md5 split bounds block sizes at ~M with binomial
+       concentration rather than exactly — the exact-M alternative
+       (rank within cluster) needs a per-cluster window sort, i.e.
+       the single-task mega-cluster skew this operator exists to
+       avoid.
+
+    **Recall trade (intentional, standard):** near-dup pairs whose
+    members land in different sub-clusters or blocks are not compared
+    and survive dedup.  Direction-preserving near-dups mostly co-
+    assign in step 2 (their distances to every sub-centroid are
+    nearly equal, so they pick the same argmin); the md5 hard cap is
+    the blunt bound underneath.  Uncapped (``max_cluster_size=None``)
+    results are exact within clusters, bit-identical to round-12.
+
+    Every stage of the capped path is a projection or a partial
+    (map-side-combined) aggregation — no windows, no driver loops —
+    so no single task ever owns a mega-cluster.
+
+    Returns one row per input: (id, cluster, subcluster,
+    is_duplicate, dup_of) where ``dup_of`` is the smallest earlier id
+    in the same final group within τ (NULL for survivors);
+    ``subcluster`` is 0 everywhere on the uncapped path.
     """
     from sparkgraft.operators.scale import widen_narrow_scan
 
@@ -1062,6 +1169,93 @@ def semantic_dedup(
     assigned = widen_narrow_scan(
         df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     ).withColumn("cluster", assign_nearest(F.col("__v"), centroids))
+
+    M = int(max_cluster_size) if max_cluster_size is not None else None
+    oversized: dict[int, int] = {}
+    if M is not None:
+        if M < 2:
+            raise ValueError(f"max_cluster_size must be >= 2, got {M}")
+        # Bounded collect: one row per centroid (the same "centroid
+        # table is driver-sized" assumption assignment itself makes).
+        sizes = {
+            r["cluster"]: r["n"]
+            for r in assigned.groupBy("cluster")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        oversized = {c: n for c, n in sizes.items() if n > M}
+    if oversized:
+        nsub = {c: -(-n // M) for c, n in oversized.items()}
+        K = max(nsub.values()) + 1
+        mb = _md5_bucket_long(F.col("__id"))
+        nsub_expr = F.expr(
+            "map({})".format(
+                ", ".join(f"{int(c)}, {int(s)}" for c, s in sorted(nsub.items()))
+            )
+        )
+        # Seed pick: md5-minimal row per (cluster, slot); the lpad'd id
+        # suffix makes the key total so min_by is deterministic on both
+        # engines even under (cosmically unlikely) md5 collisions.
+        skey = F.concat(
+            F.md5(F.col("__id").cast("string")),
+            F.lit("|"),
+            F.lpad(F.col("__id").cast("string"), 20, "0"),
+        )
+        seeds = (
+            assigned.filter(
+                F.col("cluster").isin([int(c) for c in oversized])
+            )
+            .withColumn("__slot", mb % F.element_at(nsub_expr, F.col("cluster")))
+            .groupBy("cluster", "__slot")
+            .agg(
+                F.min_by(
+                    F.transform("__v", lambda x: x.cast("double")), skey
+                ).alias("sv")
+            )
+        )
+        seed_rows = sorted(
+            (r["cluster"], r["__slot"], list(r["sv"])) for r in seeds.collect()
+        )
+        # One Lloyd step: assign → exact-fixed-point refit → reassign.
+        sub0 = F.coalesce(
+            _assign_within(F.col("__v"), F.col("cluster"), seed_rows),
+            F.lit(0),
+        )
+        refit_src = assigned.withColumn("__sub0", sub0).filter(
+            F.col("cluster").isin([int(c) for c in oversized])
+        )
+        cents2 = centroids_from_labels(
+            refit_src.withColumn(
+                "__lbl", F.col("cluster") * F.lit(K) + F.col("__sub0")
+            ),
+            "__lbl",
+            "__v",
+            digits,
+        )
+        ref_rows = sorted(
+            (r["cluster"] // K, r["cluster"] % K, list(r["centroid"]))
+            for r in cents2.collect()
+        )
+        assigned = assigned.withColumn(
+            "sub",
+            F.coalesce(
+                _assign_within(F.col("__v"), F.col("cluster"), ref_rows),
+                F.lit(0),
+            ),
+        )
+        # Hard cap: md5-block groups still above M.  Group counts are a
+        # small aggregate (≤ n_clusters + Σ n_sub rows) broadcast back;
+        # the block id itself is a pure projection.
+        gcounts = assigned.groupBy("cluster", "sub").agg(
+            F.ceil(F.count("*") / F.lit(M)).alias("__blocks")
+        )
+        assigned = assigned.join(
+            F.broadcast(gcounts), ["cluster", "sub"]
+        ).withColumn("block", mb % F.col("__blocks"))
+    else:
+        assigned = assigned.withColumn("sub", F.lit(0)).withColumn(
+            "block", F.lit(0)
+        )
     # Norms are hoisted to per-row scalars BEFORE the pairwise join —
     # same expression tree as cosine() (sqrt of the square-sum, then
     # the product in the divisor), so results are bit-identical, but
@@ -1070,6 +1264,8 @@ def semantic_dedup(
 
     base = assigned.select(
         "cluster",
+        "sub",
+        "block",
         "__id",
         "__v",
         _norm(F.col("__v")).alias("__n"),
@@ -1081,7 +1277,9 @@ def semantic_dedup(
     # commutative and summed in the same array order, so the rounded
     # cosines are bit-identical to the pre-helper operand order.
     dup_links = (
-        triangle_self_pairs(base, ["cluster"], "__id", ["__v", "__n"], B)
+        triangle_self_pairs(
+            base, ["cluster", "sub", "block"], "__id", ["__v", "__n"], B
+        )
         .select(
             F.col("id_b").alias("cand_id"),
             F.col("id_a").alias("keep_id"),
@@ -1102,6 +1300,7 @@ def semantic_dedup(
         .select(
             F.col("__id").alias(id_col),
             "cluster",
+            F.col("sub").cast("int").alias("subcluster"),
             F.col("dup_of").isNotNull().alias("is_duplicate"),
             "dup_of",
         )

@@ -206,13 +206,17 @@ def run_scale(fixture_dir: str, tag: str, names: list[str]) -> None:
         rows[name] = fn(spark, fixture_dir).count()  # doubles as 2nd warm
         best = float("inf")
         for _ in range(2):
-            # span only the LAST timed run: a both-runs window would
-            # halve max(qt)/sum(qt) and understate the straggler bound
+            # span only ONE run, and the SAME run the reported wall
+            # comes from (r12 ADVICE: spans overwritten to the last
+            # run could describe a slower run than the best-of wall,
+            # skewing max-task/sum-task against the wall they share)
             t0 = time.time()
             s = time.perf_counter()
             fn(spark, fixture_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - s)
-            spans[name] = (int(t0 * 1000), int(time.time() * 1000))
+            wall = time.perf_counter() - s
+            if wall < best:
+                best = wall
+                spans[name] = (int(t0 * 1000), int(time.time() * 1000))
         walls[name] = round(best, 3)
         print(f"[{tag}] {name}: wall={walls[name]}s rows={rows[name]}", flush=True)
     spark.stop()
