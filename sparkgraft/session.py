@@ -4,6 +4,10 @@ The engine targets large clusters (100 TB inputs, ~1000 executors) but is
 tested on ``local[*]``.  All knobs below are *per-job sane defaults* — on
 a real cluster the resource manager overrides cores/memory while the SQL
 conf here (AQE, broadcast threshold, partition sizing) carries over.
+**SIZING.md derives the cluster-mode values of every knob here from the
+SCALE.md measurements** (per-task rates, straggler shares, memory
+identities); these defaults are the local[32] instantiation of those
+formulas.
 
 Rationale per setting:
 
