@@ -1253,9 +1253,16 @@ def semantic_dedup(
             F.broadcast(gcounts), ["cluster", "sub"]
         ).withColumn("block", mb % F.col("__blocks"))
     else:
+        # Uncapped (or nothing oversized): constant sub/block — kept
+        # OUT of the pair-join keys below so the plan stays identical
+        # to the pre-cap operator (only the subcluster projection is
+        # new); the output schema is uniform either way.
         assigned = assigned.withColumn("sub", F.lit(0)).withColumn(
             "block", F.lit(0)
         )
+    pair_keys = (
+        ["cluster", "sub", "block"] if oversized else ["cluster"]
+    )
     # Norms are hoisted to per-row scalars BEFORE the pairwise join —
     # same expression tree as cosine() (sqrt of the square-sum, then
     # the product in the divisor), so results are bit-identical, but
@@ -1263,9 +1270,7 @@ def semantic_dedup(
     from sparkgraft.operators.scale import triangle_self_pairs
 
     base = assigned.select(
-        "cluster",
-        "sub",
-        "block",
+        *pair_keys,
         "__id",
         "__v",
         _norm(F.col("__v")).alias("__n"),
@@ -1277,9 +1282,7 @@ def semantic_dedup(
     # commutative and summed in the same array order, so the rounded
     # cosines are bit-identical to the pre-helper operand order.
     dup_links = (
-        triangle_self_pairs(
-            base, ["cluster", "sub", "block"], "__id", ["__v", "__n"], B
-        )
+        triangle_self_pairs(base, pair_keys, "__id", ["__v", "__n"], B)
         .select(
             F.col("id_b").alias("cand_id"),
             F.col("id_a").alias("keep_id"),
