@@ -128,6 +128,7 @@ HEADLINE = [
     "bloom_join",
     "quality_gate",
     "semdedup",
+    "semdedup_capped",
     "resample",
     "classifier_score",
     "pq_ann",
