@@ -3467,6 +3467,40 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+def q_embedding_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-13 witness for the capped split on the LABEL-BLOCKED
+    near-dup shape (`similarity.semantic_dedup_labeled`): the same
+    corpus-with-planted-x2-duplicates as `embedding_dedup`, grouped by
+    the given label instead of a centroid assignment, cap M=20 — the
+    other leg of the r12-measured semdedup_panel quadratic, now
+    cappable by the same shared policy (seeds → Lloyd step → md5 hard
+    cap), oracle-mirrored stage by stage."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        "label",
+    )
+    planted = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * F.lit(2.0)).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    corpus = base.unionByName(planted)
+    out = SIM.semantic_dedup_labeled(
+        corpus, "label", threshold=0.999, max_cluster_size=20
+    )
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("subcluster").cast("int").alias("subcluster"),
+        "is_duplicate",
+        F.col("dup_of").cast("long").alias("dup_of"),
+    )
+
+
 def q_sketch_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Combined sketch panel (round-4: the sole in-window sketch
     witness now carries every sketch family): per return flag, HLL
@@ -6792,6 +6826,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pruned": q_ann_pruned,
     "adc_ann": q_adc_ann,
     "embedding_dedup": q_embedding_dedup,
+    "embedding_dedup_capped": q_embedding_dedup_capped,
     "semdedup": q_semdedup,
     "semdedup_capped": q_semdedup_capped,
     "channel_stats": q_channel_stats,
@@ -9633,6 +9668,120 @@ def _llm_oracles() -> dict[str, str]:
                (k.dup_of IS NOT NULL) AS is_duplicate,
                CAST(k.dup_of AS BIGINT) AS dup_of
         FROM tagged t LEFT JOIN links k ON t.vec_id = k.cand_id
+    """
+
+    # Round-13: the capped split on the LABEL-BLOCKED shape — same
+    # policy chain as semdedup_capped below, but cluster = the given
+    # label (no centroid fit / argmin CTEs).  M = 20; planted dups are
+    # embedding_dedup's x2-scaled clones (cos = 1, same label).
+    o["embedding_dedup_capped"] = f"""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+            FROM embeddings
+        ),
+        planted AS (
+            SELECT vec_id + 1000000 AS vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0) AS e,
+                   label
+            FROM embeddings WHERE vec_id % 20 = 0
+        ),
+        tagged AS (
+            SELECT vec_id, CAST(label AS INTEGER) AS cluster, e
+            FROM (SELECT * FROM base UNION ALL SELECT * FROM planted)
+        ),
+        sizes AS (SELECT cluster, count(*) AS n FROM tagged GROUP BY cluster),
+        osz AS (
+            SELECT cluster, CAST(ceil(n / CAST(20 AS DOUBLE)) AS BIGINT) AS nsub
+            FROM sizes WHERE n > 20
+        ),
+        mb AS (
+            SELECT vec_id,
+                   CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS h,
+                   md5(CAST(vec_id AS VARCHAR)) || '|'
+                     || lpad(CAST(vec_id AS VARCHAR), 20, '0') AS skey
+            FROM tagged
+        ),
+        slotted AS (
+            SELECT t.vec_id, t.cluster, t.e, m.h % o.nsub AS slot, m.skey
+            FROM tagged t JOIN osz o USING (cluster) JOIN mb m USING (vec_id)
+        ),
+        seeds AS (
+            SELECT cluster, slot AS sidx, arg_min(e, skey) AS sv
+            FROM slotted GROUP BY cluster, slot
+        ),
+        sd AS (
+            SELECT s.vec_id, s.cluster, d.sidx,
+                   round(list_sum(list_transform(generate_series(1, 64),
+                         i -> (s.e[i] - d.sv[i]) * (s.e[i] - d.sv[i]))), 9) AS d2
+            FROM slotted s JOIN seeds d USING (cluster)
+        ),
+        sub0 AS (
+            SELECT vec_id, cluster, sidx AS s0 FROM (
+                SELECT vec_id, cluster, sidx,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2 ASC, sidx ASC) AS rn
+                FROM sd
+            ) WHERE rn = 1
+        ),
+        rex AS (
+            SELECT s0.cluster, s0.s0, i AS pos, t.e[i] AS v
+            FROM sub0 s0 JOIN tagged t USING (vec_id),
+                 generate_series(1, 64) AS g(i)
+        ),
+        rper AS (
+            SELECT cluster, s0, pos, {_mean_sql('v', 6)} AS c
+            FROM rex GROUP BY cluster, s0, pos
+        ),
+        rcent AS (
+            SELECT cluster, s0 AS sidx, list(c ORDER BY pos) AS cv
+            FROM rper GROUP BY cluster, s0
+        ),
+        rd AS (
+            SELECT s.vec_id, c.sidx,
+                   round(list_sum(list_transform(generate_series(1, 64),
+                         i -> (s.e[i] - c.cv[i]) * (s.e[i] - c.cv[i]))), 9) AS d2
+            FROM slotted s JOIN rcent c USING (cluster)
+        ),
+        subf AS (
+            SELECT vec_id, sidx AS sub FROM (
+                SELECT vec_id, sidx,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2 ASC, sidx ASC) AS rn
+                FROM rd
+            ) WHERE rn = 1
+        ),
+        subbed AS (
+            SELECT t.vec_id, t.cluster, t.e, COALESCE(sf.sub, 0) AS sub
+            FROM tagged t LEFT JOIN subf sf USING (vec_id)
+        ),
+        blk AS (
+            SELECT cluster, sub,
+                   CAST(ceil(count(*) / CAST(20 AS DOUBLE)) AS BIGINT) AS blocks
+            FROM subbed GROUP BY cluster, sub
+        ),
+        final AS (
+            SELECT s.vec_id, s.cluster, s.sub, s.e, m.h % b.blocks AS block
+            FROM subbed s JOIN blk b USING (cluster, sub) JOIN mb m USING (vec_id)
+        ),
+        links AS (
+            SELECT r.vec_id AS cand_id, min(l.vec_id) AS dup_of
+            FROM final l JOIN final r
+              ON l.cluster = r.cluster AND l.sub = r.sub
+             AND l.block = r.block AND l.vec_id < r.vec_id
+            WHERE round(
+                list_sum(list_transform(generate_series(1, 64),
+                                        i -> l.e[i] * r.e[i]))
+                / (sqrt(list_sum(list_transform(l.e, x -> x * x)))
+                   * sqrt(list_sum(list_transform(r.e, x -> x * x)))),
+                6) >= 0.999
+            GROUP BY r.vec_id
+        )
+        SELECT CAST(f.vec_id AS BIGINT) AS vec_id,
+               CAST(f.cluster AS INTEGER) AS cluster,
+               CAST(f.sub AS INTEGER) AS subcluster,
+               (k.dup_of IS NOT NULL) AS is_duplicate,
+               CAST(k.dup_of AS BIGINT) AS dup_of
+        FROM final f LEFT JOIN links k ON f.vec_id = k.cand_id
     """
 
     # Round-13: full SQL mirror of the capped split policy — seed pick

@@ -129,6 +129,7 @@ HEADLINE = [
     "quality_gate",
     "semdedup",
     "semdedup_capped",
+    "embedding_dedup_capped",
     "resample",
     "classifier_score",
     "pq_ann",

@@ -1169,7 +1169,64 @@ def semantic_dedup(
     assigned = widen_narrow_scan(
         df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     ).withColumn("cluster", assign_nearest(F.col("__v"), centroids))
+    return _dedup_within_groups(
+        assigned, threshold, id_col, digits, B, max_cluster_size
+    )
 
+
+def semantic_dedup_labeled(
+    df: DataFrame,
+    label_col: str,
+    threshold: float = 0.999,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 6,
+    n_blocks: int = 8,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """:func:`semantic_dedup` for PRE-BLOCKED corpora: the grouping key
+    is a given integer label column (topic id, shard, source bucket)
+    instead of a nearest-centroid assignment — the label-blocked
+    embedding-near-dup shape (`q_embedding_dedup`), which carries the
+    SAME all-pairs-within-a-block quadratic the r12 soak measured
+    (α=1.45 on `semdedup_panel`).  Everything after assignment —
+    including the round-13 ``max_cluster_size`` split (md5-slotted
+    seeds → one Lloyd refinement step → md5 hard cap) — is shared
+    verbatim with :func:`semantic_dedup`, so a single policy caps both
+    legs of the panel.  Output schema and semantics identical:
+    (id, cluster = the label, subcluster, is_duplicate, dup_of)."""
+    from sparkgraft.operators.scale import widen_narrow_scan
+
+    assigned = widen_narrow_scan(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            F.col(label_col).cast("int").alias("cluster"),
+        )
+    )
+    return _dedup_within_groups(
+        assigned,
+        threshold,
+        id_col,
+        digits,
+        max(1, int(n_blocks)),
+        max_cluster_size,
+    )
+
+
+def _dedup_within_groups(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str,
+    digits: int,
+    B: int,
+    max_cluster_size: int | None,
+) -> DataFrame:
+    """Shared tail of :func:`semantic_dedup` / :func:`semantic_dedup_labeled`:
+    given (__id, __v, cluster), apply the optional oversized-group
+    split, then the triangle-decomposed within-group pairwise dedup.
+    Pure code motion from semantic_dedup (round 13) — the uncapped
+    plan is unchanged."""
     M = int(max_cluster_size) if max_cluster_size is not None else None
     oversized: dict[int, int] = {}
     if M is not None:
