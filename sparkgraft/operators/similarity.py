@@ -1011,22 +1011,6 @@ def kmeans_iterate(
     return centroids
 
 
-def _literal_seed_table(rows: list[tuple[int, int, list[float]]]) -> Column:
-    """A small (cluster, sidx, vector) table as ONE plan-time literal —
-    the two-id-field twin of :func:`_literal_vec_table`, used by the
-    capped-semdedup refinement to restrict a literal argmin to ONE
-    cluster's seed/sub-centroid set."""
-    parts = ", ".join(
-        "named_struct('cluster', {c}, 'sidx', {s}, 'vec', array({xs}))".format(
-            c=int(c),
-            s=int(s),
-            xs=", ".join(repr(float(x)) + "D" for x in vec),
-        )
-        for c, s, vec in rows
-    )
-    return F.expr(f"array({parts})")
-
-
 def _md5_bucket_long(col: Column) -> Column:
     """Deterministic engine-portable hash of an id column (the repo's
     standard md5 toolkit — bm25_index/_term_bucket convention): first
@@ -1045,14 +1029,33 @@ def _assign_within(
     digits: int = 9,
 ) -> Column:
     """Nearest-seed assignment RESTRICTED to the row's own cluster: the
-    (cluster, sidx, vec) table enters the plan as one literal, is
-    filtered to the row's cluster, and the argmin runs over rounded L2
-    distances with sidx tie-break — the same shuffle-free
-    literal-argmin construction as :func:`assign_nearest`, plus the
-    per-row filter.  Rows whose cluster has no entries (non-oversized
-    clusters in the capped-semdedup flow) get NULL."""
-    tab = _literal_seed_table(rows)
-    cands = F.filter(tab, lambda c: c["cluster"] == cluster)
+    (cluster → [(sidx, vec)…]) table enters the plan as ONE literal
+    MAP keyed by cluster, so each row's argmin scans only its OWN
+    cluster's seeds (``element_at`` + the :func:`assign_nearest`-style
+    rounded-L2/sidx-tie argmin).  Rows whose cluster has no entries
+    (non-oversized clusters in the capped-semdedup flow) get NULL.
+
+    Why a map and not a filtered flat array (the first r13 shape): a
+    per-row ``F.filter`` over the GLOBAL seed table scans Σ nsub
+    entries per row, and Catalyst's projection collapse re-evaluates
+    the expression per *exploded* row inside the refit (``posexplode``
+    × dim) — measured 0.5 s off the refit job at sf0.1 (2.4 → 1.9 s)
+    and the per-row cost stays per-cluster-sized as Σ nsub grows at
+    scale, where the flat scan would grow with the TOTAL seed count."""
+    by_cluster: dict[int, list[tuple[int, list[float]]]] = {}
+    for c, s, v in rows:
+        by_cluster.setdefault(int(c), []).append((int(s), v))
+    entries = []
+    for c in sorted(by_cluster):
+        arr = ", ".join(
+            "named_struct('sidx', {s}, 'vec', array({xs}))".format(
+                s=s, xs=", ".join(repr(float(x)) + "D" for x in v)
+            )
+            for s, v in sorted(by_cluster[c])
+        )
+        entries.append(f"{c}, array({arr})")
+    tab = F.expr("map({})".format(", ".join(entries)))
+    cands = F.element_at(tab, cluster)
     dists = F.transform(
         cands,
         lambda c: F.struct(
@@ -1309,6 +1312,17 @@ def _dedup_within_groups(
         assigned = assigned.join(
             F.broadcast(gcounts), ["cluster", "sub"]
         ).withColumn("block", mb % F.col("__blocks"))
+        # The seed/refit literal tables are LARGE expressions (nsub
+        # seeds x dim doubles, twice), and `assigned` is re-referenced
+        # three times below (triangle left + right + the final output
+        # join) — without truncation each reference re-embeds the
+        # whole literal chain and Catalyst/codegen pay seconds of
+        # driver time per copy (measured 7.3 s -> see ROUND13.md).
+        # localCheckpoint runs the assignment ONCE and hands
+        # downstream a plan-free materialized frame — the setsim
+        # signature-table discipline; results identical.  Linear
+        # materialization at scale, replacing 3x recomputation.
+        assigned = assigned.localCheckpoint()
     else:
         # Uncapped (or nothing oversized): constant sub/block — kept
         # OUT of the pair-join keys below so the plan stays identical
