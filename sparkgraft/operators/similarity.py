@@ -1235,6 +1235,15 @@ def _dedup_within_groups(
     if M is not None:
         if M < 2:
             raise ValueError(f"max_cluster_size must be >= 2, got {M}")
+        # Materialize the assignment ONCE before the capped path's
+        # driver actions (r13 optimization round, guide §1/§5): the
+        # split needs three sequential bounded collects (sizes → seeds
+        # → refit) plus the final pairwise job, and each action would
+        # otherwise re-run the whole scan + centroid-argmin chain —
+        # profiled at sf0.1 as 4-5 full recomputations per call.  One
+        # linear materialization replaces them; results identical
+        # (every stage is deterministic).
+        assigned = assigned.localCheckpoint()
         # Bounded collect: one row per centroid (the same "centroid
         # table is driver-sized" assumption assignment itself makes).
         sizes = {
@@ -1281,48 +1290,87 @@ def _dedup_within_groups(
             _assign_within(F.col("__v"), F.col("cluster"), seed_rows),
             F.lit(0),
         )
-        refit_src = assigned.withColumn("__sub0", sub0).filter(
-            F.col("cluster").isin([int(c) for c in oversized])
+        # Narrow (__lbl, __v) projection MATERIALIZED before the refit
+        # aggregate (r13 optimization round): centroids_from_labels
+        # posexplodes __v dim×, and without the barrier the seed-argmin
+        # expression is re-evaluated per EXPLODED row — dim × per-row
+        # argmin cost (profiled: the refit job was 1.47 s of the
+        # capped query's 4.9 s at sf0.1; with the barrier the argmin
+        # runs once per row and the job is the plain decimal-mean
+        # aggregate).  Linear materialization of the oversized rows
+        # only; results identical.
+        refit_src = (
+            assigned.withColumn("__sub0", sub0)
+            .filter(F.col("cluster").isin([int(c) for c in oversized]))
+            .select(
+                (F.col("cluster") * F.lit(K) + F.col("__sub0")).alias(
+                    "__lbl"
+                ),
+                "__v",
+            )
+            .localCheckpoint()
         )
-        cents2 = centroids_from_labels(
-            refit_src.withColumn(
-                "__lbl", F.col("cluster") * F.lit(K) + F.col("__sub0")
-            ),
-            "__lbl",
-            "__v",
-            digits,
-        )
+        cents2 = centroids_from_labels(refit_src, "__lbl", "__v", digits)
         ref_rows = sorted(
             (r["cluster"] // K, r["cluster"] % K, list(r["centroid"]))
             for r in cents2.collect()
         )
+        # The refit literal table is a LARGE expression (Σ nsub seeds ×
+        # dim doubles) and `assigned` is re-referenced three times
+        # below (triangle left + right + the final output join) —
+        # without truncation each reference re-embeds the whole
+        # literal chain and Catalyst/codegen pay seconds of driver
+        # time per copy (measured 7.3 s mid-build; the setsim
+        # signature-table discipline).  Checkpointing HERE — right
+        # after the sub argmin, BEFORE the gcounts aggregate — runs
+        # the giant-literal projection exactly once (r13 optimization
+        # round: the previous post-join checkpoint executed it twice,
+        # once building the gcounts side and once materializing the
+        # checkpoint); the downstream references re-run only the tiny
+        # block-literal projection.  Results identical.
         assigned = assigned.withColumn(
             "sub",
             F.coalesce(
                 _assign_within(F.col("__v"), F.col("cluster"), ref_rows),
                 F.lit(0),
             ),
-        )
+        ).localCheckpoint()
         # Hard cap: md5-block groups still above M.  Group counts are a
-        # small aggregate (≤ n_clusters + Σ n_sub rows) broadcast back;
-        # the block id itself is a pure projection.
-        gcounts = assigned.groupBy("cluster", "sub").agg(
-            F.ceil(F.count("*") / F.lit(M)).alias("__blocks")
+        # small aggregate (≤ n_clusters + Σ n_sub rows) — collected and
+        # re-entered as ONE literal map keyed by cluster·K + sub (r13
+        # optimization round: previously a broadcast join, which cost a
+        # separate broadcast-build job per invocation and re-ran the
+        # join in every downstream reference of `assigned`; the
+        # literal keeps the block id a pure projection — the same
+        # driver-bounded collect class as the seed/refit tables.
+        # Block values identical: block = md5(id) % blocks(cluster,
+        # sub) either way).
+        gcount_rows = (
+            assigned.groupBy("cluster", "sub")
+            .agg(F.ceil(F.count("*") / F.lit(M)).alias("__blocks"))
+            .collect()
         )
-        assigned = assigned.join(
-            F.broadcast(gcounts), ["cluster", "sub"]
-        ).withColumn("block", mb % F.col("__blocks"))
-        # The seed/refit literal tables are LARGE expressions (nsub
-        # seeds x dim doubles, twice), and `assigned` is re-referenced
-        # three times below (triangle left + right + the final output
-        # join) — without truncation each reference re-embeds the
-        # whole literal chain and Catalyst/codegen pay seconds of
-        # driver time per copy (measured 7.3 s -> see ROUND13.md).
-        # localCheckpoint runs the assignment ONCE and hands
-        # downstream a plan-free materialized frame — the setsim
-        # signature-table discipline; results identical.  Linear
-        # materialization at scale, replacing 3x recomputation.
-        assigned = assigned.localCheckpoint()
+        blocks_expr = F.expr(
+            "map({})".format(
+                ", ".join(
+                    f"{int(r['cluster']) * K + int(r['sub'])}L, "
+                    f"{int(r['__blocks'])}L"
+                    for r in sorted(
+                        gcount_rows,
+                        key=lambda r: (r["cluster"], r["sub"]),
+                    )
+                )
+            )
+        )
+        assigned = assigned.withColumn(
+            "block",
+            mb
+            % F.element_at(
+                blocks_expr,
+                F.col("cluster").cast("long") * F.lit(int(K))
+                + F.col("sub").cast("long"),
+            ),
+        )
     else:
         # Uncapped (or nothing oversized): constant sub/block — kept
         # OUT of the pair-join keys below so the plan stays identical
