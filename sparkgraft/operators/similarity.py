@@ -1022,40 +1022,12 @@ def _md5_bucket_long(col: Column) -> Column:
     ).cast("long")
 
 
-def _assign_within(
-    vec: Column,
-    cluster: Column,
-    rows: list[tuple[int, int, list[float]]],
-    digits: int = 9,
-) -> Column:
-    """Nearest-seed assignment RESTRICTED to the row's own cluster: the
-    (cluster → [(sidx, vec)…]) table enters the plan as ONE literal
-    MAP keyed by cluster, so each row's argmin scans only its OWN
-    cluster's seeds (``element_at`` + the :func:`assign_nearest`-style
-    rounded-L2/sidx-tie argmin).  Rows whose cluster has no entries
-    (non-oversized clusters in the capped-semdedup flow) get NULL.
-
-    Why a map and not a filtered flat array (the first r13 shape): a
-    per-row ``F.filter`` over the GLOBAL seed table scans Σ nsub
-    entries per row, and Catalyst's projection collapse re-evaluates
-    the expression per *exploded* row inside the refit (``posexplode``
-    × dim) — measured 0.5 s off the refit job at sf0.1 (2.4 → 1.9 s)
-    and the per-row cost stays per-cluster-sized as Σ nsub grows at
-    scale, where the flat scan would grow with the TOTAL seed count."""
-    by_cluster: dict[int, list[tuple[int, list[float]]]] = {}
-    for c, s, v in rows:
-        by_cluster.setdefault(int(c), []).append((int(s), v))
-    entries = []
-    for c in sorted(by_cluster):
-        arr = ", ".join(
-            "named_struct('sidx', {s}, 'vec', array({xs}))".format(
-                s=s, xs=", ".join(repr(float(x)) + "D" for x in v)
-            )
-            for s, v in sorted(by_cluster[c])
-        )
-        entries.append(f"{c}, array({arr})")
-    tab = F.expr("map({})".format(", ".join(entries)))
-    cands = F.element_at(tab, cluster)
+def _cands_argmin(vec: Column, cands: Column, digits: int = 9) -> Column:
+    """Nearest-seed argmin over a per-row candidate array
+    ``array<struct<sidx:int, vec:array<double>>>``: rounded-L2 at
+    ``digits`` with the sidx tie-break — the :func:`assign_nearest`
+    distance/tie semantics.  NULL candidates (rows whose cluster has
+    no seed entries) yield NULL."""
     dists = F.transform(
         cands,
         lambda c: F.struct(
@@ -1076,6 +1048,55 @@ def _assign_within(
         ),
     )
     return F.array_min(dists).getField("sidx")
+
+
+def _cands_table(
+    spark, rows: list[tuple[int, int, list[float]]], cluster_type
+) -> DataFrame:
+    """(cluster → sorted [(sidx, vec)…]) seed table as a SMALL
+    BROADCASTABLE DATAFRAME — one row per cluster, candidates sorted
+    by sidx (the argmin tie order).
+
+    Why data and not a plan literal (the mid-r13 shape, a
+    ``map(cluster → array(named_struct(…)))`` built via ``F.expr``):
+    the Σnsub × dim doubles become ~7k literal NODES in the expression
+    tree, and Catalyst re-analyzes that tree in every DataFrame op
+    that first touches it — profiled at sf0.1 as ~0.9 s of pure
+    driver/analysis time per capped call (refit-source build 0.6 s +
+    reassign build 0.3 s), guide §7.3 "planning time itself becomes
+    the bottleneck".  As a ~n_cluster-row broadcast the plan stays
+    O(1) nodes, the broadcast build is one ~50 ms local job, and the
+    per-row argmin (:func:`_cands_argmin`) is expression-identical,
+    so assignments are bit-identical."""
+    from pyspark.sql import types as T
+
+    by_cluster: dict[int, list[tuple[int, list[float]]]] = {}
+    for c, s, v in rows:
+        by_cluster.setdefault(int(c), []).append(
+            (int(s), [float(x) for x in v])
+        )
+    data = [(c, sorted(by_cluster[c])) for c in sorted(by_cluster)]
+    schema = T.StructType(
+        [
+            T.StructField("cluster", cluster_type, False),
+            T.StructField(
+                "__cands",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("sidx", T.IntegerType(), False),
+                            T.StructField(
+                                "vec", T.ArrayType(T.DoubleType(), False), False
+                            ),
+                        ]
+                    ),
+                    False,
+                ),
+                False,
+            ),
+        ]
+    )
+    return spark.createDataFrame(data, schema)
 
 
 def semantic_dedup(
@@ -1240,10 +1261,13 @@ def _dedup_within_groups(
         # split needs three sequential bounded collects (sizes → seeds
         # → refit) plus the final pairwise job, and each action would
         # otherwise re-run the whole scan + centroid-argmin chain —
-        # profiled at sf0.1 as 4-5 full recomputations per call.  One
-        # linear materialization replaces them; results identical
-        # (every stage is deterministic).
-        assigned = assigned.localCheckpoint()
+        # profiled at sf0.1 as 4-5 full recomputations per call.  The
+        # checkpoint is LAZY (eager=False) so the sizes collect below
+        # materializes it — one job instead of two (r13 optimization
+        # round, guide §1: every sequential driver action on this path
+        # is a measured ~0.2-0.3 s round-trip at sf0.1).  Results
+        # identical (every stage is deterministic).
+        assigned = assigned.localCheckpoint(eager=False)
         # Bounded collect: one row per centroid (the same "centroid
         # table is driver-sized" assumption assignment itself makes).
         sizes = {
@@ -1256,6 +1280,8 @@ def _dedup_within_groups(
     if oversized:
         nsub = {c: -(-n // M) for c, n in oversized.items()}
         K = max(nsub.values()) + 1
+        spark = assigned.sparkSession
+        ctype = assigned.schema["cluster"].dataType
         mb = _md5_bucket_long(F.col("__id"))
         nsub_expr = F.expr(
             "map({})".format(
@@ -1286,55 +1312,81 @@ def _dedup_within_groups(
             (r["cluster"], r["__slot"], list(r["sv"])) for r in seeds.collect()
         )
         # One Lloyd step: assign → exact-fixed-point refit → reassign.
-        sub0 = F.coalesce(
-            _assign_within(F.col("__v"), F.col("cluster"), seed_rows),
-            F.lit(0),
-        )
-        # Narrow (__lbl, __v) projection MATERIALIZED before the refit
-        # aggregate (r13 optimization round): centroids_from_labels
-        # posexplodes __v dim×, and without the barrier the seed-argmin
-        # expression is re-evaluated per EXPLODED row — dim × per-row
-        # argmin cost (profiled: the refit job was 1.47 s of the
-        # capped query's 4.9 s at sf0.1; with the barrier the argmin
-        # runs once per row and the job is the plain decimal-mean
-        # aggregate).  Linear materialization of the oversized rows
-        # only; results identical.
+        # Seed tables attach as broadcast DATA (:func:`_cands_table` —
+        # not plan literals; rationale there).  The narrow (__lbl, __v)
+        # projection still needs a materialization barrier before the
+        # refit aggregate (centroids_from_labels posexplodes __v dim×
+        # and projection collapse would re-evaluate the seed-argmin per
+        # EXPLODED row — dim × per-row argmin cost), but the checkpoint
+        # is LAZY: the cents2 collect right below materializes it
+        # inside its own job (pipelined persist — the argmin still
+        # runs once per row), saving one driver round-trip (guide §1).
+        # (A dimension-wise refit — dim separate exact_mean aggregates,
+        # no explode, no barrier — was tried and REJECTED: measured
+        # 3.2 s of py4j Column construction + a 2.0 s 64-decimal-agg
+        # job at sf0.1 vs ~0.6 s for explode+mean; guide §1.2 feedback
+        # step.)
         refit_src = (
-            assigned.withColumn("__sub0", sub0)
-            .filter(F.col("cluster").isin([int(c) for c in oversized]))
+            assigned.filter(F.col("cluster").isin([int(c) for c in oversized]))
+            .join(F.broadcast(_cands_table(spark, seed_rows, ctype)), "cluster", "left")
             .select(
-                (F.col("cluster") * F.lit(K) + F.col("__sub0")).alias(
-                    "__lbl"
-                ),
+                (
+                    F.col("cluster") * F.lit(K)
+                    + F.coalesce(
+                        _cands_argmin(F.col("__v"), F.col("__cands")), F.lit(0)
+                    )
+                ).alias("__lbl"),
                 "__v",
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        cents2 = centroids_from_labels(refit_src, "__lbl", "__v", digits)
+        # Refit = the :func:`centroids_from_labels` kernel with the
+        # final reassembly done DRIVER-SIDE (r13 optimization round):
+        # the collect is per-(label, pos) means — the same Σnsub × dim
+        # driver-bounded row count as the assembled centroid table —
+        # so the second shuffle (collect_list + array_sort per label)
+        # buys nothing here; dropping it removes one exchange / AQE
+        # stage per call.  Values are identical: same exact-fixed-point
+        # per-(label, pos) mean, same pos-ascending assembly order.
+        from sparkgraft.operators.stats import exact_mean, scaled_long
+
+        per_dim = (
+            refit_src.select("__lbl", F.posexplode("__v").alias("pos", "v"))
+            .groupBy("__lbl", "pos")
+            .agg(
+                exact_mean(
+                    F.sum(scaled_long(F.col("v").cast("double"))),
+                    F.count("v"),
+                    digits,
+                ).alias("c")
+            )
+        )
+        acc: dict[int, dict[int, float]] = {}
+        for r in per_dim.collect():
+            acc.setdefault(r["__lbl"], {})[r["pos"]] = r["c"]
         ref_rows = sorted(
-            (r["cluster"] // K, r["cluster"] % K, list(r["centroid"]))
-            for r in cents2.collect()
+            (lbl // K, lbl % K, [d[p] for p in sorted(d)])
+            for lbl, d in acc.items()
         )
-        # The refit literal table is a LARGE expression (Σ nsub seeds ×
-        # dim doubles) and `assigned` is re-referenced three times
-        # below (triangle left + right + the final output join) —
-        # without truncation each reference re-embeds the whole
-        # literal chain and Catalyst/codegen pay seconds of driver
-        # time per copy (measured 7.3 s mid-build; the setsim
-        # signature-table discipline).  Checkpointing HERE — right
-        # after the sub argmin, BEFORE the gcounts aggregate — runs
-        # the giant-literal projection exactly once (r13 optimization
-        # round: the previous post-join checkpoint executed it twice,
-        # once building the gcounts side and once materializing the
-        # checkpoint); the downstream references re-run only the tiny
-        # block-literal projection.  Results identical.
-        assigned = assigned.withColumn(
-            "sub",
-            F.coalesce(
-                _assign_within(F.col("__v"), F.col("cluster"), ref_rows),
-                F.lit(0),
-            ),
-        ).localCheckpoint()
+        # `assigned` is re-referenced three times below (triangle left
+        # + right + the final output join) — checkpoint the reassigned
+        # frame so the argmin join runs once; LAZY again, the gcounts
+        # collect right below materializes it.
+        assigned = (
+            assigned.join(
+                F.broadcast(_cands_table(spark, ref_rows, ctype)),
+                "cluster",
+                "left",
+            )
+            .withColumn(
+                "sub",
+                F.coalesce(
+                    _cands_argmin(F.col("__v"), F.col("__cands")), F.lit(0)
+                ),
+            )
+            .drop("__cands")
+            .localCheckpoint(eager=False)
+        )
         # Hard cap: md5-block groups still above M.  Group counts are a
         # small aggregate (≤ n_clusters + Σ n_sub rows) — collected and
         # re-entered as ONE literal map keyed by cluster·K + sub (r13
