@@ -1202,12 +1202,12 @@ def q_cluster_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-fitting.
     cent_rows = _ivf_centroids(spark, sf_dir)
     assigned = emb.withColumn(
-        "cluster", SIM.assign_nearest(F.col("embedding"), cent_rows)
+        "cluster", SIM.assign_nearest("embedding", cent_rows)
     )
     probing = emb.filter(F.col("vec_id") < 20).withColumn(
         "cluster",
         F.explode(
-            SIM.assign_nearest_multi(F.col("embedding"), cent_rows, nprobe=2)
+            SIM.assign_nearest_multi("embedding", cent_rows, nprobe=2)
         ),
     )
     return SIM.partitioned_topk(probing, assigned, k=5, partition_col="cluster")

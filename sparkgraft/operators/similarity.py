@@ -40,6 +40,16 @@ def _norm(a: Column) -> Column:
     )
 
 
+def _norm_sql(vec_sql: str) -> str:
+    """SQL text of :func:`_norm` (identical fold; see
+    :func:`_centroid_dists_sql` for why the text paths exist)."""
+    return (
+        f"sqrt(aggregate(transform({vec_sql}, "
+        f"x -> cast(x as double) * cast(x as double)), "
+        f"0.0D, (acc, x) -> acc + x))"
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity between two float-array columns."""
     return _dot(a, b) / (_norm(a) * _norm(b))
@@ -270,6 +280,22 @@ def brute_force_topk_qint(
     )
 
 
+def _literal_vec_table_sql(
+    rows: list[tuple[int, list[float]]], id_name: str
+) -> str:
+    """SQL text of :func:`_literal_vec_table` (shared by the Column
+    builder and the whole-expression SQL fast paths below)."""
+    parts = ", ".join(
+        "named_struct('{id}', {i}, 'vec', array({xs}))".format(
+            id=id_name,
+            i=int(rid),
+            xs=", ".join(repr(float(x)) + "D" for x in rvec),
+        )
+        for rid, rvec in rows
+    )
+    return f"array({parts})"
+
+
 def _literal_vec_table(rows: list[tuple[int, list[float]]], id_name: str) -> Column:
     """A small (id, vector) table as ONE plan-time literal:
     ``array<struct<id int, vec array<double>>>`` rendered as a SQL
@@ -280,15 +306,33 @@ def _literal_vec_table(rows: list[tuple[int, list[float]]], id_name: str) -> Col
     table — while the SQL text parses in ~ms and produces the identical
     foldable literal.  ``repr(float)`` is the shortest round-trip form,
     so the literal is bit-exact."""
-    parts = ", ".join(
-        "named_struct('{id}', {i}, 'vec', array({xs}))".format(
-            id=id_name,
-            i=int(rid),
-            xs=", ".join(repr(float(x)) + "D" for x in rvec),
-        )
-        for rid, rvec in rows
+    return F.expr(_literal_vec_table_sql(rows, id_name))
+
+
+def _centroid_dists_sql(
+    vec_sql: str, centroids: list[tuple[int, list[float]]], digits: int
+) -> str:
+    """SQL text of :func:`_centroid_dists` over a column reference /
+    SQL snippet — parses to the identical expression tree (same struct
+    field names and order, same fold, same rounding), so distances and
+    tie-breaks are bit-identical to the Column builder.
+
+    Why a text path exists at all (r13 optimization round, guide §1.2
+    per-task→driver feedback): composing these kernels through the
+    Column API costs one Py4J round-trip per operator node — profiled
+    at sf0.1 as ~0.35 s per :func:`_adc_tables`/:func:`pq_encode` CALL
+    (pure driver time, before any job runs), which dominated the ANN
+    family's per-query wall — while rendering the same expression as
+    ONE SQL string is microseconds of Python and a single lazy-parsed
+    ``F.expr``."""
+    ctab = _literal_vec_table_sql(centroids, "cluster")
+    return (
+        f"transform({ctab}, c -> named_struct("
+        f"'d', round(aggregate(zip_with({vec_sql}, c.vec, "
+        f"(x, cc) -> (cast(x as double) - cc) * (cast(x as double) - cc)), "
+        f"0.0D, (acc, x) -> acc + x), {int(digits)}), "
+        f"'cluster', c.cluster))"
     )
-    return F.expr(f"array({parts})")
 
 
 def _centroid_dists(
@@ -660,7 +704,9 @@ def assign_nearest_exact6(
 
 
 def assign_nearest(
-    vec: Column, centroids: list[tuple[int, list[float]]], digits: int = 9
+    vec: Column | str,
+    centroids: list[tuple[int, list[float]]],
+    digits: int = 9,
 ) -> Column:
     """Nearest-centroid assignment as a pure projection (no shuffle).
 
@@ -674,8 +720,21 @@ def assign_nearest(
     Like :func:`lsh_bucket`, a vector whose length differs from the
     centroid dimension raises instead of silently mis-assigning via
     ``zip_with`` null-padding.
+
+    ``vec`` may be a COLUMN NAME (string): the whole expression is then
+    rendered as one SQL text — the same parsed tree for a fraction of
+    the Py4J construction cost (see :func:`_centroid_dists_sql`).
     """
     dim = len(centroids[0][1])
+    if isinstance(vec, str):
+        v = f"`{vec}`"
+        d = _centroid_dists_sql(v, centroids, digits)
+        return F.expr(
+            f"CASE WHEN size({v}) = {dim} THEN array_min({d}).cluster "
+            f"ELSE raise_error(format_string("
+            f"'assign_nearest: embedding length %s != centroid dim {dim}', "
+            f"size({v}))) END"
+        )
     assigned = F.array_min(_centroid_dists(vec, centroids, digits)).getField(
         "cluster"
     )
@@ -690,7 +749,7 @@ def assign_nearest(
 
 
 def assign_nearest_multi(
-    vec: Column,
+    vec: Column | str,
     centroids: list[tuple[int, list[float]]],
     nprobe: int,
     digits: int = 9,
@@ -702,9 +761,22 @@ def assign_nearest_multi(
 
     Same literal-table/no-shuffle construction as
     :func:`assign_nearest`; ties break on cluster id via the struct
-    sort, so probe order is deterministic.
+    sort, so probe order is deterministic.  ``vec`` may be a column
+    name (string) — the SQL fast path, same tree (see
+    :func:`_centroid_dists_sql`).
     """
     dim = len(centroids[0][1])
+    if isinstance(vec, str):
+        v = f"`{vec}`"
+        d = _centroid_dists_sql(v, centroids, digits)
+        return F.expr(
+            f"CASE WHEN size({v}) = {dim} THEN "
+            f"transform(slice(array_sort({d}), 1, {int(nprobe)}), "
+            f"s -> s.cluster) "
+            f"ELSE raise_error(format_string("
+            f"'assign_nearest_multi: embedding length %s != centroid dim "
+            f"{dim}', size({v}))) END"
+        )
     probes = F.transform(
         F.slice(F.array_sort(_centroid_dists(vec, centroids, digits)), 1, nprobe),
         lambda s: s["cluster"],
@@ -1192,7 +1264,7 @@ def semantic_dedup(
     # parallelism first (no-op on a production-wide scan).
     assigned = widen_narrow_scan(
         df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    ).withColumn("cluster", assign_nearest(F.col("__v"), centroids))
+    ).withColumn("cluster", assign_nearest("__v", centroids))
     return _dedup_within_groups(
         assigned, threshold, id_col, digits, B, max_cluster_size
     )
@@ -1513,7 +1585,7 @@ def pq_codebooks_from_labels(
 
 
 def pq_encode(
-    vec: Column,
+    vec: Column | str,
     codebooks: list[list[tuple[int, list[float]]]],
     digits: int = 9,
 ) -> Column:
@@ -1521,9 +1593,29 @@ def pq_encode(
     nearest sub-centroid (rounded L2, code-id tie-break) — m small
     argmins over literal tables, no shuffle, no UDF.  A 64-dim float
     vector becomes m=8 small ints: the 4-32x compression that makes
-    billion-scale ANN candidate scans memory-resident."""
+    billion-scale ANN candidate scans memory-resident.
+
+    ``vec`` may be a column name (string) — the SQL fast path, same
+    tree (see :func:`_centroid_dists_sql`)."""
     sub = len(codebooks[0][0][1])
     dim = sub * len(codebooks)
+    if isinstance(vec, str):
+        v = f"`{vec}`"
+        vd = f"transform({v}, x -> cast(x as double))"
+        codes = ", ".join(
+            "array_min({d}).cluster".format(
+                d=_centroid_dists_sql(
+                    f"slice({vd}, {s * sub + 1}, {sub})", cb, digits
+                )
+            )
+            for s, cb in enumerate(codebooks)
+        )
+        return F.expr(
+            f"CASE WHEN size({v}) = {dim} THEN array({codes}) "
+            f"ELSE raise_error(format_string("
+            f"'pq_encode: embedding length %s != codebook dim {dim}', "
+            f"size({v}))) END"
+        )
     codes = []
     for s, cb in enumerate(codebooks):
         sub_v = F.slice(
@@ -1609,7 +1701,7 @@ def pq_decode_nearest(
 
 
 def _adc_tables(
-    qv: Column,
+    qv: Column | str,
     codebooks: list[list[tuple[int, list[float]]]],
     digits: int = 9,
 ) -> Column:
@@ -1624,8 +1716,27 @@ def _adc_tables(
     Each entry is ``round(Σ (q_i − c_i)², 9)`` with the identical
     fold order the decoded-vector form used, so pair distances are
     BIT-IDENTICAL to scoring against decoded sub-centroids — the
-    shortlist, the oracle SQL, and every tie-break are unchanged."""
+    shortlist, the oracle SQL, and every tie-break are unchanged.
+
+    ``qv`` may be a column name (string) — the SQL fast path, same
+    tree (see :func:`_centroid_dists_sql`)."""
     sub = len(codebooks[0][0][1])
+    if isinstance(qv, str):
+        v = f"`{qv}`"
+        vd = f"transform({v}, x -> cast(x as double))"
+        tabs = []
+        for s, cb in enumerate(codebooks):
+            ctab = _literal_vec_table_sql(cb, "code")
+            entries = (
+                f"transform({ctab}, c -> named_struct("
+                f"'key', c.code, "
+                f"'value', round(aggregate(zip_with("
+                f"slice({vd}, {s * sub + 1}, {sub}), c.vec, "
+                f"(a, b) -> (a - b) * (a - b)), "
+                f"0.0D, (acc, x) -> acc + x), {int(digits)})))"
+            )
+            tabs.append(f"map_from_entries({entries})")
+        return F.expr("array({})".format(", ".join(tabs)))
     vd = F.transform(qv, lambda x: x.cast("double"))
     tabs = []
     for s, cb in enumerate(codebooks):
@@ -1704,11 +1815,11 @@ def pq_encode_candidates(
     cols = [
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        _norm(F.col(vec_col)).alias("cn"),
-        pq_encode(F.col(vec_col), codebooks).alias("codes"),
+        F.expr(_norm_sql(f"`{vec_col}`")).alias("cn"),
+        pq_encode(vec_col, codebooks).alias("codes"),
     ]
     if centroids is not None:
-        cols.insert(1, assign_nearest(F.col(vec_col), centroids).alias("part"))
+        cols.insert(1, assign_nearest(vec_col, centroids).alias("part"))
     return widen_narrow_scan(candidates).select(*cols)
 
 
@@ -1753,8 +1864,8 @@ def pq_adc_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        _norm(F.col(vec_col)).alias("qn"),
-        _adc_tables(F.col(vec_col), codebooks).alias("tabs"),
+        F.expr(_norm_sql(f"`{vec_col}`")).alias("qn"),
+        _adc_tables(vec_col, codebooks).alias("tabs"),
     )
     pairs = enc.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
     # Exact 1e9-scaled LONG (see _adc_lookup) — no re-round, no boundary.
@@ -1843,11 +1954,11 @@ def ivfpq_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.explode(
-            assign_nearest_multi(F.col(vec_col), centroids, nprobe)
+            assign_nearest_multi(vec_col, centroids, nprobe)
         ).alias("part"),
         F.col(vec_col).alias("qv"),
-        _norm(F.col(vec_col)).alias("qn"),
-        _adc_tables(F.col(vec_col), codebooks).alias("tabs"),
+        F.expr(_norm_sql(f"`{vec_col}`")).alias("qn"),
+        _adc_tables(vec_col, codebooks).alias("tabs"),
     )
     pairs = enc.join(F.broadcast(q), "part").filter(
         F.col("neighbor_id") != F.col("query_id")

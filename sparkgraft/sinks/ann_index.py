@@ -37,6 +37,7 @@ from sparkgraft.operators.similarity import (
     _adc_tables,
     _dot,
     _norm,
+    _norm_sql,
     assign_nearest,
     assign_nearest_multi,
     pq_encode,
@@ -58,10 +59,10 @@ def write_ann_index(
     spark = vectors.sparkSession
     enc = widen_narrow_scan(vectors).select(
         F.col(id_col).alias("neighbor_id"),
-        assign_nearest(F.col(vec_col), centroids).alias("part"),
+        assign_nearest(vec_col, centroids).alias("part"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-        _norm(F.col(vec_col)).alias("cn"),
-        pq_encode(F.col(vec_col), codebooks).alias("codes"),
+        F.expr(_norm_sql(f"`{vec_col}`")).alias("cn"),
+        pq_encode(vec_col, codebooks).alias("codes"),
     )
     enc.write.partitionBy("part").mode("overwrite").parquet(
         f"{index_dir}/codes"
@@ -105,10 +106,10 @@ def append_ann_index(
 
     enc = widen_narrow_scan(vectors).select(
         F.col(id_col).alias("neighbor_id"),
-        assign_nearest(F.col(vec_col), centroids).alias("part"),
+        assign_nearest(vec_col, centroids).alias("part"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-        _norm(F.col(vec_col)).alias("cn"),
-        pq_encode(F.col(vec_col), codebooks).alias("codes"),
+        F.expr(_norm_sql(f"`{vec_col}`")).alias("cn"),
+        pq_encode(vec_col, codebooks).alias("codes"),
     )
     enc.write.partitionBy("part").mode("append").parquet(
         f"{index_dir}/codes"
@@ -244,11 +245,11 @@ def ivfpq_topk_indexed(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.explode(
-            assign_nearest_multi(F.col(vec_col), centroids, nprobe)
+            assign_nearest_multi(vec_col, centroids, nprobe)
         ).alias("part"),
         F.col(vec_col).alias("qv"),
-        _norm(F.col(vec_col)).alias("qn"),
-        _adc_tables(F.col(vec_col), codebooks).alias("tabs"),
+        F.expr(_norm_sql(f"`{vec_col}`")).alias("qn"),
+        _adc_tables(vec_col, codebooks).alias("tabs"),
     )
     # Driver-side probed-part list: |queries| x nprobe ids, bounded by
     # n_clusters — the price of a STATIC partition filter on the scan.
