@@ -4839,6 +4839,11 @@ def q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_fingerprint,
     )
 
+    # NOT widened (r13 optimization round): at 150 clips the synth
+    # kernel is cheaper than the repartition stage it would buy
+    # (A/B-measured 1.2-1.8 s unwidened vs 1.8-3.2 s widened at
+    # sf0.1); the audio/phash fixtures, with 10-30x the kernel work,
+    # do widen.
     docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
         F.col("doc_id") < 150
     )
@@ -5171,8 +5176,13 @@ def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vote; returns the detected (pair, offset, votes) rows."""
     from sparkgraft.operators.multimodal import audio_fingerprint, audio_match
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
-        F.col("doc_id") < 200
+    # Synthesis + fingerprinting are CPU-dense Arrow kernels; a
+    # single-file scan would run them in ONE python worker (r13
+    # optimization round, guide §2.6 — no-op on a wide scan).
+    docs = SCALE.widen_narrow_scan(
+        _t(spark, sf_dir, "documents").select("doc_id").filter(
+            F.col("doc_id") < 200
+        )
     )
 
     def gen(batches):
@@ -5982,7 +5992,12 @@ def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs."""
     from sparkgraft.operators.multimodal import image_phash, phash_neardup
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # Widen before the synthesis/DCT Arrow kernel (r13 optimization
+    # round, guide §2.6): a single-file scan serializes it into one
+    # python worker; no-op on a wide scan.
+    docs = SCALE.widen_narrow_scan(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def gen(batches):
         import hashlib

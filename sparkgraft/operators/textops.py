@@ -1343,6 +1343,15 @@ def gopher_quality(
     reduction is exact integer arithmetic in a fixed order — engine-
     portable (the DuckDB oracle mirrors the same fold).
     """
+    from sparkgraft.operators.scale import widen_narrow_scan
+
+    # CPU-dense per-row work (char sort + entropy fold + regex scans:
+    # higher-order-function lambdas evaluate interpreted, ~1.2 s/5k
+    # docs) with NO downstream shuffle — a single-file scan serializes
+    # the whole stage into one task (r13 optimization round, guide
+    # §2.6/§1: measured 1.46 s → 0.31 s at sf0.1).  No-op on a wide
+    # production scan.
+    docs = widen_narrow_scan(docs)
     words = tokenize(F.col(text_col))
     n_words = F.size(words)
     word_lens = F.aggregate(
@@ -1489,8 +1498,14 @@ def setsim_join(
     the LSH-bands signature-table discipline.  Results are identical
     either way.
     """
+    from sparkgraft.operators.scale import widen_narrow_scan
+
     t = float(threshold)
-    base = docs.select(
+    # Tokenization is the CPU-dense per-row stage and the checkpoint
+    # below materializes it at the SCAN's parallelism — widen a narrow
+    # (single-file) scan first or it runs single-task (r13 optimization
+    # round, guide §2.6; no-op on a wide production scan).
+    base = widen_narrow_scan(docs).select(
         F.col(id_col).cast("string").alias("id"),
         F.array_distinct(tokenize(F.col(text_col))).alias("toks"),
     ).filter(F.size("toks") > 0)
