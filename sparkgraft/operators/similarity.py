@@ -2097,12 +2097,20 @@ def maxsim_rerank(
     """
     from pyspark.sql import Window
 
+    from sparkgraft.operators.scale import widen_narrow_scan
+
     # Norms hoisted to one computation per TOKEN (not per pair — the
     # pair count is |q| x |corpus|, the token count is |q| + |corpus|).
+    # The corpus side carries the |q|x per-token cosine work of the
+    # broadcast crossJoin — widen a narrow (single-file) scan or that
+    # stage runs single-task (r13 optimization round, guide §2.6;
+    # no-op on a wide scan).
     q = query_tokens.select(
         "q_doc", "q_tok", F.col("qv"), _norm("qv").alias("qn")
     )
-    d = corpus_tokens.select("d_doc", F.col("dv"), _norm("dv").alias("dn"))
+    d = widen_narrow_scan(corpus_tokens).select(
+        "d_doc", F.col("dv"), _norm("dv").alias("dn")
+    )
     cos6 = F.round(
         _dot(F.col("qv"), F.col("dv")) / (F.col("qn") * F.col("dn")), digits
     )

@@ -293,9 +293,41 @@ def bloom_keep(
     """Manifest predicate for ``col = value`` against a ``_blooms``
     manifest: true iff every hash position's bit is set in the file's
     ``bloom_<col>`` bitmap — i.e. the file MIGHT contain the value
-    (the caller's row filter stays exact)."""
+    (the caller's row filter stays exact).
+
+    For int/str values the hash positions are CONSTANTS — computed
+    driver-side with the same md5 recipe ``_bloom_pos`` evaluates
+    (``pmod(conv(substr(md5('h|salt|value'),1,8),16,10), bits)``;
+    python md5 of the identical string, bit-identical by
+    construction) and rendered as one SQL text, instead of ``hashes``
+    md5/conv/shift expression trees per value: a 5-value IN-lookup
+    built ~500 py4j expression nodes per call (r13 optimization
+    round — the dominant cost of bloom_travel's query construction,
+    1.59 s/call at sf0.1).  Column-typed values keep the expression
+    path."""
+    import hashlib
+
+    from pyspark.sql import Column as _Col
+
     from sparkgraft.operators.scale import _bloom_pos, _shiftright_var
 
+    if isinstance(value, (int, str)) and not isinstance(value, bool):
+        tests = []
+        for h in range(hashes):
+            p = (
+                int(
+                    hashlib.md5(
+                        f"{h}|{salt}|{value}".encode()
+                    ).hexdigest()[:8],
+                    16,
+                )
+                % bits
+            )
+            tests.append(
+                f"(shiftright(element_at(`bloom_{col_name}`, "
+                f"{p // 64 + 1}), {p % 64}) & 1) = 1"
+            )
+        return F.expr("(" + " AND ".join(tests) + ")")
     cond = None
     for h in range(hashes):
         pos = _bloom_pos(h, F.lit(value), bits, salt)

@@ -670,9 +670,14 @@ def read_versioned_bloom(
         bm = spark.read.parquet(
             os.path.join(_manifest_dir(table_dir), man["bloom_file"])
         ).filter(F.col("file").isin(man["files"]))
-        # bounded collects: one row per manifest file
-        indexed = {r["file"] for r in bm.select("file").collect()}
-        kept = {r["file"] for r in bm.filter(keep).select("file").collect()}
+        # ONE bounded collect (one row per manifest file) carrying the
+        # keep verdict — previously two sequential driver round-trips
+        # (r13 optimization round, guide §1; NULL verdicts — files
+        # missing a probed bitmap — stay un-kept, exactly as the
+        # filter(keep) form dropped them).
+        rows = bm.select("file", keep.alias("__keep")).collect()
+        indexed = {r["file"] for r in rows}
+        kept = {r["file"] for r in rows if r["__keep"]}
     rel = sorted(kept | (set(man["files"]) - indexed))
     if not rel:
         return read_versioned(spark, table_dir, v).limit(0)
