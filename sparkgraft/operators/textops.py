@@ -48,11 +48,27 @@ def char_shingles(text: Column, k: int) -> Column:
     return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_signature(shingles: Column, num_hashes: int) -> list[Column]:
+def minhash_signature(
+    shingles: Column | str, num_hashes: int
+) -> list[Column]:
     """MinHash signature: one min-hash per simulated permutation.
 
     ``min(md5(seed|shingle))`` over the shingle set; empty set → NULL.
+
+    ``shingles`` may be a COLUMN NAME (string): each hash column is
+    then one lazily-parsed SQL text instead of ~10 py4j expression
+    nodes — same parsed tree, a fraction of the per-call driver cost
+    (the r13 ANN-kernel discipline; num_hashes=12 built ~150 nodes
+    per signature table).
     """
+    if isinstance(shingles, str):
+        return [
+            F.expr(
+                f"array_min(transform(`{shingles}`, "
+                f"s -> md5(concat('{j}|', s))))"
+            ).alias(f"mh_{j}")
+            for j in range(num_hashes)
+        ]
     return [
         F.array_min(
             F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{j}|"), s)))
@@ -61,15 +77,31 @@ def minhash_signature(shingles: Column, num_hashes: int) -> list[Column]:
     ]
 
 
-def lsh_bands(sig_cols: list[Column], bands: int, rows: int) -> Column:
+def lsh_bands(
+    sig_cols: list[Column] | list[str], bands: int, rows: int
+) -> Column:
     """Group a signature into ``bands`` band-hashes of ``rows`` each.
 
     Returns ``array<struct<band:int, bucket:string>>`` — explode and
     equi-join on (band, bucket) for candidate pairs.  Scale: the band
     join shuffles only (band, bucket, id), and bucket collisions are
     rare by construction, so the pair blow-up is bounded.
+
+    Accepts COLUMN NAMES (strings) for the SQL-text fast path (see
+    :func:`minhash_signature`).
     """
     assert len(sig_cols) == bands * rows
+    if sig_cols and isinstance(sig_cols[0], str):
+        entries = []
+        for b in range(bands):
+            names = ", ".join(
+                f"`{c}`" for c in sig_cols[b * rows : (b + 1) * rows]
+            )
+            entries.append(
+                f"named_struct('band', {b}, "
+                f"'bucket', md5(concat_ws('|', {names})))"
+            )
+        return F.expr("array({})".format(", ".join(entries)))
     entries = []
     for b in range(bands):
         bucket = F.md5(F.concat_ws("|", *sig_cols[b * rows : (b + 1) * rows]))
@@ -141,11 +173,11 @@ def minhash_dedup_pairs(
             "sh"
         ),
     ).persist()
-    sig = base.select("id", "sh", *minhash_signature(F.col("sh"), num_hashes))
+    sig = base.select("id", "sh", *minhash_signature("sh", num_hashes))
     banded = sig.select(
         "id",
         F.explode(
-            lsh_bands([F.col(f"mh_{j}") for j in range(num_hashes)], bands, rows)
+            lsh_bands([f"mh_{j}" for j in range(num_hashes)], bands, rows)
         ).alias("bb"),
     ).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
@@ -1050,11 +1082,11 @@ def minhash_prep(
             word_shingles(tokenize(F.col(text_col)), shingle_k)
         ).alias("sh"),
     ).persist()
-    sig = base.select("id", "sh", *minhash_signature(F.col("sh"), num_hashes))
+    sig = base.select("id", "sh", *minhash_signature("sh", num_hashes))
     banded = sig.select(
         "id",
         F.explode(
-            lsh_bands([F.col(f"mh_{j}") for j in range(num_hashes)], bands, rows)
+            lsh_bands([f"mh_{j}" for j in range(num_hashes)], bands, rows)
         ).alias("bb"),
     ).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
