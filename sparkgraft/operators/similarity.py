@@ -50,6 +50,15 @@ def _norm_sql(vec_sql: str) -> str:
     )
 
 
+def _dot_sql(a_sql: str, b_sql: str) -> str:
+    """SQL text of :func:`_dot` (identical zip_with fold)."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, "
+        f"(x, y) -> cast(x as double) * cast(y as double)), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity between two float-array columns."""
     return _dot(a, b) / (_norm(a) * _norm(b))
@@ -1094,12 +1103,29 @@ def _md5_bucket_long(col: Column) -> Column:
     ).cast("long")
 
 
-def _cands_argmin(vec: Column, cands: Column, digits: int = 9) -> Column:
+def _cands_argmin(
+    vec: Column | str, cands: Column | str, digits: int = 9
+) -> Column:
     """Nearest-seed argmin over a per-row candidate array
     ``array<struct<sidx:int, vec:array<double>>>``: rounded-L2 at
     ``digits`` with the sidx tie-break — the :func:`assign_nearest`
     distance/tie semantics.  NULL candidates (rows whose cluster has
-    no seed entries) yield NULL."""
+    no seed entries) yield NULL.
+
+    ``vec``/``cands`` may be COLUMN NAMES (strings): the expression is
+    then rendered as one SQL text — the same parsed tree for a
+    fraction of the Py4J construction cost (the :func:`assign_nearest`
+    r13 discipline; every higher-order DSL lambda costs ~10 driver
+    round-trips, the text costs one)."""
+    if isinstance(vec, str) and isinstance(cands, str):
+        v, cs = f"`{vec}`", f"`{cands}`"
+        return F.expr(
+            f"array_min(transform({cs}, c -> named_struct("
+            f"'d', round(aggregate(zip_with({v}, c.vec, "
+            f"(x, cc) -> (cast(x as double) - cc) * (cast(x as double) - cc)), "
+            f"0.0D, (acc, x) -> acc + x), {int(digits)}), "
+            f"'sidx', c.sidx))).sidx"
+        )
     dists = F.transform(
         cands,
         lambda c: F.struct(
@@ -1120,55 +1146,6 @@ def _cands_argmin(vec: Column, cands: Column, digits: int = 9) -> Column:
         ),
     )
     return F.array_min(dists).getField("sidx")
-
-
-def _cands_table(
-    spark, rows: list[tuple[int, int, list[float]]], cluster_type
-) -> DataFrame:
-    """(cluster → sorted [(sidx, vec)…]) seed table as a SMALL
-    BROADCASTABLE DATAFRAME — one row per cluster, candidates sorted
-    by sidx (the argmin tie order).
-
-    Why data and not a plan literal (the mid-r13 shape, a
-    ``map(cluster → array(named_struct(…)))`` built via ``F.expr``):
-    the Σnsub × dim doubles become ~7k literal NODES in the expression
-    tree, and Catalyst re-analyzes that tree in every DataFrame op
-    that first touches it — profiled at sf0.1 as ~0.9 s of pure
-    driver/analysis time per capped call (refit-source build 0.6 s +
-    reassign build 0.3 s), guide §7.3 "planning time itself becomes
-    the bottleneck".  As a ~n_cluster-row broadcast the plan stays
-    O(1) nodes, the broadcast build is one ~50 ms local job, and the
-    per-row argmin (:func:`_cands_argmin`) is expression-identical,
-    so assignments are bit-identical."""
-    from pyspark.sql import types as T
-
-    by_cluster: dict[int, list[tuple[int, list[float]]]] = {}
-    for c, s, v in rows:
-        by_cluster.setdefault(int(c), []).append(
-            (int(s), [float(x) for x in v])
-        )
-    data = [(c, sorted(by_cluster[c])) for c in sorted(by_cluster)]
-    schema = T.StructType(
-        [
-            T.StructField("cluster", cluster_type, False),
-            T.StructField(
-                "__cands",
-                T.ArrayType(
-                    T.StructType(
-                        [
-                            T.StructField("sidx", T.IntegerType(), False),
-                            T.StructField(
-                                "vec", T.ArrayType(T.DoubleType(), False), False
-                            ),
-                        ]
-                    ),
-                    False,
-                ),
-                False,
-            ),
-        ]
-    )
-    return spark.createDataFrame(data, schema)
 
 
 def semantic_dedup(
@@ -1321,45 +1298,45 @@ def _dedup_within_groups(
     """Shared tail of :func:`semantic_dedup` / :func:`semantic_dedup_labeled`:
     given (__id, __v, cluster), apply the optional oversized-group
     split, then the triangle-decomposed within-group pairwise dedup.
-    Pure code motion from semantic_dedup (round 13) — the uncapped
-    plan is unchanged."""
+
+    Round-14: the capped split is ONE LAZY PLAN — the r13 shape ran
+    four sequential bounded driver actions per call (sizes → seeds →
+    refit means → group counts), each a measured ~0.2-0.6 s job +
+    py4j round-trip at sf0.1, and at any scale a driver barrier that
+    serializes the pipeline (guide §1.2: driver work serializes every
+    job).  Every driver-collected table is now the SAME aggregate kept
+    distributed and attached back as a broadcast-joined frame (sizes →
+    ``over``, seed vectors → ``seed_cands``, refit means →
+    ``ref_cands``, group counts → ``gc``), so the whole split plans as
+    one job with zero collects.  Values are bit-identical stage by
+    stage: the per-(cluster, slot) min_by seed rows, the exact
+    fixed-point per-(group, pos) means assembled pos-ascending
+    (``exact_mean`` emits DOUBLE — the same nearest-double the
+    driver-side ``float(Decimal)`` assembly produced), and the ceil'd
+    block counts are the identical expressions, only their transport
+    changed (broadcast data instead of re-entered literals).  The
+    argmin kernel (:func:`_cands_argmin`) is untouched.
+
+    Plan-shape note: with ``max_cluster_size`` set the split stages
+    now run even when nothing is oversized (the r13 code branched on
+    the collected sizes; lazily there is nothing to branch on) — the
+    oversized filter just comes back empty, every row keeps
+    ``sub = 0, block = 0``, and the result is row-identical to the
+    uncapped plan (asserted in tests/test_semdedup_capped.py).
+    """
     M = int(max_cluster_size) if max_cluster_size is not None else None
-    oversized: dict[int, int] = {}
+    if M is not None and M < 2:
+        raise ValueError(f"max_cluster_size must be >= 2, got {M}")
+    # Materialize the assignment ONCE (LAZY — the consuming job
+    # triggers it): `assigned` is referenced by the triangle left +
+    # right sides and the final output join (plus the split aggregates
+    # on the capped path) — without the checkpoint every reference
+    # re-runs the scan + centroid-argmin chain (guide §2.4/§5; the
+    # fingerprint-table discipline setsim/phash already follow).
+    # Results identical: every stage is deterministic.
+    assigned = assigned.localCheckpoint(eager=False)
     if M is not None:
-        if M < 2:
-            raise ValueError(f"max_cluster_size must be >= 2, got {M}")
-        # Materialize the assignment ONCE before the capped path's
-        # driver actions (r13 optimization round, guide §1/§5): the
-        # split needs three sequential bounded collects (sizes → seeds
-        # → refit) plus the final pairwise job, and each action would
-        # otherwise re-run the whole scan + centroid-argmin chain —
-        # profiled at sf0.1 as 4-5 full recomputations per call.  The
-        # checkpoint is LAZY (eager=False) so the sizes collect below
-        # materializes it — one job instead of two (r13 optimization
-        # round, guide §1: every sequential driver action on this path
-        # is a measured ~0.2-0.3 s round-trip at sf0.1).  Results
-        # identical (every stage is deterministic).
-        assigned = assigned.localCheckpoint(eager=False)
-        # Bounded collect: one row per centroid (the same "centroid
-        # table is driver-sized" assumption assignment itself makes).
-        sizes = {
-            r["cluster"]: r["n"]
-            for r in assigned.groupBy("cluster")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-        oversized = {c: n for c, n in sizes.items() if n > M}
-    if oversized:
-        nsub = {c: -(-n // M) for c, n in oversized.items()}
-        K = max(nsub.values()) + 1
-        spark = assigned.sparkSession
-        ctype = assigned.schema["cluster"].dataType
         mb = _md5_bucket_long(F.col("__id"))
-        nsub_expr = F.expr(
-            "map({})".format(
-                ", ".join(f"{int(c)}, {int(s)}" for c, s in sorted(nsub.items()))
-            )
-        )
         # Seed pick: md5-minimal row per (cluster, slot); the lpad'd id
         # suffix makes the key total so min_by is deterministic on both
         # engines even under (cosmically unlikely) md5 collisions.
@@ -1368,11 +1345,23 @@ def _dedup_within_groups(
             F.lit("|"),
             F.lpad(F.col("__id").cast("string"), 20, "0"),
         )
-        seeds = (
-            assigned.filter(
-                F.col("cluster").isin([int(c) for c in oversized])
+        # Oversized clusters with their sub-cluster counts — one row
+        # per centroid (the same "centroid table is driver-sized"
+        # assumption assignment itself makes), broadcastable.  nsub =
+        # ceil(n/M) as exact integer arithmetic (`div`), matching the
+        # r13 driver-side ``-(-n // M)``.
+        over = (
+            assigned.groupBy("cluster")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > M)
+            .select(
+                "cluster",
+                F.expr(f"(__n + {M - 1}) div {M}").alias("__nsub"),
             )
-            .withColumn("__slot", mb % F.element_at(nsub_expr, F.col("cluster")))
+        )
+        seeds = (
+            assigned.join(F.broadcast(over), "cluster")
+            .withColumn("__slot", mb % F.col("__nsub"))
             .groupBy("cluster", "__slot")
             .agg(
                 F.min_by(
@@ -1380,51 +1369,49 @@ def _dedup_within_groups(
                 ).alias("sv")
             )
         )
-        seed_rows = sorted(
-            (r["cluster"], r["__slot"], list(r["sv"])) for r in seeds.collect()
+        # (cluster → sorted [(sidx, vec)…]) candidate arrays, assembled
+        # DISTRIBUTED (sort_array orders by sidx — unique per cluster)
+        # instead of collected+re-entered; same rows, same order as the
+        # r13 _cands_table.
+        seed_cands = seeds.groupBy("cluster").agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("__slot").cast("int").alias("sidx"),
+                        F.col("sv").alias("vec"),
+                    )
+                )
+            ).alias("__cands")
         )
         # One Lloyd step: assign → exact-fixed-point refit → reassign.
-        # Seed tables attach as broadcast DATA (:func:`_cands_table` —
-        # not plan literals; rationale there).  The narrow (__lbl, __v)
-        # projection still needs a materialization barrier before the
-        # refit aggregate (centroids_from_labels posexplodes __v dim×
-        # and projection collapse would re-evaluate the seed-argmin per
-        # EXPLODED row — dim × per-row argmin cost), but the checkpoint
-        # is LAZY: the cents2 collect right below materializes it
-        # inside its own job (pipelined persist — the argmin still
-        # runs once per row), saving one driver round-trip (guide §1).
-        # (A dimension-wise refit — dim separate exact_mean aggregates,
-        # no explode, no barrier — was tried and REJECTED: measured
-        # 3.2 s of py4j Column construction + a 2.0 s 64-decimal-agg
-        # job at sf0.1 vs ~0.6 s for explode+mean; guide §1.2 feedback
-        # step.)
+        # The narrow (cluster, __sub, __v) projection still needs a
+        # materialization barrier before the refit aggregate (the
+        # posexplode below would otherwise re-evaluate the seed-argmin
+        # per EXPLODED row — dim × per-row argmin cost under
+        # projection collapse); LAZY again, it materializes inside the
+        # consuming job.  (A dimension-wise refit — dim separate
+        # exact_mean aggregates, no explode, no barrier — was tried
+        # and REJECTED in r13: 3.2 s of py4j Column construction +
+        # a 2.0 s 64-decimal-agg job at sf0.1 vs ~0.6 s for
+        # explode+mean; guide §1.2 feedback step.)
+        from sparkgraft.operators.stats import exact_mean, scaled_long
+
         refit_src = (
-            assigned.filter(F.col("cluster").isin([int(c) for c in oversized]))
-            .join(F.broadcast(_cands_table(spark, seed_rows, ctype)), "cluster", "left")
+            assigned.join(F.broadcast(seed_cands), "cluster")
             .select(
-                (
-                    F.col("cluster") * F.lit(K)
-                    + F.coalesce(
-                        _cands_argmin(F.col("__v"), F.col("__cands")), F.lit(0)
-                    )
-                ).alias("__lbl"),
+                "cluster",
+                F.coalesce(
+                    _cands_argmin("__v", "__cands"), F.lit(0)
+                ).alias("__sub"),
                 "__v",
             )
             .localCheckpoint(eager=False)
         )
-        # Refit = the :func:`centroids_from_labels` kernel with the
-        # final reassembly done DRIVER-SIDE (r13 optimization round):
-        # the collect is per-(label, pos) means — the same Σnsub × dim
-        # driver-bounded row count as the assembled centroid table —
-        # so the second shuffle (collect_list + array_sort per label)
-        # buys nothing here; dropping it removes one exchange / AQE
-        # stage per call.  Values are identical: same exact-fixed-point
-        # per-(label, pos) mean, same pos-ascending assembly order.
-        from sparkgraft.operators.stats import exact_mean, scaled_long
-
         per_dim = (
-            refit_src.select("__lbl", F.posexplode("__v").alias("pos", "v"))
-            .groupBy("__lbl", "pos")
+            refit_src.select(
+                "cluster", "__sub", F.posexplode("__v").alias("pos", "v")
+            )
+            .groupBy("cluster", "__sub", "pos")
             .agg(
                 exact_mean(
                     F.sum(scaled_long(F.col("v").cast("double"))),
@@ -1433,78 +1420,60 @@ def _dedup_within_groups(
                 ).alias("c")
             )
         )
-        acc: dict[int, dict[int, float]] = {}
-        for r in per_dim.collect():
-            acc.setdefault(r["__lbl"], {})[r["pos"]] = r["c"]
-        ref_rows = sorted(
-            (lbl // K, lbl % K, [d[p] for p in sorted(d)])
-            for lbl, d in acc.items()
+        ref_cands = (
+            per_dim.groupBy("cluster", "__sub")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda x: x["c"],
+                ).alias("vec")
+            )
+            .groupBy("cluster")
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__sub").cast("int").alias("sidx"), "vec"
+                        )
+                    )
+                ).alias("__cands")
+            )
         )
         # `assigned` is re-referenced three times below (triangle left
         # + right + the final output join) — checkpoint the reassigned
-        # frame so the argmin join runs once; LAZY again, the gcounts
-        # collect right below materializes it.
+        # frame so the argmin join runs once; LAZY again.
         assigned = (
-            assigned.join(
-                F.broadcast(_cands_table(spark, ref_rows, ctype)),
+            assigned.join(F.broadcast(ref_cands), "cluster", "left")
+            .select(
                 "cluster",
-                "left",
-            )
-            .withColumn(
-                "sub",
-                F.coalesce(
-                    _cands_argmin(F.col("__v"), F.col("__cands")), F.lit(0)
+                "__id",
+                "__v",
+                F.coalesce(_cands_argmin("__v", "__cands"), F.lit(0)).alias(
+                    "sub"
                 ),
             )
-            .drop("__cands")
             .localCheckpoint(eager=False)
         )
         # Hard cap: md5-block groups still above M.  Group counts are a
-        # small aggregate (≤ n_clusters + Σ n_sub rows) — collected and
-        # re-entered as ONE literal map keyed by cluster·K + sub (r13
-        # optimization round: previously a broadcast join, which cost a
-        # separate broadcast-build job per invocation and re-ran the
-        # join in every downstream reference of `assigned`; the
-        # literal keeps the block id a pure projection — the same
-        # driver-bounded collect class as the seed/refit tables.
-        # Block values identical: block = md5(id) % blocks(cluster,
-        # sub) either way).
-        gcount_rows = (
-            assigned.groupBy("cluster", "sub")
-            .agg(F.ceil(F.count("*") / F.lit(M)).alias("__blocks"))
-            .collect()
+        # small aggregate (≤ n_clusters + Σ n_sub rows) broadcast back;
+        # block = md5(id) % blocks(cluster, sub) — the expression (and
+        # the ceil'd count) is identical to the r13 literal-map form.
+        gc = assigned.groupBy("cluster", "sub").agg(
+            F.ceil(F.count("*") / F.lit(M)).alias("__blocks")
         )
-        blocks_expr = F.expr(
-            "map({})".format(
-                ", ".join(
-                    f"{int(r['cluster']) * K + int(r['sub'])}L, "
-                    f"{int(r['__blocks'])}L"
-                    for r in sorted(
-                        gcount_rows,
-                        key=lambda r: (r["cluster"], r["sub"]),
-                    )
-                )
-            )
-        )
-        assigned = assigned.withColumn(
-            "block",
-            mb
-            % F.element_at(
-                blocks_expr,
-                F.col("cluster").cast("long") * F.lit(int(K))
-                + F.col("sub").cast("long"),
-            ),
+        assigned = assigned.join(F.broadcast(gc), ["cluster", "sub"]).select(
+            "cluster", "__id", "__v", "sub", (mb % F.col("__blocks")).alias("block")
         )
     else:
-        # Uncapped (or nothing oversized): constant sub/block — kept
-        # OUT of the pair-join keys below so the plan stays identical
-        # to the pre-cap operator (only the subcluster projection is
-        # new); the output schema is uniform either way.
+        # Uncapped: constant sub/block — kept OUT of the pair-join
+        # keys below so the plan stays identical to the pre-cap
+        # operator (only the subcluster projection is new); the output
+        # schema is uniform either way.
         assigned = assigned.withColumn("sub", F.lit(0)).withColumn(
             "block", F.lit(0)
         )
     pair_keys = (
-        ["cluster", "sub", "block"] if oversized else ["cluster"]
+        ["cluster", "sub", "block"] if M is not None else ["cluster"]
     )
     # Norms are hoisted to per-row scalars BEFORE the pairwise join —
     # same expression tree as cosine() (sqrt of the square-sum, then
@@ -1516,7 +1485,7 @@ def _dedup_within_groups(
         *pair_keys,
         "__id",
         "__v",
-        _norm(F.col("__v")).alias("__n"),
+        F.expr(_norm_sql("`__v`")).alias("__n"),
     )
     # Round-10: the cell construction lives in the shared
     # scale.triangle_self_pairs helper (this operator's round-2 fix,
@@ -1529,19 +1498,24 @@ def _dedup_within_groups(
         .select(
             F.col("id_b").alias("cand_id"),
             F.col("id_a").alias("keep_id"),
-            F.round(
-                _dot(F.col("__v_a"), F.col("__v_b"))
-                / (F.col("__n_a") * F.col("__n_b")),
-                digits,
+            F.expr(
+                f"round({_dot_sql('`__v_a`', '`__v_b`')}"
+                f" / (`__n_a` * `__n_b`), {int(digits)})"
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= F.lit(threshold))
         .groupBy("cand_id")
         .agg(F.min("keep_id").alias("dup_of"))
     )
+    # Project the output side down to (id, cluster, sub) BEFORE the
+    # join (guide §2.3 "project before the exchange"): the verdict
+    # join only decides is_duplicate/dup_of — without the projection
+    # the exchange ships every embedding (the whole corpus payload at
+    # scale) just to drop it in the select below.
+    verdict_src = assigned.select("__id", "cluster", "sub")
     return (
-        assigned.join(
-            dup_links, assigned["__id"] == dup_links["cand_id"], "left"
+        verdict_src.join(
+            dup_links, verdict_src["__id"] == dup_links["cand_id"], "left"
         )
         .select(
             F.col("__id").alias(id_col),

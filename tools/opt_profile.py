@@ -19,8 +19,10 @@ plan to plans/r13/<name>_<tag>.txt.
 
 Usage:
   python tools/opt_profile.py [sf_dir] [q1,q2,...] [--tag before] [--reps 3]
+      [--plandir plans/r14]
 Defaults: sf0.1, the top-30 of BENCH_r12_full.json, no dump (tag '').
-With --tag the formatted plan is written to plans/r13/<q>_<tag>.txt.
+With --tag the formatted plan is written to <plandir>/<q>_<tag>.txt
+(plandir defaults to plans/r14 — the current optimization round).
 
 Output: one JSON line per query to stdout + a summary table; full map
 written to /tmp/opt_profile_<tag|adhoc>.json.
@@ -99,6 +101,11 @@ def main() -> int:
     args = [a for a in sys.argv[1:]]
     tag = ""
     reps = 3
+    plandir = os.path.join("plans", "r14")
+    if "--plandir" in args:
+        i = args.index("--plandir")
+        plandir = args[i + 1]
+        del args[i : i + 2]
     if "--tag" in args:
         i = args.index("--tag")
         tag = args[i + 1]
@@ -137,7 +144,7 @@ def main() -> int:
         plan = time.perf_counter() - t0
         shape = plan_shape(txt)
         if tag:
-            path = os.path.join(REPO, "plans", "r13", f"{name}_{tag}.txt")
+            path = os.path.join(REPO, plandir, f"{name}_{tag}.txt")
             with open(path, "w") as f:
                 f.write(txt)
         # warm-up exec (codegen compile, one-time artifacts), then best-of-N
