@@ -2579,6 +2579,61 @@ def q_stream_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def _multi_version_summary(spark: SparkSession, t: str, n_versions: int) -> DataFrame:
+    """Per-version (n_rows, spend) over the first ``n_versions``
+    snapshots of a versioned orders table in ONE scan (r14, guide
+    §6/§2.4): the per-version manifests are driver-side JSON (free to
+    read); each distinct data file is read once, its rows exploded to
+    every version whose manifest lists it (append/merge versions carry
+    parent files forward, so file sets overlap), and one grouped
+    aggregate replaces ``n_versions`` global ones — N scans + N
+    exchanges + union -> 1 scan + 1 exchange.  Counts and the exact
+    decimal spend sums are per-version row-identical to the
+    read-each-snapshot form (same multiset of rows per version,
+    order-free decimal sum)."""
+    from sparkgraft.sinks.versioned import _read_manifest
+
+    import os as _os
+
+    file_versions: dict[str, list[int]] = {}
+    for v in range(n_versions):
+        for f in _read_manifest(t, v)["files"]:
+            file_versions.setdefault(f, []).append(v)
+    paths = [f"{t}/{f}" for f in sorted(file_versions)]
+    # Keyed on the BASENAME (token-unique by the commit protocol), so
+    # the lookup is robust to the URI scheme input_file_name() emits.
+    vmap = F.create_map(
+        *[
+            lit
+            for f, vs in sorted(file_versions.items())
+            for lit in (
+                F.lit(_os.path.basename(f)),
+                F.array(*[F.lit(v) for v in vs]),
+            )
+        ]
+    )
+    snap = spark.read.parquet(*paths).select(
+        "o_totalprice",
+        F.explode(
+            F.element_at(
+                vmap,
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+            )
+        ).alias("version"),
+    )
+    return (
+        snap.groupBy("version")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("spend"),
+        )
+        .select("version", "n_rows", "spend")
+    )
+
+
 def q_snapshot_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Versioned snapshot table with TIME TRAVEL (sinks/versioned.py —
     manifest-based parquet snapshots, atomic pointer flips, the
@@ -2615,22 +2670,7 @@ def q_snapshot_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             stats_cols=["o_orderkey"], sort_col="o_orderkey", n_files=4,
         )
         _FIXTURE_CACHE[("snapshot_table", sf_dir)] = t
-    outs = []
-    for v in range(3):
-        snap = read_versioned(spark, t, version=v)
-        outs.append(
-            snap.agg(
-                F.count("*").alias("n_rows"),
-                F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
-                .cast("decimal(38,2)")
-                .cast("double")
-                .alias("spend"),
-            ).select(F.lit(v).alias("version"), "n_rows", "spend")
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    return _multi_version_summary(spark, t, 3)
 
 
 # The unigram fit is deterministic per (session, sf_dir) — hard-EM
@@ -5119,8 +5159,11 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant."""
     from sparkgraft.operators.scale import dsir_weights
 
+    # Predicate-subset fast path (r14): the target is a slice of the
+    # corpus itself, so both bucket LMs come out of one tokenize pass
+    # (weights identical; see dsir_weights docstring).
     docs = _t(spark, sf_dir, "documents")
-    return dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+    return dsir_weights(docs, target_pred=F.col("lang") == "en")
 
 
 def q_topic_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5178,11 +5221,16 @@ def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Synthesis + fingerprinting are CPU-dense Arrow kernels; a
     # single-file scan would run them in ONE python worker (r13
-    # optimization round, guide §2.6 — no-op on a wide scan).
+    # optimization round, guide §2.6 — no-op on a wide scan).  Fan-out
+    # is row-bounded (r14): 32 python workers for ~220 clips measured
+    # 1.86 s vs 1.33 s at 8 on a quiet box (worker round-trips exceed
+    # the kernel), and the r13 driver bench showed the same pattern
+    # amplifying contention on the loaded box.
     docs = SCALE.widen_narrow_scan(
         _t(spark, sf_dir, "documents").select("doc_id").filter(
             F.col("doc_id") < 200
-        )
+        ),
+        rows_per_task=512,
     )
 
     def gen(batches):
@@ -5549,22 +5597,7 @@ def q_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, t, src, ["o_orderkey"], sort_col="o_orderkey", n_files=2
         )
         _FIXTURE_CACHE[("versioned_merge_table", sf_dir)] = t
-    outs = []
-    for v in range(3):
-        snap = read_versioned(spark, t, version=v)
-        outs.append(
-            snap.agg(
-                F.count("*").alias("n_rows"),
-                F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
-                .cast("decimal(38,2)")
-                .cast("double")
-                .alias("spend"),
-            ).select(F.lit(v).alias("version"), "n_rows", "spend")
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    return _multi_version_summary(spark, t, 3)
 
 
 def q_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5994,9 +6027,12 @@ def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Widen before the synthesis/DCT Arrow kernel (r13 optimization
     # round, guide §2.6): a single-file scan serializes it into one
-    # python worker; no-op on a wide scan.
+    # python worker; no-op on a wide scan.  Fan-out is row-bounded
+    # (r14, verdict r13 task 1): unbounded widening to 32 python
+    # synthesis workers measured slower quiet (1.17 vs 0.96 s) and
+    # amplified driver-box contention 4.9x in the r13 bench.
     docs = SCALE.widen_narrow_scan(
-        _t(spark, sf_dir, "documents").select("doc_id")
+        _t(spark, sf_dir, "documents").select("doc_id"), rows_per_task=512
     )
 
     def gen(batches):

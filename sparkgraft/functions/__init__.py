@@ -10,6 +10,7 @@ from sparkgraft.functions.expr import (
     round_stats,
     sanitize_channel,
     size_health_flag,
+    sql_ident,
     time_parts,
     timestamp_to_ole,
     window_end_berlin,
@@ -25,6 +26,7 @@ __all__ = [
     "round_stats",
     "sanitize_channel",
     "size_health_flag",
+    "sql_ident",
     "time_parts",
     "timestamp_to_ole",
     "window_end_berlin",

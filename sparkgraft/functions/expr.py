@@ -21,6 +21,16 @@ OLE_EPOCH_UNIX = -2209161600.0
 FILENAME_TS_RE = r"(\d{4}-\d{2}-\d{2})_(\d{2}-\d{2}-\d{2})"
 
 
+def sql_ident(name: str) -> str:
+    """Backtick-quote a column name for interpolation into a SQL text
+    (the r13 SQL-text fast paths): embedded backticks are doubled —
+    the Spark identifier escape — so a hostile or odd name can never
+    break out of the quoted identifier and change the expression
+    (r13 advice item; internal call sites pass plain names, but the
+    operators taking column names are public API)."""
+    return f"`{str(name).replace('`', '``')}`"
+
+
 def ole_to_timestamp(days: Column) -> Column:
     """F2 — OLE Automation float days → TIMESTAMP.
 

@@ -113,15 +113,19 @@ def annotator_kappa(
     pairs = a.join(b, "item").filter(
         F.col("annotator_a") < F.col("annotator_b")
     )
-    per = pairs.groupBy("annotator_a", "annotator_b").agg(
-        F.count("*").alias("n_items"),
-        F.sum(
-            F.when(F.col("la") == F.col("lb"), 1).otherwise(0)
-        ).alias("n_eq"),
-    )
-    # label marginals per (pair, label) on the co-annotated items
+    # label marginals per (pair, label) on the co-annotated items —
+    # the ONE aggregate over the item self-join; n_items / n_eq roll
+    # up from it (r14: previously a second full pass over `pairs`,
+    # guide §2.3 aggregate-before-you-reuse — counts identical:
+    # n_items = Σ n, n_eq = Σ n where la = lb).
     marg = pairs.groupBy("annotator_a", "annotator_b", "la", "lb").agg(
         F.count("*").alias("n")
+    )
+    per = marg.groupBy("annotator_a", "annotator_b").agg(
+        F.sum("n").alias("n_items"),
+        F.sum(
+            F.when(F.col("la") == F.col("lb"), F.col("n")).otherwise(0)
+        ).alias("n_eq"),
     )
     ca = marg.groupBy("annotator_a", "annotator_b", "la").agg(
         F.sum("n").alias("na")

@@ -269,7 +269,36 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
     return max(1, math.ceil(total / max_split))
 
 
-def widen_narrow_scan(df: DataFrame) -> DataFrame:
+def _scan_row_count(df: DataFrame) -> int | None:
+    """Driver-side parquet-footer row count of a file scan — local
+    stat only, no Spark job (the same cost class as the per-file
+    ``getsize`` in :func:`_estimated_scan_partitions`).  Returns None
+    when it can't be read cheaply (non-file / non-parquet source)."""
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            return None
+        try:
+            import pyarrow.parquet as pq
+
+            total += pq.ParquetFile(u.path).metadata.num_rows
+        except Exception:
+            return None
+    return total
+
+
+def widen_narrow_scan(
+    df: DataFrame, rows_per_task: int | None = None
+) -> DataFrame:
     """Repartition ONLY when the input is narrower than the cluster —
     the guard for CPU-heavy per-row stages (md5 shingling, signature
     computation) that must not serialize on a single-file scan.  A wide
@@ -282,13 +311,37 @@ def widen_narrow_scan(df: DataFrame) -> DataFrame:
     converted to an RDD only as a last-resort fallback for non-file
     sources — at 100 TB plan sizes the conversion itself is the cost
     the estimate avoids.
+
+    ``rows_per_task`` (round 14) bounds the fan-out BY THE DATA for
+    stages whose per-row work runs in a Python worker (mapInPandas
+    synthesis kernels): the widened partition count becomes
+    ``min(defaultParallelism, ceil(rows / rows_per_task))``, so a
+    small table never fans out to more workers than its rows can keep
+    busy — per-task worker round-trip/startup is ~50-100 ms, so below
+    a few hundred rows per task the scheduling overhead exceeds the
+    kernel it parallelizes (measured at sf0.1, quiet 32-core box:
+    phash synthesis 32 parts = 1.17 s vs 8 parts = 0.96 s; audio 32 =
+    1.86 s vs 8 = 1.33 s — and the r13 driver run showed the same
+    fan-out amplifying box contention 4.9x).  The row count is a
+    driver-side parquet-footer stat on the narrow path only; a wide
+    scan never reads it (zero driver stats at 100 TB, where the min
+    binds to defaultParallelism anyway).  Row-identical either way —
+    only the RoundRobin partition count changes.
     """
     sc = df.sparkSession.sparkContext
     est = _estimated_scan_partitions(df)
     if est is None:
         est = df.rdd.getNumPartitions()
-    if est < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
+    par = sc.defaultParallelism
+    if est >= par:
+        return df
+    target = par
+    if rows_per_task is not None:
+        rows = _scan_row_count(df)
+        if rows is not None:
+            target = min(par, max(est, -(-rows // int(rows_per_task))))
+    if target > est:
+        return df.repartition(target)
     return df
 
 
@@ -637,12 +690,13 @@ def preference_pairs(
 
 def dsir_weights(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 4096,
     smoothing: float = 1.0,
     digits: int = 6,
+    target_pred: Column | None = None,
 ) -> DataFrame:
     """Data Selection via Importance Resampling (DSIR, Xie et al.
     2023): score every raw document by how much its hashed-unigram
@@ -659,35 +713,65 @@ def dsir_weights(
     log discipline — coarse enough that engine log() ulp differences
     never flip a digit) and sum as DECIMAL(18,6), so weights are
     partition/order/engine invariant.  Output: ``(id, n_tokens,
-    logw)`` per raw document."""
+    logw)`` per raw document.
+
+    ``target_pred`` (round 14, mutually exclusive with ``target``):
+    when the target corpus is a PREDICATE-DEFINED SUBSET of ``docs``
+    (the common DSIR deployment — "the English slice", "the wiki
+    source"), both bucket LMs come out of ONE tokenize+count pass
+    (``nt`` = the flagged subset's count inside the same aggregate)
+    instead of a second tokenize pass over the target plus a
+    full-outer join of the two LMs — one less full pass over the
+    corpus and two fewer exchanges, with bucket counts (and therefore
+    every emitted weight) identical by construction."""
     from sparkgraft.operators.textops import tokenize
+
+    if (target is None) == (target_pred is None):
+        raise ValueError("pass exactly one of target / target_pred")
+
+    bucket_of = F.pmod(
+        F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
 
     def bucketize(df):
         return df.select(
             F.col(id_col).alias("id"),
             F.explode(tokenize(F.col(text_col))).alias("term"),
-        ).select(
-            "id",
-            F.pmod(
-                F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast(
-                    "long"
-                ),
-                F.lit(n_buckets),
-            ).alias("bucket"),
-        )
+        ).select("id", bucket_of.alias("bucket"))
 
-    tgt = bucketize(target).groupBy("bucket").agg(F.count("*").alias("nt"))
-    raw = bucketize(docs)
-    rawlm = raw.groupBy("bucket").agg(F.count("*").alias("nr"))
-    # Corpus totals arrive as broadcast 1-row aggregates (the ngram_lm
-    # vocab pattern) — the whole operator stays one lazy plan with no
-    # driver-side action.
-    tot_t = tgt.agg(F.coalesce(F.sum("nt"), F.lit(0)).alias("tt"))
-    tot_r = rawlm.agg(F.coalesce(F.sum("nr"), F.lit(0)).alias("tr"))
+    if target_pred is not None:
+        raw = docs.select(
+            F.col(id_col).alias("id"),
+            target_pred.cast("boolean").alias("__t"),
+            F.explode(tokenize(F.col(text_col))).alias("term"),
+        ).select("id", "__t", bucket_of.alias("bucket"))
+        lms = raw.groupBy("bucket").agg(
+            F.count("*").alias("nr"),
+            F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("nt"),
+        )
+        tot = lms.agg(
+            F.coalesce(F.sum("nr"), F.lit(0)).alias("tr"),
+            F.coalesce(F.sum("nt"), F.lit(0)).alias("tt"),
+        )
+        lm_src = lms.crossJoin(F.broadcast(tot))
+        raw = raw.select("id", "bucket")
+    else:
+        tgt = bucketize(target).groupBy("bucket").agg(F.count("*").alias("nt"))
+        raw = bucketize(docs)
+        rawlm = raw.groupBy("bucket").agg(F.count("*").alias("nr"))
+        # Corpus totals arrive as broadcast 1-row aggregates (the ngram_lm
+        # vocab pattern) — the whole operator stays one lazy plan with no
+        # driver-side action.
+        tot_t = tgt.agg(F.coalesce(F.sum("nt"), F.lit(0)).alias("tt"))
+        tot_r = rawlm.agg(F.coalesce(F.sum("nr"), F.lit(0)).alias("tr"))
+        lm_src = (
+            rawlm.join(tgt, "bucket", "full")
+            .crossJoin(F.broadcast(tot_t))
+            .crossJoin(F.broadcast(tot_r))
+        )
     lm = (
-        rawlm.join(tgt, "bucket", "full")
-        .crossJoin(F.broadcast(tot_t))
-        .crossJoin(F.broadcast(tot_r))
+        lm_src
         .select(
             "bucket",
             (

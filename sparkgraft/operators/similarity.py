@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from sparkgraft.functions.expr import sql_ident as _sql_ident
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -736,7 +738,7 @@ def assign_nearest(
     """
     dim = len(centroids[0][1])
     if isinstance(vec, str):
-        v = f"`{vec}`"
+        v = _sql_ident(vec)
         d = _centroid_dists_sql(v, centroids, digits)
         return F.expr(
             f"CASE WHEN size({v}) = {dim} THEN array_min({d}).cluster "
@@ -776,7 +778,7 @@ def assign_nearest_multi(
     """
     dim = len(centroids[0][1])
     if isinstance(vec, str):
-        v = f"`{vec}`"
+        v = _sql_ident(vec)
         d = _centroid_dists_sql(v, centroids, digits)
         return F.expr(
             f"CASE WHEN size({v}) = {dim} THEN "
@@ -1118,7 +1120,7 @@ def _cands_argmin(
     r13 discipline; every higher-order DSL lambda costs ~10 driver
     round-trips, the text costs one)."""
     if isinstance(vec, str) and isinstance(cands, str):
-        v, cs = f"`{vec}`", f"`{cands}`"
+        v, cs = _sql_ident(vec), _sql_ident(cands)
         return F.expr(
             f"array_min(transform({cs}, c -> named_struct("
             f"'d', round(aggregate(zip_with({v}, c.vec, "
@@ -1574,7 +1576,7 @@ def pq_encode(
     sub = len(codebooks[0][0][1])
     dim = sub * len(codebooks)
     if isinstance(vec, str):
-        v = f"`{vec}`"
+        v = _sql_ident(vec)
         vd = f"transform({v}, x -> cast(x as double))"
         codes = ", ".join(
             "array_min({d}).cluster".format(
@@ -1696,7 +1698,7 @@ def _adc_tables(
     tree (see :func:`_centroid_dists_sql`)."""
     sub = len(codebooks[0][0][1])
     if isinstance(qv, str):
-        v = f"`{qv}`"
+        v = _sql_ident(qv)
         vd = f"transform({v}, x -> cast(x as double))"
         tabs = []
         for s, cb in enumerate(codebooks):
@@ -1789,7 +1791,7 @@ def pq_encode_candidates(
     cols = [
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        F.expr(_norm_sql(f"`{vec_col}`")).alias("cn"),
+        F.expr(_norm_sql(_sql_ident(vec_col))).alias("cn"),
         pq_encode(vec_col, codebooks).alias("codes"),
     ]
     if centroids is not None:
@@ -1838,7 +1840,7 @@ def pq_adc_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        F.expr(_norm_sql(f"`{vec_col}`")).alias("qn"),
+        F.expr(_norm_sql(_sql_ident(vec_col))).alias("qn"),
         _adc_tables(vec_col, codebooks).alias("tabs"),
     )
     pairs = enc.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
@@ -1931,7 +1933,7 @@ def ivfpq_topk(
             assign_nearest_multi(vec_col, centroids, nprobe)
         ).alias("part"),
         F.col(vec_col).alias("qv"),
-        F.expr(_norm_sql(f"`{vec_col}`")).alias("qn"),
+        F.expr(_norm_sql(_sql_ident(vec_col))).alias("qn"),
         _adc_tables(vec_col, codebooks).alias("tabs"),
     )
     pairs = enc.join(F.broadcast(q), "part").filter(

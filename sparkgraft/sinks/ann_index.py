@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sparkgraft.functions.expr import sql_ident as _sql_ident
+
 from sparkgraft.operators.similarity import (
     _adc_lookup,
     _adc_tables,
@@ -61,7 +63,7 @@ def write_ann_index(
         F.col(id_col).alias("neighbor_id"),
         assign_nearest(vec_col, centroids).alias("part"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-        F.expr(_norm_sql(f"`{vec_col}`")).alias("cn"),
+        F.expr(_norm_sql(_sql_ident(vec_col))).alias("cn"),
         pq_encode(vec_col, codebooks).alias("codes"),
     )
     enc.write.partitionBy("part").mode("overwrite").parquet(
@@ -108,7 +110,7 @@ def append_ann_index(
         F.col(id_col).alias("neighbor_id"),
         assign_nearest(vec_col, centroids).alias("part"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-        F.expr(_norm_sql(f"`{vec_col}`")).alias("cn"),
+        F.expr(_norm_sql(_sql_ident(vec_col))).alias("cn"),
         pq_encode(vec_col, codebooks).alias("codes"),
     )
     enc.write.partitionBy("part").mode("append").parquet(
@@ -248,7 +250,7 @@ def ivfpq_topk_indexed(
             assign_nearest_multi(vec_col, centroids, nprobe)
         ).alias("part"),
         F.col(vec_col).alias("qv"),
-        F.expr(_norm_sql(f"`{vec_col}`")).alias("qn"),
+        F.expr(_norm_sql(_sql_ident(vec_col))).alias("qn"),
         _adc_tables(vec_col, codebooks).alias("tabs"),
     )
     # Driver-side probed-part list: |queries| x nprobe ids, bounded by

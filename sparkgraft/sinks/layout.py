@@ -311,7 +311,17 @@ def bloom_keep(
 
     from sparkgraft.operators.scale import _bloom_pos, _shiftright_var
 
-    if isinstance(value, (int, str)) and not isinstance(value, bool):
+    if hashes < 1:
+        # Degenerate config: the expression path used to return None
+        # and the fast path an unparseable '()' — fail loudly and
+        # identically instead (r13 advice item).
+        raise ValueError(f"bloom_keep: hashes must be >= 1, got {hashes}")
+    # EXACT types only (r13 advice item): an int subclass whose str()
+    # differs from Spark's cast-to-string (e.g. IntEnum on older
+    # Pythons) would hash a different string than the expression path
+    # and silently prune the WRONG files — false negatives.  bool is
+    # an int subclass and is excluded by the same rule.
+    if type(value) in (int, str):
         tests = []
         for h in range(hashes):
             p = (

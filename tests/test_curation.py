@@ -77,6 +77,41 @@ def test_dsir_weights_prefers_in_domain(spark):
     assert out[1][1] > 0.0 > out[2][1]
 
 
+def test_dsir_weights_target_pred_matches_two_frame_form(spark):
+    """Round-14 fused path: when the target is a predicate-defined
+    subset of docs, the single-pass target_pred form must emit
+    EXACTLY the weights of the two-DataFrame form (same bucket
+    counts by construction), including docs whose predicate column
+    is NULL (falsy, excluded from the target LM)."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join("w%d" % ((i * j) % 37) for j in range(1, 20)),
+             "en" if i % 3 == 0 else ("fr" if i % 3 == 1 else None))
+            for i in range(45)
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    two = sorted(
+        map(
+            tuple,
+            dsir_weights(docs, docs.filter(F.col("lang") == "en")).collect(),
+        )
+    )
+    one = sorted(
+        map(
+            tuple,
+            dsir_weights(docs, target_pred=F.col("lang") == "en").collect(),
+        )
+    )
+    assert two == one and len(one) == 45
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_weights(docs)
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_weights(docs, docs, target_pred=F.col("lang") == "en")
+
+
 def test_dsir_weights_partition_invariant(spark):
     docs = spark.createDataFrame(
         [(i, " ".join("w%d" % ((i * j) % 50) for j in range(1, 30))) for i in range(60)],

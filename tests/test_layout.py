@@ -301,6 +301,55 @@ def test_zorder_manifest_prunes_on_both_dimensions(spark, tmp_path):
         assert got == want and got
 
 
+def test_bloom_keep_python_positions_match_sql_expression(spark):
+    """Property test (r13 verdict task 1): bloom_keep's driver-side
+    fast path re-implements the _bloom_pos md5 recipe in Python — pin
+    position equality against the SQL expression over a value grid
+    (ints incl. negatives/extremes, strings incl. empty/unicode/
+    pipes), plus the guard behaviors (bool/float take the expression
+    path; hashes < 1 raises for both paths)."""
+    import hashlib
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sparkgraft.operators.scale import _bloom_pos
+    from sparkgraft.sinks.layout import bloom_keep
+
+    values = [
+        0, 1, -1, 7, -42, 2**31, -(2**31), 2**62, 999999937,
+        "", "a", "user|7", "0", "-1", "späth", "x" * 64, "`;drop",
+    ]
+    bits, hashes, salt = 4096, 3, "bloom"
+    rows = []
+    for v in values:
+        for h in range(hashes):
+            py = int(hashlib.md5(f"{h}|{salt}|{v}".encode()).hexdigest()[:8], 16) % bits
+            rows.append((str(type(v).__name__), repr(v), h, py))
+    # SQL positions for every (value, h) via the expression kernel
+    df = spark.createDataFrame(
+        [(repr(v), v if isinstance(v, str) else None,
+          v if isinstance(v, int) else None) for v in values],
+        "key string, sv string, iv long",
+    )
+    for h in range(hashes):
+        df = df.withColumn(
+            f"ps_{h}", _bloom_pos(h, F.coalesce(F.col("sv"), F.col("iv").cast("string")), bits, salt)
+        )
+    got = {(r["key"], h): r[f"ps_{h}"] for r in df.collect() for h in range(hashes)}
+    for tname, key, h, py in rows:
+        assert got[(key, h)] == py, (key, h, py, got[(key, h)])
+    # guards: bool / non-exact types use the expression path (a Column
+    # that references the bitmap column), never the constant fast path
+    for odd in (True, False, 3.5):
+        c = bloom_keep("user_id", odd)
+        assert "bloom_user_id" in str(c._jc.toString())
+    with pytest.raises(ValueError, match="hashes"):
+        bloom_keep("user_id", 7, hashes=0)
+    with pytest.raises(ValueError, match="hashes"):
+        bloom_keep("user_id", F.col("x"), hashes=0)
+
+
 def test_bloom_manifest_prunes_point_lookups(spark, tmp_path):
     """Per-file Blooms prune `col = value` where min/max can't (high-
     cardinality unsorted column spans every file's range); zero false

@@ -181,6 +181,43 @@ def test_widen_narrow_scan_is_plan_free_for_file_scans(spark, tmp_path):
     assert widen_narrow_scan(mem).rdd.getNumPartitions() == par
 
 
+def test_widen_narrow_scan_rows_per_task_bounds_fanout(spark, tmp_path):
+    """Round-14: with ``rows_per_task`` the widened partition count is
+    bounded by the data (ceil(rows / rows_per_task), capped at
+    defaultParallelism, never below the scan's own width) — the guard
+    for mapInPandas synthesis kernels where per-task worker overhead
+    exceeds the kernel below a few hundred rows.  The row count comes
+    from parquet footers driver-side; a non-file source falls back to
+    the unbounded widen."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.operators.scale import _scan_row_count, widen_narrow_scan
+
+    p = str(tmp_path / "narrow_rows")
+    spark.range(1000).select(F.col("id"), (F.col("id") * 2).alias("v")).coalesce(
+        1
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    par = spark.sparkContext.defaultParallelism
+    assert _scan_row_count(df) == 1000
+    # 1000 rows at 300/task -> ceil = 4 partitions (par is larger)
+    w = widen_narrow_scan(df, rows_per_task=300)
+    assert w.rdd.getNumPartitions() == min(par, 4)
+    assert w.count() == 1000
+    # a floor larger than the table still widens to >= the scan width
+    w1 = widen_narrow_scan(df, rows_per_task=10**6)
+    assert 1 <= w1.rdd.getNumPartitions() <= min(par, 1) or (
+        w1.rdd.getNumPartitions() == 1
+    )
+    # tiny floor -> capped at defaultParallelism, same rows
+    w2 = widen_narrow_scan(df, rows_per_task=1)
+    assert w2.rdd.getNumPartitions() == par
+    # non-file source: row count unavailable, falls back to full widen
+    mem = spark.range(100).coalesce(1)
+    assert _scan_row_count(mem) is None
+    assert widen_narrow_scan(mem, rows_per_task=300).rdd.getNumPartitions() == par
+
+
 def test_read_table_caches_plan_per_session(spark):
     from sparkgraft.sources.readers import read_table
 
