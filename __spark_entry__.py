@@ -1494,11 +1494,64 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = hash_split(
         docs.unionByName(planted), ["doc_id"], train_frac=0.5
     )
-    train = tagged.filter(F.col("split") == "train").select("doc_id", "text")
-    hold = tagged.filter(F.col("split") == "holdout").select("doc_id", "text")
-    out = T.incremental_dedup(
-        hold, train, shingle_k=3, num_hashes=12, bands=2, min_jaccard=0.5
+    # Both sides prepped in ONE shingle+signature pass over the tagged
+    # union (r14, guide §2.4): incremental_dedup would minhash_prep
+    # each side separately — two scans of the union, two persisted
+    # shingle tables, the hash_split evaluated twice.  Filtering the
+    # side tag after shingling commutes with shingling (per-row), so
+    # the banded keys and verify verdicts are bit-identical.
+    from sparkgraft.operators.scale import widen_narrow_scan
+    from sparkgraft.operators.textops import (
+        crossside_verdicts,
+        lsh_bands,
+        minhash_signature,
+        tokenize,
+        word_shingles,
     )
+
+    num_hashes, bands = 12, 2
+    base_all = (
+        widen_narrow_scan(tagged)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(
+                word_shingles(tokenize(F.col("text")), 3)
+            ).alias("sh"),
+            (F.col("split") == "train").alias("__train"),
+        )
+        .persist()
+    )
+    sig = base_all.select(
+        "id", "__train", *minhash_signature("sh", num_hashes)
+    )
+    # banded_all feeds BOTH candidate sides — persist it (the
+    # signature table discipline), or the md5 signature pass re-runs
+    # once per side (measured: +0.6 s at sf0.1 unpersisted).
+    banded_all = sig.select(
+        "id",
+        "__train",
+        F.explode(
+            lsh_bands(
+                [f"mh_{j}" for j in range(num_hashes)],
+                bands,
+                num_hashes // bands,
+            )
+        ).alias("bb"),
+    ).select(
+        "id",
+        "__train",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    ).persist()
+    is_train = F.col("__train")
+    out = crossside_verdicts(
+        base_all.filter(~is_train).select("id", "sh"),
+        banded_all.filter(~is_train).select("id", "band", "bucket"),
+        base_all.filter(is_train).select("id", "sh"),
+        banded_all.filter(is_train).select("id", "band", "bucket"),
+        base_all.filter(~is_train).select(F.col("id").alias("new_id")),
+        min_jaccard=0.5,
+    ).withColumnRenamed("new_id", "doc_id")
     return out.select(
         "doc_id",
         F.col("is_duplicate").alias("leaked"),
@@ -6114,7 +6167,10 @@ def q_report_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     method-tagged union (rows keep row integrity in n1..n4; metadata
     splits into a numeric and a text leg)."""
     rows = q_report_rows(spark, sf_dir)
-    meta = q_report_meta(spark, sf_dir)
+    # `meta` feeds TWO legs below (meta_num + meta_txt) — checkpoint so
+    # the regex report parse runs once, not once per union branch
+    # (r14; the setsim/phash fingerprint-table discipline).
+    meta = q_report_meta(spark, sf_dir).localCheckpoint(eager=False)
     null_d = F.lit(None).cast("double")
     rows_leg = rows.select(
         F.lit("rows").alias("leg"),

@@ -1557,49 +1557,21 @@ def setsim_join(
     )
     prefix = ranked.filter(
         F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
-    ).select("w", "id", "n", F.col("rn").alias("p"))
+    ).select("w", "id", "n")
     if checkpoint:
         prefix = prefix.localCheckpoint()
     a = prefix.select(
-        "w",
-        F.col("id").alias("id_a"),
-        F.col("n").alias("n_a"),
-        F.col("p").alias("p_a"),
+        "w", F.col("id").alias("id_a"), F.col("n").alias("n_a")
     )
     b = prefix.select(
-        "w",
-        F.col("id").alias("id_b"),
-        F.col("n").alias("n_b"),
-        F.col("p").alias("p_b"),
+        "w", F.col("id").alias("id_b"), F.col("n").alias("n_b")
     )
-    # POSITIONAL filter (PPJoin, Xiao et al. 2008 §3.2 — round 14):
-    # at the FIRST token two prefixes share, the remaining overlap is
-    # at most 1 + min(|a|-p_a, |b|-p_b) (both sets rank tokens in the
-    # same global order, so earlier cross-matches cannot exist at the
-    # first shared token), and Jaccard >= j needs overlap >=
-    # j/(1+j) * (|a|+|b|).  Applying the bound per meeting-token is
-    # still exact: a qualifying pair always passes at its first shared
-    # token, and the OR over meeting rows (the distinct below) keeps
-    # it.  The threshold the bound must respect is the VERIFY's, which
-    # rounds jaccard to ``digits`` before comparing — a pair with
-    # exact J down to t - 0.5*10^-digits still rounds up and must
-    # survive, so the bound uses that J_min, and the 1e-9 slack only
-    # ever ADMITS borderline candidates (float error ~1e-15 relative).
-    # The exact verify below therefore sees a superset — zero false
-    # negatives, fewer candidate rows into the distinct and the
-    # verify join.
-    ubound = F.lit(1) + F.least(
-        F.col("n_a") - F.col("p_a"), F.col("n_b") - F.col("p_b")
-    )
-    j_min = t - 0.5 * 10.0 ** (-digits)
-    alpha = F.lit(j_min / (1.0 + j_min)) * (F.col("n_a") + F.col("n_b"))
     cand = (
         a.join(b, "w")
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & (F.col("n_b") >= F.lit(t) * F.col("n_a"))
             & (F.col("n_a") >= F.lit(t) * F.col("n_b"))
-            & (ubound.cast("double") >= alpha - F.lit(1e-9))
         )
         .select("id_a", "id_b")
         .distinct()

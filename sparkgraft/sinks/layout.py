@@ -136,13 +136,36 @@ def write_with_stats(
     man.write.mode("overwrite").parquet(f"{path}/_stats")
 
 
+def manifest_local_df(spark: SparkSession, path: str) -> DataFrame:
+    """A skipping/bloom MANIFEST as a LOCAL relation (r14, guide §1
+    driver round-trips): manifests are metadata-sized (one row per
+    data file), yet every prune decision paid a full distributed
+    parquet-scan job + collect per call.  Reading the tiny file(s)
+    driver-side via pyarrow and re-entering them as a LocalRelation
+    lets the predicate + collect fold to a driver-local
+    LocalTableScan — ZERO jobs per prune, no AQE stage round-trips —
+    while still re-reading the manifest from parquet on every call
+    (nothing is cached across invocations).  Arrow→Spark type mapping
+    is exact for the manifest column classes (strings, longs,
+    doubles, UTC-adjusted timestamps, array<long> bitmaps) — pinned
+    against the distributed read in tests/test_layout.py.  Any
+    surprise (non-local path, unreadable footer) falls back to the
+    distributed read."""
+    try:
+        import pyarrow.parquet as pq
+
+        return spark.createDataFrame(pq.read_table(path))
+    except Exception:
+        return spark.read.parquet(path)
+
+
 def prune_files(spark: SparkSession, path: str, keep: Column) -> list[str]:
     """Evaluate a manifest predicate (over the ``min_*``/``max_*``/
     ``nulls_*``/``n_rows`` columns) and return the surviving file list.
     The standard range predicate for ``col BETWEEN lo AND hi`` is
     ``(max_col >= lo) AND (min_col <= hi)`` — any file whose stats
     range misses the query range is skipped without opening it."""
-    man = spark.read.parquet(f"{path}/_stats")
+    man = manifest_local_df(spark, f"{path}/_stats")
     return sorted(
         r["file"] for r in man.filter(keep).select("file").collect()
     )
@@ -363,9 +386,13 @@ def read_skipping_blooms(
     :func:`write_bloom_manifest`) is always kept — skipping must never
     produce false negatives, so unindexed files are scanned until the
     manifest is rebuilt (the rebuild is one full-table pass)."""
-    man = spark.read.parquet(f"{path}/_blooms")
-    kept = {r["file"] for r in man.filter(keep).select("file").collect()}
-    indexed = {r["file"] for r in man.select("file").collect()}
+    man = manifest_local_df(spark, f"{path}/_blooms")
+    # ONE bounded collect carrying the keep verdict (and, with the
+    # local manifest read, zero jobs — the filter folds to a driver
+    # LocalTableScan).
+    rows = man.select("file", keep.alias("__keep")).collect()
+    kept = {r["file"] for r in rows if r["__keep"]}
+    indexed = {r["file"] for r in rows}
     # inputFiles() is file-index metadata — no data scan.
     table_files = set(spark.read.format(fmt).load(path).inputFiles())
     files = sorted(kept | (table_files - indexed))

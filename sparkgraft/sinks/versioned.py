@@ -603,7 +603,9 @@ def read_versioned_skipping(
         raise ValueError(
             f"version {v} of {table_dir} was committed without stats_cols"
         )
-    stats = spark.read.parquet(_stats_path(table_dir, v))
+    from sparkgraft.sinks.layout import manifest_local_df
+
+    stats = manifest_local_df(spark, _stats_path(table_dir, v))
     rel = sorted(r["file"] for r in stats.filter(keep).select("file").collect())
     if not rel:
         return read_versioned(spark, table_dir, v).limit(0)
@@ -667,8 +669,10 @@ def read_versioned_bloom(
         keep = term if keep is None else (keep & term)
     indexed, kept = set(), set()
     if man.get("bloom_file"):
-        bm = spark.read.parquet(
-            os.path.join(_manifest_dir(table_dir), man["bloom_file"])
+        from sparkgraft.sinks.layout import manifest_local_df
+
+        bm = manifest_local_df(
+            spark, os.path.join(_manifest_dir(table_dir), man["bloom_file"])
         ).filter(F.col("file").isin(man["files"]))
         # ONE bounded collect (one row per manifest file) carrying the
         # keep verdict — previously two sequential driver round-trips
@@ -698,7 +702,9 @@ def _touched_files(
         return list(man["files"]), []
     from pyspark.sql import functions as F
 
-    stats = spark.read.parquet(_stats_path(table_dir, version))
+    from sparkgraft.sinks.layout import manifest_local_df
+
+    stats = manifest_local_df(spark, _stats_path(table_dir, version))
     rows = stats.withColumn("_keep", stats_keep).select("file", "_keep").collect()
     keep_map = {r["file"]: r["_keep"] for r in rows}
     touched, untouched = [], []

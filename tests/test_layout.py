@@ -301,6 +301,52 @@ def test_zorder_manifest_prunes_on_both_dimensions(spark, tmp_path):
         assert got == want and got
 
 
+def test_manifest_local_df_matches_distributed_read(spark, tmp_path):
+    """Round-14: prune decisions read manifests as a driver-local
+    LocalRelation (zero jobs) — pin schema and values, including the
+    risky type classes (UTC-adjusted timestamps, array<long> bloom
+    bitmaps, doubles, nulls), against the distributed parquet read,
+    and confirm the filter+collect plan is a LocalTableScan."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.sinks.layout import manifest_local_df
+
+    p = str(tmp_path / "manifest")
+    spark.range(5).select(
+        F.concat(F.lit("f"), F.col("id")).alias("file"),
+        F.col("id").alias("n_rows"),
+        (F.col("id") * 1.5).alias("min_value"),
+        F.when(F.col("id") % 2 == 0, F.col("id") * 2.5).alias("max_value"),
+        F.to_timestamp(F.lit("2024-01-10 12:34:56.789012")).alias("min_ts"),
+        F.array(F.col("id"), F.lit(-1).cast("long")).alias("bloom_user_id"),
+    ).coalesce(1).write.parquet(p)
+    local = manifest_local_df(spark, p)
+    dist = spark.read.parquet(p)
+    assert [f.dataType.simpleString() for f in local.schema.fields] == [
+        f.dataType.simpleString() for f in dist.schema.fields
+    ], (local.schema, dist.schema)
+    lc = sorted(map(tuple, local.collect()))
+    dc = sorted(map(tuple, dist.collect()))
+    assert lc == dc
+    # the prune path (filter + collect) folds to a LocalTableScan —
+    # no distributed scan node in the plan
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        local.filter(F.col("n_rows") > 1).explain()
+    plan = buf.getvalue()
+    assert "Scan parquet" not in plan, plan
+    # unreadable path -> falls back to the distributed reader (raises
+    # the same AnalysisException class the old path did)
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        manifest_local_df(spark, str(tmp_path / "missing")).collect()
+
+
 def test_bloom_keep_python_positions_match_sql_expression(spark):
     """Property test (r13 verdict task 1): bloom_keep's driver-side
     fast path re-implements the _bloom_pos md5 recipe in Python — pin
